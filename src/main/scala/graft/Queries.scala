@@ -1,0 +1,328 @@
+package graft
+
+import graft.functions.vec
+import graft.knn.Knn
+import graft.ops.Mutations
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The operator catalog: every SURVEY.md §2 component exposed as a
+  * (SparkSession, sfDir) => DataFrame query, with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Conventions for oracle hash-stability:
+  *  - identical column names + ORDER BY on both sides,
+  *  - floats computed in double precision in identical element order and
+  *    rounded (4 decimals; money aggregates 2),
+  *  - integer outputs cast to BIGINT on both sides.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dEmb(c: String) = s"$c::DOUBLE[]"
+
+  /** DuckDB: element-ordered double fold equivalents of graft's kernels. */
+  private def duckEuclid(a: String, b: String) =
+    s"sqrt(list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2]))))"
+  private def duckManhattan(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> abs(x[1]-x[2])))"
+  private def duckDot(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))"
+  private def duckNormSq(a: String) =
+    s"list_sum(list_transform($a, x -> x*x))"
+  private def duckCosine(a: String, b: String) =
+    s"abs(1.0 - ${duckDot(a, b)} / (sqrt(${duckNormSq(a)}) * sqrt(${duckNormSq(b)})))"
+
+  /** Spark side: single query vector = embedding of vec_id 0, broadcast. */
+  private def withQueryVec(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+  }
+
+  private def distQuery(metric: String): (SparkSession, String) => DataFrame =
+    (spark, dir) =>
+      withQueryVec(spark, dir)
+        .select(col("vec_id"), round(vec.dist(col("embedding"), col("qv"), metric), 4).as("dist"))
+        .orderBy("vec_id")
+
+  private def distOracle(duckExpr: (String, String) => String): String =
+    s"""WITH q AS (SELECT ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, round(${duckExpr(dEmb("e.embedding"), "q.qv")}, 4) AS dist
+       |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin
+
+  /** kNN queries/data prep shared by the kNN entries. */
+  private def knnInputs(spark: SparkSession, dir: String, nQueries: Int): (DataFrame, DataFrame) = {
+    val e = t(spark, dir, "embeddings")
+    val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    (data, queries)
+  }
+
+  private def knnFinish(df: DataFrame): DataFrame =
+    df.select(col("qid"), col("id"), round(col("dist"), 4).as("dist"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+
+  private def knnOracle(duckExpr: (String, String) => String, nQueries: Int, k: Int, where: String = "TRUE"): String =
+    s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < $nQueries),
+       |d AS (SELECT q.qid, e.vec_id AS id, ${duckExpr(dEmb("e.embedding"), "q.qv")} AS dist
+       |      FROM embeddings e CROSS JOIN q WHERE $where),
+       |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1-3 distance expressions
+    "dist_euclidean" -> distQuery("euclidean"),
+    "dist_manhattan" -> distQuery("manhattan"),
+    "dist_cosine" -> distQuery("cosine"),
+
+    // §2.4 vector algebra
+    "vec_algebra" -> ((spark, dir) => {
+      val df = withQueryVec(spark, dir)
+      val a = col("embedding").cast("array<double>")
+      val b = col("qv").cast("array<double>")
+      df.select(
+          col("vec_id"),
+          round(vec.dot(a, b), 4).as("dot_q"),
+          round(vec.norm(a), 4).as("norm"),
+          round(vec.elemSum(vec.add(a, b)), 4).as("sum_add"),
+          round(vec.elemSum(vec.sub(a, b)), 4).as("sum_sub"),
+          round(vec.elemSum(vec.mul(a, b)), 4).as("sum_mul"),
+          round(vec.elemSum(vec.scalarMul(a, lit(2.5))), 4).as("sum_smul"))
+        .orderBy("vec_id")
+    }),
+
+    // §2.5 big-endian float32 codec — self-verifying roundtrip
+    "vec_codec_roundtrip" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val decoded = vec.fromBytes(vec.toBytes(col("embedding")))
+      e.select(
+          col("vec_id"),
+          aggregate(
+            zip_with(col("embedding"), decoded, (x, y) => when(x === y, 0L).otherwise(1L)),
+            lit(0L), (acc, v) => acc + v).as("n_mismatch"),
+          length(vec.toBytes(col("embedding"))).cast("long").as("n_bytes"))
+        .orderBy("vec_id")
+    }),
+
+    // §2.6 brute-force exact kNN (flagship)
+    "knn_bruteforce" -> ((spark, dir) => {
+      val (data, queries) = knnInputs(spark, dir, 5)
+      knnFinish(Knn.bruteForce(data, queries, 10, "euclidean"))
+    }),
+    "knn_cosine" -> ((spark, dir) => {
+      val (data, queries) = knnInputs(spark, dir, 3)
+      knnFinish(Knn.bruteForce(data, queries, 5, "cosine"))
+    }),
+    "knn_manhattan" -> ((spark, dir) => {
+      val (data, queries) = knnInputs(spark, dir, 3)
+      knnFinish(Knn.bruteForce(data, queries, 5, "manhattan"))
+    }),
+
+    // §2.7+14 per-partition top-k + global merge (dataset.go:349-433)
+    "knn_partitioned" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      knnFinish(Knn.partitioned(spark, data, queries, 10, "euclidean"))
+    }),
+
+    // §2.13 tombstone handling: search skips deleted ids
+    "knn_with_deletes" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val tombstones = e.filter(col("label") % 7 === 0).select(col("vec_id").as("id"))
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+        .join(broadcast(tombstones), Seq("id"), "left_anti")
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      knnFinish(Knn.bruteForce(data, queries, 5, "euclidean"))
+    }),
+
+    // §2.15 batch update/remove with partition routing
+    "batch_upsert" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val base = e.select(col("vec_id"), col("label"), lit(1).as("version"))
+      val updates = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), (col("label") + 1000).as("label"), lit(2).as("version"))
+      Mutations.upsert(base, updates, "vec_id", "version")
+        .select(col("vec_id"), col("label")).orderBy("vec_id")
+    }),
+    "batch_remove" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val removals = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+      Mutations.remove(e, removals, "vec_id")
+        .select(col("vec_id"), col("label")).orderBy("vec_id")
+    }),
+
+    // §2.16 exact dedup (planted duplicate copies of doc_id < 50)
+    "dedup_exact" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      docs.unionByName(copies)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("keep_id")
+    }),
+
+    // §2.19 multimodal: opaque binary payload + typed metadata, real
+    // encode→decode plumbing (decode of actual media is stubbed — the
+    // payload here is the vector codec output standing in for image bytes).
+    "multimodal_meta" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val payload = vec.toBytes(col("embedding"))
+      e.select(
+          col("vec_id"),
+          length(payload).cast("long").as("payload_len"),
+          size(vec.fromBytes(payload)).cast("long").as("dim"),
+          lit("embedding").as("kind"))
+        .orderBy("vec_id")
+    }),
+
+    // §2.20 text analysis
+    "text_stats" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val toks = split(trim(col("text")), "\\s+")
+      val nTokens = size(toks).cast("long")
+      val stop = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+      docs.select(
+          col("doc_id"),
+          nTokens.as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          round(length(regexp_replace(col("text"), "[^!-/:-@\\[-`{-~]", "")).cast("double") /
+            length(col("text")), 4).as("punct_ratio"),
+          round(size(filter(toks, tk => array_contains(stop, tk))).cast("double") / nTokens, 4)
+            .as("stopword_ratio"),
+          round(aggregate(toks, lit(0L), (acc, tk) => acc + length(tk)).cast("double") / nTokens, 4)
+            .as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+    "fingerprint" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp")).orderBy("doc_id")
+    }),
+
+    // Relational bench headliners
+    "q1_agg" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+      l.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_join" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+      val c = t(spark, dir, "customer")
+      val n = t(spark, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    "events_window" -> ((spark, dir) => {
+      // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
+      // type, so read it as raw nanos (long) and bucket with exact integer
+      // division (ts div 3e11 == floor(epoch_seconds/300) for positive ts).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(spark, dir, "events")
+      e.groupBy(
+          col("event_type"),
+          expr("ts div 300000000000").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type", "bucket")
+    }),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "dist_euclidean" -> distOracle(duckEuclid),
+    "dist_manhattan" -> distOracle(duckManhattan),
+    "dist_cosine" -> distOracle(duckCosine),
+    "vec_algebra" ->
+      s"""WITH q AS (SELECT ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${duckDot(dEmb("e.embedding"), "q.qv")}, 4) AS dot_q,
+         |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS norm,
+         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]+x[2])), 4) AS sum_add,
+         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]-x[2])), 4) AS sum_sub,
+         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]*x[2])), 4) AS sum_mul,
+         |  round(list_sum(list_transform(${dEmb("e.embedding")}, x -> x*2.5)), 4) AS sum_smul
+         |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
+    "vec_codec_roundtrip" ->
+      "SELECT vec_id, CAST(0 AS BIGINT) AS n_mismatch, CAST(4*len(embedding) AS BIGINT) AS n_bytes FROM embeddings ORDER BY vec_id",
+    "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
+    "knn_cosine" -> knnOracle(duckCosine, 3, 5),
+    "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),
+    "knn_partitioned" -> knnOracle(duckEuclid, 5, 10),
+    "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),
+    "batch_upsert" ->
+      "SELECT vec_id, CASE WHEN vec_id % 10 = 0 THEN label + 1000 ELSE label END AS label FROM embeddings ORDER BY vec_id",
+    "batch_remove" ->
+      "SELECT vec_id, label FROM embeddings WHERE vec_id % 7 <> 0 ORDER BY vec_id",
+    "dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM all_docs GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "multimodal_meta" ->
+      "SELECT vec_id, CAST(4*len(embedding) AS BIGINT) AS payload_len, CAST(len(embedding) AS BIGINT) AS dim, 'embedding' AS kind FROM embeddings ORDER BY vec_id",
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  round(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))::DOUBLE / length(text), 4) AS punct_ratio,
+        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |    / length(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |  round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)))::DOUBLE
+        |    / length(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "events_window" ->
+      """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

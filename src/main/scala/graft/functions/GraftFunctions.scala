@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.internal.SqlBridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+/** Public column API for graft's native vector expressions, plus elementwise
+  * algebra composed from Spark's codegen'd higher-order functions.
+  *
+  * Distance/dot/norm are custom codegen Catalyst expressions (see
+  * [[VectorDistance]]); add/sub/mul/div are `zip_with`, scalar forms are
+  * `transform` — all stay inside WholeStageCodegen. Mirrors the reference's
+  * `math/vector.go:75-158` + `index/space/space.go:40-73` surface.
+  */
+object vec {
+  private def c(e: Expression): Column = SqlBridge.column(e)
+  private def e(col: Column): Expression = SqlBridge.expression(col)
+
+  def distEuclidean(a: Column, b: Column): Column = c(VectorDistance(e(a), e(b), VectorDistance.Euclidean))
+  def distManhattan(a: Column, b: Column): Column = c(VectorDistance(e(a), e(b), VectorDistance.Manhattan))
+  def distCosine(a: Column, b: Column): Column = c(VectorDistance(e(a), e(b), VectorDistance.Cosine))
+  def dist(a: Column, b: Column, metric: String): Column = metric match {
+    case "euclidean" => distEuclidean(a, b)
+    case "manhattan" => distManhattan(a, b)
+    case "cosine" => distCosine(a, b)
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  def dot(a: Column, b: Column): Column = c(VectorDot(e(a), e(b)))
+  def norm(a: Column): Column = c(VectorNorm(e(a)))
+
+  def toBytes(a: Column): Column = c(VecToBytes(e(a)))
+  def fromBytes(a: Column): Column = c(VecFromBytes(e(a)))
+
+  def rollingHash(a: Column): Column = c(RollingHash(e(a)))
+
+  // Elementwise algebra (reference math/vector.go:87-158), via codegen'd HOFs.
+  def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+  def sub(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x - y)
+  def mul(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x * y)
+  def div(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x / y)
+  def scalarAdd(a: Column, s: Column): Column = transform(a, x => x + s)
+  def scalarSub(a: Column, s: Column): Column = transform(a, x => x - s)
+  def scalarMul(a: Column, s: Column): Column = transform(a, x => x * s)
+  def scalarDiv(a: Column, s: Column): Column = transform(a, x => x / s)
+
+  /** Sum of array elements in element order (left fold, double). */
+  def elemSum(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double")), lit(0.0), (acc, x) => acc + x)
+}
+
+/** Named-function registration so graft expressions are callable from SQL
+  * text (`SELECT dist_euclidean(a, b) ...`) on any session.
+  */
+object GraftFunctionRegistry {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dist_euclidean" -> ((args: Seq[Expression]) => VectorDistance(args(0), args(1), VectorDistance.Euclidean)),
+    "dist_manhattan" -> ((args: Seq[Expression]) => VectorDistance(args(0), args(1), VectorDistance.Manhattan)),
+    "dist_cosine" -> ((args: Seq[Expression]) => VectorDistance(args(0), args(1), VectorDistance.Cosine)),
+    "vec_dot" -> ((args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    "vec_norm" -> ((args: Seq[Expression]) => VectorNorm(args(0))),
+    "vec_to_bytes" -> ((args: Seq[Expression]) => VecToBytes(args(0))),
+    "vec_from_bytes" -> ((args: Seq[Expression]) => VecFromBytes(args(0))),
+    "rolling_hash" -> ((args: Seq[Expression]) => RollingHash(args(0))),
+  )
+
+  /** Idempotently register all graft functions on a session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => SqlBridge.registerFunction(spark, name, b) }
+}
+
+/** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    GraftFunctionRegistry.builders.foreach { case (name, b) =>
+      ext.injectFunction((new FunctionIdentifier(name), new ExpressionInfo("graft", name), b))
+    }
+  }
+}

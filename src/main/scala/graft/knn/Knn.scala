@@ -1,0 +1,70 @@
+package graft.knn
+
+import graft.core.Distances
+import graft.functions.vec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch k-nearest-neighbor search: the Spark-native analog of the
+  * reference's partitioned dataset search
+  * (`/root/reference/storage/dataset.go:349-433`): each partition computes a
+  * local top-k per query, the tiny candidate union (≤ k·P·Q rows) is merged
+  * into a global top-k. No global sort of the data, no N×Q shuffle.
+  */
+object Knn {
+
+  /** Exact brute-force kNN as a declarative plan: broadcast the (small) query
+    * side, let Catalyst pick BroadcastNestedLoopJoin, rank per query with a
+    * deterministic (dist, id) tie-break. This is the SQL-expressible oracle
+    * formulation (reference oracle: `index/hnsw_test.go:21-75`).
+    *
+    * data: (id: long, vector: array<float>), queries: (qid: long, qvec: array<float>)
+    */
+  def bruteForce(data: DataFrame, queries: DataFrame, k: Int, metric: String = "euclidean"): DataFrame = {
+    val d = data.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact kNN via per-partition bounded heaps: ONE pass over the data
+    * computes all query heaps per partition (`mapPartitions`), emitting only
+    * k candidates per (partition, query). The global merge ranks the k·P·Q
+    * candidate rows — equivalent to `storage/dataset.go:349`'s
+    * sort-and-truncate over per-partition results. Hash-matches
+    * [[bruteForce]] by construction (same distance kernel, same tie-break).
+    */
+  def partitioned(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      metric: String = "euclidean"): DataFrame = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val candidates = data
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new TopK(k))
+        iter.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            heaps(qi).push(Distances.distance(m)(v, qs(qi)._2), id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (dist, id) => (qs(qi)._1, id, dist) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.vec
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's distance/algebra unit tests:
+  * `/root/reference/index/space/native_impl_test.go:11,26,41` and
+  * `/root/reference/math/vector_test.go`.
+  */
+class VectorFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pair(a: Seq[Float], b: Seq[Float]) =
+    Seq((a, b)).toDF("a", "b")
+
+  private def one(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column): Double =
+    df.select(c.cast("double")).as[Double].head()
+
+  test("euclidean distance matches native_impl_test.go:11") {
+    assert(one(pair(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)), vec.distEuclidean($"a", $"b")) === 0.0)
+    assert(one(pair(Seq(1f, 2f, 2f), Seq(0f, 0f, 0f)), vec.distEuclidean($"a", $"b")) === 3.0)
+  }
+
+  test("manhattan distance matches native_impl_test.go:26") {
+    assert(one(pair(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)), vec.distManhattan($"a", $"b")) === 0.0)
+    assert(one(pair(Seq(1f, 2f, 3f), Seq(0f, 0f, 0f)), vec.distManhattan($"a", $"b")) === 6.0)
+  }
+
+  test("cosine distance matches native_impl_test.go:41 (with space.go:73 abs)") {
+    assert(math.abs(one(pair(Seq(1f, 1f), Seq(1f, 1f)), vec.distCosine($"a", $"b"))) <= 1e-5)
+    assert(math.abs(1 - one(pair(Seq(0f, 1f), Seq(1f, 0f)), vec.distCosine($"a", $"b"))) <= 1e-5)
+    assert(math.abs(2 - one(pair(Seq(-1f, 0f), Seq(1f, 0f)), vec.distCosine($"a", $"b"))) <= 1e-5)
+  }
+
+  test("dot and norm match math/vector.go:75-85") {
+    assert(one(pair(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)), vec.dot($"a", $"b")) === 32.0)
+    assert(one(pair(Seq(3f, 4f), Seq(0f, 0f)), vec.norm($"a")) === 5.0)
+  }
+
+  test("elementwise algebra matches math/vector.go:87-158") {
+    val df = pair(Seq(2f, 4f, 6f), Seq(1f, 2f, 3f))
+    def arr(c: org.apache.spark.sql.Column): Seq[Double] =
+      df.select(c.cast("array<double>")).as[Seq[Double]].head()
+    assert(arr(vec.add($"a", $"b")) === Seq(3.0, 6.0, 9.0))
+    assert(arr(vec.sub($"a", $"b")) === Seq(1.0, 2.0, 3.0))
+    assert(arr(vec.mul($"a", $"b")) === Seq(2.0, 8.0, 18.0))
+    assert(arr(vec.div($"a", $"b")) === Seq(2.0, 2.0, 2.0))
+    assert(arr(vec.scalarMul($"a", lit(2f))) === Seq(4.0, 8.0, 12.0))
+    assert(one(df, vec.elemSum($"a")) === 12.0)
+  }
+
+  test("big-endian float32 codec round-trips (math/vector.go:25-61)") {
+    val df = Seq(Tuple1(Seq(1.5f, -2.25f, 0f, Float.MinPositiveValue))).toDF("a")
+    val back = df.select(vec.fromBytes(vec.toBytes($"a"))).as[Seq[Float]].head()
+    assert(back === Seq(1.5f, -2.25f, 0f, Float.MinPositiveValue))
+    // Byte layout check: 1.0f big-endian is 3F 80 00 00
+    val bytes = Seq(Tuple1(Seq(1.0f))).toDF("a").select(vec.toBytes($"a")).as[Array[Byte]].head()
+    assert(bytes.toSeq === Seq(0x3f.toByte, 0x80.toByte, 0x00.toByte, 0x00.toByte))
+  }
+
+  test("rolling hash is deterministic and order-sensitive") {
+    val h = Seq(("abc", "acb")).toDF("x", "y")
+      .select(vec.rollingHash($"x"), vec.rollingHash($"y")).as[(Long, Long)].head()
+    assert(h._1 !== h._2)
+    val h2 = Seq(Tuple1("abc")).toDF("x").select(vec.rollingHash($"x")).as[Long].head()
+    assert(h._1 === h2)
+  }
+
+  test("SQL registration: functions callable from SQL text") {
+    graft.functions.GraftFunctionRegistry.register(spark)
+    val d = spark.sql("SELECT dist_euclidean(array(1.0F, 2.0F, 2.0F), array(0.0F, 0.0F, 0.0F)) AS d")
+      .as[Double].head()
+    assert(d === 3.0)
+  }
+}
