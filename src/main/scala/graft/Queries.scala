@@ -1,8 +1,11 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.functions.vec
-import graft.knn.Knn
+import graft.hnsw.{HnswConfig, HnswSpark}
+import graft.knn.{Ivf, Knn}
 import graft.ops.Mutations
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -208,6 +211,77 @@ object Queries {
       docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp")).orderBy("doc_id")
     }),
 
+    // §2.8-12 HNSW: per-partition build + search + global merge (approx —
+    // rows-only check here; recall vs brute force asserted in HnswSpec)
+    "hnsw_search" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      knnFinish(HnswSpark.search(spark, data, queries, 10, "euclidean",
+        HnswConfig(ef = 50), numPartitions = 4))
+    }),
+
+    // §2.18 IVF-Flat ANN (approx — rows-only; exactness at nprobe=C in IvfSpec)
+    "ann_ivf" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      knnFinish(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4))
+    }),
+
+    // §2.17 MinHash+LSH near-dedup with exact-Jaccard verify (planted
+    // near-duplicate copies; LSH banding recall is exact on them, so the
+    // all-pairs oracle matches)
+    "dedup_minhash_lsh" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      Dedup.minhashLshPairs(docs.unionByName(copies), threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // §2.17 n-gram Jaccard pairs within a bounded bucket (same source)
+    "ngram_jaccard" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      Dedup.ngramJaccardPairs(docs, bucketCol = "source")
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
+    "dedup_simhash" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.17 embedding-cosine near-dup via hyperplane LSH buckets + verify
+    "neardup_embedding" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val copies = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("id"), col("embedding").as("vector"))
+      val planes = Dedup.randomPlanes(nbits = 16, dim = 64, seed = 7)
+      Dedup.embeddingNearDupPairs(base.unionByName(copies), planes, threshold = 0.1)
+        .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // §2.20 language id (stopword-count heuristic, fixed tie order)
+    "lang_id" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val counts = TextAnalysis.langCounts(col("text"))
+      val countCols = counts.map { case (lang, c) => c.as(s"cnt_$lang") }
+      docs.select(col("doc_id") +: countCols :+ TextAnalysis.langId(col("text")).as("pred_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
     // Relational bench headliners
     "q1_agg" -> ((spark, dir) => {
       val l = t(spark, dir, "lineitem")
@@ -254,7 +328,64 @@ object Queries {
 
   // ---------------------------------------------------------------- oracles
 
+  /** DuckDB mirror of [[Dedup.shingles]] (distinct token 3-grams). */
+  private val duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private def duckShingles(toks: String): String =
+    s"""list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+       | ELSE list_transform(range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)""".stripMargin
+  private def duckJaccard(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))"
+
+  /** DuckDB mirror of [[TextAnalysis.simhash]]: 60-bit simhash over
+    * md5-derived token hashes (generated bit-term sum).
+    */
+  private def simhashOracle: String = {
+    val hs = s"list_transform($duckToks, tk -> CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT))"
+    val bits = (0 until 60).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"WITH t AS (SELECT doc_id, $hs AS hs FROM documents) SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id"
+  }
+
+  /** DuckDB mirror of [[TextAnalysis.langId]] + counts. */
+  private def langIdOracle: String = {
+    def cnt(words: Seq[String]) =
+      s"CAST(len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+    val counts = TextAnalysis.StopWords.map { case (lang, words) => lang -> cnt(words) }
+    val cols = counts.map { case (lang, c) => s"$c AS cnt_$lang" }.mkString(", ")
+    val mx = s"greatest(${counts.map(l => s"cnt_${l._1}").mkString(", ")})"
+    val whens = counts.map { case (lang, _) => s"WHEN cnt_$lang = __mx THEN '$lang'" }.mkString(" ")
+    s"""WITH c AS (SELECT doc_id, $cols FROM documents),
+       |m AS (SELECT *, $mx AS __mx FROM c)
+       |SELECT doc_id, cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh,
+       |  CASE WHEN __mx = 0 THEN 'und' $whens ELSE 'und' END AS pred_lang
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
+         |s AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM all_docs),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc
+         |      FROM s a CROSS JOIN s b WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM p WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH s AS (SELECT source, doc_id, ${duckShingles(duckToks)} AS sh FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(${duckJaccard("a.sh", "b.sh")}, 4) AS jaccard
+         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" -> simhashOracle,
+    "neardup_embedding" ->
+      s"""WITH all_v AS (
+         |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, ${dEmb("embedding")} FROM embeddings WHERE vec_id < 100),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cd
+         |      FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cd, 4) AS cos_dist FROM p WHERE cd <= 0.1 ORDER BY id_a, id_b""".stripMargin,
+    "lang_id" -> langIdOracle,
     "dist_euclidean" -> distOracle(duckEuclid),
     "dist_manhattan" -> distOracle(duckManhattan),
     "dist_cosine" -> distOracle(duckCosine),

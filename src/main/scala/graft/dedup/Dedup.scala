@@ -1,0 +1,150 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators (brief: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup).
+  *
+  * Every near-dup path is bucketed: candidates come from an equi-join on a
+  * band/bucket key (shuffle on that key), never an all-pairs product. At
+  * 100 TB the LSH band join is linear-ish in data size; the final verify
+  * step touches only candidate pairs.
+  */
+object Dedup {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct token 3-gram shingles; short docs fall back to the whole text
+    * as one shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(grams))
+  }
+
+  /** Exact duplicate groups: shuffle on content digest, keep the minimum id
+    * per group (SQL-expressible; map-side partial aggregation applies).
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: numHashes per-shingle xxhash64 minima, computed
+    * shuffle-free inside the row (codegen'd higher-order functions).
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(h))))
+    }: _*)
+
+  /** LSH banding: (band, bandHash) rows per doc. numHashes = bands·rowsPerBand. */
+  private def bandStructs(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
+    }: _*)
+
+  /** Near-duplicate pairs via MinHash+LSH banding with an exact Jaccard
+    * verify on the candidate set.
+    *
+    * Plan shape (scale-first):
+    *  1. per-row shingles + signature (no shuffle),
+    *  2. explode bands → shuffle on (band, bandHash) equi-join → candidate
+    *     id pairs (dropDuplicates),
+    *  3. re-join shingle sets by id (shuffles on id, not on pair count),
+    *  4. exact Jaccard filter ≥ threshold.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    val withShingles = docs
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val withBands = withShingles
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), explode(bandStructs(col("sig"), bands, rowsPerBand)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+
+    val candidates = withBands.alias("l")
+      .join(withBands.alias("r"), Seq("band", "bh"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    val sh = withShingles
+    candidates
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity over a bounded candidate generator
+    * (same-`bucketCol` pairs). The bucket join bounds pair growth; an
+    * unrestricted cartesian would be rejected at scale.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      bucketCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.0): DataFrame = {
+    val d = docs.select(col(bucketCol).as("bucket"), col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    d.alias("l").join(d.alias("r"), Seq("bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+        (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Deterministic ±1 hyperplanes for sign-LSH (splitmix64-derived). */
+  def randomPlanes(nbits: Int, dim: Int, seed: Long): Array[Array[Float]] =
+    Array.tabulate(nbits, dim) { (p, d) =>
+      var x = seed + p.toLong * 1000003L + d.toLong + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x = x ^ (x >>> 31)
+      if (((x >>> 13) & 1L) == 1L) 1f else -1f
+    }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH (sign buckets) +
+    * exact cosine verify. Parallel vectors always share a signature, so
+    * recall for true near-dups (cosine distance ≈ 0) is exact.
+    */
+  def embeddingNearDupPairs(
+      data: DataFrame, // (id, vector array<float>)
+      planes: Array[Array[Float]],
+      threshold: Double): DataFrame = {
+    import graft.functions.vec
+    val sigCol = (0 until planes.length).map { p =>
+      val plane = array(planes(p).map(x => lit(x)): _*)
+      when(vec.dot(col("vector"), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+    val bucketed = data.withColumn("sig", sigCol)
+    bucketed.alias("l").join(bucketed.alias("r"), Seq("sig"))
+      .filter(col("l.id") < col("r.id"))
+      .select(
+        col("l.id").as("id_a"), col("r.id").as("id_b"),
+        vec.distCosine(col("l.vector"), col("r.vector")).as("cos_dist"))
+      .filter(col("cos_dist") <= threshold)
+  }
+}

@@ -1,0 +1,422 @@
+package graft.hnsw
+
+import graft.core.Distances
+
+import java.io.{DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+/** HNSW configuration, mirroring the reference defaults and derived values
+  * (`/root/reference/index/config.go:104-133`): m=16, mMax=m, mMax0=2m,
+  * ef=20, efConstruction=200, levelMultiplier=1/ln(m), simple neighbor
+  * selection by default.
+  */
+final case class HnswConfig(
+    m: Int = 16,
+    mMaxOpt: Int = -1,
+    mMax0Opt: Int = -1,
+    ef: Int = 20,
+    efConstruction: Int = 200,
+    levelMultiplierOpt: Double = -1,
+    heuristic: Boolean = false,
+    extendCandidates: Boolean = false,
+    keepPruned: Boolean = true) {
+  val mMax: Int = if (mMaxOpt == -1) m else mMaxOpt
+  val mMax0: Int = if (mMax0Opt == -1) 2 * m else mMax0Opt
+  val levelMultiplier: Double =
+    if (levelMultiplierOpt == -1) 1.0 / math.log(m.toDouble) else levelMultiplierOpt
+}
+
+/** Hierarchical Navigable Small World index (Malkov & Yashunin,
+  * arXiv:1603.09320), matching the reference implementation's semantics
+  * (`/root/reference/index/hnsw.go`):
+  *
+  *  - Insert (`hnsw.go:80-140`): greedy descent above the vertex level, then
+  *    per-level ef-search, neighbor selection, bidirectional edges, prune
+  *    past mMax (mMax0 at level 0).
+  *  - Search (`hnsw.go:216-248`): greedy descent to level 1, ef-search at
+  *    level 0, k best ascending.
+  *  - Remove (`hnsw.go:164-215`): tombstone + entrypoint handoff to its
+  *    closest neighbor + re-prune of touched neighbors. Deleted vertices are
+  *    skipped during traversal (`hnsw.go:296,332`) but remain usable as
+  *    through-nodes until pruned.
+  *  - Deterministic level assignment: `floor(-ln(U)*levelMultiplier)`
+  *    (`hnsw.go:249`, `math.RandomExponential`) with U derived from a
+  *    splitmix64 hash of the item id, so distributed builds are reproducible.
+  *
+  * Single-threaded by design: one index per Spark partition, built inside
+  * `mapPartitions` (see [[HnswSpark]]), which is the Spark-native analog of
+  * the reference's per-partition indexes (`storage/partition.go`).
+  */
+final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 42L) {
+
+  final class Vertex(val id: Long, val vector: Array[Float], var level: Int) {
+    /** edges(l): neighbor vertex-slot -> distance */
+    var edges: Array[mutable.LongMap[Double]] = Array.fill(level + 1)(mutable.LongMap.empty[Double])
+    var deleted: Boolean = false
+    def ensureLevel(l: Int): Unit =
+      if (l > level) { edges = edges ++ Array.fill(l - level)(mutable.LongMap.empty[Double]); level = l }
+  }
+
+  private val vertices = mutable.ArrayBuffer.empty[Vertex]
+  private val idToSlot = mutable.LongMap.empty[Int]
+  private var entrypoint: Int = -1
+
+  def size: Int = idToSlot.size
+  def entrypointId: Long = if (entrypoint == -1) -1L else vertices(entrypoint).id
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = Distances.distance(metric)(a, b)
+
+  // -------------------------------------------------------- level assignment
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic analog of `hnsw.go:249` RandomLevel. */
+  def levelFor(id: Long): Int = {
+    val bits = splitmix64(id ^ seed) >>> 11
+    val u = (bits + 1).toDouble / (1L << 53).toDouble // (0, 1]
+    math.floor(-math.log(u) * config.levelMultiplier).toInt
+  }
+
+  // ------------------------------------------------------------- primitives
+
+  /** Ordered (dist, slot) pair queues with deterministic id tie-break. */
+  private type Entry = (Double, Int)
+  private def cmpAsc(a: Entry, b: Entry): Int = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    if (c != 0) c else java.lang.Integer.compare(a._2, b._2)
+  }
+  private def minQueue() = new java.util.PriorityQueue[Entry]((a, b) => cmpAsc(a, b))
+  private def maxQueue() = new java.util.PriorityQueue[Entry]((a, b) => cmpAsc(b, a))
+
+  /** Greedy closest-neighbor descent at one level (`hnsw.go:289-312`). */
+  private def greedyClosest(query: Array[Float], start: Int, startDist: Double, level: Int): (Int, Double) = {
+    var ep = start
+    var minDist = startDist
+    var improved = true
+    while (improved) {
+      improved = false
+      val edges = vertices(ep).edges(level)
+      edges.foreachKey { nk =>
+        val n = nk.toInt
+        val v = vertices(n)
+        if (!v.deleted) {
+          val d = dist(query, v.vector)
+          if (d < minDist) { minDist = d; ep = n; improved = true }
+        }
+      }
+    }
+    (ep, minDist)
+  }
+
+  /** ef-bounded best-first search at one level (`hnsw.go:314-359`).
+    * Returns up to ef nearest (dist, slot) in a max-queue.
+    */
+  private def searchLevel(query: Array[Float], entry: Int, ef: Int, level: Int): java.util.PriorityQueue[Entry] = {
+    val entryDist = dist(query, vertices(entry).vector)
+    val candidates = minQueue()
+    val results = maxQueue()
+    candidates.add((entryDist, entry))
+    results.add((entryDist, entry))
+    val visited = mutable.BitSet(entry)
+
+    while (!candidates.isEmpty) {
+      val cand = candidates.poll()
+      val lowerBound = results.peek()._1
+      if (cand._1 > lowerBound) {
+        candidates.clear() // reference hnsw.go:334: stop once the best
+        // candidate is worse than the worst kept result
+      } else {
+        vertices(cand._2).edges(level).foreachKey { nk =>
+          val n = nk.toInt
+          if (!visited.contains(n)) {
+            visited += n
+            val v = vertices(n)
+            if (!v.deleted) {
+              val d = dist(query, v.vector)
+              if (d < results.peek()._1 || results.size < ef) {
+                candidates.add((d, n))
+                results.add((d, n))
+                if (results.size > ef) results.poll()
+              }
+            }
+          }
+        }
+      }
+    }
+    results
+  }
+
+  /** Simple selection (`hnsw.go:361-367`): keep the k closest. */
+  private def selectSimple(neighbors: java.util.PriorityQueue[Entry], k: Int): java.util.PriorityQueue[Entry] = {
+    while (neighbors.size > k) neighbors.poll()
+    neighbors
+  }
+
+  /** Heuristic selection (`hnsw.go:369-417`): optionally extend the candidate
+    * set with candidate neighbors, then keep the k closest (the reference's
+    * heuristic has no occlusion pruning; keepPruned only refills to k).
+    */
+  private def selectHeuristic(query: Array[Float], neighbors: java.util.PriorityQueue[Entry], k: Int, level: Int): java.util.PriorityQueue[Entry] = {
+    val candidates = minQueue()
+    val seen = mutable.BitSet.empty
+    neighbors.forEach { e => candidates.add(e); seen += e._2 }
+
+    if (config.extendCandidates) {
+      neighbors.forEach { e =>
+        vertices(e._2).edges(level).foreachKey { nk =>
+          val n = nk.toInt
+          val v = vertices(n)
+          if (!v.deleted && !seen.contains(n)) {
+            seen += n
+            candidates.add((dist(query, v.vector), n))
+          }
+        }
+      }
+    }
+
+    val result = maxQueue()
+    while (!candidates.isEmpty && result.size < k) result.add(candidates.poll())
+    result
+  }
+
+  private def select(query: Array[Float], neighbors: java.util.PriorityQueue[Entry], k: Int, level: Int): java.util.PriorityQueue[Entry] =
+    if (config.heuristic) selectHeuristic(query, neighbors, k, level) else selectSimple(neighbors, k)
+
+  /** Re-prune a vertex's level edges to k best (`hnsw.go:419-444`). */
+  private def pruneNeighbors(slot: Int, k: Int, level: Int): Unit = {
+    val v = vertices(slot)
+    val q = maxQueue()
+    v.edges(level).foreach { case (nk, d) =>
+      if (!vertices(nk.toInt).deleted) q.add((d, nk.toInt))
+    }
+    val kept = select(v.vector, q, k, level)
+    val newEdges = mutable.LongMap.empty[Double]
+    kept.forEach { e => newEdges(e._2.toLong) = e._1 }
+    v.edges(level) = newEdges
+  }
+
+  // ------------------------------------------------------------------ insert
+
+  /** Insert with an explicit level (`hnsw.go:80-140`); use [[add]] for the
+    * deterministic hashed level.
+    */
+  def insert(id: Long, vector: Array[Float], vertexLevel: Int): Unit = {
+    if (idToSlot.contains(id)) throw new IllegalArgumentException(s"item already exists: $id")
+
+    if (entrypoint == -1) {
+      val v = new Vertex(id, vector, 0)
+      vertices += v
+      val slot = vertices.size - 1
+      idToSlot(id) = slot
+      entrypoint = slot
+      return
+    }
+
+    val v = new Vertex(id, vector, vertexLevel)
+    vertices += v
+    val slot = vertices.size - 1
+    idToSlot(id) = slot
+
+    var ep = entrypoint
+    val epVertex = vertices(ep)
+    var minDist = dist(vector, epVertex.vector)
+    var l = epVertex.level
+    while (l > vertexLevel) {
+      val r = greedyClosest(vector, ep, minDist, l)
+      ep = r._1; minDist = r._2
+      l -= 1
+    }
+
+    var level = math.min(vertices(ep).level, vertexLevel)
+    while (level >= 0) {
+      val found = searchLevel(vector, ep, config.efConstruction, level)
+      val neighbors = select(vector, found, config.m, level)
+      val mMax = if (level == 0) config.mMax0 else config.mMax
+
+      while (!neighbors.isEmpty) {
+        val (d, n) = neighbors.poll()
+        ep = n
+        v.edges(level)(n.toLong) = d
+        val nv = vertices(n)
+        nv.edges(level)(slot.toLong) = d
+        if (nv.edges(level).size > mMax) pruneNeighbors(n, mMax, level)
+      }
+      level -= 1
+    }
+
+    if (vertexLevel > vertices(entrypoint).level) entrypoint = slot
+  }
+
+  /** Insert with the deterministic hashed level (`hnsw.go:249` RandomLevel). */
+  def add(id: Long, vector: Array[Float]): Unit = insert(id, vector, levelFor(id))
+
+  def contains(id: Long): Boolean = idToSlot.contains(id)
+
+  def get(id: Long): Option[Array[Float]] = idToSlot.get(id).map(vertices(_).vector)
+
+  // ------------------------------------------------------------------ remove
+
+  /** Tombstone removal with entrypoint handoff (`hnsw.go:164-215`). */
+  def remove(id: Long): Boolean = idToSlot.remove(id) match {
+    case None => false
+    case Some(slot) =>
+      val v = vertices(slot)
+      v.deleted = true
+
+      if (entrypoint == slot) {
+        var closest = -1
+        var minDist = Double.MaxValue
+        var l = v.level
+        var found = false
+        while (l >= 0 && !found) {
+          v.edges(l).foreach { case (nk, d) =>
+            val n = nk.toInt
+            if (!vertices(n).deleted && d < minDist) { minDist = d; closest = n }
+          }
+          if (closest != -1) found = true
+          l -= 1
+        }
+        entrypoint = closest // -1 when no live neighbor remains
+        if (entrypoint == -1 && size > 0) {
+          // graph disconnected from tombstone: fall back to any live vertex
+          entrypoint = idToSlot.head._2
+        }
+      }
+
+      var l = v.level
+      while (l >= 0) {
+        val mMax = if (l == 0) config.mMax0 else config.mMax
+        val neighborSlots = v.edges(l).keys.toArray
+        neighborSlots.foreach { nk =>
+          val n = nk.toInt
+          vertices(n).edges(l).remove(slot.toLong)
+          pruneNeighbors(n, mMax, l)
+        }
+        l -= 1
+      }
+      true
+  }
+
+  // ------------------------------------------------------------------ search
+
+  /** Top-k search (`hnsw.go:216-248`): ascending (id, distance). */
+  def search(query: Array[Float], k: Int): Array[(Long, Double)] = {
+    if (entrypoint == -1) return Array.empty
+    var ep = entrypoint
+    var minDist = dist(query, vertices(ep).vector)
+    var l = vertices(ep).level
+    while (l > 0) {
+      val r = greedyClosest(query, ep, minDist, l)
+      ep = r._1; minDist = r._2
+      l -= 1
+    }
+
+    val ef = math.max(config.ef, k)
+    val found = searchLevel(query, ep, ef, 0)
+    val selected = select(query, found, k, 0)
+
+    val n = math.min(k, selected.size)
+    val out = new Array[(Long, Double)](n)
+    var i = n - 1
+    while (i >= 0) {
+      val (d, slot) = selected.poll()
+      out(i) = (vertices(slot).id, d)
+      i -= 1
+    }
+    out
+  }
+
+  private[hnsw] def restoreVertex(v: Vertex): Unit = {
+    vertices += v
+    idToSlot(v.id) = vertices.size - 1
+  }
+
+  private[hnsw] def restoreEntrypoint(slot: Int): Unit = entrypoint = slot
+
+  // ------------------------------------------------------------- persistence
+
+  /** Big-endian binary save (semantics of `index/hnsw_persistence.go`):
+    * header + config + live vertices (id, level, vector) + per-level edges.
+    */
+  def save(out: DataOutputStream): Unit = {
+    out.writeInt(0x47484e57) // "GHNW"
+    out.writeInt(1)
+    out.writeInt(metric)
+    out.writeInt(config.m); out.writeInt(config.mMax); out.writeInt(config.mMax0)
+    out.writeInt(config.ef); out.writeInt(config.efConstruction)
+    out.writeDouble(config.levelMultiplier)
+    out.writeBoolean(config.heuristic); out.writeBoolean(config.extendCandidates)
+    out.writeBoolean(config.keepPruned)
+    out.writeLong(seed)
+
+    val live = vertices.zipWithIndex.filter(!_._1.deleted)
+    val slotToOrd = live.map(_._2).zipWithIndex.toMap
+    out.writeInt(live.size)
+    out.writeInt(if (entrypoint != -1 && slotToOrd.contains(entrypoint)) slotToOrd(entrypoint) else -1)
+    live.foreach { case (v, _) =>
+      out.writeLong(v.id)
+      out.writeInt(v.level)
+      out.writeInt(v.vector.length)
+      v.vector.foreach(out.writeFloat)
+    }
+    live.foreach { case (v, _) =>
+      var l = 0
+      while (l <= v.level) {
+        val kept = v.edges(l).toArray.flatMap { case (nk, d) =>
+          slotToOrd.get(nk.toInt).map(ord => (ord, d))
+        }.sortBy(_._1)
+        out.writeInt(kept.length)
+        kept.foreach { case (ord, d) => out.writeInt(ord); out.writeDouble(d) }
+        l += 1
+      }
+    }
+    out.flush()
+  }
+}
+
+object HnswIndex {
+  def load(in: DataInputStream): HnswIndex = {
+    require(in.readInt() == 0x47484e57, "bad magic")
+    require(in.readInt() == 1, "bad version")
+    val metric = in.readInt()
+    val m = in.readInt(); val mMax = in.readInt(); val mMax0 = in.readInt()
+    val ef = in.readInt(); val efC = in.readInt()
+    val lm = in.readDouble()
+    val heuristic = in.readBoolean(); val extend = in.readBoolean(); val keep = in.readBoolean()
+    val seed = in.readLong()
+    val config = HnswConfig(m, mMax, mMax0, ef, efC, lm, heuristic, extend, keep)
+    val idx = new HnswIndex(metric, config, seed)
+
+    val n = in.readInt()
+    val epOrd = in.readInt()
+    val verts = (0 until n).map { _ =>
+      val id = in.readLong()
+      val level = in.readInt()
+      val dim = in.readInt()
+      val vec = Array.fill(dim)(in.readFloat())
+      val v = new idx.Vertex(id, vec, level)
+      idx.restoreVertex(v)
+      v
+    }
+    (0 until n).foreach { i =>
+      val v = verts(i)
+      var l = 0
+      while (l <= v.level) {
+        val cnt = in.readInt()
+        (0 until cnt).foreach { _ =>
+          val ord = in.readInt()
+          val d = in.readDouble()
+          v.edges(l)(ord.toLong) = d
+        }
+        l += 1
+      }
+    }
+    idx.restoreEntrypoint(epOrd)
+    idx
+  }
+}

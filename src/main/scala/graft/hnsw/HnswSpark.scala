@@ -1,0 +1,105 @@
+package graft.hnsw
+
+import graft.core.Distances
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+
+/** Distributed HNSW on Spark: the batch analog of the reference's
+  * partitioned dataset (`/root/reference/storage/dataset.go`).
+  *
+  * Build: each Spark partition constructs an independent HNSW graph inside
+  * `mapPartitions` — memory is bounded by partitionRows·mMax0 edges, exactly
+  * the reference's partition model (`storage/partition.go`), so partition
+  * count is the scale knob (at 100 TB: pick P so each partition's vectors
+  * fit an executor; the build never shuffles anything but the initial
+  * repartition on id).
+  *
+  * Search: every partition searches all (broadcast) queries in its local
+  * graph and emits k candidates per query; the global merge ranks the tiny
+  * k·P·Q candidate union — `dataset.go:349`'s sort-and-truncate, as a window
+  * over candidates.
+  */
+object HnswSpark {
+
+  /** Approximate kNN: per-partition HNSW build + search + global k-merge.
+    * data: (id: long, vector: array<float>); output (qid, id, dist, rank).
+    * Deterministic: hash repartition on id, id-sorted inserts, hashed levels.
+    */
+  def search(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      metric: String = "euclidean",
+      config: HnswConfig = HnswConfig(),
+      numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val pre = data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+    val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
+
+    val candidates = parts
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val items = iter.toArray.sortBy(_._1)
+        if (items.isEmpty) Iterator.empty
+        else {
+          val index = new HnswIndex(m, config)
+          items.foreach { case (id, v) => index.add(id, v) }
+          val qs = bc.value
+          qs.iterator.flatMap { case (qid, qv) =>
+            index.search(qv, k).iterator.map { case (id, d) => (qid, id, d) }
+          }
+        }
+      }
+      .toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Build per-partition graphs and persist each as a binary artifact under
+    * `outDir/part-<pid>.hnsw` (reference `index/hnsw_persistence.go` — the
+    * built index is an output, not a transient). Returns per-partition sizes.
+    */
+  def buildAndSave(
+      spark: SparkSession,
+      data: DataFrame,
+      outDir: String,
+      metric: String = "euclidean",
+      config: HnswConfig = HnswConfig(),
+      numPartitions: Int = 0): Array[(Int, Int)] = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    new java.io.File(outDir).mkdirs()
+
+    val pre = data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+    val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
+
+    parts.as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val items = iter.toArray.sortBy(_._1)
+        if (items.isEmpty) Iterator.empty
+        else {
+          val index = new HnswIndex(m, config)
+          items.foreach { case (id, v) => index.add(id, v) }
+          val out = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(s"$outDir/part-$pid.hnsw")))
+          try index.save(out) finally out.close()
+          Iterator.single((pid, index.size))
+        }
+      }
+      .collect()
+  }
+
+  def loadPartition(path: String): HnswIndex = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(path)))
+    try HnswIndex.load(in) finally in.close()
+  }
+}

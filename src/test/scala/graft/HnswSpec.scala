@@ -1,0 +1,203 @@
+package graft
+
+import graft.core.Distances
+import graft.hnsw.{HnswConfig, HnswIndex, HnswSpark}
+import graft.knn.TopK
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.util.Random
+
+/** Mirrors the reference HNSW tests:
+  * `/root/reference/index/hnsw_test.go:21` (search vs brute force),
+  * `:101,164,270` (behavior with deleted vertices),
+  * `index/hnsw_persistence_test.go` (round-trip).
+  */
+class HnswSpec extends AnyFunSuite {
+
+  private def randomVectors(n: Int, dim: Int, seed: Long): Array[(Long, Array[Float])] = {
+    val rnd = new Random(seed)
+    Array.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextFloat())))
+  }
+
+  private def bruteForceTopK(
+      items: Seq[(Long, Array[Float])], q: Array[Float], k: Int, metric: Int = Distances.Euclidean): Array[Long] = {
+    val heap = new TopK(k)
+    items.foreach { case (id, v) => heap.push(Distances.distance(metric)(v, q), id) }
+    heap.sorted.map(_._2)
+  }
+
+  private def buildIndex(items: Seq[(Long, Array[Float])], config: HnswConfig = HnswConfig()): HnswIndex = {
+    val idx = new HnswIndex(Distances.Euclidean, config)
+    items.foreach { case (id, v) => idx.add(id, v) }
+    idx
+  }
+
+  test("search recall vs brute force >= 0.9 (hnsw_test.go:21)") {
+    val dim = 32
+    val items = randomVectors(1000, dim, seed = 7)
+    val idx = buildIndex(items.toSeq, HnswConfig(m = 16, ef = 50))
+    val rnd = new Random(13)
+    val k = 10
+    val recalls = (0 until 50).map { _ =>
+      val q = Array.fill(dim)(rnd.nextFloat())
+      val expected = bruteForceTopK(items.toSeq, q, k).toSet
+      val got = idx.search(q, k).map(_._1).toSet
+      got.intersect(expected).size.toDouble / k
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"avg recall $avg < 0.9")
+  }
+
+  test("search returns ascending distances with exact values") {
+    val items = randomVectors(300, 16, seed = 3)
+    val idx = buildIndex(items.toSeq)
+    val q = items(42)._2
+    val res = idx.search(q, 5)
+    assert(res.length === 5)
+    assert(res.head._1 === 42L) // self is nearest at distance 0
+    assert(res.head._2 === 0.0)
+    assert(res.map(_._2).toSeq === res.map(_._2).sorted.toSeq)
+    // distances are the true kernel values
+    res.foreach { case (id, d) =>
+      assert(d === Distances.euclidean(items(id.toInt)._2, q))
+    }
+  }
+
+  test("deleted vertices are never returned (hnsw_test.go:101)") {
+    val items = randomVectors(500, 16, seed = 11)
+    val idx = buildIndex(items.toSeq)
+    val deleted = (0 until 500 by 5).map(_.toLong).toSet
+    deleted.foreach(id => assert(idx.remove(id)))
+    val rnd = new Random(5)
+    (0 until 20).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextFloat())
+      val res = idx.search(q, 10)
+      assert(res.nonEmpty)
+      res.foreach { case (id, _) => assert(!deleted.contains(id), s"deleted id $id returned") }
+    }
+  }
+
+  test("insert after deletes keeps the graph searchable (hnsw_test.go:164)") {
+    val items = randomVectors(200, 16, seed = 17)
+    val idx = buildIndex(items.take(100).toSeq)
+    (0L until 50L by 2L).foreach(idx.remove)
+    items.drop(100).foreach { case (id, v) => idx.add(id, v) }
+    val q = items(150)._2
+    val res = idx.search(q, 5)
+    assert(res.head._1 === 150L)
+  }
+
+  test("removing the entrypoint hands off and search still works (hnsw_test.go:270)") {
+    val items = randomVectors(100, 8, seed = 23)
+    val idx = buildIndex(items.toSeq)
+    val ep = idx.entrypointId
+    assert(ep >= 0)
+    assert(idx.remove(ep))
+    assert(idx.entrypointId !== ep)
+    val res = idx.search(items(((ep + 1) % 100).toInt)._2, 3)
+    assert(res.nonEmpty)
+    assert(!res.map(_._1).contains(ep))
+  }
+
+  test("remove returns false for missing ids, duplicate insert throws (hnsw.go:21-22)") {
+    val idx = buildIndex(randomVectors(10, 4, seed = 1).toSeq)
+    assert(!idx.remove(999L))
+    intercept[IllegalArgumentException](idx.add(5L, Array.fill(4)(0f)))
+  }
+
+  test("persistence round-trip preserves search results (hnsw_persistence_test.go)") {
+    val items = randomVectors(400, 16, seed = 29)
+    val idx = buildIndex(items.toSeq, HnswConfig(m = 8, ef = 30))
+    val bos = new ByteArrayOutputStream()
+    idx.save(new DataOutputStream(bos))
+    val loaded = HnswIndex.load(new DataInputStream(new ByteArrayInputStream(bos.toByteArray)))
+    assert(loaded.size === idx.size)
+    val rnd = new Random(31)
+    (0 until 10).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextFloat())
+      assert(loaded.search(q, 5).toSeq === idx.search(q, 5).toSeq)
+    }
+  }
+
+  test("persistence after removals drops tombstones") {
+    val items = randomVectors(100, 8, seed = 37)
+    val idx = buildIndex(items.toSeq)
+    (0L until 50L).foreach(idx.remove)
+    val bos = new ByteArrayOutputStream()
+    idx.save(new DataOutputStream(bos))
+    val loaded = HnswIndex.load(new DataInputStream(new ByteArrayInputStream(bos.toByteArray)))
+    assert(loaded.size === 50)
+    val res = loaded.search(items(75)._2, 5)
+    assert(res.head._1 === 75L)
+    res.foreach { case (id, _) => assert(id >= 50L) }
+  }
+
+  test("config derives reference defaults (config.go:104-133)") {
+    val c = HnswConfig()
+    assert(c.m === 16)
+    assert(c.mMax === 16)
+    assert(c.mMax0 === 32)
+    assert(c.ef === 20)
+    assert(c.efConstruction === 200)
+    assert(math.abs(c.levelMultiplier - 1.0 / math.log(16.0)) < 1e-12)
+  }
+
+  test("deterministic levels follow the exponential distribution shape") {
+    val idx = new HnswIndex(Distances.Euclidean, HnswConfig())
+    val levels = (0L until 10000L).map(idx.levelFor)
+    assert(levels.min === 0)
+    val frac0 = levels.count(_ == 0).toDouble / levels.size
+    // P(level=0) = 1 - exp(-1/mL) ≈ 0.938 for m=16
+    assert(frac0 > 0.9 && frac0 < 0.97, s"frac0=$frac0")
+    assert(levels.max <= 10)
+  }
+}
+
+/** Distributed HNSW: per-partition build + global merge on real testdata. */
+class HnswSparkSpec extends SparkTestBase {
+
+  test("partitioned HNSW search recall >= 0.9 vs exact kNN on sf0.001 embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    val queries = e.filter("vec_id < 20")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val k = 10
+    val approx = HnswSpark.search(spark, data, queries, k, "euclidean", HnswConfig(ef = 50), numPartitions = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val exact = graft.knn.Knn.bruteForce(data, spark.createDataFrame(
+        spark.sparkContext.parallelize(queries.toSeq.map(q => org.apache.spark.sql.Row(q._1, q._2.toSeq))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qvec", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))),
+        k, "euclidean")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val recalls = queries.map { case (qid, _) =>
+      exact(qid).intersect(approx(qid)).size.toDouble / k
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.9, s"avg recall $avg < 0.9")
+  }
+
+  test("buildAndSave persists per-partition graphs that load and search") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("hnsw").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    val sizes = HnswSpark.buildAndSave(spark, data, out, numPartitions = 4)
+    assert(sizes.map(_._2).sum === 500)
+    val idx = HnswSpark.loadPartition(s"$out/part-${sizes.head._1}.hnsw")
+    assert(idx.size === sizes.head._2)
+    val q = e.filter("vec_id = 0").collect().head.getSeq[Float](1).toArray
+    assert(idx.search(q, 5).nonEmpty)
+  }
+}

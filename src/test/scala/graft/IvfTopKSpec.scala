@@ -1,0 +1,98 @@
+package graft
+
+import graft.knn.{Ivf, Knn, TopK}
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("keeps k smallest with (dist, id) tie-break (priority_queue.go semantics)") {
+    val t = new TopK(3)
+    Seq((5.0, 1L), (1.0, 2L), (3.0, 3L), (2.0, 4L), (4.0, 5L)).foreach { case (d, i) => t.push(d, i) }
+    assert(t.sorted.toSeq === Seq((1.0, 2L), (2.0, 4L), (3.0, 3L)))
+  }
+
+  test("tie-break prefers lower id at equal distance") {
+    val t = new TopK(2)
+    Seq((1.0, 9L), (1.0, 3L), (1.0, 7L), (1.0, 1L)).foreach { case (d, i) => t.push(d, i) }
+    assert(t.sorted.toSeq === Seq((1.0, 1L), (1.0, 3L)))
+  }
+
+  test("merge of per-partition heaps equals global top-k (dataset.go:349)") {
+    val rnd = new scala.util.Random(5)
+    val items = Array.tabulate(1000)(i => (rnd.nextDouble(), i.toLong))
+    val global = new TopK(10)
+    items.foreach { case (d, i) => global.push(d, i) }
+    val parts = items.grouped(100).map { chunk =>
+      val h = new TopK(10)
+      chunk.foreach { case (d, i) => h.push(d, i) }
+      h
+    }
+    val merged = new TopK(10)
+    parts.foreach(merged.mergeFrom)
+    assert(merged.sorted.toSeq === global.sorted.toSeq)
+  }
+}
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val dir = "/root/testdata/sf0.001"
+  private lazy val data = spark.read.parquet(s"$dir/embeddings.parquet")
+    .selectExpr("vec_id as id", "embedding as vector")
+  private lazy val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+    .filter("vec_id < 10").collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def resultMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "id", "rank").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+
+  test("IVF with nprobe=C is exact (degrades to brute force)") {
+    val c = 8
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val ivf = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = c))
+    val exact = resultMap(Knn.bruteForce(data,
+      queries.toSeq.toDF("qid", "qvec"), k = 10))
+    assert(ivf === exact)
+  }
+
+  test("IVF with nprobe=4/16 has recall >= 0.8") {
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 2)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val ivf = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4))
+    val exact = resultMap(Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), k = 10))
+    val recalls = queries.map { case (qid, _) =>
+      exact(qid).toSet.intersect(ivf(qid).toSet).size.toDouble / 10
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.8, s"avg recall $avg")
+  }
+
+  test("training moves centroids toward cluster means deterministically") {
+    val c1 = Ivf.train(spark, data, c = 4, iterations = 1)
+    val c2 = Ivf.train(spark, data, c = 4, iterations = 1)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+}
+
+class MutationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("upsert is latest-version-wins per key") {
+    val base = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "version")
+    val updates = Seq((2L, "b2", 2), (3L, "c", 2)).toDF("id", "v", "version")
+    val out = graft.ops.Mutations.upsert(base, updates, "id", "version")
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("remove drops exactly the removal keys") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val rem = Seq(Tuple1(2L)).toDF("id")
+    val out = graft.ops.Mutations.remove(base, rem, "id")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+}
