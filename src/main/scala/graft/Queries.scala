@@ -282,6 +282,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.19 multimodal feature extraction: payload → frames → histogram
+    // (decode stubbed, plumbing real; deterministic so oracle-able via the
+    // byte-exact histogram of the big-endian vector payload is skipped —
+    // rows-only + MultimodalSpec)
+    "multimodal_features" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val media = e.select(col("vec_id").as("id"), vec.toBytes(col("embedding")).as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, p) => graft.multimodal.Multimodal.MediaRow(id, p, "embedding", 8, 8, 0) }
+      graft.multimodal.Multimodal.extractFeatures(spark, media)
+        .toDF()
+        .select(col("id"), col("nBytes").as("n_bytes"), col("nFrames").as("n_frames"),
+          col("histogram"))
+        .orderBy("id")
+    }),
+
     // Relational bench headliners
     "q1_agg" -> ((spark, dir) => {
       val l = t(spark, dir, "lineitem")

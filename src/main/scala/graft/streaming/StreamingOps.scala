@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming counterparts of the reference's online mutation and
+  * query paths (`/root/reference/storage/dataset.go:238-348`): the batch
+  * engine handles index builds; streams handle continuous ingestion.
+  *
+  *  - [[windowedEventStats]]: tumbling-window aggregation with a watermark —
+  *    the streaming analog of the `events_window` batch query.
+  *  - [[latestVectorState]]: per-key latest-version upsert state via
+  *    `mapGroupsWithState` — the reference's BatchInsert/Update semantics
+  *    applied continuously (latest write wins per id, tombstone on remove).
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per event type. `events` must have
+    * (ts: timestamp, event_type: string, value: double).
+    */
+  def windowedEventStats(
+      events: DataFrame,
+      windowDuration: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** One vector-mutation event: op ∈ {upsert, remove}. */
+  case class VectorOp(id: Long, op: String, vector: Array[Float], version: Long)
+
+  /** Current state of one id after applying ops. */
+  case class VectorState(id: Long, vector: Array[Float], version: Long, deleted: Boolean)
+
+  private def applyOps(
+      id: Long,
+      ops: Iterator[VectorOp],
+      state: GroupState[VectorState]): VectorState = {
+    var current = state.getOption.getOrElse(VectorState(id, Array.empty, -1L, deleted = true))
+    ops.toSeq.sortBy(_.version).foreach { op =>
+      if (op.version > current.version) {
+        current =
+          if (op.op == "remove") VectorState(id, Array.empty, op.version, deleted = true)
+          else VectorState(id, op.vector, op.version, deleted = false)
+      }
+    }
+    state.update(current)
+    current
+  }
+
+  /** Continuously folds a stream of mutations into latest-wins per-id state
+    * (higher version wins; `remove` writes a tombstone). Emits the state of
+    * every id touched in the micro-batch — feed it to any sink to maintain a
+    * queryable current snapshot.
+    */
+  def latestVectorState(spark: SparkSession, ops: Dataset[VectorOp]): Dataset[VectorState] = {
+    import spark.implicits._
+    ops
+      .groupByKey(_.id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(applyOps)
+  }
+
+  /** Output mode required by [[latestVectorState]] sinks. */
+  val UpsertOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{VectorOp, VectorState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("windowed event stats aggregate a micro-batched stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamingOps.windowedEventStats(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_stats").outputMode("update").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:01:00")
+      val t1 = Timestamp.valueOf("2024-01-01 00:02:00")
+      val t2 = Timestamp.valueOf("2024-01-01 00:07:00")
+      input.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, sum_value FROM win_stats")
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("latest-wins vector state stream applies upserts and tombstones (dataset.go:238-348)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[VectorOp]
+    val q = StreamingOps.latestVectorState(spark, input.toDS())
+      .writeStream.format("memory").queryName("vec_state").outputMode("update").start()
+    try {
+      input.addData(
+        VectorOp(1L, "upsert", Array(1f, 1f), version = 1),
+        VectorOp(2L, "upsert", Array(2f, 2f), version = 1))
+      q.processAllAvailable()
+      input.addData(
+        VectorOp(1L, "upsert", Array(9f, 9f), version = 2), // newer wins
+        VectorOp(2L, "upsert", Array(0f, 0f), version = 0), // stale, ignored
+        VectorOp(3L, "remove", Array.empty, version = 1))   // tombstone
+      q.processAllAvailable()
+      val state = spark.sql("SELECT id, vector, version, deleted FROM vec_state")
+        .as[VectorState].collect()
+        .groupBy(_.id).view.mapValues(_.maxBy(_.version)).toMap
+      assert(state(1L).vector.toSeq === Seq(9f, 9f) && state(1L).version === 2)
+      assert(state(2L).vector.toSeq === Seq(2f, 2f) && state(2L).version === 1)
+      assert(state(3L).deleted)
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("feature extraction runs distributed over binary payloads") {
+    val rows = (0L until 20L).map { i =>
+      Multimodal.MediaRow(i, Array.tabulate(64)(j => (i + j).toByte), "image", 8, 8, 0)
+    }
+    val features = Multimodal.extractFeatures(spark, rows.toDS().repartition(4), maxFrames = 4)
+      .collect().sortBy(_.id)
+    assert(features.length === 20)
+    features.foreach { f =>
+      assert(f.nBytes === 64L)
+      assert(f.nFrames === 4)
+      assert(f.histogram.sum === 64L) // every byte lands in one bucket
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark, rows.toDS().repartition(4), maxFrames = 4)
+      .collect().sortBy(_.id)
+    assert(again.map(_.histogram.toSeq).toSeq === features.map(_.histogram.toSeq).toSeq)
+  }
+
+  test("decode stub frames partition the payload; resize decimates") {
+    val payload = Array.tabulate(100)(_.toByte)
+    val frames = Multimodal.DecodeStub.decodeFrames(payload, 4)
+    assert(frames.length === 4)
+    assert(frames.map(_.length).sum === 100)
+    val r = Multimodal.resize(payload, 4)
+    assert(r.length === 25)
+    assert(r(1) === 4.toByte)
+  }
+
+  test("meta struct column carries typed metadata") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.withMeta(df, "payload", Multimodal.MediaMeta("image", 4, 4, 0))
+      .select("meta.kind", "meta.width").as[(String, Int)].head()
+    assert(out === ("image", 4))
+  }
+}
