@@ -1,5 +1,7 @@
 package graft.dedup
 
+import graft.functions.{HashedShingleSet, MinHashBandHashes, ShingleBandHashes, ShingleHashSet, SortedIntersectCount}
+import graft.internal.SqlBridge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +27,24 @@ object Dedup {
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(grams))
+  }
+
+  /** Distinct sorted 64-bit hash set of a shingle array — per-doc precompute
+    * so pair verification is an O(|A|+|B|) merge, not a per-pair string-set
+    * build. Jaccard over these equals string-set Jaccard absent 64-bit
+    * collisions (p < 1e-8 at billions of shingles).
+    */
+  def hashedShingleSet(sh: Column): Column =
+    SqlBridge.column(HashedShingleSet(SqlBridge.expression(sh)))
+
+  /** |A∩B| of two ascending-sorted long-array columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    SqlBridge.column(SortedIntersectCount(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Jaccard from hashed sets: |A∩B| / (|A|+|B|-|A∩B|). */
+  def hashedJaccard(a: Column, b: Column): Column = {
+    val icnt = sortedIntersectCount(a, b).cast("double")
+    icnt / (size(a) + size(b) - icnt)
   }
 
   /** Exact duplicate groups: shuffle on content digest, keep the minimum id
@@ -69,14 +89,18 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
-    val withShingles = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // per-doc precompute, one kernel pass each: hashed shingle set + band
+    // hashes straight from text (cheap enough that optimizer-duplicated
+    // evaluation is harmless)
+    val prepared = docs
+      .select(col(idCol).as("id"),
+        SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(textCol)), 3)).as("hs"),
+        SqlBridge.column(ShingleBandHashes(
+          SqlBridge.expression(col(textCol)), 3, bands, rowsPerBand)).as("bhs"))
+      .filter(size(col("hs")) > 0)
 
-    val withBands = withShingles
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), explode(bandStructs(col("sig"), bands, rowsPerBand)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.bh").as("bh"))
+    val withBands = prepared
+      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
     val candidates = withBands.alias("l")
       .join(withBands.alias("r"), Seq("band", "bh"))
@@ -84,13 +108,11 @@ object Dedup {
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    val sh = withShingles
+    val hs = prepared.select(col("id"), col("hs"))
     candidates
-      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(hs.select(col("id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(hs.select(col("id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("jaccard", hashedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -105,13 +127,13 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       minJaccard: Double = 0.0): DataFrame = {
-    val d = docs.select(col(bucketCol).as("bucket"), col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val d = docs.select(col(bucketCol).as("bucket"), col(idCol).as("id"),
+      SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(textCol)), 3)).as("hs"))
     d.alias("l").join(d.alias("r"), Seq("bucket"))
       .filter(col("l.id") < col("r.id"))
       .select(
         col("l.id").as("doc_a"), col("r.id").as("doc_b"),
-        (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+        hashedJaccard(col("l.hs"), col("r.hs")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

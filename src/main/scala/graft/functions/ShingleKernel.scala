@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text → shingle-hash kernels.
+  *
+  * The composable HOF pipeline (`split` → `sequence` → `transform` →
+  * `concat_ws` → hash) costs ~2ms/doc in expression-tree overhead and gets
+  * freely duplicated by CollapseProject; these kernels do tokenize + n-gram
+  * + hash in one JVM loop (~µs/doc) so recomputation is harmless.
+  *
+  * Hash compatibility: a shingle's hash equals
+  * [[SetSimilarityKernel.hashedShingleSet]] applied to the same
+  * space-joined shingle string — Murmur3(utf8-bytes, 42) xor-folded with the
+  * byte length, then mixed — so hashed Jaccard here equals string-set
+  * Jaccard absent 64-bit collisions.
+  */
+object ShingleKernel {
+
+  def tokenize(text: UTF8String): Array[String] =
+    text.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+
+  private def hashShingle(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    val base = Murmur3_x86_32.hashUnsafeBytes2(u.getBaseObject, u.getBaseOffset, u.numBytes, 42).toLong
+    SetSimilarityKernel.mix(base ^ (u.numBytes.toLong << 32))
+  }
+
+  /** All shingle hashes (with duplicates), in document order. */
+  def shingleHashesRaw(text: UTF8String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < n) {
+      Array(hashShingle(toks.mkString(" ")))
+    } else {
+      val out = new Array[Long](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = hashShingle(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Distinct ascending shingle-hash set. */
+  def shingleHashSet(text: UTF8String, n: Int): UnsafeArrayData = {
+    val hs = shingleHashesRaw(text, n)
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** MinHash band hashes straight from text (single pass over shingles). */
+  def shingleBandHashes(text: UTF8String, n: Int, bands: Int, rowsPerBand: Int): UnsafeArrayData = {
+    val numHashes = bands * rowsPerBand
+    val minima = new Array[Long](numHashes)
+    java.util.Arrays.fill(minima, Long.MaxValue)
+    val raw = shingleHashesRaw(text, n)
+    var s = 0
+    while (s < raw.length) {
+      val full = raw(s)
+      var h = 0
+      while (h < numHashes) {
+        val v = SetSimilarityKernel.mix(full ^ (h.toLong * 0x9e3779b97f4a7c15L))
+        if (v < minima(h)) minima(h) = v
+        h += 1
+      }
+      s += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = SetSimilarityKernel.mix(acc ^ minima(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** text → distinct sorted shingle-hash set (`array<long>`). */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hash_set"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleKernel.shingleHashSet(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingleHashSet($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → MinHash band hashes (`array<long>`, one element per band). */
+case class ShingleBandHashes(child: Expression, n: Int, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_band_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleKernel.shingleBandHashes(a.asInstanceOf[UTF8String], n, bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingleBandHashes($a, $n, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
