@@ -299,6 +299,13 @@ object Queries {
         .orderBy("id")
     }),
 
+    // §2.20 composite quality score (length + stopword components)
+    "quality_score" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Relational bench headliners
     "q1_agg" -> ((spark, dir) => {
       val l = t(spark, dir, "lineitem")
@@ -403,6 +410,13 @@ object Queries {
          |      FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cd, 4) AS cos_dist FROM p WHERE cd <= 0.1 ORDER BY id_a, id_b""".stripMargin,
     "lang_id" -> langIdOracle,
+    "quality_score" -> {
+      val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+         |  round(least(length($duckToks) / 100.0, 1.0) * 0.5 +
+         |    (len(list_filter($duckToks, t -> t IN ($en)))::DOUBLE / length($duckToks)) * 0.5, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "dist_euclidean" -> distOracle(duckEuclid),
     "dist_manhattan" -> distOracle(duckManhattan),
     "dist_cosine" -> distOracle(duckCosine),

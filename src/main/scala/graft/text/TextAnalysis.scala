@@ -70,12 +70,16 @@ object TextAnalysis {
 
   /** 60-bit SimHash over md5-derived token hashes. Engine-reproducible:
     * token hash = first 15 hex chars of md5 as a long, so DuckDB can mirror
-    * it (`CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`).
+    * it (`CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`). Single-kernel
+    * pass ([[graft.functions.SimHashText]]); [[simhashFromHashes]] exposes
+    * the compositional form over precomputed hash arrays.
     */
-  def simhash(text: Column, nbits: Int = 60): Column = {
-    val hashes = transform(tokens(text), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+  def simhash(text: Column, nbits: Int = 60): Column =
+    SqlBridge.column(graft.functions.SimHashText(SqlBridge.expression(text), nbits))
+
+  /** SimHash over an explicit `array<long>` of token hashes. */
+  def simhashFromHashes(hashes: Column, nbits: Int = 60): Column =
     SqlBridge.column(SimHash64(SqlBridge.expression(hashes), nbits))
-  }
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

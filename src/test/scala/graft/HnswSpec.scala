@@ -64,6 +64,23 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("heuristic neighbor selection with extendCandidates keeps recall (hnsw.go:369)") {
+    val dim = 32
+    val items = randomVectors(800, dim, seed = 41)
+    val idx = buildIndex(items.toSeq,
+      HnswConfig(m = 16, ef = 50, heuristic = true, extendCandidates = true, keepPruned = true))
+    val rnd = new Random(43)
+    val k = 10
+    val recalls = (0 until 30).map { _ =>
+      val q = Array.fill(dim)(rnd.nextFloat())
+      val expected = bruteForceTopK(items.toSeq, q, k).toSet
+      val got = idx.search(q, k).map(_._1).toSet
+      got.intersect(expected).size.toDouble / k
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.85, s"avg recall $avg < 0.85")
+  }
+
   test("deleted vertices are never returned (hnsw_test.go:101)") {
     val items = randomVectors(500, 16, seed = 11)
     val idx = buildIndex(items.toSeq)

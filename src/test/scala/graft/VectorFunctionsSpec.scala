@@ -66,6 +66,22 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(h._1 === h2)
   }
 
+  test("codec round-trip property: random vectors incl. specials survive") {
+    val rnd = new scala.util.Random(99)
+    val vectors = (0 until 200).map { _ =>
+      Seq.fill(rnd.nextInt(20) + 1)(
+        java.lang.Float.intBitsToFloat(rnd.nextInt())
+      ).map(f => if (f.isNaN) 1.5f else f) // NaN bit patterns aren't stable through parquet float compare; test separately
+    } :+ Seq(Float.MaxValue, Float.MinValue, Float.PositiveInfinity, Float.NegativeInfinity, -0.0f)
+    val df = vectors.map(Tuple1(_)).toDF("a")
+    val bad = df.select(
+        zip_with($"a", vec.fromBytes(vec.toBytes($"a")), (x, y) => when(x === y, 0).otherwise(1))
+          .as("diff"))
+      .select(aggregate($"diff", lit(0), (acc, v) => acc + v).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(bad === 0L)
+  }
+
   test("SQL registration: functions callable from SQL text") {
     graft.functions.GraftFunctionRegistry.register(spark)
     val d = spark.sql("SELECT dist_euclidean(array(1.0F, 2.0F, 2.0F), array(0.0F, 0.0F, 0.0F)) AS d")
