@@ -336,6 +336,23 @@ object Queries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
+    // Gap-based sessionization (30-min inactivity): lag window + cumulative
+    // flag sum — the standard scalable sessionizer (shuffle on user_id only)
+    "events_sessionize" -> ((spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(spark, dir, "events")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = e.withColumn("prev_ts",
+          lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 0L)
+            .otherwise((col("ts") - col("prev_ts") > 1800000000000L).cast("long")))
+      flagged.groupBy("user_id")
+        .agg((sum("new_session") + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     "events_window" -> ((spark, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
       // type, so read it as raw nanos (long) and bucket with exact integer
@@ -486,5 +503,14 @@ object Queries {
       """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
+        |         WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -63,6 +63,10 @@ object GraftFunctionRegistry {
     "vec_to_bytes" -> ((args: Seq[Expression]) => VecToBytes(args(0))),
     "vec_from_bytes" -> ((args: Seq[Expression]) => VecFromBytes(args(0))),
     "rolling_hash" -> ((args: Seq[Expression]) => RollingHash(args(0))),
+    "simhash_text" -> ((args: Seq[Expression]) => SimHashText(args(0))),
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
+    "shingle_hash_set" -> ((args: Seq[Expression]) => ShingleHashSet(args(0), 3)),
+    "sorted_intersect_count" -> ((args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
