@@ -136,6 +136,18 @@ object Queries {
       knnFinish(Knn.partitioned(spark, data, queries, 10, "euclidean"))
     }),
 
+    // §2.14 search results carry item metadata (reference SearchResultItem
+    // .Metadata, storage/dataset.go:520): join labels onto the k-merge output
+    "knn_with_meta" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val (data, queries) = knnInputs(spark, dir, 3)
+      val nn = Knn.bruteForce(data, queries, 5, "euclidean")
+      nn.join(broadcast(e.select(col("vec_id").as("id"), col("label"))), Seq("id"))
+        .select(col("qid"), col("id"), round(col("dist"), 4).as("dist"),
+          col("rank").cast("long").as("rank"), col("label"))
+        .orderBy("qid", "rank")
+    }),
+
     // §2.13 tombstone handling: search skips deleted ids
     "knn_with_deletes" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -454,6 +466,12 @@ object Queries {
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),
     "knn_partitioned" -> knnOracle(duckEuclid, 5, 10),
     "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),
+    "knn_with_meta" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.qid, e.vec_id AS id, e.label, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT qid, id, label, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+         |SELECT qid, id, round(dist, 4) AS dist, rank, label FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "batch_upsert" ->
       "SELECT vec_id, CASE WHEN vec_id % 10 = 0 THEN label + 1000 ELSE label END AS label FROM embeddings ORDER BY vec_id",
     "batch_remove" ->

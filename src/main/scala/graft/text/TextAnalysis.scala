@@ -28,10 +28,15 @@ object TextAnalysis {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
 
+  /** All per-language counts in one tokenize pass (kernel). */
+  def langCountsArray(text: Column): Column =
+    SqlBridge.column(graft.functions.StopwordCounts(
+      SqlBridge.expression(text), StopWords.map(_._2)))
+
   /** Per-language stopword counts, columns named cnt_<lang>. */
   def langCounts(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    StopWords.map { case (lang, words) => lang -> stopwordCount(toks, words) }
+    val arr = langCountsArray(text)
+    StopWords.zipWithIndex.map { case ((lang, _), i) => lang -> element_at(arr, i + 1) }
   }
 
   /** Heuristic language id: the first language (in [[StopWords]] order)
@@ -61,9 +66,8 @@ object TextAnalysis {
     * ratios").
     */
   def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val stopRatio = stopwordCount(toks, StopWords.head._2).cast("double") / nTok
+    val nTok = size(tokens(text)).cast("double")
+    val stopRatio = element_at(langCountsArray(text), 1).cast("double") / nTok
     val lengthScore = least(nTok / lit(100.0), lit(1.0))
     round(lengthScore * 0.5 + stopRatio * 0.5, 4)
   }
