@@ -102,4 +102,35 @@ object HnswSpark {
     val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(path)))
     try HnswIndex.load(in) finally in.close()
   }
+
+  /** Search previously persisted per-partition graphs (build once with
+    * [[buildAndSave]], search many): each saved graph is loaded and searched
+    * by one task, candidates k-merge globally. The index artifacts — not the
+    * raw vectors — are the working set, exactly the reference's
+    * load-then-serve path (`index/hnsw_persistence.go` + `dataset.go:390`).
+    */
+  def searchSaved(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val files = new java.io.File(indexDir).listFiles()
+      .filter(_.getName.endsWith(".hnsw")).map(_.getAbsolutePath).sorted.toSeq
+    require(files.nonEmpty, s"no .hnsw files under $indexDir")
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val candidates = spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap { path =>
+        val index = loadPartition(path)
+        bc.value.iterator.flatMap { case (qid, qv) =>
+          index.search(qv, k).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

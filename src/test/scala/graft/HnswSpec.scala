@@ -217,4 +217,20 @@ class HnswSparkSpec extends SparkTestBase {
     val q = e.filter("vec_id = 0").collect().head.getSeq[Float](1).toArray
     assert(idx.search(q, 5).nonEmpty)
   }
+
+  test("searchSaved over persisted graphs equals live partitioned search") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("hnsw_saved").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    val queries = e.filter("vec_id < 5").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+    HnswSpark.buildAndSave(spark, data, out, numPartitions = 4)
+    val saved = HnswSpark.searchSaved(spark, out, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._3, x._2))
+    val live = HnswSpark.search(spark, data, queries, k = 10, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._3, x._2))
+    assert(saved.toSeq === live.toSeq)
+  }
 }
