@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.Distances
+import graft.hnsw.{HnswConfig, HnswIndex}
+import graft.knn.TopK
+import org.apache.spark.sql.SparkSession
+
+/** Single-node HNSW micro-benchmark, comparable to the reference's
+  * `run_benchmark.sh` output (`/root/reference/results.txt`: inserts/s,
+  * queries/s, avg recall at a given M). Usage: runMain graft.BenchHnsw [sfDir] [M]
+  */
+object BenchHnsw {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val m = if (args.length > 1) args(1).toInt else 16
+    val items: Array[(Long, Array[Float])] =
+      if (sfDir.startsWith("synthetic:")) {
+        // synthetic:N:dim — deterministic random vectors for scale probes
+        val parts = sfDir.split(":")
+        val n = parts(1).toInt
+        val dim = if (parts.length > 2) parts(2).toInt else 64
+        val rnd = new scala.util.Random(7)
+        Array.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextFloat())))
+      } else {
+        val spark = SparkSession.builder().master("local[4]")
+          .config("spark.ui.enabled", "false").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val r = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .selectExpr("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        spark.stop()
+        r
+      }
+
+    val dim = items.head._2.length
+    val k = 10
+
+    // warm-up pass for JIT
+    locally {
+      val w = new HnswIndex(Distances.Euclidean, HnswConfig(m = m))
+      items.take(500).foreach { case (id, v) => w.add(id, v) }
+    }
+
+    val index = new HnswIndex(Distances.Euclidean, HnswConfig(m = m, ef = 20))
+    val t0 = System.nanoTime()
+    items.foreach { case (id, v) => index.add(id, v) }
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val queries = items.take(math.min(1000, items.length))
+    val t1 = System.nanoTime()
+    var sink = 0L
+    queries.foreach { case (_, q) => sink += index.search(q, k).length }
+    val searchSec = (System.nanoTime() - t1) / 1e9
+
+    // recall vs exact brute force on a sample
+    val sample = queries.take(100)
+    val recalls = sample.map { case (_, q) =>
+      val heap = new TopK(k)
+      items.foreach { case (id, v) => heap.push(Distances.euclidean(v, q), id) }
+      val exact = heap.sorted.map(_._2).toSet
+      val approx = index.search(q, k).map(_._1).toSet
+      approx.intersect(exact).size.toDouble / k
+    }
+    val recall = recalls.sum / recalls.length
+
+    println(
+      f"""{"metric":"hnsw","n":${items.length},"dim":$dim,"m":$m,"build_inserts_per_s":${items.length / buildSec}%.1f,"search_queries_per_s":${queries.length / searchSec}%.1f,"avg_recall":$recall%.4f,"sink":$sink}""")
+  }
+}

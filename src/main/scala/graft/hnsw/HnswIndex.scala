@@ -43,18 +43,49 @@ final case class HnswConfig(
   *    (`hnsw.go:249`, `math.RandomExponential`) with U derived from a
   *    splitmix64 hash of the item id, so distributed builds are reproducible.
   *
+  * Hot paths are allocation-free: primitive [[DistHeap]]s (the analog of
+  * `utils/priority_queue.go`), `java.util.BitSet` visited sets, tableswitch
+  * metric dispatch.
+  *
   * Single-threaded by design: one index per Spark partition, built inside
   * `mapPartitions` (see [[HnswSpark]]), which is the Spark-native analog of
   * the reference's per-partition indexes (`storage/partition.go`).
   */
 final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 42L) {
 
+  /** Per-level adjacency: parallel primitive arrays (slot, dist). Edge
+    * lists are bounded by mMax/mMax0 (≤ 32 by default), so linear append /
+    * swap-remove beats hashing and avoids value boxing entirely.
+    */
+  final class EdgeList(initCap: Int) {
+    var slots: Array[Int] = new Array[Int](initCap)
+    var dists: Array[Double] = new Array[Double](initCap)
+    var size: Int = 0
+    def add(slot: Int, d: Double): Unit = {
+      if (size == slots.length) {
+        slots = java.util.Arrays.copyOf(slots, slots.length * 2)
+        dists = java.util.Arrays.copyOf(dists, dists.length * 2)
+      }
+      slots(size) = slot; dists(size) = d; size += 1
+    }
+    def remove(slot: Int): Unit = {
+      var i = 0
+      while (i < size) {
+        if (slots(i) == slot) {
+          size -= 1
+          slots(i) = slots(size); dists(i) = dists(size)
+          return
+        }
+        i += 1
+      }
+    }
+    def clear(): Unit = size = 0
+  }
+
   final class Vertex(val id: Long, val vector: Array[Float], var level: Int) {
-    /** edges(l): neighbor vertex-slot -> distance */
-    var edges: Array[mutable.LongMap[Double]] = Array.fill(level + 1)(mutable.LongMap.empty[Double])
+    /** edges(l): per-level neighbor adjacency */
+    var edges: Array[EdgeList] = Array.fill(level + 1)(new EdgeList(8))
     var deleted: Boolean = false
-    def ensureLevel(l: Int): Unit =
-      if (l > level) { edges = edges ++ Array.fill(l - level)(mutable.LongMap.empty[Double]); level = l }
   }
 
   private val vertices = mutable.ArrayBuffer.empty[Vertex]
@@ -64,7 +95,13 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
   def size: Int = idToSlot.size
   def entrypointId: Long = if (entrypoint == -1) -1L else vertices(entrypoint).id
 
-  private def dist(a: Array[Float], b: Array[Float]): Double = Distances.distance(metric)(a, b)
+  private val kernel = graft.core.DistKernel.best
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = metric match {
+    case Distances.Euclidean => kernel.euclidean(a, b)
+    case Distances.Manhattan => kernel.manhattan(a, b)
+    case _ => kernel.cosine(a, b)
+  }
 
   // -------------------------------------------------------- level assignment
 
@@ -84,15 +121,6 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
 
   // ------------------------------------------------------------- primitives
 
-  /** Ordered (dist, slot) pair queues with deterministic id tie-break. */
-  private type Entry = (Double, Int)
-  private def cmpAsc(a: Entry, b: Entry): Int = {
-    val c = java.lang.Double.compare(a._1, b._1)
-    if (c != 0) c else java.lang.Integer.compare(a._2, b._2)
-  }
-  private def minQueue() = new java.util.PriorityQueue[Entry]((a, b) => cmpAsc(a, b))
-  private def maxQueue() = new java.util.PriorityQueue[Entry]((a, b) => cmpAsc(b, a))
-
   /** Greedy closest-neighbor descent at one level (`hnsw.go:289-312`). */
   private def greedyClosest(query: Array[Float], start: Int, startDist: Double, level: Int): (Int, Double) = {
     var ep = start
@@ -101,50 +129,60 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     while (improved) {
       improved = false
       val edges = vertices(ep).edges(level)
-      edges.foreachKey { nk =>
-        val n = nk.toInt
+      var bestN = -1
+      var bestD = minDist
+      var ei = 0
+      while (ei < edges.size) {
+        val n = edges.slots(ei)
         val v = vertices(n)
         if (!v.deleted) {
           val d = dist(query, v.vector)
-          if (d < minDist) { minDist = d; ep = n; improved = true }
+          if (d < bestD) { bestD = d; bestN = n }
         }
+        ei += 1
       }
+      if (bestN != -1) { ep = bestN; minDist = bestD; improved = true }
     }
     (ep, minDist)
   }
 
   /** ef-bounded best-first search at one level (`hnsw.go:314-359`).
-    * Returns up to ef nearest (dist, slot) in a max-queue.
+    * Returns up to ef nearest in a max-heap (root = worst kept).
     */
-  private def searchLevel(query: Array[Float], entry: Int, ef: Int, level: Int): java.util.PriorityQueue[Entry] = {
+  private def searchLevel(query: Array[Float], entry: Int, ef: Int, level: Int): DistHeap = {
     val entryDist = dist(query, vertices(entry).vector)
-    val candidates = minQueue()
-    val results = maxQueue()
-    candidates.add((entryDist, entry))
-    results.add((entryDist, entry))
-    val visited = mutable.BitSet(entry)
+    val candidates = new DistHeap(ef, max = false)
+    val results = new DistHeap(ef + 1, max = true)
+    candidates.push(entryDist, entry)
+    results.push(entryDist, entry)
+    val visited = new java.util.BitSet(vertices.size)
+    visited.set(entry)
 
-    while (!candidates.isEmpty) {
-      val cand = candidates.poll()
-      val lowerBound = results.peek()._1
-      if (cand._1 > lowerBound) {
-        candidates.clear() // reference hnsw.go:334: stop once the best
-        // candidate is worse than the worst kept result
+    var stop = false
+    while (!stop && !candidates.isEmpty) {
+      candidates.poll()
+      val cd = candidates.polledDist
+      val c = candidates.polledSlot
+      if (cd > results.peekDist) {
+        stop = true // reference hnsw.go:334: best candidate worse than worst result
       } else {
-        vertices(cand._2).edges(level).foreachKey { nk =>
-          val n = nk.toInt
-          if (!visited.contains(n)) {
-            visited += n
+        val edges = vertices(c).edges(level)
+        var ei = 0
+        while (ei < edges.size) {
+          val n = edges.slots(ei)
+          if (!visited.get(n)) {
+            visited.set(n)
             val v = vertices(n)
             if (!v.deleted) {
               val d = dist(query, v.vector)
-              if (d < results.peek()._1 || results.size < ef) {
-                candidates.add((d, n))
-                results.add((d, n))
+              if (d < results.peekDist || results.size < ef) {
+                candidates.push(d, n)
+                results.push(d, n)
                 if (results.size > ef) results.poll()
               }
             }
           }
+          ei += 1
         }
       }
     }
@@ -152,7 +190,7 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
   }
 
   /** Simple selection (`hnsw.go:361-367`): keep the k closest. */
-  private def selectSimple(neighbors: java.util.PriorityQueue[Entry], k: Int): java.util.PriorityQueue[Entry] = {
+  private def selectSimple(neighbors: DistHeap, k: Int): DistHeap = {
     while (neighbors.size > k) neighbors.poll()
     neighbors
   }
@@ -161,43 +199,64 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     * set with candidate neighbors, then keep the k closest (the reference's
     * heuristic has no occlusion pruning; keepPruned only refills to k).
     */
-  private def selectHeuristic(query: Array[Float], neighbors: java.util.PriorityQueue[Entry], k: Int, level: Int): java.util.PriorityQueue[Entry] = {
-    val candidates = minQueue()
-    val seen = mutable.BitSet.empty
-    neighbors.forEach { e => candidates.add(e); seen += e._2 }
+  private def selectHeuristic(query: Array[Float], neighbors: DistHeap, k: Int, level: Int): DistHeap = {
+    val candidates = new DistHeap(neighbors.size, max = false)
+    val seen = new java.util.BitSet(vertices.size)
+    val origSlots = new Array[Int](neighbors.size)
+    var i = 0
+    while (i < neighbors.size) {
+      candidates.push(neighbors.distAt(i), neighbors.slotAt(i))
+      seen.set(neighbors.slotAt(i))
+      origSlots(i) = neighbors.slotAt(i)
+      i += 1
+    }
 
     if (config.extendCandidates) {
-      neighbors.forEach { e =>
-        vertices(e._2).edges(level).foreachKey { nk =>
-          val n = nk.toInt
+      var oi = 0
+      while (oi < origSlots.length) {
+        val edges = vertices(origSlots(oi)).edges(level)
+        var ei = 0
+        while (ei < edges.size) {
+          val n = edges.slots(ei)
           val v = vertices(n)
-          if (!v.deleted && !seen.contains(n)) {
-            seen += n
-            candidates.add((dist(query, v.vector), n))
+          if (!v.deleted && !seen.get(n)) {
+            seen.set(n)
+            candidates.push(dist(query, v.vector), n)
           }
+          ei += 1
         }
+        oi += 1
       }
     }
 
-    val result = maxQueue()
-    while (!candidates.isEmpty && result.size < k) result.add(candidates.poll())
+    val result = new DistHeap(k + 1, max = true)
+    while (!candidates.isEmpty && result.size < k) {
+      candidates.poll()
+      result.push(candidates.polledDist, candidates.polledSlot)
+    }
     result
   }
 
-  private def select(query: Array[Float], neighbors: java.util.PriorityQueue[Entry], k: Int, level: Int): java.util.PriorityQueue[Entry] =
+  private def select(query: Array[Float], neighbors: DistHeap, k: Int, level: Int): DistHeap =
     if (config.heuristic) selectHeuristic(query, neighbors, k, level) else selectSimple(neighbors, k)
 
   /** Re-prune a vertex's level edges to k best (`hnsw.go:419-444`). */
   private def pruneNeighbors(slot: Int, k: Int, level: Int): Unit = {
     val v = vertices(slot)
-    val q = maxQueue()
-    v.edges(level).foreach { case (nk, d) =>
-      if (!vertices(nk.toInt).deleted) q.add((d, nk.toInt))
+    val el = v.edges(level)
+    val q = new DistHeap(el.size, max = true)
+    var ei = 0
+    while (ei < el.size) {
+      if (!vertices(el.slots(ei)).deleted) q.push(el.dists(ei), el.slots(ei))
+      ei += 1
     }
     val kept = select(v.vector, q, k, level)
-    val newEdges = mutable.LongMap.empty[Double]
-    kept.forEach { e => newEdges(e._2.toLong) = e._1 }
-    v.edges(level) = newEdges
+    el.clear()
+    var i = 0
+    while (i < kept.size) {
+      el.add(kept.slotAt(i), kept.distAt(i))
+      i += 1
+    }
   }
 
   // ------------------------------------------------------------------ insert
@@ -239,11 +298,13 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
       val mMax = if (level == 0) config.mMax0 else config.mMax
 
       while (!neighbors.isEmpty) {
-        val (d, n) = neighbors.poll()
+        neighbors.poll() // max-heap: farthest first, last popped is closest
+        val d = neighbors.polledDist
+        val n = neighbors.polledSlot
         ep = n
-        v.edges(level)(n.toLong) = d
+        v.edges(level).add(n, d)
         val nv = vertices(n)
-        nv.edges(level)(slot.toLong) = d
+        nv.edges(level).add(slot, d)
         if (nv.edges(level).size > mMax) pruneNeighbors(n, mMax, level)
       }
       level -= 1
@@ -274,9 +335,12 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
         var l = v.level
         var found = false
         while (l >= 0 && !found) {
-          v.edges(l).foreach { case (nk, d) =>
-            val n = nk.toInt
-            if (!vertices(n).deleted && d < minDist) { minDist = d; closest = n }
+          val el = v.edges(l)
+          var ei = 0
+          while (ei < el.size) {
+            val n = el.slots(ei)
+            if (!vertices(n).deleted && el.dists(ei) < minDist) { minDist = el.dists(ei); closest = n }
+            ei += 1
           }
           if (closest != -1) found = true
           l -= 1
@@ -291,10 +355,9 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
       var l = v.level
       while (l >= 0) {
         val mMax = if (l == 0) config.mMax0 else config.mMax
-        val neighborSlots = v.edges(l).keys.toArray
-        neighborSlots.foreach { nk =>
-          val n = nk.toInt
-          vertices(n).edges(l).remove(slot.toLong)
+        val neighborSlots = java.util.Arrays.copyOf(v.edges(l).slots, v.edges(l).size)
+        neighborSlots.foreach { n =>
+          vertices(n).edges(l).remove(slot)
           pruneNeighbors(n, mMax, l)
         }
         l -= 1
@@ -324,8 +387,8 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     val out = new Array[(Long, Double)](n)
     var i = n - 1
     while (i >= 0) {
-      val (d, slot) = selected.poll()
-      out(i) = (vertices(slot).id, d)
+      selected.poll()
+      out(i) = (vertices(selected.polledSlot).id, selected.polledDist)
       i -= 1
     }
     out
@@ -367,8 +430,9 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     live.foreach { case (v, _) =>
       var l = 0
       while (l <= v.level) {
-        val kept = v.edges(l).toArray.flatMap { case (nk, d) =>
-          slotToOrd.get(nk.toInt).map(ord => (ord, d))
+        val el = v.edges(l)
+        val kept = (0 until el.size).flatMap { i =>
+          slotToOrd.get(el.slots(i)).map(ord => (ord, el.dists(i)))
         }.sortBy(_._1)
         out.writeInt(kept.length)
         kept.foreach { case (ord, d) => out.writeInt(ord); out.writeDouble(d) }
@@ -411,7 +475,7 @@ object HnswIndex {
         (0 until cnt).foreach { _ =>
           val ord = in.readInt()
           val d = in.readDouble()
-          v.edges(l)(ord.toLong) = d
+          v.edges(l).add(ord, d)
         }
         l += 1
       }

@@ -60,7 +60,8 @@ class HnswSpec extends AnyFunSuite {
     assert(res.map(_._2).toSeq === res.map(_._2).sorted.toSeq)
     // distances are the true kernel values
     res.foreach { case (id, d) =>
-      assert(d === Distances.euclidean(items(id.toInt)._2, q))
+      assert(d === graft.core.DistKernel.best.euclidean(items(id.toInt)._2, q))
+      assert(math.abs(d - Distances.euclidean(items(id.toInt)._2, q)) < 1e-4)
     }
   }
 
