@@ -61,12 +61,19 @@ object Ivf {
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
         val cs = bc.value
+        // cell assignment only picks the argmin — SIMD kernel is safe here
+        // (nprobe=C exactness is unaffected by which cell a vector lands in)
+        val kernel = graft.core.DistKernel.best
         iter.map { case (id, v) =>
           var best = 0
           var bestDist = Double.MaxValue
           var i = 0
           while (i < cs.length) {
-            val d = Distances.distance(m)(v, cs(i))
+            val d = m match {
+              case Distances.Euclidean => kernel.euclidean(v, cs(i))
+              case Distances.Manhattan => kernel.manhattan(v, cs(i))
+              case _ => kernel.cosine(v, cs(i))
+            }
             if (d < bestDist) { bestDist = d; best = i }
             i += 1
           }

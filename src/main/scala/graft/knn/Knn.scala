@@ -51,10 +51,13 @@ object Knn {
       .mapPartitions { iter =>
         val qs = bc.value
         val heaps = Array.fill(qs.length)(new TopK(k))
+        // exact double element-ordered kernel (hash-matches the oracle
+        // formulation); hoisted so no per-row closure allocation
+        val kernel = Distances.distance(m) _
         iter.foreach { case (id, v) =>
           var qi = 0
           while (qi < qs.length) {
-            heaps(qi).push(Distances.distance(m)(v, qs(qi)._2), id)
+            heaps(qi).push(kernel(v, qs(qi)._2), id)
             qi += 1
           }
         }
