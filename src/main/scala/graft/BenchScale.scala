@@ -1,0 +1,74 @@
+package graft
+
+import graft.hnsw.{HnswConfig, HnswSpark}
+import graft.knn.Knn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Scale smoke: exercises the distributed paths (partitioned exact kNN,
+  * HNSW build/save/searchSaved, MinHash dedup) on a generated vector/doc
+  * set well beyond the testdata size, verifying the plans stay
+  * partition-parallel with bounded memory. Usage:
+  *   runMain graft.BenchScale [nVectors] [dim] [nDocs]
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val nDocs = if (args.length > 2) args(2).toInt else 100000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // deterministic synthetic vectors, generated distributed (no driver data)
+    val data = spark.range(n).select(col("id"),
+        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(sin(id * 0.7 + j * 1.3) + cos(id * 0.13 * j) as float))")
+          .as("vector"))
+      .repartition(cpus.toInt * 2, col("id"))
+    data.cache()
+    timed(s"materialize $n x$dim vectors")(data.count())
+
+    val queries = data.filter(col("id") < 64).as[(Long, Array[Float])].collect().sortBy(_._1)
+
+    val exact = timed(s"exact partitioned kNN (${queries.length} queries, k=10)") {
+      Knn.partitioned(spark, data, queries, k = 10).count()
+    }
+    println(s"[scale] exact result rows: $exact")
+
+    val outDir = java.nio.file.Files.createTempDirectory("scale_hnsw").toString
+    val sizes = timed(s"HNSW build+save (${cpus.toInt * 2} partitions)") {
+      HnswSpark.buildAndSave(spark, data, outDir, config = HnswConfig(m = 16, efConstruction = 100))
+    }
+    println(s"[scale] partitions built: ${sizes.length}, vectors indexed: ${sizes.map(_._2.toLong).sum}")
+
+    val approx = timed("HNSW searchSaved") {
+      HnswSpark.searchSaved(spark, outDir, queries, k = 10).count()
+    }
+    println(s"[scale] approx result rows: $approx")
+
+    // synthetic docs with planted dups for the dedup path
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 40), j -> concat('w', cast(pmod(id * 2654435761 + j * 40503 + cast(pow(j, 3) as bigint), 999983) as string))))")
+          .as("text"))
+    val withCopies = docs.unionByName(
+      docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), concat(lit("dup "), col("text")).as("text")))
+    val pairs = timed(s"MinHash LSH dedup ($nDocs docs + planted)") {
+      graft.dedup.Dedup.minhashLshPairs(withCopies, threshold = 0.8).count()
+    }
+    println(s"[scale] near-dup pairs: $pairs")
+
+    spark.stop()
+  }
+}

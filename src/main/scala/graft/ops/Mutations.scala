@@ -16,15 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Mutations {
 
-  /** Upsert: union base + updates, keep the highest-version row per key.
-    * Deterministic for equal versions via a final id-ordered tie-break.
+  /** Upsert: highest-version row per key wins; base wins version ties.
+    *
+    * Scale shape: the base is NEVER shuffled. The (small) update batch is
+    * version-resolved with a window over itself, then applied to the base
+    * via two broadcast joins — one streaming pass overlaying updated
+    * columns, one semi/anti pass appending brand-new keys. The window
+    * formulation (shuffle + sort of the full base per batch) dies at 100 TB;
+    * this is the reference's routed in-place batchUpdate
+    * (`storage/dataset.go:238-348`) re-expressed for immutable storage.
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String, version: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(version).desc)
-    base.unionByName(updates)
+    val u = updates
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+
+    val dataCols = base.columns.filter(_ != key)
+    val uRen = u.select(col(key) +: dataCols.map(c => col(c).as(s"__u_$c")): _*)
+
+    // pass 1: overlay updates onto existing keys (broadcast hash join)
+    val overlaid = base.join(broadcast(uRen), Seq(key), "left")
+      .select(col(key) +: dataCols.map { c =>
+        when(col(s"__u_$version").isNotNull && col(s"__u_$version") > col(version), col(s"__u_$c"))
+          .otherwise(col(c)).as(c)
+      }: _*)
+
+    // pass 2: append updates whose key is absent from the base
+    val matchedKeys = base.select(key).join(broadcast(u.select(key)), Seq(key), "left_semi")
+    val newRows = u.join(broadcast(matchedKeys.distinct()), Seq(key), "left_anti")
+
+    overlaid.unionByName(newRows.select(col(key) +: dataCols.map(col): _*))
   }
 
   /** Remove: anti-join on the key (reference `batchRemove`,
