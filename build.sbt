@@ -30,3 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Compile the Panama Vector API kernel only when the sbt JVM actually has
+// the incubator module (injected via .jvmopts). Without it the file is
+// excluded and graft.core.DistKernel falls back to scalar kernels, so the
+// build stays green on any JVM invocation.
+lazy val vectorApiAvailable: Boolean =
+  try { Class.forName("jdk.incubator.vector.FloatVector"); true }
+  catch { case _: Throwable => false }
+Compile / unmanagedSources / excludeFilter := {
+  val base = (Compile / unmanagedSources / excludeFilter).value
+  if (vectorApiAvailable) base else base || "VectorKernels.java"
+}

@@ -318,6 +318,33 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.4 vector aggregation: per-label centroids via positional explode +
+    // partial-aggregated mean (the distributed "average vector" primitive
+    // IVF training uses). Flat (label, pos, mean) output keeps the oracle
+    // compare scalar.
+    "vec_centroids" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      e.select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg("v"), 4).as("mean"))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("mean"))
+        .orderBy("label", "pos")
+    }),
+
+    // Grouped top-k (WindowGroupLimit: per-partition top-k before shuffle)
+    "top_orders_per_segment" -> ((spark, dir) => {
+      val o = t(spark, dir, "orders")
+      val c = t(spark, dir, "customer")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rank").cast("long").as("rank"))
+        .orderBy("c_mktsegment", "rank")
+    }),
+
     // Relational bench headliners
     "q1_agg" -> ((spark, dir) => {
       val l = t(spark, dir, "lineitem")
@@ -496,6 +523,19 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "vec_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, r.pos - 1 AS pos, embedding[r.pos]::DOUBLE AS v
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) r)
+        |SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 4) AS mean
+        |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "top_orders_per_segment" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
+        |FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
