@@ -41,11 +41,10 @@ object Dedup {
   def sortedIntersectCount(a: Column, b: Column): Column =
     SqlBridge.column(SortedIntersectCount(SqlBridge.expression(a), SqlBridge.expression(b)))
 
-  /** Jaccard from hashed sets: |A∩B| / (|A|+|B|-|A∩B|). */
-  def hashedJaccard(a: Column, b: Column): Column = {
-    val icnt = sortedIntersectCount(a, b).cast("double")
-    icnt / (size(a) + size(b) - icnt)
-  }
+  /** Jaccard from hashed sets: |A∩B| / (|A|+|B|-|A∩B|), one merge pass. */
+  def hashedJaccard(a: Column, b: Column): Column =
+    SqlBridge.column(graft.functions.JaccardFromSortedSets(
+      SqlBridge.expression(a), SqlBridge.expression(b)))
 
   /** Exact duplicate groups: shuffle on content digest, keep the minimum id
     * per group (SQL-expressible; map-side partial aggregation applies).

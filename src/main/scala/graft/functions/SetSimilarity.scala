@@ -121,6 +121,38 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard |A∩B| / |A∪B| of two ascending-sorted `array<long>` sets in one
+  * merge pass (the two-expression icnt/(na+nb-icnt) formulation gets its
+  * intersect duplicated by CollapseProject — this fuses it).
+  */
+case class JaccardFromSortedSets(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaccard_sorted_sets"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val icnt = SetSimilarityKernel.sortedIntersectCount(x, y)
+    val union = x.numElements().toLong + y.numElements().toLong - icnt
+    if (union == 0) 0.0 else icnt.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val icnt = ctx.freshName("icnt")
+      val union = ctx.freshName("union")
+      s"""
+       |long $icnt = graft.functions.SetSimilarityKernel.sortedIntersectCount($a, $b);
+       |long $union = (long) $a.numElements() + (long) $b.numElements() - $icnt;
+       |${ev.value} = $union == 0L ? 0.0 : (double) $icnt / (double) $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash band hashes of an `array<string>` shingle set in one pass. */
 case class MinHashBandHashes(child: Expression, bands: Int, rowsPerBand: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
