@@ -200,22 +200,19 @@ object Queries {
         .orderBy("vec_id")
     }),
 
-    // §2.20 text analysis
+    // §2.20 text analysis (single-pass TextStats kernel)
     "text_stats" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
-      val toks = split(trim(col("text")), "\\s+")
-      val nTokens = size(toks).cast("long")
-      val stop = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
-      docs.select(
+      val s = graft.internal.SqlBridge.column(
+        graft.functions.TextStats(graft.internal.SqlBridge.expression(col("text"))))
+      docs.select(col("doc_id"), s.as("s"))
+        .select(
           col("doc_id"),
-          nTokens.as("n_tokens"),
-          length(col("text")).cast("long").as("n_chars_calc"),
-          round(length(regexp_replace(col("text"), "[^!-/:-@\\[-`{-~]", "")).cast("double") /
-            length(col("text")), 4).as("punct_ratio"),
-          round(size(filter(toks, tk => array_contains(stop, tk))).cast("double") / nTokens, 4)
-            .as("stopword_ratio"),
-          round(aggregate(toks, lit(0L), (acc, tk) => acc + length(tk)).cast("double") / nTokens, 4)
-            .as("avg_token_len"))
+          col("s.n_tokens").as("n_tokens"),
+          col("s.n_chars").as("n_chars_calc"),
+          round(col("s.punct_cnt").cast("double") / col("s.n_chars"), 4).as("punct_ratio"),
+          round(col("s.stop_cnt").cast("double") / col("s.n_tokens"), 4).as("stopword_ratio"),
+          round(col("s.tok_len_sum").cast("double") / col("s.n_tokens"), 4).as("avg_token_len"))
         .orderBy("doc_id")
     }),
     "fingerprint" -> ((spark, dir) => {
