@@ -238,7 +238,8 @@ object Queries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
-      val assigned = Ivf.assign(spark, data, centroids)
+      // cache: search probes the assignment twice (join + candidate scan)
+      val assigned = Ivf.assign(spark, data, centroids).cache()
       knnFinish(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4))
     }),
 

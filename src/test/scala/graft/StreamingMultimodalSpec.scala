@@ -30,6 +30,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedEventStats(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("late_stats").outputMode("append").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first window
+      input.addData((Timestamp.valueOf("2024-01-01 02:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is > 10 min behind the watermark: must be dropped
+      input.addData((Timestamp.valueOf("2024-01-01 01:00:30"), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val sums = spark.sql("SELECT sum(sum_value) FROM late_stats").as[Double].collect().head
+      assert(sums <= 2.0, s"late event leaked into aggregation: $sums")
+    } finally q.stop()
+  }
+
   test("latest-wins vector state stream applies upserts and tombstones (dataset.go:238-348)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[VectorOp]

