@@ -48,6 +48,33 @@ object vec {
   /** Sum of array elements in element order (left fold, double). */
   def elemSum(a: Column): Column =
     aggregate(transform(a, x => x.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  // Reference math surface completeness (math/vector.go:20 Sort,
+  // vector.go:63-73 Zeros/Ones, math/random.go generators — deterministic,
+  // id-seeded, so distributed generation is reproducible).
+  def sort(a: Column): Column = array_sort(a)
+  def zeros(dim: Int): Column = array_repeat(lit(0f), dim)
+  def ones(dim: Int): Column = array_repeat(lit(1f), dim)
+
+  /** Uniform [0,1) vector derived from an id column (splitmix-style via
+    * xxhash64) — the distributed analog of `RandomUniformVector`.
+    */
+  def randomUniformVec(id: Column, dim: Int, seed: Long = 42L): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(xxhash64(id, j, lit(seed)), lit(1L << 40)).cast("double") / lit((1L << 40).toDouble))
+        .cast("float"))
+
+  /** Standard-normal vector via Box-Muller over two uniform lanes —
+    * the distributed analog of `RandomStandardNormalVector`.
+    */
+  def randomNormalVec(id: Column, dim: Int, seed: Long = 42L): Column = {
+    val u1 = transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(xxhash64(id, j, lit(seed)), lit(1L << 40)).cast("double") + 1.0) / lit((1L << 40).toDouble + 1.0))
+    val u2 = transform(sequence(lit(0), lit(dim - 1)), j =>
+      pmod(xxhash64(id, j, lit(seed ^ 0x5DEECE66DL)), lit(1L << 40)).cast("double") / lit((1L << 40).toDouble))
+    zip_with(u1, u2, (a, b) =>
+      (sqrt(lit(-2.0) * log(a)) * cos(lit(2.0 * math.Pi) * b)).cast("float"))
+  }
 }
 
 /** Named-function registration so graft expressions are callable from SQL

@@ -62,6 +62,17 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(applyOps)
   }
 
+  /** Streaming exact dedup: keep the first occurrence per content digest,
+    * with state bounded by the watermark (brief: dedup as a first-class
+    * pipeline op, here in its continuous-ingestion form).
+    * `docs` must have (ts: timestamp, doc_id: long, text: string).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Output mode required by [[latestVectorState]] sinks. */
   val UpsertOutputMode: OutputMode = OutputMode.Update()
 }

@@ -52,6 +52,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per digest within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.dedupStream(docs, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((t, 1L, "same text"), (t, 2L, "same text"), (t, 3L, "other text"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_stream").as[Long].collect().sorted
+      assert(ids.length === 2)
+      assert(ids.contains(3L))
+    } finally q.stop()
+  }
+
   test("latest-wins vector state stream applies upserts and tombstones (dataset.go:238-348)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[VectorOp]

@@ -66,6 +66,29 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(h._1 === h2)
   }
 
+  test("random vector generators: deterministic, right shape and moments (math/random.go)") {
+    val ids = spark.range(2000).toDF("id")
+    val u = ids.select(vec.randomUniformVec($"id", 16).as("v"))
+    val flat = u.select(explode($"v").as("x")).agg(avg("x"), min("x"), max("x"))
+      .as[(Double, Float, Float)].head()
+    assert(math.abs(flat._1 - 0.5) < 0.02, s"uniform mean ${flat._1}")
+    assert(flat._2 >= 0f && flat._3 < 1f)
+
+    val n = ids.select(vec.randomNormalVec($"id", 16).as("v"))
+      .select(explode($"v").as("x"))
+      .agg(avg("x"), stddev("x")).as[(Double, Double)].head()
+    assert(math.abs(n._1) < 0.05, s"normal mean ${n._1}")
+    assert(math.abs(n._2 - 1.0) < 0.05, s"normal std ${n._2}")
+
+    // deterministic
+    val a = u.as[Seq[Float]].head()
+    val b = ids.select(vec.randomUniformVec($"id", 16).as("v")).as[Seq[Float]].head()
+    assert(a === b)
+
+    assert(Seq(Tuple1(1)).toDF("x").select(vec.zeros(4)).as[Seq[Float]].head() === Seq(0f, 0f, 0f, 0f))
+    assert(Seq(Tuple1(1)).toDF("x").select(vec.sort(typedLit(Seq(3f, 1f, 2f)))).as[Seq[Float]].head() === Seq(1f, 2f, 3f))
+  }
+
   test("codec round-trip property: random vectors incl. specials survive") {
     val rnd = new scala.util.Random(99)
     val vectors = (0 until 200).map { _ =>
