@@ -343,6 +343,13 @@ object Queries {
         .orderBy("c_mktsegment", "rank")
     }),
 
+    // Composed curation pipeline: dedup → quality/lang → filter → embed join
+    "pipeline_curate" -> ((spark, dir) => {
+      graft.pipeline.Curation.curate(
+          t(spark, dir, "documents"), t(spark, dir, "embeddings"))
+        .orderBy("doc_id")
+    }),
+
     // Relational bench headliners
     "q1_agg" -> ((spark, dir) => {
       val l = t(spark, dir, "lineitem")
@@ -521,6 +528,28 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "pipeline_curate" -> {
+      val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
+      def cnt(words: Seq[String]) =
+        s"len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val counts = TextAnalysis.StopWords.map { case (l, ws) => l -> cnt(ws) }
+      val colsSql = counts.map { case (l, c) => s"$c AS cnt_$l" }.mkString(", ")
+      val mx = s"greatest(${counts.map(l => s"cnt_${l._1}").mkString(", ")})"
+      val whens = counts.map { case (l, _) => s"WHEN cnt_$l = __mx THEN '$l'" }.mkString(" ")
+      s"""WITH keeps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM keeps)),
+         |c AS (SELECT doc_id, text, $colsSql FROM d),
+         |m AS (SELECT *, $mx AS __mx FROM c),
+         |s AS (SELECT doc_id,
+         |  round(least(length($duckToks) / 100.0, 1.0) * 0.5 +
+         |    (len(list_filter($duckToks, t -> t IN ($en)))::DOUBLE / length($duckToks)) * 0.5, 4) AS quality,
+         |  CASE WHEN __mx = 0 THEN 'und' $whens ELSE 'und' END AS pred_lang FROM m)
+         |SELECT s.doc_id, s.quality, s.pred_lang,
+         |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS emb_norm
+         |FROM s JOIN embeddings e ON s.doc_id = e.vec_id
+         |WHERE s.quality >= 0.25 AND s.pred_lang = 'en'
+         |ORDER BY s.doc_id""".stripMargin
+    },
     "vec_centroids" ->
       """WITH ex AS (
         |  SELECT label, r.pos - 1 AS pos, embedding[r.pos]::DOUBLE AS v

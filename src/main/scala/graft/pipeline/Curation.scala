@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.functions.vec
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pipeline: the LLM-pipeline operators composed as
+  * one declarative job graph (brief: "the operations a large-scale
+  * training-data pipeline would need" working together, not in isolation):
+  *
+  *   documents → exact dedup (digest shuffle, keep-min-id)
+  *             → quality scoring + language id (single-pass kernels)
+  *             → threshold/language filter
+  *             → join embeddings (broadcast or shuffle by id)
+  *             → curated corpus with vector norms
+  *
+  * Every stage is a Catalyst-optimized transform — one plan, predicate
+  * pushdown through the whole graph, no intermediate materialization.
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame,       // (doc_id, text, ...)
+      embeddings: DataFrame, // (vec_id, embedding)
+      minQuality: Double = 0.25,
+      lang: String = "en"): DataFrame = {
+    val keeps = docs
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    val scored = docs
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+
+    scored
+      .filter(col("quality") >= minQuality && col("pred_lang") === lang)
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("doc_id"), col("quality"), col("pred_lang"),
+        round(vec.norm(col("embedding").cast("array<double>")), 4).as("emb_norm"))
+  }
+}
