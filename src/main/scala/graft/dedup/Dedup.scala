@@ -84,7 +84,8 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
@@ -98,8 +99,22 @@ object Dedup {
           SqlBridge.expression(col(textCol)), 3, bands, rowsPerBand)).as("bhs"))
       .filter(size(col("hs")) > 0)
 
-    val withBands = prepared
+    val allBands = prepared
       .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+
+    // Skew guard (maxBucketSize > 0): drop pathological buckets — e.g. a
+    // boilerplate band shared by millions of docs — before the self-join.
+    // Trades recall for bounded C(n,2) growth; near-dup classes smaller
+    // than the cap are unaffected. Off by default (exact behavior).
+    val withBands =
+      if (maxBucketSize <= 0) allBands
+      else {
+        val sizes = allBands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= maxBucketSize)
+          .drop("__bucket_n")
+        allBands.join(sizes, Seq("band", "bh"), "left_semi")
+      }
 
     val candidates = withBands.alias("l")
       .join(withBands.alias("r"), Seq("band", "bh"))

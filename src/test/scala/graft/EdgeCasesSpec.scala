@@ -1,0 +1,71 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.vec
+import org.apache.spark.sql.functions._
+
+/** Pins edge-case behavior of the custom expressions: empty inputs, nulls,
+  * degenerate vectors, truncated binaries, skewed LSH buckets.
+  */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("distances: empty arrays give 0 (euclid/manhattan) and NaN (cosine, 0/0)") {
+    val df = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    val (e, m, c) = df.select(
+        vec.distEuclidean($"a", $"b"), vec.distManhattan($"a", $"b"), vec.distCosine($"a", $"b"))
+      .as[(Double, Double, Double)].head()
+    assert(e === 0.0 && m === 0.0)
+    assert(c.isNaN) // matches reference semantics: 1 - 0/(0*0)
+  }
+
+  test("null vector input yields null distance (nullIntolerant)") {
+    val df = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = df.select(vec.distEuclidean($"a", $"b")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("mismatched lengths use the common prefix (reference loops over len(a))") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    assert(df.select(vec.distEuclidean($"a", $"b")).as[Double].head() === 0.0)
+  }
+
+  test("vec_from_bytes ignores trailing bytes shorter than one float") {
+    val df = Seq(Tuple1(Array[Byte](0x3f, 0x80.toByte, 0, 0, 0x7f))).toDF("b")
+    val v = df.select(vec.fromBytes($"b")).as[Seq[Float]].head()
+    assert(v === Seq(1.0f))
+  }
+
+  test("shingle/text kernels survive empty and whitespace-only text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val sh = df.orderBy("doc_id").select(Dedup.hashedShingleSet(Dedup.shingles($"text")))
+      .as[Seq[Long]].collect()
+    assert(sh.forall(_.nonEmpty)) // degenerate docs hash their joined tokens
+    val stats = df.orderBy("doc_id").select(graft.internal.SqlBridge.column(
+        graft.functions.TextStats(graft.internal.SqlBridge.expression($"text"))))
+      .collect()
+    assert(stats.length === 3) // no crash; counters well-defined
+  }
+
+  test("LSH bucket cap drops pathological buckets but keeps small dup classes") {
+    val boiler = (0L until 60L).map(i => (i, "the same boilerplate text repeated again and again here"))
+    val pair = Seq((100L, "unique alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "xx unique alpha beta gamma delta epsilon zeta eta theta"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(uncapped.length >= 60 * 59 / 2) // boilerplate class fully paired
+
+    val capped = Dedup.minhashLshPairs(docs, threshold = 0.5, maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)), "small dup class must survive the cap")
+    assert(!capped.exists(p => p._1 < 60L && p._2 < 60L), "pathological bucket must be dropped")
+  }
+
+  test("TopK with k=0 accepts pushes and stays empty") {
+    val t = new graft.knn.TopK(0)
+    t.push(1.0, 1L)
+    assert(t.size === 0 && t.sorted.isEmpty)
+  }
+}
