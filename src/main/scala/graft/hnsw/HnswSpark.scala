@@ -103,6 +103,72 @@ object HnswSpark {
     try HnswIndex.load(in) finally in.close()
   }
 
+  /** Incremental maintenance: route a new batch of vectors to the existing
+    * partition graphs (same deterministic hash repartition as
+    * [[buildAndSave]] — same P ⇒ same routing), load each touched graph,
+    * insert, save back. This is the reference's online insert path
+    * (`storage/dataset.go:238` BatchInsert → per-partition `index.Insert`)
+    * as micro-batches; drive it from Structured Streaming via
+    * `foreachBatch`. Returns (pid, newSize) per touched partition.
+    */
+  def appendAndSave(
+      spark: SparkSession,
+      newData: DataFrame, // (id, vector)
+      indexDir: String,
+      numPartitions: Int,
+      metric: String = "euclidean",
+      config: HnswConfig = HnswConfig()): Array[(Int, Int)] = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    newData.select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .repartition(numPartitions, col("id"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val items = iter.toArray.sortBy(_._1)
+        if (items.isEmpty) Iterator.empty
+        else {
+          val path = new java.io.File(s"$indexDir/part-$pid.hnsw")
+          val index =
+            if (path.exists()) loadPartition(path.getAbsolutePath)
+            else new HnswIndex(m, config)
+          items.foreach { case (id, v) => index.add(id, v) }
+          val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+          try index.save(out) finally out.close()
+          Iterator.single((pid, index.size))
+        }
+      }
+      .collect()
+  }
+
+  /** Remove ids from the persisted partition graphs (reference BatchRemove,
+    * `dataset.go:325` — tombstone + re-prune, then compacted on save).
+    */
+  def removeAndSave(
+      spark: SparkSession,
+      ids: DataFrame, // (id)
+      indexDir: String,
+      numPartitions: Int): Array[(Int, Int)] = {
+    import spark.implicits._
+    ids.select(col("id").cast("long"))
+      .repartition(numPartitions, col("id"))
+      .as[Long]
+      .mapPartitions { iter =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val toRemove = iter.toArray
+        val path = new java.io.File(s"$indexDir/part-$pid.hnsw")
+        if (toRemove.isEmpty || !path.exists()) Iterator.empty
+        else {
+          val index = loadPartition(path.getAbsolutePath)
+          toRemove.foreach(index.remove)
+          val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+          try index.save(out) finally out.close()
+          Iterator.single((pid, index.size))
+        }
+      }
+      .collect()
+  }
+
   /** Search previously persisted per-partition graphs (build once with
     * [[buildAndSave]], search many): each saved graph is loaded and searched
     * by one task, candidates k-merge globally. The index artifacts — not the

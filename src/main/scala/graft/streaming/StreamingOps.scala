@@ -73,6 +73,32 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** `foreachBatch` sink that maintains persisted per-partition HNSW
+    * graphs from a stream of [[VectorOp]] mutations: upserts are appended
+    * (existing ids are removed first — HNSW insert is add-only), removes
+    * tombstone. The continuous version of the reference's online
+    * BatchInsert/BatchRemove into partition indexes.
+    */
+  def hnswMaintenanceSink(
+      indexDir: String,
+      numPartitions: Int): (Dataset[VectorOp], Long) => Unit = { (batch, _) =>
+    import batch.sparkSession.implicits._
+    val spark = batch.sparkSession
+    val b = batch.collect() // micro-batches are small; routing happens inside append/remove
+    val upserts = b.filter(_.op == "upsert")
+    val removes = b.filter(_.op == "remove")
+    val touched = (upserts.map(_.id) ++ removes.map(_.id)).distinct
+    if (touched.nonEmpty) {
+      graft.hnsw.HnswSpark.removeAndSave(
+        spark, touched.toSeq.toDF("id"), indexDir, numPartitions)
+    }
+    if (upserts.nonEmpty) {
+      graft.hnsw.HnswSpark.appendAndSave(
+        spark, upserts.toSeq.map(o => (o.id, o.vector)).toDF("id", "vector"),
+        indexDir, numPartitions)
+    }
+  }
+
   /** Output mode required by [[latestVectorState]] sinks. */
   val UpsertOutputMode: OutputMode = OutputMode.Update()
 }

@@ -219,6 +219,37 @@ class HnswSparkSpec extends SparkTestBase {
     assert(idx.search(q, 5).nonEmpty)
   }
 
+  test("appendAndSave/removeAndSave maintain persisted graphs incrementally") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("hnsw_inc").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    val first = data.filter("id < 300")
+    val second = data.filter("id >= 300")
+
+    HnswSpark.buildAndSave(spark, first, out, numPartitions = 4)
+    val sizes = HnswSpark.appendAndSave(spark, second, out, numPartitions = 4)
+    assert(sizes.map(_._2).sum === 500)
+
+    // every appended vector is findable (itself at distance 0)
+    val queries = second.limit(10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = HnswSpark.searchSaved(spark, out, queries, k = 1).collect()
+    queries.foreach { case (qid, _) =>
+      val hit = res.find(_.getLong(0) == qid).get
+      assert(hit.getLong(1) === qid && hit.getDouble(2) === 0.0)
+    }
+
+    // removals disappear from subsequent searches
+    import spark.implicits._
+    val removed = queries.take(3).map(_._1)
+    HnswSpark.removeAndSave(spark, removed.toSeq.toDF("id"), out, numPartitions = 4)
+    val res2 = HnswSpark.searchSaved(spark, out, queries, k = 5).collect()
+    removed.foreach { rid =>
+      assert(!res2.exists(_.getLong(1) == rid), s"removed id $rid still returned")
+    }
+  }
+
   test("searchSaved over persisted graphs equals live partitioned search") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("hnsw_saved").toString

@@ -93,6 +93,38 @@ class StreamingSpec extends SparkTestBase {
   }
 }
 
+class StreamingIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming mutations maintain persisted HNSW partitions (online insert path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_stream").toString
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.hnswMaintenanceSink(dir, numPartitions = 2))
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.VectorOp(1L, "upsert", Array(1f, 0f), 1),
+        StreamingOps.VectorOp(2L, "upsert", Array(0f, 1f), 1),
+        StreamingOps.VectorOp(3L, "upsert", Array(1f, 1f), 1))
+      q.processAllAvailable()
+      input.addData(
+        StreamingOps.VectorOp(2L, "upsert", Array(0.9f, 0.9f), 2), // re-upsert moves it
+        StreamingOps.VectorOp(3L, "remove", Array.empty, 2))
+      q.processAllAvailable()
+
+      val res = graft.hnsw.HnswSpark.searchSaved(
+        spark, dir, Array((0L, Array(1f, 1f))), k = 3).collect()
+      val ids = res.map(_.getLong(1)).toSet
+      assert(!ids.contains(3L), "removed id returned")
+      assert(ids === Set(1L, 2L))
+      // id 2's vector was replaced: nearest to (1,1) is now 2
+      assert(res.minBy(_.getDouble(2)).getLong(1) === 2L)
+    } finally q.stop()
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
