@@ -66,5 +66,23 @@ object BenchHnsw {
 
     println(
       f"""{"metric":"hnsw","n":${items.length},"dim":$dim,"m":$m,"build_inserts_per_s":${items.length / buildSec}%.1f,"search_queries_per_s":${queries.length / searchSec}%.1f,"avg_recall":$recall%.4f,"sink":$sink}""")
+
+    // ef sweep: recall vs qps tradeoff on the same graph (ann-benchmarks
+    // style, reference run_benchmark.sh sweeps M instead)
+    // effective ef = max(config.ef, k passed to search) per hnsw.go:231,
+    // so searching with k'=ef and truncating sweeps ef on the same graph
+    Seq(10, 20, 50, 100, 200).foreach { ef =>
+      val t2 = System.nanoTime()
+      var s2 = 0L
+      queries.foreach { case (_, q) => s2 += index.search(q, math.max(k, ef)).take(k).length }
+      val sec = (System.nanoTime() - t2) / 1e9
+      val rec = sample.map { case (_, q) =>
+        val heap = new TopK(k)
+        items.foreach { case (id, v) => heap.push(Distances.euclidean(v, q), id) }
+        val exact = heap.sorted.map(_._2).toSet
+        index.search(q, math.max(k, ef)).take(k).map(_._1).toSet.intersect(exact).size.toDouble / k
+      }
+      println(f"""{"metric":"hnsw_ef_sweep","ef":$ef,"queries_per_s":${queries.length / sec}%.1f,"avg_recall":${rec.sum / rec.length}%.4f,"sink":$s2}""")
+    }
   }
 }

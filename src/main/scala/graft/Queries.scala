@@ -343,6 +343,18 @@ object Queries {
         .orderBy("c_mktsegment", "rank")
     }),
 
+    // §2.20 corpus statistics: token document frequency + IDF rarity score
+    "token_df" -> ((spark, dir) => {
+      TextAnalysis.tokenDocumentFrequency(t(spark, dir, "documents"))
+        .filter(col("df") >= 5)
+        .orderBy("token")
+    }),
+    "doc_rarity" -> ((spark, dir) => {
+      TextAnalysis.docRarity(t(spark, dir, "documents"))
+        .select(col("doc_id"), round(col("rarity"), 4).as("rarity"))
+        .orderBy("doc_id")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -528,6 +540,18 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "token_df" ->
+      s"""SELECT t.token, count(*) AS df
+         |FROM (SELECT unnest(list_distinct($duckToks)) AS token FROM documents) t
+         |GROUP BY t.token HAVING count(*) >= 5 ORDER BY t.token""".stripMargin,
+    "doc_rarity" ->
+      s"""WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |df AS (SELECT token, count(*) AS df
+         |       FROM (SELECT unnest(list_distinct($duckToks)) AS token FROM documents) GROUP BY token),
+         |tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents)
+         |SELECT tok.doc_id, round(avg(ln(n.n / df.df)), 4) AS rarity
+         |FROM tok JOIN df USING (token) CROSS JOIN n
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     "pipeline_curate" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
       def cnt(words: Seq[String]) =

@@ -83,6 +83,27 @@ object Ivf {
       .toDF("id", "cell", "vector")
   }
 
+  /** Persist an IVF index: cell-partitioned assignment parquet (searches
+    * prune to probed cells via partition pruning) + centroid parquet.
+    */
+  def save(spark: SparkSession, assigned: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
+    import spark.implicits._
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted IVF index: (assigned, centroids). */
+  def load(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
+    import spark.implicits._
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    (assigned, centroids)
+  }
+
   /** IVF search: per query, probe the `nprobe` nearest cells; brute-force
     * only within those cells; global top-k via the candidate window.
     * Returns (qid, id, dist, rank).

@@ -87,4 +87,25 @@ object TextAnalysis {
 
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Token document frequencies: one row per distinct token with the number
+    * of documents containing it (shuffle on token; partial counts map-side).
+    */
+  def tokenDocumentFrequency(docs: org.apache.spark.sql.DataFrame, textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+
+  /** Per-document mean IDF (token rarity) — a cheap perplexity proxy for
+    * quality filtering: rare-token-heavy docs score high. Two shuffles:
+    * the df table build and the token→df join.
+    */
+  def docRarity(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val df = tokenDocumentFrequency(docs, textCol)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(df, Seq("token"))
+      .groupBy(idCol)
+      .agg(avg(log(lit(n.toDouble) / col("df"))).as("rarity"))
+  }
 }

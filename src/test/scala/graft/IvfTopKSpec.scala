@@ -70,6 +70,19 @@ class IvfSpec extends SparkTestBase {
     assert(avg >= 0.8, s"avg recall $avg")
   }
 
+  test("saved IVF index loads and searches identically (cell-partitioned parquet)") {
+    val c = 8
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ivf.save(spark, assigned, centroids, dir)
+    val (loadedAssigned, loadedCentroids) = Ivf.load(spark, dir)
+    assert(loadedCentroids.map(_.toSeq).toSeq === centroids.map(_.toSeq).toSeq)
+    val a = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 5, nprobe = 3))
+    val b = resultMap(Ivf.search(spark, loadedAssigned, loadedCentroids, queries, k = 5, nprobe = 3))
+    assert(a === b)
+  }
+
   test("training moves centroids toward cluster means deterministically") {
     val c1 = Ivf.train(spark, data, c = 4, iterations = 1)
     val c2 = Ivf.train(spark, data, c = 4, iterations = 1)
