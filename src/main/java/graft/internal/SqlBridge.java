@@ -27,6 +27,20 @@ public final class SqlBridge {
         return org.apache.spark.sql.classic.ExpressionUtils$.MODULE$.expression(c);
     }
 
+    /** Wrap a logical plan into a DataFrame on the given session. */
+    public static org.apache.spark.sql.Dataset<org.apache.spark.sql.Row> ofRows(
+            SparkSession session,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan plan) {
+        return org.apache.spark.sql.classic.Dataset$.MODULE$.ofRows(
+                (org.apache.spark.sql.classic.SparkSession) session, plan);
+    }
+
+    /** The analyzed logical plan backing a DataFrame. */
+    public static org.apache.spark.sql.catalyst.plans.logical.LogicalPlan logicalPlan(
+            org.apache.spark.sql.Dataset<org.apache.spark.sql.Row> df) {
+        return ((org.apache.spark.sql.classic.Dataset<org.apache.spark.sql.Row>) df).logicalPlan();
+    }
+
     /** Register a temp function builder on the session's FunctionRegistry. */
     public static void registerFunction(
             SparkSession session,

@@ -148,6 +148,17 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    // §2.7+14 again, as a (c)-level Catalyst extension: custom LogicalPlan +
+    // SparkStrategy + SparkPlan (graft.plans.KnnCandidates) — hash-matches
+    // the window formulation's oracle
+    "knn_custom_plan" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      knnFinish(graft.plans.KnnCandidates.knn(spark, data, queries, 10, "euclidean"))
+    }),
+
     // §2.13 tombstone handling: search skips deleted ids
     "knn_with_deletes" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -509,6 +520,7 @@ object Queries {
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),
     "knn_partitioned" -> knnOracle(duckEuclid, 5, 10),
+    "knn_custom_plan" -> knnOracle(duckEuclid, 5, 10),
     "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),
     "knn_with_meta" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),

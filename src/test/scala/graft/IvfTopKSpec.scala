@@ -90,6 +90,36 @@ class IvfSpec extends SparkTestBase {
   }
 }
 
+class KnnCustomPlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("custom Catalyst operator matches window-formulation kNN exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    val queries = e.filter("vec_id < 7").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+    val custom = graft.plans.KnnCandidates.knn(spark, data, queries, 10)
+      .select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+    val window = graft.knn.Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), 10)
+      .select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+    assert(custom.toSeq === window.toSeq)
+  }
+
+  test("custom operator appears in the physical plan via the injected strategy") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    val queries = Array((0L, e.collect().head.getSeq[Float](1).toArray))
+    val plan = graft.plans.KnnCandidates.knn(spark, data, queries, 5)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("KnnCandidates"), s"operator missing from plan:\n$plan")
+  }
+}
+
 class MutationsSpec extends SparkTestBase {
   import spark.implicits._
 
