@@ -420,6 +420,15 @@ object Queries {
         .orderBy("user_id")
     }),
 
+    // Distinct aggregation (two-phase: partial distinct within partitions)
+    "events_distinct_users" -> ((spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(spark, dir, "events")
+      e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     "events_window" -> ((spark, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
       // type, so read it as raw nanos (long) and bucket with exact integer
@@ -624,6 +633,9 @@ object Queries {
       """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id,

@@ -101,7 +101,10 @@ object GraftFunctionRegistry {
     builders.foreach { case (name, b) => SqlBridge.registerFunction(spark, name, b) }
 }
 
-/** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`. */
+/** `SparkSessionExtensions` hook — functions + the kNN planner strategy.
+  * Use `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -109,5 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctionRegistry.builders.foreach { case (name, b) =>
       ext.injectFunction((new FunctionIdentifier(name), new ExpressionInfo("graft", name), b))
     }
+    ext.injectPlannerStrategy(_ => new graft.plans.KnnStrategy)
   }
 }
