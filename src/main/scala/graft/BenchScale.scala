@@ -46,6 +46,11 @@ object BenchScale {
     }
     println(s"[scale] exact result rows: $exact")
 
+    val viaPlan = timed("exact kNN via custom Catalyst operator") {
+      graft.plans.KnnCandidates.knn(spark, data, queries, k = 10).count()
+    }
+    println(s"[scale] custom-plan result rows: $viaPlan")
+
     val outDir = java.nio.file.Files.createTempDirectory("scale_hnsw").toString
     val sizes = timed(s"HNSW build+save (${cpus.toInt * 2} partitions)") {
       HnswSpark.buildAndSave(spark, data, outDir, config = HnswConfig(m = 16, efConstruction = 100))
