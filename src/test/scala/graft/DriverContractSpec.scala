@@ -1,0 +1,29 @@
+package graft
+
+/** Simulates the driver's interactions with SparkEntry: entry() smoke on a
+  * plain session, every declared oracle having a matching query, and
+  * query/oracle key discipline.
+  */
+class DriverContractSpec extends SparkTestBase {
+
+  test("entry() returns rows on sf0.001 with a vanilla session (driver smoke)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every oracle key has a query; keys are stable identifiers") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
+    assert(q.forall(_.matches("[a-z0-9_]+")))
+    // approximate ANN entries are intentionally rows-only
+    assert(q.diff(o) === Set("hnsw_search", "ann_ivf", "multimodal_features"))
+  }
+
+  test("all queries execute against sf0.001 (cold smallest-SF run)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
+      assert(n >= 0, name) // executes without throwing; row counts validated by oracles
+    }
+  }
+}
