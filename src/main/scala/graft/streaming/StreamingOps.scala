@@ -28,6 +28,37 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Sliding-window stats: overlapping windows of `windowDuration` sliding
+    * every `slideDuration` — each event lands in
+    * windowDuration/slideDuration windows.
+    */
+  def slidingEventStats(
+      events: DataFrame,
+      windowDuration: String = "10 minutes",
+      slideDuration: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration, slideDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Watermarked stream-stream inner join: enrich an event stream with a
+    * (streamed) user-attribute stream within a bounded time skew — state on
+    * both sides is dropped past the watermark, so memory stays bounded.
+    */
+  def enrichedEvents(
+      events: DataFrame, // (ts, user_id, event_type, value)
+      users: DataFrame,  // (u_ts, user_id, segment)
+      maxSkew: String = "10 minutes"): DataFrame = {
+    val e = events.withWatermark("ts", maxSkew)
+    val u = users.withWatermark("u_ts", maxSkew).withColumnRenamed("user_id", "u_user_id")
+    e.join(u,
+      col("user_id") === col("u_user_id") &&
+        col("u_ts") >= col("ts") - expr(s"INTERVAL $maxSkew") &&
+        col("u_ts") <= col("ts"))
+      .drop("u_user_id")
+  }
+
   /** One vector-mutation event: op ∈ {upsert, remove}. */
   case class VectorOp(id: Long, op: String, vector: Array[Float], version: Long)
 

@@ -52,6 +52,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows land each event in overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.slidingEventStats(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("slide_stats").outputMode("update").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 00:07:00"), "click", 1.0))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM slide_stats").as[Long].collect().head
+      assert(n === 2, s"event should appear in 2 overlapping windows, got $n")
+    } finally q.stop()
+  }
+
+  test("stream-stream join enriches events within bounded skew") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Timestamp, Long, String, Double)]
+    val us = MemoryStream[(Timestamp, Long, String)]
+    val events = ev.toDF().toDF("ts", "user_id", "event_type", "value")
+    val users = us.toDF().toDF("u_ts", "user_id", "segment")
+    val q = StreamingOps.enrichedEvents(events, users, "10 minutes")
+      .select("user_id", "event_type", "segment")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      us.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "gold"))
+      ev.addData((Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 1.0))
+      ev.addData((Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "click", 1.0)) // outside skew
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, event_type, segment FROM enriched")
+        .as[(Long, String, String)].collect()
+      assert(rows.toSeq === Seq((1L, "click", "gold"))) // only the in-skew event joined
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per digest within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
