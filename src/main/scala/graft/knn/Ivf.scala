@@ -29,19 +29,41 @@ object Ivf {
     import spark.implicits._
     var centroids = data.orderBy("id").limit(c)
       .select("vector").as[Array[Float]].collect()
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
 
+    // Each Lloyd step is ONE pass: per-partition (C×dim) sum vectors +
+    // counts, tree-reduced to the driver. No positional explode — the
+    // explode formulation shuffles N×dim rows (dim× amplification), this
+    // moves only C×dim×P doubles.
     (0 until iterations).foreach { _ =>
-      val assigned = assign(spark, data, centroids, metric)
-      val means = assigned
-        .select(col("cell"), posexplode(col("vector")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(avg("v").as("mean"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      val (sums, counts) = assign(spark, data, centroids, metric)
+        .select(col("cell"), col("vector"))
+        .as[(Int, Array[Float])]
+        .rdd
+        .mapPartitions { iter =>
+          val s = Array.ofDim[Double](c, dim)
+          val n = new Array[Long](c)
+          iter.foreach { case (cell, v) =>
+            n(cell) += 1
+            var i = 0
+            while (i < dim) { s(cell)(i) += v(i); i += 1 }
+          }
+          Iterator.single((s, n))
+        }
+        .treeReduce { case ((s1, n1), (s2, n2)) =>
+          var ci = 0
+          while (ci < c) {
+            var i = 0
+            while (i < dim) { s1(ci)(i) += s2(ci)(i); i += 1 }
+            n1(ci) += n2(ci)
+            ci += 1
+          }
+          (s1, n1)
+        }
+      centroids = Array.tabulate(c) { ci =>
+        if (counts(ci) == 0) centroids(ci)
+        else Array.tabulate(dim)(i => (sums(ci)(i) / counts(ci)).toFloat)
       }
-      centroids = next
     }
     centroids
   }

@@ -90,6 +90,39 @@ class IvfSpec extends SparkTestBase {
   }
 }
 
+class QuantizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val dir = "/root/testdata/sf0.001"
+  private lazy val data = spark.read.parquet(s"$dir/embeddings.parquet")
+    .selectExpr("vec_id as id", "embedding as vector")
+
+  test("SQ8 round-trip error is bounded by half a quantization step") {
+    val q = graft.knn.Quantize.sq8(data)
+    val maxErr = q.select(max(
+        expr("aggregate(zip_with(vector, " +
+          "transform(codes, c -> cast(cast(cast(c as int) + 128 as float) * q_scale + q_offset as float)), " +
+          "(a, b) -> abs(a - b)), 0D, (acc, x) -> greatest(acc, x))")))
+      .as[Double].head()
+    val maxStep = q.select(max(col("q_scale"))).as[Float].head()
+    assert(maxErr <= maxStep * 0.51 + 1e-6, s"maxErr=$maxErr step=$maxStep")
+  }
+
+  test("SQ8 coarse+rescore search recall >= 0.95 vs exact") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = graft.knn.Quantize.sq8(data)
+    val approx = graft.knn.Quantize.search(spark, q, queries, k = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = graft.knn.Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = queries.map { case (qid, _) => exact(qid).intersect(approx(qid)).size / 10.0 }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.95, s"recall $avg")
+  }
+}
+
 class KnnCustomPlanSpec extends SparkTestBase {
   import spark.implicits._
 
