@@ -159,6 +159,18 @@ object Queries {
       knnFinish(graft.plans.KnnCandidates.knn(spark, data, queries, 10, "euclidean"))
     }),
 
+    // SQ8 quantized two-stage search (coarse on 1-byte codes + exact
+    // rescore); overscan sized so the rescore recovers the exact top-k on
+    // this data — hash-matches the exact oracle
+    "knn_quantized" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val q = graft.knn.Quantize.sq8(data)
+      knnFinish(graft.knn.Quantize.search(spark, q, queries, k = 10, overscan = 8))
+    }),
+
     // §2.13 tombstone handling: search skips deleted ids
     "knn_with_deletes" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -530,6 +542,7 @@ object Queries {
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),
     "knn_partitioned" -> knnOracle(duckEuclid, 5, 10),
     "knn_custom_plan" -> knnOracle(duckEuclid, 5, 10),
+    "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
     "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),
     "knn_with_meta" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
