@@ -168,7 +168,8 @@ object Dedup {
   def embeddingNearDupPairs(
       data: DataFrame, // (id, vector array<float>)
       planes: Array[Array[Float]],
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      multiProbe: Boolean = false): DataFrame = {
     import graft.functions.vec
     val sigCol = (0 until planes.length).map { p =>
       val plane = array(planes(p).map(x => lit(x)): _*)
@@ -176,11 +177,26 @@ object Dedup {
     }.reduce(_ + _)
 
     val bucketed = data.withColumn("sig", sigCol)
-    bucketed.alias("l").join(bucketed.alias("r"), Seq("sig"))
+
+    // Multi-probe: the left side also probes every 1-bit-flipped signature,
+    // catching pairs whose vectors straddle one hyperplane (hamming-1
+    // buckets) at the cost of (nbits+1)× left-side rows. Exact-probe only
+    // guarantees parallel vectors.
+    val left =
+      if (!multiProbe) bucketed.select(col("id"), col("vector"), col("sig").as("psig"))
+      else {
+        val probeSigs = array(col("sig") +: (0 until planes.length)
+          .map(b => col("sig").bitwiseXOR(lit(1L << b))): _*)
+        bucketed.select(col("id"), col("vector"), explode(probeSigs).as("psig"))
+      }
+
+    left.alias("l")
+      .join(bucketed.withColumnRenamed("sig", "psig").alias("r"), Seq("psig"))
       .filter(col("l.id") < col("r.id"))
       .select(
         col("l.id").as("id_a"), col("r.id").as("id_b"),
         vec.distCosine(col("l.vector"), col("r.vector")).as("cos_dist"))
       .filter(col("cos_dist") <= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

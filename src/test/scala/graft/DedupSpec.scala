@@ -51,6 +51,23 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("multi-probe LSH recovers hamming-1 pairs that exact probing misses") {
+    // axis planes: signature bit p = sign of v[p]
+    val planes = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val vecs = Seq(
+      (1L, Array(1f, 1f, 1f, 1f)),   // sig 1111
+      (2L, Array(1f, 1f, 1f, -1f)))  // sig 0111 — hamming 1, cos dist 0.5
+    val df = vecs.toDF("id", "vector")
+    val exact = Dedup.embeddingNearDupPairs(df, planes, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(exact.isEmpty, "exact probing should miss the straddling pair")
+    val probed = Dedup.embeddingNearDupPairs(df, planes, threshold = 0.6, multiProbe = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probed === Set((1L, 2L)))
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far (hamming)") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
