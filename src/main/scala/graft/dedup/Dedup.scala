@@ -37,6 +37,14 @@ object Dedup {
   def hashedShingleSet(sh: Column): Column =
     SqlBridge.column(HashedShingleSet(SqlBridge.expression(sh)))
 
+  /** MinHash band hashes from a precomputed shingle-string array — the
+    * compositional variant of the fused text kernel, for shingles produced
+    * by non-text sources (same hash family: results match
+    * `ShingleBandHashes` on `shingles(text)`).
+    */
+  def bandHashesFromShingles(sh: Column, bands: Int, rowsPerBand: Int): Column =
+    SqlBridge.column(MinHashBandHashes(SqlBridge.expression(sh), bands, rowsPerBand))
+
   /** |A∩B| of two ascending-sorted long-array columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     SqlBridge.column(SortedIntersectCount(SqlBridge.expression(a), SqlBridge.expression(b)))

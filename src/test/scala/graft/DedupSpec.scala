@@ -30,6 +30,17 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === (0L until 10L).map(i => (i, i + 1000L)).toSet)
   }
 
+  test("compositional band hashes equal the fused text kernel") {
+    val d = docs((1L, "alpha beta gamma delta epsilon zeta eta"), (2L, "one two three four five"))
+    val fused = d.orderBy("doc_id").select(graft.internal.SqlBridge.column(
+        graft.functions.ShingleBandHashes(graft.internal.SqlBridge.expression($"text"), 3, 8, 4)))
+      .as[Seq[Long]].collect()
+    val composed = d.orderBy("doc_id")
+      .select(Dedup.bandHashesFromShingles(Dedup.shingles($"text"), 8, 4))
+      .as[Seq[Long]].collect()
+    assert(fused.toSeq === composed.toSeq)
+  }
+
   test("minhash signature is stable and length numHashes") {
     val d = docs((1L, "one two three four five"))
     val sig = d.select(Dedup.minhashSignature(Dedup.shingles($"text"), 32)).as[Seq[Long]].head()
