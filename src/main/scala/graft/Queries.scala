@@ -378,6 +378,54 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 deterministic hash embeddings (feature hashing over md5 token
+    // hashes — model-free embedding generation; flat (doc, pos) output)
+    "doc_embed" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val dim = 16
+      docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .withColumn("hv", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+        .select(col("doc_id"), pmod(col("hv"), lit(dim)).cast("long").as("pos"),
+          when(expr("(shiftright(hv, 5) & 1)") === 0, lit(1.0)).otherwise(lit(-1.0)).as("sign"))
+        .groupBy("doc_id", "pos")
+        .agg(sum("sign").as("value"))
+        .select(col("doc_id"), col("pos"), round(col("value"), 4).as("value"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // Statistical quality: per-type z-score outliers over event values
+    "events_anomalies" -> ((spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(spark, dir, "events")
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_type"), col("event_id"), round(col("z"), 4).as("z"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    // TPC-H Q5-style five-way join: dims broadcast, facts shuffle on keys
+    "q5_join" -> ((spark, dir) => {
+      val l = t(spark, dir, "lineitem")
+      val o = t(spark, dir, "orders")
+      val c = t(spark, dir, "customer")
+      val s = t(spark, dir, "supplier")
+      val n = t(spark, dir, "nation")
+      val r = t(spark, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -586,6 +634,32 @@ object Queries {
          |SELECT tok.doc_id, round(avg(ln(n.n / df.df)), 4) AS rarity
          |FROM tok JOIN df USING (token) CROSS JOIN n
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    "doc_embed" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS hv FROM tok),
+         |e AS (SELECT doc_id, hv % 16 AS pos,
+         |        CASE WHEN ((hv >> 5) & 1) = 0 THEN 1.0 ELSE -1.0 END AS sign FROM h)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, round(sum(sign), 4) AS value
+         |FROM e GROUP BY doc_id, pos ORDER BY doc_id, pos""".stripMargin,
+    "events_anomalies" ->
+      """WITH stats AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, round((e.value - s.mu) / s.sigma, 4) AS z
+        |FROM events e JOIN stats s USING (event_type)
+        |WHERE abs((e.value - s.mu) / s.sigma) > 3
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "q5_join" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "pipeline_curate" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
       def cnt(words: Seq[String]) =
