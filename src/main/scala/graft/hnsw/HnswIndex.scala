@@ -367,6 +367,35 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
 
   // ------------------------------------------------------------------ search
 
+  /** Filtered top-k search: like [[search]] but only ids satisfying
+    * `allow` are returned. Filtered-out vertices still serve as
+    * through-nodes (same mechanics as tombstones), so recall degrades
+    * gracefully under selective filters instead of the graph disconnecting.
+    * ef is widened by the caller via `k` when filters are very selective.
+    */
+  def searchFiltered(query: Array[Float], k: Int, allow: Long => Boolean): Array[(Long, Double)] = {
+    if (entrypoint == -1) return Array.empty
+    var ep = entrypoint
+    var minDist = dist(query, vertices(ep).vector)
+    var l = vertices(ep).level
+    while (l > 0) {
+      val r = greedyClosest(query, ep, minDist, l)
+      ep = r._1; minDist = r._2
+      l -= 1
+    }
+    val ef = math.max(config.ef, k)
+    val found = searchLevel(query, ep, ef, 0)
+    // drain ascending, keep allowed
+    val buf = new Array[(Long, Double)](found.size)
+    var i = found.size - 1
+    while (i >= 0) {
+      found.poll()
+      buf(i) = (vertices(found.polledSlot).id, found.polledDist)
+      i -= 1
+    }
+    buf.iterator.filter { case (id, _) => allow(id) }.take(k).toArray
+  }
+
   /** Top-k search (`hnsw.go:216-248`): ascending (id, distance). */
   def search(query: Array[Float], k: Int): Array[(Long, Double)] = {
     if (entrypoint == -1) return Array.empty

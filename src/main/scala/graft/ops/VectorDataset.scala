@@ -79,6 +79,13 @@ final class VectorDataset private (
       config: HnswConfig = HnswConfig()): DataFrame =
     HnswSpark.search(spark, data.select("id", "vector"), queries, k, metric, config, numPartitions)
 
+  /** Approximate search over SQ8-quantized storage: coarse pass on 1-byte
+    * codes, exact rescore of candidates (see [[graft.knn.Quantize]]).
+    */
+  def searchQuantized(queries: Array[(Long, Array[Float])], k: Int, overscan: Int = 4): DataFrame =
+    graft.knn.Quantize.search(spark,
+      graft.knn.Quantize.sq8(data.select("id", "vector")), queries, k, overscan, metric)
+
   /** Persist per-partition HNSW index artifacts (hnsw_persistence.go). */
   def buildIndex(outDir: String, config: HnswConfig = HnswConfig()): Array[(Int, Int)] =
     HnswSpark.buildAndSave(spark, data.select("id", "vector"), outDir, metric, config, numPartitions)

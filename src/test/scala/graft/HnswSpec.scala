@@ -118,6 +118,22 @@ class HnswSpec extends AnyFunSuite {
     assert(!res.map(_._1).contains(ep))
   }
 
+  test("filtered search returns only allowed ids with useful recall") {
+    val items = randomVectors(600, 16, seed = 51)
+    val idx = buildIndex(items.toSeq, HnswConfig(ef = 100))
+    val rnd = new Random(53)
+    (0 until 10).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextFloat())
+      val res = idx.searchFiltered(q, 10, _ % 2 == 0)
+      assert(res.nonEmpty)
+      res.foreach { case (id, _) => assert(id % 2 == 0) }
+      // recall vs exact filtered brute force
+      val exact = bruteForceTopK(items.filter(_._1 % 2 == 0).toSeq, q, 10).toSet
+      val recall = res.map(_._1).toSet.intersect(exact).size.toDouble / 10
+      assert(recall >= 0.5, s"filtered recall $recall") // ef=100 over 50% selectivity
+    }
+  }
+
   test("remove returns false for missing ids, duplicate insert throws (hnsw.go:21-22)") {
     val idx = buildIndex(randomVectors(10, 4, seed = 1).toSeq)
     assert(!idx.remove(999L))
