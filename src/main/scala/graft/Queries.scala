@@ -426,6 +426,16 @@ object Queries {
         .orderBy("r_name")
     }),
 
+    // Deterministic stratified sampling (corpus mixing ratios — membership
+    // is a pure function of doc_id, identical across engines and runs)
+    "sample_stratified" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      graft.ops.Sampling.sampleStratified(docs, "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -660,6 +670,15 @@ object Queries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+        |  WHEN 'es' THEN 2500 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_curate" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
       def cnt(words: Seq[String]) =

@@ -373,7 +373,7 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     * gracefully under selective filters instead of the graph disconnecting.
     * ef is widened by the caller via `k` when filters are very selective.
     */
-  def searchFiltered(query: Array[Float], k: Int, allow: Long => Boolean): Array[(Long, Double)] = {
+  def searchFiltered(query: Array[Float], k: Int, allow: Long => Boolean, efOverride: Int = 0): Array[(Long, Double)] = {
     if (entrypoint == -1) return Array.empty
     var ep = entrypoint
     var minDist = dist(query, vertices(ep).vector)
@@ -383,7 +383,8 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
       ep = r._1; minDist = r._2
       l -= 1
     }
-    val ef = math.max(config.ef, k)
+    // widen ef under selective filters so enough allowed candidates survive
+    val ef = math.max(math.max(config.ef, k), efOverride)
     val found = searchLevel(query, ep, ef, 0)
     // drain ascending, keep allowed
     val buf = new Array[(Long, Double)](found.size)
