@@ -159,16 +159,17 @@ object Queries {
       knnFinish(graft.plans.KnnCandidates.knn(spark, data, queries, 10, "euclidean"))
     }),
 
-    // SQ8 quantized two-stage search (coarse on 1-byte codes + exact
-    // rescore); overscan sized so the rescore recovers the exact top-k on
-    // this data — hash-matches the exact oracle
+    // SQ8 quantized two-stage search: coarse scans on 1-byte codes with a
+    // per-vector reconstruction-error bound (Quantize.searchExact), exact
+    // full-precision rescore of the provably complete candidate set —
+    // hash-matches the exact oracle on ANY data, not just tuned SFs
     "knn_quantized" -> ((spark, dir) => {
       val (data, queriesDf) = knnInputs(spark, dir, 5)
       val queries = queriesDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       val q = graft.knn.Quantize.sq8(data)
-      knnFinish(graft.knn.Quantize.search(spark, q, queries, k = 10, overscan = 8))
+      knnFinish(graft.knn.Quantize.searchExact(spark, q, queries, k = 10))
     }),
 
     // §2.13 tombstone handling: search skips deleted ids
@@ -315,20 +316,42 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    // §2.19 multimodal feature extraction: payload → frames → histogram
-    // (decode stubbed, plumbing real; deterministic so oracle-able via the
-    // byte-exact histogram of the big-endian vector payload is skipped —
-    // rows-only + MultimodalSpec)
+    // §2.19 multimodal feature extraction: payload → frames → byte-nibble
+    // histogram (decode stubbed, plumbing real). Output is FLAT scalars
+    // (arrays would break the driver's pandas value-sort) and self-verifying:
+    // the kernel histogram is recomputed declaratively from hex(payload)
+    // (high nibble of byte i = hex char 2i+1) and n_mismatch must be 0, so
+    // the DuckDB oracle is closed-form.
     "multimodal_features" -> ((spark, dir) => {
       import spark.implicits._
       val e = t(spark, dir, "embeddings")
       val media = e.select(col("vec_id").as("id"), vec.toBytes(col("embedding")).as("payload"))
         .as[(Long, Array[Byte])]
         .map { case (id, p) => graft.multimodal.Multimodal.MediaRow(id, p, "embedding", 8, 8, 0) }
-      graft.multimodal.Multimodal.extractFeatures(spark, media)
-        .toDF()
-        .select(col("id"), col("nBytes").as("n_bytes"), col("nFrames").as("n_frames"),
-          col("histogram"))
+      val feats = graft.multimodal.Multimodal.extractFeatures(spark, media).toDF()
+
+      val payloads = e.select(col("vec_id").as("id"), vec.toBytes(col("embedding")).as("payload"))
+      val nb = length(col("payload"))
+      val fs = greatest(expr("length(payload) div 4"), lit(1)) // stub frame size, maxFrames=4
+      val covered = least(nb, fs * lit(4)) // bytes inside the 4 kept frames
+      val hx = hex(col("payload"))
+      val nibs = when(covered > lit(0),
+          transform(sequence(lit(0), covered - lit(1)),
+            i => conv(hx.substr(i * lit(2) + lit(1), lit(1)), 16, 10).cast("int")))
+        .otherwise(array().cast("array<int>"))
+      val sqlSide = payloads.select(col("id"), nibs.as("nibs"))
+
+      val nMismatch = (0 until 16).map(b =>
+          when(element_at(col("histogram"), b + 1) =!=
+            size(filter(col("nibs"), x => x === lit(b))).cast("long"), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      feats.join(sqlSide, Seq("id"))
+        .select(
+          col("id"),
+          col("nBytes").as("n_bytes"),
+          col("nFrames").cast("long").as("n_frames"),
+          aggregate(col("histogram"), lit(0L), (a, x) => a + x).as("hist_total"),
+          nMismatch.as("n_mismatch"))
         .orderBy("id")
     }),
 
@@ -620,6 +643,17 @@ object Queries {
         |FROM all_docs GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "multimodal_meta" ->
       "SELECT vec_id, CAST(4*len(embedding) AS BIGINT) AS payload_len, CAST(len(embedding) AS BIGINT) AS dim, 'embedding' AS kind FROM embeddings ORDER BY vec_id",
+    // mirrors DecodeStub: frameSize = max(nBytes//4, 1), 4 frames kept,
+    // histogram covers min(nBytes, 4*frameSize) bytes; n_mismatch asserts
+    // the kernel and declarative histograms agree (computed Spark-side)
+    "multimodal_features" ->
+      """SELECT vec_id AS id,
+        |  CAST(4*len(embedding) AS BIGINT) AS n_bytes,
+        |  CAST(least(4, CASE WHEN len(embedding) = 0 THEN 0
+        |    ELSE ceil(4.0*len(embedding) / greatest((4*len(embedding))//4, 1)) END) AS BIGINT) AS n_frames,
+        |  CAST(least(4*len(embedding), 4*greatest((4*len(embedding))//4, 1)) AS BIGINT) AS hist_total,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM embeddings ORDER BY id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

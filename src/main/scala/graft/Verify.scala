@@ -41,6 +41,14 @@ object Verify {
     val json = SparkEntry.oracleSql.view.filterKeys(!failed.contains(_))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ...but a runtime crash must not be silently recorded as
+    // not-implemented: surface the failures as their own artifact so a
+    // regression in a previously green query is visible. (Exit stays 0 —
+    // one bad query must not void the other queries' dumps.)
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failed.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] FAILED queries: ${failed.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -21,8 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleKernel {
 
+  /** SQL `trim` strips only ' ' (U+0020); Java's `String.trim` also strips
+    * tab/newline, which would drop the leading/trailing empty token the SQL
+    * split keeps. Kernel tokenization must match the SQL/DuckDB paths
+    * byte-for-byte on every input, so trim spaces only.
+    */
+  def sqlTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   def tokenize(text: UTF8String): Array[String] =
-    text.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    sqlTrim(text.toString).toLowerCase(java.util.Locale.ROOT).split("\\s+")
 
   private def hashShingle(s: String): Long = {
     val u = UTF8String.fromString(s)

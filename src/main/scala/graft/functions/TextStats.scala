@@ -34,7 +34,7 @@ object TextStatsKernel {
       if (isAsciiPunct(cp)) punct += 1
       i += Character.charCount(cp)
     }
-    val toks = s.trim.split("\\s+")
+    val toks = ShingleKernel.sqlTrim(s).split("\\s+")
     var stopCnt = 0L
     var tokLenSum = 0L
     var t = 0

@@ -29,7 +29,10 @@ object Ivf {
     import spark.implicits._
     var centroids = data.orderBy("id").limit(c)
       .select("vector").as[Array[Float]].collect()
+    // fewer rows than requested cells: train with what exists (cEff cells)
+    val cEff = centroids.length
     val dim = centroids.headOption.map(_.length).getOrElse(0)
+    if (cEff == 0) return centroids
 
     // Each Lloyd step is ONE pass: per-partition (C×dim) sum vectors +
     // counts, tree-reduced to the driver. No positional explode — the
@@ -41,8 +44,8 @@ object Ivf {
         .as[(Int, Array[Float])]
         .rdd
         .mapPartitions { iter =>
-          val s = Array.ofDim[Double](c, dim)
-          val n = new Array[Long](c)
+          val s = Array.ofDim[Double](cEff, dim)
+          val n = new Array[Long](cEff)
           iter.foreach { case (cell, v) =>
             n(cell) += 1
             var i = 0
@@ -52,7 +55,7 @@ object Ivf {
         }
         .treeReduce { case ((s1, n1), (s2, n2)) =>
           var ci = 0
-          while (ci < c) {
+          while (ci < cEff) {
             var i = 0
             while (i < dim) { s1(ci)(i) += s2(ci)(i); i += 1 }
             n1(ci) += n2(ci)
@@ -60,7 +63,7 @@ object Ivf {
           }
           (s1, n1)
         }
-      centroids = Array.tabulate(c) { ci =>
+      centroids = Array.tabulate(cEff) { ci =>
         if (counts(ci) == 0) centroids(ci)
         else Array.tabulate(dim)(i => (sums(ci)(i) / counts(ci)).toFloat)
       }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Quantize {
 
-  /** Add (codes: array<tinyint>, q_scale: float, q_offset: float) per row. */
+  /** Add (codes: array<tinyint>, q_scale: float, q_offset: float,
+    * q_err: double) per row. `q_err` is the exact L2 reconstruction error
+    * ‖v − v̂‖₂ (inflated by a hair to absorb double rounding) — the bound
+    * [[searchExact]] uses to guarantee exact top-k from coarse scans.
+    */
   def sq8(data: DataFrame, vectorCol: String = "vector"): DataFrame = {
     val v = col(vectorCol)
     val mn = array_min(v)
@@ -27,10 +31,23 @@ object Quantize {
       (when(scale === 0f, lit(0))
         .otherwise(round((x - mn) / scale).cast("int")) - 128)
         .cast("tinyint"))
+    val err = sqrt(aggregate(
+      zip_with(v.cast("array<double>"),
+        dequantize(col("codes"), col("q_scale"), col("q_offset")).cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, e) => acc + e))
     data
       .withColumn("q_offset", mn.cast("float"))
       .withColumn("q_scale", scale)
       .withColumn("codes", codes)
+      .withColumn("q_err", err * lit(1.0 + 1e-9) + lit(1e-12))
+  }
+
+  private[knn] def dequantizeArr(codes: Array[Short], scale: Float, offset: Float): Array[Float] = {
+    val out = new Array[Float](codes.length)
+    var i = 0
+    while (i < codes.length) { out(i) = (codes(i) + 128).toFloat * scale + offset; i += 1 }
+    out
   }
 
   /** Reconstruct an `array<float>` from SQ8 columns. */
@@ -60,6 +77,77 @@ object Quantize {
       .join(broadcast(queriesDf), Seq("qid"))
       .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
 
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** GUARANTEED-exact two-stage L2 search over SQ8 codes.
+    *
+    * By the triangle inequality |d(q,v) − d(q,v̂)| ≤ ‖v−v̂‖₂ = e_v, so with
+    * τ_q = kth-smallest (d(q,v̂) + e_v) every true top-k member satisfies
+    * d(q,v̂) − e_v ≤ τ_q: at least k vectors have true distance ≤ τ_q
+    * (those whose upper bound is ≤ τ_q), hence any true top-k member has
+    * d(q,v) ≤ τ_q and its coarse lower bound passes the filter.
+    *
+    * Pass 1 computes τ_q with per-partition bounded heaps on the upper
+    * bound (k rows per partition cross the wire); pass 2 re-scans the codes
+    * and keeps lower-bound survivors. Both passes read 1 byte/dim; the
+    * full-precision column is joined only for candidate ids. Unlike the
+    * overscan heuristic in [[search]], exactness here is data-independent.
+    * Euclidean only (cosine/manhattan lack this reconstruction bound).
+    */
+  def searchExact(
+      spark: SparkSession,
+      quantized: DataFrame, // output of sq8 (id, vector, codes, q_scale, q_offset, q_err)
+      queries: Array[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val metric = graft.core.Distances.Euclidean
+    val kernel = graft.core.Distances.distance(metric) _
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val rows = quantized
+      .select(col("id").cast("long"), col("codes").cast("array<smallint>"),
+        col("q_scale").cast("float"), col("q_offset").cast("float"), col("q_err").cast("double"))
+      .as[(Long, Array[Short], Float, Float, Double)]
+
+    // Pass 1: per-query kth-smallest upper bound over per-partition heaps.
+    val ubCandidates = rows.mapPartitions { iter =>
+      val qs = bcQ.value
+      val heaps = Array.fill(qs.length)(new TopK(k))
+      iter.foreach { case (id, codes, scale, offset, err) =>
+        val vhat = dequantizeArr(codes, scale, offset)
+        var qi = 0
+        while (qi < qs.length) { heaps(qi).push(kernel(vhat, qs(qi)._2) + err, id); qi += 1 }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sorted.iterator.map { case (ub, _) => (qs(qi)._1, ub) }
+      }
+    }.toDF("qid", "ub")
+    val wUb = Window.partitionBy("qid").orderBy("ub")
+    val tau: Map[Long, Double] = ubCandidates
+      .withColumn("rn", row_number().over(wUb)).filter(col("rn") <= k)
+      .groupBy("qid").agg(max("ub").as("tau"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // Pass 2: lower-bound filter — a provable superset of the true top-k.
+    val bcTau = spark.sparkContext.broadcast(tau)
+    val candidates = rows.mapPartitions { iter =>
+      val qs = bcQ.value
+      val taus = qs.map(q => bcTau.value.getOrElse(q._1, Double.NegativeInfinity))
+      iter.flatMap { case (id, codes, scale, offset, err) =>
+        val vhat = dequantizeArr(codes, scale, offset)
+        qs.indices.iterator
+          .filter(qi => kernel(vhat, qs(qi)._2) - err <= taus(qi))
+          .map(qi => (qs(qi)._1, id))
+      }
+    }.toDF("qid", "id")
+
+    // Exact rescore of candidates only.
+    val queriesDf = queries.toSeq.toDF("qid", "qvec")
+    val rescored = candidates
+      .join(quantized.select(col("id"), col("vector")), Seq("id"))
+      .join(broadcast(queriesDf), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), "euclidean").as("dist"))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -17,7 +17,7 @@ class DriverContractSpec extends SparkTestBase {
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
     // approximate ANN entries are intentionally rows-only
-    assert(q.diff(o) === Set("hnsw_search", "ann_ivf", "multimodal_features"))
+    assert(q.diff(o) === Set("hnsw_search", "ann_ivf"))
   }
 
   test("all queries execute against sf0.001 (cold smallest-SF run)") {

@@ -121,6 +121,42 @@ class QuantizeSpec extends SparkTestBase {
     val avg = recalls.sum / recalls.length
     assert(avg >= 0.95, s"recall $avg")
   }
+
+  test("SQ8 bounded searchExact equals brute force exactly (recall 1.0)") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = graft.knn.Quantize.sq8(data)
+    val bounded = graft.knn.Quantize.searchExact(spark, q, queries, k = 10)
+      .select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+    val exact = graft.knn.Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), 10)
+      .select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+    assert(bounded === exact)
+  }
+
+  test("searchExact bound holds on adversarial near-tie data") {
+    // clustered points whose dequantized ranks invert vs true ranks: an
+    // overscan heuristic can miss these; the error bound must not.
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val rows = (0L until 400L).map { i =>
+      val base = Array.fill(dim)(rnd.nextFloat() * 0.01f)
+      // one huge coordinate stretches the SQ8 range so quantization error
+      // on the small coordinates swamps their true differences
+      base(0) = if (i % 2 == 0) 100f else 100.002f
+      (i, base)
+    }
+    val df = rows.toDF("id", "vector")
+    val queries = rows.take(5).map { case (id, v) => (id, v) }.toArray
+    val q = graft.knn.Quantize.sq8(df)
+    val bounded = graft.knn.Quantize.searchExact(spark, q, queries, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.knn.Knn.bruteForce(df, queries.toSeq.toDF("qid", "qvec"), 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded === exact)
+  }
 }
 
 class KnnCustomPlanSpec extends SparkTestBase {
