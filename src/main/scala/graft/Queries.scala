@@ -76,6 +76,27 @@ object Queries {
        |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** Self-verifying summary for approximate-ANN queries (same methodology as
+    * the reference's own correctness gate, `index/hnsw_test.go:21-75`: search
+    * results scored against brute force). The approximate result joins the
+    * in-repo exact kNN (itself oracle-proven) and collapses to flat,
+    * closed-form-predictable scalars: every query must return exactly k rows
+    * and recall ≥ minHits/k, so the DuckDB oracle is a constant table.
+    */
+  private def recallSummary(approx: DataFrame, exact: DataFrame, k: Int, minHits: Int): DataFrame =
+    approx.select(col("qid"), col("id"))
+      .join(exact.select(col("qid"), col("id")).withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_results"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), lit(k.toLong).as("k"), col("n_results"),
+        when(col("n_hits") >= minHits, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
+      .orderBy("qid")
+
+  /** Closed-form oracle for [[recallSummary]] outputs. */
+  private def recallOracle(nQueries: Int, k: Int): String =
+    s"SELECT vec_id AS qid, CAST($k AS BIGINT) AS k, CAST($k AS BIGINT) AS n_results, " +
+      s"CAST(1 AS BIGINT) AS recall_ok FROM embeddings WHERE vec_id < $nQueries ORDER BY qid"
+
   // ---------------------------------------------------------------- queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -244,27 +265,51 @@ object Queries {
       docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("fp")).orderBy("doc_id")
     }),
 
-    // §2.8-12 HNSW: per-partition build + search + global merge (approx —
-    // rows-only check here; recall vs brute force asserted in HnswSpec)
+    // §2.8-12 HNSW: per-partition build + search + global merge, self-scored
+    // in-query against the exact (oracle-proven) brute-force kNN — emits a
+    // flat recall summary with a closed-form oracle, so the approximate
+    // operator still carries a hard hash-checked CORRECTNESS row
     "hnsw_search" -> ((spark, dir) => {
       val (data, queriesDf) = knnInputs(spark, dir, 5)
       val queries = queriesDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      knnFinish(HnswSpark.search(spark, data, queries, 10, "euclidean",
-        HnswConfig(ef = 50), numPartitions = 4))
+      val approx = HnswSpark.search(spark, data, queries, 10, "euclidean",
+        HnswConfig(ef = 100), numPartitions = 4)
+      recallSummary(approx, Knn.bruteForce(data, queriesDf, 10, "euclidean"), 10, minHits = 9)
     }),
 
-    // §2.18 IVF-Flat ANN (approx — rows-only; exactness at nprobe=C in IvfSpec)
+    // §2.18 IVF-Flat ANN, self-scored two ways in one query:
+    //  (a) full_probe_exact — at nprobe=C the probe covers every cell, so
+    //      IVF provably degrades to exact kNN (same kernel, same (dist,id)
+    //      tie-break): the nprobe=16 result must equal the brute-force
+    //      top-k EXACTLY, on any data. Hard, data-independent.
+    //  (b) recall_ok — the approximate nprobe=4 path must keep per-query
+    //      recall ≥ 6/10 (measured floor 8/10 at sf0.01; floor set 2 hits
+    //      below the deterministic value to absorb centroid-sum ulp drift
+    //      across partition layouts).
     "ann_ivf" -> ((spark, dir) => {
       val (data, queriesDf) = knnInputs(spark, dir, 5)
       val queries = queriesDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
-      // cache: search probes the assignment twice (join + candidate scan)
+      // cache: searched three times (approx + full probe + candidate scans)
       val assigned = Ivf.assign(spark, data, centroids).cache()
-      knnFinish(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4))
+      val approx = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4)
+      val full = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 16)
+      val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean").select("qid", "id")
+      val fullHits = full.select(col("qid"), col("id"))
+        .join(exact, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("full_probe_exact"))
+      approx.select(col("qid"), col("id"))
+        .join(exact.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_results"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .join(fullHits, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("full_probe_exact"),
+          when(col("n_hits") >= 6, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
+        .orderBy("qid")
     }),
 
     // §2.17 MinHash+LSH near-dedup with exact-Jaccard verify (planted
@@ -319,9 +364,12 @@ object Queries {
     // §2.19 multimodal feature extraction: payload → frames → byte-nibble
     // histogram (decode stubbed, plumbing real). Output is FLAT scalars
     // (arrays would break the driver's pandas value-sort) and self-verifying:
-    // the kernel histogram is recomputed declaratively from hex(payload)
-    // (high nibble of byte i = hex char 2i+1) and n_mismatch must be 0, so
-    // the DuckDB oracle is closed-form.
+    // the kernel histogram is recomputed from the raw payload by an
+    // INDEPENDENT one-pass codegen expression (NibbleHistogram — no code
+    // shared with the decode path) and n_mismatch must be 0, so the DuckDB
+    // oracle is closed-form. (The earlier hex()/substr formulation
+    // re-evaluated the hex pipeline per array element inside the HOF
+    // lambda and was 8× slower.)
     "multimodal_features" -> ((spark, dir) => {
       import spark.implicits._
       val e = t(spark, dir, "embeddings")
@@ -330,28 +378,22 @@ object Queries {
         .map { case (id, p) => graft.multimodal.Multimodal.MediaRow(id, p, "embedding", 8, 8, 0) }
       val feats = graft.multimodal.Multimodal.extractFeatures(spark, media).toDF()
 
-      val payloads = e.select(col("vec_id").as("id"), vec.toBytes(col("embedding")).as("payload"))
       val nb = length(col("payload"))
       val fs = greatest(expr("length(payload) div 4"), lit(1)) // stub frame size, maxFrames=4
       val covered = least(nb, fs * lit(4)) // bytes inside the 4 kept frames
-      val hx = hex(col("payload"))
-      val nibs = when(covered > lit(0),
-          transform(sequence(lit(0), covered - lit(1)),
-            i => conv(hx.substr(i * lit(2) + lit(1), lit(1)), 16, 10).cast("int")))
-        .otherwise(array().cast("array<int>"))
-      val sqlSide = payloads.select(col("id"), nibs.as("nibs"))
+      val checkHist = graft.internal.SqlBridge.column(graft.functions.NibbleHistogram(
+        graft.internal.SqlBridge.expression(col("payload")),
+        graft.internal.SqlBridge.expression(covered.cast("int"))))
+      val sqlSide = e.select(col("vec_id").as("id"), vec.toBytes(col("embedding")).as("payload"))
+        .select(col("id"), checkHist.as("check_hist"))
 
-      val nMismatch = (0 until 16).map(b =>
-          when(element_at(col("histogram"), b + 1) =!=
-            size(filter(col("nibs"), x => x === lit(b))).cast("long"), lit(1L)).otherwise(lit(0L)))
-        .reduce(_ + _)
       feats.join(sqlSide, Seq("id"))
         .select(
           col("id"),
           col("nBytes").as("n_bytes"),
           col("nFrames").cast("long").as("n_frames"),
           aggregate(col("histogram"), lit(0L), (a, x) => a + x).as("hist_total"),
-          nMismatch.as("n_mismatch"))
+          when(col("histogram") === col("check_hist"), lit(0L)).otherwise(lit(1L)).as("n_mismatch"))
         .orderBy("id")
     }),
 
@@ -618,6 +660,11 @@ object Queries {
          |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
     "vec_codec_roundtrip" ->
       "SELECT vec_id, CAST(0 AS BIGINT) AS n_mismatch, CAST(4*len(embedding) AS BIGINT) AS n_bytes FROM embeddings ORDER BY vec_id",
+    "hnsw_search" -> recallOracle(5, 10),
+    "ann_ivf" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),

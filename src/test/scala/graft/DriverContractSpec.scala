@@ -16,8 +16,9 @@ class DriverContractSpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
-    // approximate ANN entries are intentionally rows-only
-    assert(q.diff(o) === Set("hnsw_search", "ann_ivf"))
+    // every query carries an oracle — the approximate ANN entries emit
+    // self-verifying recall summaries with closed-form oracles
+    assert(q.diff(o) === Set.empty[String])
   }
 
   test("all queries execute against sf0.001 (cold smallest-SF run)") {
