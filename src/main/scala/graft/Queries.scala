@@ -340,14 +340,18 @@ object Queries {
         .orderBy("doc_id")
     }),
 
-    // §2.17 embedding-cosine near-dup via hyperplane LSH buckets + verify
+    // §2.17 embedding-cosine near-dup via hyperplane LSH buckets + verify.
+    // multiProbe=true: candidate recall covers pairs that straddle one
+    // hyperplane (hamming-1 buckets), not just parallel vectors — see the
+    // planted straddling-pair test in DedupSpec.
     "neardup_embedding" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
       val base = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
       val copies = e.filter(col("vec_id") < 100)
         .select((col("vec_id") + 100000).as("id"), col("embedding").as("vector"))
       val planes = Dedup.randomPlanes(nbits = 16, dim = 64, seed = 7)
-      Dedup.embeddingNearDupPairs(base.unionByName(copies), planes, threshold = 0.1)
+      Dedup.embeddingNearDupPairs(base.unionByName(copies), planes, threshold = 0.1,
+          multiProbe = true)
         .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
         .orderBy("id_a", "id_b")
     }),

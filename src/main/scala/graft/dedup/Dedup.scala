@@ -85,6 +85,16 @@ object Dedup {
     *     id pairs (dropDuplicates),
     *  3. re-join shingle sets by id (shuffles on id, not on pair count),
     *  4. exact Jaccard filter ≥ threshold.
+    *
+    * Skew guard (on by default): a band bucket larger than `maxBucketSize`
+    * — a boilerplate band shared by millions of docs is a C(n,2) bomb at
+    * 100 TB — switches from all-pairs to STAR pairing against the bucket's
+    * min-id representative: n−1 candidates instead of n(n−1)/2, and every
+    * member still connects to the duplicate cluster through the
+    * representative (transitive closure downstream recovers the groups).
+    * Buckets at or under the cap keep exact all-pairs semantics, so results
+    * on non-pathological data are unchanged. `maxBucketSize <= 0` disables
+    * the guard.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -93,7 +103,7 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
@@ -110,25 +120,28 @@ object Dedup {
     val allBands = prepared
       .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
-    // Skew guard (maxBucketSize > 0): drop pathological buckets — e.g. a
-    // boilerplate band shared by millions of docs — before the self-join.
-    // Trades recall for bounded C(n,2) growth; near-dup classes smaller
-    // than the cap are unaffected. Off by default (exact behavior).
-    val withBands =
-      if (maxBucketSize <= 0) allBands
-      else {
-        val sizes = allBands.groupBy("band", "bh")
-          .agg(count(lit(1)).as("__bucket_n"))
-          .filter(col("__bucket_n") <= maxBucketSize)
-          .drop("__bucket_n")
-        allBands.join(sizes, Seq("band", "bh"), "left_semi")
-      }
-
-    val candidates = withBands.alias("l")
-      .join(withBands.alias("r"), Seq("band", "bh"))
-      .filter(col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val candidates = (if (maxBucketSize <= 0) {
+      allBands.alias("l")
+        .join(allBands.alias("r"), Seq("band", "bh"))
+        .filter(col("l.id") < col("r.id"))
+        .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+    } else {
+      // one window pass (shuffles on the same (band, bh) key the join
+      // needs anyway) tags every bucket with its size + representative
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+      val sized = allBands
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__min_id", min("id").over(w))
+      val small = sized.filter(col("__n") <= maxBucketSize).select("id", "band", "bh")
+      val smallPairs = small.alias("l")
+        .join(small.alias("r"), Seq("band", "bh"))
+        .filter(col("l.id") < col("r.id"))
+        .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      val starPairs = sized
+        .filter(col("__n") > maxBucketSize && col("id") =!= col("__min_id"))
+        .select(col("__min_id").as("doc_a"), col("id").as("doc_b"))
+      smallPairs.unionByName(starPairs)
+    }).dropDuplicates("doc_a", "doc_b")
 
     val hs = prepared.select(col("id"), col("hs"))
     candidates
@@ -171,7 +184,12 @@ object Dedup {
 
   /** Embedding near-dup pairs: random-hyperplane LSH (sign buckets) +
     * exact cosine verify. Parallel vectors always share a signature, so
-    * recall for true near-dups (cosine distance ≈ 0) is exact.
+    * recall for true near-dups (cosine distance ≈ 0) is exact. With
+    * `multiProbe` the guarantee extends to pairs whose vectors straddle
+    * exactly ONE hyperplane (hamming-1 signatures) — without it such a
+    * pair is silently missed even at cos_dist ≈ 0 (see the planted-pair
+    * test in DedupSpec). Pairs straddling ≥ 2 planes can still be missed;
+    * at 16 bits and cos_dist ≤ 0.1 that probability is small but nonzero.
     */
   def embeddingNearDupPairs(
       data: DataFrame, // (id, vector array<float>)

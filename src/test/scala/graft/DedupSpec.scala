@@ -79,6 +79,83 @@ class DedupSpec extends SparkTestBase {
     assert(probed === Set((1L, 2L)))
   }
 
+  test("LSH skew guard: a 10k-doc boilerplate bucket yields n-1 star pairs, not C(n,2)") {
+    val n = 10000
+    // identical text: every band bucket holds all n docs — the C(n,2)
+    // formulation would emit ~50M candidate pairs; the star guard must
+    // bound it at n-1 (all docs still reachable from the representative)
+    val d = (0L until n.toLong).map(i => (i, "common boilerplate header repeated across the entire corpus"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(d, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length === n - 1, s"expected ${n - 1} star pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 === 0L), "all pairs must connect through the min-id representative")
+    assert(pairs.map(_._2).toSet === (1L until n.toLong).toSet)
+  }
+
+  test("LSH skew guard leaves sub-cap buckets on exact all-pairs semantics") {
+    // 5 identical docs, cap 4: bucket size 5 > 4 → star (4 pairs);
+    // raising the cap restores all-pairs (10 pairs)
+    val d = (0L until 5L).map(i => (i, "tiny shared text body here")).toDF("doc_id", "text")
+    val star = Dedup.minhashLshPairs(d, threshold = 0.8, maxBucketSize = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(star.length === 4 && star.forall(_._1 === 0L))
+    val full = Dedup.minhashLshPairs(d, threshold = 0.8, maxBucketSize = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(full.length === 10)
+  }
+
+  test("catalog planes: planted near-dup straddling ONE hyperplane — exact probe misses, shipped multi-probe finds") {
+    // the exact planes the neardup_embedding catalog query uses
+    val planes = Dedup.randomPlanes(nbits = 16, dim = 64, seed = 7)
+    val eps = 0.01
+
+    def dot(a: Array[Double], p: Array[Float]): Double =
+      a.indices.map(i => a(i) * p(i)).sum
+
+    // find a base vector whose signature flips in EXACTLY one bit when
+    // reflected to -eps margin on its closest plane
+    val planted = (0 until 100).view.map { seed =>
+      val rnd = new scala.util.Random(seed)
+      val u = Array.fill(64)(rnd.nextDouble() - 0.5)
+      val dots = planes.map(p => dot(u, p))
+      val t = dots.indices.minBy(i => math.abs(dots(i)))
+      // v1: margin +eps on plane t; v2: margin -eps (reflect along plane t)
+      val v1 = u.indices.map(i => u(i) - (dots(t) - eps) / 64.0 * planes(t)(i)).toArray
+      val v2 = v1.indices.map(i => v1(i) - 2 * eps / 64.0 * planes(t)(i)).toArray
+      val sig1 = planes.map(p => dot(v1, p) >= 0)
+      val sig2 = planes.map(p => dot(v2, p) >= 0)
+      val flipped = sig1.indices.count(i => sig1(i) != sig2(i))
+      (v1.map(_.toFloat), v2.map(_.toFloat), flipped, t, sig1, sig2)
+    }.find { case (v1, v2, flipped, t, sig1, sig2) =>
+      flipped == 1 && sig1(t) != sig2(t) &&
+        // float-side margins must also be sign-stable on every other plane
+        planes.indices.forall { p =>
+          val d1 = dot(v1.map(_.toDouble), planes(p))
+          val d2 = dot(v2.map(_.toDouble), planes(p))
+          if (p == t) d1 >= 0 != d2 >= 0 else math.min(math.abs(d1), math.abs(d2)) > 1e-3
+        }
+    }
+    assert(planted.isDefined, "no seed produced a clean single-plane straddle")
+    val (v1, v2, _, _, _, _) = planted.get
+
+    // the pair is a true near-dup: cosine distance well under the threshold
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.indices.map(i => ad(i) * bd(i)).sum
+      math.abs(1.0 - d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum)))
+    }
+    assert(cosDist(v1, v2) <= 0.1, s"planted pair not a near-dup: ${cosDist(v1, v2)}")
+
+    val df = Seq((1L, v1), (2L, v2)).toDF("id", "vector")
+    val exact = Dedup.embeddingNearDupPairs(df, planes, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(exact.isEmpty, "exact probing silently misses the straddling near-dup")
+    val probed = Dedup.embeddingNearDupPairs(df, planes, threshold = 0.1, multiProbe = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probed === Set((1L, 2L)), "shipped multi-probe config must find it")
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far (hamming)") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

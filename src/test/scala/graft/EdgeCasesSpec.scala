@@ -47,20 +47,22 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(stats.length === 3) // no crash; counters well-defined
   }
 
-  test("LSH bucket cap drops pathological buckets but keeps small dup classes") {
+  test("LSH bucket cap star-pairs pathological buckets and keeps small dup classes") {
     val boiler = (0L until 60L).map(i => (i, "the same boilerplate text repeated again and again here"))
     val pair = Seq((100L, "unique alpha beta gamma delta epsilon zeta eta theta"),
       (101L, "xx unique alpha beta gamma delta epsilon zeta eta theta"))
     val docs = (boiler ++ pair).toDF("doc_id", "text")
 
-    val uncapped = Dedup.minhashLshPairs(docs, threshold = 0.5)
+    val uncapped = Dedup.minhashLshPairs(docs, threshold = 0.5, maxBucketSize = 0)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     assert(uncapped.length >= 60 * 59 / 2) // boilerplate class fully paired
 
     val capped = Dedup.minhashLshPairs(docs, threshold = 0.5, maxBucketSize = 10)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(capped.contains((100L, 101L)), "small dup class must survive the cap")
-    assert(!capped.exists(p => p._1 < 60L && p._2 < 60L), "pathological bucket must be dropped")
+    val boilerPairs = capped.filter(p => p._1 < 60L && p._2 < 60L)
+    assert(boilerPairs === (1L until 60L).map(i => (0L, i)).toSet,
+      "pathological bucket must collapse to n-1 star pairs through the representative")
   }
 
   test("TopK with k=0 accepts pushes and stays empty") {
