@@ -279,6 +279,38 @@ object Queries {
       recallSummary(approx, Knn.bruteForce(data, queriesDf, 10, "euclidean"), 10, minHits = 9)
     }),
 
+    // §2.8-14 HNSW with per-vertex metadata riding inside the graph
+    // (reference Insert carries metadata, hnsw.go:80; results return it,
+    // hnsw.go:242): metadata = UTF-8 label bytes, verified in-query against
+    // the labels joined from the source table, plus the recall gate —
+    // n_meta_mismatch must be 0 and the oracle is closed-form
+    "hnsw_with_meta" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"),
+        encode(col("label").cast("string"), "UTF-8").as("metadata"))
+      val queriesDf = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val res = HnswSpark.searchWithMeta(spark, data, queries, 10, "euclidean",
+        HnswConfig(ef = 100), numPartitions = 4)
+      val labels = e.select(col("vec_id").as("id"), col("label"))
+      val exact = Knn.bruteForce(data.select("id", "vector"), queriesDf, 10, "euclidean")
+        .select("qid", "id")
+      res.join(broadcast(labels), Seq("id"))
+        .withColumn("meta_bad",
+          when(decode(col("metadata"), "UTF-8") === col("label").cast("string"), lit(0L))
+            .otherwise(lit(1L)))
+        .join(exact.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_results"), sum("meta_bad").as("n_meta_mismatch"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_meta_mismatch"),
+          when(col("n_hits") >= 9, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
+        .orderBy("qid")
+    }),
+
     // §2.18 IVF-Flat ANN, self-scored two ways in one query:
     //  (a) full_probe_exact — at nprobe=C the probe covers every cell, so
     //      IVF provably degrades to exact kNN (same kernel, same (dist,id)
@@ -665,6 +697,10 @@ object Queries {
     "vec_codec_roundtrip" ->
       "SELECT vec_id, CAST(0 AS BIGINT) AS n_mismatch, CAST(4*len(embedding) AS BIGINT) AS n_bytes FROM embeddings ORDER BY vec_id",
     "hnsw_search" -> recallOracle(5, 10),
+    "hnsw_with_meta" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(0 AS BIGINT) AS n_meta_mismatch, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 3 ORDER BY qid""".stripMargin,
     "ann_ivf" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS recall_ok

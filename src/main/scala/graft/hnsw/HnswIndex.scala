@@ -82,7 +82,13 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     def clear(): Unit = size = 0
   }
 
-  final class Vertex(val id: Long, val vector: Array[Float], var level: Int) {
+  /** `metadata`: opaque per-vertex payload carried through insert, search
+    * results, and persistence (reference `index/hnsw.go:80` Insert,
+    * `hnsw.go:242` search results, `hnsw_persistence.go:87,191`). Null when
+    * the vertex has none.
+    */
+  final class Vertex(val id: Long, val vector: Array[Float], var level: Int,
+      val metadata: Array[Byte] = null) {
     /** edges(l): per-level neighbor adjacency */
     var edges: Array[EdgeList] = Array.fill(level + 1)(new EdgeList(8))
     var deleted: Boolean = false
@@ -261,14 +267,16 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
 
   // ------------------------------------------------------------------ insert
 
-  /** Insert with an explicit level (`hnsw.go:80-140`); use [[add]] for the
-    * deterministic hashed level.
+  /** Insert with an explicit level (`hnsw.go:80-140`, which carries the
+    * item's metadata the same way); use [[add]] for the deterministic
+    * hashed level.
     */
-  def insert(id: Long, vector: Array[Float], vertexLevel: Int): Unit = {
+  def insert(id: Long, vector: Array[Float], vertexLevel: Int,
+      metadata: Array[Byte] = null): Unit = {
     if (idToSlot.contains(id)) throw new IllegalArgumentException(s"item already exists: $id")
 
     if (entrypoint == -1) {
-      val v = new Vertex(id, vector, 0)
+      val v = new Vertex(id, vector, 0, metadata)
       vertices += v
       val slot = vertices.size - 1
       idToSlot(id) = slot
@@ -276,7 +284,7 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
       return
     }
 
-    val v = new Vertex(id, vector, vertexLevel)
+    val v = new Vertex(id, vector, vertexLevel, metadata)
     vertices += v
     val slot = vertices.size - 1
     idToSlot(id) = slot
@@ -314,11 +322,17 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
   }
 
   /** Insert with the deterministic hashed level (`hnsw.go:249` RandomLevel). */
-  def add(id: Long, vector: Array[Float]): Unit = insert(id, vector, levelFor(id))
+  def add(id: Long, vector: Array[Float], metadata: Array[Byte] = null): Unit =
+    insert(id, vector, levelFor(id), metadata)
 
   def contains(id: Long): Boolean = idToSlot.contains(id)
 
   def get(id: Long): Option[Array[Float]] = idToSlot.get(id).map(vertices(_).vector)
+
+  /** Per-vertex metadata (reference `hnsw.go` vertex.Metadata()); None for
+    * unknown ids, null element for vertices inserted without metadata.
+    */
+  def getMetadata(id: Long): Option[Array[Byte]] = idToSlot.get(id).map(vertices(_).metadata)
 
   // ------------------------------------------------------------------ remove
 
@@ -397,8 +411,8 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     buf.iterator.filter { case (id, _) => allow(id) }.take(k).toArray
   }
 
-  /** Top-k search (`hnsw.go:216-248`): ascending (id, distance). */
-  def search(query: Array[Float], k: Int): Array[(Long, Double)] = {
+  /** Shared search core: ascending (slot, distance) of the k best. */
+  private def searchSlots(query: Array[Float], k: Int): Array[(Int, Double)] = {
     if (entrypoint == -1) return Array.empty
     var ep = entrypoint
     var minDist = dist(query, vertices(ep).vector)
@@ -414,15 +428,26 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     val selected = select(query, found, k, 0)
 
     val n = math.min(k, selected.size)
-    val out = new Array[(Long, Double)](n)
+    val out = new Array[(Int, Double)](n)
     var i = n - 1
     while (i >= 0) {
       selected.poll()
-      out(i) = (vertices(selected.polledSlot).id, selected.polledDist)
+      out(i) = (selected.polledSlot, selected.polledDist)
       i -= 1
     }
     out
   }
+
+  /** Top-k search (`hnsw.go:216-248`): ascending (id, distance). */
+  def search(query: Array[Float], k: Int): Array[(Long, Double)] =
+    searchSlots(query, k).map { case (s, d) => (vertices(s).id, d) }
+
+  /** Top-k search carrying per-vertex metadata (`hnsw.go:242`: results are
+    * (id, metadata, distance)). Metadata element is null for vertices
+    * inserted without it.
+    */
+  def searchWithMeta(query: Array[Float], k: Int): Array[(Long, Double, Array[Byte])] =
+    searchSlots(query, k).map { case (s, d) => (vertices(s).id, d, vertices(s).metadata) }
 
   private[hnsw] def restoreVertex(v: Vertex): Unit = {
     vertices += v
@@ -433,12 +458,15 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
 
   // ------------------------------------------------------------- persistence
 
-  /** Big-endian binary save (semantics of `index/hnsw_persistence.go`):
-    * header + config + live vertices (id, level, vector) + per-level edges.
+  /** Big-endian binary save (semantics of `index/hnsw_persistence.go`,
+    * which persists vertex metadata at `hnsw_persistence.go:87,191`):
+    * header + config + live vertices (id, level, vector, metadata) +
+    * per-level edges. Format v2 adds the per-vertex metadata section
+    * (length-prefixed, -1 = none); v1 files still load.
     */
   def save(out: DataOutputStream): Unit = {
     out.writeInt(0x47484e57) // "GHNW"
-    out.writeInt(1)
+    out.writeInt(2)
     out.writeInt(metric)
     out.writeInt(config.m); out.writeInt(config.mMax); out.writeInt(config.mMax0)
     out.writeInt(config.ef); out.writeInt(config.efConstruction)
@@ -456,6 +484,8 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
       out.writeInt(v.level)
       out.writeInt(v.vector.length)
       v.vector.foreach(out.writeFloat)
+      if (v.metadata == null) out.writeInt(-1)
+      else { out.writeInt(v.metadata.length); out.write(v.metadata) }
     }
     live.foreach { case (v, _) =>
       var l = 0
@@ -476,7 +506,8 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
 object HnswIndex {
   def load(in: DataInputStream): HnswIndex = {
     require(in.readInt() == 0x47484e57, "bad magic")
-    require(in.readInt() == 1, "bad version")
+    val version = in.readInt()
+    require(version == 1 || version == 2, s"bad version: $version")
     val metric = in.readInt()
     val m = in.readInt(); val mMax = in.readInt(); val mMax0 = in.readInt()
     val ef = in.readInt(); val efC = in.readInt()
@@ -493,7 +524,14 @@ object HnswIndex {
       val level = in.readInt()
       val dim = in.readInt()
       val vec = Array.fill(dim)(in.readFloat())
-      val v = new idx.Vertex(id, vec, level)
+      val meta =
+        if (version < 2) null
+        else {
+          val len = in.readInt()
+          if (len < 0) null
+          else { val b = new Array[Byte](len); in.readFully(b); b }
+        }
+      val v = new idx.Vertex(id, vec, level, meta)
       idx.restoreVertex(v)
       v
     }

@@ -24,6 +24,17 @@ import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, FileInp
   */
 object HnswSpark {
 
+  /** Normalize to (id, vector, metadata) — the optional `metadata: binary`
+    * column (reference Insert carries metadata, `index/hnsw.go:80`) defaults
+    * to null when absent, so metadata-free pipelines pay nothing.
+    */
+  private def withMetaCol(data: DataFrame): DataFrame = {
+    val m =
+      if (data.columns.contains("metadata")) col("metadata").cast("binary")
+      else lit(null).cast("binary")
+    data.select(col("id").cast("long"), col("vector").cast("array<float>"), m.as("metadata"))
+  }
+
   /** Approximate kNN: per-partition HNSW build + search + global k-merge.
     * data: (id: long, vector: array<float>); output (qid, id, dist, rank).
     * Deterministic: hash repartition on id, id-sorted inserts, hashed levels.
@@ -35,29 +46,45 @@ object HnswSpark {
       k: Int,
       metric: String = "euclidean",
       config: HnswConfig = HnswConfig(),
+      numPartitions: Int = 0): DataFrame =
+    searchWithMeta(spark, data, queries, k, metric, config, numPartitions)
+      .select("qid", "id", "dist", "rank")
+
+  /** [[search]] carrying per-vertex metadata into the result rows
+    * (reference `hnsw.go:242`: search results expose vertex.Metadata()):
+    * output (qid, id, dist, metadata, rank); metadata is null when the
+    * input had no metadata column.
+    */
+  def searchWithMeta(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      metric: String = "euclidean",
+      config: HnswConfig = HnswConfig(),
       numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     val m = Distances.metricId(metric)
     val bc = spark.sparkContext.broadcast(queries)
 
-    val pre = data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+    val pre = withMetaCol(data)
     val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
 
     val candidates = parts
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float], Array[Byte])]
       .mapPartitions { iter =>
         val items = iter.toArray.sortBy(_._1)
         if (items.isEmpty) Iterator.empty
         else {
           val index = new HnswIndex(m, config)
-          items.foreach { case (id, v) => index.add(id, v) }
+          items.foreach { case (id, v, meta) => index.add(id, v, meta) }
           val qs = bc.value
           qs.iterator.flatMap { case (qid, qv) =>
-            index.search(qv, k).iterator.map { case (id, d) => (qid, id, d) }
+            index.searchWithMeta(qv, k).iterator.map { case (id, d, meta) => (qid, id, d, meta) }
           }
         }
       }
-      .toDF("qid", "id", "dist")
+      .toDF("qid", "id", "dist", "metadata")
 
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -78,17 +105,17 @@ object HnswSpark {
     val m = Distances.metricId(metric)
     new java.io.File(outDir).mkdirs()
 
-    val pre = data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+    val pre = withMetaCol(data)
     val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
 
-    parts.as[(Long, Array[Float])]
+    parts.as[(Long, Array[Float], Array[Byte])]
       .mapPartitions { iter =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val items = iter.toArray.sortBy(_._1)
         if (items.isEmpty) Iterator.empty
         else {
           val index = new HnswIndex(m, config)
-          items.foreach { case (id, v) => index.add(id, v) }
+          items.foreach { case (id, v, meta) => index.add(id, v, meta) }
           val out = new DataOutputStream(new BufferedOutputStream(
             new FileOutputStream(s"$outDir/part-$pid.hnsw")))
           try index.save(out) finally out.close()
@@ -120,9 +147,9 @@ object HnswSpark {
       config: HnswConfig = HnswConfig()): Array[(Int, Int)] = {
     import spark.implicits._
     val m = Distances.metricId(metric)
-    newData.select(col("id").cast("long"), col("vector").cast("array<float>"))
+    withMetaCol(newData)
       .repartition(numPartitions, col("id"))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float], Array[Byte])]
       .mapPartitions { iter =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val items = iter.toArray.sortBy(_._1)
@@ -132,7 +159,7 @@ object HnswSpark {
           val index =
             if (path.exists()) loadPartition(path.getAbsolutePath)
             else new HnswIndex(m, config)
-          items.foreach { case (id, v) => index.add(id, v) }
+          items.foreach { case (id, v, meta) => index.add(id, v, meta) }
           val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
           try index.save(out) finally out.close()
           Iterator.single((pid, index.size))
@@ -191,10 +218,10 @@ object HnswSpark {
       .flatMap { path =>
         val index = loadPartition(path)
         bc.value.iterator.flatMap { case (qid, qv) =>
-          index.search(qv, k).iterator.map { case (id, d) => (qid, id, d) }
+          index.searchWithMeta(qv, k).iterator.map { case (id, d, meta) => (qid, id, d, meta) }
         }
       }
-      .toDF("qid", "id", "dist")
+      .toDF("qid", "id", "dist", "metadata")
 
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -154,6 +154,37 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("per-vertex metadata flows through insert, search, and v2 persistence (hnsw.go:80,242; hnsw_persistence.go:87,191)") {
+    val items = randomVectors(200, 8, seed = 41)
+    val idx = new HnswIndex(graft.core.Distances.Euclidean, HnswConfig(ef = 30))
+    items.foreach { case (id, v) =>
+      // every third vertex carries no metadata (null round-trips too)
+      val meta = if (id % 3 == 0) null else s"meta-$id".getBytes("UTF-8")
+      idx.add(id, v, meta)
+    }
+
+    // search results carry each vertex's metadata
+    val res = idx.searchWithMeta(items(17)._2, 5)
+    assert(res.head._1 === 17L)
+    res.foreach { case (id, _, meta) =>
+      if (id % 3 == 0) assert(meta === null)
+      else assert(new String(meta, "UTF-8") === s"meta-$id")
+    }
+
+    // v2 persistence round-trips metadata (and nulls)
+    val bos = new ByteArrayOutputStream()
+    idx.save(new DataOutputStream(bos))
+    val loaded = HnswIndex.load(new DataInputStream(new ByteArrayInputStream(bos.toByteArray)))
+    assert(loaded.size === idx.size)
+    items.foreach { case (id, _) =>
+      val meta = loaded.getMetadata(id).get
+      if (id % 3 == 0) assert(meta === null)
+      else assert(new String(meta, "UTF-8") === s"meta-$id")
+    }
+    val res2 = loaded.searchWithMeta(items(17)._2, 5)
+    assert(res2.map(r => (r._1, r._2)).toSeq === res.map(r => (r._1, r._2)).toSeq)
+  }
+
   test("persistence after removals drops tombstones") {
     val items = randomVectors(100, 8, seed = 37)
     val idx = buildIndex(items.toSeq)
@@ -263,6 +294,25 @@ class HnswSparkSpec extends SparkTestBase {
     val res2 = HnswSpark.searchSaved(spark, out, queries, k = 5).collect()
     removed.foreach { rid =>
       assert(!res2.exists(_.getLong(1) == rid), s"removed id $rid still returned")
+    }
+  }
+
+  test("distributed metadata: optional metadata column round-trips build→save→searchSaved") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("hnsw_meta").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector",
+      "encode(cast(label as string), 'UTF-8') as metadata")
+    HnswSpark.buildAndSave(spark, data, out, numPartitions = 4)
+
+    val queries = e.filter("vec_id < 3").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val labels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val res = HnswSpark.searchSaved(spark, out, queries, k = 5).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val meta = r.getAs[Array[Byte]]("metadata")
+      assert(new String(meta, "UTF-8").toInt === labels(r.getLong(1)))
     }
   }
 
