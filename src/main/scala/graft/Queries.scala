@@ -600,6 +600,41 @@ object Queries {
         .orderBy("event_type")
     }),
 
+    // §2.21 streaming ingestion, oracled: the SAME events land via a file
+    // stream source → watermarked tumbling-window aggregation
+    // (StreamingOps.windowedEventStats) → AvailableNow trigger, and the
+    // final result must hash-match the batch events_window oracle. Only the
+    // aggregated output (bounded by windows × event types) reaches the
+    // driver via the memory sink; the aggregation state is distributed.
+    "stream_events_window" -> ((spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      // the file stream source wants a directory: expose the single parquet
+      // file through a temp dir symlink (testdata itself is read-only)
+      val streamDir = java.nio.file.Files.createTempDirectory("stream_ew_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      // nanos → micros timestamp: truncation (< 1µs) cannot cross a 300s
+      // window boundary, so buckets equal the batch formulation's ts div 3e11
+      val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamingOps.windowedEventStats(stream, "5 minutes", "10 minutes")
+      val name = "stream_ew_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_ew_ckpt").toString
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select(col("event_type"),
+          (unix_timestamp(col("window.start")) / 300).cast("long").as("bucket"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "events_window" -> ((spark, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
       // type, so read it as raw nanos (long) and bucket with exact integer
@@ -857,6 +892,11 @@ object Queries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "events_window" ->
+      """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming replay must converge to exactly the batch answer
+    "stream_events_window" ->
       """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

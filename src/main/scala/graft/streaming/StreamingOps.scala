@@ -113,21 +113,25 @@ object StreamingOps {
   def hnswMaintenanceSink(
       indexDir: String,
       numPartitions: Int): (Dataset[VectorOp], Long) => Unit = { (batch, _) =>
-    import batch.sparkSession.implicits._
     val spark = batch.sparkSession
-    val b = batch.collect() // micro-batches are small; routing happens inside append/remove
-    val upserts = b.filter(_.op == "upsert")
-    val removes = b.filter(_.op == "remove")
-    val touched = (upserts.map(_.id) ++ removes.map(_.id)).distinct
-    if (touched.nonEmpty) {
+    // fully distributed routing — the batch never lands on the driver, so a
+    // burst micro-batch is bounded by executor memory, not driver memory
+    val ops = batch.toDF().persist()
+    try {
+      // every touched id is removed first: HNSW insert is add-only, so a
+      // re-upsert must tombstone the old vertex before the new one lands
       graft.hnsw.HnswSpark.removeAndSave(
-        spark, touched.toSeq.toDF("id"), indexDir, numPartitions)
-    }
-    if (upserts.nonEmpty) {
-      graft.hnsw.HnswSpark.appendAndSave(
-        spark, upserts.toSeq.map(o => (o.id, o.vector)).toDF("id", "vector"),
-        indexDir, numPartitions)
-    }
+        spark, ops.select("id").distinct(), indexDir, numPartitions)
+      // latest version per id wins within the batch (same winner as
+      // latestVectorState's fold)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("version").desc)
+      val upserts = ops
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("op") === "upsert")
+        .select("id", "vector")
+      graft.hnsw.HnswSpark.appendAndSave(spark, upserts, indexDir, numPartitions)
+    } finally ops.unpersist()
   }
 
   /** Output mode required by [[latestVectorState]] sinks. */
