@@ -130,10 +130,19 @@ object Quantize {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
     // Pass 2: lower-bound filter — a provable superset of the true top-k.
+    // The q_err slack absorbs reconstruction-error rounding, but the
+    // distance kernel's own double rounding scales with the distance
+    // magnitude (~dim·ulp(d)), which matters when e_v ≈ 0 (near-constant
+    // vectors) and distances are large — widen τ by dim·ulp(τ) so a
+    // boundary near-tie within kernel rounding can never evict a true
+    // top-k member.
     val bcTau = spark.sparkContext.broadcast(tau)
     val candidates = rows.mapPartitions { iter =>
       val qs = bcQ.value
-      val taus = qs.map(q => bcTau.value.getOrElse(q._1, Double.NegativeInfinity))
+      val taus = qs.map { q =>
+        val t = bcTau.value.getOrElse(q._1, Double.NegativeInfinity)
+        if (t.isInfinite) t else t + q._2.length * math.ulp(t)
+      }
       iter.flatMap { case (id, codes, scale, offset, err) =>
         val vhat = dequantizeArr(codes, scale, offset)
         qs.indices.iterator
