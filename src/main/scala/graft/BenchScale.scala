@@ -46,6 +46,17 @@ object BenchScale {
     }
     println(s"[scale] exact result rows: $exact")
 
+    // expression-path throughput: exact element-ordered fold vs SIMD
+    // dispatch (Panama when available: DistKernel.isSimd below)
+    val qLit = array(queries.head._2.map(v => lit(v)): _*).cast("array<float>")
+    println(s"[scale] SIMD kernel active: ${graft.core.DistKernel.isSimd}")
+    timed(s"full-scan distance, exact expression ($n rows)") {
+      data.select(sum(graft.functions.vec.dist(col("vector"), qLit, "euclidean"))).head()
+    }
+    timed(s"full-scan distance, SIMD expression ($n rows)") {
+      data.select(sum(graft.functions.vec.distSimd(col("vector"), qLit, "euclidean"))).head()
+    }
+
     val viaPlan = timed("exact kNN via custom Catalyst operator") {
       graft.plans.KnnCandidates.knn(spark, data, queries, k = 10).count()
     }

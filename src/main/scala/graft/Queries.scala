@@ -105,6 +105,25 @@ object Queries {
     "dist_manhattan" -> distQuery("manhattan"),
     "dist_cosine" -> distQuery("cosine"),
 
+    // §2.1-3 SIMD expression path (Panama Vector API with scalar fallback),
+    // self-verifying: the relaxed-precision SIMD distance must agree with
+    // the exact element-ordered fold within O(dim·ulp) relative tolerance
+    // for every row and metric, so the oracle is a constant table. The
+    // oracle-checked dist_* queries stay on the exact kernel.
+    "dist_simd_check" -> ((spark, dir) => {
+      val df = withQueryVec(spark, dir)
+      def ok(metric: String) = {
+        val s = vec.distSimd(col("embedding"), col("qv"), metric)
+        val x = vec.dist(col("embedding"), col("qv"), metric)
+        when(abs(s - x) <= lit(1e-4) * abs(x) + lit(1e-9), lit(1L)).otherwise(lit(0L))
+      }
+      df.select(col("vec_id"),
+          ok("euclidean").as("ok_euclidean"),
+          ok("manhattan").as("ok_manhattan"),
+          ok("cosine").as("ok_cosine"))
+        .orderBy("vec_id")
+    }),
+
     // §2.4 vector algebra
     "vec_algebra" -> ((spark, dir) => {
       val df = withQueryVec(spark, dir)
@@ -716,6 +735,9 @@ object Queries {
          |    (len(list_filter($duckToks, t -> t IN ($en)))::DOUBLE / length($duckToks)) * 0.5, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "dist_simd_check" ->
+      """SELECT vec_id, CAST(1 AS BIGINT) AS ok_euclidean, CAST(1 AS BIGINT) AS ok_manhattan,
+        |  CAST(1 AS BIGINT) AS ok_cosine FROM embeddings ORDER BY vec_id""".stripMargin,
     "dist_euclidean" -> distOracle(duckEuclid),
     "dist_manhattan" -> distOracle(duckManhattan),
     "dist_cosine" -> distOracle(duckCosine),

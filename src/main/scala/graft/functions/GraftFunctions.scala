@@ -27,6 +27,13 @@ object vec {
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
+  /** SIMD-dispatched distance over `array<float>` (relaxed precision —
+    * O(dim·ulp) off the exact fold; see [[SimdDistance]]). Falls back to the
+    * scalar kernel on JVMs without the vector module.
+    */
+  def distSimd(a: Column, b: Column, metric: String): Column =
+    c(SimdDistance(e(a), e(b), graft.core.Distances.metricId(metric)))
+
   def dot(a: Column, b: Column): Column = c(VectorDot(e(a), e(b)))
   def norm(a: Column): Column = c(VectorNorm(e(a)))
 

@@ -32,6 +32,22 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(math.abs(2 - one(pair(Seq(-1f, 0f), Seq(1f, 0f)), vec.distCosine($"a", $"b"))) <= 1e-5)
   }
 
+  test("SIMD distance expression agrees with the exact fold within relative tolerance (all metrics)") {
+    val rnd = new scala.util.Random(97)
+    val rows = Seq.fill(200)((Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b").select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+    Seq("euclidean", "manhattan", "cosine").foreach { metric =>
+      val bad = df.select(
+          vec.distSimd($"a", $"b", metric).as("s"),
+          vec.dist($"a", $"b", metric).as("x"))
+        .where(org.apache.spark.sql.functions.abs($"s" - $"x") >
+          org.apache.spark.sql.functions.lit(1e-4) * org.apache.spark.sql.functions.abs($"x") +
+            org.apache.spark.sql.functions.lit(1e-9))
+        .count()
+      assert(bad === 0L, s"$metric: $bad rows outside tolerance (simd=${graft.core.DistKernel.isSimd})")
+    }
+  }
+
   test("dot and norm match math/vector.go:75-85") {
     assert(one(pair(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)), vec.dot($"a", $"b")) === 32.0)
     assert(one(pair(Seq(3f, 4f), Seq(0f, 0f)), vec.norm($"a")) === 5.0)
