@@ -486,6 +486,16 @@ object Queries {
         .orderBy("c_mktsegment", "rank")
     }),
 
+    // §2.20 token counting: whitespace tokens + BPE-style pretokens (the
+    // LLM-pipeline budget metric; identical RE2-safe regex on both engines)
+    "token_count" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 corpus statistics: token document frequency + IDF rarity score
     "token_df" -> ((spark, dir) => {
       TextAnalysis.tokenDocumentFrequency(t(spark, dir, "documents"))
@@ -810,6 +820,11 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_df" ->
       s"""SELECT t.token, count(*) AS df
          |FROM (SELECT unnest(list_distinct($duckToks)) AS token FROM documents) t

@@ -24,6 +24,20 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** BPE-style pretokenizer pattern (GPT-2 family): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs, residual
+    * whitespace. Restricted to RE2-compatible syntax (no lookahead) so the
+    * DuckDB oracle evaluates the IDENTICAL pattern — token counts from this
+    * approximate real LLM-tokenizer counts far better than whitespace
+    * splitting (CJK text: one run per script block, not one per line).
+    */
+  val BpeTokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Number of BPE-style pretokens in `text`. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Count of tokens present in `words`. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")

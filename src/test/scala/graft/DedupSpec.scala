@@ -156,6 +156,17 @@ class DedupSpec extends SparkTestBase {
     assert(probed === Set((1L, 2L)), "shipped multi-probe config must find it")
   }
 
+  test("BPE-style pretoken count: contractions split, CJK runs group, digits separate") {
+    val d = docs(
+      (1L, "I don't think so"),          // I / _don / 't / _think / _so
+      (2L, "abc123 def"),                // abc / 123 / _def
+      (3L, "我有一个想法"),               // one CJK letter-run
+      (4L, ""))
+    val counts = d.orderBy("doc_id")
+      .select(TextAnalysis.bpeTokenCount($"text")).as[Long].collect()
+    assert(counts.toSeq === Seq(5L, 3L, 1L, 0L))
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far (hamming)") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
