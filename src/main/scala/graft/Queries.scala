@@ -363,6 +363,33 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // §2.18+24 IVF×SQ8 — the 100 TB configuration: probe nprobe/C of the
+    // data AND scan 1 byte/dim inside the probed cells. Self-verifying with
+    // a provable arm: the SQ8 τ-bound guarantees exactness WITHIN the probed
+    // subset, so the result must equal full-precision IVF at the same
+    // nprobe row-for-row (same centroids, same probe ranking, same
+    // tie-break) — n_same_as_ivf is 10 on any data, and the oracle is a
+    // constant table.
+    "ann_ivf_sq8" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids).cache()
+      val q8 = graft.knn.Quantize.sq8(assigned)
+      val sq = graft.knn.Quantize.searchIvfSq8(spark, q8, centroids, queries, k = 10, nprobe = 4)
+      val ivf = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4)
+      val same = sq.select(col("qid"), col("id"))
+        .join(ivf.select(col("qid"), col("id")), Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_as_ivf"))
+      sq.select(col("qid"), col("id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(same, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_same_as_ivf"))
+        .orderBy("qid")
+    }),
+
     // §2.17 MinHash+LSH near-dedup with exact-Jaccard verify (planted
     // near-duplicate copies; LSH banding recall is exact on them, so the
     // all-pairs oracle matches)
@@ -771,6 +798,10 @@ object Queries {
     "ann_ivf" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS full_probe_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "ann_ivf_sq8" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),

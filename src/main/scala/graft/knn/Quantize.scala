@@ -81,6 +81,31 @@ object Quantize {
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF×SQ8: the 100 TB configuration — probe only each query's nearest
+    * cells AND scan 1 byte/dim inside them. Provably equal to the
+    * full-precision [[Ivf.search]] at the same nprobe: within the probed
+    * subset the [[searchExact]] τ-bound guarantees the exact top-k, and the
+    * probed subset is identical by construction (same centroids, same
+    * probe ranking). `quantized` must carry a `cell` column (from
+    * [[Ivf.assign]]) in addition to the sq8 columns.
+    */
+  def searchIvfSq8(
+      spark: SparkSession,
+      quantized: DataFrame, // sq8(assign(...)): (id, cell, vector, codes, q_scale, q_offset, q_err)
+      centroids: Array[Array[Float]],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val metric = graft.core.Distances.Euclidean
+    // same driver-side probe ranking as Ivf.search
+    val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> centroids.zipWithIndex
+        .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    searchExact(spark, quantized, queries, k, Some(probed))
+  }
+
   /** GUARANTEED-exact two-stage L2 search over SQ8 codes.
     *
     * By the triangle inequality |d(q,v) − d(q,v̂)| ≤ ‖v−v̂‖₂ = e_v, so with
@@ -100,24 +125,46 @@ object Quantize {
       spark: SparkSession,
       quantized: DataFrame, // output of sq8 (id, vector, codes, q_scale, q_offset, q_err)
       queries: Array[(Long, Array[Float])],
-      k: Int): DataFrame = {
+      k: Int,
+      probeCells: Option[Map[Long, Array[Int]]] = None): DataFrame = {
     import spark.implicits._
     val metric = graft.core.Distances.Euclidean
     val kernel = graft.core.Distances.distance(metric) _
     val bcQ = spark.sparkContext.broadcast(queries)
+    // per-query probed-cell mask (null = unrestricted full scan)
+    val nCells = probeCells.map(_.valuesIterator.flatten.foldLeft(0)(math.max) + 1).getOrElse(0)
+    val bcMask: org.apache.spark.broadcast.Broadcast[Array[Array[Boolean]]] =
+      spark.sparkContext.broadcast(queries.map { case (qid, _) =>
+        probeCells.map { pc =>
+          val m = new Array[Boolean](nCells)
+          pc.getOrElse(qid, Array.empty[Int]).foreach(c => if (c < nCells) m(c) = true)
+          m
+        }.orNull
+      })
+    val cellCol =
+      if (probeCells.isDefined) col("cell").cast("int") else lit(-1).cast("int")
     val rows = quantized
-      .select(col("id").cast("long"), col("codes").cast("array<smallint>"),
+      .select(col("id").cast("long"), cellCol.as("cell"), col("codes").cast("array<smallint>"),
         col("q_scale").cast("float"), col("q_offset").cast("float"), col("q_err").cast("double"))
-      .as[(Long, Array[Short], Float, Float, Double)]
+      .as[(Long, Int, Array[Short], Float, Float, Double)]
+
+    @inline def allowed(mask: Array[Array[Boolean]], qi: Int, cell: Int): Boolean = {
+      val m = mask(qi)
+      m == null || (cell >= 0 && cell < m.length && m(cell))
+    }
 
     // Pass 1: per-query kth-smallest upper bound over per-partition heaps.
     val ubCandidates = rows.mapPartitions { iter =>
       val qs = bcQ.value
+      val mask = bcMask.value
       val heaps = Array.fill(qs.length)(new TopK(k))
-      iter.foreach { case (id, codes, scale, offset, err) =>
+      iter.foreach { case (id, cell, codes, scale, offset, err) =>
         val vhat = dequantizeArr(codes, scale, offset)
         var qi = 0
-        while (qi < qs.length) { heaps(qi).push(kernel(vhat, qs(qi)._2) + err, id); qi += 1 }
+        while (qi < qs.length) {
+          if (allowed(mask, qi, cell)) heaps(qi).push(kernel(vhat, qs(qi)._2) + err, id)
+          qi += 1
+        }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
         h.sorted.iterator.map { case (ub, _) => (qs(qi)._1, ub) }
@@ -139,14 +186,15 @@ object Quantize {
     val bcTau = spark.sparkContext.broadcast(tau)
     val candidates = rows.mapPartitions { iter =>
       val qs = bcQ.value
+      val mask = bcMask.value
       val taus = qs.map { q =>
         val t = bcTau.value.getOrElse(q._1, Double.NegativeInfinity)
         if (t.isInfinite) t else t + q._2.length * math.ulp(t)
       }
-      iter.flatMap { case (id, codes, scale, offset, err) =>
+      iter.flatMap { case (id, cell, codes, scale, offset, err) =>
         val vhat = dequantizeArr(codes, scale, offset)
         qs.indices.iterator
-          .filter(qi => kernel(vhat, qs(qi)._2) - err <= taus(qi))
+          .filter(qi => allowed(mask, qi, cell) && kernel(vhat, qs(qi)._2) - err <= taus(qi))
           .map(qi => (qs(qi)._1, id))
       }
     }.toDF("qid", "id")

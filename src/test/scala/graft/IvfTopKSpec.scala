@@ -122,6 +122,24 @@ class QuantizeSpec extends SparkTestBase {
     assert(avg >= 0.95, s"recall $avg")
   }
 
+  test("IVF×SQ8 equals full-precision IVF row-for-row at every nprobe") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def resultMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val q8 = graft.knn.Quantize.sq8(assigned)
+    Seq(2, 4, 8, c).foreach { np =>
+      val sq = resultMap(graft.knn.Quantize.searchIvfSq8(spark, q8, centroids, queries, k = 10, nprobe = np))
+      val ivf = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = np))
+      assert(sq === ivf, s"nprobe=$np: SQ8-within-cells diverged from full-precision IVF")
+    }
+  }
+
   test("SQ8 bounded searchExact equals brute force exactly (recall 1.0)") {
     val queries = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter("vec_id < 10").collect()
