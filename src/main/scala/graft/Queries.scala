@@ -298,6 +298,36 @@ object Queries {
       recallSummary(approx, Knn.bruteForce(data, queriesDf, 10, "euclidean"), 10, minHits = 9)
     }),
 
+    // §2.8-13 filtered ANN: per-partition HNSW search constrained to ids
+    // passing an arbitrary predicate (tombstone mechanics generalized;
+    // filtered-out vertices stay as through-nodes), scored against the
+    // exact kNN over the filtered data — closed-form oracle
+    "hnsw_filtered" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val approx = HnswSpark.searchFiltered(spark, data, queries, 10, _ % 7 != 0,
+        "euclidean", HnswConfig(ef = 100), numPartitions = 4, efOverride = 150)
+      val exact = Knn.bruteForce(data.filter(col("id") % 7 =!= 0), queriesDf, 10, "euclidean")
+      recallSummary(approx, exact, 10, minHits = 9)
+    }),
+
+    // §2.12+14 persisted-artifact search: build per-partition graphs, save
+    // the binary artifacts (v2 format), search the SAVED graphs — the
+    // reference's build-once/serve-many path (`hnsw_persistence.go` +
+    // `dataset.go:390`), recall-scored with a closed-form oracle
+    "hnsw_persisted" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("hnsw_persisted_q").toString
+      HnswSpark.buildAndSave(spark, data, out, config = HnswConfig(ef = 100), numPartitions = 4)
+      val approx = HnswSpark.searchSaved(spark, out, queries, 10)
+      recallSummary(approx, Knn.bruteForce(data, queriesDf, 10, "euclidean"), 10, minHits = 9)
+    }),
+
     // §2.8-14 HNSW with per-vertex metadata riding inside the graph
     // (reference Insert carries metadata, hnsw.go:80; results return it,
     // hnsw.go:242): metadata = UTF-8 label bytes, verified in-query against
@@ -791,6 +821,8 @@ object Queries {
     "vec_codec_roundtrip" ->
       "SELECT vec_id, CAST(0 AS BIGINT) AS n_mismatch, CAST(4*len(embedding) AS BIGINT) AS n_bytes FROM embeddings ORDER BY vec_id",
     "hnsw_search" -> recallOracle(5, 10),
+    "hnsw_filtered" -> recallOracle(5, 10),
+    "hnsw_persisted" -> recallOracle(5, 10),
     "hnsw_with_meta" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(0 AS BIGINT) AS n_meta_mismatch, CAST(1 AS BIGINT) AS recall_ok

@@ -90,6 +90,50 @@ object HnswSpark {
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Filtered approximate kNN: per-partition HNSW search returning only ids
+    * that satisfy `allow` (reference tombstone mechanics generalized to
+    * arbitrary predicates — filtered-out vertices still serve as
+    * through-nodes). `efOverride` widens the level-0 beam so enough allowed
+    * candidates survive selective filters.
+    */
+  def searchFiltered(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      allow: Long => Boolean,
+      metric: String = "euclidean",
+      config: HnswConfig = HnswConfig(),
+      numPartitions: Int = 0,
+      efOverride: Int = 0): DataFrame = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val pre = data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+    val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
+
+    val candidates = parts
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val items = iter.toArray.sortBy(_._1)
+        if (items.isEmpty) Iterator.empty
+        else {
+          val index = new HnswIndex(m, config)
+          items.foreach { case (id, v) => index.add(id, v) }
+          val qs = bc.value
+          qs.iterator.flatMap { case (qid, qv) =>
+            index.searchFiltered(qv, k, allow, efOverride).iterator
+              .map { case (id, d) => (qid, id, d) }
+          }
+        }
+      }
+      .toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Build per-partition graphs and persist each as a binary artifact under
     * `outDir/part-<pid>.hnsw` (reference `index/hnsw_persistence.go` — the
     * built index is an output, not a transient). Returns per-partition sizes.

@@ -37,6 +37,22 @@ object RecallProbe {
 
       hits("hnsw ef=100", HnswSpark.search(spark, data, queries, 10, "euclidean",
         HnswConfig(ef = 100), numPartitions = 4))
+
+      // filtered search: allow id % 7 != 0, exact side on the filtered data
+      val exactFiltered = Knn.bruteForce(data.filter(col("id") % 7 =!= 0), queriesDf, 10, "euclidean")
+        .select("qid", "id")
+      val hf = HnswSpark.searchFiltered(spark, data, queries, 10, _ % 7 != 0,
+          "euclidean", HnswConfig(ef = 100), numPartitions = 4, efOverride = 150)
+        .select(col("qid"), col("id"))
+        .join(exactFiltered.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+        .groupBy("qid").agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .orderBy("qid").collect()
+      println(s"$dir hnsw filtered: " + hf.map(r => s"q${r.getLong(0)}=${r.getLong(2)}/${r.getLong(1)}").mkString(" "))
+
+      // persisted-artifact search
+      val out = java.nio.file.Files.createTempDirectory("probe_hnsw").toString
+      HnswSpark.buildAndSave(spark, data, out, config = HnswConfig(ef = 100), numPartitions = 4)
+      hits("hnsw searchSaved", HnswSpark.searchSaved(spark, out, queries, 10))
       Seq(1, 2).foreach { iters =>
         val centroids = Ivf.train(spark, data, c = 16, iterations = iters)
         val assigned = Ivf.assign(spark, data, centroids).cache()
