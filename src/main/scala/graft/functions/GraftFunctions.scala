@@ -101,6 +101,8 @@ object GraftFunctionRegistry {
     "simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
     "shingle_hash_set" -> ((args: Seq[Expression]) => ShingleHashSet(args(0), 3)),
     "sorted_intersect_count" -> ((args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    "dist_simd" -> ((args: Seq[Expression]) => SimdDistance(args(0), args(1), graft.core.Distances.Euclidean)),
+    "nibble_histogram" -> ((args: Seq[Expression]) => NibbleHistogram(args(0), args(1))),
   )
 
   /** Idempotently register all graft functions on a session. */

@@ -126,6 +126,11 @@ class VectorFunctionsSpec extends SparkTestBase {
     val d = spark.sql("SELECT dist_euclidean(array(1.0F, 2.0F, 2.0F), array(0.0F, 0.0F, 0.0F)) AS d")
       .as[Double].head()
     assert(d === 3.0)
+    val s = spark.sql("SELECT dist_simd(array(1.0F, 2.0F, 2.0F), array(0.0F, 0.0F, 0.0F)) AS d")
+      .as[Double].head()
+    assert(math.abs(s - 3.0) < 1e-6)
+    val h = spark.sql("SELECT nibble_histogram(X'00F0', 2) AS h").as[Seq[Long]].head()
+    assert(h(0) === 1L && h(15) === 1L && h.sum === 2L)
   }
 
   test("SparkSessionExtensions injection registers functions at session build") {
