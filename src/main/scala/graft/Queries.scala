@@ -97,6 +97,41 @@ object Queries {
     s"SELECT vec_id AS qid, CAST($k AS BIGINT) AS k, CAST($k AS BIGINT) AS n_results, " +
       s"CAST(1 AS BIGINT) AS recall_ok FROM embeddings WHERE vec_id < $nQueries ORDER BY qid"
 
+  /** Replay the events table through a file-stream source into a windowed
+    * streaming aggregation (AvailableNow trigger, complete-mode memory
+    * sink), returning the converged result keyed by 300-second buckets of
+    * each window's start. The agg state is distributed; only the
+    * windows×types result lands on the driver.
+    */
+  private def streamEventsReplay(spark: SparkSession, dir: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source wants a directory: expose the single parquet
+    // file through a temp dir symlink (testdata itself is read-only)
+    val streamDir = java.nio.file.Files.createTempDirectory("stream_ev_src")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    // nanos → micros timestamp: truncation (< 1µs) cannot cross a 300s
+    // window boundary, so buckets equal the batch formulation's ts div 3e11
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = "stream_ev_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ev_ckpt").toString
+    val q = agg(stream).writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("event_type"),
+        (unix_timestamp(col("window.start")) / 300).cast("long").as("bucket"),
+        col("n"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("event_type", "bucket")
+  }
+
   // ---------------------------------------------------------------- queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -296,6 +331,31 @@ object Queries {
       val approx = HnswSpark.search(spark, data, queries, 10, "euclidean",
         HnswConfig(ef = 100), numPartitions = 4)
       recallSummary(approx, Knn.bruteForce(data, queriesDf, 10, "euclidean"), 10, minHits = 9)
+    }),
+
+    // §2.9 heuristic neighbor selection + candidate extension
+    // (hnsw.go:369-417), recall-scored like hnsw_search — the non-default
+    // selection path gets its own hash-checked row
+    "hnsw_heuristic" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val approx = HnswSpark.search(spark, data, queries, 10, "euclidean",
+        HnswConfig(ef = 100, heuristic = true, extendCandidates = true), numPartitions = 4)
+      recallSummary(approx, Knn.bruteForce(data, queriesDf, 10, "euclidean"), 10, minHits = 9)
+    }),
+
+    // §2.3+8 HNSW under the cosine metric (space.go:64 through the graph
+    // path), recall-scored against the exact cosine kNN
+    "hnsw_cosine" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val approx = HnswSpark.search(spark, data, queries, 10, "cosine",
+        HnswConfig(ef = 100), numPartitions = 4)
+      recallSummary(approx, Knn.bruteForce(data, queriesDf, 10, "cosine"), 10, minHits = 9)
     }),
 
     // §2.8-13 filtered ANN: per-partition HNSW search constrained to ids
@@ -687,39 +747,19 @@ object Queries {
     }),
 
     // §2.21 streaming ingestion, oracled: the SAME events land via a file
-    // stream source → watermarked tumbling-window aggregation
-    // (StreamingOps.windowedEventStats) → AvailableNow trigger, and the
-    // final result must hash-match the batch events_window oracle. Only the
-    // aggregated output (bounded by windows × event types) reaches the
-    // driver via the memory sink; the aggregation state is distributed.
-    "stream_events_window" -> ((spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$dir/events.parquet"
-      val schema = spark.read.parquet(path).schema
-      // the file stream source wants a directory: expose the single parquet
-      // file through a temp dir symlink (testdata itself is read-only)
-      val streamDir = java.nio.file.Files.createTempDirectory("stream_ew_src")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      // nanos → micros timestamp: truncation (< 1µs) cannot cross a 300s
-      // window boundary, so buckets equal the batch formulation's ts div 3e11
-      val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = graft.streaming.StreamingOps.windowedEventStats(stream, "5 minutes", "10 minutes")
-      val name = "stream_ew_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_ew_ckpt").toString
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
-        .select(col("event_type"),
-          (unix_timestamp(col("window.start")) / 300).cast("long").as("bucket"),
-          col("n"), round(col("sum_value"), 4).as("sum_value"))
-        .orderBy("event_type", "bucket")
-    }),
+    // stream source → watermarked window aggregation → AvailableNow
+    // trigger, and the converged result must hash-match the batch oracle.
+    // Only the aggregated output (bounded by windows × event types) reaches
+    // the driver via the memory sink; the aggregation state is distributed.
+    "stream_events_window" -> ((spark, dir) =>
+      streamEventsReplay(spark, dir)(
+        graft.streaming.StreamingOps.windowedEventStats(_, "5 minutes", "10 minutes"))),
+
+    // §2.21 sliding windows: 10-minute windows sliding every 5 — each event
+    // lands in exactly two windows; the batch oracle unnests both buckets
+    "stream_events_sliding" -> ((spark, dir) =>
+      streamEventsReplay(spark, dir)(
+        graft.streaming.StreamingOps.slidingEventStats(_, "10 minutes", "5 minutes", "10 minutes"))),
 
     "events_window" -> ((spark, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
@@ -821,6 +861,8 @@ object Queries {
     "vec_codec_roundtrip" ->
       "SELECT vec_id, CAST(0 AS BIGINT) AS n_mismatch, CAST(4*len(embedding) AS BIGINT) AS n_bytes FROM embeddings ORDER BY vec_id",
     "hnsw_search" -> recallOracle(5, 10),
+    "hnsw_heuristic" -> recallOracle(5, 10),
+    "hnsw_cosine" -> recallOracle(5, 10),
     "hnsw_filtered" -> recallOracle(5, 10),
     "hnsw_persisted" -> recallOracle(5, 10),
     "hnsw_with_meta" ->
@@ -1000,6 +1042,13 @@ object Queries {
       """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding 10m/5m: each event lands in window-start buckets
+    // floor(epoch/300) and floor(epoch/300) - 1
+    "stream_events_sliding" ->
+      """WITH x AS (SELECT event_type, value, CAST(floor(epoch(ts) / 300) AS BIGINT) AS b FROM events),
+        |e AS (SELECT event_type, value, b - o AS bucket FROM x CROSS JOIN (SELECT unnest([0, 1]) AS o))
+        |SELECT event_type, bucket, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

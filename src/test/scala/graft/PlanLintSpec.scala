@@ -8,11 +8,11 @@ class PlanLintSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // stream_events_window starts a streaming query on construction; its plan
-  // is the (already linted) windowed aggregation, skip the side effect here
+  // stream_* entries start a streaming query on construction; their plans
+  // are the (already linted) windowed aggregations, skip the side effect
   private def plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1 == "stream_events_window")
+      .filterNot(_._1.startsWith("stream_"))
       .map { case (name, fn) =>
         name -> fn(spark, dir).queryExecution.executedPlan.toString
       }

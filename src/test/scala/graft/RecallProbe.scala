@@ -38,6 +38,17 @@ object RecallProbe {
       hits("hnsw ef=100", HnswSpark.search(spark, data, queries, 10, "euclidean",
         HnswConfig(ef = 100), numPartitions = 4))
 
+      hits("hnsw heuristic+extend", HnswSpark.search(spark, data, queries, 10, "euclidean",
+        HnswConfig(ef = 100, heuristic = true, extendCandidates = true), numPartitions = 4))
+      val exactCos = Knn.bruteForce(data, queriesDf, 10, "cosine").select("qid", "id")
+      val hc = HnswSpark.search(spark, data, queries, 10, "cosine",
+          HnswConfig(ef = 100), numPartitions = 4)
+        .select(col("qid"), col("id"))
+        .join(exactCos.withColumn("hit", lit(1L)), Seq("qid", "id"), "left")
+        .groupBy("qid").agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .orderBy("qid").collect()
+      println(s"$dir hnsw cosine: " + hc.map(r => s"q${r.getLong(0)}=${r.getLong(2)}/${r.getLong(1)}").mkString(" "))
+
       // filtered search: allow id % 7 != 0, exact side on the filtered data
       val exactFiltered = Knn.bruteForce(data.filter(col("id") % 7 =!= 0), queriesDf, 10, "euclidean")
         .select("qid", "id")
