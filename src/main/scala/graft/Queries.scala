@@ -761,6 +761,86 @@ object Queries {
       streamEventsReplay(spark, dir)(
         graft.streaming.StreamingOps.slidingEventStats(_, "10 minutes", "5 minutes", "10 minutes"))),
 
+    // §2.16+21 streaming exact dedup: documents (plus planted copies of
+    // doc_id < 50) replay as a stream; dropDuplicatesWithinWatermark keeps
+    // one row per content digest, so the emitted digest SET equals the
+    // batch distinct-digest answer no matter which copy won the race
+    "stream_dedup" -> ((spark, dir) => {
+      val path = s"$dir/documents.parquet"
+      val schema = spark.read.parquet(path).schema
+      val streamDir = java.nio.file.Files.createTempDirectory("stream_dd_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+      val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val docs = src.select(explode(when(col("doc_id") < 50,
+            array(struct(col("doc_id").as("doc_id"), col("text").as("text")),
+              struct((col("doc_id") + 100000).as("doc_id"), col("text").as("text"))))
+          .otherwise(array(struct(col("doc_id").as("doc_id"), col("text").as("text")))))
+          .as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+        // constant event time ABOVE the initial watermark (epoch 0): an
+        // event at exactly the watermark is dropped as late, never emitted
+        .withColumn("ts", timestamp_micros(lit(1700000000000000L)))
+      val deduped = graft.streaming.StreamingOps.dedupStream(docs, "10 minutes")
+      val name = "stream_dd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_dd_ckpt").toString
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).select(col("digest")).distinct().orderBy("digest")
+    }),
+
+    // §2.15+21 stateful streaming upserts (mapGroupsWithState): the
+    // embeddings table replays as a mutation stream — an upsert@v1 for
+    // every id, plus a remove@v2 for ids ≡ 0 (mod 7) — through
+    // latestVectorState; the final state per id (highest version wins,
+    // tombstone on remove) is closed-form predictable from the source
+    // table, so the oracle is exact regardless of micro-batch boundaries.
+    "stream_vector_state" -> ((spark, dir) => {
+      import spark.implicits._
+      val path = s"$dir/embeddings.parquet"
+      val schema = spark.read.parquet(path).schema
+      val streamDir = java.nio.file.Files.createTempDirectory("stream_vs_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("embeddings.parquet"), java.nio.file.Paths.get(path))
+      val ops = spark.readStream.schema(schema).parquet(streamDir.toString)
+        .select(explode(when(col("vec_id") % 7 === 0,
+            array(
+              struct(col("vec_id").as("id"), lit("upsert").as("op"),
+                col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")),
+              struct(col("vec_id").as("id"), lit("remove").as("op"),
+                array().cast("array<float>").as("vector"), lit(2L).as("version"))))
+          .otherwise(array(
+            struct(col("vec_id").as("id"), lit("upsert").as("op"),
+              col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")))))
+          .as("o"))
+        .select(col("o.id"), col("o.op"), col("o.vector"), col("o.version"))
+        .as[graft.streaming.StreamingOps.VectorOp]
+      val state = graft.streaming.StreamingOps.latestVectorState(spark, ops).toDF()
+      val name = "stream_vs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_vs_ckpt").toString
+      val q = state.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // update mode may emit an id once per micro-batch touching it; the
+      // final state is the highest-version row per id (deterministic
+      // whatever the batch boundaries were)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("version").desc)
+      spark.table(name)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("id"), col("version"),
+          col("deleted").cast("long").as("deleted"),
+          size(col("vector")).cast("long").as("dim"))
+        .orderBy("id")
+    }),
+
     "events_window" -> ((spark, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
       // type, so read it as raw nanos (long) and bucket with exact integer
@@ -1042,6 +1122,17 @@ object Queries {
       """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the emitted digest set equals the batch distinct digests (planted
+    // copies share digests with their originals, so they add none)
+    "stream_dedup" ->
+      "SELECT md5(text) AS digest FROM documents GROUP BY 1 ORDER BY 1",
+    // latest-wins state: closed-form from the mutation synthesis rule
+    "stream_vector_state" ->
+      """SELECT vec_id AS id,
+        |  CAST(CASE WHEN vec_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  CAST(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS deleted,
+        |  CAST(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE len(embedding) END AS BIGINT) AS dim
+        |FROM embeddings ORDER BY id""".stripMargin,
     // sliding 10m/5m: each event lands in window-start buckets
     // floor(epoch/300) and floor(epoch/300) - 1
     "stream_events_sliding" ->
