@@ -761,6 +761,41 @@ object Queries {
       streamEventsReplay(spark, dir)(
         graft.streaming.StreamingOps.slidingEventStats(_, "10 minutes", "5 minutes", "10 minutes"))),
 
+    // §2.21 watermarked stream-stream inner join: the event stream enriched
+    // against itself as a bounded-skew attribute stream — every (event,
+    // prior-event-of-same-user-within-10min) pair emits exactly once, so
+    // the per-user pair count equals the batch range-join answer (both
+    // engines compare µs-truncated times)
+    "stream_join" -> ((spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val streamDir = java.nio.file.Files.createTempDirectory("stream_sj_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      // user subset: the per-user pair count is quadratic in window
+      // occupancy — a bounded slice keeps the replay representative at any
+      // SF (the oracle applies the same slice)
+      val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+        .filter(col("user_id") % 10 === 0)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val events = src.select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      val users = src.select(col("ts").as("u_ts"), col("user_id"),
+        (col("user_id") % 5).as("segment"))
+      val joined = graft.streaming.StreamingOps.enrichedEvents(events, users, "10 minutes")
+      val name = "stream_sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_sj_ckpt").toString
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // §2.16+21 streaming exact dedup: documents (plus planted copies of
     // doc_id < 50) replay as a stream; dropDuplicatesWithinWatermark keeps
     // one row per content digest, so the emitted digest SET equals the
@@ -1122,6 +1157,14 @@ object Queries {
       """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-user count of (event, same-user event within the prior 10 min)
+    // pairs; µs-truncated time arithmetic mirrors the Spark side exactly
+    "stream_join" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events WHERE user_id % 10 = 0),
+        |u AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events WHERE user_id % 10 = 0)
+        |SELECT e.user_id, count(*) AS n_pairs
+        |FROM e JOIN u ON e.user_id = u.user_id AND u.t >= e.t - 600000000 AND u.t <= e.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the emitted digest set equals the batch distinct digests (planted
     // copies share digests with their originals, so they add none)
     "stream_dedup" ->
