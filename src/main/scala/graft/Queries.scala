@@ -828,6 +828,49 @@ object Queries {
       spark.table(name).select(col("digest")).distinct().orderBy("digest")
     }),
 
+    // §2.21 continuous index maintenance end-to-end: the synthesized
+    // mutation stream (upsert@v1 all ids, remove@v2 for ids ≡ 0 mod 7)
+    // drives hnswMaintenanceSink via foreachBatch — per-partition graphs
+    // are created/updated/tombstoned on disk — then the SAVED graphs are
+    // searched and recall-scored against the exact kNN over the surviving
+    // ids. Closed-form oracle.
+    "stream_hnsw_maintenance" -> ((spark, dir) => {
+      import spark.implicits._
+      val path = s"$dir/embeddings.parquet"
+      val schema = spark.read.parquet(path).schema
+      val streamDir = java.nio.file.Files.createTempDirectory("stream_hm_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("embeddings.parquet"), java.nio.file.Paths.get(path))
+      val ops = spark.readStream.schema(schema).parquet(streamDir.toString)
+        .select(explode(when(col("vec_id") % 7 === 0,
+            array(
+              struct(col("vec_id").as("id"), lit("upsert").as("op"),
+                col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")),
+              struct(col("vec_id").as("id"), lit("remove").as("op"),
+                array().cast("array<float>").as("vector"), lit(2L).as("version"))))
+          .otherwise(array(
+            struct(col("vec_id").as("id"), lit("upsert").as("op"),
+              col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")))))
+          .as("o"))
+        .select(col("o.id"), col("o.op"), col("o.vector"), col("o.version"))
+        .as[graft.streaming.StreamingOps.VectorOp]
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_hm_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_hm_ckpt").toString
+      val sink = graft.streaming.StreamingOps.hnswMaintenanceSink(idxDir, 4, HnswConfig(ef = 100))
+      val q = ops.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val approx = HnswSpark.searchSaved(spark, idxDir, queries, 10)
+      val exact = Knn.bruteForce(data.filter(col("id") % 7 =!= 0), queriesDf, 10, "euclidean")
+      recallSummary(approx, exact, 10, minHits = 9)
+    }),
+
     // §2.15+21 stateful streaming upserts (mapGroupsWithState): the
     // embeddings table replays as a mutation stream — an upsert@v1 for
     // every id, plus a remove@v2 for ids ≡ 0 (mod 7) — through
@@ -980,6 +1023,7 @@ object Queries {
     "hnsw_cosine" -> recallOracle(5, 10),
     "hnsw_filtered" -> recallOracle(5, 10),
     "hnsw_persisted" -> recallOracle(5, 10),
+    "stream_hnsw_maintenance" -> recallOracle(5, 10),
     "hnsw_with_meta" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(0 AS BIGINT) AS n_meta_mismatch, CAST(1 AS BIGINT) AS recall_ok

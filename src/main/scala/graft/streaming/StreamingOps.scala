@@ -112,7 +112,8 @@ object StreamingOps {
     */
   def hnswMaintenanceSink(
       indexDir: String,
-      numPartitions: Int): (Dataset[VectorOp], Long) => Unit = { (batch, _) =>
+      numPartitions: Int,
+      config: graft.hnsw.HnswConfig = graft.hnsw.HnswConfig()): (Dataset[VectorOp], Long) => Unit = { (batch, _) =>
     val spark = batch.sparkSession
     // fully distributed routing — the batch never lands on the driver, so a
     // burst micro-batch is bounded by executor memory, not driver memory
@@ -130,7 +131,8 @@ object StreamingOps {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col("op") === "upsert")
         .select("id", "vector")
-      graft.hnsw.HnswSpark.appendAndSave(spark, upserts, indexDir, numPartitions)
+      graft.hnsw.HnswSpark.appendAndSave(spark, upserts, indexDir, numPartitions,
+        config = config)
     } finally ops.unpersist()
   }
 
