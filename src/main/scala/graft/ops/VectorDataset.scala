@@ -86,9 +86,15 @@ final class VectorDataset private (
     graft.knn.Quantize.search(spark,
       graft.knn.Quantize.sq8(data.select("id", "vector")), queries, k, overscan, metric)
 
-  /** Persist per-partition HNSW index artifacts (hnsw_persistence.go). */
-  def buildIndex(outDir: String, config: HnswConfig = HnswConfig()): Array[(Int, Int)] =
-    HnswSpark.buildAndSave(spark, data.select("id", "vector"), outDir, metric, config, numPartitions)
+  /** Persist per-partition HNSW index artifacts (hnsw_persistence.go). A
+    * `metadata` column, when present, rides into the graph vertices and the
+    * v2 persistence format.
+    */
+  def buildIndex(outDir: String, config: HnswConfig = HnswConfig()): Array[(Int, Int)] = {
+    val cols = if (data.columns.contains("metadata")) Seq("id", "vector", "metadata")
+               else Seq("id", "vector")
+    HnswSpark.buildAndSave(spark, data.select(cols.head, cols.tail: _*), outDir, metric, config, numPartitions)
+  }
 
   def save(path: String): Unit =
     data.write.mode("overwrite").parquet(path)

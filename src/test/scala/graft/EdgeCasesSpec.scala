@@ -65,6 +65,22 @@ class EdgeCasesSpec extends SparkTestBase {
       "pathological bucket must collapse to n-1 star pairs through the representative")
   }
 
+  test("NibbleHistogram: empty payload, covered clamped to payload length, negative covered") {
+    val rows = Seq(
+      (1L, Array.empty[Byte], 4),
+      (2L, Array[Byte](0x00, 0xF0.toByte), 100), // covered > length → clamp
+      (3L, Array[Byte](0x10, 0x20), -1))         // negative → empty histogram
+      .toDF("id", "payload", "covered")
+    val h = rows.orderBy("id").select(graft.internal.SqlBridge.column(
+        graft.functions.NibbleHistogram(
+          graft.internal.SqlBridge.expression(col("payload")),
+          graft.internal.SqlBridge.expression(col("covered")))))
+      .as[Seq[Long]].collect()
+    assert(h(0).sum === 0L)
+    assert(h(1)(0) === 1L && h(1)(15) === 1L && h(1).sum === 2L)
+    assert(h(2).sum === 0L)
+  }
+
   test("TopK with k=0 accepts pushes and stays empty") {
     val t = new graft.knn.TopK(0)
     t.push(1.0, 1L)
