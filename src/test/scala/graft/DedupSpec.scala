@@ -181,6 +181,17 @@ class DedupSpec extends SparkTestBase {
     assert(near <= 12)
   }
 
+  test("grouped ngram-jaccard formulation equals the join formulation exactly") {
+    val d = (0L until 60L).map { i =>
+      (i, s"g${i % 4}", s"tok${i % 7}a tok${i % 5}b tok${i % 3}c common words here tok${i}d")
+    }.toDF("doc_id", "source", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+        .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(canon(Dedup.ngramJaccardPairs(d, "source")) ===
+      canon(Dedup.ngramJaccardPairsGrouped(d, "source")))
+  }
+
   test("ngram jaccard within bucket computes exact set similarity") {
     val d = Seq(
       (1L, "g1", "a b c d e"),
