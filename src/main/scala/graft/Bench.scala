@@ -22,7 +22,7 @@ object Bench {
     // whatever else the machine is doing — round-over-round regressions are
     // only attributable when environment drift is squeezed out of the
     // measurement. The min is the statistic least sensitive to load spikes.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

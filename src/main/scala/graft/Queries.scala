@@ -97,35 +97,68 @@ object Queries {
     s"SELECT vec_id AS qid, CAST($k AS BIGINT) AS k, CAST($k AS BIGINT) AS n_results, " +
       s"CAST(1 AS BIGINT) AS recall_ok FROM embeddings WHERE vec_id < $nQueries ORDER BY qid"
 
-  /** Replay the events table through a file-stream source into a windowed
-    * streaming aggregation (AvailableNow trigger, complete-mode memory
-    * sink), returning the converged result keyed by 300-second buckets of
-    * each window's start. The agg state is distributed; only the
-    * windows×types result lands on the driver.
+  /** File-stream source over one testdata table: the source wants a
+    * directory, so the single parquet file is exposed through a temp-dir
+    * symlink (testdata itself is read-only; the target is absolutized so a
+    * relative sfDir doesn't leave the symlink dangling).
     */
-  private def streamEventsReplay(spark: SparkSession, dir: String)(
-      agg: DataFrame => DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // the file stream source wants a directory: expose the single parquet
-    // file through a temp dir symlink (testdata itself is read-only)
-    val streamDir = java.nio.file.Files.createTempDirectory("stream_ev_src")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    // nanos → micros timestamp: truncation (< 1µs) cannot cross a 300s
-    // window boundary, so buckets equal the batch formulation's ts div 3e11
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val name = "stream_ev_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_ev_ckpt").toString
-    val q = agg(stream).writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+  private def streamTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val target = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath
+    val schema = spark.read.parquet(target.toString).schema
+    val streamDir = java.nio.file.Files.createTempDirectory(s"stream_src_$table")
+    java.nio.file.Files.createSymbolicLink(streamDir.resolve(s"$table.parquet"), target)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow trigger, memory
+    * sink) and return the converged result. Only the result table lands on
+    * the driver; all operator state is distributed.
+    */
+  private def runStream(spark: SparkSession, df: DataFrame, mode: String, prefix: String): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${prefix}ckpt").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** The synthesized mutation stream shared by the stateful streaming rows:
+    * an upsert@v1 for every id, plus a remove@v2 for ids ≡ 0 (mod 7) —
+    * closed-form predictable final state whatever the batch boundaries.
+    */
+  private def mutationOps(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    streamTable(spark, dir, "embeddings")
+      .select(explode(when(col("vec_id") % 7 === 0,
+          array(
+            struct(col("vec_id").as("id"), lit("upsert").as("op"),
+              col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")),
+            struct(col("vec_id").as("id"), lit("remove").as("op"),
+              array().cast("array<float>").as("vector"), lit(2L).as("version"))))
+        .otherwise(array(
+          struct(col("vec_id").as("id"), lit("upsert").as("op"),
+            col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")))))
+        .as("o"))
+      .select(col("o.id"), col("o.op"), col("o.vector"), col("o.version"))
+      .as[graft.streaming.StreamingOps.VectorOp]
+  }
+
+  /** Replay the events table through a file-stream source into a windowed
+    * streaming aggregation, returning the converged result keyed by
+    * 300-second buckets of each window's start.
+    */
+  private def streamEventsReplay(spark: SparkSession, dir: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos → micros timestamp: truncation (< 1µs) cannot cross a 300s
+    // window boundary, so buckets equal the batch formulation's ts div 3e11
+    val stream = streamTable(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    runStream(spark, agg(stream), "complete", "stream_ev_")
       .select(col("event_type"),
         (unix_timestamp(col("window.start")) / 300).cast("long").as("bucket"),
         col("n"), round(col("sum_value"), 4).as("sum_value"))
@@ -147,10 +180,15 @@ object Queries {
     // oracle-checked dist_* queries stay on the exact kernel.
     "dist_simd_check" -> ((spark, dir) => {
       val df = withQueryVec(spark, dir)
+      // cosine needs an ABSOLUTE tolerance term sized to float accumulation
+      // (error ~1e-7 relative to the norms product, i.e. to 1 — NOT to the
+      // possibly-tiny cosine distance); the magnitude-scaled metrics keep
+      // the relative term as the lead
       def ok(metric: String) = {
         val s = vec.distSimd(col("embedding"), col("qv"), metric)
         val x = vec.dist(col("embedding"), col("qv"), metric)
-        when(abs(s - x) <= lit(1e-4) * abs(x) + lit(1e-9), lit(1L)).otherwise(lit(0L))
+        val absTol = if (metric == "cosine") 1e-5 else 1e-9
+        when(abs(s - x) <= lit(1e-4) * abs(x) + lit(absTol), lit(1L)).otherwise(lit(0L))
       }
       df.select(col("vec_id"),
           ok("euclidean").as("ok_euclidean"),
@@ -482,7 +520,13 @@ object Queries {
 
     // §2.17 MinHash+LSH near-dedup with exact-Jaccard verify (planted
     // near-duplicate copies; LSH banding recall is exact on them, so the
-    // all-pairs oracle matches)
+    // all-pairs oracle matches). The default skew cap (4096) cannot bite
+    // here at any SF: planted dup classes are 40 docs and unrelated docs
+    // share a band hash only by 64-bit collision — the oracle's all-pairs
+    // semantics hold. In a corpus with >cap boilerplate buckets the guard
+    // intentionally trades those buckets' pair completeness for bounded
+    // C(n,2) growth (star pairs remain Jaccard-verified, so no false
+    // pairs, only possible misses there).
     "dedup_minhash_lsh" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val copies = docs.filter(col("doc_id") < 40)
@@ -768,30 +812,17 @@ object Queries {
     // engines compare µs-truncated times)
     "stream_join" -> ((spark, dir) => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$dir/events.parquet"
-      val schema = spark.read.parquet(path).schema
-      val streamDir = java.nio.file.Files.createTempDirectory("stream_sj_src")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
       // user subset: the per-user pair count is quadratic in window
       // occupancy — a bounded slice keeps the replay representative at any
       // SF (the oracle applies the same slice)
-      val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val src = streamTable(spark, dir, "events")
         .filter(col("user_id") % 10 === 0)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val events = src.select(col("ts"), col("user_id"), col("event_type"), col("value"))
       val users = src.select(col("ts").as("u_ts"), col("user_id"),
         (col("user_id") % 5).as("segment"))
       val joined = graft.streaming.StreamingOps.enrichedEvents(events, users, "10 minutes")
-      val name = "stream_sj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_sj_ckpt").toString
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
+      runStream(spark, joined, "append", "stream_sj_")
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
@@ -801,12 +832,7 @@ object Queries {
     // one row per content digest, so the emitted digest SET equals the
     // batch distinct-digest answer no matter which copy won the race
     "stream_dedup" -> ((spark, dir) => {
-      val path = s"$dir/documents.parquet"
-      val schema = spark.read.parquet(path).schema
-      val streamDir = java.nio.file.Files.createTempDirectory("stream_dd_src")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
-      val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val src = streamTable(spark, dir, "documents")
       val docs = src.select(explode(when(col("doc_id") < 50,
             array(struct(col("doc_id").as("doc_id"), col("text").as("text")),
               struct((col("doc_id") + 100000).as("doc_id"), col("text").as("text"))))
@@ -817,15 +843,8 @@ object Queries {
         // event at exactly the watermark is dropped as late, never emitted
         .withColumn("ts", timestamp_micros(lit(1700000000000000L)))
       val deduped = graft.streaming.StreamingOps.dedupStream(docs, "10 minutes")
-      val name = "stream_dd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_dd_ckpt").toString
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name).select(col("digest")).distinct().orderBy("digest")
+      runStream(spark, deduped, "append", "stream_dd_")
+        .select(col("digest")).distinct().orderBy("digest")
     }),
 
     // §2.21 continuous index maintenance end-to-end: the synthesized
@@ -835,25 +854,7 @@ object Queries {
     // searched and recall-scored against the exact kNN over the surviving
     // ids. Closed-form oracle.
     "stream_hnsw_maintenance" -> ((spark, dir) => {
-      import spark.implicits._
-      val path = s"$dir/embeddings.parquet"
-      val schema = spark.read.parquet(path).schema
-      val streamDir = java.nio.file.Files.createTempDirectory("stream_hm_src")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("embeddings.parquet"), java.nio.file.Paths.get(path))
-      val ops = spark.readStream.schema(schema).parquet(streamDir.toString)
-        .select(explode(when(col("vec_id") % 7 === 0,
-            array(
-              struct(col("vec_id").as("id"), lit("upsert").as("op"),
-                col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")),
-              struct(col("vec_id").as("id"), lit("remove").as("op"),
-                array().cast("array<float>").as("vector"), lit(2L).as("version"))))
-          .otherwise(array(
-            struct(col("vec_id").as("id"), lit("upsert").as("op"),
-              col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")))))
-          .as("o"))
-        .select(col("o.id"), col("o.op"), col("o.vector"), col("o.version"))
-        .as[graft.streaming.StreamingOps.VectorOp]
+      val ops = mutationOps(spark, dir)
       val idxDir = java.nio.file.Files.createTempDirectory("stream_hm_idx").toString
       val ckpt = java.nio.file.Files.createTempDirectory("stream_hm_ckpt").toString
       val sink = graft.streaming.StreamingOps.hnswMaintenanceSink(idxDir, 4, HnswConfig(ef = 100))
@@ -878,40 +879,13 @@ object Queries {
     // tombstone on remove) is closed-form predictable from the source
     // table, so the oracle is exact regardless of micro-batch boundaries.
     "stream_vector_state" -> ((spark, dir) => {
-      import spark.implicits._
-      val path = s"$dir/embeddings.parquet"
-      val schema = spark.read.parquet(path).schema
-      val streamDir = java.nio.file.Files.createTempDirectory("stream_vs_src")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("embeddings.parquet"), java.nio.file.Paths.get(path))
-      val ops = spark.readStream.schema(schema).parquet(streamDir.toString)
-        .select(explode(when(col("vec_id") % 7 === 0,
-            array(
-              struct(col("vec_id").as("id"), lit("upsert").as("op"),
-                col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")),
-              struct(col("vec_id").as("id"), lit("remove").as("op"),
-                array().cast("array<float>").as("vector"), lit(2L).as("version"))))
-          .otherwise(array(
-            struct(col("vec_id").as("id"), lit("upsert").as("op"),
-              col("embedding").cast("array<float>").as("vector"), lit(1L).as("version")))))
-          .as("o"))
-        .select(col("o.id"), col("o.op"), col("o.vector"), col("o.version"))
-        .as[graft.streaming.StreamingOps.VectorOp]
-      val state = graft.streaming.StreamingOps.latestVectorState(spark, ops).toDF()
-      val name = "stream_vs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = java.nio.file.Files.createTempDirectory("stream_vs_ckpt").toString
-      val q = state.writeStream.format("memory").queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val state = graft.streaming.StreamingOps.latestVectorState(spark, mutationOps(spark, dir)).toDF()
       // update mode may emit an id once per micro-batch touching it; the
       // final state is the highest-version row per id (deterministic
       // whatever the batch boundaries were)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("version").desc)
-      spark.table(name)
+      runStream(spark, state, "update", "stream_vs_")
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("id"), col("version"),
           col("deleted").cast("long").as("deleted"),

@@ -192,6 +192,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      // null bucket keys never join in the SQL formulation — match that
+      .filter(col(bucketCol).isNotNull)
       .select(col(bucketCol).cast("string").as("bucket"), col(idCol).cast("long").as("id"),
         SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(textCol)), 3)).as("hs"))
       .as[(String, Long, Array[Long])]
@@ -202,15 +204,20 @@ object Dedup {
           val (ida, ha) = items(i)
           (i + 1 until items.length).iterator.flatMap { j =>
             val (idb, hb) = items(j)
-            var x = 0; var y = 0; var icnt = 0L
-            while (x < ha.length && y < hb.length) {
-              if (ha(x) == hb(y)) { icnt += 1; x += 1; y += 1 }
-              else if (ha(x) < hb(y)) x += 1
-              else y += 1
+            // strict < (not index order): duplicate ids must not self-pair,
+            // matching the join formulation's l.id < r.id
+            if (ida >= idb) Iterator.empty
+            else {
+              var x = 0; var y = 0; var icnt = 0L
+              while (x < ha.length && y < hb.length) {
+                if (ha(x) == hb(y)) { icnt += 1; x += 1; y += 1 }
+                else if (ha(x) < hb(y)) x += 1
+                else y += 1
+              }
+              val union = ha.length.toLong + hb.length.toLong - icnt
+              val jacc = if (union == 0) 0.0 else icnt.toDouble / union
+              if (jacc >= minJaccard) Iterator.single((ida, idb, jacc)) else Iterator.empty
             }
-            val union = ha.length.toLong + hb.length.toLong - icnt
-            val jacc = if (union == 0) 0.0 else icnt.toDouble / union
-            if (jacc >= minJaccard) Iterator.single((ida, idb, jacc)) else Iterator.empty
           }
         }
       }

@@ -101,7 +101,18 @@ object GraftFunctionRegistry {
     "simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
     "shingle_hash_set" -> ((args: Seq[Expression]) => ShingleHashSet(args(0), 3)),
     "sorted_intersect_count" -> ((args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
-    "dist_simd" -> ((args: Seq[Expression]) => SimdDistance(args(0), args(1), graft.core.Distances.Euclidean)),
+    // optional 3rd arg: metric name as a string literal (default euclidean)
+    "dist_simd" -> ((args: Seq[Expression]) => {
+      val metric =
+        if (args.length < 3) graft.core.Distances.Euclidean
+        else args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _: org.apache.spark.sql.types.StringType) =>
+            graft.core.Distances.metricId(String.valueOf(s))
+          case other =>
+            throw new IllegalArgumentException(s"dist_simd metric must be a string literal, got $other")
+        }
+      SimdDistance(args(0), args(1), metric)
+    }),
     "nibble_histogram" -> ((args: Seq[Expression]) => NibbleHistogram(args(0), args(1))),
   )
 

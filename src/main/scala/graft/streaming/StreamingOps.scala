@@ -123,8 +123,11 @@ object StreamingOps {
       // re-upsert must tombstone the old vertex before the new one lands
       graft.hnsw.HnswSpark.removeAndSave(
         spark, ops.select("id").distinct(), indexDir, numPartitions)
-      // latest version per id wins within the batch (same winner as
-      // latestVectorState's fold)
+      // latest version per id wins WITHIN the micro-batch. Cross-batch
+      // ordering is the source's responsibility (the reference's
+      // BatchInsert likewise applies batches in arrival order without a
+      // version store); pair with [[latestVectorState]] upstream when the
+      // stream can deliver stale versions across batches.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("version").desc)
       val upserts = ops

@@ -26,13 +26,15 @@ object TextAnalysis {
 
   /** BPE-style pretokenizer pattern (GPT-2 family): contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs, residual
-    * whitespace. Restricted to RE2-compatible syntax (no lookahead) so the
-    * DuckDB oracle evaluates the IDENTICAL pattern — token counts from this
-    * approximate real LLM-tokenizer counts far better than whitespace
-    * splitting (CJK text: one run per script block, not one per line).
+    * whitespace. Restricted to RE2-compatible syntax (no lookahead, and an
+    * EXPLICIT whitespace class — Java's \s includes \x0B, RE2's does not)
+    * so the DuckDB oracle evaluates the IDENTICAL pattern — token counts
+    * from this approximate real LLM-tokenizer counts far better than
+    * whitespace splitting (CJK text: one run per script block, not one per
+    * line).
     */
   val BpeTokenPattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\t\\n\\f\\r \\p{L}\\p{N}]+|[\\t\\n\\f\\r ]+"
 
   /** Number of BPE-style pretokens in `text`. */
   def bpeTokenCount(text: Column): Column =

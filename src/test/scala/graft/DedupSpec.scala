@@ -182,9 +182,14 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("grouped ngram-jaccard formulation equals the join formulation exactly") {
-    val d = (0L until 60L).map { i =>
+    // includes a duplicate doc_id (no self-pair) and a null bucket (dropped
+    // like the equi-join drops it) — the two formulations must agree on both
+    val d = ((0L until 60L).map { i =>
       (i, s"g${i % 4}", s"tok${i % 7}a tok${i % 5}b tok${i % 3}c common words here tok${i}d")
-    }.toDF("doc_id", "source", "text")
+    } ++ Seq(
+      (7L, "g3", "tok0a tok2b tok1c common words here tok7d"),
+      (99L, null.asInstanceOf[String], "null bucket text body")))
+      .toDF("doc_id", "source", "text")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
         .collect().sortBy(x => (x._1, x._2)).toSeq

@@ -129,6 +129,9 @@ class VectorFunctionsSpec extends SparkTestBase {
     val s = spark.sql("SELECT dist_simd(array(1.0F, 2.0F, 2.0F), array(0.0F, 0.0F, 0.0F)) AS d")
       .as[Double].head()
     assert(math.abs(s - 3.0) < 1e-6)
+    val sm = spark.sql("SELECT dist_simd(array(1.0F, 2.0F, 3.0F), array(0.0F, 0.0F, 0.0F), 'manhattan') AS d")
+      .as[Double].head()
+    assert(math.abs(sm - 6.0) < 1e-6)
     val h = spark.sql("SELECT nibble_histogram(X'00F0', 2) AS h").as[Seq[Long]].head()
     assert(h(0) === 1L && h(15) === 1L && h.sum === 2L)
   }
