@@ -1,11 +1,11 @@
 package graft.hnsw
 
 import graft.core.Distances
+import graft.io.{HadoopIO, SerializableHadoopConf}
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-
-import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
 
 /** Distributed HNSW on Spark: the batch analog of the reference's
   * partitioned dataset (`/root/reference/storage/dataset.go`).
@@ -137,6 +137,11 @@ object HnswSpark {
   /** Build per-partition graphs and persist each as a binary artifact under
     * `outDir/part-<pid>.hnsw` (reference `index/hnsw_persistence.go` — the
     * built index is an output, not a transient). Returns per-partition sizes.
+    *
+    * All artifact bytes go through the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * API with the session's configuration, so `outDir` may be `hdfs://`,
+    * `s3a://`, or `file://` — executor-local `java.io.File` writes would
+    * scatter artifacts across worker disks on a real cluster.
     */
   def buildAndSave(
       spark: SparkSession,
@@ -147,7 +152,9 @@ object HnswSpark {
       numPartitions: Int = 0): Array[(Int, Int)] = {
     import spark.implicits._
     val m = Distances.metricId(metric)
-    new java.io.File(outDir).mkdirs()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    HadoopIO.mkdirs(outDir, hconf)
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
 
     val pre = withMetaCol(data)
     val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
@@ -160,19 +167,15 @@ object HnswSpark {
         else {
           val index = new HnswIndex(m, config)
           items.foreach { case (id, v, meta) => index.add(id, v, meta) }
-          val out = new DataOutputStream(new BufferedOutputStream(
-            new FileOutputStream(s"$outDir/part-$pid.hnsw")))
-          try index.save(out) finally out.close()
+          HadoopIO.write(s"$outDir/part-$pid.hnsw", bcConf.value.value)(index.save)
           Iterator.single((pid, index.size))
         }
       }
       .collect()
   }
 
-  def loadPartition(path: String): HnswIndex = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(path)))
-    try HnswIndex.load(in) finally in.close()
-  }
+  def loadPartition(path: String, conf: Configuration = new Configuration()): HnswIndex =
+    HadoopIO.read(path, conf)(HnswIndex.load)
 
   /** Incremental maintenance: route a new batch of vectors to the existing
     * partition graphs (same deterministic hash repartition as
@@ -191,6 +194,8 @@ object HnswSpark {
       config: HnswConfig = HnswConfig()): Array[(Int, Int)] = {
     import spark.implicits._
     val m = Distances.metricId(metric)
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     withMetaCol(newData)
       .repartition(numPartitions, col("id"))
       .as[(Long, Array[Float], Array[Byte])]
@@ -199,13 +204,13 @@ object HnswSpark {
         val items = iter.toArray.sortBy(_._1)
         if (items.isEmpty) Iterator.empty
         else {
-          val path = new java.io.File(s"$indexDir/part-$pid.hnsw")
+          val conf = bcConf.value.value
+          val path = s"$indexDir/part-$pid.hnsw"
           val index =
-            if (path.exists()) loadPartition(path.getAbsolutePath)
+            if (HadoopIO.exists(path, conf)) loadPartition(path, conf)
             else new HnswIndex(m, config)
           items.foreach { case (id, v, meta) => index.add(id, v, meta) }
-          val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
-          try index.save(out) finally out.close()
+          HadoopIO.write(path, conf)(index.save)
           Iterator.single((pid, index.size))
         }
       }
@@ -221,19 +226,21 @@ object HnswSpark {
       indexDir: String,
       numPartitions: Int): Array[(Int, Int)] = {
     import spark.implicits._
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     ids.select(col("id").cast("long"))
       .repartition(numPartitions, col("id"))
       .as[Long]
       .mapPartitions { iter =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val toRemove = iter.toArray
-        val path = new java.io.File(s"$indexDir/part-$pid.hnsw")
-        if (toRemove.isEmpty || !path.exists()) Iterator.empty
+        val conf = bcConf.value.value
+        val path = s"$indexDir/part-$pid.hnsw"
+        if (toRemove.isEmpty || !HadoopIO.exists(path, conf)) Iterator.empty
         else {
-          val index = loadPartition(path.getAbsolutePath)
+          val index = loadPartition(path, conf)
           toRemove.foreach(index.remove)
-          val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
-          try index.save(out) finally out.close()
+          HadoopIO.write(path, conf)(index.save)
           Iterator.single((pid, index.size))
         }
       }
@@ -252,15 +259,16 @@ object HnswSpark {
       queries: Array[(Long, Array[Float])],
       k: Int): DataFrame = {
     import spark.implicits._
-    val files = new java.io.File(indexDir).listFiles()
-      .filter(_.getName.endsWith(".hnsw")).map(_.getAbsolutePath).sorted.toSeq
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = HadoopIO.glob(indexDir, "*.hnsw", hconf)
     require(files.nonEmpty, s"no .hnsw files under $indexDir")
     val bc = spark.sparkContext.broadcast(queries)
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
 
     val candidates = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { path =>
-        val index = loadPartition(path)
+        val index = loadPartition(path, bcConf.value.value)
         bc.value.iterator.flatMap { case (qid, qv) =>
           index.searchWithMeta(qv, k).iterator.map { case (id, d, meta) => (qid, id, d, meta) }
         }

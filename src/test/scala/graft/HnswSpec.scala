@@ -316,6 +316,39 @@ class HnswSparkSpec extends SparkTestBase {
     }
   }
 
+  test("artifact lifecycle through fully-qualified file:// URIs (Hadoop FileSystem path)") {
+    // The persistence boundary is the Hadoop FileSystem API: a scheme-qualified
+    // URI must work end-to-end (build, list, append, remove, search). A
+    // java.io.File-based implementation would throw on "file://..." paths.
+    val dir = "/root/testdata/sf0.001"
+    val out = "file://" + java.nio.file.Files.createTempDirectory("hnsw_uri").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+
+    val sizes = HnswSpark.buildAndSave(spark, data.filter("id < 400"), out, numPartitions = 4)
+    assert(sizes.map(_._2).sum === 400)
+    val appended = HnswSpark.appendAndSave(spark, data.filter("id >= 400"), out, numPartitions = 4)
+    assert(appended.map(_._2).sum + sizes.map(_._2).sum >= 500)
+
+    val queries = e.filter("vec_id < 5").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val res = HnswSpark.searchSaved(spark, out, queries, k = 1).collect()
+    queries.foreach { case (qid, _) =>
+      val hit = res.find(_.getLong(0) == qid).get
+      assert(hit.getLong(1) === qid && hit.getDouble(2) === 0.0)
+    }
+
+    import spark.implicits._
+    HnswSpark.removeAndSave(spark, Seq(0L, 1L).toDF("id"), out, numPartitions = 4)
+    val res2 = HnswSpark.searchSaved(spark, out, queries, k = 5).collect()
+    assert(!res2.exists(r => r.getLong(1) == 0L || r.getLong(1) == 1L))
+
+    // loadPartition accepts the qualified URI directly
+    val first = graft.io.HadoopIO.glob(out, "*.hnsw", spark.sparkContext.hadoopConfiguration).head
+    assert(first.startsWith("file:"))
+    assert(HnswSpark.loadPartition(first).size > 0)
+  }
+
   test("searchSaved over persisted graphs equals live partitioned search") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("hnsw_saved").toString
