@@ -76,6 +76,14 @@ object Queries {
        |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
        |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** [[knnOracle]] with the FULL embeddings table as the query batch. */
+  private def knnOracleAll(duckExpr: (String, String) => String, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings),
+       |d AS (SELECT q.qid, e.vec_id AS id, ${duckExpr(dEmb("e.embedding"), "q.qv")} AS dist
+       |      FROM embeddings e CROSS JOIN q),
+       |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+       |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   /** Self-verifying summary for approximate-ANN queries (same methodology as
     * the reference's own correctness gate, `index/hnsw_test.go:21-75`: search
     * results scored against brute force). The approximate result joins the
@@ -270,6 +278,32 @@ object Queries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       knnFinish(graft.plans.KnnCandidates.knn(spark, data, queries, 10, "euclidean"))
+    }),
+
+    // §2.7+14 DataFrame-native query side (no driver query array anywhere):
+    // the FULL embeddings table is both corpus and query batch — the
+    // corpus-vs-corpus LLM-pipeline shape (e.g. dedup-by-ANN). The query
+    // table is replicated to data partitions through one shuffle
+    // (zipPartitions); the data is scanned once. Exact by construction, so
+    // it hash-matches the brute-force oracle.
+    "knn_partitioned_df" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      knnFinish(Knn.partitionedDF(data, queries, 10, "euclidean"))
+    }),
+
+    // §2.18 IVF with a DataFrame query side via the per-cell cogroup (both
+    // sides shuffle once on cell id, nothing replicated, nothing on the
+    // driver). At nprobe=C every cell is probed, so the result provably
+    // equals brute force — same exact oracle, full query table.
+    "ann_ivf_df" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      knnFinish(Ivf.searchDF(assigned, centroids, queries, k = 5, nprobe = 16))
     }),
 
     // SQ8 quantized two-stage search: coarse scans on 1-byte codes with a
@@ -1014,6 +1048,8 @@ object Queries {
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),
     "knn_partitioned" -> knnOracle(duckEuclid, 5, 10),
+    "knn_partitioned_df" -> knnOracleAll(duckEuclid, 10),
+    "ann_ivf_df" -> knnOracleAll(duckEuclid, 5),
     "knn_custom_plan" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
     "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),

@@ -90,6 +90,55 @@ object HnswSpark {
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Approximate kNN with a DataFrame query side — no driver-resident query
+    * array. The query table is replicated to every graph partition through
+    * one shuffle (pid-keyed `zipPartitions`, the same rebroadcast shape as
+    * [[graft.knn.Knn.partitionedDF]]); each partition builds its graph once
+    * and searches all queries; the global k-merge ranks the k·P·Q candidate
+    * union. Queries must fit one task's memory; for unbounded query sides use
+    * the IVF cogroup path ([[graft.knn.Ivf.searchDF]]).
+    *
+    * data: (id, vector), queries: (qid, qvec); output (qid, id, dist, rank).
+    */
+  def searchDF(
+      spark: SparkSession,
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "euclidean",
+      config: HnswConfig = HnswConfig(),
+      numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+
+    val pre = data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+    val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
+    val dataRdd = parts.as[(Long, Array[Float])].rdd
+    val p = math.max(1, dataRdd.getNumPartitions)
+
+    val qRep = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])].rdd
+      .flatMap(q => Iterator.range(0, p).map(pid => (pid, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(p))
+      .values
+
+    val candidates = dataRdd.zipPartitions(qRep) { (dIter, qIter) =>
+      val items = dIter.toArray.sortBy(_._1)
+      if (items.isEmpty) Iterator.empty
+      else {
+        val index = new HnswIndex(m, config)
+        items.foreach { case (id, v) => index.add(id, v) }
+        qIter.flatMap { case (qid, qv) =>
+          index.search(qv, k).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }
+    }.toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Filtered approximate kNN: per-partition HNSW search returning only ids
     * that satisfy `allow` (reference tombstone mechanics generalized to
     * arbitrary predicates — filtered-out vertices still serve as
@@ -274,6 +323,45 @@ object HnswSpark {
         }
       }
       .toDF("qid", "id", "dist", "metadata")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[searchSaved]] with a DataFrame query side: one task per persisted
+    * graph artifact, queries replicated to the artifact tasks through one
+    * shuffle (no driver collect of either side). Each task loads its graph
+    * once and searches its full query batch — the serving-scale shape for
+    * batch corpus-vs-index search.
+    */
+  def searchSavedDF(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = HadoopIO.glob(indexDir, "*.hnsw", hconf)
+    require(files.nonEmpty, s"no .hnsw files under $indexDir")
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+
+    val filesRdd = spark.sparkContext.parallelize(files, files.size)
+    val p = files.size
+    val qRep = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])].rdd
+      .flatMap(q => Iterator.range(0, p).map(pid => (pid, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(p))
+      .values
+
+    val candidates = filesRdd.zipPartitions(qRep) { (fIter, qIter) =>
+      fIter.flatMap { path =>
+        val index = loadPartition(path, bcConf.value.value)
+        qIter.flatMap { case (qid, qv) =>
+          index.searchWithMeta(qv, k).iterator.map { case (id, d, meta) => (qid, id, d, meta) }
+        }
+      }
+    }.toDF("qid", "id", "dist", "metadata")
 
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -165,4 +165,68 @@ object Ivf {
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF search with a DataFrame query side — the corpus-vs-corpus shape
+    * (e.g. dedup-by-ANN of one 100 TB table against another). Nothing is
+    * driver-resident and nothing is replicated: each query row computes its
+    * own nprobe probe cells (centroids broadcast — C·dim floats), both sides
+    * shuffle once on the small-cardinality cell id, and a per-cell cogroup
+    * streams the cell's vectors once past bounded per-query heaps, emitting
+    * k candidates per (query, probed cell). Task memory is the cell's probe
+    * set (≈ Q·nprobe/C queries), never the data.
+    *
+    * With nprobe = centroids.length every cell is probed and the result is
+    * exactly [[graft.knn.Knn.bruteForce]] (same kernel, same tie-break).
+    */
+  def searchDF(
+      assigned: DataFrame, // output of assign()
+      centroids: Array[Array[Float]],
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int,
+      metric: String = "euclidean"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val probes = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cs = bc.value
+        val kernel = Distances.distance(m) _
+        iter.flatMap { case (qid, qv) =>
+          cs.zipWithIndex
+            .map { case (cv, ci) => (kernel(qv, cv), ci) }
+            .sortBy(identity)
+            .take(nprobe)
+            .iterator.map { case (_, ci) => (ci, qid, qv) }
+        }
+      }
+
+    val dataByCell = assigned
+      .select(col("cell").cast("int"), col("id").cast("long"), col("vector").cast("array<float>"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+
+    val candidates = dataByCell.cogroup(probes.groupByKey(_._1)) { case (_, dIter, qIter) =>
+      val qs = qIter.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val heaps = Array.fill(qs.length)(new TopK(k))
+        val kernel = Distances.distance(m) _
+        dIter.foreach { case (_, id, v) =>
+          var qi = 0
+          while (qi < qs.length) { heaps(qi).push(kernel(v, qs(qi)._3), id); qi += 1 }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (dist, id) => (qs(qi)._2, id, dist) }
+        }
+      }
+    }.toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -70,4 +70,57 @@ object Knn {
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Exact kNN with a DataFrame query side — no driver-resident query array
+    * anywhere. The query table (the small side) is replicated to every data
+    * partition through one shuffle (`zipPartitions` against a pid-keyed
+    * rebroadcast), the data (the big side) is scanned exactly ONCE, and each
+    * task emits only k candidates per query. At 100 TB this is the right BNL
+    * orientation: network cost is Q·P query rows, not data·chunks — the data
+    * never moves. Queries must fit one task's memory (Q·dim floats; 100k
+    * dim-64 queries ≈ 25 MB); beyond that, use the IVF cogroup path, which
+    * replicates nothing.
+    *
+    * data: (id, vector), queries: (qid, qvec). Hash-matches [[bruteForce]].
+    */
+  def partitionedDF(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "euclidean"): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+
+    val dataRdd = data
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .as[(Long, Array[Float])].rdd
+    val p = math.max(1, dataRdd.getNumPartitions)
+
+    val qRep = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])].rdd
+      .flatMap(q => Iterator.range(0, p).map(pid => (pid, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(p))
+      .values
+
+    val candidates = dataRdd.zipPartitions(qRep) { (dIter, qIter) =>
+      val qs = qIter.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val heaps = Array.fill(qs.length)(new TopK(k))
+        val kernel = Distances.distance(m) _
+        dIter.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.length) { heaps(qi).push(kernel(v, qs(qi)._2), id); qi += 1 }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (dist, id) => (qs(qi)._1, id, dist) }
+        }
+      }
+    }.toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -177,6 +177,73 @@ class QuantizeSpec extends SparkTestBase {
   }
 }
 
+/** DataFrame-native query sides: the driver never holds a query array. */
+class KnnDataFrameQuerySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val dir = "/root/testdata/sf0.001"
+  private lazy val data = spark.read.parquet(s"$dir/embeddings.parquet")
+    .selectExpr("vec_id as id", "embedding as vector")
+  private lazy val queriesDf = spark.read.parquet(s"$dir/embeddings.parquet")
+    .filter("vec_id % 10 = 3") // 50 queries, never collected
+    .selectExpr("vec_id as qid", "embedding as qvec")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+
+  test("partitionedDF equals bruteForce row-for-row (no driver query array)") {
+    assert(rows(Knn.partitionedDF(data, queriesDf, k = 10)) ===
+      rows(Knn.bruteForce(data, queriesDf, k = 10)))
+  }
+
+  test("partitionedDF honors non-default metrics") {
+    assert(rows(Knn.partitionedDF(data, queriesDf, k = 5, metric = "cosine")) ===
+      rows(Knn.bruteForce(data, queriesDf, k = 5, metric = "cosine")))
+  }
+
+  test("Ivf.searchDF with nprobe=C equals bruteForce (cogroup path is exact)") {
+    val c = 8
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    assert(rows(Ivf.searchDF(assigned, centroids, queriesDf, k = 10, nprobe = c)) ===
+      rows(Knn.bruteForce(data, queriesDf, k = 10)))
+  }
+
+  test("Ivf.searchDF equals driver-array Ivf.search at partial nprobe") {
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 2)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id % 10 = 3").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(rows(Ivf.searchDF(assigned, centroids, queriesDf, k = 10, nprobe = 4)) ===
+      rows(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4)))
+  }
+
+  test("HnswSpark.searchDF equals driver-array search (same graphs, same order)") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id % 10 = 3").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dfSide = rows(graft.hnsw.HnswSpark.searchDF(
+      spark, data, queriesDf, k = 10, numPartitions = 4))
+    val arrSide = rows(graft.hnsw.HnswSpark.search(
+      spark, data, queries, k = 10, numPartitions = 4))
+    assert(dfSide === arrSide)
+  }
+
+  test("HnswSpark.searchSavedDF equals searchSaved over the same artifacts") {
+    val out = java.nio.file.Files.createTempDirectory("hnsw_dfq").toString
+    graft.hnsw.HnswSpark.buildAndSave(spark, data, out, numPartitions = 4)
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id % 10 = 3").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(rows(graft.hnsw.HnswSpark.searchSavedDF(spark, out, queriesDf, k = 10)) ===
+      rows(graft.hnsw.HnswSpark.searchSaved(spark, out, queries, k = 10)))
+  }
+}
+
 class KnnCustomPlanSpec extends SparkTestBase {
   import spark.implicits._
 
