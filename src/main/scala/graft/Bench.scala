@@ -25,18 +25,23 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // a failed rep contributes no timing — min over successes only, so a
+      // broken query reports -1 next to its error entry instead of the
+      // misleadingly fast time of the rep that threw
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() executes the full physical plan (a plain .count()
         // would let Catalyst prune computed columns and measure the scan).
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch {
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
 
     def q(s: String): String = "\"" + s.flatMap {

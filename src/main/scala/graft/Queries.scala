@@ -497,20 +497,28 @@ object Queries {
     //      IVF provably degrades to exact kNN (same kernel, same (dist,id)
     //      tie-break): the nprobe=16 result must equal the brute-force
     //      top-k EXACTLY, on any data. Hard, data-independent.
-    //  (b) recall_ok — the approximate nprobe=4 path must keep per-query
-    //      recall ≥ 6/10 (measured floor 8/10 at sf0.01; floor set 2 hits
-    //      below the deterministic value to absorb centroid-sum ulp drift
-    //      across partition layouts).
+    //  (b) recall_ok — the approximate nprobe=6 path must keep per-query
+    //      recall ≥ 8/10 (raised from 6; measured minimum 9/10 at sf0.001/
+    //      0.01/0.1, floor 1 below to absorb centroid-sum ulp drift across
+    //      partition layouts). Training is honest now: k-means‖ seeding +
+    //      2 Lloyd steps yields BALANCED cells (the old first-C seeds
+    //      degenerated into a few giant cells, so nprobe=4 was secretly a
+    //      near-full scan — high recall for the wrong reason). On this
+    //      synthetic uniform corpus balanced cells spread true neighbors
+    //      across cells, so the recall comes from spill=3 multi-assignment
+    //      (each vector findable through its 3 nearest cells — the
+    //      storage-for-recall lever; on real clustered corpora the same
+    //      machinery needs spill=1-2 and a smaller probe fraction).
     "ann_ivf" -> ((spark, dir) => {
       val (data, queriesDf) = knnInputs(spark, dir, 5)
       val queries = queriesDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 2, seeding = "kmeans||")
       // cache: searched three times (approx + full probe + candidate scans)
-      val assigned = Ivf.assign(spark, data, centroids).cache()
-      val approx = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4)
-      val full = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 16)
+      val assigned = Ivf.assign(spark, data, centroids, spill = 3).cache()
+      val approx = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 6, dedup = true)
+      val full = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 16, dedup = true)
       val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean").select("qid", "id")
       val fullHits = full.select(col("qid"), col("id"))
         .join(exact, Seq("qid", "id"), "left_semi")
@@ -521,7 +529,7 @@ object Queries {
         .agg(count(lit(1)).as("n_results"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
         .join(fullHits, Seq("qid"))
         .select(col("qid"), lit(10L).as("k"), col("n_results"), col("full_probe_exact"),
-          when(col("n_hits") >= 6, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
+          when(col("n_hits") >= 8, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
         .orderBy("qid")
     }),
 

@@ -89,11 +89,15 @@ object Dedup {
     * Skew guard (on by default): a band bucket larger than `maxBucketSize`
     * — a boilerplate band shared by millions of docs is a C(n,2) bomb at
     * 100 TB — switches from all-pairs to STAR pairing against the bucket's
-    * min-id representative: n−1 candidates instead of n(n−1)/2, and every
-    * member still connects to the duplicate cluster through the
-    * representative (transitive closure downstream recovers the groups).
-    * Buckets at or under the cap keep exact all-pairs semantics, so results
-    * on non-pathological data are unchanged. `maxBucketSize <= 0` disables
+    * min-id representative: n−1 candidates instead of n(n−1)/2. Star pairs
+    * still pass through the exact-Jaccard ≥ threshold verify, so members
+    * similar enough to the representative connect to the cluster (and
+    * transitive closure downstream recovers the groups); a member whose
+    * similarity to the representative is below threshold loses its
+    * connection in that bucket even when it is a true near-dup of another
+    * member — the price of defusing the C(n,2) bomb. Buckets at or under
+    * the cap keep exact all-pairs semantics, so results on
+    * non-pathological data are unchanged. `maxBucketSize <= 0` disables
     * the guard.
     */
   def minhashLshPairs(

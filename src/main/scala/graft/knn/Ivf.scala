@@ -14,21 +14,34 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object Ivf {
 
-  /** Deterministic centroid training: seed with the first C vectors (by id),
-    * then `iterations` Lloyd steps. Each step is one distributed pass:
-    * assign (mapPartitions, broadcast centroids) + per-cell mean
-    * (posexplode + groupBy(cell, dim) partial-agg). Centroid count C is
-    * driver-sized (C·dim doubles), never the data.
+  /** Deterministic centroid training: seed with the first C vectors (by id)
+    * — or k-means‖ oversampling when `seeding = "kmeans||"` — then up to
+    * `iterations` Lloyd steps. Each step is one distributed pass: assign
+    * (mapPartitions, broadcast centroids) + per-partition (C×dim) partial
+    * sums tree-reduced to the driver. Centroid count C is driver-sized
+    * (C·dim doubles), never the data.
+    *
+    * `tol > 0` adds a convergence check: Lloyd stops early once the max
+    * centroid shift (L2) drops below `tol`. Leave it 0 when byte-stable
+    * output across partition layouts matters more than saved passes — the
+    * stop decision reads tree-reduced double sums, whose last-ulp drift
+    * across layouts could flip an iteration near the threshold.
     */
   def train(
       spark: SparkSession,
       data: DataFrame, // (id, vector)
       c: Int,
       metric: String = "euclidean",
-      iterations: Int = 2): Array[Array[Float]] = {
+      iterations: Int = 2,
+      seeding: String = "first",
+      tol: Double = 0.0,
+      seed: Long = 42L): Array[Array[Float]] = {
     import spark.implicits._
-    var centroids = data.orderBy("id").limit(c)
-      .select("vector").as[Array[Float]].collect()
+    var centroids = seeding match {
+      case "kmeans||" => seedKMeansPar(spark, data, c, metric, seed)
+      case _ => data.orderBy("id").limit(c)
+        .select("vector").as[Array[Float]].collect()
+    }
     // fewer rows than requested cells: train with what exists (cEff cells)
     val cEff = centroids.length
     val dim = centroids.headOption.map(_.length).getOrElse(0)
@@ -38,7 +51,9 @@ object Ivf {
     // counts, tree-reduced to the driver. No positional explode — the
     // explode formulation shuffles N×dim rows (dim× amplification), this
     // moves only C×dim×P doubles.
-    (0 until iterations).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val (sums, counts) = assign(spark, data, centroids, metric)
         .select(col("cell"), col("vector"))
         .as[(Int, Array[Float])]
@@ -63,46 +78,265 @@ object Ivf {
           }
           (s1, n1)
         }
-      centroids = Array.tabulate(cEff) { ci =>
+      val next = Array.tabulate(cEff) { ci =>
         if (counts(ci) == 0) centroids(ci)
         else Array.tabulate(dim)(i => (sums(ci)(i) / counts(ci)).toFloat)
       }
+      if (tol > 0) {
+        var maxShift = 0.0
+        var ci = 0
+        while (ci < cEff) {
+          maxShift = math.max(maxShift, Distances.distance(Distances.Euclidean)(centroids(ci), next(ci)))
+          ci += 1
+        }
+        converged = maxShift < tol
+      }
+      centroids = next
+      it += 1
     }
     centroids
   }
 
-  /** Assign each vector to its nearest centroid (ties → lowest cell id).
-    * Single `mapPartitions` pass, centroids broadcast.
+  /** k-means‖ seeding (Bahmani et al., VLDB 2012), deterministic: start from
+    * the min-id vector, then `rounds` oversampling passes each selecting
+    * every point independently with probability min(1, l·d²(x,C)/φ) — the
+    * coin flip is a splitmix64 hash of (id, round), so selection is a pure
+    * per-point function of the data and seed, not of partition layout or
+    * task order (φ's tree-reduced double sum can drift a last ulp across
+    * layouts, but a flip requires the hash to land within that ulp of the
+    * threshold). The driver-sized candidate set (≈ 1 + rounds·l vectors,
+    * l = 2c) is weighted by one distributed count pass, reclustered to c
+    * seeds with weighted k-means++ + weighted Lloyd on the driver — the
+    * standard k-means‖ recluster step, here deterministic via a seeded
+    * splitmix64 stream.
+    */
+  def seedKMeansPar(
+      spark: SparkSession,
+      data: DataFrame, // (id, vector)
+      c: Int,
+      metric: String = "euclidean",
+      seed: Long = 42L,
+      rounds: Int = 3): Array[Array[Float]] = {
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+    val l = 2 * c // oversampling factor per round
+    val rows = data
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .as[(Long, Array[Float])]
+
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unit(x: Long): Double = (mix(x) >>> 11).toDouble / (1L << 53).toDouble
+
+    var candidates: Array[Array[Float]] = rows.orderBy("id").limit(1)
+      .select("vector").collect().map(_.getSeq[Float](0).toArray)
+    if (candidates.isEmpty) return candidates
+
+    def minDistSq(v: Array[Float], cs: Array[Array[Float]]): Double = {
+      val kernel = Distances.distance(m) _
+      var best = Double.MaxValue
+      var i = 0
+      while (i < cs.length) { best = math.min(best, kernel(v, cs(i))); i += 1 }
+      best * best
+    }
+
+    var r = 0
+    while (r < rounds) {
+      val bc = spark.sparkContext.broadcast(candidates)
+      // pass 1: φ = Σ d²(x, C)
+      val phi = rows.mapPartitions { iter =>
+        val cs = bc.value
+        var s = 0.0
+        iter.foreach { case (_, v) => s += minDistSq(v, cs) }
+        Iterator.single(s)
+      }.reduce(_ + _)
+      if (phi <= 0) { r = rounds } // all mass on candidates already: stop
+      else {
+        val round = r
+        val selected = rows.mapPartitions { iter =>
+          val cs = bc.value
+          iter.filter { case (id, v) =>
+            unit(mix(id) ^ mix(seed + round)) < l * minDistSq(v, cs) / phi
+          }
+        }.map(_._2).collect()
+        candidates ++= selected
+        r += 1
+      }
+    }
+
+    // weight candidates by the population they attract (one count pass)
+    val bcCand = spark.sparkContext.broadcast(candidates)
+    val nCand = candidates.length
+    val weights = rows.mapPartitions { iter =>
+      val cs = bcCand.value
+      val kernel = Distances.distance(m) _
+      val w = new Array[Long](cs.length)
+      iter.foreach { case (_, v) =>
+        var best = 0
+        var bestDist = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val d = kernel(v, cs(i))
+          if (d < bestDist) { bestDist = d; best = i }
+          i += 1
+        }
+        w(best) += 1
+      }
+      Iterator.single(w)
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < nCand) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    reclusterWeighted(candidates, weights, c, m, seed)
+  }
+
+  /** Weighted k-means++ + weighted Lloyd over a driver-sized candidate set —
+    * the k-means‖ recluster step. Deterministic: the k-means++ draws come
+    * from a seeded splitmix64 stream.
+    */
+  private def reclusterWeighted(
+      cand: Array[Array[Float]],
+      w: Array[Long],
+      c: Int,
+      m: Int,
+      seed: Long): Array[Array[Float]] = {
+    val kernel = Distances.distance(m) _
+    val n = cand.length
+    if (n <= c) return cand
+    val dim = cand.head.length
+
+    var state = seed
+    def nextUnit(): Double = {
+      state += 0x9e3779b97f4a7c15L
+      var x = state
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      ((x ^ (x >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def weightedPick(score: Array[Double]): Int = {
+      val total = score.sum
+      if (total <= 0) return 0
+      var target = nextUnit() * total
+      var i = 0
+      while (i < score.length - 1) {
+        target -= score(i)
+        if (target <= 0) return i
+        i += 1
+      }
+      score.length - 1
+    }
+
+    // weighted k-means++: first seed by weight, next by w·d² to chosen
+    val seeds = new Array[Array[Float]](c)
+    seeds(0) = cand(weightedPick(w.map(_.toDouble)))
+    val d2 = Array.tabulate(n) { i =>
+      val d = kernel(cand(i), seeds(0)); d * d
+    }
+    var s = 1
+    while (s < c) {
+      seeds(s) = cand(weightedPick(Array.tabulate(n)(i => w(i) * d2(i))))
+      var i = 0
+      while (i < n) {
+        val d = kernel(cand(i), seeds(s))
+        d2(i) = math.min(d2(i), d * d)
+        i += 1
+      }
+      s += 1
+    }
+
+    // weighted Lloyd over the candidates (driver-sized, cheap)
+    var centers = seeds
+    var iter = 0
+    while (iter < 10) {
+      val sums = Array.ofDim[Double](c, dim)
+      val counts = new Array[Double](c)
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestDist = Double.MaxValue
+        var ci = 0
+        while (ci < c) {
+          val d = kernel(cand(i), centers(ci))
+          if (d < bestDist) { bestDist = d; best = ci }
+          ci += 1
+        }
+        counts(best) += w(i)
+        var j = 0
+        while (j < dim) { sums(best)(j) += w(i).toDouble * cand(i)(j); j += 1 }
+        i += 1
+      }
+      centers = Array.tabulate(c) { ci =>
+        if (counts(ci) == 0) centers(ci)
+        else Array.tabulate(dim)(j => (sums(ci)(j) / counts(ci)).toFloat)
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** Assign each vector to its `spill` nearest centroids (ties → lowest
+    * cell id). Single `mapPartitions` pass, centroids broadcast.
+    *
+    * `spill > 1` replicates each vector into its spill nearest cells — the
+    * storage-for-recall lever for unclustered regions: a query probing
+    * nprobe cells can find a neighbor through ANY of the neighbor's spill
+    * cells, so recall at fixed nprobe rises at the cost of spill× storage
+    * (cf. multi-assignment in SPANN-style systems). Searches over a
+    * spilled assignment must dedupe candidates ([[search]]'s `dedup`).
     */
   def assign(
       spark: SparkSession,
       data: DataFrame,
       centroids: Array[Array[Float]],
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean",
+      spill: Int = 1): DataFrame = {
     import spark.implicits._
     val m = Distances.metricId(metric)
     val bc = spark.sparkContext.broadcast(centroids)
+    val s = math.max(1, spill)
     data.select(col("id").cast("long"), col("vector").cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
         val cs = bc.value
-        // cell assignment only picks the argmin — SIMD kernel is safe here
+        val nSpill = math.min(s, cs.length)
+        // cell assignment only picks argmins — SIMD kernel is safe here
         // (nprobe=C exactness is unaffected by which cell a vector lands in)
         val kernel = graft.core.DistKernel.best
-        iter.map { case (id, v) =>
-          var best = 0
-          var bestDist = Double.MaxValue
+        iter.flatMap { case (id, v) =>
+          val dists = new Array[Double](cs.length)
           var i = 0
           while (i < cs.length) {
-            val d = m match {
+            dists(i) = m match {
               case Distances.Euclidean => kernel.euclidean(v, cs(i))
               case Distances.Manhattan => kernel.manhattan(v, cs(i))
               case _ => kernel.cosine(v, cs(i))
             }
-            if (d < bestDist) { bestDist = d; best = i }
             i += 1
           }
-          (id, best, v)
+          // nSpill smallest by (dist, cell id) — selection over the small
+          // centroid array, no sort of anything data-sized
+          val chosen = new Array[Int](nSpill)
+          val taken = new Array[Boolean](cs.length)
+          var r = 0
+          while (r < nSpill) {
+            var best = -1
+            var bestDist = Double.MaxValue
+            i = 0
+            while (i < cs.length) {
+              if (!taken(i) && dists(i) < bestDist) { bestDist = dists(i); best = i }
+              i += 1
+            }
+            taken(best) = true
+            chosen(r) = best
+            r += 1
+          }
+          chosen.iterator.map(ci => (id, ci, v))
         }
       }
       .toDF("id", "cell", "vector")
@@ -140,7 +374,8 @@ object Ivf {
       queries: Array[(Long, Array[Float])],
       k: Int,
       nprobe: Int,
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean",
+      dedup: Boolean = false): DataFrame = {
     import spark.implicits._
     val m = Distances.metricId(metric)
 
@@ -156,11 +391,17 @@ object Ivf {
 
     val queriesDf = queries.toSeq.toDF("qid", "qvec")
 
-    val candidates = assigned
+    val raw = assigned
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queriesDf), Seq("qid"))
       .select(col("qid"), col("id"),
         graft.functions.vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+
+    // a spilled assignment (assign(spill > 1)) can surface the same id
+    // through several probed cells — dedupe BEFORE the top-k window so a
+    // duplicate never consumes a rank slot (skip the extra shuffle for
+    // spill = 1 assignments)
+    val candidates = if (dedup) raw.dropDuplicates("qid", "id") else raw
 
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -133,11 +133,14 @@ object Quantize {
     val bcQ = spark.sparkContext.broadcast(queries)
     // per-query probed-cell mask (null = unrestricted full scan)
     val nCells = probeCells.map(_.valuesIterator.flatten.foldLeft(0)(math.max) + 1).getOrElse(0)
+    // a query id absent from the probeCells map is UNRESTRICTED (null mask
+    // = full scan) — an all-false mask would silently drop the query from
+    // the output
     val bcMask: org.apache.spark.broadcast.Broadcast[Array[Array[Boolean]]] =
       spark.sparkContext.broadcast(queries.map { case (qid, _) =>
-        probeCells.map { pc =>
+        probeCells.flatMap(_.get(qid)).map { cells =>
           val m = new Array[Boolean](nCells)
-          pc.getOrElse(qid, Array.empty[Int]).foreach(c => if (c < nCells) m(c) = true)
+          cells.foreach(c => if (c < nCells) m(c) = true)
           m
         }.orNull
       })

@@ -128,8 +128,11 @@ object StreamingOps {
       // BatchInsert likewise applies batches in arrival order without a
       // version store); pair with [[latestVectorState]] upstream when the
       // stream can deliver stale versions across batches.
+      // secondary keys make equal-version ties deterministic across runs
+      // (op, then a stable hash of the payload)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("version").desc)
+        .partitionBy("id")
+        .orderBy(col("version").desc, col("op"), xxhash64(col("vector")))
       val upserts = ops
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col("op") === "upsert")

@@ -88,6 +88,90 @@ class IvfSpec extends SparkTestBase {
     val c2 = Ivf.train(spark, data, c = 4, iterations = 1)
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
+
+  test("k-means|| seeding is deterministic and returns c centroids") {
+    val s1 = Ivf.seedKMeansPar(spark, data, c = 16)
+    val s2 = Ivf.seedKMeansPar(spark, data, c = 16)
+    assert(s1.length === 16)
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
+
+  test("k-means|| seeding beats first-C seeding on within-cell inertia") {
+    def inertia(centroids: Array[Array[Float]]): Double = {
+      val assigned = Ivf.assign(spark, data, centroids)
+      val bc = spark.sparkContext.broadcast(centroids)
+      assigned.select("cell", "vector").as[(Int, Array[Float])]
+        .map { case (cell, v) =>
+          val d = graft.core.Distances.distance(graft.core.Distances.Euclidean)(v, bc.value(cell))
+          d * d
+        }.reduce(_ + _)
+    }
+    val firstC = Ivf.train(spark, data, c = 16, iterations = 2)
+    val kmp = Ivf.train(spark, data, c = 16, iterations = 2, seeding = "kmeans||")
+    val (iFirst, iKmp) = (inertia(firstC), inertia(kmp))
+    assert(iKmp < iFirst, s"kmeans|| inertia $iKmp !< first-C inertia $iFirst")
+  }
+
+  test("tol early-stop lands on the same fixed point as more iterations") {
+    val a = Ivf.train(spark, data, c = 8, iterations = 30, seeding = "kmeans||", tol = 1e-5)
+    val b = Ivf.train(spark, data, c = 8, iterations = 60, seeding = "kmeans||", tol = 1e-5)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("nprobe=C exactness is seeding-independent (kmeans|| degrades to brute force)") {
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
+    val assigned = Ivf.assign(spark, data, centroids)
+    val ivf = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = c))
+    val exact = resultMap(Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), k = 10))
+    assert(ivf === exact)
+  }
+
+  test("ann_ivf floor: spill=3 nprobe=6/16 recall >= 8/10 per query with kmeans|| seeding") {
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
+    val assigned = Ivf.assign(spark, data, centroids, spill = 3)
+    val qs = queries.filter(_._1 < 5)
+    val ivf = resultMap(Ivf.search(spark, assigned, centroids, qs, k = 10, nprobe = 6, dedup = true))
+    val exact = resultMap(Knn.bruteForce(data, qs.toSeq.toDF("qid", "qvec"), k = 10))
+    qs.foreach { case (qid, _) =>
+      val hits = exact(qid).toSet.intersect(ivf(qid).toSet).size
+      assert(hits >= 8, s"query $qid recall $hits/10 under the catalog floor")
+    }
+  }
+
+  test("spill=1 assignment and search are unchanged by the spill machinery") {
+    val centroids = Ivf.train(spark, data, c = 8, iterations = 1)
+    val a1 = Ivf.assign(spark, data, centroids)
+    assert(a1.count() === data.count())
+    val withDedup = resultMap(Ivf.search(spark, a1, centroids, queries, k = 10, nprobe = 3, dedup = true))
+    val without = resultMap(Ivf.search(spark, a1, centroids, queries, k = 10, nprobe = 3))
+    assert(withDedup === without)
+  }
+
+  test("spilled assignment at nprobe=C still degrades to exact brute force") {
+    val c = 8
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val spilled = Ivf.assign(spark, data, centroids, spill = 3)
+    assert(spilled.count() === data.count() * 3)
+    val ivf = resultMap(Ivf.search(spark, spilled, centroids, queries, k = 10, nprobe = c, dedup = true))
+    val exact = resultMap(Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), k = 10))
+    assert(ivf === exact)
+  }
+
+  test("spill strictly improves recall at fixed nprobe (monotone candidate superset)") {
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
+    val a1 = Ivf.assign(spark, data, centroids)
+    val a3 = Ivf.assign(spark, data, centroids, spill = 3)
+    val exact = resultMap(Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), k = 10))
+    def totalHits(assigned: org.apache.spark.sql.DataFrame): Int = {
+      val r = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4, dedup = true))
+      queries.map { case (qid, _) => exact(qid).toSet.intersect(r(qid).toSet).size }.sum
+    }
+    val (h1, h3) = (totalHits(a1), totalHits(a3))
+    assert(h3 >= h1, s"spill=3 hits $h3 < spill=1 hits $h1")
+  }
 }
 
 class QuantizeSpec extends SparkTestBase {
