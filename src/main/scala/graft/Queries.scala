@@ -221,6 +221,26 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // §2.1-4 as pure SQL TEXT: the same codegen kernels driven entirely
+    // through spark.sql() — graft expressions resolve as named functions
+    // (GraftFunctionRegistry.register here; spark.sql.extensions=
+    // graft.functions.GraftExtensions injects the identical builders at
+    // session build, exercised in VectorFunctionsSpec), so pure-SQL users
+    // get the engine without the Scala facade.
+    "sql_vector_ops" -> ((spark, dir) => {
+      graft.functions.GraftFunctionRegistry.register(spark)
+      t(spark, dir, "embeddings").createOrReplaceTempView("embeddings_sqlv")
+      spark.sql(
+        """SELECT /*+ BROADCAST(q) */ e.vec_id,
+          |  round(dist_euclidean(e.embedding, q.qv), 4) AS dist_l2,
+          |  round(dist_cosine(e.embedding, q.qv), 4) AS dist_cos,
+          |  round(vec_dot(CAST(e.embedding AS ARRAY<DOUBLE>), CAST(q.qv AS ARRAY<DOUBLE>)), 4) AS dot_q,
+          |  round(vec_norm(CAST(e.embedding AS ARRAY<DOUBLE>)), 4) AS norm
+          |FROM embeddings_sqlv e
+          |CROSS JOIN (SELECT embedding AS qv FROM embeddings_sqlv WHERE vec_id = 0) q
+          |ORDER BY e.vec_id""".stripMargin)
+    }),
+
     // §2.5 big-endian float32 codec — self-verifying roundtrip
     "vec_codec_roundtrip" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -579,10 +599,13 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // §2.17 n-gram Jaccard pairs within a bounded bucket (same source)
+    // §2.17 n-gram Jaccard pairs within a bounded bucket (same source).
+    // Adaptive dispatch: a count-only stats pass picks the join formulation
+    // here (few large source buckets) and the grouped per-bucket pass in
+    // the many-small-buckets regime — identical output either way.
     "ngram_jaccard" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
-      Dedup.ngramJaccardPairs(docs, bucketCol = "source")
+      Dedup.ngramJaccardPairsAdaptive(docs, bucketCol = "source")
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -1034,6 +1057,14 @@ object Queries {
          |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
     "vec_codec_roundtrip" ->
       "SELECT vec_id, CAST(0 AS BIGINT) AS n_mismatch, CAST(4*len(embedding) AS BIGINT) AS n_bytes FROM embeddings ORDER BY vec_id",
+    "sql_vector_ops" ->
+      s"""WITH q AS (SELECT ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${duckEuclid(dEmb("e.embedding"), "q.qv")}, 4) AS dist_l2,
+         |  round(${duckCosine(dEmb("e.embedding"), "q.qv")}, 4) AS dist_cos,
+         |  round(${duckDot(dEmb("e.embedding"), "q.qv")}, 4) AS dot_q,
+         |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS norm
+         |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
     "hnsw_search" -> recallOracle(5, 10),
     "hnsw_heuristic" -> recallOracle(5, 10),
     "hnsw_cosine" -> recallOracle(5, 10),

@@ -208,4 +208,34 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.head._1 === 1L && pairs.head._2 === 2L)
     assert(math.abs(pairs.head._3 - 2.0 / 4.0) < 1e-12)
   }
+
+  test("adaptive ngram dispatch picks grouped for many small buckets, join for few huge") {
+    // many small buckets, enough groups to fill the cluster → grouped
+    assert(Dedup.chooseNgramPlan(nBuckets = 10000, maxBucketSize = 50,
+      parallelism = 32, maxGroupedBucket = 4096) === "grouped")
+    // one boilerplate mega-bucket → join (distribute the quadratic work)
+    assert(Dedup.chooseNgramPlan(nBuckets = 10000, maxBucketSize = 100000,
+      parallelism = 32, maxGroupedBucket = 4096) === "join")
+    // few buckets: grouped would cap parallelism at the bucket count → join
+    assert(Dedup.chooseNgramPlan(nBuckets = 4, maxBucketSize = 500,
+      parallelism = 32, maxGroupedBucket = 4096) === "join")
+  }
+
+  test("adaptive ngram dispatch output matches the join formulation in both regimes") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+        .collect().sortBy(x => (x._1, x._2)).toSeq
+    // few-huge regime (2 buckets < test parallelism 4): join path
+    val fewHuge = (0L until 80L)
+      .map(i => (i, s"g${i % 2}", s"tok${i % 7}a tok${i % 5}b common words tok${i}d"))
+      .toDF("doc_id", "source", "text")
+    assert(canon(Dedup.ngramJaccardPairsAdaptive(fewHuge, "source")) ===
+      canon(Dedup.ngramJaccardPairs(fewHuge, "source")))
+    // many-small regime (40 buckets of 2): dispatcher takes the grouped path
+    val manySmall = (0L until 80L)
+      .map(i => (i, s"g${i / 2}", s"tok${i % 7}a tok${i % 5}b common words tok${i % 3}e"))
+      .toDF("doc_id", "source", "text")
+    assert(canon(Dedup.ngramJaccardPairsAdaptive(manySmall, "source")) ===
+      canon(Dedup.ngramJaccardPairs(manySmall, "source")))
+  }
 }

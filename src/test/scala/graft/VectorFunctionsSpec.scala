@@ -136,14 +136,39 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(h(0) === 1L && h(15) === 1L && h.sum === 2L)
   }
 
-  test("SparkSessionExtensions injection registers functions at session build") {
-    val s2 = spark.newSession()
-    // a fresh session from the same context lacks temp functions...
-    graft.functions.GraftFunctionRegistry.register(s2)
-    val d = s2.sql("SELECT vec_norm(array(3.0F, 4.0F)) AS d").collect().head.getDouble(0)
-    assert(d === 5.0)
-    // ...and the extensions class is constructible for withExtensions use
-    val ext = new graft.functions.GraftExtensions
-    assert(ext != null)
+  test("spark.sql.extensions=GraftExtensions injects functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark // force the lazy shared session BEFORE clearing
+    // a session built over an existing context reads spark.sql.extensions
+    // from the CONTEXT conf (builder options don't reach it), so plant the
+    // key there; and force getOrCreate to BUILD a session rather than
+    // return the shared one — newSession() would clone the shared
+    // (extension-less) state instead
+    val confField = classOf[org.apache.spark.SparkContext].getDeclaredField("_conf")
+    confField.setAccessible(true)
+    val scConf = confField.get(shared.sparkContext).asInstanceOf[org.apache.spark.SparkConf]
+    scConf.set("spark.sql.extensions", "graft.functions.GraftExtensions")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2 ne shared, "getOrCreate returned the shared session; extensions untested")
+      // no GraftFunctionRegistry.register(s2) anywhere: resolution proves
+      // the conf-driven injection path
+      val d = s2.sql("SELECT vec_norm(CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d")
+        .collect().head.getDouble(0)
+      assert(d === 5.0)
+      val dist = s2.sql(
+        "SELECT round(dist_euclidean(array(0.0F, 0.0F), array(3.0F, 4.0F)), 4) AS d")
+        .collect().head.getDouble(0)
+      assert(dist === 5.0)
+    } finally {
+      scConf.remove("spark.sql.extensions")
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
   }
 }
