@@ -914,16 +914,20 @@ object Queries {
 
     // §2.21 continuous index maintenance end-to-end: the synthesized
     // mutation stream (upsert@v1 all ids, remove@v2 for ids ≡ 0 mod 7)
-    // drives hnswMaintenanceSink via foreachBatch — per-partition graphs
-    // are created/updated/tombstoned on disk — then the SAVED graphs are
+    // drives hnswMaintenanceSink via foreachBatch — composed through the
+    // versionedOps cross-batch version store, so a stale version in a
+    // later micro-batch can never resurrect an older vector (the
+    // production shape; negative control in StreamingIndexSpec) — graphs
+    // are created/updated/tombstoned on disk, then the SAVED graphs are
     // searched and recall-scored against the exact kNN over the surviving
     // ids. Closed-form oracle.
     "stream_hnsw_maintenance" -> ((spark, dir) => {
-      val ops = mutationOps(spark, dir)
+      val ops = graft.streaming.StreamingOps.versionedOps(spark, mutationOps(spark, dir))
       val idxDir = java.nio.file.Files.createTempDirectory("stream_hm_idx").toString
       val ckpt = java.nio.file.Files.createTempDirectory("stream_hm_ckpt").toString
       val sink = graft.streaming.StreamingOps.hnswMaintenanceSink(idxDir, 4, HnswConfig(ef = 100))
       val q = ops.writeStream.foreachBatch(sink)
+        .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -93,6 +93,24 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(applyOps)
   }
 
+  /** Cross-batch version store for maintenance sinks: folds the op stream
+    * through [[latestVectorState]] and re-emits every touched id's CURRENT
+    * state as an effective op. A stale version arriving in a LATER
+    * micro-batch re-emits the stored newer state instead of the stale
+    * vector, so downstream index maintenance ([[hnswMaintenanceSink]])
+    * is idempotent against out-of-order delivery across batches — the
+    * sink's own latest-wins window only covers reordering INSIDE one
+    * batch. Compose as
+    * `versionedOps(spark, ops).writeStream.outputMode("update")
+    *   .foreachBatch(hnswMaintenanceSink(...))`.
+    */
+  def versionedOps(spark: SparkSession, ops: Dataset[VectorOp]): Dataset[VectorOp] = {
+    import spark.implicits._
+    latestVectorState(spark, ops).map { s =>
+      VectorOp(s.id, if (s.deleted) "remove" else "upsert", s.vector, s.version)
+    }
+  }
+
   /** Streaming exact dedup: keep the first occurrence per content digest,
     * with state bounded by the watermark (brief: dedup as a first-class
     * pipeline op, here in its continuous-ingestion form).

@@ -157,6 +157,36 @@ class StreamingIndexSpec extends SparkTestBase {
       assert(res.minBy(_.getDouble(2)).getLong(1) === 2L)
     } finally q.stop()
   }
+
+  test("version store: stale version in a later batch cannot resurrect an older vector") {
+    implicit val sqlCtx = spark.sqlContext
+    def runPipeline(versionStore: Boolean): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("hnsw_stream_ver").toString
+      val input = MemoryStream[StreamingOps.VectorOp]
+      val src = if (versionStore) StreamingOps.versionedOps(spark, input.toDS()) else input.toDS()
+      val q = src.writeStream
+        .foreachBatch(StreamingOps.hnswMaintenanceSink(dir, numPartitions = 2))
+        .outputMode(if (versionStore) "update" else "append").start()
+      try {
+        // batch 1 delivers id 7 @v2 at (0,1); batch 2 delivers a STALE @v1
+        input.addData(
+          StreamingOps.VectorOp(1L, "upsert", Array(1f, 0f), 1),
+          StreamingOps.VectorOp(7L, "upsert", Array(0f, 1f), 2))
+        q.processAllAvailable()
+        input.addData(StreamingOps.VectorOp(7L, "upsert", Array(1f, 0f), 1))
+        q.processAllAvailable()
+        val res = graft.hnsw.HnswSpark.searchSaved(
+          spark, dir, Array((0L, Array(0f, 1f))), k = 2).collect()
+        res.filter(_.getLong(1) == 7L).head.getDouble(2) // dist of id 7 to (0,1)
+      } finally q.stop()
+    }
+    // with the version store, id 7 stays at its v2 position
+    assert(runPipeline(versionStore = true) < 1e-6, "stale v1 resurrected id 7")
+    // negative control: the raw sink's within-batch window cannot see the
+    // newer version from the earlier batch, so the stale vector wins —
+    // which is exactly what versionedOps exists to prevent
+    assert(runPipeline(versionStore = false) > 0.5, "control: raw sink unexpectedly versioned")
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
