@@ -73,6 +73,31 @@ object BenchScale {
     }
     println(s"[scale] approx result rows: $approx")
 
+    // corpus-vs-corpus ANN at scale: a 100k-query DataFrame against the
+    // n-vector corpus through IVF×SQ8 — probes nprobe/C of the cells,
+    // scans 1 byte/dim inside them, rescores only coarse survivors. No
+    // driver-resident query array anywhere; this is the LLM-pipeline
+    // shape (dedup-by-ANN) the DataFrame query side exists for.
+    {
+      val nQueries = math.min(100000, n / 10).toInt
+      val c = 256
+      val centroids = timed(s"IVF train (kmeans||, c=$c, 2 Lloyd passes, $n vectors)") {
+        graft.knn.Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
+      }
+      val q8 = graft.knn.Quantize.sq8(graft.knn.Ivf.assign(spark, data, centroids))
+        .select("id", "cell", "vector", "codes", "q_scale", "q_offset")
+        .repartition(cpus.toInt * 2, col("cell")).cache()
+      timed(s"IVF assign + SQ8 encode ($n vectors)")(q8.count())
+      val queries = spark.range(nQueries).select(col("id").as("qid"),
+        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(sin((id + 17) * 0.9 + j * 1.7) + cos(id * 0.31 * j) as float))")
+          .as("qvec"))
+      val nnRows = timed(s"IVF×SQ8 searchDF ($nQueries queries x $n vectors, k=10, nprobe=16/$c)") {
+        graft.knn.Quantize.searchIvfSq8DF(q8, centroids, queries, k = 10, nprobe = 16).count()
+      }
+      println(s"[scale] corpus-vs-corpus result rows: $nnRows (expect ${nQueries * 10})")
+      q8.unpersist()
+    }
+
     // synthetic docs with planted dups for the dedup path
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
         expr("concat_ws(' ', transform(sequence(0, 40), j -> concat('w', cast(pmod(id * 2654435761 + j * 40503 + cast(pow(j, 3) as bigint), 999983) as string))))")

@@ -457,10 +457,7 @@ object Ivf {
       else {
         val heaps = Array.fill(qs.length)(new TopK(k))
         val kernel = Distances.distance(m) _
-        dIter.foreach { case (_, id, v) =>
-          var qi = 0
-          while (qi < qs.length) { heaps(qi).push(kernel(v, qs(qi)._3), id); qi += 1 }
-        }
+        TopK.scanBlocked(dIter.map { case (_, id, v) => (id, v) }, qs.map(_._3), heaps, kernel)
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
           h.sorted.iterator.map { case (dist, id) => (qs(qi)._2, id, dist) }
         }

@@ -52,15 +52,10 @@ object Knn {
         val qs = bc.value
         val heaps = Array.fill(qs.length)(new TopK(k))
         // exact double element-ordered kernel (hash-matches the oracle
-        // formulation); hoisted so no per-row closure allocation
+        // formulation); blocked scan keeps the query set out of the
+        // per-row cache path (TopK.scanBlocked) without touching results
         val kernel = Distances.distance(m) _
-        iter.foreach { case (id, v) =>
-          var qi = 0
-          while (qi < qs.length) {
-            heaps(qi).push(kernel(v, qs(qi)._2), id)
-            qi += 1
-          }
-        }
+        TopK.scanBlocked(iter, qs.map(_._2), heaps, kernel)
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
           h.sorted.iterator.map { case (dist, id) => (qs(qi)._1, id, dist) }
         }
@@ -110,10 +105,7 @@ object Knn {
       else {
         val heaps = Array.fill(qs.length)(new TopK(k))
         val kernel = Distances.distance(m) _
-        dIter.foreach { case (id, v) =>
-          var qi = 0
-          while (qi < qs.length) { heaps(qi).push(kernel(v, qs(qi)._2), id); qi += 1 }
-        }
+        TopK.scanBlocked(dIter, qs.map(_._2), heaps, kernel)
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
           h.sorted.iterator.map { case (dist, id) => (qs(qi)._1, id, dist) }
         }

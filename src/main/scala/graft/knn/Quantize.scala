@@ -106,6 +106,86 @@ object Quantize {
     searchExact(spark, quantized, queries, k, Some(probed))
   }
 
+  /** IVF×SQ8 with a DataFrame query side — the corpus-vs-corpus shape at
+    * its cheapest scan cost: nothing driver-resident, each query row
+    * computes its own nprobe probe cells (centroids broadcast), both sides
+    * shuffle once on the small-cardinality cell id, and a per-cell cogroup
+    * streams the cell's 1-byte/dim CODES once past bounded per-query heaps
+    * of size k·overscan on dequantized distances. Only the global
+    * k·overscan coarse survivors join the full-precision column for the
+    * exact rescore. Recall is the overscan heuristic of [[search]] (not
+    * the τ-proof of [[searchExact]], whose two-pass global bound doesn't
+    * fit a single cogroup): raise `overscan` to trade candidates for
+    * recall. `quantized` must carry `cell` (from [[Ivf.assign]]) plus the
+    * sq8 columns; a spilled assignment is deduped before ranking.
+    */
+  def searchIvfSq8DF(
+      quantized: DataFrame, // sq8(assign(...)): (id, cell, vector, codes, q_scale, q_offset)
+      centroids: Array[Array[Float]],
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 4): DataFrame = {
+    val spark = quantized.sparkSession
+    import spark.implicits._
+    val metric = graft.core.Distances.Euclidean
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val probes = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cs = bc.value
+        val kernel = graft.core.Distances.distance(metric) _
+        iter.flatMap { case (qid, qv) =>
+          cs.zipWithIndex
+            .map { case (cv, ci) => (kernel(qv, cv), ci) }
+            .sortBy(identity).take(nprobe)
+            .iterator.map { case (_, ci) => (ci, qid, qv) }
+        }
+      }
+
+    val dataByCell = quantized
+      .select(col("cell").cast("int"), col("id").cast("long"),
+        col("codes").cast("array<smallint>"),
+        col("q_scale").cast("float"), col("q_offset").cast("float"))
+      .as[(Int, Long, Array[Short], Float, Float)]
+      .groupByKey(_._1)
+
+    val kk = k * overscan
+    val coarse = dataByCell.cogroup(probes.groupByKey(_._1)) { case (_, dIter, qIter) =>
+      val qs = qIter.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        // coarse ranking only — the SIMD kernel's relaxed precision is
+        // absorbed by the exact full-precision rescore (same reasoning as
+        // Ivf.assign). The blocked scan (TopK.scanBlocked) keeps this
+        // kernel-bound instead of memory-bound on re-streaming the query
+        // set per row; rows decode once (lazy map).
+        val kernel = graft.core.DistKernel.best
+        val heaps = Array.fill(qs.length)(new TopK(kk))
+        TopK.scanBlocked(
+          dIter.map { case (_, id, codes, scale, offset) => (id, dequantizeArr(codes, scale, offset)) },
+          qs.map(_._3), heaps, kernel.euclidean)
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._2, id, d) }
+        }
+      }
+    }.toDF("qid", "id", "approx")
+
+    val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
+    val cand = coarse
+      .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
+      .select("qid", "id").dropDuplicates("qid", "id")
+
+    val rescored = cand
+      .join(quantized.select(col("id"), col("vector")), Seq("id"))
+      .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), "euclidean").as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** GUARANTEED-exact two-stage L2 search over SQ8 codes.
     *
     * By the triangle inequality |d(q,v) − d(q,v̂)| ≤ ‖v−v̂‖₂ = e_v, so with

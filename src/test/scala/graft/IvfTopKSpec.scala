@@ -238,6 +238,24 @@ class QuantizeSpec extends SparkTestBase {
     assert(bounded === exact)
   }
 
+  test("IVF-SQ8 DataFrame query side: recall >= 0.9 vs exact, no driver query array") {
+    val queriesDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10")
+      .selectExpr("vec_id as qid", "embedding as qvec")
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
+    val q8 = graft.knn.Quantize.sq8(Ivf.assign(spark, data, centroids))
+    val approx = graft.knn.Quantize.searchIvfSq8DF(q8, centroids, queriesDf, k = 10, nprobe = c)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = graft.knn.Knn.bruteForce(data, queriesDf, 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.map { qid => exact(qid).intersect(approx(qid)).size / 10.0 }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"recall $avg")
+    // every query returns exactly k rows
+    assert(approx.values.forall(_.size === 10))
+  }
+
   test("searchExact bound holds on adversarial near-tie data") {
     // clustered points whose dequantized ranks invert vs true ranks: an
     // overscan heuristic can miss these; the error bound must not.
