@@ -678,6 +678,43 @@ object Queries {
         .orderBy("id")
     }),
 
+    // §2.19 REAL image codec end-to-end, distributed: per row an 8×8 RGB
+    // image is synthesized from the embedding's float bits, ENCODED to an
+    // actual PNG (javax.imageio, in executor tasks), DECODED back through
+    // the Decoder boundary (PngDecoder), and nearest-neighbor-resized to
+    // 4×4. Self-verifying: PNG is lossless so decoded pixels must equal
+    // the synthesized pixels byte-for-byte (n_px_mismatch = 0), and each
+    // resized pixel must equal the source pixel at (2x, 2y) by direct
+    // indexing (n_resize_mismatch = 0) — closed-form constant oracle.
+    "multimodal_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      e.select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          rows.map { case (id, emb) =>
+            // 8×8×3 = 192 deterministic bytes from the 64 floats' bits
+            val rgb = Array.tabulate(192) { i =>
+              ((java.lang.Float.floatToIntBits(emb(i % emb.length)) >>> (8 * ((i / emb.length) % 4))) & 0xff).toByte
+            }
+            val payload = graft.multimodal.Multimodal.encodePng(rgb, 8, 8)
+            val decoded = graft.multimodal.Multimodal.PngDecoder.decodeFrames(payload, 1)
+            val frame = if (decoded.isEmpty) Array.empty[Byte] else decoded(0)
+            val pxMismatch =
+              if (frame.length != rgb.length) rgb.length.toLong
+              else rgb.indices.count(i => rgb(i) != frame(i)).toLong
+            val resized = graft.multimodal.Multimodal.resizeNearest(frame, 8, 8, 4, 4)
+            var resizeMismatch = 0L
+            for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+              if (resized((y * 4 + x) * 3 + c) != frame(((2 * y) * 8 + 2 * x) * 3 + c)) resizeMismatch += 1
+            val (w, h) = graft.multimodal.Multimodal.PngDecoder.dims(payload)
+            (id, w.toLong, h.toLong, pxMismatch, resizeMismatch, resized.length.toLong)
+          }
+        }
+        .toDF("vec_id", "width", "height", "n_px_mismatch", "n_resize_mismatch", "resized_bytes")
+        .orderBy("vec_id")
+    }),
+
     // §2.20 composite quality score (length + stopword components)
     "quality_score" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -1125,6 +1162,13 @@ object Queries {
         |  CAST(least(4*len(embedding), 4*greatest((4*len(embedding))//4, 1)) AS BIGINT) AS hist_total,
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM embeddings ORDER BY id""".stripMargin,
+    // PNG encode→decode→resize is exercised Spark-side; losslessness and
+    // the direct-indexing resize check make every column closed-form
+    "multimodal_decode" ->
+      """SELECT vec_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(0 AS BIGINT) AS n_px_mismatch, CAST(0 AS BIGINT) AS n_resize_mismatch,
+        |  CAST(48 AS BIGINT) AS resized_bytes
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -9,11 +9,13 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   * partitions of byte payloads.
   *
   * The Spark-side plumbing — schema, partitioning, batch iteration — is
-  * real and tested. The actual media decoding is STUBBED (no image/audio
-  * codecs in this environment): [[DecodeStub]] derives deterministic fake
-  * "pixels" from the payload bytes so the pipeline shape (bytes → frames →
-  * features) is exercised end to end. Swap [[Decoder]] with a real codec
-  * binding in production.
+  * real and tested. IMAGE decoding is REAL: [[PngDecoder]]/[[encodePng]]
+  * round-trip PNG payloads through `javax.imageio` (in the JDK — no
+  * external codecs needed), and [[resizeNearest]] is a real
+  * nearest-neighbor resampler over decoded pixels. Audio/video decoding
+  * remains honestly STUBBED ([[DecodeStub]]: deterministic frame split of
+  * the raw payload) behind the same [[Decoder]] boundary — swap in a
+  * codec binding in production.
   */
 object Multimodal {
 
@@ -39,6 +41,82 @@ object Multimodal {
       val frameSize = math.max(1, payload.length / math.max(1, maxFrames))
       payload.grouped(frameSize).take(maxFrames).map(identity).toArray
     }
+  }
+
+  /** Encode packed row-major RGB bytes (3 bytes/pixel) as a PNG payload —
+    * the real, lossless image codec in the JDK (`javax.imageio`). Runs in
+    * executor tasks (headless-safe: no AWT toolkit involved).
+    */
+  def encodePng(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(rgb.length == width * height * 3, s"need ${width * height * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < width * height) {
+      val i = p * 3
+      img.setRGB(p % width, p / width,
+        ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decoder: PNG/JPEG/BMP payload → one frame of packed
+    * row-major RGB bytes via `javax.imageio`. Undecodable payloads yield
+    * zero frames (the contract a quality-filter pipeline wants: skip, not
+    * throw, on corrupt media).
+    */
+  object PngDecoder extends Decoder {
+    def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || maxFrames < 1) Array.empty
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          val px = img.getRGB(p % w, p / w)
+          out(p * 3) = ((px >> 16) & 0xff).toByte
+          out(p * 3 + 1) = ((px >> 8) & 0xff).toByte
+          out(p * 3 + 2) = (px & 0xff).toByte
+          p += 1
+        }
+        Array(out)
+      }
+    }
+
+    /** (width, height) of a decodable payload, (-1, -1) otherwise. */
+    def dims(payload: Array[Byte]): (Int, Int) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
+    }
+  }
+
+  /** Real nearest-neighbor resize over packed RGB pixels: output pixel
+    * (x, y) samples input pixel (⌊x·w/ow⌋, ⌊y·h/oh⌋).
+    */
+  def resizeNearest(rgb: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * w / ow
+        val si = (sy * w + sx) * 3
+        val di = (y * ow + x) * 3
+        out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Attach a metadata struct column to a payload DataFrame. */

@@ -226,4 +226,49 @@ class MultimodalSpec extends SparkTestBase {
       .select("meta.kind", "meta.width").as[(String, Int)].head()
     assert(out === ("image", 4))
   }
+
+  test("PNG encode/decode round-trips pixels losslessly (real javax.imageio codec)") {
+    val rgb = Array.tabulate(5 * 3 * 3)(i => ((i * 37 + 11) & 0xff).toByte)
+    val png = Multimodal.encodePng(rgb, 5, 3)
+    // a real PNG payload: magic bytes
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte && png(2) === 'N'.toByte)
+    assert(Multimodal.PngDecoder.dims(png) === ((5, 3)))
+    val frames = Multimodal.PngDecoder.decodeFrames(png, 1)
+    assert(frames.length === 1)
+    assert(frames(0).toSeq === rgb.toSeq)
+  }
+
+  test("undecodable payloads yield zero frames, not an exception") {
+    assert(Multimodal.PngDecoder.decodeFrames(Array[Byte](1, 2, 3, 4), 1).isEmpty)
+    assert(Multimodal.PngDecoder.decodeFrames(Array.empty[Byte], 1).isEmpty)
+    assert(Multimodal.PngDecoder.dims(Array[Byte](0, 0)) === ((-1, -1)))
+  }
+
+  test("nearest-neighbor resize samples floor-mapped source pixels") {
+    // 4x2 image, downsample to 2x1: output (x,0) takes input (2x, 0)
+    val rgb = Array.tabulate(4 * 2 * 3)(i => i.toByte)
+    val out = Multimodal.resizeNearest(rgb, 4, 2, 2, 1)
+    assert(out.length === 2 * 1 * 3)
+    assert(out.slice(0, 3).toSeq === rgb.slice(0, 3).toSeq)       // (0,0)
+    assert(out.slice(3, 6).toSeq === rgb.slice(6, 9).toSeq)       // (2,0)
+    // upscale 2x1 -> 4x1 repeats each source pixel twice
+    val up = Multimodal.resizeNearest(out, 2, 1, 4, 1)
+    assert(up.slice(0, 3).toSeq === up.slice(3, 6).toSeq)
+    assert(up.slice(6, 9).toSeq === up.slice(9, 12).toSeq)
+  }
+
+  test("extractFeatures over real PNG payloads uses the decoded pixels, distributed") {
+    val rows = (0L until 12L).map { i =>
+      val rgb = Array.tabulate(8 * 8 * 3)(j => ((i * 31 + j) & 0xff).toByte)
+      Multimodal.MediaRow(i, Multimodal.encodePng(rgb, 8, 8), "image", 8, 8, 0)
+    }
+    val features = Multimodal
+      .extractFeatures(spark, rows.toDS().repartition(3), decoder = Multimodal.PngDecoder)
+      .collect().sortBy(_.id)
+    assert(features.length === 12)
+    features.foreach { f =>
+      assert(f.nFrames === 1)
+      assert(f.histogram.sum === 8L * 8 * 3) // every decoded byte counted
+    }
+  }
 }
