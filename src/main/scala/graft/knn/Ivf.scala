@@ -124,14 +124,6 @@ object Ivf {
       .select(col("id").cast("long"), col("vector").cast("array<float>"))
       .as[(Long, Array[Float])]
 
-    def mix(x0: Long): Long = {
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
-    def unit(x: Long): Double = (mix(x) >>> 11).toDouble / (1L << 53).toDouble
-
     var candidates: Array[Array[Float]] = rows.orderBy("id").limit(1)
       .select("vector").collect().map(_.getSeq[Float](0).toArray)
     if (candidates.isEmpty) return candidates
@@ -160,10 +152,14 @@ object Ivf {
         val selected = rows.mapPartitions { iter =>
           val cs = bc.value
           iter.filter { case (id, v) =>
-            unit(mix(id) ^ mix(seed + round)) < l * minDistSq(v, cs) / phi
+            graft.core.SplitMix.unit(graft.core.SplitMix.mix(id) ^ graft.core.SplitMix.mix(seed + round)) <
+              l * minDistSq(v, cs) / phi
           }
-        }.map(_._2).collect()
-        candidates ++= selected
+        }.collect()
+        // collect() returns partition order — sort by id so the candidate
+        // ARRAY order (which weightedPick walks) is layout-independent,
+        // matching the docstring's determinism promise
+        candidates ++= selected.sortBy(_._1).map(_._2)
         r += 1
       }
     }
@@ -211,18 +207,11 @@ object Ivf {
     if (n <= c) return cand
     val dim = cand.head.length
 
-    var state = seed
-    def nextUnit(): Double = {
-      state += 0x9e3779b97f4a7c15L
-      var x = state
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      ((x ^ (x >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
-    }
+    val rng = new graft.core.SplitMix.Stream(seed)
     def weightedPick(score: Array[Double]): Int = {
       val total = score.sum
       if (total <= 0) return 0
-      var target = nextUnit() * total
+      var target = rng.nextUnit() * total
       var i = 0
       while (i < score.length - 1) {
         target -= score(i)
@@ -320,7 +309,11 @@ object Ivf {
             i += 1
           }
           // nSpill smallest by (dist, cell id) — selection over the small
-          // centroid array, no sort of anything data-sized
+          // centroid array, no sort of anything data-sized. A row whose
+          // distances are all NaN/Infinity (NaN component, zero vector
+          // under cosine, float overflow) still lands in the first untaken
+          // cell rather than crashing the job — matching the old argmin's
+          // cell-0 fallback.
           val chosen = new Array[Int](nSpill)
           val taken = new Array[Boolean](cs.length)
           var r = 0
@@ -331,6 +324,10 @@ object Ivf {
             while (i < cs.length) {
               if (!taken(i) && dists(i) < bestDist) { bestDist = dists(i); best = i }
               i += 1
+            }
+            if (best == -1) {
+              i = 0
+              while (best == -1 && i < cs.length) { if (!taken(i)) best = i; i += 1 }
             }
             taken(best) = true
             chosen(r) = best
@@ -419,19 +416,21 @@ object Ivf {
     * With nprobe = centroids.length every cell is probed and the result is
     * exactly [[graft.knn.Knn.bruteForce]] (same kernel, same tie-break).
     */
-  def searchDF(
-      assigned: DataFrame, // output of assign()
-      centroids: Array[Array[Float]],
+  /** Per-query probe fan-out with a DataFrame query side: each query row
+    * ranks the (broadcast) centroids and emits its `nprobe` nearest as
+    * (cell, qid, qvec) — the shared front half of [[searchDF]] and
+    * [[Quantize.searchIvfSq8DF]].
+    */
+  private[knn] def probeCells(
       queries: DataFrame, // (qid, qvec)
-      k: Int,
+      centroids: Array[Array[Float]],
       nprobe: Int,
-      metric: String = "euclidean"): DataFrame = {
-    val spark = assigned.sparkSession
+      metric: String): org.apache.spark.sql.Dataset[(Int, Long, Array[Float])] = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val m = Distances.metricId(metric)
     val bc = spark.sparkContext.broadcast(centroids)
-
-    val probes = queries
+    queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
@@ -445,13 +444,28 @@ object Ivf {
             .iterator.map { case (_, ci) => (ci, qid, qv) }
         }
       }
+  }
+
+  def searchDF(
+      assigned: DataFrame, // output of assign()
+      centroids: Array[Array[Float]],
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int,
+      metric: String = "euclidean",
+      dedup: Boolean = false): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val m = Distances.metricId(metric)
+
+    val probes = probeCells(queries, centroids, nprobe, metric)
 
     val dataByCell = assigned
       .select(col("cell").cast("int"), col("id").cast("long"), col("vector").cast("array<float>"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
 
-    val candidates = dataByCell.cogroup(probes.groupByKey(_._1)) { case (_, dIter, qIter) =>
+    val raw = dataByCell.cogroup(probes.groupByKey(_._1)) { case (_, dIter, qIter) =>
       val qs = qIter.toArray
       if (qs.isEmpty) Iterator.empty
       else {
@@ -463,6 +477,10 @@ object Ivf {
         }
       }
     }.toDF("qid", "id", "dist")
+
+    // spilled assignments surface an id through several probed cells —
+    // dedupe BEFORE the top-k window (see [[search]])
+    val candidates = if (dedup) raw.dropDuplicates("qid", "id") else raw
 
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -54,6 +54,26 @@ object Quantize {
   def dequantize(codes: org.apache.spark.sql.Column, scale: org.apache.spark.sql.Column, offset: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(codes, c => ((c.cast("int") + 128).cast("float") * scale + offset).cast("float"))
 
+  /** Exact full-precision rescore of a (qid, id) candidate set + final
+    * top-k — the shared tail of [[search]] and [[searchIvfSq8DF]]. The
+    * vector side is deduped by id so a spilled assignment (same id in
+    * several cells) cannot fan the join out into duplicate rows that eat
+    * rank slots.
+    */
+  private def rescoreTopK(
+      candidates: DataFrame, // (qid, id)
+      vectors: DataFrame, // (id, vector), possibly with duplicate ids (spill)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      metric: String): DataFrame = {
+    val rescored = candidates
+      .join(vectors.select(col("id"), col("vector")).dropDuplicates("id"), Seq("id"))
+      .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Two-stage ANN: coarse top-(k·overscan) on dequantized vectors, exact
     * rescoring of those candidates at full precision. The full-precision
     * side is only touched for candidate ids (broadcast-join sized).
@@ -70,15 +90,7 @@ object Quantize {
     val coarseData = quantized.select(col("id"), approxVec.as("vector"))
     val coarse = Knn.partitioned(spark, coarseData, queries, k * overscan, metric)
       .select("qid", "id")
-
-    val queriesDf = queries.toSeq.toDF("qid", "qvec")
-    val rescored = coarse
-      .join(quantized.select(col("id"), col("vector")), Seq("id"))
-      .join(broadcast(queriesDf), Seq("qid"))
-      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
-
-    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
-    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rescoreTopK(coarse, quantized, broadcast(queries.toSeq.toDF("qid", "qvec")), k, metric)
   }
 
   /** IVF×SQ8: the 100 TB configuration — probe only each query's nearest
@@ -128,22 +140,8 @@ object Quantize {
       overscan: Int = 4): DataFrame = {
     val spark = quantized.sparkSession
     import spark.implicits._
-    val metric = graft.core.Distances.Euclidean
-    val bc = spark.sparkContext.broadcast(centroids)
 
-    val probes = queries
-      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { iter =>
-        val cs = bc.value
-        val kernel = graft.core.Distances.distance(metric) _
-        iter.flatMap { case (qid, qv) =>
-          cs.zipWithIndex
-            .map { case (cv, ci) => (kernel(qv, cv), ci) }
-            .sortBy(identity).take(nprobe)
-            .iterator.map { case (_, ci) => (ci, qid, qv) }
-        }
-      }
+    val probes = Ivf.probeCells(queries, centroids, nprobe, "euclidean")
 
     val dataByCell = quantized
       .select(col("cell").cast("int"), col("id").cast("long"),
@@ -173,17 +171,16 @@ object Quantize {
       }
     }.toDF("qid", "id", "approx")
 
+    // dedupe BEFORE the coarse window: a spilled id surfacing through
+    // several probed cells must not consume multiple crank slots inside
+    // the k·overscan budget (duplicate rows carry equal approx values,
+    // so which copy survives is immaterial)
     val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
-    val cand = coarse
+    val cand = coarse.dropDuplicates("qid", "id")
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
-      .select("qid", "id").dropDuplicates("qid", "id")
+      .select("qid", "id")
 
-    val rescored = cand
-      .join(quantized.select(col("id"), col("vector")), Seq("id"))
-      .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
-      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), "euclidean").as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
-    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rescoreTopK(cand, quantized, queries, k, "euclidean")
   }
 
   /** GUARANTEED-exact two-stage L2 search over SQ8 codes.

@@ -69,9 +69,12 @@ object Multimodal {
     */
   object PngDecoder extends Decoder {
     def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
+      // NonFatal, not just IOException: ImageIO readers throw
+      // RuntimeExceptions (IndexOutOfBounds, NegativeArraySize, ...) on
+      // malformed headers, and the contract is skip-not-throw
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || maxFrames < 1) Array.empty
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -92,7 +95,7 @@ object Multimodal {
     def dims(payload: Array[Byte]): (Int, Int) = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
     }
   }

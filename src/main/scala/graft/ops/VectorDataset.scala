@@ -43,9 +43,19 @@ final class VectorDataset private (
     * `storage/partition.go` batchInsert → ItemAlreadyExistsError.
     */
   def batchInsert(items: DataFrame): VectorDataset = {
-    val it = normalize(checkDim(items))
-    val dup = data.select("id").join(broadcast(it.select("id")), Seq("id")).limit(1).count()
-    if (dup > 0) throw new IllegalArgumentException("item already exists")
+    val it = normalize(items)
+    // ONE validation action: the dimension check (items side) unions with
+    // the duplicate-id probe (single broadcast-join scan of the base) —
+    // one job over the base instead of two at scale
+    val errs = it.filter(size(col("vector")) =!= dimension).select(lit("dim").as("err"))
+      .unionByName(
+        data.select("id").join(broadcast(it.select("id")), Seq("id")).select(lit("dup").as("err")))
+      .groupBy("err").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (errs.getOrElse("dim", 0L) > 0)
+      throw new IllegalArgumentException(s"dimension mismatch: expected $dimension")
+    if (errs.getOrElse("dup", 0L) > 0)
+      throw new IllegalArgumentException("item already exists")
     copyWith(routed(data.unionByName(it)))
   }
 

@@ -159,6 +159,28 @@ class IvfSpec extends SparkTestBase {
     assert(ivf === exact)
   }
 
+  test("k-means|| seeds are identical across partition layouts") {
+    val s3 = Ivf.seedKMeansPar(spark, data.repartition(3), c = 8)
+    val s7 = Ivf.seedKMeansPar(spark, data.repartition(7), c = 8)
+    assert(s3.map(_.toSeq).toSeq === s7.map(_.toSeq).toSeq)
+  }
+
+  test("assign survives NaN components and zero vectors under cosine (no argmin crash)") {
+    val weird = Seq(
+      (1L, Array(1f, 2f)),
+      (2L, Array(Float.NaN, 1f)), // NaN distance to every centroid
+      (3L, Array(0f, 0f))         // cosine: 0/0 = NaN
+    ).toDF("id", "vector")
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val plain = Ivf.assign(spark, weird, centroids, metric = "cosine")
+    assert(plain.count() === 3)
+    val spilled = Ivf.assign(spark, weird, centroids, metric = "cosine", spill = 2)
+    assert(spilled.count() === 6)
+    // an all-NaN row still lands in real cells (fallback: first untaken)
+    val cells = spilled.filter(col("id") === 2L).select("cell").as[Int].collect().sorted
+    assert(cells.toSeq === Seq(0, 1))
+  }
+
   test("spill strictly improves recall at fixed nprobe (monotone candidate superset)") {
     val c = 16
     val centroids = Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
@@ -254,6 +276,22 @@ class QuantizeSpec extends SparkTestBase {
     assert(avg >= 0.9, s"recall $avg")
     // every query returns exactly k rows
     assert(approx.values.forall(_.size === 10))
+  }
+
+  test("searchIvfSq8DF over a SPILLED assignment returns k distinct rows per query") {
+    val queriesDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 8")
+      .selectExpr("vec_id as qid", "embedding as qvec")
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
+    val q8 = graft.knn.Quantize.sq8(Ivf.assign(spark, data, centroids, spill = 3))
+    val res = graft.knn.Quantize.searchIvfSq8DF(q8, centroids, queriesDf, k = 10, nprobe = 6)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    res.foreach { case (qid, ids) =>
+      assert(ids.length === 10, s"query $qid returned ${ids.length} rows")
+      assert(ids.distinct.length === 10, s"query $qid returned duplicate neighbors")
+    }
+    assert(res.size === 8)
   }
 
   test("searchExact bound holds on adversarial near-tie data") {
