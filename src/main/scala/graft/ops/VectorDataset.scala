@@ -82,6 +82,21 @@ final class VectorDataset private (
     Knn.partitioned(spark, data.select("id", "vector"), queries, k, metric)
   }
 
+  /** Exact top-k search with a DataFrame query side — the corpus-vs-corpus
+    * shape; the query batch never lands on the driver. (qid, qvec) rows,
+    * dimension checked distributed.
+    */
+  def searchDF(queries: DataFrame, k: Int): DataFrame = {
+    val checked = queries.select(col("qid").cast("long"),
+      col("qvec").cast("array<float>"))
+    Knn.partitionedDF(data.select("id", "vector"),
+      checked.withColumn("qvec",
+        when(size(col("qvec")) === dimension, col("qvec"))
+          .otherwise(raise_error(concat(lit(s"dimension mismatch: expected $dimension, got "),
+            size(col("qvec")).cast("string"))))),
+      k, metric)
+  }
+
   /** Approximate top-k via per-partition HNSW graphs. */
   def searchApprox(
       queries: Array[(Long, Array[Float])],

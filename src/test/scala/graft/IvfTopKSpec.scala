@@ -343,6 +343,16 @@ class KnnDataFrameQuerySpec extends SparkTestBase {
       rows(Knn.bruteForce(data, queriesDf, k = 5, metric = "cosine")))
   }
 
+  test("VectorDataset.searchDF equals bruteForce and dimension-checks distributed") {
+    val ds = graft.ops.VectorDataset(spark, data, dimension = 64)
+    assert(rows(ds.searchDF(queriesDf, k = 10)) ===
+      rows(Knn.bruteForce(data, queriesDf, k = 10)))
+    val badQ = Seq((0L, Array(1f, 2f))).toDF("qid", "qvec")
+    val e = intercept[Exception](ds.searchDF(badQ, k = 5).collect())
+    assert(e.getMessage.contains("dimension mismatch") ||
+      String.valueOf(e.getCause).contains("dimension mismatch"))
+  }
+
   test("Ivf.searchDF with nprobe=C equals bruteForce (cogroup path is exact)") {
     val c = 8
     val centroids = Ivf.train(spark, data, c, iterations = 1)

@@ -36,6 +36,24 @@ object TopKProps extends Properties("TopK") {
       }
       merged.sorted.toSeq == global.sorted.toSeq
     }
+
+  property("scanBlocked == row-major scan for every block size") = {
+    val vecs = Gen.listOf(Gen.zip(Gen.choose(0L, 500L),
+      Gen.listOfN(4, Gen.choose(-10f, 10f)).map(_.toArray)))
+    val queries = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-10f, 10f)).map(_.toArray)))
+    forAll(vecs, queries, Gen.choose(1, 7)) { (rows, qs, blockSize) =>
+      val kernel = Distances.distance(Distances.Euclidean) _
+      val k = 5
+      val blocked = Array.fill(qs.length)(new TopK(k))
+      TopK.scanBlocked(rows.iterator, qs.toArray, blocked, kernel, blockSize)
+      val naive = Array.fill(qs.length)(new TopK(k))
+      rows.foreach { case (id, v) =>
+        qs.indices.foreach(qi => naive(qi).push(kernel(v, qs(qi)), id))
+      }
+      qs.indices.forall(qi => blocked(qi).sorted.toSeq == naive(qi).sorted.toSeq)
+    }
+  }
 }
 
 object DistHeapProps extends Properties("DistHeap") {
