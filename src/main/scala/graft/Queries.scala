@@ -530,7 +530,9 @@ object Queries {
     //      storage-for-recall lever; on real clustered corpora the same
     //      machinery needs spill=1-2 and a smaller probe fraction).
     "ann_ivf" -> ((spark, dir) => {
-      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val (data0, queriesDf) = knnInputs(spark, dir, 5)
+      // cache: k-means|| seeding + Lloyd make ~10 passes over the vectors
+      val data = data0.cache()
       val queries = queriesDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
