@@ -73,6 +73,19 @@ object BenchScale {
     }
     println(s"[scale] approx result rows: $approx")
 
+    // DataFrame query side over the same persisted graphs: every query
+    // visits every partition graph (the partitioned-HNSW fan-out), so
+    // cost scales with Q×P searches — the batch-serving shape without a
+    // driver query array
+    val nHnswQ = math.min(10000, n / 10).toInt
+    val hnswQueries = spark.range(nHnswQ).select(col("id").as("qid"),
+      expr(s"transform(sequence(0, ${dim - 1}), j -> cast(sin((id + 3) * 0.8 + j * 1.1) + cos(id * 0.17 * j) as float))")
+        .as("qvec"))
+    val approxDf = timed(s"HNSW searchSavedDF ($nHnswQ-query DataFrame side)") {
+      HnswSpark.searchSavedDF(spark, outDir, hnswQueries, k = 10).count()
+    }
+    println(s"[scale] approx DF result rows: $approxDf (expect ${nHnswQ * 10})")
+
     // corpus-vs-corpus ANN at scale: a 100k-query DataFrame against the
     // n-vector corpus through IVF×SQ8 — probes nprobe/C of the cells,
     // scans 1 byte/dim inside them, rescores only coarse survivors. No
