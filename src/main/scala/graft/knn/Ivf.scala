@@ -339,15 +339,31 @@ object Ivf {
       .toDF("id", "cell", "vector")
   }
 
-  /** Persist an IVF index: cell-partitioned assignment parquet (searches
-    * prune to probed cells via partition pruning) + centroid parquet.
+  /** Search-relevant facts a saved index carries about itself: a loader
+    * must know the training metric (probe ranking must match) and whether
+    * the assignment is spilled (searches must dedupe).
     */
-  def save(spark: SparkSession, assigned: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
+  case class IvfMeta(metric: String, spill: Int, c: Int, dim: Int)
+
+  /** Persist an IVF index: cell-partitioned assignment parquet (searches
+    * prune to probed cells via partition pruning) + centroid parquet + a
+    * self-describing meta sidecar ([[IvfMeta]]).
+    */
+  def save(
+      spark: SparkSession,
+      assigned: DataFrame,
+      centroids: Array[Array[Float]],
+      dir: String,
+      metric: String = "euclidean",
+      spill: Int = 1): Unit = {
     import spark.implicits._
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((metric, spill, centroids.length, centroids.headOption.map(_.length).getOrElse(0)))
+      .toDF("metric", "spill", "c", "dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a persisted IVF index: (assigned, centroids). */
@@ -358,6 +374,17 @@ object Ivf {
       .select("cell", "centroid").as[(Int, Seq[Float])].collect()
       .sortBy(_._1).map(_._2.toArray)
     (assigned, centroids)
+  }
+
+  /** Meta sidecar of a saved index; None for pre-meta saves (back-compat). */
+  def loadMeta(spark: SparkSession, dir: String): Option[IvfMeta] = {
+    import spark.implicits._
+    try {
+      spark.read.parquet(s"$dir/meta")
+        .select("metric", "spill", "c", "dim")
+        .as[(String, Int, Int, Int)].collect().headOption
+        .map { case (m, s, c, d) => IvfMeta(m, s, c, d) }
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
   /** IVF search: per query, probe the `nprobe` nearest cells; brute-force

@@ -55,19 +55,23 @@ object Quantize {
     transform(codes, c => ((c.cast("int") + 128).cast("float") * scale + offset).cast("float"))
 
   /** Exact full-precision rescore of a (qid, id) candidate set + final
-    * top-k — the shared tail of [[search]] and [[searchIvfSq8DF]]. The
-    * vector side is deduped by id so a spilled assignment (same id in
-    * several cells) cannot fan the join out into duplicate rows that eat
-    * rank slots.
+    * top-k — the shared tail of [[search]] and [[searchIvfSq8DF]]. With
+    * `dedupVectors` the vector side is deduped by id so a spilled
+    * assignment (same id in several cells) cannot fan the join out into
+    * duplicate rows that eat rank slots; leave it off when ids are unique
+    * by contract — the dedupe is a full extra exchange over the vector
+    * table at scale.
     */
   private def rescoreTopK(
       candidates: DataFrame, // (qid, id)
-      vectors: DataFrame, // (id, vector), possibly with duplicate ids (spill)
+      vectors: DataFrame, // (id, vector), duplicate ids allowed with dedupVectors
       queries: DataFrame, // (qid, qvec)
       k: Int,
-      metric: String): DataFrame = {
+      metric: String,
+      dedupVectors: Boolean): DataFrame = {
+    val vside = vectors.select(col("id"), col("vector"))
     val rescored = candidates
-      .join(vectors.select(col("id"), col("vector")).dropDuplicates("id"), Seq("id"))
+      .join(if (dedupVectors) vside.dropDuplicates("id") else vside, Seq("id"))
       .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
       .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
@@ -90,7 +94,9 @@ object Quantize {
     val coarseData = quantized.select(col("id"), approxVec.as("vector"))
     val coarse = Knn.partitioned(spark, coarseData, queries, k * overscan, metric)
       .select("qid", "id")
-    rescoreTopK(coarse, quantized, broadcast(queries.toSeq.toDF("qid", "qvec")), k, metric)
+    // sq8 contract: unique ids — no dedupe exchange needed
+    rescoreTopK(coarse, quantized, broadcast(queries.toSeq.toDF("qid", "qvec")), k, metric,
+      dedupVectors = false)
   }
 
   /** IVF×SQ8: the 100 TB configuration — probe only each query's nearest
@@ -180,7 +186,8 @@ object Quantize {
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
       .select("qid", "id")
 
-    rescoreTopK(cand, quantized, queries, k, "euclidean")
+    // quantized may be a spilled assignment (duplicate ids across cells)
+    rescoreTopK(cand, quantized, queries, k, "euclidean", dedupVectors = true)
   }
 
   /** GUARANTEED-exact two-stage L2 search over SQ8 codes.

@@ -83,6 +83,15 @@ class IvfSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("IVF meta sidecar round-trips; absent for pre-meta saves") {
+    val centroids = Ivf.train(spark, data, c = 4, iterations = 1, metric = "cosine")
+    val assigned = Ivf.assign(spark, data, centroids, metric = "cosine", spill = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_meta").toString
+    Ivf.save(spark, assigned, centroids, dir, metric = "cosine", spill = 2)
+    assert(Ivf.loadMeta(spark, dir) === Some(Ivf.IvfMeta("cosine", 2, 4, 64)))
+    assert(Ivf.loadMeta(spark, dir + "_nope") === None)
+  }
+
   test("training moves centroids toward cluster means deterministically") {
     val c1 = Ivf.train(spark, data, c = 4, iterations = 1)
     val c2 = Ivf.train(spark, data, c = 4, iterations = 1)
