@@ -387,6 +387,36 @@ object Ivf {
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
+  /** Search a saved index, self-configured from its meta sidecar: probe
+    * ranking uses the TRAINING metric and spilled assignments dedupe —
+    * the two silent-wrong-results traps a caller of [[load]] + [[search]]
+    * can fall into. Pre-meta saves default to (euclidean, unspilled).
+    */
+  def searchSaved(
+      spark: SparkSession,
+      dir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val (assigned, centroids) = load(spark, dir)
+    val meta = loadMeta(spark, dir).getOrElse(IvfMeta("euclidean", 1, centroids.length,
+      centroids.headOption.map(_.length).getOrElse(0)))
+    search(spark, assigned, centroids, queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
+  }
+
+  /** [[searchSaved]] with a DataFrame query side. */
+  def searchSavedDF(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val (assigned, centroids) = load(spark, dir)
+    val meta = loadMeta(spark, dir).getOrElse(IvfMeta("euclidean", 1, centroids.length,
+      centroids.headOption.map(_.length).getOrElse(0)))
+    searchDF(assigned, centroids, queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
+  }
+
   /** IVF search: per query, probe the `nprobe` nearest cells; brute-force
     * only within those cells; global top-k via the candidate window.
     * Returns (qid, id, dist, rank).

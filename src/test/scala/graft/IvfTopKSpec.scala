@@ -92,6 +92,20 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.loadMeta(spark, dir + "_nope") === None)
   }
 
+  test("searchSaved self-configures metric and spill dedupe from the sidecar") {
+    val c = 8
+    val centroids = Ivf.train(spark, data, c, iterations = 1, metric = "cosine")
+    val assigned = Ivf.assign(spark, data, centroids, metric = "cosine", spill = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ss").toString
+    Ivf.save(spark, assigned, centroids, dir, metric = "cosine", spill = 2)
+    val saved = resultMap(Ivf.searchSaved(spark, dir, queries, k = 5, nprobe = 3))
+    val direct = resultMap(
+      Ivf.search(spark, assigned, centroids, queries, k = 5, nprobe = 3, "cosine", dedup = true))
+    assert(saved === direct)
+    // k distinct results per query despite the spilled assignment
+    saved.values.foreach(ids => assert(ids.distinct.size === ids.size))
+  }
+
   test("training moves centroids toward cluster means deterministically") {
     val c1 = Ivf.train(spark, data, c = 4, iterations = 1)
     val c2 = Ivf.train(spark, data, c = 4, iterations = 1)
