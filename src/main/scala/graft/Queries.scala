@@ -539,6 +539,11 @@ object Queries {
       val centroids = Ivf.train(spark, data, c = 16, iterations = 2, seeding = "kmeans||")
       // cache: searched three times (approx + full probe + candidate scans)
       val assigned = Ivf.assign(spark, data, centroids, spill = 3).cache()
+      // the vector cache only serves the training passes — release it once
+      // the assignment is materialized so it doesn't pin storage memory
+      // for the rest of a multi-query session
+      assigned.count()
+      data.unpersist()
       val approx = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 6, dedup = true)
       val full = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 16, dedup = true)
       val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean").select("qid", "id")

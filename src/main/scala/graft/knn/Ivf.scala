@@ -348,22 +348,41 @@ object Ivf {
   /** Persist an IVF index: cell-partitioned assignment parquet (searches
     * prune to probed cells via partition pruning) + centroid parquet + a
     * self-describing meta sidecar ([[IvfMeta]]).
+    *
+    * `metric` is REQUIRED (it cannot be derived from the data, and a
+    * defaulted wrong value would make [[searchSaved]] rank probes with
+    * the wrong metric — silently). The spill level IS derived from the
+    * data (max assignment rows per id, one save-time job), so the sidecar
+    * cannot record a wrong value either way. Legacy signature without a
+    * metric writes no sidecar ([[searchSaved]] then uses the documented
+    * pre-meta defaults).
     */
   def save(
       spark: SparkSession,
       assigned: DataFrame,
       centroids: Array[Array[Float]],
       dir: String,
-      metric: String = "euclidean",
-      spill: Int = 1): Unit = {
+      metric: String): Unit = {
     import spark.implicits._
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    val spill = assigned.groupBy("id").count().agg(max("count")).head().getLong(0).toInt
     Seq((metric, spill, centroids.length, centroids.headOption.map(_.length).getOrElse(0)))
       .toDF("metric", "spill", "c", "dim").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Sidecar-less save (back-compat): persists assignment + centroids
+    * only; loaders fall back to (euclidean, unspilled).
+    */
+  def save(spark: SparkSession, assigned: DataFrame, centroids: Array[Array[Float]], dir: String): Unit = {
+    import spark.implicits._
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
   /** Load a persisted IVF index: (assigned, centroids). */
@@ -376,21 +395,37 @@ object Ivf {
     (assigned, centroids)
   }
 
-  /** Meta sidecar of a saved index; None for pre-meta saves (back-compat). */
+  /** Meta sidecar of a saved index; None ONLY when the sidecar is absent
+    * (pre-meta save). A present-but-unreadable sidecar (corruption, schema
+    * drift) PROPAGATES — falling back to defaults there would silently
+    * search a cosine/spilled index as euclidean/unspilled.
+    */
   def loadMeta(spark: SparkSession, dir: String): Option[IvfMeta] = {
     import spark.implicits._
-    try {
-      spark.read.parquet(s"$dir/meta")
-        .select("metric", "spill", "c", "dim")
-        .as[(String, Int, Int, Int)].collect().headOption
-        .map { case (m, s, c, d) => IvfMeta(m, s, c, d) }
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (!graft.io.HadoopIO.exists(s"$dir/meta", spark.sparkContext.hadoopConfiguration)) None
+    else spark.read.parquet(s"$dir/meta")
+      .select("metric", "spill", "c", "dim")
+      .as[(String, Int, Int, Int)].collect().headOption
+      .map { case (m, s, c, d) => IvfMeta(m, s, c, d) }
+  }
+
+  /** [[load]] + [[loadMeta]] with the documented pre-meta fallback and a
+    * torn-save guard (sidecar centroid count must match what loaded).
+    */
+  private def loadWithMeta(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]], IvfMeta) = {
+    val (assigned, centroids) = load(spark, dir)
+    val meta = loadMeta(spark, dir).getOrElse(IvfMeta("euclidean", 1, centroids.length,
+      centroids.headOption.map(_.length).getOrElse(0)))
+    require(meta.c == centroids.length,
+      s"saved index at $dir is torn: sidecar says ${meta.c} centroids, loaded ${centroids.length}")
+    (assigned, centroids, meta)
   }
 
   /** Search a saved index, self-configured from its meta sidecar: probe
-    * ranking uses the TRAINING metric and spilled assignments dedupe —
-    * the two silent-wrong-results traps a caller of [[load]] + [[search]]
-    * can fall into. Pre-meta saves default to (euclidean, unspilled).
+    * ranking uses the TRAINING metric, spilled assignments dedupe, and
+    * query dimensions are validated against the index — the
+    * silent-wrong-results traps a caller of [[load]] + [[search]] can
+    * fall into. Pre-meta saves default to (euclidean, unspilled).
     */
   def searchSaved(
       spark: SparkSession,
@@ -398,23 +433,31 @@ object Ivf {
       queries: Array[(Long, Array[Float])],
       k: Int,
       nprobe: Int): DataFrame = {
-    val (assigned, centroids) = load(spark, dir)
-    val meta = loadMeta(spark, dir).getOrElse(IvfMeta("euclidean", 1, centroids.length,
-      centroids.headOption.map(_.length).getOrElse(0)))
+    val (assigned, centroids, meta) = loadWithMeta(spark, dir)
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == meta.dim,
+        s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
+    }
     search(spark, assigned, centroids, queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
   }
 
-  /** [[searchSaved]] with a DataFrame query side. */
+  /** [[searchSaved]] with a DataFrame query side (dimension check runs
+    * distributed via raise_error).
+    */
   def searchSavedDF(
       spark: SparkSession,
       dir: String,
       queries: DataFrame,
       k: Int,
       nprobe: Int): DataFrame = {
-    val (assigned, centroids) = load(spark, dir)
-    val meta = loadMeta(spark, dir).getOrElse(IvfMeta("euclidean", 1, centroids.length,
-      centroids.headOption.map(_.length).getOrElse(0)))
-    searchDF(assigned, centroids, queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
+    val (assigned, centroids, meta) = loadWithMeta(spark, dir)
+    val checked = queries.select(col("qid").cast("long"),
+      when(size(col("qvec")) === meta.dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit(s"query dimension != index dimension ${meta.dim}, got "),
+          size(col("qvec")).cast("string"))))
+        .as("qvec"))
+    searchDF(assigned, centroids, checked, k, nprobe, meta.metric, dedup = meta.spill > 1)
   }
 
   /** IVF search: per query, probe the `nprobe` nearest cells; brute-force

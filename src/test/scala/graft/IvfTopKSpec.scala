@@ -87,9 +87,14 @@ class IvfSpec extends SparkTestBase {
     val centroids = Ivf.train(spark, data, c = 4, iterations = 1, metric = "cosine")
     val assigned = Ivf.assign(spark, data, centroids, metric = "cosine", spill = 2)
     val dir = java.nio.file.Files.createTempDirectory("ivf_meta").toString
-    Ivf.save(spark, assigned, centroids, dir, metric = "cosine", spill = 2)
+    Ivf.save(spark, assigned, centroids, dir, metric = "cosine")
+    // spill is DERIVED from the assignment (max rows per id), not declared
     assert(Ivf.loadMeta(spark, dir) === Some(Ivf.IvfMeta("cosine", 2, 4, 64)))
     assert(Ivf.loadMeta(spark, dir + "_nope") === None)
+    // legacy save writes no sidecar
+    val legacyDir = java.nio.file.Files.createTempDirectory("ivf_legacy").toString
+    Ivf.save(spark, assigned, centroids, legacyDir)
+    assert(Ivf.loadMeta(spark, legacyDir) === None)
   }
 
   test("searchSaved self-configures metric and spill dedupe from the sidecar") {
@@ -97,13 +102,17 @@ class IvfSpec extends SparkTestBase {
     val centroids = Ivf.train(spark, data, c, iterations = 1, metric = "cosine")
     val assigned = Ivf.assign(spark, data, centroids, metric = "cosine", spill = 2)
     val dir = java.nio.file.Files.createTempDirectory("ivf_ss").toString
-    Ivf.save(spark, assigned, centroids, dir, metric = "cosine", spill = 2)
+    Ivf.save(spark, assigned, centroids, dir, metric = "cosine")
     val saved = resultMap(Ivf.searchSaved(spark, dir, queries, k = 5, nprobe = 3))
     val direct = resultMap(
       Ivf.search(spark, assigned, centroids, queries, k = 5, nprobe = 3, "cosine", dedup = true))
     assert(saved === direct)
     // k distinct results per query despite the spilled assignment
     saved.values.foreach(ids => assert(ids.distinct.size === ids.size))
+    // wrong query dimension fails fast against the sidecar
+    val e = intercept[IllegalArgumentException](
+      Ivf.searchSaved(spark, dir, Array((0L, Array(1f, 2f))), k = 5, nprobe = 3))
+    assert(e.getMessage.contains("dimension"))
   }
 
   test("training moves centroids toward cluster means deterministically") {
