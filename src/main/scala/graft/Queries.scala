@@ -118,6 +118,25 @@ object Queries {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** State-store partition count for the streaming rows. A stateful query
+    * pays per-partition store open/commit every micro-batch, which
+    * DOMINATES replay time at test volumes (stream_join measured 5.6 s at
+    * 32 partitions vs 3.1 s at 8 — same result bytes, proven by the
+    * 4-vs-8 CPU invariance runs). Sized small here; a real deployment
+    * raises it to its key-cardinality via SPARK_GRAFT_STREAM_PARTITIONS.
+    */
+  private val streamStateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+  /** Set shuffle partitions (captured by a streaming query at START into
+    * its checkpoint) for the duration of `body`, then restore.
+    */
+  private def withStreamParts[A](spark: SparkSession)(body: => A): A = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow trigger, memory
     * sink) and return the converged result. Only the result table lands on
     * the driver; all operator state is distributed.
@@ -125,12 +144,14 @@ object Queries {
   private def runStream(spark: SparkSession, df: DataFrame, mode: String, prefix: String): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory(s"${prefix}ckpt").toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamParts(spark) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -975,12 +996,14 @@ object Queries {
       val idxDir = java.nio.file.Files.createTempDirectory("stream_hm_idx").toString
       val ckpt = java.nio.file.Files.createTempDirectory("stream_hm_ckpt").toString
       val sink = graft.streaming.StreamingOps.hnswMaintenanceSink(idxDir, 4, HnswConfig(ef = 100))
-      val q = ops.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamParts(spark) {
+        val q = ops.writeStream.foreachBatch(sink)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val (data, queriesDf) = knnInputs(spark, dir, 5)
       val queries = queriesDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
