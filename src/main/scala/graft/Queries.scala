@@ -628,9 +628,10 @@ object Queries {
     }),
 
     // §2.17 n-gram Jaccard pairs within a bounded bucket (same source).
-    // Adaptive dispatch: a count-only stats pass picks the join formulation
-    // here (few large source buckets) and the grouped per-bucket pass in
-    // the many-small-buckets regime — identical output either way.
+    // Adaptive dispatch: a count-only stats pass picks the grouped
+    // per-bucket pass here (20 modest source buckets — measured faster
+    // than the self-join's per-pair row copies) and the join formulation
+    // for few/huge buckets — identical output either way.
     "ngram_jaccard" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
       Dedup.ngramJaccardPairsAdaptive(docs, bucketCol = "source")

@@ -229,18 +229,22 @@ object Dedup {
   }
 
   /** Plan choice for [[ngramJaccardPairsAdaptive]], from bucket statistics.
-    * The grouped pass wins when buckets are many (enough groups to fill the
-    * cluster) and small (a bucket's hash sets fit one task and its pair
-    * loop stays short); the join formulation wins for few/huge buckets,
+    * The grouped pass wins when buckets are small (a bucket's hash sets
+    * fit one task and its pair loop stays short) and numerous enough to
+    * occupy the cluster; the join formulation wins for few/huge buckets,
     * where it distributes the quadratic pair work across the cluster
-    * instead of serializing it inside one task per bucket.
+    * instead of serializing it inside one task per bucket. The bucket
+    * floor is HALF the parallelism, not full: the join pays sort-merge
+    * row copies per candidate pair, so moderately under-parallel grouped
+    * execution still beats it (20 buckets on 32 cores measured 1.4-3×
+    * faster grouped at sf0.1).
     */
   private[graft] def chooseNgramPlan(
       nBuckets: Long,
       maxBucketSize: Long,
       parallelism: Int,
       maxGroupedBucket: Int): String =
-    if (maxBucketSize <= maxGroupedBucket && nBuckets >= parallelism) "grouped" else "join"
+    if (maxBucketSize <= maxGroupedBucket && nBuckets * 2 >= parallelism) "grouped" else "join"
 
   /** [[ngramJaccardPairs]] with the physical formulation chosen from the
     * data: one cheap count-only pass over the bucket key (no shingle work)

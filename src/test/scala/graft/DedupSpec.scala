@@ -219,6 +219,10 @@ class DedupSpec extends SparkTestBase {
     // few buckets: grouped would cap parallelism at the bucket count → join
     assert(Dedup.chooseNgramPlan(nBuckets = 4, maxBucketSize = 500,
       parallelism = 32, maxGroupedBucket = 4096) === "join")
+    // moderately under-parallel but small buckets: grouped still wins
+    // (the join pays per-pair row copies) — measured at sf0.1
+    assert(Dedup.chooseNgramPlan(nBuckets = 20, maxBucketSize = 250,
+      parallelism = 32, maxGroupedBucket = 4096) === "grouped")
   }
 
   test("adaptive ngram dispatch output matches the join formulation in both regimes") {
