@@ -727,21 +727,19 @@ object Queries {
               ((java.lang.Float.floatToIntBits(emb(i % emb.length)) >>> (8 * ((i / emb.length) % 4))) & 0xff).toByte
             }
             val payload = graft.multimodal.Multimodal.encodePng(rgb, 8, 8)
-            val decoded = graft.multimodal.Multimodal.PngDecoder.decodeFrames(payload, 1)
-            val frame = if (decoded.isEmpty) Array.empty[Byte] else decoded(0)
-            // a failed/short decode must REPORT (all-mismatch counts), not
-            // crash in resizeNearest's length require
-            if (frame.length != rgb.length) {
-              val (w, h) = graft.multimodal.Multimodal.PngDecoder.dims(payload)
-              (id, w.toLong, h.toLong, rgb.length.toLong, 48L, 0L)
-            } else {
-              val pxMismatch = rgb.indices.count(i => rgb(i) != frame(i)).toLong
-              val resized = graft.multimodal.Multimodal.resizeNearest(frame, 8, 8, 4, 4)
-              var resizeMismatch = 0L
-              for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
-                if (resized((y * 4 + x) * 3 + c) != frame(((2 * y) * 8 + 2 * x) * 3 + c)) resizeMismatch += 1
-              val (w, h) = graft.multimodal.Multimodal.PngDecoder.dims(payload)
-              (id, w.toLong, h.toLong, pxMismatch, resizeMismatch, resized.length.toLong)
+            // one ImageIO pass yields frame AND dims; a failed/short
+            // decode must REPORT (all-mismatch counts), not crash in
+            // resizeNearest's length require
+            graft.multimodal.Multimodal.PngDecoder.decodeRgb(payload) match {
+              case Some((frame, w, h)) if frame.length == rgb.length =>
+                val pxMismatch = rgb.indices.count(i => rgb(i) != frame(i)).toLong
+                val resized = graft.multimodal.Multimodal.resizeNearest(frame, 8, 8, 4, 4)
+                var resizeMismatch = 0L
+                for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+                  if (resized((y * 4 + x) * 3 + c) != frame(((2 * y) * 8 + 2 * x) * 3 + c)) resizeMismatch += 1
+                (id, w.toLong, h.toLong, pxMismatch, resizeMismatch, resized.length.toLong)
+              case Some((_, w, h)) => (id, w.toLong, h.toLong, rgb.length.toLong, 48L, 0L)
+              case None => (id, -1L, -1L, rgb.length.toLong, 48L, 0L)
             }
           }
         }

@@ -68,14 +68,18 @@ object Multimodal {
     * throw, on corrupt media).
     */
   object PngDecoder extends Decoder {
-    def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
-      // NonFatal, not just IOException: ImageIO readers throw
-      // RuntimeExceptions (IndexOutOfBounds, NegativeArraySize, ...) on
-      // malformed headers, and the contract is skip-not-throw
+
+    /** One ImageIO pass: (packed RGB bytes, width, height), or None for an
+      * undecodable payload. NonFatal, not just IOException: ImageIO
+      * readers throw RuntimeExceptions (IndexOutOfBounds,
+      * NegativeArraySize, ...) on malformed headers, and the contract is
+      * skip-not-throw.
+      */
+    def decodeRgb(payload: Array[Byte]): Option[(Array[Byte], Int, Int)] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null || maxFrames < 1) Array.empty
+      if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new Array[Byte](w * h * 3)
@@ -87,17 +91,17 @@ object Multimodal {
           out(p * 3 + 2) = (px & 0xff).toByte
           p += 1
         }
-        Array(out)
+        Some((out, w, h))
       }
     }
 
+    def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] =
+      if (maxFrames < 1) Array.empty
+      else decodeRgb(payload).map(_._1).toArray
+
     /** (width, height) of a decodable payload, (-1, -1) otherwise. */
-    def dims(payload: Array[Byte]): (Int, Int) = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
-    }
+    def dims(payload: Array[Byte]): (Int, Int) =
+      decodeRgb(payload).map { case (_, w, h) => (w, h) }.getOrElse((-1, -1))
   }
 
   /** Real nearest-neighbor resize over packed RGB pixels: output pixel
