@@ -128,14 +128,22 @@ object Queries {
   private val streamStateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 
   /** Set shuffle partitions (captured by a streaming query at START into
-    * its checkpoint) for the duration of `body`, then restore.
+    * its checkpoint) for the duration of `body`, then restore. The swap
+    * mutates SESSION-global conf, so it is serialized under a lock:
+    * overlapping swaps could interleave set/restore and strand the
+    * session at the streaming value. (The catalog contract is sequential
+    * execution; a concurrent BATCH query on the same session would still
+    * plan at the streaming partition count while `body` runs — callers
+    * running queries in parallel should use separate sessions.)
     */
-  private def withStreamParts[A](spark: SparkSession)(body: => A): A = {
-    val old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamStateParts)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", old)
-  }
+  private val streamPartsLock = new Object
+  private def withStreamParts[A](spark: SparkSession)(body: => A): A =
+    streamPartsLock.synchronized {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+      try body
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
 
   /** Run a streaming DataFrame to completion (AvailableNow trigger, memory
     * sink) and return the converged result. Only the result table lands on

@@ -79,7 +79,10 @@ object Multimodal {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null) None
+      // dimensions whose packed-RGB buffer exceeds a JVM array are
+      // skipped too — new Array[Byte](w*h*3) would otherwise throw
+      // NegativeArraySizeException on Int overflow, outside any catch
+      if (img == null || img.getWidth.toLong * img.getHeight * 3 > Int.MaxValue - 8) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
         val out = new Array[Byte](w * h * 3)
@@ -99,9 +102,17 @@ object Multimodal {
       if (maxFrames < 1) Array.empty
       else decodeRgb(payload).map(_._1).toArray
 
-    /** (width, height) of a decodable payload, (-1, -1) otherwise. */
-    def dims(payload: Array[Byte]): (Int, Int) =
-      decodeRgb(payload).map { case (_, w, h) => (w, h) }.getOrElse((-1, -1))
+    /** (width, height) of a decodable payload, (-1, -1) otherwise. Reads
+      * only the image header/raster metadata — no per-pixel extraction or
+      * packed-RGB allocation (metadata-only callers must not pay the full
+      * decode of [[decodeRgb]]).
+      */
+    def dims(payload: Array[Byte]): (Int, Int) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
+    }
   }
 
   /** Real nearest-neighbor resize over packed RGB pixels: output pixel
