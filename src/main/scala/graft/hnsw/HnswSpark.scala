@@ -1,7 +1,7 @@
 package graft.hnsw
 
 import graft.core.Distances
-import graft.io.{HadoopIO, SerializableHadoopConf}
+import graft.io.{HadoopIO, Manifest, ManifestEntry, SerializableHadoopConf}
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -187,6 +187,11 @@ object HnswSpark {
     * `outDir/part-<pid>.hnsw` (reference `index/hnsw_persistence.go` — the
     * built index is an output, not a transient). Returns per-partition sizes.
     *
+    * The same job writes a `_manifest` (expected artifact set + per-file
+    * length + CRC32 — [[graft.io.Manifest]]); [[searchSaved]]/[[searchSavedDF]]
+    * refuse to serve from an incomplete or torn artifact directory instead
+    * of silently searching fewer graphs.
+    *
     * All artifact bytes go through the Hadoop [[org.apache.hadoop.fs.FileSystem]]
     * API with the session's configuration, so `outDir` may be `hdfs://`,
     * `s3a://`, or `file://` — executor-local `java.io.File` writes would
@@ -208,7 +213,7 @@ object HnswSpark {
     val pre = withMetaCol(data)
     val parts = if (numPartitions > 0) pre.repartition(numPartitions, col("id")) else pre
 
-    parts.as[(Long, Array[Float], Array[Byte])]
+    val written = parts.as[(Long, Array[Float], Array[Byte])]
       .mapPartitions { iter =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val items = iter.toArray.sortBy(_._1)
@@ -216,15 +221,43 @@ object HnswSpark {
         else {
           val index = new HnswIndex(m, config)
           items.foreach { case (id, v, meta) => index.add(id, v, meta) }
-          HadoopIO.write(s"$outDir/part-$pid.hnsw", bcConf.value.value)(index.save)
-          Iterator.single((pid, index.size))
+          val name = s"part-$pid.hnsw"
+          val (_, len, crc) =
+            HadoopIO.writeChecked(s"$outDir/$name", bcConf.value.value)(index.save)
+          Iterator.single((pid, index.size, name, len, crc))
         }
       }
       .collect()
+    Manifest.write(outDir, written.map(w => ManifestEntry(w._3, w._4, w._5)).toSeq, hconf)
+    written.map(w => (w._1, w._2))
   }
 
   def loadPartition(path: String, conf: Configuration = new Configuration()): HnswIndex =
     HadoopIO.read(path, conf)(HnswIndex.load)
+
+  /** [[loadPartition]] verifying the artifact against its manifest CRC
+    * (`crc < 0` = legacy entry, checksum unknown, load unverified).
+    */
+  private def loadPartitionChecked(path: String, crc: Long, conf: Configuration): HnswIndex =
+    HadoopIO.readChecked(path, conf, crc)(HnswIndex.load)
+
+  /** Fold this job's rewritten artifacts into the directory's manifest:
+    * untouched partitions keep their prior entries (a legacy pre-manifest
+    * directory inherits length-only entries for them), touched ones get
+    * the fresh length+CRC. Runs after the artifact writes — a crash in
+    * between leaves a stale manifest, which the next load REJECTS
+    * (fail-loud) rather than serving a half-updated index.
+    */
+  private def mergeManifest(
+      indexDir: String,
+      touched: Seq[ManifestEntry],
+      hconf: Configuration): Unit = {
+    val prior = Manifest.read(indexDir, hconf).getOrElse(
+      HadoopIO.globWithLength(indexDir, "*.hnsw", hconf)
+        .map { case (uri, len) => ManifestEntry(Manifest.baseName(uri), len, -1L) })
+    val touchedNames = touched.map(_.name).toSet
+    Manifest.write(indexDir, prior.filterNot(e => touchedNames(e.name)) ++ touched, hconf)
+  }
 
   /** Incremental maintenance: route a new batch of vectors to the existing
     * partition graphs (same deterministic hash repartition as
@@ -245,7 +278,7 @@ object HnswSpark {
     val m = Distances.metricId(metric)
     val bcConf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
-    withMetaCol(newData)
+    val written = withMetaCol(newData)
       .repartition(numPartitions, col("id"))
       .as[(Long, Array[Float], Array[Byte])]
       .mapPartitions { iter =>
@@ -254,16 +287,20 @@ object HnswSpark {
         if (items.isEmpty) Iterator.empty
         else {
           val conf = bcConf.value.value
-          val path = s"$indexDir/part-$pid.hnsw"
+          val name = s"part-$pid.hnsw"
+          val path = s"$indexDir/$name"
           val index =
             if (HadoopIO.exists(path, conf)) loadPartition(path, conf)
             else new HnswIndex(m, config)
           items.foreach { case (id, v, meta) => index.add(id, v, meta) }
-          HadoopIO.write(path, conf)(index.save)
-          Iterator.single((pid, index.size))
+          val (_, len, crc) = HadoopIO.writeChecked(path, conf)(index.save)
+          Iterator.single((pid, index.size, name, len, crc))
         }
       }
       .collect()
+    mergeManifest(indexDir, written.map(w => ManifestEntry(w._3, w._4, w._5)).toSeq,
+      spark.sparkContext.hadoopConfiguration)
+    written.map(w => (w._1, w._2))
   }
 
   /** Remove ids from the persisted partition graphs (reference BatchRemove,
@@ -277,23 +314,27 @@ object HnswSpark {
     import spark.implicits._
     val bcConf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
-    ids.select(col("id").cast("long"))
+    val written = ids.select(col("id").cast("long"))
       .repartition(numPartitions, col("id"))
       .as[Long]
       .mapPartitions { iter =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val toRemove = iter.toArray
         val conf = bcConf.value.value
-        val path = s"$indexDir/part-$pid.hnsw"
+        val name = s"part-$pid.hnsw"
+        val path = s"$indexDir/$name"
         if (toRemove.isEmpty || !HadoopIO.exists(path, conf)) Iterator.empty
         else {
           val index = loadPartition(path, conf)
           toRemove.foreach(index.remove)
-          HadoopIO.write(path, conf)(index.save)
-          Iterator.single((pid, index.size))
+          val (_, len, crc) = HadoopIO.writeChecked(path, conf)(index.save)
+          Iterator.single((pid, index.size, name, len, crc))
         }
       }
       .collect()
+    mergeManifest(indexDir, written.map(w => ManifestEntry(w._3, w._4, w._5)).toSeq,
+      spark.sparkContext.hadoopConfiguration)
+    written.map(w => (w._1, w._2))
   }
 
   /** Search previously persisted per-partition graphs (build once with
@@ -302,6 +343,17 @@ object HnswSpark {
     * raw vectors — are the working set, exactly the reference's
     * load-then-serve path (`index/hnsw_persistence.go` + `dataset.go:390`).
     */
+  /** Glob + manifest-validate the artifact directory: returns (uri, crc)
+    * per artifact. A directory whose manifest lists artifacts the glob
+    * can't see (torn copy, partial delete) errors HERE — before any task
+    * runs — instead of silently searching fewer graphs.
+    */
+  private def validatedArtifacts(indexDir: String, hconf: Configuration): Seq[(String, Long)] = {
+    val files = HadoopIO.globWithLength(indexDir, "*.hnsw", hconf)
+    require(files.nonEmpty, s"no .hnsw files under $indexDir")
+    Manifest.validate(indexDir, files, hconf)
+  }
+
   def searchSaved(
       spark: SparkSession,
       indexDir: String,
@@ -309,15 +361,14 @@ object HnswSpark {
       k: Int): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val files = HadoopIO.glob(indexDir, "*.hnsw", hconf)
-    require(files.nonEmpty, s"no .hnsw files under $indexDir")
+    val files = validatedArtifacts(indexDir, hconf)
     val bc = spark.sparkContext.broadcast(queries)
     val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
 
     val candidates = spark.sparkContext
       .parallelize(files, files.size)
-      .flatMap { path =>
-        val index = loadPartition(path, bcConf.value.value)
+      .flatMap { case (path, crc) =>
+        val index = loadPartitionChecked(path, crc, bcConf.value.value)
         bc.value.iterator.flatMap { case (qid, qv) =>
           index.searchWithMeta(qv, k).iterator.map { case (id, d, meta) => (qid, id, d, meta) }
         }
@@ -341,8 +392,7 @@ object HnswSpark {
       k: Int): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val files = HadoopIO.glob(indexDir, "*.hnsw", hconf)
-    require(files.nonEmpty, s"no .hnsw files under $indexDir")
+    val files = validatedArtifacts(indexDir, hconf)
     val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
 
     val filesRdd = spark.sparkContext.parallelize(files, files.size)
@@ -355,8 +405,8 @@ object HnswSpark {
       .values
 
     val candidates = filesRdd.zipPartitions(qRep) { (fIter, qIter) =>
-      fIter.flatMap { path =>
-        val index = loadPartition(path, bcConf.value.value)
+      fIter.flatMap { case (path, crc) =>
+        val index = loadPartitionChecked(path, crc, bcConf.value.value)
         qIter.flatMap { case (qid, qv) =>
           index.searchWithMeta(qv, k).iterator.map { case (id, d, meta) => (qid, id, d, meta) }
         }

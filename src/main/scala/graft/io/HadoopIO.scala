@@ -3,7 +3,8 @@ package graft.io
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FilterOutputStream, IOException, ObjectInputStream, ObjectOutputStream, OutputStream}
+import java.util.zip.{CRC32, CheckedInputStream, CheckedOutputStream}
 
 /** Hadoop Configuration that survives Spark task serialization.
   *
@@ -59,6 +60,60 @@ object HadoopIO {
     res
   }
 
+  /** Byte counter that survives >2 GiB artifacts (DataOutputStream.size()
+    * is an Int and saturates).
+    */
+  private final class CountingOutputStream(out: OutputStream) extends FilterOutputStream(out) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+  }
+
+  /** [[write]] that also reports what landed: (result, byte length, CRC32).
+    * The length/checksum feed a save-time manifest so a later load can
+    * prove the artifact set is complete and untorn.
+    */
+  def writeChecked[A](path: String, conf: Configuration)(f: DataOutputStream => A): (A, Long, Long) = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(path + ".inprogress")
+    val crc = new CRC32()
+    val counting = new CountingOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
+    val out = new DataOutputStream(new CheckedOutputStream(counting, crc))
+    val res =
+      try f(out)
+      finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) throw new IOException(s"rename $tmp -> $target failed")
+    (res, counting.count, crc.getValue)
+  }
+
+  /** [[read]] verifying the artifact's CRC32 against a manifest value:
+    * after `f` consumes the logical content, the stream is drained to EOF
+    * and the full-file checksum compared — a corrupted or partially
+    * overwritten artifact fails LOUDLY here instead of silently serving
+    * wrong search results. `expectedCrc < 0` skips verification (legacy
+    * manifest entries of unknown checksum).
+    */
+  def readChecked[A](path: String, conf: Configuration, expectedCrc: Long)(f: DataInputStream => A): A = {
+    if (expectedCrc < 0) return read(path, conf)(f)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val crc = new CRC32()
+    val in = new DataInputStream(new CheckedInputStream(new BufferedInputStream(fs.open(p)), crc))
+    try {
+      val res = f(in)
+      val sink = new Array[Byte](8192)
+      while (in.read(sink) >= 0) {}
+      if (crc.getValue != expectedCrc)
+        throw new IOException(
+          s"artifact $path checksum ${crc.getValue} != manifest $expectedCrc (corrupt or torn)")
+      res
+    } finally in.close()
+  }
+
   def read[A](path: String, conf: Configuration)(f: DataInputStream => A): A = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -78,5 +133,18 @@ object HadoopIO {
       .filter(_.isFile)
       .map(st => fs.makeQualified(st.getPath).toString)
       .sorted
+  }
+
+  /** [[glob]] carrying each artifact's current byte length, sorted by URI —
+    * the driver-side half of manifest validation (a short file is caught
+    * here without reading a byte of it).
+    */
+  def globWithLength(dir: String, pattern: String, conf: Configuration): Seq[(String, Long)] = {
+    val p = new Path(dir, pattern)
+    val fs = p.getFileSystem(conf)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile)
+      .map(st => (fs.makeQualified(st.getPath).toString, st.getLen))
+      .sortBy(_._1)
   }
 }

@@ -341,9 +341,12 @@ object Ivf {
 
   /** Search-relevant facts a saved index carries about itself: a loader
     * must know the training metric (probe ranking must match) and whether
-    * the assignment is spilled (searches must dedupe).
+    * the assignment is spilled (searches must dedupe). `rows` is the
+    * assignment row count at save time — the completeness check that
+    * catches a cell partition lost to a torn copy (`rows = -1` on
+    * pre-rows sidecars: count unknown, check skipped).
     */
-  case class IvfMeta(metric: String, spill: Int, c: Int, dim: Int)
+  case class IvfMeta(metric: String, spill: Int, c: Int, dim: Int, rows: Long = -1L)
 
   /** Persist an IVF index: cell-partitioned assignment parquet (searches
     * prune to probed cells via partition pruning) + centroid parquet + a
@@ -368,9 +371,11 @@ object Ivf {
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val spill = assigned.groupBy("id").count().agg(max("count")).head().getLong(0).toInt
-    Seq((metric, spill, centroids.length, centroids.headOption.map(_.length).getOrElse(0)))
-      .toDF("metric", "spill", "c", "dim").coalesce(1)
+    val st = assigned.groupBy("id").count().agg(max("count"), sum("count")).head()
+    val spill = st.getLong(0).toInt
+    val rows = st.getLong(1)
+    Seq((metric, spill, centroids.length, centroids.headOption.map(_.length).getOrElse(0), rows))
+      .toDF("metric", "spill", "c", "dim", "rows").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -403,14 +408,23 @@ object Ivf {
   def loadMeta(spark: SparkSession, dir: String): Option[IvfMeta] = {
     import spark.implicits._
     if (!graft.io.HadoopIO.exists(s"$dir/meta", spark.sparkContext.hadoopConfiguration)) None
-    else spark.read.parquet(s"$dir/meta")
-      .select("metric", "spill", "c", "dim")
-      .as[(String, Int, Int, Int)].collect().headOption
-      .map { case (m, s, c, d) => IvfMeta(m, s, c, d) }
+    else {
+      val raw = spark.read.parquet(s"$dir/meta")
+      val withRows = // pre-rows sidecars lack the column: count unknown
+        if (raw.columns.contains("rows")) raw else raw.withColumn("rows", lit(-1L))
+      withRows.select("metric", "spill", "c", "dim", "rows")
+        .as[(String, Int, Int, Int, Long)].collect().headOption
+        .map { case (m, s, c, d, r) => IvfMeta(m, s, c, d, r) }
+    }
   }
 
-  /** [[load]] + [[loadMeta]] with the documented pre-meta fallback and a
-    * torn-save guard (sidecar centroid count must match what loaded).
+  /** [[load]] + [[loadMeta]] with the documented pre-meta fallback and
+    * torn-save guards: sidecar centroid count must match what loaded, and
+    * the assignment row count must match what the save-time job wrote —
+    * a cell partition lost to a partial copy fails HERE instead of
+    * silently vanishing from every search (parquet globs don't miss
+    * missing directories). The count is footer-metadata-only (no row
+    * scan), one cheap job per load.
     */
   private def loadWithMeta(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]], IvfMeta) = {
     val (assigned, centroids) = load(spark, dir)
@@ -418,6 +432,12 @@ object Ivf {
       centroids.headOption.map(_.length).getOrElse(0)))
     require(meta.c == centroids.length,
       s"saved index at $dir is torn: sidecar says ${meta.c} centroids, loaded ${centroids.length}")
+    if (meta.rows >= 0) {
+      val actual = assigned.count()
+      require(actual == meta.rows,
+        s"saved index at $dir is INCOMPLETE: sidecar says ${meta.rows} assignment rows, " +
+          s"loaded $actual — refusing to serve partial results")
+    }
     (assigned, centroids, meta)
   }
 

@@ -349,6 +349,69 @@ class HnswSparkSpec extends SparkTestBase {
     assert(HnswSpark.loadPartition(first).size > 0)
   }
 
+  test("manifest: incomplete, torn, corrupt, or polluted artifact dirs fail loudly; legacy dirs load") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("hnsw_manifest").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    HnswSpark.buildAndSave(spark, data, out, numPartitions = 4)
+    assert(Files.exists(Paths.get(out, "_manifest")))
+    val queries = e.filter("vec_id < 3").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(HnswSpark.searchSaved(spark, out, queries, k = 5).count() > 0)
+
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString).filter(_.endsWith(".hnsw")).sorted
+    assert(parts.length === 4)
+
+    // a foreign artifact the save job didn't write → rejected
+    val foreign = Paths.get(out, "part-99.hnsw")
+    Files.copy(Paths.get(parts.head), foreign)
+    val eExtra = intercept[IllegalArgumentException](
+      HnswSpark.searchSaved(spark, out, queries, k = 5))
+    assert(eExtra.getMessage.contains("not in its manifest"))
+    Files.delete(foreign)
+
+    // a torn save (wrong length) → rejected before any task runs
+    val victim = Paths.get(parts.head)
+    val original = Files.readAllBytes(victim)
+    Files.write(victim, Array[Byte](0), StandardOpenOption.APPEND)
+    val eTorn = intercept[IllegalArgumentException](
+      HnswSpark.searchSaved(spark, out, queries, k = 5))
+    assert(eTorn.getMessage.contains("torn"))
+
+    // same-length corruption → CRC failure at load (flip a byte mid-file)
+    val flipped = original.clone()
+    flipped(original.length / 2) = (flipped(original.length / 2) ^ 0x5a).toByte
+    Files.write(victim, flipped)
+    // either our manifest CRC or Hadoop's own .crc sidecar layer fires —
+    // both are loud; ours is the fallback for filesystems without one
+    val eCrc = intercept[Exception](HnswSpark.searchSaved(spark, out, queries, k = 5).count())
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString.toLowerCase).toSeq
+    assert(causes(eCrc).exists(_.contains("checksum")), causes(eCrc).mkString("\n"))
+    Files.write(victim, original)
+
+    // a missing partition artifact → rejected, NOT silent low recall
+    Files.delete(victim)
+    val eMissing = intercept[IllegalArgumentException](
+      HnswSpark.searchSaved(spark, out, queries, k = 5))
+    assert(eMissing.getMessage.contains("INCOMPLETE"))
+    Files.write(victim, original)
+
+    // pre-manifest (legacy) dirs still serve
+    Files.delete(Paths.get(out, "_manifest"))
+    assert(HnswSpark.searchSaved(spark, out, queries, k = 5).count() > 0)
+
+    // maintenance over a legacy dir re-establishes a full manifest
+    HnswSpark.appendAndSave(spark, data.limit(0), out, numPartitions = 4) // empty batch: inherits legacy entries
+    HnswSpark.removeAndSave(spark, spark.sql("select 0L as id"), out, numPartitions = 4)
+    val entries = graft.io.Manifest.read(out, spark.sparkContext.hadoopConfiguration).get
+    assert(entries.size === 4) // touched partition gets a CRC, others inherit length-only
+    assert(HnswSpark.searchSavedDF(
+      spark, out, e.selectExpr("vec_id as qid", "embedding as qvec").limit(3), k = 5).count() > 0)
+  }
+
   test("searchSaved over persisted graphs equals live partitioned search") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("hnsw_saved").toString

@@ -88,8 +88,9 @@ class IvfSpec extends SparkTestBase {
     val assigned = Ivf.assign(spark, data, centroids, metric = "cosine", spill = 2)
     val dir = java.nio.file.Files.createTempDirectory("ivf_meta").toString
     Ivf.save(spark, assigned, centroids, dir, metric = "cosine")
-    // spill is DERIVED from the assignment (max rows per id), not declared
-    assert(Ivf.loadMeta(spark, dir) === Some(Ivf.IvfMeta("cosine", 2, 4, 64)))
+    // spill is DERIVED from the assignment (max rows per id), not declared;
+    // rows records the save-time assignment count (completeness check)
+    assert(Ivf.loadMeta(spark, dir) === Some(Ivf.IvfMeta("cosine", 2, 4, 64, assigned.count())))
     assert(Ivf.loadMeta(spark, dir + "_nope") === None)
     // legacy save writes no sidecar
     val legacyDir = java.nio.file.Files.createTempDirectory("ivf_legacy").toString
@@ -113,6 +114,23 @@ class IvfSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       Ivf.searchSaved(spark, dir, Array((0L, Array(1f, 2f))), k = 5, nprobe = 3))
     assert(e.getMessage.contains("dimension"))
+  }
+
+  test("searchSaved refuses an assignment with a missing cell partition (rows completeness check)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val centroids = Ivf.train(spark, data, c = 8, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val dir = Files.createTempDirectory("ivf_complete").toString
+    Ivf.save(spark, assigned, centroids, dir, metric = "euclidean")
+    assert(resultMap(Ivf.searchSaved(spark, dir, queries, k = 5, nprobe = 8)).nonEmpty)
+    // lose one cell partition directory (a torn copy)
+    val cellDir = Files.list(Paths.get(dir, "assigned")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("cell=")).get
+    Files.walk(cellDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val e = intercept[IllegalArgumentException](
+      Ivf.searchSaved(spark, dir, queries, k = 5, nprobe = 8))
+    assert(e.getMessage.contains("INCOMPLETE"))
   }
 
   test("training moves centroids toward cluster means deterministically") {
