@@ -273,6 +273,69 @@ object Dedup {
     }
   }
 
+  /** Near-dup GROUP resolution: transitive closure of an undirected pair
+    * set → (id, group_id) with group_id = the minimum id in the connected
+    * component. Pairs are what every near-dup path emits
+    * ([[minhashLshPairs]], [[ngramJaccardPairsAdaptive]],
+    * [[embeddingNearDupPairs]]); a curation pipeline needs clusters —
+    * keep-one-per-group is `filter(id =!= group_id)` on this output.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label among itself and its neighbors — one shuffle on id per
+    * round, converging in O(graph diameter) rounds. Near-dup components
+    * are quasi-cliques from band buckets (diameter 2-3 even through star
+    * pairing, whose representative is a hub), so the round count stays
+    * small where it matters; `maxIter` is a runaway bound for adversarial
+    * chain graphs, where a large-star/small-star variant would be the
+    * upgrade. Labels only ever decrease, so convergence is detected by
+    * the (cheap, aggregate-only) sum of labels going stationary — no
+    * old-vs-new join. Each round's result is persisted and the previous
+    * round freed; lineage is truncated per round (localCheckpoint) so
+    * plan depth stays constant.
+    *
+    * Only ids that appear in `pairs` are returned (singletons are their
+    * own group by definition — union them in if needed).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+
+    // round 0 fused into initialization: label(v) = min(v, neighbors(v)) —
+    // one groupBy over the edge list (plus implicit self via least), so a
+    // clique converges after ONE verification round. Lazy localCheckpoint:
+    // the sum action below materializes the round AND truncates lineage in
+    // the same job (an eager checkpoint would cost a separate one).
+    var labels = edges
+      .groupBy(col("src").as("id")).agg(min("dst").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
+      .localCheckpoint(false)
+    var lastSum = labels.agg(sum("label")).head().getLong(0)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(false)
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      converged = nextSum == lastSum
+      lastSum = nextSum
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   /** Deterministic ±1 hyperplanes for sign-LSH (splitmix64-derived). */
   def randomPlanes(nbits: Int, dim: Int, seed: Long): Array[Array[Float]] =
     Array.tabulate(nbits, dim) { (p, d) =>

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * training-data pipeline would need" working together, not in isolation):
   *
   *   documents → exact dedup (digest shuffle, keep-min-id)
+  *             → NEAR-dup removal (MinHash+LSH pairs → connected
+  *               components → keep the min-id representative per cluster)
   *             → quality scoring + language id (single-pass kernels)
   *             → threshold/language filter
   *             → join embeddings (broadcast or shuffle by id)
   *             → curated corpus with vector norms
   *
-  * Every stage is a Catalyst-optimized transform — one plan, predicate
-  * pushdown through the whole graph, no intermediate materialization.
+  * Every batch stage is a Catalyst-optimized transform; the near-dup stage
+  * is the one iterative step (label propagation is a fixpoint — no single
+  * declarative plan expresses it), bounded by the tiny diameter of LSH
+  * components.
   */
 object Curation {
 
@@ -25,14 +29,29 @@ object Curation {
       docs: DataFrame,       // (doc_id, text, ...)
       embeddings: DataFrame, // (vec_id, embedding)
       minQuality: Double = 0.25,
-      lang: String = "en"): DataFrame = {
+      lang: String = "en",
+      nearDupThreshold: Option[Double] = Some(0.8)): DataFrame = {
     val keeps = docs
       .groupBy(md5(col("text")).as("digest"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-    val scored = docs
-      .join(keeps, Seq("doc_id"), "left_semi")
+    val exactDeduped = docs.join(keeps, Seq("doc_id"), "left_semi")
+
+    // near-dups survive exact dedup (distinct digests, overlapping
+    // shingles) — resolve pair evidence to clusters and keep one
+    // representative per cluster (the min id, matching exact dedup's rule)
+    val deduped = nearDupThreshold match {
+      case Some(th) =>
+        val pairs = Dedup.minhashLshPairs(exactDeduped, threshold = th)
+        val drops = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("group_id"))
+          .select(col("id").as("doc_id"))
+        exactDeduped.join(drops, Seq("doc_id"), "left_anti")
+      case None => exactDeduped
+    }
+
+    val scored = deduped
       .select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),

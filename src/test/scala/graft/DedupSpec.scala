@@ -156,6 +156,28 @@ class DedupSpec extends SparkTestBase {
     assert(probed === Set((1L, 2L)), "shipped multi-probe config must find it")
   }
 
+  test("connected components resolve pairs to min-id groups across chains") {
+    // component {1,2,3,4,5} as a pure chain (diameter 4 — forces several
+    // propagation rounds), component {10,11}, and a triangle {20,21,22}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components + keep-min filter drops exactly the non-representatives") {
+    val pairs = Seq((3L, 7L), (7L, 9L), (100L, 101L)).toDF("doc_a", "doc_b")
+    val drops = Dedup.connectedComponents(pairs)
+      .filter($"id" =!= $"group_id").select("id").as[Long].collect().toSet
+    assert(drops === Set(7L, 9L, 101L))
+  }
+
   test("BPE-style pretoken count: contractions split, CJK runs group, digits separate") {
     val d = docs(
       (1L, "I don't think so"),          // I / _don / 't / _think / _so
