@@ -368,6 +368,17 @@ object Queries {
       knnFinish(graft.knn.Quantize.searchExact(spark, q, queries, k = 10))
     }),
 
+    // SQ8 exact COSINE search: the τ-proof extended to cosine by the
+    // normalize-then-L2 reduction (unit vectors: L2² = 2·cos_dist) —
+    // hash-matches the exact cosine oracle on ANY data
+    "knn_quantized_cosine" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 3)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      knnFinish(graft.knn.Quantize.searchExactCosine(spark, data, queries, k = 5))
+    }),
+
     // §2.13 tombstone handling: search skips deleted ids
     "knn_with_deletes" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -635,6 +646,22 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // §2.17 dedup GROUP resolution: the same planted LSH pair set resolved
+    // to clusters via distributed connected components (min-label
+    // propagation) — pairs are evidence, clusters are what a curation
+    // pipeline deletes by. Oracle: DuckDB recursive-CTE transitive closure
+    // over the identical all-pairs-verified pair set.
+    "dedup_groups" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      val pairs = Dedup.minhashLshPairs(docs.unionByName(copies), threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("group_id"))
+        .orderBy("doc_id")
+    }),
+
     // §2.17 n-gram Jaccard pairs within a bounded bucket (same source).
     // Adaptive dispatch: a count-only stats pass picks the grouped
     // per-bucket pass here (20 modest source buckets — measured faster
@@ -752,6 +779,37 @@ object Queries {
           }
         }
         .toDF("vec_id", "width", "height", "n_px_mismatch", "n_resize_mismatch", "resized_bytes")
+        .orderBy("vec_id")
+    }),
+
+    // §2.19 REAL audio codec end-to-end, distributed: per row 64 16-bit
+    // PCM samples are synthesized from the embedding's float bits, ENCODED
+    // to an actual WAV payload (javax.sound.sampled, in executor tasks),
+    // DECODED back through the Decoder boundary (WavDecoder), and compared
+    // sample-for-sample. PCM WAV is lossless, so n_mismatch = 0 and the
+    // format metadata round-trips — closed-form constant oracle.
+    "multimodal_audio" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      e.select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          rows.map { case (id, emb) =>
+            val samples = Array.tabulate(emb.length) { i =>
+              (java.lang.Float.floatToIntBits(emb(i)) >>> 16).toShort
+            }
+            val payload = graft.multimodal.Multimodal.encodeWav(samples, 16000)
+            graft.multimodal.Multimodal.WavDecoder.decodePcm(payload) match {
+              case Some((decoded, rate, channels)) if decoded.length == samples.length =>
+                val mismatch = samples.indices.count(i => samples(i) != decoded(i)).toLong
+                (id, rate.toLong, channels.toLong, decoded.length.toLong, mismatch)
+              case Some((decoded, rate, channels)) =>
+                (id, rate.toLong, channels.toLong, decoded.length.toLong, samples.length.toLong)
+              case None => (id, -1L, -1L, 0L, samples.length.toLong)
+            }
+          }
+        }
+        .toDF("vec_id", "sample_rate", "channels", "n_samples", "n_mismatch")
         .orderBy("vec_id")
     }),
 
@@ -1020,6 +1078,49 @@ object Queries {
       recallSummary(approx, exact, 10, minHits = 9)
     }),
 
+    // §2.18+21 continuous IVF maintenance: the same mutation stream drives
+    // ivfMaintenanceSink (assign-to-fixed-centroids, versioned cell-
+    // partitioned deltas, cell-less tombstones) via foreachBatch; the
+    // converged maintained view is searched and compared ROW-FOR-ROW
+    // against the batch IVF answer over the surviving vectors with the
+    // same centroids — assignment is a pure function of (vector,
+    // centroids), so equality is exact, and the oracle is closed-form.
+    "stream_ivf_maintenance" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_im_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_im_ckpt").toString
+      val sink = graft.streaming.StreamingOps.ivfMaintenanceSink(spark, idxDir, centroids)
+      // the raw sink (no versionedOps stage): the delta log is itself
+      // versioned, so ivfMaintainedState's latest-wins view absorbs
+      // within-stream reordering — the cross-batch version-store
+      // composition is proven by the HNSW row and StreamingIndexSpec
+      withStreamParts(spark) {
+        val q = mutationOps(spark, dir).writeStream.foreachBatch(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val maintained = graft.streaming.StreamingOps
+        .searchIvfMaintained(spark, idxDir, queries, k = 10, nprobe = 4)
+      val surviving = data.filter(col("id") % 7 =!= 0)
+      val batch = Ivf.search(spark, Ivf.assign(spark, surviving, centroids), centroids,
+        queries, k = 10, nprobe = 4)
+      val same = maintained.select(col("qid"), col("id"), col("rank"))
+        .join(batch.select(col("qid"), col("id"), col("rank")), Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_as_batch"))
+      maintained.select(col("qid"), col("id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(same, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_same_as_batch"))
+        .orderBy("qid")
+    }),
+
     // §2.15+21 stateful streaming upserts (mapGroupsWithState): the
     // embeddings table replays as a mutation stream — an upsert@v1 for
     // every id, plus a remove@v2 for ids ≡ 0 (mod 7) — through
@@ -1100,6 +1201,22 @@ object Queries {
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc
          |      FROM s a CROSS JOIN s b WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM p WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure of the SAME pair set via a recursive CTE; group_id
+    // = min id reachable from each member
+    "dedup_groups" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
+         |s AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM all_docs),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM s a CROSS JOIN s b
+         |      WHERE a.doc_id < b.doc_id AND ${duckJaccard("a.sh", "b.sh")} >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH s AS (SELECT source, doc_id, ${duckShingles(duckToks)} AS sh FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1154,6 +1271,10 @@ object Queries {
     "hnsw_filtered" -> recallOracle(5, 10),
     "hnsw_persisted" -> recallOracle(5, 10),
     "stream_hnsw_maintenance" -> recallOracle(5, 10),
+    "stream_ivf_maintenance" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_as_batch
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "hnsw_with_meta" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(0 AS BIGINT) AS n_meta_mismatch, CAST(1 AS BIGINT) AS recall_ok
@@ -1174,6 +1295,7 @@ object Queries {
     "ann_ivf_df" -> knnOracleAll(duckEuclid, 5),
     "knn_custom_plan" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
+    "knn_quantized_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),
     "knn_with_meta" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
@@ -1210,6 +1332,12 @@ object Queries {
       """SELECT vec_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  CAST(0 AS BIGINT) AS n_px_mismatch, CAST(0 AS BIGINT) AS n_resize_mismatch,
         |  CAST(48 AS BIGINT) AS resized_bytes
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // WAV encode→decode is exercised Spark-side; 16-bit PCM losslessness
+    // makes every column closed-form
+    "multimodal_audio" ->
+      """SELECT vec_id, CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(len(embedding) AS BIGINT) AS n_samples, CAST(0 AS BIGINT) AS n_mismatch
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
@@ -1283,8 +1411,19 @@ object Queries {
       val colsSql = counts.map { case (l, c) => s"$c AS cnt_$l" }.mkString(", ")
       val mx = s"greatest(${counts.map(l => s"cnt_${l._1}").mkString(", ")})"
       val whens = counts.map { case (l, _) => s"WHEN cnt_$l = __mx THEN '$l'" }.mkString(" ")
-      s"""WITH keeps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         |d AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM keeps)),
+      s"""WITH RECURSIVE keeps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d0 AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM keeps)),
+         |sh AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM d0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sh a CROSS JOIN sh b
+         |      WHERE a.doc_id < b.doc_id AND ${duckJaccard("a.sh", "b.sh")} >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |neardrop AS (SELECT id FROM reach GROUP BY id HAVING min(label) <> id),
+         |d AS (SELECT doc_id, text FROM d0 WHERE doc_id NOT IN (SELECT id FROM neardrop)),
          |c AS (SELECT doc_id, text, $colsSql FROM d),
          |m AS (SELECT *, $mx AS __mx FROM c),
          |s AS (SELECT doc_id,

@@ -69,23 +69,35 @@ object Knn {
   /** Exact kNN with a DataFrame query side — no driver-resident query array
     * anywhere. The query table (the small side) is replicated to every data
     * partition through one shuffle (`zipPartitions` against a pid-keyed
-    * rebroadcast), the data (the big side) is scanned exactly ONCE, and each
-    * task emits only k candidates per query. At 100 TB this is the right BNL
-    * orientation: network cost is Q·P query rows, not data·chunks — the data
-    * never moves. Queries must fit one task's memory (Q·dim floats; 100k
-    * dim-64 queries ≈ 25 MB); beyond that, use the IVF cogroup path, which
-    * replicates nothing.
+    * rebroadcast), the data (the big side) never moves, and each task emits
+    * only k candidates per query. At 100 TB this is the right BNL
+    * orientation: network cost is Q·P query rows, not data·chunks.
     *
-    * data: (id, vector), queries: (qid, qvec). Hash-matches [[bruteForce]].
+    * The query batch is processed in fixed-size BLOCKS (`queryBlock` rows),
+    * so task memory is bounded by max(one data partition, one query block
+    * of heaps) — a 10M-query batch streams through block by block instead
+    * of materializing 10M heaps at once. A batch that fits one block keeps
+    * the original single-pass shape: the data partition is streamed, never
+    * materialized. Multi-block batches materialize the data partition once
+    * (its size is the task-memory contract everything else in Spark
+    * already relies on) and re-scan it per block — compute cost is
+    * identical (Q·N kernel calls), memory is what changes. For query sides
+    * too large even for block replication economics, use the IVF cogroup
+    * path, which replicates nothing.
+    *
+    * data: (id, vector), queries: (qid, qvec). Hash-matches [[bruteForce]]
+    * at any block size (per-query heaps are independent of blocking).
     */
   def partitionedDF(
       data: DataFrame,
       queries: DataFrame,
       k: Int,
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean",
+      queryBlock: Int = 1 << 16): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val m = Distances.metricId(metric)
+    require(queryBlock > 0, "queryBlock must be positive")
 
     val dataRdd = data
       .select(col("id").cast("long"), col("vector").cast("array<float>"))
@@ -100,14 +112,23 @@ object Knn {
       .values
 
     val candidates = dataRdd.zipPartitions(qRep) { (dIter, qIter) =>
-      val qs = qIter.toArray
-      if (qs.isEmpty) Iterator.empty
-      else {
+      val kernel = Distances.distance(m) _
+      def scanBlock(qs: Array[(Long, Array[Float])],
+          rows: Iterator[(Long, Array[Float])]): Iterator[(Long, Long, Double)] = {
         val heaps = Array.fill(qs.length)(new TopK(k))
-        val kernel = Distances.distance(m) _
-        TopK.scanBlocked(dIter, qs.map(_._2), heaps, kernel)
+        TopK.scanBlocked(rows, qs.map(_._2), heaps, kernel)
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
           h.sorted.iterator.map { case (dist, id) => (qs(qi)._1, id, dist) }
+        }
+      }
+      if (!qIter.hasNext) Iterator.empty
+      else {
+        val first = qIter.take(queryBlock).toArray
+        if (!qIter.hasNext) scanBlock(first, dIter) // single block: stream the data
+        else {
+          val items = dIter.toArray // multi-block: one partition-sized buffer, re-scanned per block
+          (Iterator.single(first) ++ qIter.grouped(queryBlock).map(_.toArray))
+            .flatMap(qs => scanBlock(qs, items.iterator))
         }
       }
     }.toDF("qid", "id", "dist")

@@ -205,6 +205,58 @@ object Quantize {
     * overscan heuristic in [[search]], exactness here is data-independent.
     * Euclidean only (cosine/manhattan lack this reconstruction bound).
     */
+  /** GUARANTEED-exact COSINE top-k over SQ8 codes via the normalize-then-L2
+    * reduction: on unit vectors ‖a−b‖₂² = 2·(1 − a·b) = 2·cos_dist(a,b), a
+    * strictly increasing map, so the exact L2 top-k over the L2-normalized
+    * vectors IS the exact cosine top-k over the originals — which extends
+    * [[searchExact]]'s data-independent τ-proof (euclidean-only by itself:
+    * cosine lacks a triangle-inequality reconstruction bound) to cosine.
+    * Pipeline: normalize (one narrow pass), [[sq8]] the NORMALIZED vectors
+    * (so the τ bound lives in the reduced space), run the provably-exact
+    * two-pass L2 search, then report the true cosine distance computed on
+    * the ORIGINAL vectors for the winning ids. Scan cost is the same
+    * 1 byte/dim as the euclidean path.
+    *
+    * Zero vectors have no direction; they pass through normalization
+    * unchanged and rank by the kernel's 0-dot convention — exclude them
+    * upstream if that convention differs from the caller's.
+    */
+  def searchExactCosine(
+      spark: SparkSession,
+      data: DataFrame, // (id, vector)
+      queries: Array[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    val norm = sqrt(aggregate(col("vector").cast("array<double>"),
+      lit(0d), (acc, x) => acc + x * x))
+    val normalized = data
+      .select(col("id"), col("vector"))
+      .withColumn("__norm", norm)
+      .withColumn("vector",
+        when(col("__norm") > 0d,
+          transform(col("vector"), x => (x / col("__norm")).cast("float")))
+          .otherwise(col("vector")))
+      .drop("__norm")
+    def normalizeQ(v: Array[Float]): Array[Float] = {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.sqrt(acc)
+      if (n <= 0) v else v.map(x => (x / n).toFloat)
+    }
+    val exactL2 = searchExact(spark, sq8(normalized),
+      queries.map { case (qid, qv) => (qid, normalizeQ(qv)) }, k)
+
+    // the SET is exact; report/rank by the true cosine distance on the
+    // original vectors (identical order — the map above is monotone)
+    import spark.implicits._
+    val rescored = exactL2.select(col("qid"), col("id"))
+      .join(data.select(col("id"), col("vector")), Seq("id"))
+      .join(broadcast(queries.toSeq.toDF("qid", "qvec")), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), "cosine").as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def searchExact(
       spark: SparkSession,
       quantized: DataFrame, // output of sq8 (id, vector, codes, q_scale, q_offset, q_err)

@@ -12,10 +12,12 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   * real and tested. IMAGE decoding is REAL: [[PngDecoder]]/[[encodePng]]
   * round-trip PNG payloads through `javax.imageio` (in the JDK — no
   * external codecs needed), and [[resizeNearest]] is a real
-  * nearest-neighbor resampler over decoded pixels. Audio/video decoding
-  * remains honestly STUBBED ([[DecodeStub]]: deterministic frame split of
-  * the raw payload) behind the same [[Decoder]] boundary — swap in a
-  * codec binding in production.
+  * nearest-neighbor resampler over decoded pixels. AUDIO decoding is REAL:
+  * [[WavDecoder]]/[[encodeWav]] round-trip 16-bit PCM WAV through
+  * `javax.sound.sampled` (also in the JDK). Only VIDEO decoding remains
+  * honestly STUBBED ([[DecodeStub]]: deterministic frame split of the raw
+  * payload) behind the same [[Decoder]] boundary — swap in a codec
+  * binding in production.
   */
 object Multimodal {
 
@@ -102,17 +104,112 @@ object Multimodal {
       if (maxFrames < 1) Array.empty
       else decodeRgb(payload).map(_._1).toArray
 
-    /** (width, height) of a decodable payload, (-1, -1) otherwise. Reads
-      * only the image header/raster metadata — no per-pixel extraction or
-      * packed-RGB allocation (metadata-only callers must not pay the full
-      * decode of [[decodeRgb]]).
+    /** (width, height) of a decodable payload, (-1, -1) otherwise. TRUE
+      * header-only read: `ImageIO.getImageReaders` + `reader.getWidth(0)`
+      * parse just the format header — no raster decode, no pixel
+      * extraction, no packed-RGB allocation. On a metadata-scan pass over
+      * a media corpus this is the difference between reading bytes and
+      * decoding terabytes.
       */
-    def dims(payload: Array[Byte]): (Int, Int) = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
-      if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
+    def dims(payload: Array[Byte]): (Int, Int) =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        if (iis == null) (-1, -1)
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) (-1, -1)
+          else {
+            val r = readers.next()
+            try { r.setInput(iis, true); (r.getWidth(0), r.getHeight(0)) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => (-1, -1) }
+  }
+
+  /** Encode 16-bit signed mono PCM samples as a WAV payload
+    * (`javax.sound.sampled` — in the JDK, headless-safe, runs in executor
+    * tasks like [[encodePng]]).
+    */
+  def encodeWav(samples: Array[Short], sampleRateHz: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateHz.toFloat, 16, 1, true /* signed */, false /* little-endian */)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
     }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decoder: WAV/PCM payload → samples via
+    * `javax.sound.sampled`. Same skip-not-throw contract as [[PngDecoder]]:
+    * undecodable payloads yield None/zero frames. Closes the last stub in
+    * the multimodal row — video alone stays behind [[DecodeStub]].
+    */
+  object WavDecoder extends Decoder {
+
+    /** (interleaved samples, sampleRateHz, channels), or None for an
+      * undecodable or non-16-bit-PCM payload.
+      */
+    def decodePcm(payload: Array[Byte]): Option[(Array[Short], Int, Int)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Short](n)
+            var i = 0
+            if (fmt.isBigEndian)
+              while (i < n) {
+                out(i) = (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                i += 1
+              }
+            else
+              while (i < n) {
+                out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+                i += 1
+              }
+            Some((out, math.round(fmt.getSampleRate), fmt.getChannels))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Frames = up-to-`maxFrames` contiguous chunks of the decoded PCM
+      * byte stream (little-endian 16-bit) — the batch shape a feature
+      * extractor consumes.
+      */
+    def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] =
+      if (maxFrames < 1) Array.empty
+      else decodePcm(payload) match {
+        case None => Array.empty
+        case Some((samples, _, _)) =>
+          val pcm = new Array[Byte](samples.length * 2)
+          var i = 0
+          while (i < samples.length) {
+            pcm(2 * i) = (samples(i) & 0xff).toByte
+            pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          if (pcm.isEmpty) Array.empty
+          else {
+            val frameSize = math.max(1, pcm.length / maxFrames)
+            pcm.grouped(frameSize).take(maxFrames).toArray
+          }
+      }
   }
 
   /** Real nearest-neighbor resize over packed RGB pixels: output pixel

@@ -160,6 +160,115 @@ object StreamingOps {
     } finally ops.unpersist()
   }
 
+  /** `foreachBatch` sink that maintains a persisted IVF index from a
+    * stream of [[VectorOp]] mutations against FIXED centroids (the trained
+    * quantizer): upserts are assigned to their nearest cell(s)
+    * ([[graft.knn.Ivf.assign]], centroids broadcast) and APPENDED as
+    * versioned delta rows partitioned by cell; removes append cell-less
+    * tombstone rows. Nothing data-sized is rewritten per micro-batch and
+    * nothing lands on the driver — the write cost of a batch is the batch,
+    * which is what keeps this alive at 100 TB index size (the HNSW sink
+    * rewrites touched graph artifacts; parquet cells would mean rewriting
+    * whole cell partitions per batch). The current assignment is
+    * reconstructed latest-version-wins by [[ivfMaintainedState]];
+    * re-training (centroid drift) and delta compaction are the caller's
+    * trigger, mirroring the reference's explicit partition lifecycle
+    * (`storage/dataset.go:238-348`: online mutations route to fixed
+    * partitions; re-partitioning is a separate operation).
+    *
+    * Writes the centroids + meta sidecar once at sink CONSTRUCTION (same
+    * layout as [[graft.knn.Ivf.save]] minus the batch assignment), so the
+    * index directory is self-describing from the first micro-batch. Pair
+    * with [[versionedOps]] upstream for cross-batch stale-version safety;
+    * within a batch, [[ivfMaintainedState]]'s version order decides.
+    */
+  def ivfMaintenanceSink(
+      spark: SparkSession,
+      indexDir: String,
+      centroids: Array[Array[Float]],
+      metric: String = "euclidean",
+      spill: Int = 1): (Dataset[VectorOp], Long) => Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Seq((metric, spill, centroids.length, centroids.headOption.map(_.length).getOrElse(0)))
+      .toDF("metric", "spill", "c", "dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+
+    (batch: Dataset[VectorOp], _: Long) => {
+      val sess = batch.sparkSession
+      val ops = batch.toDF().persist()
+      try {
+        val upserts = ops.filter(col("op") === "upsert")
+        val assigned = graft.knn.Ivf
+          .assign(sess, upserts.select("id", "vector"), centroids, metric, spill)
+          .join(upserts.select(col("id"), col("version")), Seq("id"))
+          .select(col("id"), col("cell"), col("vector"), col("version"), lit("upsert").as("op"))
+        val tombstones = ops.filter(col("op") === "remove")
+          .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
+            col("version"), lit("remove").as("op"))
+        assigned.unionByName(tombstones)
+          .write.mode("append").partitionBy("cell").parquet(s"$indexDir/delta")
+      } finally ops.unpersist()
+    }
+  }
+
+  /** Reconstruct the CURRENT assignment view of an [[ivfMaintenanceSink]]
+    * directory: per id keep only the highest-version delta rows (a spilled
+    * upsert keeps all its same-version cell rows), drop any id whose
+    * winning version carries a tombstone (remove beats upsert on an exact
+    * version tie — the conservative read of a malformed stream; a
+    * [[versionedOps]]-fed sink never produces one), and dedupe re-emitted
+    * rows (the version store re-emits current state whenever an id is
+    * touched). Output (id, cell, vector) — feed it straight to
+    * [[graft.knn.Ivf.search]]/[[graft.knn.Ivf.searchDF]] with the
+    * directory's centroids.
+    */
+  def ivfMaintainedState(spark: SparkSession, indexDir: String): DataFrame = {
+    val delta = spark.read.parquet(s"$indexDir/delta")
+    // one shuffle on id: rank() (not row_number — a spilled upsert's
+    // same-version cell rows must ALL survive) over (version desc, op asc)
+    // puts the winning version first with 'remove' beating 'upsert' on an
+    // exact version tie; re-emitted identical rows dedupe by (id, cell)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("version").desc, col("op").asc)
+    delta
+      .withColumn("__rk", rank().over(w))
+      .filter(col("__rk") === 1 && col("op") === "upsert")
+      .select(col("id"), col("cell").cast("int"), col("vector"))
+      .dropDuplicates("id", "cell")
+  }
+
+  /** Search an [[ivfMaintenanceSink]] directory, self-configured from its
+    * meta sidecar (training metric, spill ⇒ dedupe) — the streaming
+    * counterpart of [[graft.knn.Ivf.searchSaved]]. The converged result
+    * over a quiesced stream equals the batch [[graft.knn.Ivf.search]] over
+    * the surviving vectors with the same centroids: assignment is a pure
+    * function of (vector, centroids).
+    */
+  def searchIvfMaintained(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    require(centroids.length == meta.c,
+      s"maintained index at $indexDir is torn: sidecar says ${meta.c} centroids, loaded ${centroids.length}")
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == meta.dim,
+        s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
+    }
+    graft.knn.Ivf.search(spark, ivfMaintainedState(spark, indexDir), centroids,
+      queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
+  }
+
   /** Output mode required by [[latestVectorState]] sinks. */
   val UpsertOutputMode: OutputMode = OutputMode.Update()
 }

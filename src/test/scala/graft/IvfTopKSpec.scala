@@ -344,6 +344,40 @@ class QuantizeSpec extends SparkTestBase {
     assert(res.size === 8)
   }
 
+  test("searchExactCosine equals brute-force cosine exactly (recall 1.0)") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bounded = graft.knn.Quantize.searchExactCosine(spark, data, queries, k = 10)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    val exact = graft.knn.Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), 10, "cosine")
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    assert(bounded === exact)
+  }
+
+  test("searchExactCosine bound holds on adversarial near-parallel data") {
+    // tight cones of near-parallel vectors at very different magnitudes:
+    // magnitude is invisible to cosine but dominates unnormalized L2 — a
+    // shortcut that skipped normalization would rank these wrong, and the
+    // near-ties stress the τ bound in the reduced space
+    val rnd = new scala.util.Random(29)
+    val dim = 8
+    val rows = (0L until 300L).map { i =>
+      val base = Array.tabulate(dim)(d => if (d == (i % 3).toInt) 1f else 0.001f * rnd.nextFloat())
+      val scale = if (i % 2 == 0) 1e-3f else 1e3f
+      (i, base.map(_ * scale))
+    }
+    val df = rows.toDF("id", "vector")
+    val queries = rows.take(5).toArray
+    val bounded = graft.knn.Quantize.searchExactCosine(spark, df, queries, k = 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.knn.Knn.bruteForce(df, queries.toSeq.toDF("qid", "qvec"), 10, "cosine")
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded === exact)
+  }
+
   test("searchExact bound holds on adversarial near-tie data") {
     // clustered points whose dequantized ranks invert vs true ranks: an
     // overscan heuristic can miss these; the error bound must not.
@@ -386,6 +420,16 @@ class KnnDataFrameQuerySpec extends SparkTestBase {
   test("partitionedDF equals bruteForce row-for-row (no driver query array)") {
     assert(rows(Knn.partitionedDF(data, queriesDf, k = 10)) ===
       rows(Knn.bruteForce(data, queriesDf, k = 10)))
+  }
+
+  test("partitionedDF chunked query blocks are invisible to results") {
+    // queryBlock=7 forces every task through the multi-block (materialize
+    // data, re-scan per block) path; results must be byte-identical to the
+    // single-pass shape and to bruteForce
+    assert(rows(Knn.partitionedDF(data, queriesDf, k = 10, queryBlock = 7)) ===
+      rows(Knn.bruteForce(data, queriesDf, k = 10)))
+    assert(rows(Knn.partitionedDF(data, queriesDf, k = 5, metric = "cosine", queryBlock = 3)) ===
+      rows(Knn.partitionedDF(data, queriesDf, k = 5, metric = "cosine")))
   }
 
   test("partitionedDF honors non-default metrics") {

@@ -158,6 +158,70 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming mutations maintain a persisted IVF index (delta log + latest-wins view)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids))
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.VectorOp(1L, "upsert", Array(1f, 0.1f), 1),
+        StreamingOps.VectorOp(2L, "upsert", Array(0.1f, 1f), 1),
+        StreamingOps.VectorOp(3L, "upsert", Array(0.9f, 0.2f), 1))
+      q.processAllAvailable()
+      input.addData(
+        StreamingOps.VectorOp(2L, "upsert", Array(0.95f, 0.1f), 2), // re-upsert moves cell 1 -> 0
+        StreamingOps.VectorOp(3L, "remove", Array.empty, 2))
+      q.processAllAvailable()
+
+      val state = StreamingOps.ivfMaintainedState(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(state.toSeq === Seq((1L, 0), (2L, 0)), s"state was ${state.toSeq}")
+
+      // searching only cell 0 (nprobe=1 around (1,0)) finds both survivors
+      val res = StreamingOps.searchIvfMaintained(spark, dir, Array((0L, Array(1f, 0f))), k = 3, nprobe = 1)
+        .collect().map(_.getLong(1)).toSet
+      assert(res === Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("IVF maintained view equals batch assignment over survivors (pure-function equality)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_eq").toString
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    val data = vecs.toDF("id", "vector")
+    val centroids = graft.knn.Ivf.train(spark, data, c = 4, iterations = 1)
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = StreamingOps.versionedOps(spark, input.toDS()).writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids))
+      .outputMode("update").start()
+    try {
+      // two batches: all upserts, then removes of ids % 5 == 0 plus a
+      // STALE re-upsert of id 7 that the version store must suppress
+      input.addData(vecs.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 2) }: _*)
+      q.processAllAvailable()
+      input.addData(vecs.filter(_._1 % 5 == 0)
+        .map { case (i, _) => StreamingOps.VectorOp(i, "remove", Array.empty, 3) } :+
+        StreamingOps.VectorOp(7L, "upsert", Array.fill(8)(9f), 1): _*)
+      q.processAllAvailable()
+
+      val queries = vecs.take(5).toArray
+      val maintained = StreamingOps.searchIvfMaintained(spark, dir, queries, k = 5, nprobe = 2)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+      val surviving = data.filter($"id" % 5 =!= 0)
+      val batch = graft.knn.Ivf.search(spark,
+          graft.knn.Ivf.assign(spark, surviving, centroids), centroids, queries, k = 5, nprobe = 2)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+      assert(maintained === batch)
+    } finally q.stop()
+  }
+
   test("version store: stale version in a later batch cannot resurrect an older vector") {
     implicit val sqlCtx = spark.sqlContext
     def runPipeline(versionStore: Boolean): Double = {
@@ -255,6 +319,41 @@ class MultimodalSpec extends SparkTestBase {
     val up = Multimodal.resizeNearest(out, 2, 1, 4, 1)
     assert(up.slice(0, 3).toSeq === up.slice(3, 6).toSeq)
     assert(up.slice(6, 9).toSeq === up.slice(9, 12).toSeq)
+  }
+
+  test("WAV encode/decode round-trips 16-bit PCM samples losslessly (real javax.sound codec)") {
+    val samples = Array.tabulate(480)(i => (math.sin(i * 0.1) * 12345).toShort)
+    val wav = Multimodal.encodeWav(samples, 16000)
+    // a real WAV payload: RIFF....WAVE magic
+    assert(wav.slice(0, 4).map(_.toChar).mkString === "RIFF")
+    assert(wav.slice(8, 12).map(_.toChar).mkString === "WAVE")
+    val (decoded, rate, channels) = Multimodal.WavDecoder.decodePcm(wav).get
+    assert(rate === 16000 && channels === 1)
+    assert(decoded.toSeq === samples.toSeq)
+    // boundary values survive too
+    val edges = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue)
+    val decodedEdges = Multimodal.WavDecoder.decodePcm(Multimodal.encodeWav(edges, 8000)).get._1
+    assert(decodedEdges.toSeq === edges.toSeq)
+  }
+
+  test("WAV decoder frames chunk the PCM stream; undecodable audio yields zero frames") {
+    val samples = Array.tabulate(64)(i => i.toShort)
+    val wav = Multimodal.encodeWav(samples, 16000)
+    val frames = Multimodal.WavDecoder.decodeFrames(wav, 4)
+    assert(frames.length === 4)
+    assert(frames.map(_.length).sum === 128) // 64 samples * 2 bytes
+    assert(Multimodal.WavDecoder.decodeFrames(Array[Byte](9, 9, 9, 9), 4).isEmpty)
+    assert(Multimodal.WavDecoder.decodePcm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("dims is header-only: reports dimensions from a payload whose raster is truncated") {
+    // a valid header with a corrupt/missing raster: full decode fails,
+    // header-only dims still answers — proving no raster pass happens
+    val rgb = Array.tabulate(16 * 16 * 3)(i => (i & 0xff).toByte)
+    val png = Multimodal.encodePng(rgb, 16, 16)
+    val truncated = png.take(40) // IHDR chunk ends at byte 33; raster gone
+    assert(Multimodal.PngDecoder.decodeRgb(truncated).isEmpty, "full decode must fail")
+    assert(Multimodal.PngDecoder.dims(truncated) === ((16, 16)), "header-only read must succeed")
   }
 
   test("extractFeatures over real PNG payloads uses the decoded pixels, distributed") {
