@@ -111,6 +111,58 @@ object BenchScale {
       q8.unpersist()
     }
 
+    // clustered-corpus recall at scale: the geometry IVF exists for —
+    // planted clusters, small probe fraction, recall vs exact kNN
+    {
+      val nc = 256
+      val nClustered = math.min(n, 1000000)
+      val cdim = 32
+      val cdata = spark.range(nClustered).select(col("id"),
+          expr(s"""transform(sequence(0, ${cdim - 1}), j -> cast(
+            sin((id % $nc) * 2654435.761 + j * 1.9) +
+            0.05 * sin(id * 0.7919 + j * 12.9898) as float))""").as("vector"))
+        .repartition(cpus.toInt * 2, col("id")).cache()
+      timed(s"materialize $nClustered x$cdim clustered vectors ($nc planted clusters)")(cdata.count())
+      val centroids = timed(s"IVF train on clustered corpus (kmeans||, c=$nc)") {
+        graft.knn.Ivf.train(spark, cdata, nc, iterations = 2, seeding = "kmeans||")
+      }
+      val assigned = graft.knn.Ivf.assign(spark, cdata, centroids, spill = 2).cache()
+      timed("IVF assign (spill=2)")(assigned.count())
+      val cq = cdata.filter(col("id") % (nClustered / 64) === 1)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val approx = timed(s"IVF search (${cq.length} queries, k=10, nprobe=8/$nc = 3% probe)") {
+        graft.knn.Ivf.search(spark, assigned, centroids, cq, k = 10, nprobe = 8, dedup = true)
+          .select("qid", "id").cache()
+      }
+      val exactC = Knn.partitioned(spark, cdata, cq, k = 10).select("qid", "id")
+      val hits = approx.join(exactC, Seq("qid", "id"), "left_semi").count()
+      println(f"[scale] clustered-corpus IVF recall@10: ${hits.toDouble / (cq.length * 10)}%.3f (${cq.length} queries)")
+      assigned.unpersist(); cdata.unpersist(); approx.unpersist()
+    }
+
+    // 1M-query DataFrame side through the blocked partitionedDF path:
+    // per-task memory is one query block of heaps, not 1M heaps — the
+    // multi-block branch materializes the data partition and re-scans it
+    {
+      // the assertion is QUERY-side memory (1M heaps would be ~200 MB/task
+      // unchunked; blocks cap it at ~13 MB) — the data side stays small so
+      // the section measures the shape, not a 1e12-flop scan; unbounded
+      // data × unbounded queries is the IVF cogroup path's job
+      val nQ = 1000000
+      val smallN = math.min(n, 20000)
+      val sdata = spark.range(smallN).select(col("id"),
+          expr(s"transform(sequence(0, 15), j -> cast(sin(id * 0.7 + j * 1.3) as float))").as("vector"))
+        .repartition(cpus.toInt * 2, col("id")).cache()
+      sdata.count()
+      val bigQ = spark.range(nQ).select(col("id").as("qid"),
+        expr(s"transform(sequence(0, 15), j -> cast(cos((id + 5) * 0.9 + j * 1.7) as float))").as("qvec"))
+      val rows1m = timed(s"exact partitionedDF ($nQ-query DataFrame x $smallN vectors, k=5, 64k blocks)") {
+        Knn.partitionedDF(sdata, bigQ, k = 5).count()
+      }
+      println(s"[scale] 1M-query result rows: $rows1m (expect ${nQ * 5L})")
+      sdata.unpersist()
+    }
+
     // synthetic docs with planted dups for the dedup path
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
         expr("concat_ws(' ', transform(sequence(0, 40), j -> concat('w', cast(pmod(id * 2654435761 + j * 40503 + cast(pow(j, 3) as bigint), 999983) as string))))")
@@ -118,10 +170,17 @@ object BenchScale {
     val withCopies = docs.unionByName(
       docs.filter(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), concat(lit("dup "), col("text")).as("text")))
+    val pairsDf = graft.dedup.Dedup.minhashLshPairs(withCopies, threshold = 0.8).cache()
     val pairs = timed(s"MinHash LSH dedup ($nDocs docs + planted)") {
-      graft.dedup.Dedup.minhashLshPairs(withCopies, threshold = 0.8).count()
+      pairsDf.count()
     }
     println(s"[scale] near-dup pairs: $pairs")
+    val groups = timed("connected components over the pair set (pairs -> clusters)") {
+      graft.dedup.Dedup.connectedComponents(pairsDf)
+        .filter(col("id") =!= col("group_id")).count()
+    }
+    println(s"[scale] non-representative members dropped: $groups")
+    pairsDf.unpersist()
 
     spark.stop()
   }

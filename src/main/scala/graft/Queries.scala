@@ -114,7 +114,13 @@ object Queries {
     val target = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath
     val schema = spark.read.parquet(target.toString).schema
     val streamDir = java.nio.file.Files.createTempDirectory(s"stream_src_$table")
-    java.nio.file.Files.createSymbolicLink(streamDir.resolve(s"$table.parquet"), target)
+    val link = java.nio.file.Files.createSymbolicLink(streamDir.resolve(s"$table.parquet"), target)
+    // JVM-exit cleanup — a long-lived session running the catalog
+    // repeatedly must not leak temp dirs. deleteOnExit deletes in REVERSE
+    // registration order: dir registered first so the link goes first and
+    // the then-empty dir second
+    streamDir.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 

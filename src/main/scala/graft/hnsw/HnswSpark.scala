@@ -94,9 +94,12 @@ object HnswSpark {
     * array. The query table is replicated to every graph partition through
     * one shuffle (pid-keyed `zipPartitions`, the same rebroadcast shape as
     * [[graft.knn.Knn.partitionedDF]]); each partition builds its graph once
-    * and searches all queries; the global k-merge ranks the k·P·Q candidate
-    * union. Queries must fit one task's memory; for unbounded query sides use
-    * the IVF cogroup path ([[graft.knn.Ivf.searchDF]]).
+    * and STREAMS the replicated queries through it (the query iterator is
+    * never materialized — task memory is the graph partition, regardless
+    * of query count); the global k-merge ranks the k·P·Q candidate union.
+    * At huge Q that candidate volume is the inherent cost of the
+    * every-graph fan-out — corpus-vs-corpus batches belong on the IVF
+    * cogroup path ([[graft.knn.Ivf.searchDF]]), which replicates nothing.
     *
     * data: (id, vector), queries: (qid, qvec); output (qid, id, dist, rank).
     */
@@ -382,8 +385,9 @@ object HnswSpark {
   /** [[searchSaved]] with a DataFrame query side: one task per persisted
     * graph artifact, queries replicated to the artifact tasks through one
     * shuffle (no driver collect of either side). Each task loads its graph
-    * once and searches its full query batch — the serving-scale shape for
-    * batch corpus-vs-index search.
+    * once and STREAMS its replicated query batch through it (never
+    * materialized — task memory is the loaded graph, regardless of query
+    * count) — the serving-scale shape for batch corpus-vs-index search.
     */
   def searchSavedDF(
       spark: SparkSession,

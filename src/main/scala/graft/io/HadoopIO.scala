@@ -122,6 +122,23 @@ object HadoopIO {
     finally in.close()
   }
 
+  /** Recursive delete. Returns false when the path did not exist. */
+  def delete(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** Rename (move) a path; fails loudly — rename is the primitive whose
+    * silent failure would strand a directory swap half-done.
+    */
+  def rename(src: String, dst: String, conf: Configuration): Unit = {
+    val s = new Path(src)
+    val fs = s.getFileSystem(conf)
+    if (!fs.rename(s, new Path(dst)))
+      throw new IOException(s"rename $src -> $dst failed")
+  }
+
   /** Fully-qualified URIs of artifacts matching `dir/<glob>`, sorted.
     * The executor-side loader re-resolves the scheme from the URI, so a
     * listing taken on the driver is directly usable in tasks.

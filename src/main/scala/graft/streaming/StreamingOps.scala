@@ -225,19 +225,58 @@ object StreamingOps {
     * [[graft.knn.Ivf.search]]/[[graft.knn.Ivf.searchDF]] with the
     * directory's centroids.
     */
-  def ivfMaintainedState(spark: SparkSession, indexDir: String): DataFrame = {
+  /** Each id's winning delta rows: one shuffle on id — rank() (not
+    * row_number: a spilled upsert's same-version cell rows must ALL
+    * survive) over (version desc, op asc) puts the winning version first
+    * with 'remove' beating 'upsert' on an exact version tie; re-emitted
+    * identical rows dedupe by (id, cell, op). Tombstone winners are KEPT
+    * here — [[ivfMaintainedState]] filters them, [[compactIvfMaintained]]
+    * must persist them (dropping a tombstone would let a post-compaction
+    * stale upsert resurrect the removed vector).
+    */
+  private def latestDeltaRows(spark: SparkSession, indexDir: String): DataFrame = {
     val delta = spark.read.parquet(s"$indexDir/delta")
-    // one shuffle on id: rank() (not row_number — a spilled upsert's
-    // same-version cell rows must ALL survive) over (version desc, op asc)
-    // puts the winning version first with 'remove' beating 'upsert' on an
-    // exact version tie; re-emitted identical rows dedupe by (id, cell)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("version").desc, col("op").asc)
     delta
       .withColumn("__rk", rank().over(w))
-      .filter(col("__rk") === 1 && col("op") === "upsert")
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+      .dropDuplicates("id", "cell", "op")
+  }
+
+  def ivfMaintainedState(spark: SparkSession, indexDir: String): DataFrame =
+    latestDeltaRows(spark, indexDir)
+      .filter(col("op") === "upsert")
       .select(col("id"), col("cell").cast("int"), col("vector"))
-      .dropDuplicates("id", "cell")
+
+  /** Compact an [[ivfMaintenanceSink]] delta log to each id's winning rows
+    * (upserts AND tombstones — see [[latestDeltaRows]]): read cost of the
+    * maintained view stops growing with mutation history. Run while the
+    * maintenance stream is STOPPED (the swap below and a concurrent
+    * micro-batch append race).
+    *
+    * Swap protocol: write the compacted rows to `delta.compact`, delete
+    * `delta`, rename into place. A crash between the last two steps
+    * leaves NO delta directory — every load fails LOUDLY (never silent
+    * partial state) — and re-running compact resumes the interrupted
+    * swap from the intact `delta.compact`.
+    */
+  def compactIvfMaintained(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val deltaDir = s"$indexDir/delta"
+    val tmpDir = s"$indexDir/delta.compact"
+    if (!graft.io.HadoopIO.exists(deltaDir, hconf)) {
+      require(graft.io.HadoopIO.exists(tmpDir, hconf),
+        s"neither $deltaDir nor $tmpDir exists — not a maintained IVF directory")
+      graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
+      return
+    }
+    graft.io.HadoopIO.delete(tmpDir, hconf) // stale tmp from an interrupted attempt
+    latestDeltaRows(spark, indexDir)
+      .write.partitionBy("cell").parquet(tmpDir)
+    graft.io.HadoopIO.delete(deltaDir, hconf)
+    graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
   }
 
   /** Search an [[ivfMaintenanceSink]] directory, self-configured from its

@@ -185,6 +185,18 @@ class StreamingIndexSpec extends SparkTestBase {
       val res = StreamingOps.searchIvfMaintained(spark, dir, Array((0L, Array(1f, 0f))), k = 3, nprobe = 1)
         .collect().map(_.getLong(1)).toSet
       assert(res === Set(1L, 2L))
+
+      // compaction: same state, bounded history — and the TOMBSTONE for id
+      // 3 must survive it, so a post-compaction stale upsert stays dead
+      StreamingOps.compactIvfMaintained(spark, dir)
+      val afterCompact = StreamingOps.ivfMaintainedState(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(afterCompact.toSeq === Seq((1L, 0), (2L, 0)))
+      input.addData(StreamingOps.VectorOp(3L, "upsert", Array(0.9f, 0.2f), 1)) // stale: removed @v2
+      q.processAllAvailable()
+      val afterStale = StreamingOps.ivfMaintainedState(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      assert(afterStale === Set(1L, 2L), "compaction dropped the tombstone: stale upsert resurrected id 3")
     } finally q.stop()
   }
 
@@ -354,6 +366,21 @@ class MultimodalSpec extends SparkTestBase {
     val truncated = png.take(40) // IHDR chunk ends at byte 33; raster gone
     assert(Multimodal.PngDecoder.decodeRgb(truncated).isEmpty, "full decode must fail")
     assert(Multimodal.PngDecoder.dims(truncated) === ((16, 16)), "header-only read must succeed")
+  }
+
+  test("extractFeatures over real WAV payloads consumes decoded PCM frames, distributed") {
+    val rows = (0L until 8L).map { i =>
+      val samples = Array.tabulate(256)(j => ((i * 31 + j * 7) % 256 - 128).toShort)
+      Multimodal.MediaRow(i, Multimodal.encodeWav(samples, 16000), "audio", 0, 0, 16000)
+    }
+    val features = Multimodal
+      .extractFeatures(spark, rows.toDS().repartition(3), decoder = Multimodal.WavDecoder)
+      .collect().sortBy(_.id)
+    assert(features.length === 8)
+    features.foreach { f =>
+      assert(f.nFrames === 4)
+      assert(f.histogram.sum === 256L * 2) // every decoded PCM byte counted
+    }
   }
 
   test("extractFeatures over real PNG payloads uses the decoded pixels, distributed") {
