@@ -819,6 +819,26 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // §2.20 Gopher/C4-style quality FILTERS: token-3-gram repetition ratio
+    // (template spam scores high long before LSH would pair it) +
+    // ASCII character-class ratios — the cheap first filters of a curation
+    // cascade (single narrow pass, no shuffle). Planted loop-docs
+    // (doc_id < 20, text repeated against itself) exercise the high end of
+    // the repetition scale; natural docs the low end.
+    "quality_filters" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val loops = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text"), lit(" "), col("text")).as("text"))
+      val charCols = TextAnalysis.charClassRatios(col("text"))
+        .map { case (name, c) => round(c, 4).as(name) }
+      docs.unionByName(loops)
+        .select(col("doc_id") +:
+          round(TextAnalysis.repetitionRatio(col("text")), 4).as("rep3_ratio") +:
+          charCols: _*)
+        .orderBy("doc_id")
+    }),
+
     // §2.20 composite quality score (length + stopword components)
     "quality_score" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -1238,6 +1258,20 @@ object Queries {
          |      FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cd, 4) AS cos_dist FROM p WHERE cd <= 0.1 ORDER BY id_a, id_b""".stripMargin,
     "lang_id" -> langIdOracle,
+    "quality_filters" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 200000, text || ' ' || text || ' ' || text FROM documents WHERE doc_id < 20),
+         |t AS (SELECT doc_id, text, $duckToks AS toks FROM all_docs),
+         |g AS (SELECT doc_id, text,
+         |        CASE WHEN len(toks) < 3 THEN 1 ELSE len(toks) - 2 END AS total3,
+         |        len(${duckShingles("toks")}) AS distinct3 FROM t)
+         |SELECT doc_id,
+         |  round(1.0 - distinct3::DOUBLE / total3, 4) AS rep3_ratio,
+         |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text), 4) AS upper_ratio,
+         |  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 4) AS digit_ratio,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
     "quality_score" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
       s"""SELECT doc_id,

@@ -88,6 +88,39 @@ object TextAnalysis {
     round(lengthScore * 0.5 + stopRatio * 0.5, 4)
   }
 
+  /** Gopher/C4-style repetition signal: the fraction of token n-grams that
+    * repeat an earlier n-gram of the same document, 1 − distinct/total
+    * (0 = no repetition, →1 = the document is one phrase looped). Docs
+    * shorter than n tokens count as one degenerate shingle — ratio 0.
+    * Boilerplate and template spam score high here long before they share
+    * enough text to pair in LSH, which makes this the cheap FIRST filter
+    * of a curation cascade (single narrow pass, no shuffle, no join).
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    // distinct n-gram count via the fused single-pass kernel
+    // (ShingleHashSet — the HOF formulation re-evaluates the regex split
+    // per gram element, O(L²) per doc: measured 20× slower at sf0.1);
+    // docs under n tokens are one degenerate shingle — ratio 0 directly
+    val nToks = size(tokens(text))
+    val distinctN = size(SqlBridge.column(
+      graft.functions.ShingleHashSet(SqlBridge.expression(text), n)))
+    when(nToks < n, lit(0.0))
+      .otherwise(lit(1.0) - distinctN.cast("double") / (nToks - (n - 1)).cast("double"))
+  }
+
+  /** C4-style character-class ratios over the raw text (ASCII classes so
+    * every engine computes the same value): uppercase, digit, alphabetic.
+    */
+  def charClassRatios(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    def ratio(cls: String) =
+      length(regexp_replace(text, cls, "")).cast("double") / len
+    Seq(
+      "upper_ratio" -> ratio("[^A-Z]"),
+      "digit_ratio" -> ratio("[^0-9]"),
+      "alpha_ratio" -> ratio("[^A-Za-z]"))
+  }
+
   /** 60-bit SimHash over md5-derived token hashes. Engine-reproducible:
     * token hash = first 15 hex chars of md5 as a long, so DuckDB can mirror
     * it (`CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`). Single-kernel

@@ -189,6 +189,29 @@ class DedupSpec extends SparkTestBase {
     assert(counts.toSeq === Seq(5L, 3L, 1L, 0L))
   }
 
+  test("repetition ratio: looped text scores high, unique text zero, short docs zero") {
+    val d = docs(
+      (1L, "a b c d e f"),             // 4 distinct 3-grams of 4 -> 0
+      (2L, "a b c a b c a b c"),       // 7 3-grams, 3 distinct -> 4/7
+      (3L, "x y"),                     // short-doc fallback -> 0
+      (4L, "w w w w w w w w w w"))     // 8 3-grams, 1 distinct -> 7/8
+    val r = d.orderBy("doc_id")
+      .select(TextAnalysis.repetitionRatio($"text")).as[Double].collect()
+    assert(r(0) === 0.0)
+    assert(math.abs(r(1) - 4.0 / 7) < 1e-12)
+    assert(r(2) === 0.0)
+    assert(math.abs(r(3) - 7.0 / 8) < 1e-12)
+  }
+
+  test("character-class ratios count ASCII classes over raw length") {
+    val d = docs((1L, "Ab1 Cd!")) // len 7: 2 upper, 1 digit, 4 alpha
+    val cols = TextAnalysis.charClassRatios($"text").map { case (n, c) => c.as(n) }
+    val row = d.select(cols: _*).head()
+    assert(math.abs(row.getDouble(0) - 2.0 / 7) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 1.0 / 7) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 4.0 / 7) < 1e-12)
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far (hamming)") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
