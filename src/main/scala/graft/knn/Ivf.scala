@@ -426,7 +426,7 @@ object Ivf {
     * missing directories). The count is footer-metadata-only (no row
     * scan), one cheap job per load.
     */
-  private def loadWithMeta(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]], IvfMeta) = {
+  private[knn] def loadWithMeta(spark: SparkSession, dir: String): (DataFrame, Array[Array[Float]], IvfMeta) = {
     val (assigned, centroids) = load(spark, dir)
     val meta = loadMeta(spark, dir).getOrElse(IvfMeta("euclidean", 1, centroids.length,
       centroids.headOption.map(_.length).getOrElse(0)))

@@ -190,6 +190,37 @@ object Quantize {
     rescoreTopK(cand, quantized, queries, k, "euclidean", dedupVectors = true)
   }
 
+  /** [[searchIvfSq8DF]] over a PERSISTED index ([[Ivf.save]] layout whose
+    * assignment was saved with the sq8 columns — `Ivf.save(spark,
+    * sq8(Ivf.assign(...)), centroids, dir, "euclidean")`): centroids,
+    * metric, spill, and dimension self-configure from the sidecar, the
+    * torn-save/completeness guards of [[Ivf.searchSavedDF]] apply, and
+    * cell-partition pruning feeds the probed cells only. Euclidean-only
+    * like the in-memory path; fails loudly on a cosine-trained or
+    * codes-less index instead of scanning at the wrong precision.
+    */
+  def searchSavedIvfSq8DF(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 4): DataFrame = {
+    val (assigned, centroids, meta) = Ivf.loadWithMeta(spark, dir)
+    require(meta.metric == "euclidean",
+      s"saved index at $dir was trained with metric '${meta.metric}' — the SQ8 coarse path is euclidean-only")
+    val missing = Seq("codes", "q_scale", "q_offset").filterNot(assigned.columns.contains)
+    require(missing.isEmpty,
+      s"saved assignment at $dir lacks SQ8 columns ${missing.mkString(", ")} — save sq8(assign(...)) to use this path")
+    val checked = queries.select(col("qid").cast("long"),
+      when(size(col("qvec")) === meta.dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit(s"query dimension != index dimension ${meta.dim}, got "),
+          size(col("qvec")).cast("string"))))
+        .as("qvec"))
+    searchIvfSq8DF(assigned, centroids, checked, k, nprobe, overscan)
+  }
+
   /** GUARANTEED-exact two-stage L2 search over SQ8 codes.
     *
     * By the triangle inequality |d(q,v) − d(q,v̂)| ≤ ‖v−v̂‖₂ = e_v, so with

@@ -171,6 +171,31 @@ class DedupSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components match driver union-find on random graphs (chains, forests, multi-edges)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { trial =>
+      val nNodes = 2 + rnd.nextInt(40)
+      val edges = Seq.fill(1 + rnd.nextInt(50))(
+          (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // union-find reference: max root points at min root, so every
+        // component's final root is its minimum member id
+        val parent = Array.tabulate(nNodes)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val present = edges.flatMap(t => Seq(t._1, t._2)).distinct
+        val expected = present.map(id => id -> find(id.toInt).toLong).toMap
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"trial $trial: edges=$edges")
+      }
+    }
+  }
+
   test("connected components + keep-min filter drops exactly the non-representatives") {
     val pairs = Seq((3L, 7L), (7L, 9L), (100L, 101L)).toDF("doc_a", "doc_b")
     val drops = Dedup.connectedComponents(pairs)

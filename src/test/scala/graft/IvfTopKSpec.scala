@@ -344,6 +344,28 @@ class QuantizeSpec extends SparkTestBase {
     assert(res.size === 8)
   }
 
+  test("searchSavedIvfSq8DF equals the in-memory SQ8 cogroup path over a persisted index") {
+    val queriesDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 8")
+      .selectExpr("vec_id as qid", "embedding as qvec")
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val q8 = graft.knn.Quantize.sq8(Ivf.assign(spark, data, centroids))
+    val out = java.nio.file.Files.createTempDirectory("ivf_sq8_saved").toString
+    Ivf.save(spark, q8, centroids, out, "euclidean")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3)).toSeq
+    assert(rows(graft.knn.Quantize.searchSavedIvfSq8DF(spark, out, queriesDf, k = 10, nprobe = 4)) ===
+      rows(graft.knn.Quantize.searchIvfSq8DF(q8, centroids, queriesDf, k = 10, nprobe = 4)))
+    // a full-precision-only index must fail LOUDLY, not scan at the wrong precision
+    val fpDir = java.nio.file.Files.createTempDirectory("ivf_fp_saved").toString
+    Ivf.save(spark, Ivf.assign(spark, data, centroids), centroids, fpDir, "euclidean")
+    val e = intercept[IllegalArgumentException](
+      graft.knn.Quantize.searchSavedIvfSq8DF(spark, fpDir, queriesDf, k = 10, nprobe = 4))
+    assert(e.getMessage.contains("SQ8 columns"))
+  }
+
   test("searchExactCosine equals brute-force cosine exactly (recall 1.0)") {
     val queries = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter("vec_id < 10").collect()
