@@ -316,7 +316,11 @@ object Dedup {
       .groupBy(col("src").as("id")).agg(min("dst").as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label"))
       .localCheckpoint(false)
-    var lastSum = labels.agg(sum("label")).head().getLong(0)
+    // coalesce: sum over an EMPTY label set is null (a corpus with no
+    // near-dup pairs is the common clean case, not an error)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var lastSum = labelSum(labels)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -326,7 +330,7 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false)
-      val nextSum = next.agg(sum("label")).head().getLong(0)
+      val nextSum = labelSum(next)
       converged = nextSum == lastSum
       lastSum = nextSum
       labels = next

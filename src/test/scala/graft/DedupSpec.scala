@@ -171,6 +171,17 @@ class DedupSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components on an empty pair set return empty (clean corpus, not an error)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+    // and curate survives a corpus with no near-dups at all
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words describing engine internals instead"))
+      .toDF("doc_id", "text")
+    val emb = Seq((1L, Array.fill(4)(1f)), (2L, Array.fill(4)(1f))).toDF("vec_id", "embedding")
+    graft.pipeline.Curation.curate(docs, emb, minQuality = 0.0).collect() // must not throw
+  }
+
   test("connected components match driver union-find on random graphs (chains, forests, multi-edges)") {
     val rnd = new scala.util.Random(42)
     (1 to 6).foreach { trial =>
