@@ -81,6 +81,38 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(h(2).sum === 0L)
   }
 
+  test("repetition ratio survives empty / whitespace-only / single-token text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a a")).toDF("doc_id", "text")
+    val r = df.orderBy("doc_id")
+      .select(graft.text.TextAnalysis.repetitionRatio($"text")).as[Double].collect()
+    assert(r.toSeq === Seq(0.0, 0.0, 0.0, 0.0)) // all under 3 tokens: one degenerate shingle
+  }
+
+  test("searchExactCosine tolerates a zero vector in the corpus (ranks by kernel convention, no crash)") {
+    val rows = (0L until 20L).map(i => (i, Array(i.toFloat + 1, 1f, 0f))) :+ (99L, Array(0f, 0f, 0f))
+    val df = rows.toDF("id", "vector")
+    val queries = Array((0L, Array(1f, 1f, 0f)))
+    val res = graft.knn.Quantize.searchExactCosine(spark, df, queries, k = 5).collect()
+    assert(res.length === 5)
+    assert(!res.map(_.getLong(1)).contains(99L)) // NaN cosine never outranks real neighbors
+  }
+
+  test("WAV decoder rejects non-PCM and truncated payloads without throwing") {
+    val wav = graft.multimodal.Multimodal.encodeWav(Array.tabulate(32)(_.toShort), 8000)
+    // truncate mid-header and mid-data
+    assert(graft.multimodal.Multimodal.WavDecoder.decodePcm(wav.take(10)).isEmpty)
+    val mid = graft.multimodal.Multimodal.WavDecoder.decodePcm(wav.take(wav.length - 7))
+    // mid-data truncation either fails or returns fewer samples — never throws
+    assert(mid.forall(_._1.length <= 32))
+    assert(graft.multimodal.Multimodal.WavDecoder.decodePcm("RIFFjunk".getBytes).isEmpty)
+  }
+
+  test("ivfMaintainedState on a never-written maintenance dir fails loudly, not silently empty") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_never").toString
+    intercept[Exception](
+      graft.streaming.StreamingOps.ivfMaintainedState(spark, dir).collect())
+  }
+
   test("TopK with k=0 accepts pushes and stays empty") {
     val t = new graft.knn.TopK(0)
     t.push(1.0, 1L)
