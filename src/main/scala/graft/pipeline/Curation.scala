@@ -36,19 +36,24 @@ object Curation {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-    val exactDeduped = docs.join(keeps, Seq("doc_id"), "left_semi")
-
     // near-dups survive exact dedup (distinct digests, overlapping
     // shingles) — resolve pair evidence to clusters and keep one
-    // representative per cluster (the min id, matching exact dedup's rule)
+    // representative per cluster (the min id, matching exact dedup's rule).
+    // The deduped doc set is consumed by several branches (LSH pair
+    // generation evaluates its input three times, plus the anti-join left
+    // side) — persist it so the scan + digest shuffle + semi-join run
+    // once; blocks are reclaimed by the ContextCleaner when the pipeline
+    // result is released.
+    val exactDedupedRaw = docs.join(keeps, Seq("doc_id"), "left_semi")
     val deduped = nearDupThreshold match {
       case Some(th) =>
+        val exactDeduped = exactDedupedRaw.persist()
         val pairs = Dedup.minhashLshPairs(exactDeduped, threshold = th)
         val drops = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("doc_id"))
         exactDeduped.join(drops, Seq("doc_id"), "left_anti")
-      case None => exactDeduped
+      case None => exactDedupedRaw // single consumer: nothing to reuse
     }
 
     val scored = deduped
