@@ -680,6 +680,26 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // §2.17-adjacent benchmark DECONTAMINATION: training docs sharing >= 8
+    // distinct 3-gram shingles with any benchmark doc (every 200th doc
+    // plays the benchmark, plus planted part-quotes of 5 bench docs).
+    // Benchmark side broadcasts; the corpus never shuffles.
+    "decontaminate" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      // planted contamination: docs quoting the first ~60 tokens of a
+      // benchmark item inside otherwise-unique framing text
+      val quotes = bench.filter(col("bench_id") < 1000)
+        .select((col("bench_id") + 300000).as("doc_id"),
+          concat(lit("assistant said "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 60)),
+            lit(" and that was the quote")).as("text"))
+      Dedup.contaminationPairs(docs.unionByName(quotes), bench, minShared = 8)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
     "dedup_simhash" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -1250,6 +1270,18 @@ object Queries {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> simhashOracle,
+    "decontaminate" ->
+      s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
+         |quotes AS (SELECT bench_id + 300000 AS doc_id,
+         |  'assistant said ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:60], ' ') || ' and that was the quote' AS text
+         |  FROM bench WHERE bench_id < 1000),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |sd AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM all_docs),
+         |sb AS (SELECT bench_id, ${duckShingles(duckToks)} AS sh FROM bench),
+         |p AS (SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh)) AS n_shared
+         |      FROM sd d CROSS JOIN sb b)
+         |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= 8 ORDER BY doc_id, bench_id""".stripMargin,
     "neardup_embedding" ->
       s"""WITH all_v AS (
          |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings

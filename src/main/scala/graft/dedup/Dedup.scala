@@ -63,6 +63,10 @@ object Dedup {
 
   /** MinHash signature: numHashes per-shingle xxhash64 minima, computed
     * shuffle-free inside the row (codegen'd higher-order functions).
+    * Compositional/teaching surface — the HOF tree evaluates the shingle
+    * expression once per hash index, so hot paths should use the fused
+    * single-pass kernels instead ([[bandHashesFromShingles]] /
+    * `ShingleBandHashes`, what [[minhashLshPairs]] uses).
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
     array((0 until numHashes).map { h =>
@@ -343,6 +347,38 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("id"), col("label").as("group_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minShared` distinct token 3-gram shingles with any benchmark
+    * document — the standard pre-training hygiene step (a doc that quotes
+    * an eval item must not be trained on). Returns
+    * (doc_id, bench_id, n_shared) per contaminated pair.
+    *
+    * Scale shape: the BENCHMARK side is small by nature (eval suites,
+    * not corpora) — its exploded shingle hashes broadcast, the corpus
+    * side streams once through a broadcast hash join, and the count
+    * aggregates map-side per (doc, bench) pair. The 100 TB corpus never
+    * shuffles; no pair blowup is possible beyond true shingle matches.
+    */
+  def contaminationPairs(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minShared: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame = {
+    def exploded(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+          SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(text)), 3)).as("hs"))
+        .select(col(outId), explode(col("hs")).as("h"))
+    exploded(docs, idCol, textCol, "doc_id")
+      .join(broadcast(exploded(benchmark, benchIdCol, benchTextCol, "bench_id")), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      // hs is a distinct set per doc, so plain count = |intersection|
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Deterministic ±1 hyperplanes for sign-LSH (splitmix64-derived). */

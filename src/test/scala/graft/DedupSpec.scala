@@ -225,6 +225,24 @@ class DedupSpec extends SparkTestBase {
     assert(counts.toSeq === Seq(5L, 3L, 1L, 0L))
   }
 
+  test("contamination pairs flag quoted benchmark spans, skip clean docs") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")).toDF("bench_id", "text")
+    val corpus = docs(
+      // quotes 10 consecutive tokens -> 8 shared 3-grams
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta iota kappa outro"),
+      // shares only 2 tokens in sequence -> 0 shared 3-grams
+      (2L, "alpha beta unrelated content entirely different from the benchmark suite"),
+      (3L, "nothing in common with anything at all here truly"))
+    val hits = Dedup.contaminationPairs(corpus, bench, minShared = 8)
+      .select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)].collect()
+    assert(hits.toSeq === Seq((1L, 100L, 8L)))
+    // lowering the floor surfaces nothing new from docs 2/3 (0 shared 3-grams)
+    val loose = Dedup.contaminationPairs(corpus, bench, minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose === Set(1L))
+  }
+
   test("repetition ratio: looped text scores high, unique text zero, short docs zero") {
     val d = docs(
       (1L, "a b c d e f"),             // 4 distinct 3-grams of 4 -> 0
