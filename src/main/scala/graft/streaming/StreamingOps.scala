@@ -210,9 +210,55 @@ object StreamingOps {
             col("version"), lit("remove").as("op"))
         assigned.unionByName(tombstones)
           .write.mode("append").partitionBy("cell").parquet(s"$indexDir/delta")
+        // completeness registry AFTER the append (same theme as the HNSW
+        // artifact manifest): a delta file lost to a torn copy must fail
+        // the next load instead of silently dropping mutations. foreachBatch
+        // calls are serialized per query, so the listing races nothing.
+        writeDeltaManifest(s"$indexDir/delta", sess.sparkContext.hadoopConfiguration)
       } finally ops.unpersist()
     }
   }
+
+  /** Relative cell-partitioned parquet paths + lengths under a delta dir. */
+  private def listDelta(
+      deltaDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, String, Long)] =
+    graft.io.HadoopIO.globWithLength(deltaDir, "*/*.parquet", conf).map { case (uri, len) =>
+      val segs = uri.split('/')
+      (uri, segs.takeRight(2).mkString("/"), len)
+    }
+
+  private def writeDeltaManifest(
+      deltaDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    graft.io.Manifest.write(deltaDir,
+      listDelta(deltaDir, conf).map { case (_, rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+      conf)
+
+  /** Fail-loud completeness check for a maintenance delta log: every file
+    * the manifest lists must be present with its recorded length (a lost
+    * or truncated delta file would otherwise silently drop mutations from
+    * the reconstructed view). EXTRA unlisted files are tolerated — they
+    * are uncommitted appends from an at-least-once `foreachBatch`
+    * redelivery (a crash between append and manifest update), and the
+    * latest-wins view dedupes their replayed rows. Pre-manifest
+    * directories pass through.
+    */
+  private def validateDelta(
+      deltaDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    graft.io.Manifest.read(deltaDir, conf).foreach { entries =>
+      val present = listDelta(deltaDir, conf).map { case (_, rel, len) => rel -> len }.toMap
+      val missing = entries.filterNot(e => present.contains(e.name))
+      require(missing.isEmpty,
+        s"maintained IVF delta log at $deltaDir is INCOMPLETE: manifest lists ${entries.size} " +
+          s"files, missing [${missing.map(_.name).mkString(", ")}] — refusing to serve a view " +
+          "with silently dropped mutations")
+      entries.foreach { e =>
+        require(present(e.name) == e.length,
+          s"delta file ${e.name} at $deltaDir is ${present(e.name)}B, manifest says ${e.length}B (torn)")
+      }
+    }
 
   /** Reconstruct the CURRENT assignment view of an [[ivfMaintenanceSink]]
     * directory: per id keep only the highest-version delta rows (a spilled
@@ -235,6 +281,7 @@ object StreamingOps {
     * stale upsert resurrect the removed vector).
     */
   private def latestDeltaRows(spark: SparkSession, indexDir: String): DataFrame = {
+    validateDelta(s"$indexDir/delta", spark.sparkContext.hadoopConfiguration)
     val delta = spark.read.parquet(s"$indexDir/delta")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("version").desc, col("op").asc)
@@ -270,6 +317,7 @@ object StreamingOps {
       require(graft.io.HadoopIO.exists(tmpDir, hconf),
         s"neither $deltaDir nor $tmpDir exists — not a maintained IVF directory")
       graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
+      writeDeltaManifest(deltaDir, hconf)
       return
     }
     graft.io.HadoopIO.delete(tmpDir, hconf) // stale tmp from an interrupted attempt
@@ -277,6 +325,51 @@ object StreamingOps {
       .write.partitionBy("cell").parquet(tmpDir)
     graft.io.HadoopIO.delete(deltaDir, hconf)
     graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
+    // fresh registry for the compacted file set (the pre-compaction
+    // manifest died with the old directory)
+    writeDeltaManifest(deltaDir, hconf)
+  }
+
+  /** Re-train signal for a maintained IVF index: the fraction of live ids
+    * whose CURRENT nearest centroid is not among their stored cells — the
+    * quantizer-drift metric a caller thresholds to decide when the fixed
+    * centroids no longer fit the mutated corpus (the sink assigns against
+    * fixed centroids by design; re-training is an explicit operation,
+    * like the reference's separate re-partition path). One distributed
+    * pass over the maintained view (centroids broadcast) + one id-keyed
+    * shuffle to reconcile spill replicas. Returns 0.0 for an empty view.
+    */
+  def ivfMaintainedDrift(spark: SparkSession, indexDir: String): Double = {
+    import spark.implicits._
+    val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val m = graft.core.Distances.metricId(meta.metric)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val perId = ivfMaintainedState(spark, indexDir)
+      .select(col("id").cast("long"), col("cell").cast("int"), col("vector").cast("array<float>"))
+      .as[(Long, Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (_, rows) =>
+        val rs = rows.toArray // spill replicas: one row per stored cell
+        val cs = bc.value
+        val kernel = graft.core.Distances.distance(m) _
+        var best = 0
+        var bestDist = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val d = kernel(rs.head._3, cs(i))
+          if (d < bestDist) { bestDist = d; best = i }
+          i += 1
+        }
+        if (rs.exists(_._2 == best)) 0L else 1L
+      }
+    val agg = perId.toDF("drifted").agg(
+      coalesce(sum("drifted"), lit(0L)), count(lit(1))).head()
+    val n = agg.getLong(1)
+    if (n == 0) 0.0 else agg.getLong(0).toDouble / n
   }
 
   /** Search an [[ivfMaintenanceSink]] directory, self-configured from its

@@ -200,6 +200,60 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("IVF delta log: a lost file fails the load; an extra (replayed) file is tolerated") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_manifest").toString
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids))
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 20L).map(i =>
+        StreamingOps.VectorOp(i, "upsert", Array(1f, i.toFloat / 20), 1)): _*)
+      q.processAllAvailable()
+      input.addData(StreamingOps.VectorOp(50L, "upsert", Array(0f, 1f), 1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // extra file (an at-least-once replay remnant): copy a part file under a new name
+    val cellDir = new java.io.File(s"$dir/delta").listFiles().filter(_.getName.startsWith("cell=")).head
+    val part = cellDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val extra = new java.io.File(cellDir, "part-replayed-extra.parquet")
+    java.nio.file.Files.copy(part.toPath, extra.toPath)
+    StreamingOps.ivfMaintainedState(spark, dir).collect() // must not throw
+    java.nio.file.Files.delete(extra.toPath)
+
+    // lost file: delete a manifest-listed part file -> load must FAIL
+    java.nio.file.Files.delete(part.toPath)
+    val e = intercept[Exception](StreamingOps.ivfMaintainedState(spark, dir).collect())
+    assert(e.getMessage.contains("INCOMPLETE"), s"got: ${e.getMessage}")
+  }
+
+  test("IVF maintained drift: zero after sink assignment, rises when vectors migrate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_drift").toString
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids))
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 10L).map(i =>
+        StreamingOps.VectorOp(i, "upsert", Array(1f, 0.01f * i), 1)): _*)
+      q.processAllAvailable()
+      assert(StreamingOps.ivfMaintainedDrift(spark, dir) === 0.0)
+      // TRUE drift = centroids stale relative to vectors, which the sink
+      // itself can't produce (it assigns against the same centroids it
+      // stores) — simulate the "world moved" case by swapping the
+      // persisted centroids post-hoc: every stored cell is now wrong
+      import spark.implicits._
+      Seq((0, Seq(0f, 1f)), (1, Seq(1f, 0f))).toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      assert(StreamingOps.ivfMaintainedDrift(spark, dir) === 1.0)
+    } finally q.stop()
+  }
+
   test("IVF maintained view equals batch assignment over survivors (pure-function equality)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivf_stream_eq").toString
