@@ -973,6 +973,16 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Per-source quota cap (C4-style domain quotas): ≤ 150 docs per source,
+    // survivors chosen deterministically by (md5 bucket, doc_id) — which
+    // rows survive is a pure function of ids, identical across engines
+    "sample_quota" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      graft.ops.Sampling.sampleQuota(docs, "doc_id", "source", quota = 150)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -1475,6 +1485,12 @@ object Queries {
         |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
         |  WHEN 'es' THEN 2500 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+    "sample_quota" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000, doc_id) AS qrank
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE qrank <= 150 ORDER BY doc_id""".stripMargin,
     "pipeline_curate" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
       def cnt(words: Seq[String]) =

@@ -34,4 +34,26 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), seed) < threshold)
   }
+
+  /** Per-group quota cap (C4-style domain quotas): keep at most `quota`
+    * rows per `groupCol`, chosen deterministically by ascending
+    * (hash-bucket, id) — so WHICH rows survive is a pure function of ids,
+    * not of partition order, and a re-run on different hardware keeps the
+    * same rows. One shuffle on the group key; `WindowGroupLimit` bounds
+    * each partition's contribution before the exchange, so a mega-domain
+    * (the skew case quotas exist for) never concentrates more than
+    * quota·P rows anywhere.
+    */
+  def sampleQuota(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      quota: Int,
+      seed: String = "s"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(bucket(col(idCol), seed), col(idCol))
+    df.withColumn("__qrank", row_number().over(w))
+      .filter(col("__qrank") <= quota)
+      .drop("__qrank")
+  }
 }

@@ -113,6 +113,17 @@ class EdgeCasesSpec extends SparkTestBase {
       graft.streaming.StreamingOps.ivfMaintainedState(spark, dir).collect())
   }
 
+  test("quota sampling keeps exactly quota rows per group, layout-independent") {
+    val df = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def run(parts: Int) = graft.ops.Sampling.sampleQuota(df.repartition(parts), "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = run(3)
+    assert(a.length === 40) // 4 groups x quota 10
+    assert(a === run(7), "survivor set must not depend on partition layout")
+    // quota above group size keeps everything
+    assert(graft.ops.Sampling.sampleQuota(df, "doc_id", "source", 100).count() === 200)
+  }
+
   test("TopK with k=0 accepts pushes and stays empty") {
     val t = new graft.knn.TopK(0)
     t.push(1.0, 1L)
