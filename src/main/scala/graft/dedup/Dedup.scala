@@ -289,13 +289,17 @@ object Dedup {
     * round, converging in O(graph diameter) rounds. Near-dup components
     * are quasi-cliques from band buckets (diameter 2-3 even through star
     * pairing, whose representative is a hub), so the round count stays
-    * small where it matters; `maxIter` is a runaway bound for adversarial
-    * chain graphs, where a large-star/small-star variant would be the
-    * upgrade. Labels only ever decrease, so convergence is detected by
-    * the (cheap, aggregate-only) sum of labels going stationary — no
-    * old-vs-new join. Each round's result is persisted and the previous
-    * round freed; lineage is truncated per round (localCheckpoint) so
-    * plan depth stays constant.
+    * small where it matters; `maxIter` bounds adversarial chain graphs
+    * (propagation covers one hop per round, so it must exceed the
+    * largest component's diameter — a large-star/small-star variant
+    * would be the O(log n) upgrade). Exhausting `maxIter` THROWS: a
+    * partially-propagated labeling silently splits components, which a
+    * curation pipeline would act on. Labels only ever decrease, so
+    * convergence is detected by the (cheap, aggregate-only) sum of
+    * labels going stationary — no old-vs-new join. Each round's result
+    * is persisted, the previous round's blocks freed, and lineage is
+    * truncated per round (lazy localCheckpoint) so plan depth stays
+    * constant.
     *
     * Only ids that appear in `pairs` are returned (singletons are their
     * own group by definition — union them in if needed).
@@ -304,7 +308,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 100): DataFrame = {
     // symmetrize in ONE pass over `pairs` (a union of two selects would
     // evaluate the upstream pair plan — often a whole LSH pipeline —
     // twice before this cache materializes)
@@ -339,13 +343,17 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false)
-      val nextSum = labelSum(next)
+      val nextSum = labelSum(next) // action: materializes next's checkpoint
+      labels.unpersist() // previous round's blocks are dead weight now
       converged = nextSum == lastSum
       lastSum = nextSum
       labels = next
       it += 1
     }
     edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — a component's diameter " +
+        s"exceeds the bound; raise maxIter (a truncated labeling would silently split groups)")
     labels.select(col("id"), col("label").as("group_id"))
   }
 

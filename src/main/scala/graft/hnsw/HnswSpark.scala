@@ -211,6 +211,7 @@ object HnswSpark {
     val m = Distances.metricId(metric)
     val hconf = spark.sparkContext.hadoopConfiguration
     HadoopIO.mkdirs(outDir, hconf)
+    seedManifest(outDir, hconf)
     val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
 
     val pre = withMetaCol(data)
@@ -243,6 +244,21 @@ object HnswSpark {
     */
   private def loadPartitionChecked(path: String, crc: Long, conf: Configuration): HnswIndex =
     HadoopIO.readChecked(path, conf, crc)(HnswIndex.load)
+
+  /** Seed a manifest BEFORE a build/maintenance job touches the directory
+    * (no-op when one exists): a fresh build that crashes mid-job would
+    * otherwise leave partial artifacts with NO manifest, which loaders
+    * pass through as a "legacy" directory and serve silently-low-recall
+    * results — the exact hole the manifest exists to close. With the
+    * seed in place, a crash leaves artifacts the manifest doesn't list
+    * (or lists at a different length), and the next load fails loudly.
+    */
+  private def seedManifest(indexDir: String, hconf: Configuration): Unit =
+    if (Manifest.read(indexDir, hconf).isEmpty)
+      Manifest.write(indexDir,
+        HadoopIO.globWithLength(indexDir, "*.hnsw", hconf)
+          .map { case (uri, len) => ManifestEntry(Manifest.baseName(uri), len, -1L) },
+        hconf)
 
   /** Fold this job's rewritten artifacts into the directory's manifest:
     * untouched partitions keep their prior entries (a legacy pre-manifest
@@ -279,8 +295,10 @@ object HnswSpark {
       config: HnswConfig = HnswConfig()): Array[(Int, Int)] = {
     import spark.implicits._
     val m = Distances.metricId(metric)
-    val bcConf = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val hconf0 = spark.sparkContext.hadoopConfiguration
+    HadoopIO.mkdirs(indexDir, hconf0)
+    seedManifest(indexDir, hconf0)
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf0))
     val written = withMetaCol(newData)
       .repartition(numPartitions, col("id"))
       .as[(Long, Array[Float], Array[Byte])]
@@ -315,8 +333,9 @@ object HnswSpark {
       indexDir: String,
       numPartitions: Int): Array[(Int, Int)] = {
     import spark.implicits._
-    val bcConf = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val hconf0 = spark.sparkContext.hadoopConfiguration
+    seedManifest(indexDir, hconf0)
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf0))
     val written = ids.select(col("id").cast("long"))
       .repartition(numPartitions, col("id"))
       .as[Long]

@@ -248,9 +248,11 @@ object Quantize {
     * the ORIGINAL vectors for the winning ids. Scan cost is the same
     * 1 byte/dim as the euclidean path.
     *
-    * Zero vectors have no direction; they pass through normalization
-    * unchanged and rank by the kernel's 0-dot convention — exclude them
-    * upstream if that convention differs from the caller's.
+    * Zero vectors have no direction — their cosine distance is 0/0 — so
+    * they are EXCLUDED from the corpus here (passing them through would
+    * rank them at reduced-L2 distance 1.0, displacing true neighbors
+    * whose cosine distance exceeds 0.5, while the exact kernel ranks
+    * them NaN-last: a silent top-k divergence).
     */
   def searchExactCosine(
       spark: SparkSession,
@@ -262,10 +264,8 @@ object Quantize {
     val normalized = data
       .select(col("id"), col("vector"))
       .withColumn("__norm", norm)
-      .withColumn("vector",
-        when(col("__norm") > 0d,
-          transform(col("vector"), x => (x / col("__norm")).cast("float")))
-          .otherwise(col("vector")))
+      .filter(col("__norm") > 0d)
+      .withColumn("vector", transform(col("vector"), x => (x / col("__norm")).cast("float")))
       .drop("__norm")
     def normalizeQ(v: Array[Float]): Array[Float] = {
       var acc = 0.0

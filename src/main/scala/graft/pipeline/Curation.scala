@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * Every batch stage is a Catalyst-optimized transform; the near-dup stage
   * is the one iterative step (label propagation is a fixpoint — no single
   * declarative plan expresses it), bounded by the tiny diameter of LSH
-  * components.
+  * components. Consequence: with near-dup removal enabled, CALLING
+  * [[Curation.curate]] eagerly runs the pair-generation and
+  * label-propagation jobs (a fixpoint needs actions); only the remaining
+  * stages of the returned DataFrame stay lazy. The deduped doc set stays
+  * persisted for the returned plan's consumers and is reclaimed by the
+  * ContextCleaner once the result is released.
   */
 object Curation {
 

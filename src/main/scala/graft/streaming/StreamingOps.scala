@@ -196,9 +196,19 @@ object StreamingOps {
       .toDF("metric", "spill", "c", "dim").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/meta")
 
-    (batch: Dataset[VectorOp], _: Long) => {
+    (batch: Dataset[VectorOp], batchId: Long) => {
       val sess = batch.sparkSession
-      val ops = batch.toDF().persist()
+      // latest version per id WITHIN the batch first (same deterministic
+      // tie-break as hnswMaintenanceSink): joining assignments back to
+      // versions on id alone would CROSS-PRODUCT an id upserted twice in
+      // one batch — pairing the stale vector's cells with the newest
+      // version and serving stale vectors from the view
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id")
+        .orderBy(col("version").desc, col("op"), xxhash64(col("vector")))
+      val ops = batch.toDF()
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .persist()
       try {
         val upserts = ops.filter(col("op") === "upsert")
         val assigned = graft.knn.Ivf
@@ -208,31 +218,55 @@ object StreamingOps {
         val tombstones = ops.filter(col("op") === "remove")
           .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
             col("version"), lit("remove").as("op"))
+        // one subdirectory per micro-batch: the completeness registry then
+        // lists only THIS batch's files (O(batch), not O(history) — an S3
+        // maintenance stream must not re-list months of deltas per batch)
+        // and merges them into the manifest. Parquet partition discovery
+        // surfaces `batch` as a column; the view reader ignores it.
         assigned.unionByName(tombstones)
-          .write.mode("append").partitionBy("cell").parquet(s"$indexDir/delta")
-        // completeness registry AFTER the append (same theme as the HNSW
-        // artifact manifest): a delta file lost to a torn copy must fail
-        // the next load instead of silently dropping mutations. foreachBatch
-        // calls are serialized per query, so the listing races nothing.
-        writeDeltaManifest(s"$indexDir/delta", sess.sparkContext.hadoopConfiguration)
+          .write.mode("append").partitionBy("cell").parquet(s"$indexDir/delta/batch=$batchId")
+        mergeDeltaManifest(s"$indexDir/delta", s"batch=$batchId",
+          sess.sparkContext.hadoopConfiguration)
       } finally ops.unpersist()
     }
   }
 
-  /** Relative cell-partitioned parquet paths + lengths under a delta dir. */
+  /** (relative batch=&#42;/cell=&#42; parquet path, length) pairs under a
+    * delta dir, optionally restricted to one batch subdirectory.
+    */
   private def listDelta(
       deltaDir: String,
-      conf: org.apache.hadoop.conf.Configuration): Seq[(String, String, Long)] =
-    graft.io.HadoopIO.globWithLength(deltaDir, "*/*.parquet", conf).map { case (uri, len) =>
-      val segs = uri.split('/')
-      (uri, segs.takeRight(2).mkString("/"), len)
-    }
+      conf: org.apache.hadoop.conf.Configuration,
+      onlyBatch: Option[String] = None): Seq[(String, Long)] = onlyBatch match {
+    case Some(b) =>
+      graft.io.HadoopIO.globWithLength(s"$deltaDir/$b", "*/*.parquet", conf)
+        .map { case (uri, len) => (s"$b/${uri.split('/').takeRight(2).mkString("/")}", len) }
+    case None =>
+      graft.io.HadoopIO.globWithLength(deltaDir, "*/*/*.parquet", conf)
+        .map { case (uri, len) => (uri.split('/').takeRight(3).mkString("/"), len) }
+  }
+
+  /** Fold one batch subdirectory's files into the delta manifest —
+    * O(batch) listing + one manifest rewrite, never a full-history glob
+    * (the same incremental shape as the HNSW artifact manifest merge).
+    */
+  private def mergeDeltaManifest(
+      deltaDir: String,
+      batchSubdir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val prior = graft.io.Manifest.read(deltaDir, conf).getOrElse(Seq.empty)
+    val batchEntries = listDelta(deltaDir, conf, Some(batchSubdir))
+      .map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) }
+    val batchNames = batchEntries.map(_.name).toSet
+    graft.io.Manifest.write(deltaDir,
+      prior.filterNot(e => batchNames(e.name)) ++ batchEntries, conf)
+  }
 
   private def writeDeltaManifest(
       deltaDir: String,
       conf: org.apache.hadoop.conf.Configuration): Unit =
     graft.io.Manifest.write(deltaDir,
-      listDelta(deltaDir, conf).map { case (_, rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+      listDelta(deltaDir, conf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
       conf)
 
   /** Fail-loud completeness check for a maintenance delta log: every file
@@ -248,7 +282,7 @@ object StreamingOps {
       deltaDir: String,
       conf: org.apache.hadoop.conf.Configuration): Unit =
     graft.io.Manifest.read(deltaDir, conf).foreach { entries =>
-      val present = listDelta(deltaDir, conf).map { case (_, rel, len) => rel -> len }.toMap
+      val present = listDelta(deltaDir, conf).toMap
       val missing = entries.filterNot(e => present.contains(e.name))
       require(missing.isEmpty,
         s"maintained IVF delta log at $deltaDir is INCOMPLETE: manifest lists ${entries.size} " +
@@ -322,7 +356,8 @@ object StreamingOps {
     }
     graft.io.HadoopIO.delete(tmpDir, hconf) // stale tmp from an interrupted attempt
     latestDeltaRows(spark, indexDir)
-      .write.partitionBy("cell").parquet(tmpDir)
+      .drop("batch") // discovered partition column; compacted history is one pseudo-batch
+      .write.partitionBy("cell").parquet(s"$tmpDir/batch=compacted")
     graft.io.HadoopIO.delete(deltaDir, hconf)
     graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
     // fresh registry for the compacted file set (the pre-compaction
@@ -355,12 +390,19 @@ object StreamingOps {
       .mapGroups { (_, rows) =>
         val rs = rows.toArray // spill replicas: one row per stored cell
         val cs = bc.value
-        val kernel = graft.core.Distances.distance(m) _
+        // the SAME kernel (and tie-break) Ivf.assign used — the exact
+        // double kernel can flip near-boundary argmins relative to the
+        // SIMD kernel, giving the metric a spurious nonzero floor
+        val kernel = graft.core.DistKernel.best
         var best = 0
         var bestDist = Double.MaxValue
         var i = 0
         while (i < cs.length) {
-          val d = kernel(rs.head._3, cs(i))
+          val d = m match {
+            case graft.core.Distances.Euclidean => kernel.euclidean(rs.head._3, cs(i))
+            case graft.core.Distances.Manhattan => kernel.manhattan(rs.head._3, cs(i))
+            case _ => kernel.cosine(rs.head._3, cs(i))
+          }
           if (d < bestDist) { bestDist = d; best = i }
           i += 1
         }

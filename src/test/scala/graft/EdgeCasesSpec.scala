@@ -88,13 +88,19 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(r.toSeq === Seq(0.0, 0.0, 0.0, 0.0)) // all under 3 tokens: one degenerate shingle
   }
 
-  test("searchExactCosine tolerates a zero vector in the corpus (ranks by kernel convention, no crash)") {
-    val rows = (0L until 20L).map(i => (i, Array(i.toFloat + 1, 1f, 0f))) :+ (99L, Array(0f, 0f, 0f))
+  test("searchExactCosine excludes zero vectors even when true neighbors are far (cos > 0.5)") {
+    // all real neighbors OPPOSE the query (cosine distance ≈ 2 > 0.5): a
+    // zero vector passed through normalization would rank at reduced-L2
+    // 1.0 and displace them — exclusion must keep the exact top-k intact
+    val rows = (0L until 20L).map(i => (i, Array(-(i.toFloat + 1), -1f, 0f))) :+ (99L, Array(0f, 0f, 0f))
     val df = rows.toDF("id", "vector")
     val queries = Array((0L, Array(1f, 1f, 0f)))
     val res = graft.knn.Quantize.searchExactCosine(spark, df, queries, k = 5).collect()
     assert(res.length === 5)
-    assert(!res.map(_.getLong(1)).contains(99L)) // NaN cosine never outranks real neighbors
+    assert(!res.map(_.getLong(1)).contains(99L), "zero vector must be excluded")
+    val exact = graft.knn.Knn.bruteForce(df.filter($"id" =!= 99L), queries.toSeq.toDF("qid", "qvec"), 5, "cosine")
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(_._3).toSeq === exact.toSeq)
   }
 
   test("WAV decoder rejects non-PCM and truncated payloads without throwing") {

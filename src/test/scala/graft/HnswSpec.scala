@@ -412,6 +412,27 @@ class HnswSparkSpec extends SparkTestBase {
       spark, out, e.selectExpr("vec_id as qid", "embedding as qvec").limit(3), k = 5).count() > 0)
   }
 
+  test("a build that dies mid-job leaves a dir that fails loudly, not a 'legacy' dir that serves") {
+    import java.nio.file.{Files, Paths}
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("hnsw_crash").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    // a full build elsewhere supplies a realistic partial artifact
+    val donor = Files.createTempDirectory("hnsw_donor").toString
+    HnswSpark.buildAndSave(spark, data, donor, numPartitions = 4)
+    // simulate the crash window: buildAndSave seeds the manifest FIRST
+    // (empty for a fresh dir), then tasks write artifacts, then the real
+    // manifest lands — die after one artifact, before the final manifest
+    graft.io.Manifest.write(out, Seq.empty, spark.sparkContext.hadoopConfiguration)
+    val part = Files.list(Paths.get(donor)).toArray.map(_.toString).filter(_.endsWith(".hnsw")).head
+    Files.copy(Paths.get(part), Paths.get(out, "part-0.hnsw"))
+    val queries = e.filter("vec_id < 3").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ex = intercept[IllegalArgumentException](HnswSpark.searchSaved(spark, out, queries, k = 5))
+    assert(ex.getMessage.contains("not in its manifest"), ex.getMessage)
+  }
+
   test("searchSaved over persisted graphs equals live partitioned search") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("hnsw_saved").toString

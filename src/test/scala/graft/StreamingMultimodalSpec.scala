@@ -217,7 +217,8 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
 
     // extra file (an at-least-once replay remnant): copy a part file under a new name
-    val cellDir = new java.io.File(s"$dir/delta").listFiles().filter(_.getName.startsWith("cell=")).head
+    val batchDir = new java.io.File(s"$dir/delta").listFiles().filter(_.getName.startsWith("batch=")).head
+    val cellDir = batchDir.listFiles().filter(_.getName.startsWith("cell=")).head
     val part = cellDir.listFiles().filter(_.getName.endsWith(".parquet")).head
     val extra = new java.io.File(cellDir, "part-replayed-extra.parquet")
     java.nio.file.Files.copy(part.toPath, extra.toPath)
