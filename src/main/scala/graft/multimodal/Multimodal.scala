@@ -206,8 +206,10 @@ object Multimodal {
           }
           if (pcm.isEmpty) Array.empty
           else {
-            val frameSize = math.max(1, pcm.length / maxFrames)
-            pcm.grouped(frameSize).take(maxFrames).toArray
+            // ceil division: floor + take(maxFrames) would silently DROP
+            // the trailing samples whenever length % maxFrames != 0
+            val frameSize = math.max(1, (pcm.length + maxFrames - 1) / maxFrames)
+            pcm.grouped(frameSize).toArray
           }
       }
   }

@@ -112,3 +112,33 @@ object KernelProps extends Properties("kernels") {
       SetSimilarityKernel.sortedIntersectCount(a, b) == expected.toLong
     }
 }
+
+object WavCodecProps extends Properties("WavCodec") {
+  import graft.multimodal.Multimodal
+
+  private val samples = Gen.listOf(Gen.chooseNum(Short.MinValue, Short.MaxValue)).map(_.map(_.toShort).toArray)
+  private val rates = Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+
+  property("encodeWav -> decodePcm is lossless for any 16-bit PCM payload") =
+    forAll(samples, rates) { (s, rate) =>
+      Multimodal.WavDecoder.decodePcm(Multimodal.encodeWav(s, rate)) match {
+        case Some((decoded, r, ch)) =>
+          r == rate && ch == 1 && decoded.toSeq == s.toSeq
+        case None => false
+      }
+    }
+
+  property("decodeFrames covers every decoded byte exactly once, over any maxFrames") =
+    forAll(samples, Gen.choose(1, 9)) { (s, maxFrames) =>
+      val frames = Multimodal.WavDecoder.decodeFrames(Multimodal.encodeWav(s, 16000), maxFrames)
+      val total = frames.map(_.length).sum
+      (s.isEmpty && frames.isEmpty) ||
+        (total == s.length * 2 && frames.length <= maxFrames)
+    }
+
+  property("arbitrary byte garbage never throws, yields None") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.map(_.toByte).toArray)) { junk =>
+      // a random payload is (astronomically) never a valid RIFF/WAVE file
+      Multimodal.WavDecoder.decodePcm(junk).isEmpty || junk.length >= 44
+    }
+}
