@@ -1310,9 +1310,9 @@ object Queries {
          |        len(${duckShingles("toks")}) AS distinct3 FROM t)
          |SELECT doc_id,
          |  round(1.0 - distinct3::DOUBLE / total3, 4) AS rep3_ratio,
-         |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text), 4) AS upper_ratio,
-         |  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 4) AS digit_ratio,
-         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio
+         |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text) END, 4) AS upper_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END, 4) AS digit_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio
          |FROM g ORDER BY doc_id""".stripMargin,
     "quality_score" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")

@@ -121,14 +121,18 @@ object Knn {
           h.sorted.iterator.map { case (dist, id) => (qs(qi)._1, id, dist) }
         }
       }
-      if (!qIter.hasNext) Iterator.empty
+      // one grouped() pass owns qIter end to end — Iterator.take's contract
+      // says the source must be discarded after use, so peeking the first
+      // block via take-then-reuse is unspecified behavior
+      val blocks = qIter.grouped(queryBlock).map(_.toArray)
+      if (!blocks.hasNext) Iterator.empty
       else {
-        val first = qIter.take(queryBlock).toArray
-        if (!qIter.hasNext) scanBlock(first, dIter) // single block: stream the data
+        val first = blocks.next()
+        // hasNext buffers at most one more query block — same memory bound
+        if (!blocks.hasNext) scanBlock(first, dIter) // single block: stream the data
         else {
           val items = dIter.toArray // multi-block: one partition-sized buffer, re-scanned per block
-          (Iterator.single(first) ++ qIter.grouped(queryBlock).map(_.toArray))
-            .flatMap(qs => scanBlock(qs, items.iterator))
+          (Iterator.single(first) ++ blocks).flatMap(qs => scanBlock(qs, items.iterator))
         }
       }
     }.toDF("qid", "id", "dist")

@@ -252,7 +252,10 @@ object Quantize {
     * they are EXCLUDED from the corpus here (passing them through would
     * rank them at reduced-L2 distance 1.0, displacing true neighbors
     * whose cosine distance exceeds 0.5, while the exact kernel ranks
-    * them NaN-last: a silent top-k divergence).
+    * them NaN-last: a silent top-k divergence). A zero QUERY throws for
+    * the same reason: its normalized direction is undefined, so the
+    * reduced-L2 search would rank a meaningless direction and the rescore
+    * would emit NaN distances — a silent-NaN result in a fail-loud API.
     */
   def searchExactCosine(
       spark: SparkSession,
@@ -267,15 +270,18 @@ object Quantize {
       .filter(col("__norm") > 0d)
       .withColumn("vector", transform(col("vector"), x => (x / col("__norm")).cast("float")))
       .drop("__norm")
-    def normalizeQ(v: Array[Float]): Array[Float] = {
+    def normalizeQ(qid: Long, v: Array[Float]): Array[Float] = {
       var acc = 0.0
       var i = 0
       while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
       val n = math.sqrt(acc)
-      if (n <= 0) v else v.map(x => (x / n).toFloat)
+      require(n > 0,
+        s"query $qid is a zero vector — cosine distance is undefined (0/0), mirroring the " +
+          "corpus-side exclusion above; drop or re-embed the query")
+      v.map(x => (x / n).toFloat)
     }
     val exactL2 = searchExact(spark, sq8(normalized),
-      queries.map { case (qid, qv) => (qid, normalizeQ(qv)) }, k)
+      queries.map { case (qid, qv) => (qid, normalizeQ(qid, qv)) }, k)
 
     // the SET is exact; report/rank by the true cosine distance on the
     // original vectors (identical order — the map above is monotone)

@@ -178,9 +178,16 @@ object StreamingOps {
     *
     * Writes the centroids + meta sidecar once at sink CONSTRUCTION (same
     * layout as [[graft.knn.Ivf.save]] minus the batch assignment), so the
-    * index directory is self-describing from the first micro-batch. Pair
-    * with [[versionedOps]] upstream for cross-batch stale-version safety;
-    * within a batch, [[ivfMaintainedState]]'s version order decides.
+    * index directory is self-describing from the first micro-batch. A
+    * RESTART against an existing maintained directory must pass the SAME
+    * quantizer: the sidecars are the contract old delta rows were assigned
+    * under, so an existing sidecar is verified against the passed
+    * (centroids, metric, spill, dim) and a mismatch throws — silently
+    * overwriting it would leave old delta rows carrying cell ids from the
+    * old quantizer while searches probe with the new one (a silent recall
+    * hole). Pair with [[versionedOps]] upstream for cross-batch
+    * stale-version safety; within a batch, [[ivfMaintainedState]]'s
+    * version order decides.
     */
   def ivfMaintenanceSink(
       spark: SparkSession,
@@ -189,12 +196,31 @@ object StreamingOps {
       metric: String = "euclidean",
       spill: Int = 1): (Dataset[VectorOp], Long) => Unit = {
     import spark.implicits._
-    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    Seq((metric, spill, centroids.length, centroids.headOption.map(_.length).getOrElse(0)))
-      .toDF("metric", "spill", "c", "dim").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    graft.knn.Ivf.loadMeta(spark, indexDir) match {
+      case Some(existing) =>
+        require(existing.metric == metric && existing.spill == spill &&
+          existing.c == centroids.length && existing.dim == dim,
+          s"index at $indexDir is already maintained under (metric=${existing.metric}, " +
+            s"spill=${existing.spill}, c=${existing.c}, dim=${existing.dim}); restarting the " +
+            s"sink with (metric=$metric, spill=$spill, c=${centroids.length}, dim=$dim) would " +
+            "rewrite the quantizer under delta rows assigned with the old one — delete the " +
+            "directory (or retrain and compact explicitly) instead")
+        val stored = spark.read.parquet(s"$indexDir/centroids")
+          .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+          .sortBy(_._1).map(_._2.toArray)
+        require(stored.length == centroids.length &&
+          stored.zip(centroids).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+          s"index at $indexDir is already maintained with DIFFERENT centroid values — old " +
+            "delta rows carry cell ids from the stored quantizer; refusing to overwrite it")
+      case None =>
+        centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("cell", "centroid").coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/centroids")
+        Seq((metric, spill, centroids.length, dim))
+          .toDF("metric", "spill", "c", "dim").coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/meta")
+    }
 
     (batch: Dataset[VectorOp], batchId: Long) => {
       val sess = batch.sparkSession
@@ -275,24 +301,32 @@ object StreamingOps {
     * the reconstructed view). EXTRA unlisted files are tolerated — they
     * are uncommitted appends from an at-least-once `foreachBatch`
     * redelivery (a crash between append and manifest update), and the
-    * latest-wins view dedupes their replayed rows. Pre-manifest
-    * directories pass through.
+    * latest-wins view dedupes their replayed rows. A MISSING manifest is
+    * an error, not a passthrough: the sink merges one from batch 0 and
+    * [[compactIvfMaintained]] writes one before its swap, so a
+    * manifest-less delta dir is either foreign or the surviving half of a
+    * non-atomic (S3-style file-by-file) rename that died mid-swap — in
+    * both cases serving it silently could drop mutations.
     */
   private def validateDelta(
       deltaDir: String,
-      conf: org.apache.hadoop.conf.Configuration): Unit =
-    graft.io.Manifest.read(deltaDir, conf).foreach { entries =>
-      val present = listDelta(deltaDir, conf).toMap
-      val missing = entries.filterNot(e => present.contains(e.name))
-      require(missing.isEmpty,
-        s"maintained IVF delta log at $deltaDir is INCOMPLETE: manifest lists ${entries.size} " +
-          s"files, missing [${missing.map(_.name).mkString(", ")}] — refusing to serve a view " +
-          "with silently dropped mutations")
-      entries.foreach { e =>
-        require(present(e.name) == e.length,
-          s"delta file ${e.name} at $deltaDir is ${present(e.name)}B, manifest says ${e.length}B (torn)")
-      }
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val entries = graft.io.Manifest.read(deltaDir, conf).getOrElse(
+      throw new IllegalStateException(
+        s"maintained IVF delta log at $deltaDir has no manifest — the sink writes one from " +
+          "batch 0 and compaction writes one before its swap, so this directory is foreign or " +
+          "a torn compaction swap; refusing to serve unverifiable state"))
+    val present = listDelta(deltaDir, conf).toMap
+    val missing = entries.filterNot(e => present.contains(e.name))
+    require(missing.isEmpty,
+      s"maintained IVF delta log at $deltaDir is INCOMPLETE: manifest lists ${entries.size} " +
+        s"files, missing [${missing.map(_.name).mkString(", ")}] — refusing to serve a view " +
+        "with silently dropped mutations")
+    entries.foreach { e =>
+      require(present(e.name) == e.length,
+        s"delta file ${e.name} at $deltaDir is ${present(e.name)}B, manifest says ${e.length}B (torn)")
     }
+  }
 
   /** Reconstruct the CURRENT assignment view of an [[ivfMaintenanceSink]]
     * directory: per id keep only the highest-version delta rows (a spilled
@@ -337,11 +371,16 @@ object StreamingOps {
     * maintenance stream is STOPPED (the swap below and a concurrent
     * micro-batch append race).
     *
-    * Swap protocol: write the compacted rows to `delta.compact`, delete
-    * `delta`, rename into place. A crash between the last two steps
-    * leaves NO delta directory — every load fails LOUDLY (never silent
-    * partial state) — and re-running compact resumes the interrupted
-    * swap from the intact `delta.compact`.
+    * Swap protocol: write the compacted rows AND their manifest to
+    * `delta.compact` (relative names survive the rename), delete `delta`,
+    * rename into place. Every crash window fails LOUDLY on the next load
+    * (never silent partial state): before the delete the old `delta` is
+    * intact; between delete and rename there is no `delta` and re-running
+    * compact resumes the swap from the manifest-complete `delta.compact`;
+    * a crash INSIDE a non-atomic file-by-file rename (S3-style stores)
+    * leaves a partial `delta` whose manifest either lists files still
+    * stranded in `delta.compact` (missing → [[validateDelta]] error) or
+    * has not moved yet (no manifest → [[validateDelta]] error).
     */
   def compactIvfMaintained(spark: SparkSession, indexDir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -350,19 +389,21 @@ object StreamingOps {
     if (!graft.io.HadoopIO.exists(deltaDir, hconf)) {
       require(graft.io.HadoopIO.exists(tmpDir, hconf),
         s"neither $deltaDir nor $tmpDir exists — not a maintained IVF directory")
+      require(graft.io.Manifest.read(tmpDir, hconf).isDefined,
+        s"$tmpDir exists without a manifest but $deltaDir is gone — inconsistent state " +
+          "(the manifest is written before the swap begins); refusing to resume")
       graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
-      writeDeltaManifest(deltaDir, hconf)
       return
     }
     graft.io.HadoopIO.delete(tmpDir, hconf) // stale tmp from an interrupted attempt
     latestDeltaRows(spark, indexDir)
       .drop("batch") // discovered partition column; compacted history is one pseudo-batch
       .write.partitionBy("cell").parquet(s"$tmpDir/batch=compacted")
+    // manifest BEFORE the destructive steps: from here on, any partial
+    // state under deltaDir fails validateDelta instead of serving silently
+    writeDeltaManifest(tmpDir, hconf)
     graft.io.HadoopIO.delete(deltaDir, hconf)
     graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
-    // fresh registry for the compacted file set (the pre-compaction
-    // manifest died with the old directory)
-    writeDeltaManifest(deltaDir, hconf)
   }
 
   /** Re-train signal for a maintained IVF index: the fraction of live ids

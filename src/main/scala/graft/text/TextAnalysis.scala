@@ -110,11 +110,15 @@ object TextAnalysis {
 
   /** C4-style character-class ratios over the raw text (ASCII classes so
     * every engine computes the same value): uppercase, digit, alphabetic.
+    * Empty text ratios are 0.0, not null — Spark's x/0 is null while
+    * DuckDB's raises, so the unguarded division would silently diverge
+    * (and pass null through downstream filters) on the first empty doc.
     */
   def charClassRatios(text: Column): Seq[(String, Column)] = {
     val len = length(text).cast("double")
     def ratio(cls: String) =
-      length(regexp_replace(text, cls, "")).cast("double") / len
+      when(len === 0d, lit(0.0))
+        .otherwise(length(regexp_replace(text, cls, "")).cast("double") / len)
     Seq(
       "upper_ratio" -> ratio("[^A-Z]"),
       "digit_ratio" -> ratio("[^0-9]"),
