@@ -1112,11 +1112,20 @@ object Queries {
     // are created/updated/tombstoned on disk, then the SAVED graphs are
     // searched and recall-scored against the exact kNN over the surviving
     // ids. Closed-form oracle.
+    // §2.21 continuous HNSW maintenance through the DELTA-LOG sink: each
+    // micro-batch appends O(batch) versioned rows (no graph rewrite — the
+    // in-place hnswMaintenanceSink form rewrites every touched partition
+    // graph per batch, O(index) write amplification); an explicit
+    // compaction folds the log into the per-partition base graphs with a
+    // crash-recoverable double swap, leaving payload-less guard/tombstone
+    // version memory. The post-compaction search serves from the base
+    // graphs and is recall-gated against the exact oracle.
     "stream_hnsw_maintenance" -> ((spark, dir) => {
       val ops = graft.streaming.StreamingOps.versionedOps(spark, mutationOps(spark, dir))
       val idxDir = java.nio.file.Files.createTempDirectory("stream_hm_idx").toString
       val ckpt = java.nio.file.Files.createTempDirectory("stream_hm_ckpt").toString
-      val sink = graft.streaming.StreamingOps.hnswMaintenanceSink(idxDir, 4, HnswConfig(ef = 100))
+      val sink = graft.streaming.StreamingOps.hnswDeltaMaintenanceSink(
+        spark, idxDir, 4, config = HnswConfig(ef = 100))
       withStreamParts(spark) {
         val q = ops.writeStream.foreachBatch(sink)
           .outputMode("update")
@@ -1125,11 +1134,12 @@ object Queries {
           .start()
         q.awaitTermination()
       }
+      graft.streaming.StreamingOps.compactHnswMaintained(spark, idxDir)
       val (data, queriesDf) = knnInputs(spark, dir, 5)
       val queries = queriesDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      val approx = HnswSpark.searchSaved(spark, idxDir, queries, 10)
+      val approx = graft.streaming.StreamingOps.searchHnswMaintained(spark, idxDir, queries, 10)
       val exact = Knn.bruteForce(data.filter(col("id") % 7 =!= 0), queriesDf, 10, "euclidean")
       recallSummary(approx, exact, 10, minHits = 9)
     }),

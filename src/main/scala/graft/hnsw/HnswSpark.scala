@@ -376,6 +376,75 @@ object HnswSpark {
     Manifest.validate(indexDir, files, hconf)
   }
 
+  /** Search saved graphs EXCLUDING a set of ids, WITHOUT the final top-k
+    * window — the base-graph half of a delta-maintained index
+    * ([[graft.streaming.StreamingOps.searchHnswMaintained]]): ids touched
+    * by the delta log are overridden there, so the base must not serve
+    * them. Unlike [[searchSaved]], a maintained base directory REQUIRES a
+    * manifest (the sink seeds one at construction, compaction writes one
+    * before its swap) — a manifest-less dir with artifacts is a torn swap,
+    * not a legacy save. An empty base (cold start: no compaction yet)
+    * returns no candidates.
+    */
+  private[graft] def searchSavedExcluding(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      excluded: scala.collection.Set[Long],
+      efOverride: Int = 0): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(Manifest.read(indexDir, hconf).isDefined,
+      s"maintained base at $indexDir has no manifest — foreign directory or torn base swap; " +
+        "refusing to serve unverifiable graphs")
+    val files = Manifest.validate(indexDir, HadoopIO.globWithLength(indexDir, "*.hnsw", hconf), hconf)
+    if (files.isEmpty) return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+    val bc = spark.sparkContext.broadcast(queries)
+    val bcEx = spark.sparkContext.broadcast(excluded)
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap { case (path, crc) =>
+        val index = loadPartitionChecked(path, crc, bcConf.value.value)
+        val ex = bcEx.value
+        bc.value.iterator.flatMap { case (qid, qv) =>
+          index.searchFiltered(qv, k, id => !ex.contains(id), efOverride).iterator
+            .map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+  }
+
+  /** Byte-copy every manifested artifact of `srcDir` into `dstDir` and
+    * re-write the manifest there (lengths/CRCs are preserved by the copy).
+    * Distributed — one task per artifact; nothing lands on the driver.
+    * Compaction folds deltas into a COPY so the live base is never
+    * mutated in place (the swap stays crash-recoverable).
+    */
+  private[graft] def copyIndexDir(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val entries = Manifest.read(srcDir, hconf).getOrElse(
+      throw new IllegalStateException(s"$srcDir has no manifest — cannot prove the copy complete"))
+    val files = Manifest.validate(srcDir, HadoopIO.globWithLength(srcDir, "*.hnsw", hconf), hconf)
+    HadoopIO.mkdirs(dstDir, hconf)
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    if (files.nonEmpty) {
+      spark.sparkContext.parallelize(files, files.size).foreach { case (uri, _) =>
+        val conf = bcConf.value.value
+        val dst = s"$dstDir/${Manifest.baseName(uri)}"
+        HadoopIO.read(uri, conf) { in =>
+          HadoopIO.write(dst, conf) { out =>
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          }
+        }
+      }
+    }
+    Manifest.write(dstDir, entries, hconf)
+  }
+
   def searchSaved(
       spark: SparkSession,
       indexDir: String,

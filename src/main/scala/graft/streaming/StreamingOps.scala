@@ -257,19 +257,26 @@ object StreamingOps {
     }
   }
 
-  /** (relative batch=&#42;/cell=&#42; parquet path, length) pairs under a
-    * delta dir, optionally restricted to one batch subdirectory.
+  /** (relative parquet path, length) pairs under a delta dir, optionally
+    * restricted to one batch subdirectory. Layout-independent: the IVF
+    * delta is cell-partitioned (`batch=&#42;/cell=&#42;/file`), the HNSW delta is
+    * flat (`batch=&#42;/file`); a batch directory holds exactly one of the two
+    * shapes, so globbing both depths never double-counts.
     */
   private def listDelta(
       deltaDir: String,
       conf: org.apache.hadoop.conf.Configuration,
-      onlyBatch: Option[String] = None): Seq[(String, Long)] = onlyBatch match {
-    case Some(b) =>
-      graft.io.HadoopIO.globWithLength(s"$deltaDir/$b", "*/*.parquet", conf)
-        .map { case (uri, len) => (s"$b/${uri.split('/').takeRight(2).mkString("/")}", len) }
-    case None =>
-      graft.io.HadoopIO.globWithLength(deltaDir, "*/*/*.parquet", conf)
-        .map { case (uri, len) => (uri.split('/').takeRight(3).mkString("/"), len) }
+      onlyBatch: Option[String] = None): Seq[(String, Long)] = {
+    val dir = onlyBatch.map(b => s"$deltaDir/$b").getOrElse(deltaDir)
+    val prefix = onlyBatch.map(_ + "/").getOrElse("")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val qualified = p.getFileSystem(conf).makeQualified(p).toString
+    val patterns =
+      if (onlyBatch.isDefined) Seq("*.parquet", "*/*.parquet")
+      else Seq("*/*.parquet", "*/*/*.parquet")
+    patterns.flatMap(pat => graft.io.HadoopIO.globWithLength(dir, pat, conf))
+      .map { case (uri, len) => (prefix + uri.stripPrefix(qualified + "/"), len) }
+      .sortBy(_._1)
   }
 
   /** Fold one batch subdirectory's files into the delta manifest —
@@ -482,6 +489,268 @@ object StreamingOps {
     }
     graft.knn.Ivf.search(spark, ivfMaintainedState(spark, indexDir), centroids,
       queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
+  }
+
+  // ------------------------------------------------- HNSW delta maintenance
+
+  /** Sidecar contract of a delta-maintained HNSW directory: the partition
+    * routing and graph construction parameters every maintenance batch and
+    * compaction must agree on.
+    */
+  case class HnswMaintainedMeta(
+      numPartitions: Int,
+      metric: String,
+      config: graft.hnsw.HnswConfig)
+
+  private def writeHnswMaintainedMeta(
+      spark: SparkSession,
+      indexDir: String,
+      meta: HnswMaintainedMeta): Unit = {
+    import spark.implicits._
+    val c = meta.config
+    Seq((meta.numPartitions, meta.metric, c.m, c.mMax, c.mMax0, c.ef, c.efConstruction,
+        c.levelMultiplier, c.heuristic, c.extendCandidates, c.keepPruned))
+      .toDF("num_partitions", "metric", "m", "mmax", "mmax0", "ef", "ef_construction",
+        "level_multiplier", "heuristic", "extend_candidates", "keep_pruned")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  def loadHnswMaintainedMeta(spark: SparkSession, indexDir: String): Option[HnswMaintainedMeta] = {
+    if (!graft.io.HadoopIO.exists(s"$indexDir/meta", spark.sparkContext.hadoopConfiguration)) None
+    else {
+      val r = spark.read.parquet(s"$indexDir/meta")
+        .select("num_partitions", "metric", "m", "mmax", "mmax0", "ef", "ef_construction",
+          "level_multiplier", "heuristic", "extend_candidates", "keep_pruned")
+        .head()
+      Some(HnswMaintainedMeta(r.getInt(0), r.getString(1),
+        graft.hnsw.HnswConfig(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getDouble(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10))))
+    }
+  }
+
+  /** `foreachBatch` sink that maintains a persisted HNSW index through an
+    * append-only DELTA LOG — the write cost of a micro-batch is the batch,
+    * not the index. [[hnswMaintenanceSink]] (kept as the simple in-place
+    * form) loads and rewrites every touched partition graph per batch:
+    * per-batch I/O is O(index), which dies at 100 TB index size. This sink
+    * mirrors [[ivfMaintenanceSink]]'s shape instead: each batch appends its
+    * latest-wins rows (upserts with vectors, removes as cell-less
+    * tombstones) under `delta/batch=<id>` and folds the new files into the
+    * delta manifest — O(batch) listing, O(batch) bytes. Graph work is
+    * deferred to [[compactHnswMaintained]], which folds the delta into the
+    * per-partition base graphs in one explicit O(index) operation, exactly
+    * the reference's split between online mutation routing and offline
+    * partition lifecycle (`/root/reference/storage/dataset.go:238-348`
+    * mutates in-memory partitions; persistence is a separate pass).
+    *
+    * Directory layout: `meta/` (sidecar: routing + graph config — verified
+    * against the passed parameters on restart, mismatch throws), `base/`
+    * (per-partition `part-&#42;.hnsw` graphs + manifest; empty until the first
+    * compaction), `delta/` (the versioned log + manifest, seeded at batch
+    * 0). Query with [[searchHnswMaintained]]; pair with [[versionedOps]]
+    * upstream for cross-batch stale-version safety (the delta log itself
+    * absorbs within-batch and replay reordering).
+    */
+  def hnswDeltaMaintenanceSink(
+      spark: SparkSession,
+      indexDir: String,
+      numPartitions: Int,
+      metric: String = "euclidean",
+      config: graft.hnsw.HnswConfig = graft.hnsw.HnswConfig()): (Dataset[VectorOp], Long) => Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val passed = HnswMaintainedMeta(numPartitions, metric, config)
+    loadHnswMaintainedMeta(spark, indexDir) match {
+      case Some(existing) =>
+        require(existing == passed,
+          s"index at $indexDir is already maintained under $existing; restarting the sink " +
+            s"with $passed would change the routing/graph contract old delta rows and base " +
+            "graphs were written under — delete the directory or pass matching parameters")
+      case None =>
+        writeHnswMaintainedMeta(spark, indexDir, passed)
+    }
+    // seed manifests for both halves so "never written" and "lost" are
+    // distinguishable from batch 0 (same rationale as the base seedManifest)
+    val deltaDir = s"$indexDir/delta"
+    graft.io.HadoopIO.mkdirs(deltaDir, hconf)
+    if (graft.io.Manifest.read(deltaDir, hconf).isEmpty)
+      graft.io.Manifest.write(deltaDir,
+        listDelta(deltaDir, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+        hconf)
+    val baseDir = s"$indexDir/base"
+    graft.io.HadoopIO.mkdirs(baseDir, hconf)
+    if (graft.io.Manifest.read(baseDir, hconf).isEmpty)
+      graft.io.Manifest.write(baseDir,
+        graft.io.HadoopIO.globWithLength(baseDir, "*.hnsw", hconf)
+          .map { case (uri, len) => graft.io.ManifestEntry(graft.io.Manifest.baseName(uri), len, -1L) },
+        hconf)
+
+    (batch: Dataset[VectorOp], batchId: Long) => {
+      // latest version per id within the batch (same deterministic
+      // tie-break as the other sinks); removes drop their payload
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id")
+        .orderBy(col("version").desc, col("op"), xxhash64(col("vector")))
+      batch.toDF()
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .select(col("id"),
+          when(col("op") === "upsert", col("vector")).otherwise(lit(null).cast("array<float>"))
+            .as("vector"),
+          col("version"), col("op"), lit(false).as("guard"))
+        .write.mode("append").parquet(s"$indexDir/delta/batch=$batchId")
+      mergeDeltaManifest(s"$indexDir/delta", s"batch=$batchId",
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+    }
+  }
+
+  /** Each id's winning HNSW delta row, latest-version-wins: 'remove' beats
+    * 'upsert' on an exact version tie (conservative read of a malformed
+    * stream) and a compaction GUARD row beats a replayed real row of the
+    * same version (both are correct — the guard serves the id from base,
+    * the replay from the delta with the identical vector — the guard is
+    * preferred so replays after compaction don't grow the override set).
+    */
+  private def hnswLatestDeltaRows(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val deltaDir = s"$indexDir/delta"
+    validateDelta(deltaDir, hconf)
+    if (graft.io.Manifest.read(deltaDir, hconf).get.isEmpty)
+      Seq.empty[(Long, Array[Float], Long, String, Boolean)]
+        .toDF("id", "vector", "version", "op", "guard")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id")
+        .orderBy(col("version").desc, col("op").asc, col("guard").desc, xxhash64(col("vector")))
+      spark.read.parquet(deltaDir)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .select("id", "vector", "version", "op", "guard")
+    }
+  }
+
+  /** Search a delta-maintained HNSW directory: base graphs serve every id
+    * the delta does not override (compaction guards mark those), the delta's
+    * live vectors are scanned EXACTLY (bounded per-query heaps, one pass),
+    * and the two candidate sets k-merge. The exact delta side means a
+    * freshly-mutated vector is always found at full precision — recall can
+    * only degrade toward the base graphs' HNSW recall as the delta empties
+    * into base via compaction.
+    *
+    * The override-id set is collected to the driver and broadcast: it is
+    * bounded by mutations since the last compaction (compaction cadence is
+    * the knob), NOT by index size — the same contract as the IVF delta
+    * view's read cost.
+    */
+  def searchHnswMaintained(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      efOverride: Int = 0): DataFrame = {
+    import spark.implicits._
+    val meta = loadHnswMaintainedMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained HNSW dir"))
+    val winners = hnswLatestDeltaRows(spark, indexDir)
+    val overriding = winners.filter(!col("guard"))
+    val touched = overriding.select(col("id").cast("long")).as[Long].collect()
+    val live = overriding.filter(col("op") === "upsert")
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+
+    val baseCandidates = graft.hnsw.HnswSpark.searchSavedExcluding(
+      spark, s"$indexDir/base", queries, k, touched.toSet, efOverride)
+
+    val m = graft.core.Distances.metricId(meta.metric)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val deltaCandidates = live.as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val qs = bcQ.value
+        val heaps = Array.fill(qs.length)(new graft.knn.TopK(k))
+        val kernel = graft.core.Distances.distance(m) _
+        graft.knn.TopK.scanBlocked(iter, qs.map(_._2), heaps, kernel)
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }
+      .toDF("qid", "id", "dist")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist"), col("id"))
+    baseCandidates.unionByName(deltaCandidates)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Fold the delta log into the per-partition base graphs — the one
+    * explicit O(index) operation of the maintenance lifecycle (every
+    * micro-batch is O(batch)). Run while the maintenance stream is STOPPED.
+    *
+    * The fold works on a COPY of base (`base.compact`): remove every
+    * overridden id from its routed graph (HNSW insert is add-only), insert
+    * the live winners, then write the compacted delta (`delta.compact`) —
+    * upsert winners collapse to payload-less GUARD rows recording "this
+    * id's newest version lives in base" (a later stale upsert loses the
+    * version tie-break to the guard instead of shadowing base with an old
+    * vector), tombstones persist payload-less (dropping one would let a
+    * post-compaction stale upsert resurrect the removed vector — the same
+    * invariant [[compactIvfMaintained]] keeps). Both halves carry their
+    * manifests BEFORE the swaps, so every crash window fails loudly:
+    * base swaps first, and the overlap state (new base + old delta) is
+    * idempotent because the fold removes-then-inserts.
+    */
+  def compactHnswMaintained(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val baseDir = s"$indexDir/base"
+    val baseTmp = s"$indexDir/base.compact"
+    val deltaDir = s"$indexDir/delta"
+    val deltaTmp = s"$indexDir/delta.compact"
+    val meta = loadHnswMaintainedMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained HNSW dir"))
+
+    // resume half-done swaps: a missing live dir means the crash fell
+    // between its delete and rename, and the tmp was validated complete
+    // before the delete ever ran
+    if (!graft.io.HadoopIO.exists(baseDir, hconf)) {
+      require(graft.io.HadoopIO.exists(baseTmp, hconf),
+        s"neither $baseDir nor $baseTmp exists — not a maintained HNSW directory")
+      require(graft.io.Manifest.read(baseTmp, hconf).isDefined,
+        s"$baseTmp has no manifest but $baseDir is gone — inconsistent state; refusing to resume")
+      graft.io.Manifest.validate(baseTmp,
+        graft.io.HadoopIO.globWithLength(baseTmp, "*.hnsw", hconf), hconf)
+      graft.io.HadoopIO.rename(baseTmp, baseDir, hconf)
+    }
+    if (!graft.io.HadoopIO.exists(deltaDir, hconf)) {
+      require(graft.io.HadoopIO.exists(deltaTmp, hconf) &&
+        graft.io.Manifest.read(deltaTmp, hconf).isDefined,
+        s"$deltaDir is gone and $deltaTmp is absent or manifest-less — inconsistent state")
+      graft.io.HadoopIO.rename(deltaTmp, deltaDir, hconf)
+      return // the interrupted run had finished its fold; the swap is now complete
+    }
+    graft.io.HadoopIO.delete(baseTmp, hconf) // stale tmps from an interrupted attempt
+    graft.io.HadoopIO.delete(deltaTmp, hconf)
+
+    val winners = hnswLatestDeltaRows(spark, indexDir).persist()
+    try {
+      val overriding = winners.filter(!col("guard"))
+      graft.hnsw.HnswSpark.copyIndexDir(spark, baseDir, baseTmp)
+      // remove-then-insert: idempotent, so re-running a crashed compaction
+      // over an already-folded base re-lands the identical state
+      graft.hnsw.HnswSpark.removeAndSave(spark, overriding.select("id"), baseTmp,
+        meta.numPartitions)
+      graft.hnsw.HnswSpark.appendAndSave(spark,
+        overriding.filter(col("op") === "upsert").select("id", "vector"),
+        baseTmp, meta.numPartitions, meta.metric, meta.config)
+
+      winners
+        .select(col("id"), lit(null).cast("array<float>").as("vector"), col("version"),
+          col("op"), (col("op") === "upsert").as("guard"))
+        .write.parquet(s"$deltaTmp/batch=compacted")
+      writeDeltaManifest(deltaTmp, hconf)
+    } finally winners.unpersist()
+
+    graft.io.Manifest.validate(baseTmp,
+      graft.io.HadoopIO.globWithLength(baseTmp, "*.hnsw", hconf), hconf)
+    graft.io.HadoopIO.delete(baseDir, hconf)
+    graft.io.HadoopIO.rename(baseTmp, baseDir, hconf)
+    graft.io.HadoopIO.delete(deltaDir, hconf)
+    graft.io.HadoopIO.rename(deltaTmp, deltaDir, hconf)
   }
 
   /** Output mode required by [[latestVectorState]] sinks. */

@@ -289,6 +289,169 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  private def dirBytes(d: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(d))
+  }
+
+  test("HNSW delta sink: per-batch bytes scale with the batch, not the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_delta_bytes").toString
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val sink = StreamingOps.hnswDeltaMaintenanceSink(spark, dir, numPartitions = 2)
+    val q = input.toDS().writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      input.addData(vecs.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+      StreamingOps.compactHnswMaintained(spark, dir)
+
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val baseBefore = graft.io.Manifest.read(s"$dir/base", hconf).get
+      assert(baseBefore.nonEmpty, "compaction produced no base graphs")
+      val deltaBefore = dirBytes(s"$dir/delta")
+
+      input.addData(
+        StreamingOps.VectorOp(1000L, "upsert", Array.fill(8)(0.5f), 1),
+        StreamingOps.VectorOp(5L, "remove", Array.empty, 2))
+      q.processAllAvailable()
+
+      val baseAfter = graft.io.Manifest.read(s"$dir/base", hconf).get
+      assert(baseAfter === baseBefore, "a micro-batch rewrote base graph artifacts")
+      val growth = dirBytes(s"$dir/delta") - deltaBefore
+      assert(growth > 0, "the batch wrote nothing to the delta")
+      assert(growth < 50000, s"a 2-op batch grew the delta by $growth bytes — not O(batch)")
+      // and the mutations are visible: removed id gone, new id present
+      val found = StreamingOps.searchHnswMaintained(spark, dir,
+        Array((0L, Array.fill(8)(0.5f))), k = 1).collect()
+      assert(found.head.getLong(1) === 1000L)
+    } finally q.stop()
+  }
+
+  test("maintained base+delta search equals a from-scratch build (exact regime)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_delta_eq").toString
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    // ef >= partition size: per-partition HNSW search is exhaustive, so
+    // both sides are exact and row-for-row equality is deterministic
+    val cfg = graft.hnsw.HnswConfig(ef = 500, efConstruction = 300)
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val sink = StreamingOps.hnswDeltaMaintenanceSink(spark, dir, numPartitions = 2, config = cfg)
+    val q = input.toDS().writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      input.addData(vecs.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+      input.addData(vecs.filter(_._1 % 5 == 0)
+        .map { case (i, _) => StreamingOps.VectorOp(i, "remove", Array.empty, 2) }: _*)
+      q.processAllAvailable()
+      StreamingOps.compactHnswMaintained(spark, dir)
+      // post-compaction wave, left UNcompacted so the search mixes base
+      // graphs with live delta rows
+      val moved = Seq(3L, 8L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      val fresh = (500L until 505L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+      input.addData(
+        moved.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 3) } ++
+        fresh.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) } :+
+        StreamingOps.VectorOp(7L, "remove", Array.empty, 3): _*)
+      q.processAllAvailable()
+
+      val queries = vecs.take(5).map { case (i, v) => (i, v) }.toArray
+      val maintained = StreamingOps.searchHnswMaintained(spark, dir, queries, k = 5)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+
+      val survivors = (vecs.filter(x => x._1 % 5 != 0 && x._1 != 3L && x._1 != 8L && x._1 != 7L)
+        ++ moved ++ fresh).toDF("id", "vector")
+      val scratchDir = java.nio.file.Files.createTempDirectory("hnsw_scratch").toString
+      graft.hnsw.HnswSpark.buildAndSave(spark, survivors, scratchDir,
+        config = cfg, numPartitions = 2)
+      val scratch = graft.hnsw.HnswSpark.searchSaved(spark, scratchDir, queries, k = 5)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+      assert(maintained === scratch)
+    } finally q.stop()
+  }
+
+  test("compaction guards: stale post-compaction versions cannot shadow or resurrect") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_delta_guard").toString
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val sink = StreamingOps.hnswDeltaMaintenanceSink(spark, dir, numPartitions = 2)
+    val q = input.toDS().writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.VectorOp(7L, "upsert", Array(0f, 1f), 2),
+        StreamingOps.VectorOp(1L, "upsert", Array(1f, 0f), 1),
+        StreamingOps.VectorOp(2L, "upsert", Array(0.5f, 0.5f), 1))
+      q.processAllAvailable()
+      StreamingOps.compactHnswMaintained(spark, dir)
+      input.addData(StreamingOps.VectorOp(1L, "remove", Array.empty, 3))
+      q.processAllAvailable()
+      StreamingOps.compactHnswMaintained(spark, dir) // tombstone must survive this
+      // stale versions after both compactions: an old position for id 7
+      // (guard v2 must win) and a pre-remove re-upsert of id 1 (tombstone
+      // v3 must win)
+      input.addData(
+        StreamingOps.VectorOp(7L, "upsert", Array(1f, 0f), 1),
+        StreamingOps.VectorOp(1L, "upsert", Array(1f, 0f), 2))
+      q.processAllAvailable()
+
+      val res = StreamingOps.searchHnswMaintained(spark, dir, Array((0L, Array(0f, 1f))), k = 3)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val ids = res.map(_._1).toSet
+      assert(ids === Set(7L, 2L), s"got $ids")
+      assert(res.find(_._1 == 7L).get._2 < 1e-6, "stale upsert shadowed the folded position of id 7")
+    } finally q.stop()
+  }
+
+  test("HNSW compaction swap is crash-recoverable; torn base fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_delta_crash").toString
+    val rnd = new scala.util.Random(29)
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val sink = StreamingOps.hnswDeltaMaintenanceSink(spark, dir, numPartitions = 2)
+    val q = input.toDS().writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      input.addData((0L until 50L).map(i =>
+        StreamingOps.VectorOp(i, "upsert", Array.fill(4)(rnd.nextFloat()), 1)): _*)
+      q.processAllAvailable()
+      StreamingOps.compactHnswMaintained(spark, dir)
+      val queries = Array((0L, Array.fill(4)(0.5f)))
+      def resultIds(): Seq[Long] =
+        StreamingOps.searchHnswMaintained(spark, dir, queries, k = 5)
+          .collect().map(_.getLong(1)).toSeq
+      val expected = resultIds()
+
+      // crash between base delete and rename: only base.compact remains
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/base"),
+        java.nio.file.Paths.get(s"$dir/base.compact"))
+      StreamingOps.compactHnswMaintained(spark, dir)
+      assert(resultIds() === expected, "base-swap resume changed results")
+
+      // crash between delta delete and rename: only delta.compact remains
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/delta"),
+        java.nio.file.Paths.get(s"$dir/delta.compact"))
+      StreamingOps.compactHnswMaintained(spark, dir)
+      assert(resultIds() === expected, "delta-swap resume changed results")
+
+      // restart contract: a sink with a different routing must throw
+      val e1 = intercept[Exception](
+        StreamingOps.hnswDeltaMaintenanceSink(spark, dir, numPartitions = 3))
+      assert(e1.getMessage.contains("already maintained"), e1.getMessage)
+
+      // torn base (lost artifact) must fail the search, not degrade recall
+      val lost = new java.io.File(s"$dir/base").listFiles()
+        .filter(_.getName.endsWith(".hnsw")).head
+      java.nio.file.Files.delete(lost.toPath)
+      val e2 = intercept[Exception](resultIds())
+      assert(e2.getMessage.contains("INCOMPLETE"), e2.getMessage)
+    } finally q.stop()
+  }
+
   test("version store: stale version in a later batch cannot resurrect an older vector") {
     implicit val sqlCtx = spark.sqlContext
     def runPipeline(versionStore: Boolean): Double = {
