@@ -462,6 +462,93 @@ object StreamingOps {
     if (n == 0) 0.0 else agg.getLong(0).toDouble / n
   }
 
+  /** Close the drift loop [[ivfMaintainedDrift]] measures: re-train the
+    * quantizer FROM the maintained view, re-assign every live vector to the
+    * new centroids distributedly, and atomically swap the index directory —
+    * the operator form of the "centroids no longer fit the mutated corpus"
+    * runbook (previously a manual pipeline the caller had to compose,
+    * including the tombstone subtleties compaction already solved).
+    * Mirrors the reference's split between online mutation routing and
+    * explicit re-partitioning (`/root/reference/storage/dataset.go:238-348`).
+    * Run while the maintenance stream is STOPPED (like
+    * [[compactIvfMaintained]]); restart the stream afterwards with the
+    * RETURNED centroids — the sidecar guard will refuse the old ones.
+    *
+    * The retrained index is built COMPLETE under `<indexDir>.retrain`
+    * (compacted delta + manifest, centroids, meta sidecar LAST as the
+    * completeness marker), then swapped in with one delete+rename of the
+    * top-level directory — never a window where new centroids sit over old
+    * cell assignments (the silent-recall hole the sidecar guard closes) or
+    * vice versa. A crash between delete and rename leaves no index
+    * directory: loads fail loudly, and re-running retrain resumes the
+    * finished swap. Tombstone winners carry over with their versions, so a
+    * stale post-retrain upsert still cannot resurrect a removed vector.
+    *
+    * `c` = 0 keeps the current centroid count. Returns the new centroids.
+    */
+  def retrainIvfMaintained(
+      spark: SparkSession,
+      indexDir: String,
+      c: Int = 0,
+      iterations: Int = 2,
+      seed: Long = 42L): Array[Array[Float]] = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmpDir = s"$indexDir.retrain"
+
+    // resume a swap that crashed between delete and rename: the tmp dir is
+    // only ever renamed after its meta marker (written last) landed
+    if (!graft.io.HadoopIO.exists(indexDir, hconf)) {
+      require(graft.io.HadoopIO.exists(tmpDir, hconf) &&
+        graft.io.HadoopIO.exists(s"$tmpDir/meta", hconf),
+        s"$indexDir does not exist and $tmpDir is absent or incomplete — not a maintained " +
+          "IVF directory (or an unrecoverable state)")
+      graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
+      return spark.read.parquet(s"$indexDir/centroids")
+        .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+        .sortBy(_._1).map(_._2.toArray)
+    }
+    graft.io.HadoopIO.delete(tmpDir, hconf) // stale tmp from an interrupted build
+
+    val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    val winners = latestDeltaRows(spark, indexDir).persist()
+    try {
+      // one row per live id (spill replicas share the vector and version)
+      val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
+        .select(col("id").cast("long"), col("vector").cast("array<float>"), col("version"))
+        .persist()
+      require(liveOne.limit(1).count() > 0,
+        s"maintained view at $indexDir is empty — nothing to re-train the quantizer on")
+      val newC = if (c > 0) c else meta.c
+      val centroids = graft.knn.Ivf.train(spark, liveOne.select("id", "vector"), newC,
+        meta.metric, iterations, seed = seed)
+
+      val assigned = graft.knn.Ivf
+        .assign(spark, liveOne.select("id", "vector"), centroids, meta.metric, meta.spill)
+        .join(liveOne.select(col("id"), col("version")), Seq("id"))
+        .select(col("id"), col("cell"), col("vector"), col("version"), lit("upsert").as("op"))
+      val tombstones = winners.filter(col("op") === "remove")
+        .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
+          col("version"), col("op"))
+      assigned.unionByName(tombstones)
+        .write.partitionBy("cell").parquet(s"$tmpDir/delta/batch=retrained")
+      writeDeltaManifest(s"$tmpDir/delta", hconf)
+      centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$tmpDir/centroids")
+      // meta last: its presence marks the tmp index complete
+      Seq((meta.metric, meta.spill, centroids.length, meta.dim))
+        .toDF("metric", "spill", "c", "dim").coalesce(1)
+        .write.parquet(s"$tmpDir/meta")
+
+      graft.io.HadoopIO.delete(indexDir, hconf)
+      graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
+      liveOne.unpersist()
+      centroids
+    } finally winners.unpersist()
+  }
+
   /** Search an [[ivfMaintenanceSink]] directory, self-configured from its
     * meta sidecar (training metric, spill ⇒ dedupe) — the streaming
     * counterpart of [[graft.knn.Ivf.searchSaved]]. The converged result

@@ -452,6 +452,74 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("retrainIvfMaintained: drift collapses to zero; search equals batch IVF on new centroids") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
+    val rnd = new scala.util.Random(5)
+    val centroids0 = Array(Array(1f, 0f), Array(0f, 1f))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids0))
+      .outputMode("append").start()
+    val worldA = (0L until 100L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f) else Array(0f, 1f)
+      (i, base.map(_ + 0.05f * rnd.nextFloat()))
+    }
+    // the world moves: most ids migrate to a region the old quantizer
+    // never saw; some are removed
+    val worldB = worldA.collect { case (i, _) if i % 10 != 0 =>
+      (i, Array(5f + 0.3f * rnd.nextFloat(), 5f + 0.3f * rnd.nextFloat()))
+    }
+    try {
+      input.addData(worldA.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+      assert(StreamingOps.ivfMaintainedDrift(spark, dir) === 0.0)
+      input.addData(worldB.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 2) } ++
+        worldA.collect { case (i, _) if i % 10 == 0 =>
+          StreamingOps.VectorOp(i, "remove", Array.empty, 2) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the sink itself cannot produce drift (it assigns against the
+    // centroids it stores — see the drift-metric test above); simulate
+    // "trained long ago on a distribution the corpus has left" by
+    // installing stale centroids post-hoc, as that test does
+    Seq((0, Seq(-1f, -1f)), (1, Seq(6f, 6f))).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assert(StreamingOps.ivfMaintainedDrift(spark, dir) > 0.3, "stale quantizer produced no drift")
+
+    val newCentroids = StreamingOps.retrainIvfMaintained(spark, dir)
+    assert(StreamingOps.ivfMaintainedDrift(spark, dir) === 0.0, "retrain left residual drift")
+
+    // search over the retrained index equals batch IVF over the survivors
+    // with the same (new) centroids — assignment is a pure function
+    val queries = worldB.take(5).toArray
+    val maintained = StreamingOps.searchIvfMaintained(spark, dir, queries, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    val batch = graft.knn.Ivf.search(spark,
+        graft.knn.Ivf.assign(spark, worldB.toDF("id", "vector"), newCentroids),
+        newCentroids, queries, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    assert(maintained === batch)
+
+    // the sidecar guard accepts a restart with the NEW quantizer only
+    intercept[Exception](StreamingOps.ivfMaintenanceSink(spark, dir, centroids0))
+    val input2 = MemoryStream[StreamingOps.VectorOp]
+    val q2 = input2.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, newCentroids))
+      .outputMode("append").start()
+    try {
+      // tombstone versions survived the retrain: a stale upsert of a
+      // removed id (version below its tombstone) stays dead
+      input2.addData(StreamingOps.VectorOp(0L, "upsert", Array(5f, 5f), 1))
+      q2.processAllAvailable()
+      val ids = StreamingOps.ivfMaintainedState(spark, dir)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(0L), "retrain dropped the tombstone: stale upsert resurrected id 0")
+    } finally q2.stop()
+  }
+
   test("version store: stale version in a later batch cannot resurrect an older vector") {
     implicit val sqlCtx = spark.sqlContext
     def runPipeline(versionStore: Boolean): Double = {
