@@ -289,10 +289,16 @@ object Dedup {
     * round, converging in O(graph diameter) rounds. Near-dup components
     * are quasi-cliques from band buckets (diameter 2-3 even through star
     * pairing, whose representative is a hub), so the round count stays
-    * small where it matters; `maxIter` bounds adversarial chain graphs
-    * (propagation covers one hop per round, so it must exceed the
-    * largest component's diameter — a large-star/small-star variant
-    * would be the O(log n) upgrade). Exhausting `maxIter` THROWS: a
+    * small where it matters. From round `shortcutAfter` on, each round
+    * ALSO shortcuts through the label table itself (pointer doubling:
+    * label := label(label), the large-star/small-star round-complexity
+    * class) — chain components then converge in O(log diameter) rounds
+    * instead of one hop per round, so a pathological near-dup "drift"
+    * chain in scraped data cannot exhaust `maxIter` (10k-node paths
+    * converge in ~18 rounds; 100 rounds bounds diameters beyond any
+    * physical corpus). The first rounds stay shortcut-free because the
+    * LSH common case converges there already — the extra id-keyed join
+    * would double its cost for nothing. Exhausting `maxIter` THROWS: a
     * partially-propagated labeling silently splits components, which a
     * curation pipeline would act on. Labels only ever decrease, so
     * convergence is detected by the (cheap, aggregate-only) sum of
@@ -308,7 +314,8 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 100): DataFrame = {
+      maxIter: Int = 100,
+      shortcutAfter: Int = 4): DataFrame = {
     // symmetrize in ONE pass over `pairs` (a union of two selects would
     // evaluate the upstream pair plan — often a whole LSH pipeline —
     // twice before this cache materializes)
@@ -340,8 +347,21 @@ object Dedup {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(prop)
+      val propagated = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
+      // pointer doubling past the quasi-clique rounds: a label value is
+      // always a node id present in the label table (it is the min of ids
+      // seen so far), so following one extra hop through the table halves
+      // the remaining chain depth every round — O(log diameter) total.
+      // Monotone (label(x) <= x), so the stationary-sum convergence test
+      // and the fixpoint ( = the true component labeling) are unchanged.
+      val next = (if (it < shortcutAfter) propagated
+        else {
+          val parents = propagated.select(col("id").as("label"), col("label").as("plabel"))
+          propagated.join(parents, Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        })
         .localCheckpoint(false)
       val nextSum = labelSum(next) // action: materializes next's checkpoint
       labels.unpersist() // previous round's blocks are dead weight now

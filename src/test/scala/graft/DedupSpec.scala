@@ -207,6 +207,17 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components converge on a 10k-node path graph (pointer-doubling rounds)") {
+    // diameter 9999 — one-hop-per-round propagation would exhaust
+    // maxIter=100 and throw; the shortcut rounds must converge in
+    // ~log2(10k) + shortcutAfter rounds
+    val n = 10000L
+    val path = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(path).as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L), "path component split: some node missed the global min label")
+  }
+
   test("connected components + keep-min filter drops exactly the non-representatives") {
     val pairs = Seq((3L, 7L), (7L, 9L), (100L, 101L)).toDF("doc_a", "doc_b")
     val drops = Dedup.connectedComponents(pairs)
