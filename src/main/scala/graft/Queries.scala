@@ -385,6 +385,18 @@ object Queries {
       knnFinish(graft.knn.Quantize.searchExactCosine(spark, data, queries, k = 5))
     }),
 
+    // SQ8 exact MANHATTAN search: the τ-proof with the L1 reconstruction
+    // error ‖v−v̂‖₁ (|d₁(q,v) − d₁(q,v̂)| ≤ ‖v−v̂‖₁ by the triangle
+    // inequality) — hash-matches the exact manhattan oracle on ANY data
+    "knn_quantized_manhattan" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 3)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val q = graft.knn.Quantize.sq8(data)
+      knnFinish(graft.knn.Quantize.searchExact(spark, q, queries, k = 5, metric = "manhattan"))
+    }),
+
     // §2.13 tombstone handling: search skips deleted ids
     "knn_with_deletes" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -1388,6 +1400,7 @@ object Queries {
     "knn_custom_plan" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_cosine" -> knnOracle(duckCosine, 3, 5),
+    "knn_quantized_manhattan" -> knnOracle(duckManhattan, 3, 5),
     "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),
     "knn_with_meta" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),

@@ -17,9 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Quantize {
 
   /** Add (codes: array<tinyint>, q_scale: float, q_offset: float,
-    * q_err: double) per row. `q_err` is the exact L2 reconstruction error
-    * ‖v − v̂‖₂ (inflated by a hair to absorb double rounding) — the bound
-    * [[searchExact]] uses to guarantee exact top-k from coarse scans.
+    * q_err: double, q_err_l1: double) per row. `q_err` is the exact L2
+    * reconstruction error ‖v − v̂‖₂ and `q_err_l1` the exact L1 error
+    * ‖v − v̂‖₁ (each inflated by a hair to absorb double rounding) — the
+    * bounds [[searchExact]] uses to guarantee exact top-k from coarse
+    * scans under the euclidean and manhattan metrics respectively.
     */
   def sq8(data: DataFrame, vectorCol: String = "vector"): DataFrame = {
     val v = col(vectorCol)
@@ -36,11 +38,17 @@ object Quantize {
         dequantize(col("codes"), col("q_scale"), col("q_offset")).cast("array<double>"),
         (x, y) => (x - y) * (x - y)),
       lit(0d), (acc, e) => acc + e))
+    val errL1 = aggregate(
+      zip_with(v.cast("array<double>"),
+        dequantize(col("codes"), col("q_scale"), col("q_offset")).cast("array<double>"),
+        (x, y) => abs(x - y)),
+      lit(0d), (acc, e) => acc + e)
     data
       .withColumn("q_offset", mn.cast("float"))
       .withColumn("q_scale", scale)
       .withColumn("codes", codes)
       .withColumn("q_err", err * lit(1.0 + 1e-9) + lit(1e-12))
+      .withColumn("q_err_l1", errL1 * lit(1.0 + 1e-9) + lit(1e-12))
   }
 
   private[knn] def dequantizeArr(codes: Array[Short], scale: Float, offset: Float): Array[Float] = {
@@ -221,20 +229,23 @@ object Quantize {
     searchIvfSq8DF(assigned, centroids, checked, k, nprobe, overscan)
   }
 
-  /** GUARANTEED-exact two-stage L2 search over SQ8 codes.
-    *
-    * By the triangle inequality |d(q,v) − d(q,v̂)| ≤ ‖v−v̂‖₂ = e_v, so with
-    * τ_q = kth-smallest (d(q,v̂) + e_v) every true top-k member satisfies
-    * d(q,v̂) − e_v ≤ τ_q: at least k vectors have true distance ≤ τ_q
-    * (those whose upper bound is ≤ τ_q), hence any true top-k member has
-    * d(q,v) ≤ τ_q and its coarse lower bound passes the filter.
+  /** GUARANTEED-exact two-stage search over SQ8 codes, for any metric
+    * whose distance obeys a triangle inequality against the
+    * reconstruction: |d(q,v) − d(q,v̂)| ≤ d(v,v̂) = e_v — euclidean
+    * (e_v = ‖v−v̂‖₂, the `q_err` column) and manhattan (e_v = ‖v−v̂‖₁,
+    * `q_err_l1`). With τ_q = kth-smallest (d(q,v̂) + e_v) every true
+    * top-k member satisfies d(q,v̂) − e_v ≤ τ_q: at least k vectors have
+    * true distance ≤ τ_q (those whose upper bound is ≤ τ_q), hence any
+    * true top-k member has d(q,v) ≤ τ_q and its coarse lower bound passes
+    * the filter.
     *
     * Pass 1 computes τ_q with per-partition bounded heaps on the upper
     * bound (k rows per partition cross the wire); pass 2 re-scans the codes
     * and keeps lower-bound survivors. Both passes read 1 byte/dim; the
     * full-precision column is joined only for candidate ids. Unlike the
     * overscan heuristic in [[search]], exactness here is data-independent.
-    * Euclidean only (cosine/manhattan lack this reconstruction bound).
+    * Cosine lacks such a reconstruction bound — [[searchExactCosine]]
+    * reaches it through the normalize-then-L2 reduction instead.
     */
   /** GUARANTEED-exact COSINE top-k over SQ8 codes via the normalize-then-L2
     * reduction: on unit vectors ‖a−b‖₂² = 2·(1 − a·b) = 2·cos_dist(a,b), a
@@ -296,13 +307,18 @@ object Quantize {
 
   def searchExact(
       spark: SparkSession,
-      quantized: DataFrame, // output of sq8 (id, vector, codes, q_scale, q_offset, q_err)
+      quantized: DataFrame, // output of sq8 (id, vector, codes, q_scale, q_offset, q_err[, q_err_l1])
       queries: Array[(Long, Array[Float])],
       k: Int,
-      probeCells: Option[Map[Long, Array[Int]]] = None): DataFrame = {
+      probeCells: Option[Map[Long, Array[Int]]] = None,
+      metric: String = "euclidean"): DataFrame = {
     import spark.implicits._
-    val metric = graft.core.Distances.Euclidean
-    val kernel = graft.core.Distances.distance(metric) _
+    val m = graft.core.Distances.metricId(metric)
+    require(m == graft.core.Distances.Euclidean || m == graft.core.Distances.Manhattan,
+      s"searchExact's τ-bound needs a triangle-inequality reconstruction error — " +
+        s"'$metric' has none (use searchExactCosine for cosine)")
+    val errCol = if (m == graft.core.Distances.Manhattan) col("q_err_l1") else col("q_err")
+    val kernel = graft.core.Distances.distance(m) _
     val bcQ = spark.sparkContext.broadcast(queries)
     // per-query probed-cell mask (null = unrestricted full scan)
     val nCells = probeCells.map(_.valuesIterator.flatten.foldLeft(0)(math.max) + 1).getOrElse(0)
@@ -321,7 +337,7 @@ object Quantize {
       if (probeCells.isDefined) col("cell").cast("int") else lit(-1).cast("int")
     val rows = quantized
       .select(col("id").cast("long"), cellCol.as("cell"), col("codes").cast("array<smallint>"),
-        col("q_scale").cast("float"), col("q_offset").cast("float"), col("q_err").cast("double"))
+        col("q_scale").cast("float"), col("q_offset").cast("float"), errCol.cast("double"))
       .as[(Long, Int, Array[Short], Float, Float, Double)]
 
     @inline def allowed(mask: Array[Array[Boolean]], qi: Int, cell: Int): Boolean = {
@@ -380,7 +396,7 @@ object Quantize {
     val rescored = candidates
       .join(quantized.select(col("id"), col("vector")), Seq("id"))
       .join(broadcast(queriesDf), Seq("qid"))
-      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), "euclidean").as("dist"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

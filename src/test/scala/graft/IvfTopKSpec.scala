@@ -310,6 +310,45 @@ class QuantizeSpec extends SparkTestBase {
     assert(bounded === exact)
   }
 
+  test("SQ8 bounded searchExact equals brute force under manhattan (L1 τ-bound)") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = graft.knn.Quantize.sq8(data)
+    val bounded = graft.knn.Quantize.searchExact(spark, q, queries, k = 10, metric = "manhattan")
+      .select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+    val exact = graft.knn.Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), 10, "manhattan")
+      .select("qid", "id", "dist", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+    assert(bounded === exact)
+    // cosine has no τ reconstruction bound — must refuse, not approximate
+    val e = intercept[IllegalArgumentException](
+      graft.knn.Quantize.searchExact(spark, q, queries, k = 10, metric = "cosine"))
+    assert(e.getMessage.contains("triangle"))
+  }
+
+  test("manhattan searchExact bound holds on adversarial near-tie data") {
+    // same stretched-range construction as the euclidean adversarial test:
+    // quantization error on the small coordinates swamps their true
+    // differences, so an overscan heuristic would miss; the L1 bound must not
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    val rows = (0L until 400L).map { i =>
+      val base = Array.fill(dim)(rnd.nextFloat() * 0.01f)
+      base(0) = if (i % 2 == 0) 100f else 100.002f
+      (i, base)
+    }
+    val df = rows.toDF("id", "vector")
+    val queries = rows.take(5).map { case (id, v) => (id, v) }.toArray
+    val q = graft.knn.Quantize.sq8(df)
+    val bounded = graft.knn.Quantize.searchExact(spark, q, queries, k = 10, metric = "manhattan")
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.knn.Knn.bruteForce(df, queries.toSeq.toDF("qid", "qvec"), 10, "manhattan")
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded === exact)
+  }
+
   test("IVF-SQ8 DataFrame query side: recall >= 0.9 vs exact, no driver query array") {
     val queriesDf = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter("vec_id < 10")
