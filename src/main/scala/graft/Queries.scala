@@ -712,6 +712,26 @@ object Queries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Contiguous 13-GRAM decontamination — the standard exact-quote
+    // criterion (one shared 13-token contiguous run = one shared 13-token
+    // shingle): planted docs quote a 20-token contiguous span of a
+    // benchmark item inside unique framing (8 shared 13-grams each); the
+    // diffuse-3-gram criterion above would need far more overlap to fire.
+    // Same broadcast shape: the corpus never shuffles.
+    "decontaminate_13gram" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val quotes = bench.filter(col("bench_id") < 1000)
+        .select((col("bench_id") + 400000).as("doc_id"),
+          concat(lit("as the eval put it "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 10, 20)),
+            lit(" end of citation")).as("text"))
+      Dedup.contaminationPairs(docs.unionByName(quotes), bench, minShared = 1, n = 13)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
     "dedup_simhash" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -1236,11 +1256,19 @@ object Queries {
 
   // ---------------------------------------------------------------- oracles
 
-  /** DuckDB mirror of [[Dedup.shingles]] (distinct token 3-grams). */
+  /** DuckDB mirror of [[Dedup.shingles]] (distinct token n-grams; same
+    * degenerate whole-text shingle under n tokens as ShingleKernel).
+    */
   private val duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-  private def duckShingles(toks: String): String =
-    s"""list_distinct(CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
-       | ELSE list_transform(range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) END)""".stripMargin
+  private def duckShinglesN(toks: String, n: Int): String = {
+    val gram = (0 until n).map {
+      case 0 => s"$toks[i]"
+      case j => s"$toks[i+$j]"
+    }.mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')]
+       | ELSE list_transform(range(1, len($toks) - ${n - 2}), i -> $gram) END)""".stripMargin
+  }
+  private def duckShingles(toks: String): String = duckShinglesN(toks, 3)
   private def duckJaccard(a: String, b: String): String =
     s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct(list_concat($a, $b)))"
 
@@ -1314,6 +1342,18 @@ object Queries {
          |      FROM sd d CROSS JOIN sb b)
          |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
          |FROM p WHERE n_shared >= 8 ORDER BY doc_id, bench_id""".stripMargin,
+    "decontaminate_13gram" ->
+      s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
+         |quotes AS (SELECT bench_id + 400000 AS doc_id,
+         |  'as the eval put it ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[10:29], ' ') || ' end of citation' AS text
+         |  FROM bench WHERE bench_id < 1000),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |sd AS (SELECT doc_id, ${duckShinglesN(duckToks, 13)} AS sh FROM all_docs),
+         |sb AS (SELECT bench_id, ${duckShinglesN(duckToks, 13)} AS sh FROM bench),
+         |p AS (SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh)) AS n_shared
+         |      FROM sd d CROSS JOIN sb b)
+         |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
     "neardup_embedding" ->
       s"""WITH all_v AS (
          |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings

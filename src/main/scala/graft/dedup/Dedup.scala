@@ -378,10 +378,14 @@ object Dedup {
   }
 
   /** Benchmark decontamination: flag training documents sharing at least
-    * `minShared` distinct token 3-gram shingles with any benchmark
-    * document — the standard pre-training hygiene step (a doc that quotes
-    * an eval item must not be trained on). Returns
-    * (doc_id, bench_id, n_shared) per contaminated pair.
+    * `minShared` distinct contiguous token `n`-gram shingles with any
+    * benchmark document — the standard pre-training hygiene step (a doc
+    * that quotes an eval item must not be trained on). Returns
+    * (doc_id, bench_id, n_shared) per contaminated pair. The default
+    * (n=3, minShared high) measures diffuse overlap; the standard
+    * exact-quote criterion is a single contiguous 13-gram match —
+    * `n = 13, minShared = 1` — since any shared 13-token contiguous run
+    * IS a shared 13-token shingle.
     *
     * Scale shape: the BENCHMARK side is small by nature (eval suites,
     * not corpora) — its exploded shingle hashes broadcast, the corpus
@@ -396,10 +400,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       benchIdCol: String = "bench_id",
-      benchTextCol: String = "text"): DataFrame = {
+      benchTextCol: String = "text",
+      n: Int = 3): DataFrame = {
     def exploded(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId),
-          SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(text)), 3)).as("hs"))
+          SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(text)), n)).as("hs"))
         .select(col(outId), explode(col("hs")).as("h"))
     exploded(docs, idCol, textCol, "doc_id")
       .join(broadcast(exploded(benchmark, benchIdCol, benchTextCol, "bench_id")), Seq("h"))

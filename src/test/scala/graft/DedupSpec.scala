@@ -207,6 +207,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("13-gram decontamination fires on a 13-token contiguous quote, not on 12") {
+    val bench = Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"))
+      .toDF("bench_id", "text")
+    val docs = Seq(
+      // 13 contiguous benchmark tokens inside unique framing -> contaminated
+      (10L, "intro words alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike outro"),
+      // only 12 contiguous tokens -> clean under the 13-gram criterion
+      (11L, "intro words alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima outro"),
+      // all 14 tokens but SHUFFLED (no contiguous 13-run) -> clean
+      (12L, "november alpha charlie bravo echo delta golf foxtrot india hotel juliet mike kilo lima"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(docs, bench, minShared = 1, n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(10L))
+  }
+
   test("connected components converge on a 10k-node path graph (pointer-doubling rounds)") {
     // diameter 9999 — one-hop-per-round propagation would exhaust
     // maxIter=100 and throw; the shortcut rounds must converge in
