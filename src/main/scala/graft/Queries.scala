@@ -873,21 +873,31 @@ object Queries {
 
     // §2.20 Gopher/C4-style quality FILTERS: token-3-gram repetition ratio
     // (template spam scores high long before LSH would pair it) +
-    // ASCII character-class ratios — the cheap first filters of a curation
-    // cascade (single narrow pass, no shuffle). Planted loop-docs
-    // (doc_id < 20, text repeated against itself) exercise the high end of
-    // the repetition scale; natural docs the low end.
+    // ASCII character-class ratios + the remaining cheap Gopher signals
+    // (mean word length, symbol-to-word ratio, bullet/ellipsis line
+    // fractions) — the cheap first filters of a curation cascade (single
+    // narrow pass, no shuffle). Planted offenders exercise each signal's
+    // high end: loop-docs (repetition), a bullet list, ellipsis-truncated
+    // lines, and hash-symbol markup; natural docs the low end.
     "quality_filters" -> ((spark, dir) => {
+      import spark.implicits._
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val loops = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" "), col("text"), lit(" "), col("text")).as("text"))
+      val planted = Seq(
+        (300001L, "- buy gold\n- buy silver\n- buy bronze\nnormal closing line"),
+        (300002L, "the story continues...\nand then it ends...\nfinally done"),
+        (300003L, "### header\nuse #tags and #more #tags here"))
+        .toDF("doc_id", "text")
       val charCols = TextAnalysis.charClassRatios(col("text"))
         .map { case (name, c) => round(c, 4).as(name) }
-      docs.unionByName(loops)
+      val gopherCols = TextAnalysis.gopherSignals(col("text"))
+        .map { case (name, c) => round(c, 4).as(name) }
+      docs.unionByName(loops).unionByName(planted)
         .select(col("doc_id") +:
           round(TextAnalysis.repetitionRatio(col("text")), 4).as("rep3_ratio") +:
-          charCols: _*)
+          (charCols ++ gopherCols): _*)
         .orderBy("doc_id")
     }),
 
@@ -1365,16 +1375,24 @@ object Queries {
     "quality_filters" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 200000, text || ' ' || text || ' ' || text FROM documents WHERE doc_id < 20),
-         |t AS (SELECT doc_id, text, $duckToks AS toks FROM all_docs),
-         |g AS (SELECT doc_id, text,
+         |  UNION ALL SELECT doc_id + 200000, text || ' ' || text || ' ' || text FROM documents WHERE doc_id < 20
+         |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM (VALUES
+         |    (300001, '- buy gold' || chr(10) || '- buy silver' || chr(10) || '- buy bronze' || chr(10) || 'normal closing line'),
+         |    (300002, 'the story continues...' || chr(10) || 'and then it ends...' || chr(10) || 'finally done'),
+         |    (300003, '### header' || chr(10) || 'use #tags and #more #tags here')) v(doc_id, text)),
+         |t AS (SELECT doc_id, text, $duckToks AS toks, string_split(text, chr(10)) AS lns FROM all_docs),
+         |g AS (SELECT doc_id, text, toks, lns,
          |        CASE WHEN len(toks) < 3 THEN 1 ELSE len(toks) - 2 END AS total3,
          |        len(${duckShingles("toks")}) AS distinct3 FROM t)
          |SELECT doc_id,
          |  round(1.0 - distinct3::DOUBLE / total3, 4) AS rep3_ratio,
          |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text) END, 4) AS upper_ratio,
          |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END, 4) AS digit_ratio,
-         |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio
+         |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
+         |  round(list_sum(list_transform(toks, tk -> length(tk)))::DOUBLE / len(toks), 4) AS mean_word_len,
+         |  round(((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) AS symbol_word_ratio,
+         |  round(len(list_filter(lns, l -> starts_with(ltrim(l, ' '), '- ') OR starts_with(ltrim(l, ' '), '* ') OR starts_with(ltrim(l, ' '), '• ')))::DOUBLE / len(lns), 4) AS bullet_line_frac,
+         |  round(len(list_filter(lns, l -> ends_with(rtrim(l, ' '), '...')))::DOUBLE / len(lns), 4) AS ellipsis_line_frac
          |FROM g ORDER BY doc_id""".stripMargin,
     "quality_score" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")

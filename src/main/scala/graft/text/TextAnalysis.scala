@@ -125,6 +125,34 @@ object TextAnalysis {
       "alpha_ratio" -> ratio("[^A-Za-z]"))
   }
 
+  /** Remaining cheap Gopher signals over the raw text, all in the same
+    * narrow shuffle-free projection as [[repetitionRatio]] /
+    * [[charClassRatios]]: mean token length (machine-generated text skews
+    * short or long), symbol-to-word ratio ('#' and '...' occurrences per
+    * token — markup and truncation residue), and the fraction of lines
+    * that are bullets / end in an ellipsis (template and truncated-scrape
+    * spam). Lambdas reference only their own variable, so nothing is
+    * re-evaluated per element. Degenerate inputs: splitting empty text
+    * yields one empty token and one empty line, so no denominator is 0.
+    */
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val meanWordLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nTok
+    val hashes = length(text) - length(translate(text, "#", ""))
+    val ellipses = (length(text) - length(call_function("replace", text, lit("..."), lit("")))) / lit(3)
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("double")
+    def lineFrac(pred: Column => Column) =
+      size(filter(lines, pred)).cast("double") / nLines
+    Seq(
+      "mean_word_len" -> meanWordLen,
+      "symbol_word_ratio" -> (hashes + ellipses).cast("double") / nTok,
+      "bullet_line_frac" -> lineFrac(l =>
+        ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") || ltrim(l).startsWith("• ")),
+      "ellipsis_line_frac" -> lineFrac(l => rtrim(l).endsWith("...")))
+  }
+
   /** 60-bit SimHash over md5-derived token hashes. Engine-reproducible:
     * token hash = first 15 hex chars of md5 as a long, so DuckDB can mirror
     * it (`CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`). Single-kernel

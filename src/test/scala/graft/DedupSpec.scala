@@ -293,6 +293,22 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(2) - 4.0 / 7) < 1e-12)
   }
 
+  test("gopher signals: mean word length, symbol ratio, bullet/ellipsis line fractions") {
+    val d = docs(
+      (1L, "- buy gold\n- buy silver\n- buy bronze\nnormal closing line"), // 3 of 4 lines bullets
+      (2L, "the story continues...\nand then it ends...\nfinally done"),   // 2 of 3 lines ellipsis
+      (3L, "## x #y"), // 3 hashes over 3 tokens
+      (4L, "aa bbbb"))  // mean token length 3
+    val cols = TextAnalysis.gopherSignals($"text").map { case (n, c) => c.as(n) }
+    val rows = d.orderBy("doc_id").select(cols: _*).collect()
+    assert(math.abs(rows(0).getDouble(2) - 0.75) < 1e-12, "bullet_line_frac")
+    assert(math.abs(rows(1).getDouble(3) - 2.0 / 3) < 1e-12, "ellipsis_line_frac")
+    assert(math.abs(rows(2).getDouble(1) - 1.0) < 1e-12, "symbol_word_ratio")
+    assert(math.abs(rows(3).getDouble(0) - 3.0) < 1e-12, "mean_word_len")
+    // the '...' in doc 2 counts toward symbols too: 2 ellipses / 9 tokens
+    assert(math.abs(rows(1).getDouble(1) - 2.0 / 9) < 1e-12, "ellipsis symbol count")
+  }
+
   test("simhash: identical docs equal, near docs close, distant docs far (hamming)") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
