@@ -840,6 +840,50 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // §2.19 REAL video codec end-to-end, distributed: per row 8 solid-gray
+    // 8×6 frames (values derived from vec_id) are MJPEG-encoded
+    // (javax.imageio in executor tasks), the stream is segment-scanned and
+    // 4 frames SAMPLED evenly (indices 0,2,4,6), each decoded via ImageIO.
+    // Verified in-query: sampled frames equal the direct decode of their
+    // segments byte-for-byte (sampling positions exact), and every decoded
+    // pixel is within JPEG-quantization tolerance (<= 4) of the synthesized
+    // solid color (uniform frames are DC-only, so lossy error is tiny) —
+    // closed-form constant oracle.
+    "multimodal_video" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      e.select(col("vec_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val (w, h, nF, kS) = (8, 6, 8, 4)
+            def color(f: Int): Int = ((id * 31 + f * 17) % 256).toInt
+            val frames = Array.tabulate(nF)(f => Array.fill(w * h * 3)(color(f).toByte))
+            val mjpeg = graft.multimodal.Multimodal.encodeMjpeg(frames.toSeq, w, h)
+            val segs = graft.multimodal.Multimodal.MjpegDecoder.segments(mjpeg)
+            val sampled = graft.multimodal.Multimodal.MjpegDecoder.decodeFrames(mjpeg, kS)
+            val idx = graft.multimodal.Multimodal.MjpegDecoder.sampleIndices(segs.length, kS)
+            val direct = idx.flatMap { si =>
+              val (s, en) = segs(si)
+              graft.multimodal.Multimodal.PngDecoder
+                .decodeRgb(java.util.Arrays.copyOfRange(mjpeg, s, en))
+            }
+            val sampleMismatch =
+              if (sampled.length != direct.length) kS.toLong
+              else sampled.zip(direct.map(_._1))
+                .count { case (a, b) => !java.util.Arrays.equals(a, b) }.toLong
+            val colorOff = sampled.zip(idx).count { case (frame, f) =>
+              frame.length != w * h * 3 ||
+                frame.exists(b => math.abs((b & 0xff) - color(f)) > 4)
+            }.toLong
+            val (fw, fh) = direct.headOption.map(d => (d._2.toLong, d._3.toLong)).getOrElse((-1L, -1L))
+            (id, segs.length.toLong, sampled.length.toLong, fw, fh, sampleMismatch, colorOff)
+          }
+        }
+        .toDF("vec_id", "n_segments", "n_sampled", "frame_w", "frame_h",
+          "n_sample_mismatch", "n_color_off")
+        .orderBy("vec_id")
+    }),
+
     // §2.19 REAL audio codec end-to-end, distributed: per row 64 16-bit
     // PCM samples are synthesized from the embedding's float bits, ENCODED
     // to an actual WAV payload (javax.sound.sampled, in executor tasks),
@@ -1495,6 +1539,14 @@ object Queries {
       """SELECT vec_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  CAST(0 AS BIGINT) AS n_px_mismatch, CAST(0 AS BIGINT) AS n_resize_mismatch,
         |  CAST(48 AS BIGINT) AS resized_bytes
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // MJPEG encode→segment-scan→sample→decode is exercised Spark-side;
+    // the in-query byte-equality and solid-color-tolerance checks make
+    // every column closed-form
+    "multimodal_video" ->
+      """SELECT vec_id, CAST(8 AS BIGINT) AS n_segments, CAST(4 AS BIGINT) AS n_sampled,
+        |  CAST(8 AS BIGINT) AS frame_w, CAST(6 AS BIGINT) AS frame_h,
+        |  CAST(0 AS BIGINT) AS n_sample_mismatch, CAST(0 AS BIGINT) AS n_color_off
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // WAV encode→decode is exercised Spark-side; 16-bit PCM losslessness
     // makes every column closed-form

@@ -14,10 +14,14 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   * external codecs needed), and [[resizeNearest]] is a real
   * nearest-neighbor resampler over decoded pixels. AUDIO decoding is REAL:
   * [[WavDecoder]]/[[encodeWav]] round-trip 16-bit PCM WAV through
-  * `javax.sound.sampled` (also in the JDK). Only VIDEO decoding remains
-  * honestly STUBBED ([[DecodeStub]]: deterministic frame split of the raw
-  * payload) behind the same [[Decoder]] boundary — swap in a codec
-  * binding in production.
+  * `javax.sound.sampled` (also in the JDK). VIDEO is REAL for the one
+  * container the JDK can decode end-to-end: [[MjpegDecoder]]/[[encodeMjpeg]]
+  * handle Motion-JPEG (concatenated JPEG frames — the classic IP-camera /
+  * AVI-MJPC stream layout), with evenly-spaced frame SAMPLING at decode.
+  * Compressed containers (mp4/H.264) genuinely need codecs absent from
+  * the JDK — those still enter through the same [[Decoder]] boundary via
+  * an external binding. [[DecodeStub]] remains as the format-agnostic
+  * byte-split stand-in for pipelines that want plumbing without a codec.
   */
 object Multimodal {
 
@@ -33,9 +37,10 @@ object Multimodal {
     def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]]
   }
 
-  /** STUB decoder: deterministic frame split of the raw payload (stands in
-    * for image/video decoding, which needs codecs absent here — ???-grade
-    * stub by design, see object Scaladoc).
+  /** STUB decoder: deterministic frame split of the raw payload — the
+    * format-agnostic stand-in for pipelines exercising batch plumbing
+    * without a codec (real codecs: [[PngDecoder]], [[WavDecoder]],
+    * [[MjpegDecoder]]; compressed video containers need external bindings).
     */
   object DecodeStub extends Decoder {
     def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] = {
@@ -49,7 +54,7 @@ object Multimodal {
     * the real, lossless image codec in the JDK (`javax.imageio`). Runs in
     * executor tasks (headless-safe: no AWT toolkit involved).
     */
-  def encodePng(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
+  private def rgbToImage(rgb: Array[Byte], width: Int, height: Int): java.awt.image.BufferedImage = {
     require(rgb.length == width * height * 3, s"need ${width * height * 3} bytes, got ${rgb.length}")
     val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var p = 0
@@ -59,9 +64,75 @@ object Multimodal {
         ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
       p += 1
     }
+    img
+  }
+
+  def encodePng(rgb: Array[Byte], width: Int, height: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(rgbToImage(rgb, width, height), "png", bos)
     bos.toByteArray
+  }
+
+  /** Encode packed-RGB frames as Motion-JPEG: each frame one complete JPEG
+    * payload (`javax.imageio`), concatenated back to back — the classic
+    * MJPEG stream layout. Runs in executor tasks like [[encodePng]].
+    */
+  def encodeMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    frames.foreach(rgb => javax.imageio.ImageIO.write(rgbToImage(rgb, width, height), "jpg", bos))
+    bos.toByteArray
+  }
+
+  /** REAL video decoder for Motion-JPEG payloads: scans SOI (FFD8) → EOI
+    * (FFD9) JPEG segment boundaries (inside entropy-coded data every 0xFF
+    * is stuffed as FF00 or a RST marker, so FFD9 is a true end-of-image in
+    * baseline JPEG — streams with embedded EXIF thumbnails would need the
+    * full marker walk), SAMPLES up to `maxFrames` segments evenly across
+    * the stream (the standard video frame-sampling shape: k frames
+    * spanning the whole clip, not the first k), and decodes each sampled
+    * segment through the same `javax.imageio` path as [[PngDecoder]].
+    * Skip-not-throw like the other decoders: corrupt payloads or segments
+    * yield fewer (or zero) frames.
+    */
+  object MjpegDecoder extends Decoder {
+
+    /** [start, end) byte ranges of complete SOI..EOI segments; junk
+      * between frames is skipped, a truncated trailing frame is dropped.
+      */
+    def segments(payload: Array[Byte]): Array[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i + 1 < payload.length) {
+        if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd8) {
+          var j = i + 2
+          var end = -1
+          while (j + 1 < payload.length && end < 0) {
+            if ((payload(j) & 0xff) == 0xff && (payload(j + 1) & 0xff) == 0xd9) end = j + 2
+            j += 1
+          }
+          if (end < 0) i = payload.length // truncated trailing frame
+          else { out += ((i, end)); i = end }
+        } else i += 1
+      }
+      out.toArray
+    }
+
+    /** Indices of `k` segments spread evenly over `n` (all of them when
+      * n <= k): floor(i·n/k) — deterministic, first frame always included.
+      */
+    def sampleIndices(n: Int, k: Int): Array[Int] =
+      if (n <= k) Array.range(0, n)
+      else Array.tabulate(k)(i => (i.toLong * n / k).toInt)
+
+    def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] =
+      if (maxFrames < 1) Array.empty
+      else {
+        val segs = segments(payload)
+        sampleIndices(segs.length, maxFrames).flatMap { si =>
+          val (s, e) = segs(si)
+          PngDecoder.decodeRgb(java.util.Arrays.copyOfRange(payload, s, e)).map(_._1)
+        }
+      }
   }
 
   /** REAL image decoder: PNG/JPEG/BMP payload → one frame of packed

@@ -619,6 +619,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(up.slice(6, 9).toSeq === up.slice(9, 12).toSeq)
   }
 
+  test("MJPEG segment scan finds every frame, skips junk, drops a truncated tail") {
+    val mkFrame = (v: Int) => Array.fill(8 * 6 * 3)(v.toByte)
+    val mjpeg = Multimodal.encodeMjpeg((0 until 5).map(f => mkFrame(40 * f)), 8, 6)
+    val segs = Multimodal.MjpegDecoder.segments(mjpeg)
+    assert(segs.length === 5)
+    // segments tile the payload exactly (our encoder emits no inter-frame junk)
+    assert(segs.head._1 === 0 && segs.last._2 === mjpeg.length)
+    assert(segs.sliding(2).forall { case Array(a, b) => a._2 === b._1 })
+    // junk prefix/infix is skipped; a truncated trailing frame is dropped
+    val junky = Array[Byte](1, 2, 3) ++ mjpeg ++ Array[Byte](0, 0) ++
+      mjpeg.slice(segs(0)._1, segs(0)._2 - 4)
+    assert(Multimodal.MjpegDecoder.segments(junky).length === 5)
+    assert(Multimodal.MjpegDecoder.segments(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("MJPEG frame sampling is evenly spaced and decodes within JPEG tolerance") {
+    assert(Multimodal.MjpegDecoder.sampleIndices(8, 4).toSeq === Seq(0, 2, 4, 6))
+    assert(Multimodal.MjpegDecoder.sampleIndices(3, 4).toSeq === Seq(0, 1, 2))
+    assert(Multimodal.MjpegDecoder.sampleIndices(10, 3).toSeq === Seq(0, 3, 6))
+
+    val colors = Array(10, 60, 110, 160, 210, 240, 90, 30)
+    val mjpeg = Multimodal.encodeMjpeg(
+      colors.toIndexedSeq.map(c => Array.fill(8 * 6 * 3)(c.toByte)), 8, 6)
+    val frames = Multimodal.MjpegDecoder.decodeFrames(mjpeg, 4)
+    assert(frames.length === 4)
+    // sampled frames are segments 0,2,4,6: solid JPEG frames decode within
+    // DC-quantization tolerance of their synthesized color
+    frames.zip(Array(0, 2, 4, 6)).foreach { case (frame, f) =>
+      assert(frame.length === 8 * 6 * 3)
+      val maxOff = frame.map(b => math.abs((b & 0xff) - colors(f))).max
+      assert(maxOff <= 4, s"frame $f decoded ${maxOff} off its solid color")
+    }
+    assert(Multimodal.MjpegDecoder.decodeFrames(Array[Byte](1, 2, 3), 4).isEmpty)
+    assert(Multimodal.MjpegDecoder.decodeFrames(mjpeg, 0).isEmpty)
+  }
+
   test("WAV encode/decode round-trips 16-bit PCM samples losslessly (real javax.sound codec)") {
     val samples = Array.tabulate(480)(i => (math.sin(i * 0.1) * 12345).toShort)
     val wav = Multimodal.encodeWav(samples, 16000)
