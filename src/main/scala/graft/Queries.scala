@@ -989,6 +989,32 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 REAL BPE token counts: the published merge loop (standard
+    // merges.txt rank table, graft.text.Bpe) applied per pretoken in one
+    // kernel pass. DuckDB cannot run BPE, so the oracle is hand-derived:
+    // each planted doc's count was stepped through the merge rules by hand
+    // (contractions, greedy rank order, Ġ space marker, CJK fallback to
+    // characters, digit runs, empty text). The corpus-scale bounds
+    // invariant (pretokens <= bpe <= characters) is pinned in ScalaTest.
+    "token_count_bpe" -> ((spark, dir) => {
+      import spark.implicits._
+      val planted = Seq(
+        (1L, "the cat"),
+        (2L, "the and is of"),
+        (3L, "I don't think so"),
+        (4L, ""),
+        (5L, "ing thing"),
+        (6L, "abc123 def45"),
+        (7L, "我有一个"),
+        (8L, "the the the"),
+        (9L, "hello, world..."),
+        (10L, "  double  spaced"))
+        .toDF("doc_id", "text")
+      planted.select(col("doc_id"),
+          TextAnalysis.bpeTokenCountReal(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 corpus statistics: token document frequency + IDF rarity score
     "token_df" -> ((spark, dir) => {
       TextAnalysis.tokenDocumentFrequency(t(spark, dir, "documents"))
@@ -1571,6 +1597,12 @@ object Queries {
          |  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // hand-derived expected counts: each planted doc stepped through the
+    // DemoMerges rank table by hand (see the query comment)
+    "token_count_bpe" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_bpe_tokens FROM (VALUES
+        |  (1, 3), (2, 4), (3, 12), (4, 0), (5, 4), (6, 12), (7, 4), (8, 3), (9, 13), (10, 14))
+        |v(doc_id, n) ORDER BY doc_id""".stripMargin,
     "token_df" ->
       s"""SELECT t.token, count(*) AS df
          |FROM (SELECT unnest(list_distinct($duckToks)) AS token FROM documents) t

@@ -40,6 +40,15 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
 
+  /** Number of REAL BPE tokens in `text`: the published merge loop over a
+    * standard merges.txt table ([[Bpe]]), one kernel pass. Defaults to the
+    * in-repo [[Bpe.DemoMerges]]; pass a full GPT-2 merges file's lines for
+    * GPT-2 counts. Unlike [[bpeTokenCount]] (pretokens only), this counts
+    * post-merge subword units — the LLM-pipeline budget metric.
+    */
+  def bpeTokenCountReal(text: Column, mergeLines: Seq[String] = Bpe.DemoMerges): Column =
+    SqlBridge.column(graft.functions.BpeTokenCount(SqlBridge.expression(text), mergeLines))
+
   /** Count of tokens present in `words`. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")

@@ -293,6 +293,39 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(2) - 4.0 / 7) < 1e-12)
   }
 
+  test("real BPE: merge loop follows rank order, Ġ space marker, merges.txt format") {
+    val ranks = graft.text.Bpe.loadMerges(graft.text.Bpe.DemoMerges)
+    // header line consumed no rank: first rule is rank 0
+    assert(ranks(("t", "h")) === 0)
+    // "the": (t,h) then (th,e) -> one token
+    assert(graft.text.Bpe.countTokens("the", ranks) === 1)
+    // " the": (t,h) wins over (Ġ,t); then (th,e); then (Ġ,the) -> one token
+    assert(graft.text.Bpe.countTokens(" the", ranks) === 1)
+    // " and" chains through (a,n),(an,d),(Ġ,and) -> one token
+    assert(graft.text.Bpe.countTokens(" and", ranks) === 1)
+    // " don" has no chain for d: Ġ strands -> three tokens
+    assert(graft.text.Bpe.countTokens(" don", ranks) === 3)
+    // no applicable merges: one symbol per character
+    assert(graft.text.Bpe.countTokens("xyz", ranks) === 3)
+    assert(graft.text.Bpe.countTokens("我有", ranks) === 2)
+    assert(graft.text.Bpe.countTokens("", ranks) === 0)
+    // all-occurrence merging is non-overlapping left-to-right
+    val aa = graft.text.Bpe.loadMerges(Seq("a a"))
+    assert(graft.text.Bpe.countTokens("aaa", aa) === 2) // [aa, a]
+    assert(graft.text.Bpe.countTokens("aaaa", aa) === 2) // [aa, aa]; (aa,aa) unranked
+  }
+
+  test("real BPE counts respect corpus-scale bounds: pretokens <= bpe <= characters") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val checked = docs.select(
+        TextAnalysis.bpeTokenCountReal($"text").as("bpe"),
+        TextAnalysis.bpeTokenCount($"text").as("pretok"),
+        length($"text").cast("long").as("chars"))
+      .filter(!($"bpe" >= $"pretok" && $"bpe" <= $"chars"))
+      .count()
+    assert(checked === 0L, "BPE count out of [pretokens, text length] bounds for some doc")
+  }
+
   test("gopher signals: mean word length, symbol ratio, bullet/ellipsis line fractions") {
     val d = docs(
       (1L, "- buy gold\n- buy silver\n- buy bronze\nnormal closing line"), // 3 of 4 lines bullets
