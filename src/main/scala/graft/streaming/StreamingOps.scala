@@ -513,11 +513,11 @@ object StreamingOps {
     val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
     val winners = latestDeltaRows(spark, indexDir).persist()
+    // one row per live id (spill replicas share the vector and version)
+    val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
+      .select(col("id").cast("long"), col("vector").cast("array<float>"), col("version"))
+      .persist()
     try {
-      // one row per live id (spill replicas share the vector and version)
-      val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
-        .select(col("id").cast("long"), col("vector").cast("array<float>"), col("version"))
-        .persist()
       require(liveOne.limit(1).count() > 0,
         s"maintained view at $indexDir is empty — nothing to re-train the quantizer on")
       val newC = if (c > 0) c else meta.c
@@ -544,9 +544,11 @@ object StreamingOps {
 
       graft.io.HadoopIO.delete(indexDir, hconf)
       graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
-      liveOne.unpersist()
       centroids
-    } finally winners.unpersist()
+    } finally {
+      liveOne.unpersist()
+      winners.unpersist()
+    }
   }
 
   /** Search an [[ivfMaintenanceSink]] directory, self-configured from its
