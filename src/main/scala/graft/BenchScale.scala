@@ -163,6 +163,45 @@ object BenchScale {
       sdata.unpersist()
     }
 
+    // streaming-maintenance write amplification: the HNSW delta-log sink's
+    // per-batch cost must be the BATCH, not the index — a micro-batch
+    // against a compacted base appends O(batch) parquet bytes and touches
+    // no graph artifact; compaction is the one explicit O(index) operation
+    {
+      val nBase = math.max(1000, n / 10)
+      val idxDir = java.nio.file.Files.createTempDirectory("scale_hnsw_delta").toString
+      val sink = graft.streaming.StreamingOps.hnswDeltaMaintenanceSink(
+        spark, idxDir, cpus.toInt * 2, config = HnswConfig(m = 16, efConstruction = 100))
+      val baseOps = data.filter(col("id") < nBase).as[(Long, Array[Float])]
+        .map { case (id, v) => graft.streaming.StreamingOps.VectorOp(id, "upsert", v, 1L) }
+      timed(s"HNSW delta sink: initial $nBase-vector batch (parquet append only)") {
+        sink(baseOps, 0L)
+      }
+      timed(s"compactHnswMaintained (fold $nBase vectors into base graphs)") {
+        graft.streaming.StreamingOps.compactHnswMaintained(spark, idxDir)
+      }
+      def dirBytes(d: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(d))
+      }
+      val baseBytes = dirBytes(s"$idxDir/base")
+      val deltaBefore = dirBytes(s"$idxDir/delta")
+      val microOps = data.filter(col("id") < 100).as[(Long, Array[Float])]
+        .map { case (id, v) => graft.streaming.StreamingOps.VectorOp(id, "upsert", v, 2L) }
+      timed("HNSW delta sink: 100-op micro-batch against the compacted index") {
+        sink(microOps, 1L)
+      }
+      val growth = dirBytes(s"$idxDir/delta") - deltaBefore
+      println(f"[scale] base graphs: ${baseBytes / 1e6}%.1f MB; 100-op batch delta growth: " +
+        f"${growth / 1e3}%.1f KB (${growth.toDouble / math.max(baseBytes, 1) * 100}%.3f%% of base, untouched)")
+      val sRows = timed("searchHnswMaintained (64 queries over base+delta)") {
+        graft.streaming.StreamingOps.searchHnswMaintained(spark, idxDir, queries, k = 10).count()
+      }
+      println(s"[scale] maintained search rows: $sRows")
+    }
+
     // synthetic docs with planted dups for the dedup path
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
         expr("concat_ws(' ', transform(sequence(0, 40), j -> concat('w', cast(pmod(id * 2654435761 + j * 40503 + cast(pow(j, 3) as bigint), 999983) as string))))")
