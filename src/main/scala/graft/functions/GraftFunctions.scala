@@ -114,6 +114,9 @@ object GraftFunctionRegistry {
       SimdDistance(args(0), args(1), metric)
     }),
     "nibble_histogram" -> ((args: Seq[Expression]) => NibbleHistogram(args(0), args(1))),
+    // real BPE under the in-repo demo merges table (SQL can't ship a
+    // merges file; the Scala API takes any standard merges.txt lines)
+    "bpe_token_count" -> ((args: Seq[Expression]) => BpeTokenCount(args(0), graft.text.Bpe.DemoMerges)),
   )
 
   /** Idempotently register all graft functions on a session. */

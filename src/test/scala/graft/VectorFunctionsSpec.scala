@@ -134,6 +134,9 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(math.abs(sm - 6.0) < 1e-6)
     val h = spark.sql("SELECT nibble_histogram(X'00F0', 2) AS h").as[Seq[Long]].head()
     assert(h(0) === 1L && h(15) === 1L && h.sum === 2L)
+    // real BPE from SQL text, demo merges: 'the cat' = [the] + [Ġc, at]
+    val bpe = spark.sql("SELECT bpe_token_count('the cat') AS n").as[Long].head()
+    assert(bpe === 3L)
   }
 
   test("spark.sql.extensions=GraftExtensions injects functions at session build") {
