@@ -223,6 +223,19 @@ class DedupSpec extends SparkTestBase {
     assert(hits === Set(10L))
   }
 
+  test("13-gram decontamination degenerate case: docs under 13 tokens match on whole text only") {
+    val bench = Seq((1L, "alpha bravo charlie delta echo")).toDF("bench_id", "text")
+    val docs = Seq(
+      (10L, "alpha bravo charlie delta echo"),        // identical short doc -> one degenerate shingle match
+      (11L, "alpha bravo charlie delta"),             // subset, different whole text -> clean
+      (12L, "alpha bravo charlie delta echo foxtrot") // superset: its 13-gram shingle set is the whole
+                                                      // 6-token text, bench's is the 5-token text -> clean
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(docs, bench, minShared = 1, n = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(10L))
+  }
+
   test("connected components converge on a 10k-node path graph (pointer-doubling rounds)") {
     // diameter 9999 — one-hop-per-round propagation would exhaust
     // maxIter=100 and throw; the shortcut rounds must converge in

@@ -452,6 +452,17 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintained HNSW dir with no batches yet searches empty, never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_delta_empty").toString
+    StreamingOps.hnswDeltaMaintenanceSink(spark, dir, numPartitions = 2) // construction seeds the dir
+    val res = StreamingOps.searchHnswMaintained(spark, dir, Array((0L, Array(1f, 0f))), k = 3)
+    assert(res.collect().isEmpty)
+    // a foreign (never-constructed) dir fails loudly instead
+    val foreign = java.nio.file.Files.createTempDirectory("hnsw_foreign").toString
+    intercept[Exception](
+      StreamingOps.searchHnswMaintained(spark, foreign, Array((0L, Array(1f, 0f))), k = 3))
+  }
+
   test("retrainIvfMaintained: drift collapses to zero; search equals batch IVF on new centroids") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
