@@ -580,6 +580,36 @@ object StreamingOps {
       queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
   }
 
+  /** [[searchIvfMaintained]] with a DataFrame query side — the
+    * corpus-vs-corpus shape over a maintained index: per-query probe cells
+    * computed distributed (centroids broadcast), per-cell cogroup against
+    * the reconstructed view, nothing driver-resident. Self-configures from
+    * the meta sidecar like the array-side path.
+    */
+  def searchIvfMaintainedDF(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    require(centroids.length == meta.c,
+      s"maintained index at $indexDir is torn: sidecar says ${meta.c} centroids, loaded ${centroids.length}")
+    val checked = queries.select(col("qid").cast("long"),
+      when(size(col("qvec")) === meta.dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit(s"query dimension != index dimension ${meta.dim}, got "),
+          size(col("qvec")).cast("string"))))
+        .as("qvec"))
+    graft.knn.Ivf.searchDF(ivfMaintainedState(spark, indexDir), centroids,
+      checked, k, nprobe, meta.metric, dedup = meta.spill > 1)
+  }
+
   // ------------------------------------------------- HNSW delta maintenance
 
   /** Sidecar contract of a delta-maintained HNSW directory: the partition

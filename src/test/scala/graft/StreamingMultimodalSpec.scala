@@ -531,6 +531,35 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("searchIvfMaintainedDF equals the array-side maintained search row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_df").toString
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 150L).map(i => (i, Array.fill(8)(rnd.nextFloat())))
+    val centroids = graft.knn.Ivf.train(spark, vecs.toDF("id", "vector"), c = 4, iterations = 1)
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids))
+      .outputMode("append").start()
+    try {
+      input.addData(vecs.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queries = vecs.take(6).toArray
+    val arr = StreamingOps.searchIvfMaintained(spark, dir, queries, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    val df = StreamingOps.searchIvfMaintainedDF(spark, dir,
+        queries.toSeq.toDF("qid", "qvec"), k = 5, nprobe = 2)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+    assert(df === arr)
+    // dimension guard fires on the DF side too
+    val e = intercept[Exception](StreamingOps.searchIvfMaintainedDF(spark, dir,
+      Seq((0L, Array(1f, 2f))).toDF("qid", "qvec"), k = 5, nprobe = 2).collect())
+    assert(e.getMessage.contains("dimension"))
+  }
+
   test("version store: stale version in a later batch cannot resurrect an older vector") {
     implicit val sqlCtx = spark.sqlContext
     def runPipeline(versionStore: Boolean): Double = {
@@ -628,6 +657,26 @@ class MultimodalSpec extends SparkTestBase {
     val up = Multimodal.resizeNearest(out, 2, 1, 4, 1)
     assert(up.slice(0, 3).toSeq === up.slice(3, 6).toSeq)
     assert(up.slice(6, 9).toSeq === up.slice(9, 12).toSeq)
+  }
+
+  test("extractFeatures over real MJPEG payloads samples and decodes frames, distributed") {
+    // mid-nibble-bucket colors: JPEG tolerance (<=4) cannot cross a bucket edge
+    val colors = Array(24, 88, 152, 216, 24, 88)
+    val mjpeg = Multimodal.encodeMjpeg(
+      colors.toIndexedSeq.map(c => Array.fill(8 * 6 * 3)(c.toByte)), 8, 6)
+    val rows = (0L until 8L).map(i =>
+      Multimodal.MediaRow(i, mjpeg, "video", 8, 6, 0))
+    val features = Multimodal.extractFeatures(spark, rows.toDS().repartition(3),
+        decoder = Multimodal.MjpegDecoder, maxFrames = 4)
+      .collect().sortBy(_.id)
+    assert(features.length === 8)
+    features.foreach { f =>
+      assert(f.nFrames === 4) // 4 of 6 frames sampled (indices 0,1,3,4)
+      assert(f.histogram.sum === 4L * 8 * 6 * 3)
+      // sampled indices 0,1,3,4 -> colors 24,88,216,24 -> buckets 1 (twice), 5, 13
+      assert(f.histogram(1) === 2L * 8 * 6 * 3, f.histogram.toSeq)
+      assert(f.histogram(5) === 8L * 6 * 3 && f.histogram(13) === 8L * 6 * 3, f.histogram.toSeq)
+    }
   }
 
   test("MJPEG segment scan finds every frame, skips junk, drops a truncated tail") {
