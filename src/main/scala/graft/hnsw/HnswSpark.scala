@@ -416,6 +416,47 @@ object HnswSpark {
       .toDF("qid", "id", "dist")
   }
 
+  /** [[searchSavedExcluding]] with a DataFrame query side: queries are
+    * replicated to the artifact tasks through one shuffle (the
+    * [[searchSavedDF]] shape) and streamed through each graph's filtered
+    * search. Same manifest-required contract; empty base → no candidates.
+    */
+  private[graft] def searchSavedExcludingDF(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      excluded: scala.collection.Set[Long],
+      efOverride: Int = 0): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(Manifest.read(indexDir, hconf).isDefined,
+      s"maintained base at $indexDir has no manifest — foreign directory or torn base swap; " +
+        "refusing to serve unverifiable graphs")
+    val files = Manifest.validate(indexDir, HadoopIO.globWithLength(indexDir, "*.hnsw", hconf), hconf)
+    if (files.isEmpty) return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "dist")
+    val bcEx = spark.sparkContext.broadcast(excluded)
+    val bcConf = spark.sparkContext.broadcast(new SerializableHadoopConf(hconf))
+    val filesRdd = spark.sparkContext.parallelize(files, files.size)
+    val p = files.size
+    val qRep = queries
+      .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
+      .as[(Long, Array[Float])].rdd
+      .flatMap(q => Iterator.range(0, p).map(pid => (pid, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(p))
+      .values
+    filesRdd.zipPartitions(qRep) { (fIter, qIter) =>
+      fIter.flatMap { case (path, crc) =>
+        val index = loadPartitionChecked(path, crc, bcConf.value.value)
+        val ex = bcEx.value
+        qIter.flatMap { case (qid, qv) =>
+          index.searchFiltered(qv, k, id => !ex.contains(id), efOverride).iterator
+            .map { case (id, d) => (qid, id, d) }
+        }
+      }
+    }.toDF("qid", "id", "dist")
+  }
+
   /** Byte-copy every manifested artifact of `srcDir` into `dstDir` and
     * re-write the manifest there (lengths/CRCs are preserved by the copy).
     * Distributed — one task per artifact; nothing lands on the driver.

@@ -797,6 +797,41 @@ object StreamingOps {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[searchHnswMaintained]] with a DataFrame query side — nothing
+    * driver-resident but the (compaction-bounded) override-id set: base
+    * candidates come from query replication against the graph artifacts
+    * ([[graft.hnsw.HnswSpark.searchSavedExcludingDF]]), delta candidates
+    * from the blocked exact scan ([[graft.knn.Knn.partitionedDF]] — its
+    * per-query top-k is already a complete candidate set), k-merged on one
+    * qid window.
+    */
+  def searchHnswMaintainedDF(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      efOverride: Int = 0): DataFrame = {
+    import spark.implicits._
+    val meta = loadHnswMaintainedMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained HNSW dir"))
+    val winners = hnswLatestDeltaRows(spark, indexDir)
+    val overriding = winners.filter(!col("guard"))
+    val touched = overriding.select(col("id").cast("long")).as[Long].collect()
+    val live = overriding.filter(col("op") === "upsert")
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+
+    val baseCandidates = graft.hnsw.HnswSpark.searchSavedExcludingDF(
+      spark, s"$indexDir/base", queries, k, touched.toSet, efOverride)
+    val deltaCandidates =
+      if (live.isEmpty) baseCandidates.limit(0)
+      else graft.knn.Knn.partitionedDF(live, queries, k, meta.metric).select("qid", "id", "dist")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist"), col("id"))
+    baseCandidates.unionByName(deltaCandidates)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Fold the delta log into the per-partition base graphs — the one
     * explicit O(index) operation of the maintenance lifecycle (every
     * micro-batch is O(batch)). Run while the maintenance stream is STOPPED.

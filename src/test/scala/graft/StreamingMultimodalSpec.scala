@@ -373,6 +373,14 @@ class StreamingIndexSpec extends SparkTestBase {
         .select("qid", "id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
       assert(maintained === scratch)
+
+      // the DataFrame query side over the same mixed base+delta state
+      // matches the array side row-for-row
+      val maintainedDf = StreamingOps.searchHnswMaintainedDF(spark, dir,
+          queries.toSeq.toDF("qid", "qvec"), k = 5)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3))
+      assert(maintainedDf === maintained)
     } finally q.stop()
   }
 
