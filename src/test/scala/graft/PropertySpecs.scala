@@ -142,3 +142,107 @@ object WavCodecProps extends Properties("WavCodec") {
       Multimodal.WavDecoder.decodePcm(junk).isEmpty || junk.length >= 44
     }
 }
+
+object MjpegCodecProps extends Properties("MjpegCodec") {
+  import graft.multimodal.Multimodal
+
+  private val dims = for {
+    w <- Gen.choose(1, 10)
+    h <- Gen.choose(1, 10)
+  } yield (w, h)
+  private val frameCounts = Gen.choose(0, 6)
+
+  property("encodeMjpeg -> segments finds exactly the encoded frames; decode keeps dims") =
+    forAll(dims, frameCounts, Gen.choose(0, 255)) { case ((w, h), n, seed) =>
+      val frames = (0 until n).map(f =>
+        Array.tabulate(w * h * 3)(i => ((seed + f * 37 + i * 11) & 0xff).toByte))
+      val mjpeg = Multimodal.encodeMjpeg(frames, w, h)
+      val segs = Multimodal.MjpegDecoder.segments(mjpeg)
+      val decoded = Multimodal.MjpegDecoder.decodeFrames(mjpeg, math.max(1, n))
+      segs.length == n &&
+        decoded.length == n &&
+        decoded.forall(_.length == w * h * 3)
+    }
+
+  property("sampleIndices: evenly spaced, strictly increasing, bounded") =
+    forAll(Gen.choose(0, 1000), Gen.choose(1, 64)) { (n, k) =>
+      val idx = Multimodal.MjpegDecoder.sampleIndices(n, k)
+      idx.length == math.min(n, k) &&
+        idx.sliding(2).forall { case Array(a, b) => a < b; case _ => true } &&
+        (n == 0 || (idx.head == 0 && idx.last < n))
+    }
+
+  property("arbitrary byte garbage never throws") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.map(_.toByte).toArray)) { junk =>
+      // random bytes can contain spurious SOI/EOI markers; the per-segment
+      // ImageIO decode then yields no frame — but never an exception
+      val frames = Multimodal.MjpegDecoder.decodeFrames(junk, 4)
+      frames.forall(_.length % 3 == 0)
+    }
+}
+
+object BpeProps extends Properties("Bpe") {
+  import graft.text.Bpe
+
+  private val symbol = Gen.oneOf("a", "b", "c", "Ġ", "ab", "bc", "ca", "aa")
+  private val mergeTables: Gen[Map[(String, String), Int]] =
+    Gen.listOf(Gen.zip(symbol, symbol)).map(_.distinct.zipWithIndex.toMap)
+  private val pretokens = Gen.listOfN(12, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+    .flatMap(s => Gen.choose(0, s.length).map(s.take))
+
+  /** Obviously-correct immutable-list reference of the published encode
+    * loop: lowest-rank pair, merge all non-overlapping occurrences left to
+    * right, repeat.
+    */
+  private def naive(pretoken: String, ranks: Map[(String, String), Int]): Int = {
+    var word: List[String] = pretoken.map(c => if (c == ' ') "Ġ" else c.toString).toList
+    var continue = true
+    while (continue && word.length > 1) {
+      val ranked = word.zip(word.tail).flatMap(p => ranks.get(p).map(r => (r, p)))
+      if (ranked.isEmpty) continue = false
+      else {
+        val best = ranked.minBy(_._1)._2
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = word
+        while (rest.nonEmpty) rest match {
+          case a :: b :: tail if (a, b) == best => out += a + b; rest = tail
+          case a :: tail => out += a; rest = tail
+        }
+        word = out.toList
+      }
+    }
+    word.length
+  }
+
+  property("countTokens equals the immutable-list reference on random tables") =
+    forAll(pretokens, mergeTables) { (tok, ranks) =>
+      Bpe.countTokens(tok, ranks) == naive(tok, ranks)
+    }
+
+  property("count bounds: 1..length for nonempty, 0 for empty") =
+    forAll(pretokens, mergeTables) { (tok, ranks) =>
+      val n = Bpe.countTokens(tok, ranks)
+      if (tok.isEmpty) n == 0 else n >= 1 && n <= tok.length
+    }
+
+  property("appending lower-priority rules never increases the count") =
+    forAll(pretokens, mergeTables, Gen.listOf(Gen.zip(symbol, symbol))) { (tok, ranks, extra) =>
+      // appended rules rank strictly below every existing one, so the merge
+      // sequence under the extended table is a strict extension
+      val base = ranks.size
+      val extended = ranks ++ extra.distinct.filterNot(ranks.contains)
+        .zipWithIndex.map { case (p, i) => p -> (base + i) }
+      Bpe.countTokens(tok, extended) <= Bpe.countTokens(tok, ranks)
+    }
+
+  property("kernel spec roundtrip: full-text count = sum of per-pretoken counts") =
+    forAll(Gen.listOfN(20, Gen.oneOf('t', 'h', 'e', 'a', 'n', 'd', ' ', ',', '1')).map(_.mkString)) { text =>
+      val spec = graft.functions.BpeKernel.encode(Bpe.DemoMerges)
+      val ranks = Bpe.loadMerges(Bpe.DemoMerges)
+      val m = java.util.regex.Pattern.compile(graft.text.TextAnalysis.BpeTokenPattern).matcher(text)
+      var expect = 0L
+      while (m.find()) expect += Bpe.countTokens(m.group(), ranks)
+      graft.functions.BpeKernel.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), spec) == expect
+    }
+}
