@@ -645,6 +645,31 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // §2.18+24 IVF×PQ — the 16-32× compression tier past SQ8 (Jégou et al.
+    // 2011): m=8 bytes per dim-64 vector, per-subspace codebooks, ADC
+    // lookup-table scans inside the probed cells, exact rescore of the
+    // k·overscan coarse survivors. PQ has no τ-exactness bound (direction
+    // is lost, not just magnitude), so the row is recall-gated against the
+    // oracle-proven exact kNN like the other approximate entries.
+    "ann_ivf_pq" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      // first-C seeding: 8 sub-trainings of the k-means|| seeding passes
+      // would dominate the row's cost; Lloyd from first-C seeds reaches
+      // the recall gate at a fraction of it (the Scala API defaults to
+      // kmeans|| for production training)
+      val cb = graft.knn.Pq.train(spark, data, m = 8, ksub = 64, iterations = 2,
+        seeding = "first")
+      val encoded = graft.knn.Pq.encode(Ivf.assign(spark, data, centroids), cb)
+      val approx = graft.knn.Pq.searchIvfPq(spark, encoded, centroids, cb, queries,
+        k = 10, nprobe = 8, overscan = 12)
+      val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+      recallSummary(approx, exact, 10, minHits = 8)
+    }),
+
     // §2.17 MinHash+LSH near-dedup with exact-Jaccard verify (planted
     // near-duplicate copies; LSH banding recall is exact on them, so the
     // all-pairs oracle matches). The default skew cap (4096) cannot bite
@@ -1522,6 +1547,7 @@ object Queries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "ann_ivf_pq" -> recallOracle(5, 10),
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),

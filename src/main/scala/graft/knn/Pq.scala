@@ -1,0 +1,196 @@
+package graft.knn
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Product quantization (Jégou, Douze, Schmid 2011: "Product Quantization
+  * for Nearest Neighbor Search"): the vector splits into `m` subspaces of
+  * dim/m dims, each sub-vector encodes as its nearest codeword in a
+  * per-subspace codebook — `m` BYTES per vector at ksub ≤ 256, the 16-32×
+  * compression tier past SQ8's 4×, which is what makes 100 TB embedding
+  * corpora scannable from memory. Search is ADC (asymmetric distance
+  * computation): per query and subspace a lookup table of
+  * ‖q_sub − codeword‖² is built ONCE, an encoded vector's approximate
+  * distance is m table reads + adds (no float math per dimension), and
+  * only the k·overscan coarse survivors are rescored at full precision —
+  * exact on the candidate set, recall controlled by overscan (PQ has no
+  * τ-style exactness bound: quantization here loses direction, not just
+  * magnitude, so the guarantee of [[Quantize.searchExact]] does not carry
+  * over; that is the documented trade for the extra compression).
+  *
+  * Scale shape: training runs m distributed k-means on a deterministic
+  * bounded sample; codebooks (m·ksub·dsub floats — a few MB at most)
+  * broadcast; encode is one narrow pass; the ADC scan is a bounded-heap
+  * `mapPartitions` pass with per-partition LUT reuse, composing with IVF
+  * cell pruning exactly like the SQ8 path.
+  */
+object Pq {
+
+  /** books(j)(c) = codeword c of subspace j (dsub floats each). */
+  case class PqCodebooks(m: Int, dsub: Int, books: Array[Array[Array[Float]]]) {
+    require(books.length == m && books.forall(_.forall(_.length == dsub)),
+      s"codebook shape mismatch: expected $m x ksub x $dsub")
+    def ksub: Int = books.head.length
+  }
+
+  /** Train per-subspace codebooks with the deterministic distributed
+    * k-means‖ of [[Ivf.train]] over a bounded deterministic sample
+    * (xxhash64 id bucketing — layout- and engine-independent). dim must
+    * divide by `m`.
+    */
+  def train(
+      spark: SparkSession,
+      data: DataFrame, // (id, vector)
+      m: Int,
+      ksub: Int = 256,
+      iterations: Int = 2,
+      sampleCap: Int = 100000,
+      seed: Long = 42L,
+      seeding: String = "kmeans||"): PqCodebooks = {
+    val dim = data.select(size(col("vector"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide by m=$m subspaces")
+    val dsub = dim / m
+    val n = data.count()
+    val sample =
+      if (n <= sampleCap) data
+      else data.filter(
+        pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < (sampleCap.toDouble / n * 1e6).toLong)
+    val cached = sample.select(col("id"), col("vector")).persist()
+    try {
+      val books = Array.tabulate(m) { j =>
+        val sub = cached.select(col("id"),
+          slice(col("vector"), j * dsub + 1, dsub).as("vector"))
+        Ivf.train(spark, sub, ksub, iterations = iterations, seeding = seeding,
+          seed = seed + j)
+      }
+      PqCodebooks(m, dsub, books)
+    } finally cached.unpersist()
+  }
+
+  /** Add `pq_codes: binary` (m bytes, one codeword index per subspace —
+    * stored as unsigned bytes) to `data` through a codegen Catalyst
+    * expression (codebooks ride as a codegen reference object — no UDF
+    * serialization, WholeStageCodegen intact).
+    */
+  def encode(data: DataFrame, cb: PqCodebooks): DataFrame =
+    data.withColumn("pq_codes", graft.internal.SqlBridge.column(
+      graft.functions.PqEncode(
+        graft.internal.SqlBridge.expression(col("vector")), cb.books, cb.dsub)))
+
+  /** ADC coarse scan + exact rescore. `encoded` = [[encode]] output
+    * (id, vector, pq_codes [, cell]); `probeCells` restricts each query to
+    * its probed IVF cells (null mask = full scan) exactly like
+    * [[Quantize.searchExact]]'s masking.
+    */
+  def search(
+      spark: SparkSession,
+      encoded: DataFrame,
+      cb: PqCodebooks,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      overscan: Int = 8,
+      probeCells: Option[Map[Long, Array[Int]]] = None): DataFrame = {
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val nCells = probeCells.map(_.valuesIterator.flatten.foldLeft(0)(math.max) + 1).getOrElse(0)
+    val bcMask: org.apache.spark.broadcast.Broadcast[Array[Array[Boolean]]] =
+      spark.sparkContext.broadcast(queries.map { case (qid, _) =>
+        probeCells.flatMap(_.get(qid)).map { cells =>
+          val mask = new Array[Boolean](nCells)
+          cells.foreach(c => if (c < nCells) mask(c) = true)
+          mask
+        }.orNull
+      })
+    val cellCol =
+      if (probeCells.isDefined) col("cell").cast("int") else lit(-1).cast("int")
+    val kk = k * overscan
+
+    val coarse = encoded
+      .select(col("id").cast("long"), cellCol.as("cell"), col("pq_codes"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { iter =>
+        val c = bcCb.value
+        val qs = bcQ.value
+        val mask = bcMask.value
+        // per-partition ADC lookup tables: luts(qi)(j*ksub + code) =
+        // ||q_sub - codeword||^2 — built once, then every row is m reads
+        val ksub = c.ksub
+        val luts = Array.tabulate(qs.length) { qi =>
+          val qv = qs(qi)._2
+          val lut = new Array[Double](c.m * ksub)
+          var j = 0
+          while (j < c.m) {
+            val book = c.books(j)
+            var ci = 0
+            while (ci < ksub) {
+              val cw = book(ci)
+              var d = 0.0
+              var t = 0
+              while (t < c.dsub) {
+                val diff = qv(j * c.dsub + t).toDouble - cw(t)
+                d += diff * diff
+                t += 1
+              }
+              lut(j * ksub + ci) = d
+              ci += 1
+            }
+            j += 1
+          }
+          lut
+        }
+        val heaps = Array.fill(qs.length)(new TopK(kk))
+        iter.foreach { case (id, cell, codes) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val qm = mask(qi)
+            if (qm == null || (cell >= 0 && cell < qm.length && qm(cell))) {
+              val lut = luts(qi)
+              var adc = 0.0
+              var j = 0
+              while (j < codes.length) {
+                adc += lut(j * ksub + (codes(j) & 0xff))
+                j += 1
+              }
+              heaps(qi).push(adc, id)
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }
+      .toDF("qid", "id", "approx")
+
+    val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
+    val cand = coarse
+      .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
+      .select("qid", "id")
+    Quantize.rescoreTopK(cand, encoded, broadcast(queries.toSeq.toDF("qid", "qvec")),
+      k, "euclidean", dedupVectors = false)
+  }
+
+  /** IVF×PQ: probe each query's nearest cells and ADC-scan only inside
+    * them — the same probed-subset construction as [[Quantize.searchIvfSq8]].
+    * `encoded` must carry a `cell` column (from [[Ivf.assign]]).
+    */
+  def searchIvfPq(
+      spark: SparkSession,
+      encoded: DataFrame, // encode(assign(...)): (id, cell, vector, pq_codes)
+      centroids: Array[Array[Float]],
+      cb: PqCodebooks,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8): DataFrame = {
+    val metric = graft.core.Distances.Euclidean
+    val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> centroids.zipWithIndex
+        .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    search(spark, encoded, cb, queries, k, overscan, Some(probed))
+  }
+}

@@ -70,7 +70,7 @@ object Quantize {
     * by contract — the dedupe is a full extra exchange over the vector
     * table at scale.
     */
-  private def rescoreTopK(
+  private[knn] def rescoreTopK(
       candidates: DataFrame, // (qid, id)
       vectors: DataFrame, // (id, vector), duplicate ids allowed with dedupVectors
       queries: DataFrame, // (qid, qvec)

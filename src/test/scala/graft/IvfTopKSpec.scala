@@ -349,6 +349,43 @@ class QuantizeSpec extends SparkTestBase {
     assert(bounded === exact)
   }
 
+  test("PQ: m-byte codes, ADC search recall >= 0.9 vs exact, composes with IVF probes") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cb = graft.knn.Pq.train(spark, data, m = 8, ksub = 64, iterations = 2)
+    val encoded = graft.knn.Pq.encode(data, cb)
+    // codes are exactly m bytes per row
+    val lens = encoded.select(length(col("pq_codes"))).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq === Seq(8))
+
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val exact = graft.knn.Knn.bruteForce(data, queries.toSeq.toDF("qid", "qvec"), 10)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = approx.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val full = graft.knn.Pq.search(spark, encoded, cb, queries, k = 10, overscan = 12)
+    assert(recall(full) >= 0.9, s"full-scan ADC recall ${recall(full)}")
+
+    val centroids = Ivf.train(spark, data, c = 8, iterations = 1)
+    val ivfEncoded = graft.knn.Pq.encode(Ivf.assign(spark, data, centroids), cb)
+    val ivf = graft.knn.Pq.searchIvfPq(spark, ivfEncoded, centroids, cb, queries,
+      k = 10, nprobe = 4, overscan = 12)
+    assert(recall(ivf) >= 0.8, s"IVF-PQ recall ${recall(ivf)}")
+
+    // encoding is deterministic across layouts
+    val enc2 = graft.knn.Pq.encode(data.repartition(7), cb)
+      .select("id", "pq_codes").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val enc1 = encoded.select("id", "pq_codes").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(enc1 === enc2)
+
+    // dimension mismatch fails loudly at encode time
+    val badDim = Seq((0L, Array(1f, 2f, 3f))).toDF("id", "vector")
+    intercept[Exception](graft.knn.Pq.encode(badDim, cb).collect())
+  }
+
   test("IVF-SQ8 DataFrame query side: recall >= 0.9 vs exact, no driver query array") {
     val queriesDf = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter("vec_id < 10")
