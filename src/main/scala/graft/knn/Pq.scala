@@ -172,6 +172,77 @@ object Pq {
       k, "euclidean", dedupVectors = false)
   }
 
+  /** Persist an IVF×PQ index: the [[Ivf.save]] layout (cell-partitioned
+    * assignment — the `pq_codes` column rides along — centroids, meta
+    * sidecar with its rows-completeness count) plus a `pq_books` parquet
+    * of the per-subspace codebooks. Euclidean-only, like the ADC path.
+    */
+  def save(
+      spark: SparkSession,
+      encodedAssigned: DataFrame, // encode(assign(...))
+      centroids: Array[Array[Float]],
+      cb: PqCodebooks,
+      dir: String): Unit = {
+    import spark.implicits._
+    require(encodedAssigned.columns.contains("pq_codes"),
+      "assignment lacks pq_codes — pass encode(assign(...))")
+    Ivf.save(spark, encodedAssigned, centroids, dir, "euclidean")
+    cb.books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("subspace", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
+  }
+
+  /** Load the codebooks of a [[save]]d index; fails loudly on a ragged or
+    * absent table.
+    */
+  def loadCodebooks(spark: SparkSession, dir: String): PqCodebooks = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/pq_books")
+      .select("subspace", "code", "codeword")
+      .as[(Int, Int, Seq[Float])].collect()
+    require(rows.nonEmpty, s"no codebooks under $dir/pq_books")
+    val m = rows.map(_._1).max + 1
+    val books = Array.tabulate(m) { j =>
+      val b = rows.filter(_._1 == j).sortBy(_._2).map(_._3.toArray)
+      require(b.nonEmpty && b.indices.forall(c => rows.exists(r => r._1 == j && r._2 == c)),
+        s"codebook for subspace $j at $dir is ragged (torn save)")
+      b
+    }
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    require(books.forall(b => b.length == ksub && b.forall(_.length == dsub)),
+      s"codebooks at $dir are ragged (torn save)")
+    PqCodebooks(m, dsub, books)
+  }
+
+  /** [[searchIvfPq]] over a persisted index: centroids, codebooks, and
+    * dimension self-configure from the directory, with [[Ivf.loadWithMeta]]'s
+    * torn-save/completeness guards. Fails loudly on a cosine-trained or
+    * codes-less index instead of scanning at the wrong precision — same
+    * contract as [[Quantize.searchSavedIvfSq8DF]].
+    */
+  def searchSavedIvfPq(
+      spark: SparkSession,
+      dir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8): DataFrame = {
+    val (assigned, centroids, meta) = Ivf.loadWithMeta(spark, dir)
+    require(meta.metric == "euclidean",
+      s"saved index at $dir was trained with metric '${meta.metric}' — the PQ ADC path is euclidean-only")
+    require(assigned.columns.contains("pq_codes"),
+      s"saved assignment at $dir lacks pq_codes — save encode(assign(...)) to use this path")
+    val cb = loadCodebooks(spark, dir)
+    require(cb.m * cb.dsub == meta.dim,
+      s"index at $dir is torn: codebooks cover ${cb.m * cb.dsub} dims, sidecar says ${meta.dim}")
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == meta.dim, s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
+    }
+    searchIvfPq(spark, assigned, centroids, cb, queries, k, nprobe, overscan)
+  }
+
   /** IVF×PQ: probe each query's nearest cells and ADC-scan only inside
     * them — the same probed-subset construction as [[Quantize.searchIvfSq8]].
     * `encoded` must carry a `cell` column (from [[Ivf.assign]]).

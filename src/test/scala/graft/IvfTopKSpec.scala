@@ -386,6 +386,33 @@ class QuantizeSpec extends SparkTestBase {
     intercept[Exception](graft.knn.Pq.encode(badDim, cb).collect())
   }
 
+  test("persisted IVF-PQ index serves identically to the in-memory path; torn saves fail loudly") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cb = graft.knn.Pq.train(spark, data, m = 8, ksub = 32, iterations = 1)
+    val centroids = Ivf.train(spark, data, c = 8, iterations = 1)
+    val encoded = graft.knn.Pq.encode(Ivf.assign(spark, data, centroids), cb)
+    val pqDir = java.nio.file.Files.createTempDirectory("ivf_pq_saved").toString
+    graft.knn.Pq.save(spark, encoded, centroids, cb, pqDir)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3)).toSeq
+    val direct = canon(graft.knn.Pq.searchIvfPq(spark, encoded, centroids, cb, queries,
+      k = 10, nprobe = 4, overscan = 8))
+    val saved = canon(graft.knn.Pq.searchSavedIvfPq(spark, pqDir, queries,
+      k = 10, nprobe = 4, overscan = 8))
+    assert(saved === direct)
+
+    // a codes-less IVF save must fail loudly, not scan at the wrong precision
+    val fpDir = java.nio.file.Files.createTempDirectory("ivf_fp_for_pq").toString
+    Ivf.save(spark, Ivf.assign(spark, data, centroids), centroids, fpDir, "euclidean")
+    val e = intercept[IllegalArgumentException](
+      graft.knn.Pq.searchSavedIvfPq(spark, fpDir, queries, k = 10, nprobe = 4))
+    assert(e.getMessage.contains("pq_codes"))
+  }
+
   test("IVF-SQ8 DataFrame query side: recall >= 0.9 vs exact, no driver query array") {
     val queriesDf = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter("vec_id < 10")
