@@ -90,7 +90,8 @@ object Pq {
       queries: Array[(Long, Array[Float])],
       k: Int,
       overscan: Int = 8,
-      probeCells: Option[Map[Long, Array[Int]]] = None): DataFrame = {
+      probeCells: Option[Map[Long, Array[Int]]] = None,
+      dedup: Boolean = false): DataFrame = {
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcQ = spark.sparkContext.broadcast(queries)
@@ -164,12 +165,17 @@ object Pq {
       }
       .toDF("qid", "id", "approx")
 
+    // with a SPILLED assignment (same id in several cells) a duplicate id
+    // must not consume multiple rank slots or fan the rescore join out —
+    // same contract as Ivf.search's dedup / searchIvfSq8DF's pre-window
+    // dropDuplicates. Off by default: the dedupe is an extra exchange the
+    // unique-ids-by-contract case should not pay.
     val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
-    val cand = coarse
+    val cand = (if (dedup) coarse.dropDuplicates("qid", "id") else coarse)
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
       .select("qid", "id")
     Quantize.rescoreTopK(cand, encoded, broadcast(queries.toSeq.toDF("qid", "qvec")),
-      k, "euclidean", dedupVectors = false)
+      k, "euclidean", dedupVectors = dedup)
   }
 
   /** Persist an IVF×PQ index: the [[Ivf.save]] layout (cell-partitioned
@@ -240,7 +246,10 @@ object Pq {
     queries.foreach { case (qid, qv) =>
       require(qv.length == meta.dim, s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
     }
-    searchIvfPq(spark, assigned, centroids, cb, queries, k, nprobe, overscan)
+    // the sidecar knows whether the assignment was spilled — a spilled id
+    // in several probed cells must not rank twice
+    searchIvfPq(spark, assigned, centroids, cb, queries, k, nprobe, overscan,
+      dedup = meta.spill > 1)
   }
 
   /** IVF×PQ: probe each query's nearest cells and ADC-scan only inside
@@ -255,13 +264,14 @@ object Pq {
       queries: Array[(Long, Array[Float])],
       k: Int,
       nprobe: Int,
-      overscan: Int = 8): DataFrame = {
+      overscan: Int = 8,
+      dedup: Boolean = false): DataFrame = {
     val metric = graft.core.Distances.Euclidean
     val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
       qid -> centroids.zipWithIndex
         .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
         .sortBy(identity).take(nprobe).map(_._2)
     }.toMap
-    search(spark, encoded, cb, queries, k, overscan, Some(probed))
+    search(spark, encoded, cb, queries, k, overscan, Some(probed), dedup)
   }
 }

@@ -411,6 +411,19 @@ class QuantizeSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       graft.knn.Pq.searchSavedIvfPq(spark, fpDir, queries, k = 10, nprobe = 4))
     assert(e.getMessage.contains("pq_codes"))
+
+    // a SPILLED saved assignment self-configures dedup: k distinct ids per
+    // query, a duplicate id never ranks twice
+    val spilled = graft.knn.Pq.encode(
+      Ivf.assign(spark, data, centroids, spill = 2), cb)
+    val spDir = java.nio.file.Files.createTempDirectory("ivf_pq_spilled").toString
+    graft.knn.Pq.save(spark, spilled, centroids, cb, spDir)
+    val res = graft.knn.Pq.searchSavedIvfPq(spark, spDir, queries, k = 10, nprobe = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    res.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).distinct.length === rows.length, s"duplicate ids ranked for query $qid")
+      assert(rows.length === 10)
+    }
   }
 
   test("IVF-SQ8 DataFrame query side: recall >= 0.9 vs exact, no driver query array") {
