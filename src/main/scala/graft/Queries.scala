@@ -670,6 +670,27 @@ object Queries {
       recallSummary(approx, exact, 10, minHits = 8)
     }),
 
+    // §2.18 attribute-FILTERED search on a SAVED index (tenant/date/label
+    // scoping — every production vector store's bread and butter). The
+    // predicate applies PRE-search: non-matching vectors never enter
+    // candidate generation, so the result is the top-k of the matching
+    // subset, not a (<k-row) post-filter of the unfiltered top-k. At
+    // nprobe=C the probe covers every cell, making the row provably the
+    // exact filtered kNN — the oracle is the brute-force WHERE query.
+    "ann_ivf_filtered" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      val out = java.nio.file.Files.createTempDirectory("ivf_filtered_q").toString + "/idx"
+      Ivf.save(spark, assigned, centroids, out, metric = "euclidean")
+      val res = Ivf.searchSavedFiltered(spark, out, queries, k = 10, nprobe = 16,
+        predicate = col("id") % 3 === 0)
+      knnFinish(res)
+    }),
+
     // §2.17 MinHash+LSH near-dedup with exact-Jaccard verify (planted
     // near-duplicate copies; LSH banding recall is exact on them, so the
     // all-pairs oracle matches). The default skew cap (4096) cannot bite
@@ -757,6 +778,26 @@ object Queries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // 13-gram decontamination through the BLOOM pre-gate — the large-
+    // benchmark-suite configuration: the corpus side probes a ~10-bit/
+    // element Bloom filter first and only survivors reach the exact
+    // benchmark join, which removes the false positives. Output must be
+    // IDENTICAL to the exact formulation (same planted quotes, +500000
+    // ids), so the oracle is the same transitive criterion.
+    "decontaminate_bloom" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val quotes = bench.filter(col("bench_id") < 1000)
+        .select((col("bench_id") + 500000).as("doc_id"),
+          concat(lit("as the eval put it "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 10, 20)),
+            lit(" end of citation")).as("text"))
+      Dedup.contaminationPairsBloom(docs.unionByName(quotes), bench, minShared = 1, n = 13)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
     "dedup_simhash" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -776,6 +817,25 @@ object Queries {
       val planes = Dedup.randomPlanes(nbits = 16, dim = 64, seed = 7)
       Dedup.embeddingNearDupPairs(base.unionByName(copies), planes, threshold = 0.1,
           multiProbe = true)
+        .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // §2.17 SemDeDup-style SEMANTIC near-dedup (Abbas et al. 2023):
+    // k-means cells over unit-normalized embeddings as density-following
+    // buckets, intra-cell cosine verify — the cluster replaces the random
+    // hyperplane bucket of neardup_embedding. Planted verbatim copies
+    // normalize to identical unit vectors, rank cells identically, and
+    // are ALWAYS co-bucketed regardless of where k-means puts the
+    // boundaries, so the all-pairs oracle's recall is guaranteed; spill=2
+    // multi-assignment covers boundary straddle for non-identical
+    // near-dups (none below threshold in this corpus, same as the LSH row).
+    "dedup_semantic" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val copies = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("id"), col("embedding").as("vector"))
+      Dedup.semanticNearDupPairs(base.unionByName(copies), c = 16, threshold = 0.1)
         .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
         .orderBy("id_a", "id_b")
     }),
@@ -1052,6 +1112,18 @@ object Queries {
     "doc_rarity" -> ((spark, dir) => {
       TextAnalysis.docRarity(t(spark, dir, "documents"))
         .select(col("doc_id"), round(col("rarity"), 4).as("rarity"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.20 CCNet-style LM quality signal: per-document cross-entropy
+    // under the corpus's own unigram LM (running-text frequencies — the
+    // burstiness-sensitive complement of doc_rarity's IDF). Vocab-sized
+    // count table broadcasts; the corpus streams twice (count build,
+    // scoring join).
+    "lm_perplexity" -> ((spark, dir) => {
+      TextAnalysis.lmCrossEntropy(t(spark, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("cross_entropy"), 4).as("cross_entropy"))
         .orderBy("doc_id")
     }),
 
@@ -1462,7 +1534,26 @@ object Queries {
          |      FROM sd d CROSS JOIN sb b)
          |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
          |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
+    "decontaminate_bloom" ->
+      s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
+         |quotes AS (SELECT bench_id + 500000 AS doc_id,
+         |  'as the eval put it ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[10:29], ' ') || ' end of citation' AS text
+         |  FROM bench WHERE bench_id < 1000),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |sd AS (SELECT doc_id, ${duckShinglesN(duckToks, 13)} AS sh FROM all_docs),
+         |sb AS (SELECT bench_id, ${duckShinglesN(duckToks, 13)} AS sh FROM bench),
+         |p AS (SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh)) AS n_shared
+         |      FROM sd d CROSS JOIN sb b)
+         |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
     "neardup_embedding" ->
+      s"""WITH all_v AS (
+         |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, ${dEmb("embedding")} FROM embeddings WHERE vec_id < 100),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cd
+         |      FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cd, 4) AS cos_dist FROM p WHERE cd <= 0.1 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic" ->
       s"""WITH all_v AS (
          |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, ${dEmb("embedding")} FROM embeddings WHERE vec_id < 100),
@@ -1548,6 +1639,7 @@ object Queries {
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "ann_ivf_pq" -> recallOracle(5, 10),
+    "ann_ivf_filtered" -> knnOracle(duckEuclid, 5, 10, where = "e.vec_id % 3 = 0"),
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),
@@ -1636,6 +1728,14 @@ object Queries {
       s"""SELECT t.token, count(*) AS df
          |FROM (SELECT unnest(list_distinct($duckToks)) AS token FROM documents) t
          |GROUP BY t.token HAVING count(*) >= 5 ORDER BY t.token""".stripMargin,
+    "lm_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         |tot AS (SELECT sum(c)::DOUBLE AS s FROM cnt)
+         |SELECT tok.doc_id, count(*) AS n_tokens,
+         |       round(-avg(ln(cnt.c / tot.s)), 4) AS cross_entropy
+         |FROM tok JOIN cnt USING (token) CROSS JOIN tot
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
     "doc_rarity" ->
       s"""WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |df AS (SELECT token, count(*) AS df

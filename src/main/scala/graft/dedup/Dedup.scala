@@ -414,6 +414,56 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationPairs]] with a Bloom-filter pre-gate on the corpus
+    * side — the 100 TB configuration when the benchmark suite is large.
+    *
+    * The exact formulation broadcasts the benchmark's full shingle-hash
+    * set and probes a hash map per corpus shingle. At ~10 bits/element
+    * (1% fpp) a Bloom filter is ~6x smaller than the 64-bit hash set it
+    * summarizes and a membership probe is a few cache-friendly bit reads,
+    * so the first gate — which 99.9%+ of a clean corpus's shingles fail —
+    * costs nanoseconds and near-zero broadcast memory. Only surviving
+    * shingles (true matches + fpp stragglers) reach the exact
+    * benchmark-side join, which REMOVES the false positives: the output
+    * is exactly [[contaminationPairs]]'s, the Bloom stage only prunes.
+    * Because survivors are few, that join could even shuffle instead of
+    * broadcast for benchmark sets too big to broadcast at all.
+    *
+    * The probe is a Scala UDF over the hash column: there is no built-in
+    * bloom-membership function in the public API, a codegen Expression
+    * cannot carry a multi-MB filter as a plan literal, and the per-row
+    * cost is dominated by the probe itself, not the call overhead.
+    */
+  def contaminationPairsBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minShared: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text",
+      n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    def exploded(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+          SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(text)), n)).as("hs"))
+        .select(col(outId), explode(col("hs")).as("h"))
+    // benchmark shingles feed two consumers (bloom build + exact verify);
+    // benchmark-suite-sized, so caching is cheap and saves a re-shingle
+    val bench = exploded(benchmark, benchIdCol, benchTextCol, "bench_id").cache()
+    val expected = math.max(1L, bench.select(col("h")).distinct().count())
+    val bloom = bench.stat.bloomFilter("h", expected, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    exploded(docs, idCol, textCol, "doc_id")
+      .filter(mightContain(col("h")))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic ±1 hyperplanes for sign-LSH (splitmix64-derived). */
   def randomPlanes(nbits: Int, dim: Int, seed: Long): Array[Array[Float]] =
     Array.tabulate(nbits, dim) { (p, d) =>
@@ -465,6 +515,69 @@ object Dedup {
         col("l.id").as("id_a"), col("r.id").as("id_b"),
         vec.distCosine(col("l.vector"), col("r.vector")).as("cos_dist"))
       .filter(col("cos_dist") <= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SemDeDup-style semantic near-dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with k-means and verify cosine
+    * near-duplicate pairs WITHIN clusters only — the cluster plays the
+    * LSH bucket's role, but follows the data's own density instead of
+    * random hyperplanes, which is why SemDeDup finds the "semantic"
+    * duplicates (same content, different words) sign-LSH needs luck for.
+    *
+    * Vectors are normalized to the unit sphere first, so k-means cells
+    * are angular regions and cosine near-dups co-locate; `spill` assigns
+    * each vector to its `spill` nearest cells so pairs straddling one
+    * cell boundary still share a bucket (the multi-probe analog). Exact
+    * copies of a vector rank cells identically and are ALWAYS
+    * co-bucketed. Verification computes cosine on the ORIGINAL vectors
+    * with the same kernel as [[embeddingNearDupPairs]]. Zero vectors
+    * carry no direction and are excluded, mirroring
+    * [[graft.knn.Quantize]]'s cosine-side rationale.
+    *
+    * Scale shape: one k-means training pass (centroids driver-sized,
+    * C·dim), one assignment pass, then a self-equi-join on the cell id —
+    * candidate work is Σ|cell|², the published SemDeDup cost, bounded by
+    * choosing C so cells stay ~10-100k vectors at corpus scale. Nothing
+    * all-pairs, nothing driver-resident but the centroids.
+    */
+  def semanticNearDupPairs(
+      data: DataFrame, // (id, vector array<float>)
+      c: Int,
+      threshold: Double,
+      spill: Int = 2,
+      iterations: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.vec
+    import graft.knn.Ivf
+    val spark = data.sparkSession
+    val unit = data
+      .withColumn("nrm", vec.norm(col("vector")))
+      .filter(col("nrm") > 0)
+      .select(col("id"), col("vector"),
+        vec.scalarDiv(col("vector"), col("nrm")).as("uvec"))
+    // cache serves ONLY the eager multi-pass k-means training; it is
+    // released before the lazy result plan is built, which re-derives the
+    // (cheap) normalization per consumer instead of pinning storage
+    // memory for the caller's whole session
+    val cached = unit.cache()
+    val centroids = Ivf.train(spark, cached.select(col("id"), col("uvec").as("vector")),
+      c, iterations = iterations, seeding = "kmeans||", seed = seed)
+    cached.unpersist(blocking = false)
+    // (cell, id) assignments; original vectors ride along for the verify
+    // step so the emitted cos_dist is computed on the caller's floats,
+    // not the normalized copies
+    val assigned = Ivf.assign(spark, unit.select(col("id"), col("uvec").as("vector")),
+        centroids, spill = spill)
+      .select(col("cell"), col("id"))
+      .join(unit.select(col("id"), col("vector")), Seq("id"))
+    assigned.alias("l")
+      .join(assigned.alias("r"), Seq("cell"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        vec.distCosine(col("l.vector"), col("r.vector")).as("cos_dist"))
+      .filter(col("cos_dist") <= threshold)
+      // spill > 1 surfaces a pair through every shared cell
       .dropDuplicates("id_a", "id_b")
   }
 }

@@ -3,7 +3,7 @@ package graft.knn
 import graft.core.Distances
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** IVF-Flat approximate nearest neighbors: partition the vector space into
   * C Voronoi cells (centroids from Lloyd iterations), assign every vector to
@@ -478,6 +478,36 @@ object Ivf {
           size(col("qvec")).cast("string"))))
         .as("qvec"))
     searchDF(assigned, centroids, checked, k, nprobe, meta.metric, dedup = meta.spill > 1)
+  }
+
+  /** Attribute-FILTERED search on a saved index — the "vectors matching a
+    * predicate" shape every production vector store serves (tenant/date/
+    * label scoping). The predicate is applied PRE-search: vectors failing
+    * it never enter candidate generation, so the result is the top-k of
+    * the matching subset — not a post-filter of the unfiltered top-k,
+    * which silently returns < k rows (or misses matches entirely) as
+    * selectivity drops. With nprobe = C the probe covers every cell and
+    * the result is provably the exact filtered kNN.
+    *
+    * At scale the filter lands on the index's parquet scan: simple
+    * comparisons on stored columns push down to row-group pruning
+    * (`PushedFilters` in the plan), so a selective predicate also SKIPS
+    * I/O, the opposite of post-filtering's wasted work.
+    */
+  def searchSavedFiltered(
+      spark: SparkSession,
+      dir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      predicate: Column): DataFrame = {
+    val (assigned, centroids, meta) = loadWithMeta(spark, dir)
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == meta.dim,
+        s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
+    }
+    search(spark, assigned.filter(predicate), centroids, queries, k, nprobe,
+      meta.metric, dedup = meta.spill > 1)
   }
 
   /** IVF search: per query, probe the `nprobe` nearest cells; brute-force

@@ -198,4 +198,33 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(avg(log(lit(n.toDouble) / col("df"))).as("rarity"))
   }
+
+  /** CCNet-style language-model quality signal (Wenzek et al. 2020 score
+    * documents by LM perplexity; the in-sandbox model is the corpus's own
+    * unigram LM — same pipeline shape, pluggable model): per-document
+    * cross-entropy −mean ln p(token), where p(token) = corpus running-text
+    * frequency. Low = templated/common text, high = rare-token soup; both
+    * tails are what CCNet's filtering buckets cut. Distinct from
+    * [[docRarity]]'s IDF (documents CONTAINING a token vs occurrences in
+    * running text — burstiness moves the two apart).
+    *
+    * Returns (id, n_tokens, cross_entropy). Scale shape: the unigram
+    * count table is vocab-sized (Heaps' law: ~millions of rows at corpus
+    * scale, not corpus-sized), so it BROADCASTS to the scoring join; the
+    * corpus streams once through token explode + map-side-combined count
+    * build, once through the scoring pass. The count table is cached: it
+    * feeds the total-token action and the broadcast.
+    */
+  def lmCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val total = counts.agg(sum(col("c"))).head().getLong(0).toDouble
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(counts), Seq("token"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg(log(col("c").cast("double") / lit(total)))).as("cross_entropy"))
+  }
 }

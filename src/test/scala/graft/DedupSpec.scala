@@ -430,4 +430,69 @@ class DedupSpec extends SparkTestBase {
     assert(canon(Dedup.ngramJaccardPairsAdaptive(manySmall, "source")) ===
       canon(Dedup.ngramJaccardPairs(manySmall, "source")))
   }
+
+  test("unigram LM cross-entropy matches the closed form and separates common from rare text") {
+    // corpus: 8 tokens total — p(a)=4/8, p(b)=2/8, p(c)=p(d)=1/8
+    val d = docs((1L, "a a a b"), (2L, "a b c d"))
+    val res = TextAnalysis.lmCrossEntropy(d).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "cross_entropy")
+      .as[(Long, Long, Double)].collect()
+    val ln = (x: Double) => math.log(x)
+    val h1 = -(3 * ln(0.5) + ln(0.25)) / 4
+    val h2 = -(ln(0.5) + ln(0.25) + ln(0.125) + ln(0.125)) / 4
+    assert(res.map(_._2).toSeq === Seq(4L, 4L))
+    assert(math.abs(res(0)._3 - h1) < 1e-9 && math.abs(res(1)._3 - h2) < 1e-9)
+    // the common-token doc is more predictable: lower cross-entropy
+    assert(res(0)._3 < res(1)._3)
+  }
+
+  test("bloom-gated contamination pairs equal the exact formulation, even at fpp=0.5") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")).toDF("bench_id", "text")
+    val corpus = docs(
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta iota kappa outro"),
+      (2L, "alpha beta unrelated content entirely different from the benchmark suite"),
+      (3L, "nothing in common with anything at all here truly"))
+    def canonPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)].collect().sorted.toSeq
+    // an absurd fpp floods the gate with false positives; the exact join
+    // must remove every one of them
+    for (fpp <- Seq(0.01, 0.5); minShared <- Seq(1, 8)) {
+      assert(canonPairs(Dedup.contaminationPairsBloom(corpus, bench, minShared, fpp = fpp)) ===
+        canonPairs(Dedup.contaminationPairs(corpus, bench, minShared)))
+    }
+  }
+
+  test("semantic near-dedup co-buckets verbatim copies and excludes distant vectors") {
+    // 3 well-separated direction clusters + verbatim copies; far pairs share
+    // no cell, so only the planted (i, i+100) pairs at cos_dist 0 survive
+    val base = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.fill(8)(0.05f * ((i * 7 + 3) % 5))
+      v(axis) = 10f + i * 0.01f  // dominant axis => 3 angular clusters
+      (i.toLong, v)
+    }
+    val copies = base.take(9).map { case (id, v) => (id + 100L, v.map(x => x * 2f)) }
+    val all = (base ++ copies).toDF("id", "vector")
+    val pairs = Dedup.semanticNearDupPairs(all, c = 3, threshold = 1e-6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // scaled copies point the same direction: cos_dist = 0, always found
+    assert((0L until 9L).map(i => (i, i + 100L)).toSet.subsetOf(pairs))
+    // every surviving pair is genuinely below threshold (verify step ran)
+    val dists = Dedup.semanticNearDupPairs(all, c = 3, threshold = 1e-6)
+      .select("cos_dist").as[Double].collect()
+    assert(dists.forall(_ <= 1e-6))
+    // cross-cluster pairs (orthogonal axes, cos_dist ~ 1) never appear
+    assert(pairs.forall { case (a, b) => (a % 100) % 3 == (b % 100) % 3 })
+  }
+
+  test("semantic near-dedup excludes zero vectors instead of crashing on normalize") {
+    val all = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f))).toDF("id", "vector")
+    val pairs = Dedup.semanticNearDupPairs(all, c = 1, threshold = 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }

@@ -83,6 +83,28 @@ class IvfSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("filtered search is the exact kNN of the matching subset (pre-filter, not post-filter)") {
+    val c = 8
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filtered").toString
+    Ivf.save(spark, assigned, centroids, dir, metric = "euclidean")
+    val pred = org.apache.spark.sql.functions.col("id") % 3 === 0
+    val filtered = resultMap(
+      Ivf.searchSavedFiltered(spark, dir, queries, k = 10, nprobe = c, predicate = pred))
+    val exactSubset = resultMap(Knn.bruteForce(data.filter(pred),
+      queries.toSeq.toDF("qid", "qvec"), k = 10))
+    assert(filtered === exactSubset)
+    // pre-filter semantics: every returned id matches the predicate, and
+    // each query still gets a full k from the subset — a post-filter of
+    // the unfiltered top-10 would keep only ~1/3 of its rows
+    assert(filtered.values.flatten.forall(_ % 3 == 0))
+    assert(filtered.values.forall(_.size == 10))
+    val post = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = c))
+      .view.mapValues(_.filter(_ % 3 == 0)).toMap
+    assert(post.values.exists(_.size < 10))
+  }
+
   test("IVF meta sidecar round-trips; absent for pre-meta saves") {
     val centroids = Ivf.train(spark, data, c = 4, iterations = 1, metric = "cosine")
     val assigned = Ivf.assign(spark, data, centroids, metric = "cosine", spill = 2)
