@@ -670,6 +670,31 @@ object Queries {
       recallSummary(approx, exact, 10, minHits = 8)
     }),
 
+    // §2.18+24 IVFADC — PQ over RESIDUALS (Jégou et al. 2011 §IV.A): the
+    // codebooks quantize vector − centroid(cell), buying a finer grid
+    // from the same 8 bytes/vector, with a per-(query, probed cell)
+    // lookup table at scan time. Served through the persisted layout:
+    // save with residual=true, searchSavedIvfPq reads the flag and
+    // dispatches the residual scan — a raw-ADC scan over residual codes
+    // would rank garbage, which is why the layout is self-describing.
+    "ann_ivf_pq_residual" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 64,
+        iterations = 2, seeding = "first")
+      val encoded = graft.knn.Pq.encodeResidual(assigned, centroids, cb)
+      val out = java.nio.file.Files.createTempDirectory("ivfadc_q").toString + "/idx"
+      graft.knn.Pq.save(spark, encoded, centroids, cb, out, residual = true)
+      val approx = graft.knn.Pq.searchSavedIvfPq(spark, out, queries,
+        k = 10, nprobe = 8, overscan = 12)
+      val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+      recallSummary(approx, exact, 10, minHits = 8)
+    }),
+
     // §2.18 attribute-FILTERED search on a SAVED index (tenant/date/label
     // scoping — every production vector store's bread and butter). The
     // predicate applies PRE-search: non-matching vectors never enter
@@ -1639,6 +1664,7 @@ object Queries {
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "ann_ivf_pq" -> recallOracle(5, 10),
+    "ann_ivf_pq_residual" -> recallOracle(5, 10),
     "ann_ivf_filtered" -> knnOracle(duckEuclid, 5, 10, where = "e.vec_id % 3 = 0"),
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),

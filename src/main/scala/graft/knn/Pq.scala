@@ -78,10 +78,84 @@ object Pq {
       graft.functions.PqEncode(
         graft.internal.SqlBridge.expression(col("vector")), cb.books, cb.dsub)))
 
+  /** vector − centroid(cell) as a codegen column — the IVFADC residual. */
+  private def residualExpr(centroids: Array[Array[Float]]) =
+    graft.internal.SqlBridge.column(graft.functions.VecResidual(
+      graft.internal.SqlBridge.expression(col("vector")),
+      graft.internal.SqlBridge.expression(col("cell").cast("int")),
+      centroids))
+
+  /** [[train]] on IVFADC residuals (Jégou et al. 2011 §IV.A): codebooks
+    * learn vector − centroid(cell) over an ASSIGNED dataset, i.e. only
+    * what the coarse quantizer missed. Residual norms are a fraction of
+    * vector norms, so the same m·log2(ksub) bits buy a finer grid —
+    * the published recall-per-byte winner over raw-vector PQ whenever an
+    * IVF assignment exists anyway.
+    */
+  def trainResidual(
+      spark: SparkSession,
+      assigned: DataFrame, // (id, cell, vector) from Ivf.assign
+      centroids: Array[Array[Float]],
+      m: Int,
+      ksub: Int = 256,
+      iterations: Int = 2,
+      sampleCap: Int = 100000,
+      seed: Long = 42L,
+      seeding: String = "kmeans||"): PqCodebooks =
+    train(spark,
+      assigned.select(col("id"), residualExpr(centroids).as("vector")),
+      m, ksub, iterations, sampleCap, seed, seeding)
+
+  /** [[encode]] of the per-cell residual: `pq_codes` over
+    * vector − centroid(cell). Pair with [[searchIvfPqResidual]] — raw-ADC
+    * search over residual codes would rank garbage.
+    */
+  def encodeResidual(assigned: DataFrame, centroids: Array[Array[Float]], cb: PqCodebooks): DataFrame =
+    assigned.withColumn("pq_codes", graft.internal.SqlBridge.column(
+      graft.functions.PqEncode(
+        graft.internal.SqlBridge.expression(residualExpr(centroids)), cb.books, cb.dsub)))
+
+  /** luts(j*ksub + code) = ‖q_sub − codeword‖² for a (possibly residual)
+    * query vector in doubles — built once per (query[, probed cell]) per
+    * partition, then every scanned row costs m table reads + adds.
+    */
+  private def buildLut(qv: Array[Double], c: PqCodebooks): Array[Double] = {
+    val ksub = c.ksub
+    val lut = new Array[Double](c.m * ksub)
+    var j = 0
+    while (j < c.m) {
+      val book = c.books(j)
+      var ci = 0
+      while (ci < ksub) {
+        val cw = book(ci)
+        var d = 0.0
+        var t = 0
+        while (t < c.dsub) {
+          val diff = qv(j * c.dsub + t) - cw(t)
+          d += diff * diff
+          t += 1
+        }
+        lut(j * ksub + ci) = d
+        ci += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
   /** ADC coarse scan + exact rescore. `encoded` = [[encode]] output
     * (id, vector, pq_codes [, cell]); `probeCells` restricts each query to
     * its probed IVF cells (null mask = full scan) exactly like
     * [[Quantize.searchExact]]'s masking.
+    *
+    * `residualCentroids` switches the scan to IVFADC semantics: codes are
+    * [[encodeResidual]]'s (vector − centroid of its cell), so
+    * ‖q − (c + r)‖² = ‖(q − c) − r‖² and each (query, probed cell) pair
+    * gets its OWN lookup table built from the residual query q − c.
+    * LUT memory per partition is Q·nprobe·m·ksub doubles — bounded by the
+    * probe fan-out, never the data; requires `probeCells` (a full
+    * residual scan would build Q·C tables, which is the signal the caller
+    * wanted IVF pruning anyway).
     */
   def search(
       spark: SparkSession,
@@ -91,10 +165,14 @@ object Pq {
       k: Int,
       overscan: Int = 8,
       probeCells: Option[Map[Long, Array[Int]]] = None,
-      dedup: Boolean = false): DataFrame = {
+      dedup: Boolean = false,
+      residualCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     import spark.implicits._
+    require(residualCentroids.isEmpty || probeCells.isDefined,
+      "residual (IVFADC) search requires probeCells — per-cell LUTs need a bounded probe set")
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcQ = spark.sparkContext.broadcast(queries)
+    val bcRes = spark.sparkContext.broadcast(residualCentroids.orNull)
     val nCells = probeCells.map(_.valuesIterator.flatten.foldLeft(0)(math.max) + 1).getOrElse(0)
     val bcMask: org.apache.spark.broadcast.Broadcast[Array[Array[Boolean]]] =
       spark.sparkContext.broadcast(queries.map { case (qid, _) =>
@@ -115,31 +193,30 @@ object Pq {
         val c = bcCb.value
         val qs = bcQ.value
         val mask = bcMask.value
-        // per-partition ADC lookup tables: luts(qi)(j*ksub + code) =
-        // ||q_sub - codeword||^2 — built once, then every row is m reads
+        val res = bcRes.value
         val ksub = c.ksub
-        val luts = Array.tabulate(qs.length) { qi =>
+        // plain: one LUT per query (index 0). residual: one LUT per
+        // (query, probed cell), indexed by cell; unprobed cells stay null
+        // (the mask check keeps them out of the hot loop anyway)
+        val luts: Array[Array[Array[Double]]] = Array.tabulate(qs.length) { qi =>
           val qv = qs(qi)._2
-          val lut = new Array[Double](c.m * ksub)
-          var j = 0
-          while (j < c.m) {
-            val book = c.books(j)
-            var ci = 0
-            while (ci < ksub) {
-              val cw = book(ci)
-              var d = 0.0
-              var t = 0
-              while (t < c.dsub) {
-                val diff = qv(j * c.dsub + t).toDouble - cw(t)
-                d += diff * diff
-                t += 1
+          if (res == null) Array(buildLut(qv.map(_.toDouble), c))
+          else {
+            val byCell = new Array[Array[Double]](nCells)
+            val qm = mask(qi)
+            var cell = 0
+            while (cell < nCells) {
+              if (qm != null && qm(cell)) {
+                val cv = res(cell)
+                val rq = new Array[Double](qv.length)
+                var i = 0
+                while (i < qv.length) { rq(i) = qv(i).toDouble - cv(i); i += 1 }
+                byCell(cell) = buildLut(rq, c)
               }
-              lut(j * ksub + ci) = d
-              ci += 1
+              cell += 1
             }
-            j += 1
+            byCell
           }
-          lut
         }
         val heaps = Array.fill(qs.length)(new TopK(kk))
         iter.foreach { case (id, cell, codes) =>
@@ -147,7 +224,7 @@ object Pq {
           while (qi < qs.length) {
             val qm = mask(qi)
             if (qm == null || (cell >= 0 && cell < qm.length && qm(cell))) {
-              val lut = luts(qi)
+              val lut = if (res == null) luts(qi)(0) else luts(qi)(cell)
               var adc = 0.0
               var j = 0
               while (j < codes.length) {
@@ -188,15 +265,28 @@ object Pq {
       encodedAssigned: DataFrame, // encode(assign(...))
       centroids: Array[Array[Float]],
       cb: PqCodebooks,
-      dir: String): Unit = {
+      dir: String,
+      residual: Boolean = false): Unit = {
     import spark.implicits._
     require(encodedAssigned.columns.contains("pq_codes"),
       "assignment lacks pq_codes — pass encode(assign(...))")
     Ivf.save(spark, encodedAssigned, centroids, dir, "euclidean")
+    // the residual flag rides on every codebook row: raw-ADC search over
+    // residual codes (or vice versa) ranks garbage, so the layout must be
+    // self-describing about WHICH encoding the codes carry
     cb.books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
-    }.toSeq.toDF("subspace", "code", "codeword")
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq, residual) }
+    }.toSeq.toDF("subspace", "code", "codeword", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_books")
+  }
+
+  /** Whether a [[save]]d index carries residual (IVFADC) codes; pre-flag
+    * saves (no `residual` column) were raw-vector encoded.
+    */
+  def savedResidual(spark: SparkSession, dir: String): Boolean = {
+    val df = spark.read.parquet(s"$dir/pq_books")
+    df.columns.contains("residual") &&
+      df.select("residual").head().getBoolean(0)
   }
 
   /** Load the codebooks of a [[save]]d index; fails loudly on a ragged or
@@ -247,9 +337,14 @@ object Pq {
       require(qv.length == meta.dim, s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
     }
     // the sidecar knows whether the assignment was spilled — a spilled id
-    // in several probed cells must not rank twice
-    searchIvfPq(spark, assigned, centroids, cb, queries, k, nprobe, overscan,
-      dedup = meta.spill > 1)
+    // in several probed cells must not rank twice; the codebook table
+    // knows whether codes are raw or residual and dispatches the scan
+    if (savedResidual(spark, dir))
+      searchIvfPqResidual(spark, assigned, centroids, cb, queries, k, nprobe, overscan,
+        dedup = meta.spill > 1)
+    else
+      searchIvfPq(spark, assigned, centroids, cb, queries, k, nprobe, overscan,
+        dedup = meta.spill > 1)
   }
 
   /** IVF×PQ: probe each query's nearest cells and ADC-scan only inside
@@ -273,5 +368,32 @@ object Pq {
         .sortBy(identity).take(nprobe).map(_._2)
     }.toMap
     search(spark, encoded, cb, queries, k, overscan, Some(probed), dedup)
+  }
+
+  /** [[searchIvfPq]] over RESIDUAL codes ([[encodeResidual]] +
+    * [[trainResidual]]): the IVFADC configuration. Identical probe
+    * construction; the ADC scan builds a lookup table per (query, probed
+    * cell) from the residual query q − centroid, so approximate distances
+    * estimate ‖q − (centroid + residual)‖² — the true geometry, on a grid
+    * sized to the residuals.
+    */
+  def searchIvfPqResidual(
+      spark: SparkSession,
+      encoded: DataFrame, // encodeResidual(assign(...)): (id, cell, vector, pq_codes)
+      centroids: Array[Array[Float]],
+      cb: PqCodebooks,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8,
+      dedup: Boolean = false): DataFrame = {
+    val metric = graft.core.Distances.Euclidean
+    val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> centroids.zipWithIndex
+        .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    search(spark, encoded, cb, queries, k, overscan, Some(probed), dedup,
+      residualCentroids = Some(centroids))
   }
 }
