@@ -111,6 +111,50 @@ object BenchScale {
       q8.unpersist()
     }
 
+    // IVFADC at scale: residual PQ brings the per-vector scan payload to
+    // m bytes (dim×4 / m compression — 32× at dim 64, m 8); encode is one
+    // narrow codegen pass, the ADC scan touches nprobe/C of the data with
+    // per-(query, probed cell) LUTs bounded by the probe fan-out
+    {
+      val c = 256
+      val centroids = graft.knn.Ivf.train(spark, data, c, iterations = 1)
+      val assigned = graft.knn.Ivf.assign(spark, data, centroids)
+      val cb = timed(s"PQ residual train (m=8, ksub=256, capped sample of $n)") {
+        graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 256, iterations = 2)
+      }
+      val encoded = graft.knn.Pq.encodeResidual(assigned, centroids, cb)
+        .repartition(cpus.toInt * 2, col("cell")).cache()
+      timed(s"IVFADC encode ($n vectors -> 8-byte codes)")(encoded.count())
+      val adcRows = timed(s"IVFADC search (${queries.length} queries, k=10, nprobe=16/$c)") {
+        graft.knn.Pq.searchIvfPqResidual(spark, encoded, centroids, cb, queries,
+          k = 10, nprobe = 16, overscan = 12).cache()
+      }
+      val exactIds = Knn.partitioned(spark, data, queries, k = 10).select("qid", "id")
+      val adcHits = adcRows.select("qid", "id").join(exactIds, Seq("qid", "id"), "left_semi").count()
+      println(f"[scale] IVFADC recall@10: ${adcHits.toDouble / (queries.length * 10)}%.3f " +
+        f"(8 bytes/vector vs ${dim * 4} raw = ${dim * 4 / 8}x compression)")
+      encoded.unpersist(); adcRows.unpersist()
+    }
+
+    // SemDeDup at scale: k-means cells bound candidate work at N²/C
+    // verifications — C is the lever that keeps intra-cell pair
+    // generation tractable (the published SemDeDup deployment shape);
+    // spill=2 doubles each vector's bucket exposure for boundary straddle
+    {
+      val nSem = math.min(n, 100000)
+      val semBase = data.filter(col("id") < nSem)
+      val semCopies = semBase.filter(col("id") < 1000)
+        .select((col("id") + 10000000L).as("id"), col("vector"))
+      val semPairs = timed(s"semantic near-dedup ($nSem vectors + 1k planted copies, c=256, spill=2)") {
+        graft.dedup.Dedup.semanticNearDupPairs(
+          semBase.unionByName(semCopies), c = 256, threshold = 1e-4, spill = 2).cache()
+      }
+      val found = semPairs.count()
+      val planted = semPairs.filter(col("id_b") >= 10000000L && col("id_a") === col("id_b") - 10000000L).count()
+      println(s"[scale] semantic pairs: $found; planted copies recovered: $planted/1000")
+      semPairs.unpersist()
+    }
+
     // clustered-corpus recall at scale: the geometry IVF exists for —
     // planted clusters, small probe fraction, recall vs exact kNN
     {
@@ -220,6 +264,34 @@ object BenchScale {
     }
     println(s"[scale] non-representative members dropped: $groups")
     pairsDf.unpersist()
+
+    // decontamination at corpus scale: the benchmark side is suite-sized,
+    // the corpus streams once — bloom gate vs exact broadcast join, same
+    // output by construction (the exact join removes bloom false positives)
+    {
+      val bench = docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val quotes = bench.filter(col("bench_id") < 2000)
+        .select((col("bench_id") + 20000000L).as("doc_id"),
+          concat(lit("quoted: "), col("text")).as("text"))
+      val corpus = docs.unionByName(quotes)
+      val exactN = timed(s"decontaminate exact ($nDocs docs x ${nDocs / 200}-doc benchmark, 13-gram)") {
+        graft.dedup.Dedup.contaminationPairs(corpus, bench, minShared = 1, n = 13).count()
+      }
+      val bloomN = timed("decontaminate bloom-gated (same inputs)") {
+        graft.dedup.Dedup.contaminationPairsBloom(corpus, bench, minShared = 1, n = 13).count()
+      }
+      println(s"[scale] contamination pairs: exact=$exactN bloom=$bloomN (must be equal)")
+    }
+
+    // LM quality scoring at corpus scale: one token-count shuffle
+    // (vocab-sized result), one broadcast-join scoring pass
+    {
+      val scored = timed(s"unigram LM cross-entropy ($nDocs docs)") {
+        graft.text.TextAnalysis.lmCrossEntropy(docs).count()
+      }
+      println(s"[scale] docs scored: $scored")
+    }
 
     spark.stop()
   }

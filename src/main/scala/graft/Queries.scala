@@ -673,10 +673,10 @@ object Queries {
     // §2.18+24 IVFADC — PQ over RESIDUALS (Jégou et al. 2011 §IV.A): the
     // codebooks quantize vector − centroid(cell), buying a finer grid
     // from the same 8 bytes/vector, with a per-(query, probed cell)
-    // lookup table at scan time. Served through the persisted layout:
-    // save with residual=true, searchSavedIvfPq reads the flag and
-    // dispatches the residual scan — a raw-ADC scan over residual codes
-    // would rank garbage, which is why the layout is self-describing.
+    // lookup table at scan time. The persisted layout records the
+    // encoding and searchSavedIvfPq self-dispatches (a raw-ADC scan over
+    // residual codes would rank garbage) — that save/dispatch round-trip
+    // is equality-gated in QuantizeSpec; this row prices the scan.
     "ann_ivf_pq_residual" -> ((spark, dir) => {
       val (data, queriesDf) = knnInputs(spark, dir, 5)
       val queries = queriesDf.collect()
@@ -684,12 +684,15 @@ object Queries {
         .sortBy(_._1)
       val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
       val assigned = Ivf.assign(spark, data, centroids)
-      val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 64,
-        iterations = 2, seeding = "first")
+      // ksub=32 / 1 Lloyd step / 2k-row training sample: residuals are
+      // small and centered, so a coarser codebook than the raw-PQ row's
+      // 64 still clears the recall gate with margin — training on a
+      // deterministic sample IS the documented corpus-scale path (the
+      // sampleCap default, just sized to this row)
+      val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 32,
+        iterations = 1, sampleCap = 2000, seeding = "first")
       val encoded = graft.knn.Pq.encodeResidual(assigned, centroids, cb)
-      val out = java.nio.file.Files.createTempDirectory("ivfadc_q").toString + "/idx"
-      graft.knn.Pq.save(spark, encoded, centroids, cb, out, residual = true)
-      val approx = graft.knn.Pq.searchSavedIvfPq(spark, out, queries,
+      val approx = graft.knn.Pq.searchIvfPqResidual(spark, encoded, centroids, cb, queries,
         k = 10, nprobe = 8, overscan = 12)
       val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean")
       recallSummary(approx, exact, 10, minHits = 8)
@@ -860,7 +863,11 @@ object Queries {
       val base = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
       val copies = e.filter(col("vec_id") < 100)
         .select((col("vec_id") + 100000).as("id"), col("embedding").as("vector"))
-      Dedup.semanticNearDupPairs(base.unionByName(copies), c = 16, threshold = 0.1)
+      // first-C seeding: verbatim copies co-bucket under ANY cell layout,
+      // so the row's recall guarantee doesn't pay kmeans||'s extra passes
+      // (production at corpus scale seeds kmeans|| for the balance bound)
+      Dedup.semanticNearDupPairs(base.unionByName(copies), c = 16, threshold = 0.1,
+          seeding = "first")
         .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
         .orderBy("id_a", "id_b")
     }),
@@ -1224,6 +1231,34 @@ object Queries {
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
           t(spark, dir, "documents"), t(spark, dir, "embeddings"))
+        .orderBy("doc_id")
+    }),
+
+    // Curation pipeline, embedding + LM stages: exact dedup → SEMANTIC
+    // dedup (SemDeDup) → CCNet perplexity band → quality/lang filter →
+    // embed join. The LSH near-dup stage is priced (and oracled) in
+    // pipeline_curate above; this row prices the two stages no text
+    // shingle can express. Planted "twins" have brand-new surface text
+    // (textually unique — no dedup-by-text catches them) but carry their
+    // original's exact embedding, so ONLY the semantic stage can drop
+    // them; the CE band [0, 3.6] additionally cuts the high-perplexity
+    // tail (the LM trains on the raw input corpus, so the oracle replays
+    // it without any dedup fixpoint).
+    "pipeline_curate_semantic" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+      val twins = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("paraphrase variant "), col("doc_id").cast("string"),
+            lit(" with an entirely different surface form")).as("text"))
+      val twinEmb = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 600000).as("vec_id"), col("embedding"))
+      graft.pipeline.Curation.curate(
+          docs.unionByName(twins), e.unionByName(twinEmb),
+          nearDupThreshold = None,
+          semanticThreshold = Some(0.1), semanticCells = 16,
+          semanticSeeding = "first",
+          ceBand = Some((0.0, 3.6)))
         .orderBy("doc_id")
     }),
 
@@ -1841,6 +1876,54 @@ object Queries {
          |SELECT s.doc_id, s.quality, s.pred_lang,
          |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS emb_norm
          |FROM s JOIN embeddings e ON s.doc_id = e.vec_id
+         |WHERE s.quality >= 0.25 AND s.pred_lang = 'en'
+         |ORDER BY s.doc_id""".stripMargin
+    },
+    "pipeline_curate_semantic" -> {
+      val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
+      def cnt(words: Seq[String]) =
+        s"len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val counts = TextAnalysis.StopWords.map { case (l, ws) => l -> cnt(ws) }
+      val colsSql = counts.map { case (l, c) => s"$c AS cnt_$l" }.mkString(", ")
+      val mx = s"greatest(${counts.map(l => s"cnt_${l._1}").mkString(", ")})"
+      val whens = counts.map { case (l, _) => s"WHEN cnt_$l = __mx THEN '$l'" }.mkString(" ")
+      s"""WITH RECURSIVE
+         |twins AS (SELECT doc_id + 600000 AS doc_id,
+         |  'paraphrase variant ' || CAST(doc_id AS VARCHAR) || ' with an entirely different surface form' AS text
+         |  FROM documents WHERE doc_id < 50),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM twins),
+         |all_emb AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 600000, embedding FROM embeddings WHERE vec_id < 50),
+         |keeps AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)),
+         |d AS (SELECT doc_id, text FROM all_docs WHERE doc_id IN (SELECT doc_id FROM keeps)),
+         |semp AS (SELECT a.vec_id AS src0, b.vec_id AS dst0
+         |  FROM all_emb a CROSS JOIN all_emb b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND a.vec_id IN (SELECT doc_id FROM d) AND b.vec_id IN (SELECT doc_id FROM d)
+         |    AND ${duckCosine(dEmb("a.embedding"), dEmb("b.embedding"))} <= 0.1),
+         |semedges AS (SELECT src0 AS src, dst0 AS dst FROM semp UNION SELECT dst0, src0 FROM semp),
+         |semreach(id, label) AS (
+         |  SELECT src, src FROM semedges
+         |  UNION
+         |  SELECT e.dst, r.label FROM semreach r JOIN semedges e ON e.src = r.id),
+         |semdrop AS (SELECT id FROM semreach GROUP BY id HAVING min(label) <> id),
+         |d2 AS (SELECT doc_id, text FROM d WHERE doc_id NOT IN (SELECT id FROM semdrop)),
+         |tok AS (SELECT doc_id, unnest($duckToks) AS token FROM all_docs),
+         |cnt_lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         |tot AS (SELECT sum(c)::DOUBLE AS s FROM cnt_lm),
+         |ce AS (SELECT tok.doc_id, -avg(ln(cnt_lm.c / tot.s)) AS ce
+         |       FROM tok JOIN cnt_lm USING (token) CROSS JOIN tot GROUP BY tok.doc_id),
+         |d3 AS (SELECT d2.doc_id, d2.text FROM d2 JOIN ce ON d2.doc_id = ce.doc_id
+         |       WHERE ce.ce BETWEEN 0.0 AND 3.6),
+         |c AS (SELECT doc_id, text, $colsSql FROM d3),
+         |m AS (SELECT *, $mx AS __mx FROM c),
+         |s AS (SELECT doc_id,
+         |  round(least(length($duckToks) / 100.0, 1.0) * 0.5 +
+         |    (len(list_filter($duckToks, t -> t IN ($en)))::DOUBLE / length($duckToks)) * 0.5, 4) AS quality,
+         |  CASE WHEN __mx = 0 THEN 'und' $whens ELSE 'und' END AS pred_lang FROM m)
+         |SELECT s.doc_id, s.quality, s.pred_lang,
+         |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS emb_norm
+         |FROM s JOIN all_emb e ON s.doc_id = e.vec_id
          |WHERE s.quality >= 0.25 AND s.pred_lang = 'en'
          |ORDER BY s.doc_id""".stripMargin
     },

@@ -547,7 +547,11 @@ object Dedup {
       threshold: Double,
       spill: Int = 2,
       iterations: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      // kmeans|| balances cells (the Σ|cell|² bound depends on it); exact
+      // copies co-bucket under ANY seeding, so recall of true duplicates
+      // is seeding-independent — "first" trades balance for fewer passes
+      seeding: String = "kmeans||"): DataFrame = {
     import graft.functions.vec
     import graft.knn.Ivf
     val spark = data.sparkSession
@@ -562,7 +566,7 @@ object Dedup {
     // memory for the caller's whole session
     val cached = unit.cache()
     val centroids = Ivf.train(spark, cached.select(col("id"), col("uvec").as("vector")),
-      c, iterations = iterations, seeding = "kmeans||", seed = seed)
+      c, iterations = iterations, seeding = seeding, seed = seed)
     cached.unpersist(blocking = false)
     // (cell, id) assignments; original vectors ride along for the verify
     // step so the emitted cos_dist is computed on the caller's floats,

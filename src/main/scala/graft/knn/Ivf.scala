@@ -40,7 +40,9 @@ object Ivf {
     var centroids = seeding match {
       case "kmeans||" => seedKMeansPar(spark, data, c, metric, seed)
       case _ => data.orderBy("id").limit(c)
-        .select("vector").as[Array[Float]].collect()
+        // cast: callers may hand double-typed vectors (e.g. normalized
+        // columns) — the kmeans|| path already coerces, this path must too
+        .select(col("vector").cast("array<float>")).as[Array[Float]].collect()
     }
     // fewer rows than requested cells: train with what exists (cEff cells)
     val cEff = centroids.length
@@ -507,6 +509,29 @@ object Ivf {
         s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
     }
     search(spark, assigned.filter(predicate), centroids, queries, k, nprobe,
+      meta.metric, dedup = meta.spill > 1)
+  }
+
+  /** [[searchSavedFiltered]] with a DataFrame query side — scoped search
+    * for the corpus-vs-corpus shape (e.g. dedup one tenant's vectors
+    * against another's). Same pre-filter semantics: the predicate prunes
+    * the index scan before the per-cell cogroup ever sees a vector.
+    */
+  def searchSavedFilteredDF(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      predicate: Column): DataFrame = {
+    val (assigned, centroids, meta) = loadWithMeta(spark, dir)
+    val checked = queries.select(col("qid").cast("long"),
+      when(size(col("qvec")) === meta.dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit(s"query dimension != index dimension ${meta.dim}, got "),
+          size(col("qvec")).cast("string"))))
+        .as("qvec"))
+    searchDF(assigned.filter(predicate), centroids, checked, k, nprobe,
       meta.metric, dedup = meta.spill > 1)
   }
 

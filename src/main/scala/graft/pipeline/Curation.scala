@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   *   documents → exact dedup (digest shuffle, keep-min-id)
   *             → NEAR-dup removal (MinHash+LSH pairs → connected
   *               components → keep the min-id representative per cluster)
+  *             → SEMANTIC dedup (optional: SemDeDup over the docs'
+  *               embeddings — k-means cells, intra-cell cosine pairs,
+  *               same cluster→keep-min rule; catches same-content/
+  *               different-words duplicates no text shingle sees)
+  *             → LM perplexity band (optional: CCNet-style — drop both
+  *               tails of the unigram cross-entropy distribution; the LM
+  *               trains on the RAW input corpus so scores don't depend on
+  *               which duplicates happened to be dropped upstream)
   *             → quality scoring + language id (single-pass kernels)
   *             → threshold/language filter
   *             → join embeddings (broadcast or shuffle by id)
@@ -35,7 +43,15 @@ object Curation {
       embeddings: DataFrame, // (vec_id, embedding)
       minQuality: Double = 0.25,
       lang: String = "en",
-      nearDupThreshold: Option[Double] = Some(0.8)): DataFrame = {
+      nearDupThreshold: Option[Double] = Some(0.8),
+      // SemDeDup stage: (cosine-distance threshold); cells default to a
+      // size that keeps intra-cell pair work tractable — callers at
+      // corpus scale size semanticCells so cells stay 10-100k vectors
+      semanticThreshold: Option[Double] = None,
+      semanticCells: Int = 16,
+      semanticSeeding: String = "kmeans||",
+      // CCNet band: keep docs with lo <= cross-entropy <= hi (nats/token)
+      ceBand: Option[(Double, Double)] = None): DataFrame = {
     val keeps = docs
       .groupBy(md5(col("text")).as("digest"))
       .agg(min("doc_id").as("doc_id"))
@@ -61,7 +77,39 @@ object Curation {
       case None => exactDedupedRaw // single consumer: nothing to reuse
     }
 
-    val scored = deduped
+    // semantic stage: only docs WITH an embedding can be semantically
+    // deduped; docs lacking one pass through untouched (an inner-join
+    // restriction here would silently drop them from the corpus)
+    val semDeduped = semanticThreshold match {
+      case Some(th) =>
+        val vecs = deduped.select(col("doc_id").as("id"))
+          .join(embeddings.select(col("vec_id").as("id"), col("embedding").as("vector")),
+            Seq("id"))
+        val pairs = Dedup.semanticNearDupPairs(vecs, semanticCells, th,
+          seeding = semanticSeeding)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val drops = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("group_id"))
+          .select(col("id").as("doc_id"))
+        deduped.join(drops, Seq("doc_id"), "left_anti")
+      case None => deduped
+    }
+
+    // the LM trains on the RAW input docs, not the survivors: the model
+    // is a corpus-level statistic and scoring must be reproducible
+    // regardless of upstream dedup configuration (also what lets the
+    // DuckDB oracle mirror it without replaying the dedup fixpoint)
+    val banded = ceBand match {
+      case Some((lo, hi)) =>
+        val ce = TextAnalysis.lmCrossEntropy(docs)
+          .select(col("doc_id"), col("cross_entropy"))
+        semDeduped.join(ce, Seq("doc_id"))
+          .filter(col("cross_entropy").between(lo, hi))
+          .drop("cross_entropy")
+      case None => semDeduped
+    }
+
+    val scored = banded
       .select(
         col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),

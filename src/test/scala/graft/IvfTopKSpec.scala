@@ -103,6 +103,12 @@ class IvfSpec extends SparkTestBase {
     val post = resultMap(Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = c))
       .view.mapValues(_.filter(_ % 3 == 0)).toMap
     assert(post.values.exists(_.size < 10))
+
+    // DataFrame query side: identical result through the cogroup path
+    val qDf = queries.toSeq.toDF("qid", "qvec")
+    val filteredDf = resultMap(
+      Ivf.searchSavedFilteredDF(spark, dir, qDf, k = 10, nprobe = c, predicate = pred))
+    assert(filteredDf === exactSubset)
   }
 
   test("IVF meta sidecar round-trips; absent for pre-meta saves") {
