@@ -657,17 +657,29 @@ object Queries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
       val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
-      // first-C seeding: 8 sub-trainings of the k-means|| seeding passes
-      // would dominate the row's cost; Lloyd from first-C seeds reaches
+      // first-C seeding + capped sample: 8 sub-trainings of the k-means||
+      // seeding passes over the full data would dominate the row's cost;
+      // Lloyd from first-C seeds on a deterministic 2k-row sample reaches
       // the recall gate at a fraction of it (the Scala API defaults to
-      // kmeans|| for production training)
+      // kmeans|| + 100k sample for production training)
       val cb = graft.knn.Pq.train(spark, data, m = 8, ksub = 64, iterations = 2,
-        seeding = "first")
+        sampleCap = 2000, seeding = "first")
       val encoded = graft.knn.Pq.encode(Ivf.assign(spark, data, centroids), cb)
       val approx = graft.knn.Pq.searchIvfPq(spark, encoded, centroids, cb, queries,
         k = 10, nprobe = 8, overscan = 12)
       val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+      // DataFrame query-side arm (per-cell cogroup, no driver query
+      // array): identical LUT math and tie-break, so it must reproduce
+      // the driver-array result ROW-FOR-ROW — n_same_df is k on any data
+      val dfArm = graft.knn.Pq.searchIvfPqDF(encoded, centroids, cb, queriesDf,
+        k = 10, nprobe = 8, overscan = 12)
+      val sameDf = dfArm.select(col("qid"), col("id"), col("rank"))
+        .join(approx.select(col("qid"), col("id"), col("rank")), Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_df"))
       recallSummary(approx, exact, 10, minHits = 8)
+        .join(sameDf, Seq("qid"))
+        .select(col("qid"), col("k"), col("n_results"), col("recall_ok"), col("n_same_df"))
+        .orderBy("qid")
     }),
 
     // §2.18+24 IVFADC — PQ over RESIDUALS (Jégou et al. 2011 §IV.A): the
@@ -824,6 +836,49 @@ object Queries {
       Dedup.contaminationPairsBloom(docs.unionByName(quotes), bench, minShared = 1, n = 13)
         .select(col("doc_id"), col("bench_id"), col("n_shared"))
         .orderBy("doc_id", "bench_id")
+    }),
+
+    // STREAMING decontamination — the ingestion-time form: arriving docs
+    // are flagged against the broadcast benchmark BEFORE landing in the
+    // corpus. Stateless stream-static join (sorted-set intersect kernel,
+    // no state store, no watermark); the planted quoting docs (+700000)
+    // arrive on the stream and the converged output must equal the batch
+    // operator's — same transitive criterion as decontaminate_13gram.
+    "stream_decontaminate" -> ((spark, dir) => {
+      val src = streamTable(spark, dir, "documents")
+      val bench = t(spark, dir, "documents")
+        .filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val docs = src.select(explode(when(col("doc_id") % 200 === 0 && col("doc_id") < 1000,
+            array(struct(col("doc_id"), col("text")),
+              struct((col("doc_id") + 700000).as("doc_id"),
+                concat(lit("as the eval put it "),
+                  concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 10, 20)),
+                  lit(" end of citation")).as("text"))))
+          .otherwise(array(struct(col("doc_id"), col("text"))))).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      val flagged = graft.streaming.StreamingOps.contaminationStream(
+        docs, bench, minShared = 1, n = 13)
+      runStream(spark, flagged, "append", "stream_dc_")
+        .select(col("doc_id"), col("bench_id"), col("n_shared").cast("long").as("n_shared"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // Span-level EXACT substring dedup (Lee et al. 2022 ExactSubstr at
+    // n=50): flag token spans occurring verbatim more than once in the
+    // corpus — curation cuts the SPAN, not the document. Planted twins
+    // (+800000) quote a 60-token run of their original inside unique
+    // framing, so the 11 shared 50-grams (and nothing else) must flag in
+    // BOTH docs at the right positions.
+    "span_dedup" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val quotes = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(lit("verbatim quote follows "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 60)),
+            lit(" end quote marker")).as("text"))
+      Dedup.duplicateSpans(docs.unionByName(quotes), n = 50)
+        .orderBy("doc_id", "pos")
     }),
 
     // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
@@ -1606,6 +1661,36 @@ object Queries {
          |      FROM sd d CROSS JOIN sb b)
          |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
          |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
+    "span_dedup" -> {
+      val gram50 = (0 until 50).map {
+        case 0 => "t[i]"
+        case j => s"t[i+$j]"
+      }.mkString(" || ' ' || ")
+      s"""WITH quotes AS (SELECT doc_id + 800000 AS doc_id,
+         |  'verbatim quote follows ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:60], ' ') || ' end quote marker' AS text
+         |  FROM documents WHERE doc_id < 20),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |tok AS (SELECT doc_id, $duckToks AS t FROM all_docs),
+         |sp AS (SELECT doc_id, CASE WHEN len(t) < 50 THEN [{'pos': 0, 'gram': array_to_string(t, ' ')}]
+         |       ELSE list_transform(range(1, len(t) - 48), i -> {'pos': i - 1, 'gram': $gram50}) END AS spans FROM tok),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |      FROM (SELECT doc_id, unnest(spans) AS u FROM sp)),
+         |d AS (SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram HAVING count(*) >= 2)
+         |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, d.n_occurrences
+         |FROM g JOIN d USING (gram) ORDER BY doc_id, pos""".stripMargin
+    },
+    "stream_decontaminate" ->
+      s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
+         |quotes AS (SELECT bench_id + 700000 AS doc_id,
+         |  'as the eval put it ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[10:29], ' ') || ' end of citation' AS text
+         |  FROM bench WHERE bench_id < 1000),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |sd AS (SELECT doc_id, ${duckShinglesN(duckToks, 13)} AS sh FROM all_docs),
+         |sb AS (SELECT bench_id, ${duckShinglesN(duckToks, 13)} AS sh FROM bench),
+         |p AS (SELECT d.doc_id, b.bench_id, len(list_intersect(d.sh, b.sh)) AS n_shared
+         |      FROM sd d CROSS JOIN sb b)
+         |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
     "neardup_embedding" ->
       s"""WITH all_v AS (
          |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings
@@ -1698,7 +1783,10 @@ object Queries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
-    "ann_ivf_pq" -> recallOracle(5, 10),
+    "ann_ivf_pq" ->
+      ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, " +
+        "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_df " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "ann_ivf_pq_residual" -> recallOracle(5, 10),
     "ann_ivf_filtered" -> knnOracle(duckEuclid, 5, 10, where = "e.vec_id % 3 = 0"),
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),

@@ -464,6 +464,45 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Span-level EXACT substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": remove token spans
+    * that occur verbatim more than once in the corpus — their ExactSubstr
+    * criterion at 50 tokens, here n-parameterized). Returns one row per
+    * duplicated span occurrence: (doc_id, pos, n_occurrences) where pos
+    * is the 0-based token index of an n-gram whose corpus-wide
+    * occurrence count (INCLUDING within-document repeats — boilerplate
+    * loops count) is at least `minOccurrences`. Downstream curation cuts
+    * those spans, not whole documents — the point of span-level dedup.
+    *
+    * The published implementation builds a corpus suffix array; the
+    * Spark-first equivalent is positional n-gram hashing: one narrow
+    * kernel pass emits each doc's ordered span hashes
+    * ([[graft.functions.ShingleHashes]]), the occurrence count is one
+    * hash-keyed partial-agg shuffle, and flagged spans join back on the
+    * hash. At 100 TB: rows shuffled = token count, keys are 64-bit
+    * hashes (collision odds the same bet every hashed-dedup path here
+    * takes), no suffix array, no global sort.
+    *
+    * Docs shorter than n tokens hash as one whole-text span at pos 0
+    * (the shingle kernels' documented short-doc fallback) — two copies
+    * of a short doc still flag each other.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      n: Int = 50,
+      minOccurrences: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(SqlBridge.column(graft.functions.ShingleHashes(
+          SqlBridge.expression(col(textCol)), n))).as(Seq("pos", "h")))
+    val dups = grams.groupBy("h")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minOccurrences)
+    grams.join(dups, Seq("h"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_occurrences"))
+  }
+
   /** Deterministic ±1 hyperplanes for sign-LSH (splitmix64-derived). */
   def randomPlanes(nbits: Int, dim: Int, seed: Long): Array[Array[Float]] =
     Array.tabulate(nbits, dim) { (p, d) =>

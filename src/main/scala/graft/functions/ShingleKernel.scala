@@ -113,6 +113,29 @@ object ShingleKernel {
   }
 }
 
+/** text → ALL shingle hashes in document order, duplicates kept
+  * (`array<long>`) — element i is the hash of the n-gram starting at
+  * token i, which is what positional span-level operators (exact
+  * substring dedup) consume. Same hash as [[ShingleHashSet]].
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      ShingleKernel.shingleHashesRaw(a.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.ShingleKernel.shingleHashesRaw($a, $n));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** text → distinct sorted shingle-hash set (`array<long>`). */
 case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -396,4 +396,109 @@ object Pq {
     search(spark, encoded, cb, queries, k, overscan, Some(probed), dedup,
       residualCentroids = Some(centroids))
   }
+
+  /** IVF×PQ with a DataFrame QUERY side — the corpus-vs-corpus shape
+    * (100k+ query batches against an m-bytes-per-vector corpus) where a
+    * driver-resident query array is the wrong contract. Same construction
+    * as [[Quantize.searchIvfSq8DF]]: each query row computes its own
+    * probe cells (centroids broadcast), both sides shuffle once on the
+    * cell id, and a per-cell cogroup ADC-scans the cell's codes past
+    * per-query lookup tables built inside the task — Q·nprobe/C LUTs per
+    * cell, bounded by the probe fan-out, never the data. `residual`
+    * selects IVFADC semantics (LUT from q − centroid of THIS cell).
+    * Coarse survivors rescore at full precision like every PQ path.
+    */
+  def searchIvfPqDF(
+      encoded: DataFrame, // encode[Residual](assign(...)): (id, cell, vector, pq_codes)
+      centroids: Array[Array[Float]],
+      cb: PqCodebooks,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8,
+      residual: Boolean = false): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+
+    val probes = Ivf.probeCells(queries, centroids, nprobe, "euclidean")
+    val dataByCell = encoded
+      .select(col("cell").cast("int"), col("id").cast("long"), col("pq_codes"))
+      .as[(Int, Long, Array[Byte])]
+      .groupByKey(_._1)
+
+    val kk = k * overscan
+    val coarse = dataByCell.cogroup(probes.groupByKey(_._1)) { case (cell, dIter, qIter) =>
+      val qs = qIter.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val c = bcCb.value
+        val ksub = c.ksub
+        val luts = qs.map { case (_, _, qv) =>
+          val q =
+            if (residual) {
+              val cv = bcCent.value(cell)
+              Array.tabulate(qv.length)(i => qv(i).toDouble - cv(i))
+            } else qv.map(_.toDouble)
+          buildLut(q, c)
+        }
+        val heaps = Array.fill(qs.length)(new TopK(kk))
+        dIter.foreach { case (_, id, codes) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val lut = luts(qi)
+            var adc = 0.0
+            var j = 0
+            while (j < codes.length) {
+              adc += lut(j * ksub + (codes(j) & 0xff))
+              j += 1
+            }
+            heaps(qi).push(adc, id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._2, id, d) }
+        }
+      }
+    }.toDF("qid", "id", "approx")
+
+    // dedupe BEFORE the coarse window (spilled ids; equal approx values,
+    // survivor immaterial) — same contract as searchIvfSq8DF
+    val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
+    val cand = coarse.dropDuplicates("qid", "id")
+      .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
+      .select("qid", "id")
+    Quantize.rescoreTopK(cand, encoded, queries, k, "euclidean", dedupVectors = true)
+  }
+
+  /** [[searchIvfPqDF]] over a persisted index: centroids, codebooks, the
+    * residual flag, and dimension checks self-configure from the layout
+    * with [[Ivf.loadWithMeta]]'s torn-save/completeness guards.
+    */
+  def searchSavedIvfPqDF(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8): DataFrame = {
+    val (assigned, centroids, meta) = Ivf.loadWithMeta(spark, dir)
+    require(meta.metric == "euclidean",
+      s"saved index at $dir was trained with metric '${meta.metric}' — the PQ ADC path is euclidean-only")
+    require(assigned.columns.contains("pq_codes"),
+      s"saved assignment at $dir lacks pq_codes — save encode(assign(...)) to use this path")
+    val cb = loadCodebooks(spark, dir)
+    require(cb.m * cb.dsub == meta.dim,
+      s"index at $dir is torn: codebooks cover ${cb.m * cb.dsub} dims, sidecar says ${meta.dim}")
+    val checked = queries.select(col("qid").cast("long"),
+      when(size(col("qvec")) === meta.dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit(s"query dimension != index dimension ${meta.dim}, got "),
+          size(col("qvec")).cast("string"))))
+        .as("qvec"))
+    searchIvfPqDF(assigned, centroids, cb, checked, k, nprobe, overscan,
+      residual = savedResidual(spark, dir))
+  }
 }

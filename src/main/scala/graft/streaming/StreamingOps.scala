@@ -122,6 +122,43 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming benchmark decontamination: flag arriving documents that
+    * share at least `minShared` distinct token n-gram shingles with any
+    * benchmark document — the ingestion-time form of
+    * [[graft.dedup.Dedup.contaminationPairs]] (quarantine contaminated
+    * docs BEFORE they land in the training corpus, instead of sweeping
+    * later). Returns (doc_id, bench_id, n_shared) per contaminated pair,
+    * identical to the batch operator on the same inputs.
+    *
+    * Deliberately STATELESS: the benchmark side is static and
+    * suite-sized, so each bench doc's sorted shingle-hash set broadcasts
+    * and every arriving doc evaluates |A∩B| per bench doc through the
+    * one-pass [[graft.functions.SortedIntersectCount]] kernel — a
+    * stream-static broadcast join with no aggregation, no watermark, no
+    * state store. Append mode, per-row latency, works unchanged on a
+    * batch DataFrame (the equality the catalog row's oracle checks).
+    */
+  def contaminationStream(
+      docs: DataFrame, // streaming or batch: (doc_id, text, ...)
+      benchmark: DataFrame, // static: (bench_id, text)
+      minShared: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text",
+      n: Int = 3): DataFrame = {
+    import graft.internal.SqlBridge
+    def hs(c: org.apache.spark.sql.Column) =
+      SqlBridge.column(graft.functions.ShingleHashSet(SqlBridge.expression(c), n))
+    val benchSets = benchmark.select(col(benchIdCol).as("bench_id"),
+      hs(col(benchTextCol)).as("bhs"))
+    docs.select(col(idCol).as("doc_id"), hs(col(textCol)).as("hs"))
+      .crossJoin(broadcast(benchSets))
+      .select(col("doc_id"), col("bench_id"),
+        graft.dedup.Dedup.sortedIntersectCount(col("hs"), col("bhs")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** `foreachBatch` sink that maintains persisted per-partition HNSW
     * graphs from a stream of [[VectorOp]] mutations: upserts are appended
     * (existing ids are removed first — HNSW insert is add-only), removes

@@ -463,6 +463,44 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("stateless contamination stream (batch form) equals the aggregate formulation") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")).toDF("bench_id", "text")
+    val corpus = docs(
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta iota kappa outro"),
+      (2L, "alpha beta unrelated content entirely different from the benchmark suite"),
+      (3L, "nothing in common with anything at all here truly"))
+    def canonPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("bench_id"), col("n_shared").cast("long"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    for (minShared <- Seq(1, 8)) {
+      assert(canonPairs(graft.streaming.StreamingOps.contaminationStream(corpus, bench, minShared)) ===
+        canonPairs(Dedup.contaminationPairs(corpus, bench, minShared)))
+    }
+  }
+
+  test("duplicate spans: flags repeated n-grams at their positions, counts within-doc repeats") {
+    val d = docs(
+      (1L, "a b c d e unique1 tail1"),   // "a b c d e" at pos 0
+      (2L, "lead2 a b c d e unique2"),   // same 5-gram at pos 1
+      (3L, "x y z w v x y z w v"),       // within-doc repeat: pos 0 and 5
+      (4L, "totally different words here entirely"))
+    val spans = Dedup.duplicateSpans(d, n = 5)
+      .select("doc_id", "pos", "n_occurrences").as[(Long, Long, Long)].collect().toSet
+    assert(spans.contains((1L, 0L, 2L)) && spans.contains((2L, 1L, 2L)))
+    assert(spans.contains((3L, 0L, 2L)) && spans.contains((3L, 5L, 2L)))
+    assert(!spans.exists(_._1 == 4L))
+    // nothing flagged beyond the planted duplicates
+    assert(spans.map(s => (s._1, s._2)) ===
+      Set((1L, 0L), (2L, 1L), (3L, 0L), (3L, 5L)))
+
+    // short-doc fallback: two copies of a sub-n doc flag each other at pos 0
+    val short = docs((10L, "tiny doc"), (11L, "tiny doc"), (12L, "other tiny"))
+    val s2 = Dedup.duplicateSpans(short, n = 50)
+      .select("doc_id", "pos", "n_occurrences").as[(Long, Long, Long)].collect().toSet
+    assert(s2 === Set((10L, 0L, 2L), (11L, 0L, 2L)))
+  }
+
   test("semantic near-dedup co-buckets verbatim copies and excludes distant vectors") {
     // 3 well-separated direction clusters + verbatim copies; far pairs share
     // no cell, so only the planted (i, i+100) pairs at cos_dist 0 survive

@@ -474,6 +474,39 @@ class QuantizeSpec extends SparkTestBase {
       k = 10, residualCentroids = Some(centroids)))
   }
 
+  test("PQ DataFrame query side equals the driver-array side exactly (raw and residual)") {
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qDf = queries.toSeq.toDF("qid", "qvec")
+    val centroids = Ivf.train(spark, data, c = 8, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(x => (x._1, x._3)).toSeq
+
+    val cbRaw = graft.knn.Pq.train(spark, data, m = 8, ksub = 32, iterations = 1)
+    val encRaw = graft.knn.Pq.encode(assigned, cbRaw)
+    assert(canon(graft.knn.Pq.searchIvfPqDF(encRaw, centroids, cbRaw, qDf,
+        k = 10, nprobe = 4, overscan = 8)) ===
+      canon(graft.knn.Pq.searchIvfPq(spark, encRaw, centroids, cbRaw, queries,
+        k = 10, nprobe = 4, overscan = 8)))
+
+    val cbRes = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 32, iterations = 1)
+    val encRes = graft.knn.Pq.encodeResidual(assigned, centroids, cbRes)
+    assert(canon(graft.knn.Pq.searchIvfPqDF(encRes, centroids, cbRes, qDf,
+        k = 10, nprobe = 4, overscan = 8, residual = true)) ===
+      canon(graft.knn.Pq.searchIvfPqResidual(spark, encRes, centroids, cbRes, queries,
+        k = 10, nprobe = 4, overscan = 8)))
+
+    // saved round-trip self-configures the residual flag for the DF side
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_pq_df_saved").toString
+    graft.knn.Pq.save(spark, encRes, centroids, cbRes, dir2, residual = true)
+    assert(canon(graft.knn.Pq.searchSavedIvfPqDF(spark, dir2, qDf, k = 10, nprobe = 4, overscan = 8)) ===
+      canon(graft.knn.Pq.searchIvfPqResidual(spark, encRes, centroids, cbRes, queries,
+        k = 10, nprobe = 4, overscan = 8)))
+  }
+
   test("persisted IVF-PQ index serves identically to the in-memory path; torn saves fail loudly") {
     val queries = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter("vec_id < 10").collect()
