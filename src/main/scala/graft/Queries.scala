@@ -1282,6 +1282,17 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // TEMPERATURE sampling (p_i ∝ n_i^alpha — the multilingual mixing
+    // rule): alpha=0.5 flattens the source distribution toward uniform,
+    // upsampling tail sources relative to their natural share; rates from
+    // exact counts, membership by the same md5 bucket as sample_stratified
+    "sample_temperature" -> ((spark, dir) => {
+      graft.ops.Sampling.sampleTemperature(t(spark, dir, "documents"),
+          "doc_id", "source", alpha = 0.5, targetFraction = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -1928,6 +1939,16 @@ object Queries {
         |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
         |  WHEN 'es' THEN 2500 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+        |t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS ws FROM c),
+        |r AS (SELECT c.source, CAST(floor(least(1.0, 0.5 * t.tot * pow(c.n, 0.5) / t.ws / c.n) * 10000) AS BIGINT) AS thr
+        |      FROM c CROSS JOIN t),
+        |b AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.source FROM b JOIN r USING (source)
+        |WHERE b.bucket < r.thr ORDER BY doc_id""".stripMargin,
     "sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

@@ -56,4 +56,42 @@ object Sampling {
       .filter(col("__qrank") <= quota)
       .drop("__qrank")
   }
+
+  /** TEMPERATURE sampling — the multilingual/multi-source mixing rule
+    * (sampling probability p_i ∝ n_i^alpha): alpha = 1 keeps natural
+    * proportions, alpha → 0 flattens toward uniform across sources,
+    * upsampling the tail the way multilingual pretraining re-balances
+    * low-resource languages. `targetFraction` scales the whole mixture
+    * (expected kept rows ≈ targetFraction · total); per-source keep
+    * rates are capped at 1 (this operator only downsamples — repeat
+    * epochs, not row duplication, are the upsampling mechanism).
+    *
+    * Deterministic end to end: rates derive from exact per-source counts
+    * (one partial-agg shuffle, source-cardinality result collected —
+    * sources are a handful at any corpus scale), membership is the same
+    * md5 bucket rule as [[sample]] — reproducible across engines, runs,
+    * and layouts, and mirrorable by the SQL oracle.
+    */
+  def sampleTemperature(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double,
+      targetFraction: Double,
+      seed: String = "s"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val total = counts.map(_._2).sum.toDouble
+    val weightSum = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    // p_i = n_i^alpha / Σ n_j^alpha; expected kept = targetFraction·total·p_i
+    // ⇒ per-source rate = min(1, targetFraction·total·p_i / n_i)
+    val rates = counts.map { case (g, n) =>
+      g -> math.min(1.0, targetFraction * total * math.pow(n.toDouble, alpha) / weightSum / n)
+    }
+    val threshold = rates.foldLeft(lit(-1L)) { case (acc, (g, rate)) =>
+      when(col(groupCol) === g, lit((rate * 10000).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), seed) < threshold)
+  }
 }

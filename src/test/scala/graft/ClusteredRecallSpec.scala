@@ -93,4 +93,27 @@ class ClusteredRecallSpec extends SparkTestBase {
     assert(sq === fp, "SQ8-within-probed-cells diverged from full-precision IVF on clustered data")
     assigned.unpersist()
   }
+
+  test("IVFADC on clustered corpus: residual recall >= 0.9 and >= raw PQ at the same budget") {
+    val c = 25
+    val centroids = Ivf.train(spark, data, c, iterations = 3, seeding = "kmeans||")
+    val assigned = Ivf.assign(spark, data, centroids).cache()
+    val nq = queryPairs.length
+    val cbRaw = graft.knn.Pq.train(spark, data, m = 8, ksub = 32, iterations = 2)
+    val cbRes = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 32, iterations = 2)
+    val rRaw = recallOf(
+      graft.knn.Pq.searchIvfPq(spark, graft.knn.Pq.encode(assigned, cbRaw),
+        centroids, cbRaw, queryPairs, k = 10, nprobe = 2, overscan = 8),
+      exactDf, nq, 10)
+    val rRes = recallOf(
+      graft.knn.Pq.searchIvfPqResidual(spark, graft.knn.Pq.encodeResidual(assigned, centroids, cbRes),
+        centroids, cbRes, queryPairs, k = 10, nprobe = 2, overscan = 8),
+      exactDf, nq, 10)
+    // residual codes resolve WITHIN-cluster structure: on clustered
+    // geometry (where cells ≈ clusters and raw codes mostly encode which
+    // cluster a point is in) the residual advantage is at its largest
+    assert(rRes >= 0.9, s"IVFADC recall $rRes < 0.9 on clustered corpus")
+    assert(rRes >= rRaw, s"residual recall $rRes below raw-PQ recall $rRaw at the same byte budget")
+    assigned.unpersist()
+  }
 }

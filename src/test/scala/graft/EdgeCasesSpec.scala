@@ -130,6 +130,27 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(graft.ops.Sampling.sampleQuota(df, "doc_id", "source", 100).count() === 200)
   }
 
+  test("temperature sampling flattens source shares; alpha=1 keeps natural proportions") {
+    // skewed corpus: 1000 head rows, 100 tail rows
+    val df = ((0L until 1000L).map(i => (i, "head")) ++ (1000L until 1100L).map(i => (i, "tail")))
+      .toDF("doc_id", "source")
+    val flat = graft.ops.Sampling.sampleTemperature(df, "doc_id", "source",
+        alpha = 0.3, targetFraction = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // alpha << 1 upweights the tail: its KEEP RATE must exceed the head's
+    assert(flat("tail").toDouble / 100 > flat("head").toDouble / 1000)
+    // alpha = 1: p_i proportional to n_i => every source keeps ~targetFraction
+    val nat = graft.ops.Sampling.sampleTemperature(df, "doc_id", "source",
+        alpha = 1.0, targetFraction = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(nat("head").toDouble / 1000 - 0.5) < 0.1)
+    assert(math.abs(nat("tail").toDouble / 100 - 0.5) < 0.2)
+    // deterministic across layouts
+    def ids(parts: Int) = graft.ops.Sampling.sampleTemperature(df.repartition(parts),
+      "doc_id", "source", alpha = 0.3, targetFraction = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(3) === ids(7))
+  }
+
   test("TopK with k=0 accepts pushes and stays empty") {
     val t = new graft.knn.TopK(0)
     t.push(1.0, 1L)
