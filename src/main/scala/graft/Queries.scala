@@ -570,6 +570,23 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // DataSource V2: persisted HNSW partition graphs read back as a
+    // TABLE (spark.read.format("hnsw")) — the relational escape hatch
+    // for index artifacts (audits, migrations, re-embeds) with manifest
+    // validation at planning and column pruning into the reader. The
+    // oracle proves the binary format round-trips vectors byte-exactly:
+    // norms computed from the re-read artifacts must equal norms DuckDB
+    // computes from the original parquet.
+    "hnsw_source" -> ((spark, dir) => {
+      val (data, _) = knnInputs(spark, dir, 1)
+      val out = java.nio.file.Files.createTempDirectory("hnsw_src_q").toString
+      HnswSpark.buildAndSave(spark, data, out, config = HnswConfig(), numPartitions = 4)
+      spark.read.format("hnsw").load(out)
+        .select(col("id").as("vec_id"), size(col("vector")).cast("long").as("dim"),
+          round(vec.norm(col("vector").cast("array<double>")), 4).as("norm"))
+        .orderBy("vec_id")
+    }),
+
     // §2.18 IVF-Flat ANN, self-scored two ways in one query:
     //  (a) full_probe_exact — at nprobe=C the probe covers every cell, so
     //      IVF provably degrades to exact kNN (same kernel, same (dist,id)
@@ -879,6 +896,22 @@ object Queries {
             lit(" end quote marker")).as("text"))
       Dedup.duplicateSpans(docs.unionByName(quotes), n = 50)
         .orderBy("doc_id", "pos")
+    }),
+
+    // span_dedup APPLIED: rebuild documents with every duplicated-span
+    // token removed (the Lee et al. remediation — cut the span, keep the
+    // doc). Planted twins (+900000) quote a 60-token run; both the twin
+    // AND the original lose exactly the covered tokens, everything else
+    // survives verbatim (normalized token stream).
+    "span_dedup_clean" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val quotes = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(lit("verbatim quote follows "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 60)),
+            lit(" end quote marker")).as("text"))
+      Dedup.removeDuplicateSpans(docs.unionByName(quotes), n = 50)
+        .orderBy("doc_id")
     }),
 
     // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
@@ -1690,6 +1723,30 @@ object Queries {
          |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, d.n_occurrences
          |FROM g JOIN d USING (gram) ORDER BY doc_id, pos""".stripMargin
     },
+    "span_dedup_clean" -> {
+      val gram50 = (0 until 50).map {
+        case 0 => "t[i]"
+        case j => s"t[i+$j]"
+      }.mkString(" || ' ' || ")
+      s"""WITH quotes AS (SELECT doc_id + 900000 AS doc_id,
+         |  'verbatim quote follows ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:60], ' ') || ' end quote marker' AS text
+         |  FROM documents WHERE doc_id < 20),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |tok AS (SELECT doc_id, $duckToks AS t FROM all_docs),
+         |sp AS (SELECT doc_id, CASE WHEN len(t) < 50 THEN [{'pos': 0, 'gram': array_to_string(t, ' ')}]
+         |       ELSE list_transform(range(1, len(t) - 48), i -> {'pos': i - 1, 'gram': $gram50}) END AS spans FROM tok),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |      FROM (SELECT doc_id, unnest(spans) AS u FROM sp)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |mask AS (SELECT doc_id, flatten(list_transform(list(pos), p -> range(p, p + 50))) AS cov
+         |         FROM g JOIN d USING (gram) GROUP BY doc_id)
+         |SELECT tok.doc_id,
+         |  CASE WHEN m.cov IS NULL THEN array_to_string(t, ' ')
+         |       ELSE coalesce(array_to_string(list_transform(list_filter(range(len(t)), i -> NOT list_contains(m.cov, i)), i -> t[i+1]), ' '), '')
+         |  END AS clean_text
+         |FROM tok LEFT JOIN mask m ON tok.doc_id = m.doc_id
+         |ORDER BY tok.doc_id""".stripMargin
+    },
     "stream_decontaminate" ->
       s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
          |quotes AS (SELECT bench_id + 700000 AS doc_id,
@@ -1794,6 +1851,10 @@ object Queries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "hnsw_source" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         |round(sqrt(${duckNormSq(dEmb("embedding"))}), 4) AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "ann_ivf_pq" ->
       ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, " +
         "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_df " +

@@ -503,6 +503,44 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_occurrences"))
   }
 
+  /** [[duplicateSpans]] APPLIED: rebuild each document with every token
+    * covered by a duplicated span removed — the operator curation
+    * actually runs (Lee et al. cut the spans, not the documents; a doc
+    * sharing one boilerplate paragraph with a thousand others is still
+    * mostly unique signal). Returns (doc_id, clean_text) for EVERY input
+    * doc; untouched docs pass through.
+    *
+    * Operates on the normalized token stream (lowercased,
+    * whitespace-split — the same stream the spans were computed on), so
+    * `clean_text` is space-joined normalized tokens, not original bytes.
+    * A doc shorter than n tokens that duplicates another hashes as one
+    * whole-text span and cleans to the empty string — the two copies ARE
+    * the duplicated span.
+    *
+    * Scale shape: [[duplicateSpans]]'s two shuffles, plus one per-doc
+    * position-list aggregation (bounded by doc length) and a left join
+    * back to the corpus on doc_id; the rebuild itself is a narrow
+    * projection.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      n: Int = 50,
+      minOccurrences: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val flagged = duplicateSpans(docs, n, minOccurrences, idCol, textCol)
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    val covered = array_distinct(flatten(transform(col("ps"),
+      p => sequence(p, p + lit(n - 1)))))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ps").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("toks"), (_, i) => !array_contains(covered, i.cast("long")))))
+          .as("clean_text"))
+  }
+
   /** Deterministic ±1 hyperplanes for sign-LSH (splitmix64-derived). */
   def randomPlanes(nbits: Int, dim: Int, seed: Long): Array[Array[Float]] =
     Array.tabulate(nbits, dim) { (p, d) =>

@@ -454,6 +454,14 @@ final class HnswIndex(val metric: Int, val config: HnswConfig, val seed: Long = 
     idToSlot(v.id) = vertices.size - 1
   }
 
+  /** Live vertices as (id, vector, level, metadata) rows — the relational
+    * view of the graph that [[graft.sources.HnswDataSource]] exposes as a
+    * Spark table. Tombstoned vertices are excluded: they are through-nodes
+    * of the graph, not members of the dataset.
+    */
+  def vertexRows: Iterator[(Long, Array[Float], Int, Array[Byte])] =
+    vertices.iterator.filter(!_.deleted).map(v => (v.id, v.vector, v.level, v.metadata))
+
   private[hnsw] def restoreEntrypoint(slot: Int): Unit = entrypoint = slot
 
   // ------------------------------------------------------------- persistence

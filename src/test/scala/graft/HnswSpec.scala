@@ -266,6 +266,33 @@ class HnswSparkSpec extends SparkTestBase {
     assert(idx.search(q, 5).nonEmpty)
   }
 
+  test("hnsw DataSource V2: saved graphs read back as a table, columns prune, torn sets fail at planning") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("hnsw_dsv2").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+    HnswSpark.buildAndSave(spark, data, out, numPartitions = 4)
+
+    val tbl = spark.read.format("hnsw").load(out)
+    assert(tbl.count() === 500)
+    // every (id, vector) round-trips the binary format byte-exactly
+    val back = tbl.select(col("id"), col("vector")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toMap
+    val orig = data.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toMap
+    assert(back === orig)
+    // part column reflects the artifact; levels are non-negative
+    assert(tbl.select("part").distinct().count() === 4)
+    assert(tbl.filter(col("level") < 0).count() === 0)
+    // column pruning reaches the reader (ReadSchema excludes vector)
+    val pruned = tbl.select("id").queryExecution.executedPlan.toString
+    assert(!pruned.contains("vector"), s"vector not pruned from scan:\n$pruned")
+    // a torn artifact set (file deleted under the manifest) fails at planning
+    val victim = new java.io.File(out).listFiles().filter(_.getName.endsWith(".hnsw")).head
+    victim.delete()
+    intercept[Exception](spark.read.format("hnsw").load(out).count())
+  }
+
   test("appendAndSave/removeAndSave maintain persisted graphs incrementally") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("hnsw_inc").toString
