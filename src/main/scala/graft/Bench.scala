@@ -23,8 +23,13 @@ object Bench {
     // only attributable when environment drift is squeezed out of the
     // measurement. The min is the statistic least sensitive to load spikes.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Optional comma-separated query filter (local iteration only; the
+    // driver passes no args and benches the full catalog).
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // a failed rep contributes no timing — min over successes only, so a
       // broken query reports -1 next to its error entry instead of the
       // misleadingly fast time of the rep that threw

@@ -37,6 +37,12 @@ object vec {
   def dot(a: Column, b: Column): Column = c(VectorDot(e(a), e(b)))
   def norm(a: Column): Column = c(VectorNorm(e(a)))
 
+  /** Fused SQ8 encode — struct(codes, q_scale, q_offset, q_err, q_err_l1);
+    * `normalize = true` L2-normalizes first (NULL for zero-norm vectors).
+    */
+  def sq8Encode(a: Column, normalize: Boolean = false): Column =
+    c(Sq8Encode(e(a), normalize))
+
   def toBytes(a: Column): Column = c(VecToBytes(e(a)))
   def fromBytes(a: Column): Column = c(VecFromBytes(e(a)))
 

@@ -48,21 +48,98 @@ object Pq {
       sampleCap: Int = 100000,
       seed: Long = 42L,
       seeding: String = "kmeans||"): PqCodebooks = {
-    val dim = data.select(size(col("vector"))).head().getInt(0)
+    import spark.implicits._
+    // dim + row count in ONE aggregation pass (they were two jobs)
+    val statsRow = data.agg(first(size(col("vector"))), count(lit(1))).head()
+    val dim = statsRow.getInt(0)
+    val n = statsRow.getLong(1)
     require(dim % m == 0, s"dim $dim must divide by m=$m subspaces")
     val dsub = dim / m
-    val n = data.count()
     val sample =
       if (n <= sampleCap) data
       else data.filter(
         pmod(xxhash64(col("id"), lit(seed)), lit(1000000L)) < (sampleCap.toDouble / n * 1e6).toLong)
-    val cached = sample.select(col("id"), col("vector")).persist()
+    val cached = sample.select(col("id").cast("long"),
+      col("vector").cast("array<float>")).persist()
     try {
-      val books = Array.tabulate(m) { j =>
-        val sub = cached.select(col("id"),
-          slice(col("vector"), j * dsub + 1, dsub).as("vector"))
-        Ivf.train(spark, sub, ksub, iterations = iterations, seeding = seeding,
-          seed = seed + j)
+      // Seeding per subspace. The m subspace trainings are independent
+      // k-means problems over the SAME sample rows, so the Lloyd steps
+      // batch into one pass per iteration below — m separate Ivf.train
+      // calls cost m·iterations tiny jobs of pure scheduling overhead.
+      var books: Array[Array[Array[Float]]] = seeding match {
+        case "kmeans||" =>
+          Array.tabulate(m) { j =>
+            val sub = cached.select(col("id"),
+              slice(col("vector"), j * dsub + 1, dsub).as("vector"))
+            Ivf.seedKMeansPar(spark, sub, ksub, seed = seed + j)
+          }
+        case _ =>
+          // first-ksub rows by id, sliced on the driver: one job seeds all m
+          val firstRows = cached.orderBy("id").limit(ksub)
+            .select("vector").as[Array[Float]].collect()
+          Array.tabulate(m)(j => firstRows.map(_.slice(j * dsub, (j + 1) * dsub)))
+      }
+      val kEff = books.map(_.length).min
+      require(books.forall(_.length == kEff),
+        s"subspace seed counts diverge (${books.map(_.length).mkString(",")})")
+
+      // Joint Lloyd: ONE mapPartitions + treeReduce per iteration moves
+      // m·kEff·dsub = dim·kEff doubles per partition — the m-subspace
+      // batching is free relative to a single k-means of the same dim.
+      // Assignment uses the same SIMD kernel + first-wins tie-break as
+      // Ivf.assign, so the result matches the per-subspace formulation.
+      var it = 0
+      while (it < iterations) {
+        val bc = spark.sparkContext.broadcast(books)
+        val (sums, counts) = cached.as[(Long, Array[Float])].rdd
+          .mapPartitions { iter =>
+            val bks = bc.value
+            val kernel = graft.core.DistKernel.best
+            val s = Array.ofDim[Double](m, kEff, dsub)
+            val cnt = Array.ofDim[Long](m, kEff)
+            val sub = new Array[Float](dsub)
+            iter.foreach { case (_, v) =>
+              var j = 0
+              while (j < m) {
+                System.arraycopy(v, j * dsub, sub, 0, dsub)
+                var best = 0
+                var bestDist = Double.MaxValue
+                var c = 0
+                while (c < kEff) {
+                  val d = kernel.euclidean(sub, bks(j)(c))
+                  if (d < bestDist) { bestDist = d; best = c }
+                  c += 1
+                }
+                cnt(j)(best) += 1
+                var i = 0
+                while (i < dsub) { s(j)(best)(i) += sub(i); i += 1 }
+                j += 1
+              }
+            }
+            Iterator.single((s, cnt))
+          }
+          .treeReduce { case ((s1, n1), (s2, n2)) =>
+            var j = 0
+            while (j < m) {
+              var c = 0
+              while (c < kEff) {
+                var i = 0
+                while (i < dsub) { s1(j)(c)(i) += s2(j)(c)(i); i += 1 }
+                n1(j)(c) += n2(j)(c)
+                c += 1
+              }
+              j += 1
+            }
+            (s1, n1)
+          }
+        books = Array.tabulate(m) { j =>
+          Array.tabulate(kEff) { c =>
+            if (counts(j)(c) == 0) books(j)(c)
+            else Array.tabulate(dsub)(i => (sums(j)(c)(i) / counts(j)(c)).toFloat)
+          }
+        }
+        bc.destroy()
+        it += 1
       }
       PqCodebooks(m, dsub, books)
     } finally cached.unpersist()

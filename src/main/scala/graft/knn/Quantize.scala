@@ -24,31 +24,18 @@ object Quantize {
     * scans under the euclidean and manhattan metrics respectively.
     */
   def sq8(data: DataFrame, vectorCol: String = "vector"): DataFrame = {
-    val v = col(vectorCol)
-    val mn = array_min(v)
-    val mx = array_max(v)
-    val scale = ((mx - mn) / lit(255f)).cast("float")
-    // stored as signed tinyint (code - 128) for true 1-byte-per-dim storage
-    val codes = transform(v, x =>
-      (when(scale === 0f, lit(0))
-        .otherwise(round((x - mn) / scale).cast("int")) - 128)
-        .cast("tinyint"))
-    val err = sqrt(aggregate(
-      zip_with(v.cast("array<double>"),
-        dequantize(col("codes"), col("q_scale"), col("q_offset")).cast("array<double>"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0d), (acc, e) => acc + e))
-    val errL1 = aggregate(
-      zip_with(v.cast("array<double>"),
-        dequantize(col("codes"), col("q_scale"), col("q_offset")).cast("array<double>"),
-        (x, y) => abs(x - y)),
-      lit(0d), (acc, e) => acc + e)
+    // fused one-pass kernel (graft.functions.Sq8Encode); the composed
+    // higher-order-function formulation (array_min/max + transform +
+    // two zip_with/aggregate error passes) is bit-identical but walks
+    // the array ~8x through boxed lambdas — Sq8Spec pins the equivalence
     data
-      .withColumn("q_offset", mn.cast("float"))
-      .withColumn("q_scale", scale)
-      .withColumn("codes", codes)
-      .withColumn("q_err", err * lit(1.0 + 1e-9) + lit(1e-12))
-      .withColumn("q_err_l1", errL1 * lit(1.0 + 1e-9) + lit(1e-12))
+      .withColumn("__enc", graft.functions.vec.sq8Encode(col(vectorCol)))
+      .withColumn("q_offset", col("__enc.q_offset"))
+      .withColumn("q_scale", col("__enc.q_scale"))
+      .withColumn("codes", col("__enc.codes"))
+      .withColumn("q_err", col("__enc.q_err"))
+      .withColumn("q_err_l1", col("__enc.q_err_l1"))
+      .drop("__enc")
   }
 
   private[knn] def dequantizeArr(codes: Array[Short], scale: Float, offset: Float): Array[Float] = {
@@ -273,14 +260,24 @@ object Quantize {
       data: DataFrame, // (id, vector)
       queries: Array[(Long, Array[Float])],
       k: Int): DataFrame = {
+    // normalize + encode in ONE fused kernel pass (Sq8Encode with
+    // normalize=true); zero-norm corpus vectors encode to NULL and are
+    // filtered — the same exclusion the column formulation expressed as
+    // `norm > 0` (rationale in the scaladoc above)
+    // the normalized `vector` column is only touched by searchExact's
+    // candidate rescore (column pruning keeps it out of both 1-byte/dim
+    // τ scans), so the normalize transform runs once, not three times
     val norm = sqrt(aggregate(col("vector").cast("array<double>"),
       lit(0d), (acc, x) => acc + x * x))
-    val normalized = data
-      .select(col("id"), col("vector"))
-      .withColumn("__norm", norm)
-      .filter(col("__norm") > 0d)
-      .withColumn("vector", transform(col("vector"), x => (x / col("__norm")).cast("float")))
-      .drop("__norm")
+    val quantizedN = data
+      .select(col("id"), col("vector"),
+        graft.functions.vec.sq8Encode(col("vector"), normalize = true).as("__enc"))
+      .filter(col("__enc").isNotNull)
+      .select(col("id"),
+        transform(col("vector"), x => (x / norm).cast("float")).as("vector"),
+        col("__enc.codes").as("codes"),
+        col("__enc.q_scale").as("q_scale"), col("__enc.q_offset").as("q_offset"),
+        col("__enc.q_err").as("q_err"), col("__enc.q_err_l1").as("q_err_l1"))
     def normalizeQ(qid: Long, v: Array[Float]): Array[Float] = {
       var acc = 0.0
       var i = 0
@@ -291,7 +288,7 @@ object Quantize {
           "corpus-side exclusion above; drop or re-embed the query")
       v.map(x => (x / n).toFloat)
     }
-    val exactL2 = searchExact(spark, sq8(normalized),
+    val exactL2 = searchExact(spark, quantizedN,
       queries.map { case (qid, qv) => (qid, normalizeQ(qid, qv)) }, k)
 
     // the SET is exact; report/rank by the true cosine distance on the

@@ -74,7 +74,11 @@ object Curation {
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("doc_id"))
         exactDeduped.join(drops, Seq("doc_id"), "left_anti")
-      case None => exactDedupedRaw // single consumer: nothing to reuse
+      case None =>
+        // still multi-consumer when a semantic stage follows (embedding
+        // join + the final anti-join both replay the digest shuffle)
+        if (semanticThreshold.isDefined) exactDedupedRaw.persist()
+        else exactDedupedRaw // single consumer: nothing to reuse
     }
 
     // semantic stage: only docs WITH an embedding can be semantically
@@ -82,15 +86,22 @@ object Curation {
     // restriction here would silently drop them from the corpus)
     val semDeduped = semanticThreshold match {
       case Some(th) =>
+        // the embedding join feeds k-means training (multi-pass), the
+        // assignment pass, AND the connected-components edge
+        // materialization (eager, inside this call) — persist it across
+        // those consumers instead of re-running the upstream dedup plan
+        // per pass; released as soon as the eager fixpoint is done
         val vecs = deduped.select(col("doc_id").as("id"))
           .join(embeddings.select(col("vec_id").as("id"), col("embedding").as("vector")),
             Seq("id"))
+          .persist()
         val pairs = Dedup.semanticNearDupPairs(vecs, semanticCells, th,
           seeding = semanticSeeding)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         val drops = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("group_id"))
           .select(col("id").as("doc_id"))
+        vecs.unpersist(blocking = false) // CC checkpointed: lineage is cut
         deduped.join(drops, Seq("doc_id"), "left_anti")
       case None => deduped
     }
