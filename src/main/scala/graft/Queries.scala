@@ -587,6 +587,23 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // DataSource V2 WRITE path: a declarative distributed index build —
+    // df.write.format("hnsw") with RequiresDistributionAndOrdering (the
+    // planner supplies the id-clustered, id-sorted layout; the manifest
+    // commits LAST from task (name,len,crc) messages). Read back through
+    // the DSv2 read path; the oracle proves the full write→read loop
+    // round-trips vectors byte-exactly (HnswSparkSpec additionally pins
+    // artifact-level CRC equality with the programmatic buildAndSave).
+    "hnsw_write" -> ((spark, dir) => {
+      val (data, _) = knnInputs(spark, dir, 1)
+      val out = java.nio.file.Files.createTempDirectory("hnsw_wr_q").toString
+      data.write.format("hnsw").option("partitions", 4).mode("overwrite").save(out)
+      spark.read.format("hnsw").load(out)
+        .select(col("id").as("vec_id"), size(col("vector")).cast("long").as("dim"),
+          round(vec.norm(col("vector").cast("array<double>")), 4).as("norm"))
+        .orderBy("vec_id")
+    }),
+
     // §2.18 IVF-Flat ANN, self-scored two ways in one query:
     //  (a) full_probe_exact — at nprobe=C the probe covers every cell, so
     //      IVF provably degrades to exact kNN (same kernel, same (dist,id)
@@ -1852,6 +1869,10 @@ object Queries {
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "hnsw_source" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         |round(sqrt(${duckNormSq(dEmb("embedding"))}), 4) AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "hnsw_write" ->
       s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
          |round(sqrt(${duckNormSq(dEmb("embedding"))}), 4) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,

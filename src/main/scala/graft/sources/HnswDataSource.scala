@@ -1,12 +1,14 @@
 package graft.sources
 
-import graft.hnsw.HnswIndex
-import graft.io.{HadoopIO, SerializableHadoopConf}
+import graft.hnsw.{HnswConfig, HnswIndex}
+import graft.io.{HadoopIO, Manifest, ManifestEntry, SerializableHadoopConf}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,13 +39,22 @@ class HnswDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     HnswDataSource.schema
 
+  // the WRITE schema is the incoming frame's (id, vector[, metadata]) —
+  // narrower than the read schema (part/level are build products), so the
+  // provider accepts external metadata and validates it in newWriteBuilder
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("hnsw source requires a path: spark.read.format(\"hnsw\").load(dir)"))
-    new HnswTable(path)
+    // reads resolve with the inferred artifact schema; writes hand the
+    // incoming frame's (narrower) schema through here — the table must
+    // echo it back or Spark demands build-product columns (part/level)
+    // from the writer
+    new HnswTable(path, schema)
   }
 }
 
@@ -56,13 +67,178 @@ object HnswDataSource {
     StructField("metadata", BinaryType, nullable = true)))
 }
 
-private[sources] class HnswTable(path: String) extends Table with SupportsRead {
+private[sources] class HnswTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"hnsw:$path"
-  override def schema(): StructType = HnswDataSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HnswScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    val extra = s.fieldNames.filterNot(Set("id", "vector", "metadata"))
+    require(extra.isEmpty,
+      s"hnsw write takes (id long, vector array<float>[, metadata binary]) — " +
+        s"unexpected column(s) ${extra.mkString(", ")}; project them away (level/part are build products)")
+    def fieldType(n: String): Option[DataType] = s.find(_.name == n).map(_.dataType)
+    require(fieldType("id").contains(LongType),
+      s"hnsw write needs id: bigint, got ${fieldType("id").map(_.catalogString).getOrElse("<missing>")}")
+    require(fieldType("vector").exists {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }, s"hnsw write needs vector: array<float>, got ${fieldType("vector").map(_.catalogString).getOrElse("<missing>")} (cast first)")
+    require(fieldType("metadata").forall(_ == BinaryType),
+      s"hnsw write needs metadata: binary, got ${fieldType("metadata").map(_.catalogString).get}")
+    new HnswWriteBuilder(path, s, info.options(), truncate = false)
+  }
+}
+
+/** `df.write.format("hnsw").save(dir)` — distributed HNSW index BUILD as
+  * a declarative Spark write. [[RequiresDistributionAndOrdering]] asks the
+  * PLANNER for the id-clustered, id-sorted layout the deterministic build
+  * needs (the same hash-partition + in-partition sort
+  * [[graft.hnsw.HnswSpark.buildAndSave]] does by hand), so the write
+  * composes with AQE and whatever upstream shape the frame already has.
+  * Each task builds one partition graph and writes `part-<pid>.hnsw`; the
+  * driver commit writes the completeness manifest LAST from the tasks'
+  * (name, len, crc) commit messages — a torn job never publishes a
+  * readable manifest (same fail-loud contract as the programmatic path,
+  * enforced at read planning).
+  *
+  * Options: `metric` (euclidean|manhattan|cosine), `m`, `ef_construction`,
+  * `heuristic`, `partitions` (exact output partition count; 0 = planner's
+  * choice). Modes: `overwrite` truncates the directory; `append` is only
+  * valid into an empty/new directory — incremental maintenance is the
+  * delta-log streaming path, not a blind second build.
+  */
+private[sources] class HnswWriteBuilder(
+    path: String,
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+
+  override def truncate(): WriteBuilder =
+    new HnswWriteBuilder(path, schema, options, truncate = true)
+
+  override def build(): Write = {
+    val metric = options.getOrDefault("metric", "euclidean")
+    val config = HnswConfig(
+      m = options.getInt("m", HnswConfig().m),
+      ef = options.getInt("ef", HnswConfig().ef),
+      efConstruction = options.getInt("ef_construction", HnswConfig().efConstruction),
+      heuristic = options.getBoolean("heuristic", HnswConfig().heuristic))
+    new HnswWrite(path, schema, graft.core.Distances.metricId(metric), config,
+      options.getInt("partitions", 0), truncate)
+  }
+}
+
+private[sources] class HnswWrite(
+    path: String,
+    schema: StructType,
+    metric: Int,
+    config: HnswConfig,
+    partitions: Int,
+    truncate: Boolean) extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("id")))
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("id"), SortDirection.ASCENDING))
+  override def requiredNumPartitions(): Int = partitions
+  override def description(): String = s"hnsw:$path"
+
+  override def toBatch: BatchWrite = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new HnswBatchWrite(path, schema, metric, config, truncate,
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+private[sources] case class HnswCommit(name: String, len: Long, crc: Long)
+    extends WriterCommitMessage
+
+private[sources] class HnswBatchWrite(
+    path: String,
+    schema: StructType,
+    metric: Int,
+    config: HnswConfig,
+    truncate: Boolean,
+    conf: SerializableHadoopConf) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val hconf = conf.value
+    HadoopIO.mkdirs(path, hconf)
+    val existing = HadoopIO.globWithLength(path, "*.hnsw", hconf)
+    if (truncate) {
+      existing.foreach { case (uri, _) => HadoopIO.delete(uri, hconf) }
+      HadoopIO.delete(s"$path/${Manifest.FileName}", hconf)
+    } else {
+      require(existing.isEmpty && Manifest.read(path, hconf).isEmpty,
+        s"$path already holds an hnsw index — use mode(\"overwrite\") to rebuild, or the " +
+          "streaming maintenance API for incremental updates (append would tear the graph set)")
+    }
+    new HnswWriterFactory(schema, metric, config, path, conf)
+  }
+
+  // tasks write their final part-<pid> names directly (partition id, not
+  // attempt, names the artifact — a retry overwrites its predecessor);
+  // the manifest is the publish point and is written last, here
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case HnswCommit(name, len, crc) if name != null =>
+      ManifestEntry(name, len, crc)
+    }
+    Manifest.write(path, entries.toSeq, conf.value)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case HnswCommit(name, _, _) if name != null =>
+        try HadoopIO.delete(s"$path/$name", conf.value) catch { case _: Exception => () }
+      case _ => ()
+    }
+}
+
+private[sources] class HnswWriterFactory(
+    schema: StructType,
+    metric: Int,
+    config: HnswConfig,
+    path: String,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new HnswDataWriter(partitionId, schema, metric, config, path, conf)
+}
+
+private[sources] class HnswDataWriter(
+    partitionId: Int,
+    schema: StructType,
+    metric: Int,
+    config: HnswConfig,
+    path: String,
+    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+
+  private val idIdx = schema.fieldIndex("id")
+  private val vecIdx = schema.fieldIndex("vector")
+  private val metaIdx = if (schema.fieldNames.contains("metadata")) schema.fieldIndex("metadata") else -1
+  private val index = new HnswIndex(metric, config)
+
+  override def write(row: InternalRow): Unit = {
+    val meta = if (metaIdx >= 0 && !row.isNullAt(metaIdx)) row.getBinary(metaIdx) else null
+    index.add(row.getLong(idIdx), row.getArray(vecIdx).toFloatArray(), meta)
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (index.size == 0) HnswCommit(null, 0L, 0L) // empty partition: no artifact
+    else {
+      val name = s"part-$partitionId.hnsw"
+      val (_, len, crc) = HadoopIO.writeChecked(s"$path/$name", conf.value)(index.save)
+      HnswCommit(name, len, crc)
+    }
+
+  override def abort(): Unit = () // nothing durable until commit()
+  override def close(): Unit = ()
 }
 
 private[sources] class HnswScanBuilder(path: String)

@@ -293,6 +293,48 @@ class HnswSparkSpec extends SparkTestBase {
     intercept[Exception](spark.read.format("hnsw").load(out).count())
   }
 
+  test("hnsw DataSource V2 write: declarative build matches buildAndSave byte-for-byte, modes enforce") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val data = e.selectExpr("vec_id as id", "embedding as vector")
+
+    // programmatic build = ground truth
+    val ref = java.nio.file.Files.createTempDirectory("hnsw_w_ref").toString
+    HnswSpark.buildAndSave(spark, data, ref, numPartitions = 4)
+    // declarative build: planner supplies the id-clustered id-sorted layout
+    val out = java.nio.file.Files.createTempDirectory("hnsw_w_out").toString
+    data.write.format("hnsw").option("partitions", 4).mode("append").save(out)
+
+    def crcs(d: String): Map[String, Long] =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".hnsw")).map { f =>
+        val crc = new java.util.zip.CRC32
+        crc.update(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getName -> crc.getValue
+      }.toMap
+    assert(crcs(out) === crcs(ref),
+      "DSv2 write artifacts differ from buildAndSave — distribution/ordering/insert parity broken")
+
+    // the written index is a readable table AND a searchable index
+    assert(spark.read.format("hnsw").load(out).count() === 500)
+    val q = data.filter(col("id") === 7).select("vector").collect()(0).getSeq[Float](0).toArray
+    val hits = HnswSpark.searchSaved(spark, out, Array((7L, q)), k = 5).collect()
+    assert(hits.nonEmpty && hits.exists(_.getLong(1) == 7L))
+
+    // append into an existing index fails loudly; overwrite truncates
+    val err = intercept[Exception](
+      data.write.format("hnsw").option("partitions", 4).mode("append").save(out))
+    assert(String.valueOf(err.getMessage).contains("overwrite"))
+    data.limit(100).write.format("hnsw").option("partitions", 2).mode("overwrite").save(out)
+    assert(spark.read.format("hnsw").load(out).count() === 100)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".hnsw")) === 2)
+
+    // unknown columns are rejected at analysis, not silently dropped
+    val bad = intercept[Exception](
+      data.withColumn("junk", lit(1)).write.format("hnsw").mode("overwrite").save(out))
+    assert(String.valueOf(bad.getMessage).contains("junk"))
+  }
+
   test("appendAndSave/removeAndSave maintain persisted graphs incrementally") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("hnsw_inc").toString
