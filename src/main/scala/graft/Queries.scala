@@ -1170,6 +1170,66 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.17 CCNet/RefinedWeb LINE-level boilerplate dedup, APPLIED:
+    // lines shared by ≥2 distinct docs (planted nav/footer chrome around
+    // copies of the first 30 docs — including each copied doc's own body
+    // line, so full-removal docs exercise the empty-clean path) are cut
+    // from every document; unique lines survive verbatim in order.
+    "line_dedup_clean" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val wrapped = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(lit("share this article\n"), col("text"),
+            lit("\nall rights reserved\nsubscribe to our newsletter")).as("text"))
+      Dedup.removeDuplicateLines(docs.unionByName(wrapped), minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // §2.20 DSIR importance weights (Xie et al. 2023): smoothed unigram
+    // log-likelihood ratio of each doc under the target (en docs) vs the
+    // corpus distribution — the data-selection score you resample by.
+    "dsir_weights" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dsir_weight"), 4).as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.20 corpus profiling: per-source doc counts, char totals, and
+    // EXACT p50/p95 length percentiles (Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition) — the
+    // summary a mixing/quota decision reads before setting rates.
+    "corpus_profile" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_chars").as("total_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+        .orderBy("source")
+    }),
+
+    // §2.20 PII redaction (RefinedWeb/FineWeb hygiene): emails and
+    // phone-shaped digit runs replaced by fixed placeholders, counted per
+    // doc; RE2-safe patterns so both engines match identically. Planted
+    // docs carry one of each; the corpus itself must come through intact.
+    "pii_redact" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit("contact user"), col("doc_id"), lit("@mail.example.org or +1 (555) 123-4567 today "),
+            col("text")).as("text"))
+      val countCols = TextAnalysis.piiCounts(col("text"))
+        .map { case (name, c) => c.cast("long").as(name) }
+      docs.unionByName(planted)
+        .select(col("doc_id") +: countCols :+
+          TextAnalysis.redactPii(col("text")).as("redacted"): _*)
+        .orderBy("doc_id")
+    }),
+
     // §2.20 composite quality score (length + stopword components)
     "quality_score" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -1813,6 +1873,58 @@ object Queries {
          |  round(len(list_filter(lns, l -> starts_with(ltrim(l, ' '), '- ') OR starts_with(ltrim(l, ' '), '* ') OR starts_with(ltrim(l, ' '), '• ')))::DOUBLE / len(lns), 4) AS bullet_line_frac,
          |  round(len(list_filter(lns, l -> ends_with(rtrim(l, ' '), '...')))::DOUBLE / len(lns), 4) AS ellipsis_line_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    "line_dedup_clean" ->
+      s"""WITH wrapped AS (SELECT doc_id + 400000 AS doc_id,
+         |  'share this article' || chr(10) || text || chr(10) || 'all rights reserved' || chr(10) || 'subscribe to our newsletter' AS text
+         |  FROM documents WHERE doc_id < 30),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM wrapped),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lns FROM all_docs),
+         |l AS (SELECT doc_id, u.pos AS pos, u.line AS line
+         |      FROM (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1),
+         |              i -> {'pos': i - 1, 'line': lns[i]})) AS u FROM ls)),
+         |d AS (SELECT trim(line) AS lkey FROM l WHERE trim(line) <> ''
+         |      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM l LEFT JOIN d ON trim(l.line) = d.lkey
+         |         WHERE d.lkey IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT ls.doc_id, CAST(len(ls.lns) AS BIGINT) AS n_lines,
+         |  CAST(len(ls.lns) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM ls LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH tokc AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |tokt AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
+         |cs AS (SELECT token, count(*) AS cs FROM tokc GROUP BY token),
+         |ctt AS (SELECT token, count(*) AS ct FROM tokt GROUP BY token),
+         |cnt AS (SELECT cs.token, cs.cs, coalesce(ctt.ct, 0) AS ct
+         |        FROM cs LEFT JOIN ctt USING (token)),
+         |tot AS (SELECT sum(cs)::DOUBLE AS ns, sum(ct)::DOUBLE AS nt, count(*)::DOUBLE AS v FROM cnt)
+         |SELECT tokc.doc_id, count(*) AS n_tokens,
+         |  round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) AS dsir_weight
+         |FROM tokc JOIN cnt USING (token) CROSS JOIN tot
+         |GROUP BY tokc.doc_id ORDER BY tokc.doc_id""".stripMargin,
+    "corpus_profile" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+      s"""WITH planted AS (SELECT doc_id + 500000 AS doc_id,
+         |  'contact user' || doc_id || '@mail.example.org or +1 (555) 123-4567 today ' || text AS text
+         |  FROM documents WHERE doc_id < 10),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+         |FROM all_docs ORDER BY doc_id""".stripMargin
+    },
     "quality_score" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
       s"""SELECT doc_id,

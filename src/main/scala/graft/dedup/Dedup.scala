@@ -549,6 +549,83 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** CCNet/RefinedWeb-style LINE-level duplicate detection: the trimmed,
+    * non-empty lines that occur in at least `minDocs` DISTINCT documents.
+    * Scraped corpora are full of these — navigation chrome, cookie
+    * banners, share buttons, license footers — and they repeat across
+    * *unrelated* pages, so document-level near-dedup never catches them
+    * while they still dominate token counts at crawl scale.
+    *
+    * Scale shape: one narrow line explode, then ONE shuffle on the line
+    * key with partial aggregation (count-distinct of doc ids is itself
+    * two-phase). The result is bounded by the distinct-line cardinality,
+    * never the corpus.
+    *
+    * Returns (lkey, n_docs, n_occurrences).
+    */
+  def duplicateLines(
+      docs: DataFrame,
+      minDocs: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .select(col("doc_id"), trim(col("line")).as("lkey"))
+      .filter(col("lkey") =!= "")
+      .groupBy("lkey")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** [[duplicateLines]] APPLIED: rebuild every document with its
+    * cross-document boilerplate lines removed (every copy goes — the
+    * CCNet paragraph-dedup remediation; the line carries no document-
+    * specific signal if `minDocs` unrelated documents share it). Blank
+    * lines are never boilerplate and pass through; line order is
+    * preserved; a document whose every line is boilerplate cleans to the
+    * empty string but is NOT dropped.
+    *
+    * Scale shape: [[duplicateLines]]'s one counting shuffle, an equi-join
+    * of the exploded lines against the duplicate set on the line key
+    * (bounded-cardinality key; AQE broadcasts the duplicate table when
+    * the boilerplate set is small, which it is after the `minDocs`
+    * filter), and one doc-keyed shuffle to reassemble — the same
+    * join-back shape as [[removeDuplicateSpans]].
+    *
+    * Returns (doc_id, n_lines, n_removed, clean_text) for EVERY input doc.
+    */
+  def removeDuplicateLines(
+      docs: DataFrame,
+      minDocs: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lkey", trim(col("line")))
+    val dups = lines
+      .filter(col("lkey") =!= "")
+      .groupBy("lkey")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("lkey")
+    val kept = lines
+      .join(dups, Seq("lkey"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Deterministic ±1 hyperplanes for sign-LSH (splitmix64-derived). */
   def randomPlanes(nbits: Int, dim: Int, seed: Long): Array[Array[Float]] =
     Array.tabulate(nbits, dim) { (p, d) =>

@@ -227,4 +227,74 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         (-avg(log(col("c").cast("double") / lit(total)))).as("cross_entropy"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its tokens are under the TARGET
+    * distribution (a small high-quality set) than under the corpus's own,
+    * then resample the corpus proportionally. The published feature space
+    * is hashed n-grams with bag-of-words probabilities; here the unigram
+    * bag with add-1 smoothing over the corpus vocabulary:
+    *
+    *   w(doc) = mean over tokens of
+    *            [ ln (ct+1)/(Nt+V)  −  ln (cs+1)/(Ns+V) ]
+    *
+    * with ct/cs the token's count in target/corpus, Nt/Ns the summed
+    * counts, V the corpus vocabulary size. Target tokens outside the
+    * corpus vocabulary contribute to nothing (no corpus token they could
+    * re-weight). Positive = target-like, negative = corpus-typical.
+    *
+    * Scale shape: two token-keyed counting shuffles (map-side combined;
+    * the target side is small by construction), one vocab-sized join of
+    * the two count tables, and a scoring pass where the corpus streams
+    * once against the BROADCAST count table — the same shape as
+    * [[lmCrossEntropy]] with a second count column. The three totals ride
+    * in the broadcast row; nothing corpus-sized leaves the executors.
+    *
+    * Returns (id, n_tokens, dsir_weight).
+    */
+  def dsirWeights(
+      corpus: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val tokC = corpus.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val cntC = tokC.groupBy("token").agg(count(lit(1)).as("cs"))
+    val cntT = target.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("ct"))
+    val cnt = cntC.join(cntT, Seq("token"), "left")
+      .select(col("token"), col("cs"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .cache()
+    val tot = cnt.agg(sum("cs"), sum("ct"), count(lit(1))).head()
+    val (ns, nt, v) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble, tot.getLong(2).toDouble)
+    tokC.join(broadcast(cnt), Seq("token"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log((col("ct") + 1).cast("double") / lit(nt + v))
+          - log((col("cs") + 1).cast("double") / lit(ns + v))).as("dsir_weight"))
+  }
+
+  /** PII redaction (RefinedWeb/FineWeb-style pre-training hygiene):
+    * replace email addresses and phone-shaped digit runs with fixed
+    * placeholder tokens, reporting per-document match counts. The
+    * patterns are RE2-safe (no lookaround, no backreferences) so any
+    * engine — and the DuckDB oracle — computes the identical result; a
+    * single narrow projection, no shuffle, composable with the quality
+    * signals in the same pass.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailPattern)),
+    "n_phones" -> regexp_count(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      lit(PhonePattern)))
+
+  /** The redacted text: emails first (an email's local part may contain
+    * digits a phone pattern would half-match), then phone runs.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

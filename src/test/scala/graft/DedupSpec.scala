@@ -501,6 +501,35 @@ class DedupSpec extends SparkTestBase {
     assert(s2 === Set((10L, 0L, 2L), (11L, 0L, 2L)))
   }
 
+  test("line dedup: cross-doc boilerplate lines removed everywhere, unique lines survive in order") {
+    val d = docs(
+      (1L, "unique opening\nsubscribe now\nreal content one\nall rights reserved"),
+      (2L, "subscribe now\nreal content two\nall rights reserved"),
+      (3L, "only unique lines\nnothing shared here"),
+      (4L, "subscribe now\nall rights reserved"), // fully boilerplate => empty
+      (5L, "  subscribe now  \nindependent tail")) // trim-normalized match
+    val dups = Dedup.duplicateLines(d).select("lkey", "n_docs")
+      .as[(String, Long)].collect().toMap
+    assert(dups === Map("subscribe now" -> 4L, "all rights reserved" -> 3L))
+
+    val out = Dedup.removeDuplicateLines(d)
+      .select("doc_id", "n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 4L, 2L, "unique opening\nreal content one"),
+      (2L, 3L, 2L, "real content two"),
+      (3L, 2L, 0L, "only unique lines\nnothing shared here"),
+      (4L, 2L, 2L, ""),
+      (5L, 2L, 1L, "independent tail")))
+
+    // blank lines are never boilerplate: both docs keep theirs
+    val blanks = docs((10L, "a\n\nb"), (11L, "c\n\nd"))
+    val outB = Dedup.removeDuplicateLines(blanks)
+      .select("doc_id", "n_removed", "clean_text").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(outB === Seq((10L, 0L, "a\n\nb"), (11L, 0L, "c\n\nd")))
+  }
+
   test("semantic near-dedup co-buckets verbatim copies and excludes distant vectors") {
     // 3 well-separated direction clusters + verbatim copies; far pairs share
     // no cell, so only the planted (i, i+100) pairs at cos_dist 0 survive

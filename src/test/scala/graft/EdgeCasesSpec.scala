@@ -151,6 +151,43 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(ids(3) === ids(7))
   }
 
+  test("dsir weights: target-typical docs score above corpus-typical docs; counts smoothed") {
+    import graft.text.TextAnalysis
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"),   // pure target language
+      (2L, "gamma delta gamma delta"), // pure background language
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val target = Seq((99L, "alpha beta alpha alpha beta")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(corpus, target)
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"expected target-like > mixed > background, got $w")
+    // background tokens never seen in target still get finite (smoothed) scores
+    assert(!w.values.exists(_.isInfinite))
+    // n_tokens counts running tokens
+    val nt = TextAnalysis.dsirWeights(corpus, target)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(nt === Map(1L -> 4L, 2L -> 4L, 3L -> 2L))
+  }
+
+  test("pii redaction replaces emails then phone runs; clean text passes through") {
+    import graft.text.TextAnalysis
+    val df = Seq(
+      (1L, "mail me at first.last+tag@sub.example.co.uk thanks"),
+      (2L, "call +1 (650) 555-0199 or 020 7946 0958 now"),
+      (3L, "no pii in this document at all"),
+      (4L, "user9@example.org and +44 7700 900123 together")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiCounts(col("text")).head._2.as("ne"),
+        TextAnalysis.piiCounts(col("text"))(1)._2.as("np"))
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 === "mail me at <EMAIL> thanks" && out(0)._3 === 1 && out(0)._4 === 0)
+    assert(out(1)._2 === "call <PHONE> or <PHONE> now" && out(1)._3 === 0 && out(1)._4 === 2)
+    assert(out(2)._2 === "no pii in this document at all" && out(2)._3 === 0 && out(2)._4 === 0)
+    assert(out(3)._2 === "<EMAIL> and <PHONE> together" && out(3)._3 === 1 && out(3)._4 === 1)
+  }
+
   test("TopK with k=0 accepts pushes and stays empty") {
     val t = new graft.knn.TopK(0)
     t.push(1.0, 1L)
