@@ -1076,8 +1076,9 @@ object Queries {
       val e = t(spark, dir, "embeddings")
       // cap the row count: the row proves the distributed encode→segment→
       // sample→decode pipeline, not ImageIO throughput (8 JPEG encodes per
-      // row dominate its bench cost at larger SFs)
-      e.select(col("vec_id")).filter(col("vec_id") < 1000).as[Long]
+      // row dominate its bench cost at larger SFs — 500 rows is already
+      // 4k encodes + 4k decodes across every partition)
+      e.select(col("vec_id")).filter(col("vec_id") < 500).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val (w, h, nF, kS) = (8, 6, 8, 4)
@@ -1159,14 +1160,15 @@ object Queries {
         (300002L, "the story continues...\nand then it ends...\nfinally done"),
         (300003L, "### header\nuse #tags and #more #tags here"))
         .toDF("doc_id", "text")
-      val charCols = TextAnalysis.charClassRatios(col("text"))
-        .map { case (name, c) => round(c, 4).as(name) }
-      val gopherCols = TextAnalysis.gopherSignals(col("text"))
-        .map { case (name, c) => round(c, 4).as(name) }
+      // all 8 signals from ONE fused kernel pass (tokenize + char scan +
+      // line scan once per doc); two-step select keeps the non-cheap
+      // kernel in its own projection so CollapseProject can't duplicate
+      // it per extracted field
+      val sigNames = Seq("rep3_ratio", "upper_ratio", "digit_ratio", "alpha_ratio",
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac")
       docs.unionByName(loops).unionByName(planted)
-        .select(col("doc_id") +:
-          round(TextAnalysis.repetitionRatio(col("text")), 4).as("rep3_ratio") +:
-          (charCols ++ gopherCols): _*)
+        .select(col("doc_id"), TextAnalysis.qualitySignals(col("text")).as("s"))
+        .select(col("doc_id") +: sigNames.map(n => round(col(s"s.$n"), 4).as(n)): _*)
         .orderBy("doc_id")
     }),
 
@@ -2048,7 +2050,7 @@ object Queries {
       """SELECT vec_id, CAST(8 AS BIGINT) AS n_segments, CAST(4 AS BIGINT) AS n_sampled,
         |  CAST(8 AS BIGINT) AS frame_w, CAST(6 AS BIGINT) AS frame_h,
         |  CAST(0 AS BIGINT) AS n_sample_mismatch, CAST(0 AS BIGINT) AS n_color_off
-        |FROM embeddings WHERE vec_id < 1000 ORDER BY vec_id""".stripMargin,
+        |FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""".stripMargin,
     // WAV encode→decode is exercised Spark-side; 16-bit PCM losslessness
     // makes every column closed-form
     "multimodal_audio" ->

@@ -44,8 +44,13 @@ object ShingleKernel {
   }
 
   /** All shingle hashes (with duplicates), in document order. */
-  def shingleHashesRaw(text: UTF8String, n: Int): Array[Long] = {
-    val toks = tokenize(text)
+  def shingleHashesRaw(text: UTF8String, n: Int): Array[Long] =
+    shingleHashesFromTokens(tokenize(text), n)
+
+  /** Shingle hashes over an already-tokenized document — lets fused
+    * kernels that need tokens for other signals tokenize exactly once.
+    */
+  def shingleHashesFromTokens(toks: Array[String], n: Int): Array[Long] = {
     if (toks.length < n) {
       Array(hashShingle(toks.mkString(" ")))
     } else {

@@ -162,6 +162,17 @@ object TextAnalysis {
       "ellipsis_line_frac" -> lineFrac(l => rtrim(l).endsWith("...")))
   }
 
+  /** All eight quality-filter signals ([[repetitionRatio]] +
+    * [[charClassRatios]] + [[gopherSignals]]) as ONE struct column from a
+    * single fused kernel pass ([[graft.functions.QualitySignals]]): one
+    * tokenize, one character scan, one line scan per document instead of
+    * ~7 composable passes. Field-for-field double-identical to the
+    * composable columns. Production filter cascades should consume this;
+    * the composable forms stay as the documented reference semantics.
+    */
+  def qualitySignals(text: Column): Column =
+    SqlBridge.column(graft.functions.QualitySignals(SqlBridge.expression(text)))
+
   /** 60-bit SimHash over md5-derived token hashes. Engine-reproducible:
     * token hash = first 15 hex chars of md5 as a long, so DuckDB can mirror
     * it (`CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`). Single-kernel
