@@ -335,6 +335,34 @@ object Queries {
       knnFinish(graft.plans.KnnCandidates.knn(spark, data, queries, 10, "euclidean"))
     }),
 
+    // §2.14 declarative-SQL dispatch: the user writes the plain
+    // cross-join + row_number window idiom; the KnnSqlRewrite optimizer
+    // rule proves the pattern and swaps in KnnCandidatesNode — one
+    // bounded-heap pass, no Q·N join rows, no cartesian in the physical
+    // plan. The `rewritten` column asserts (fail-loud, oracle-checked)
+    // that the custom operator actually fired.
+    "sql_knn_rewrite" -> ((spark, dir) => {
+      graft.functions.GraftFunctionRegistry.register(spark)
+      graft.plans.KnnRewrite.install(spark)
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      data.createOrReplaceTempView("knn_sqlr_data")
+      // literal query batch -> LocalRelation, the bounded shape the rule accepts
+      val qRows = queriesDf.collect().toSeq
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(qRows.asJava, queriesDf.schema)
+        .createOrReplaceTempView("knn_sqlr_q")
+      val df = spark.sql(
+        """SELECT qid, id, round(dist, 4) AS dist, CAST(rnk AS BIGINT) AS rank FROM (
+          |  SELECT q.qid AS qid, d.id AS id,
+          |         dist_euclidean(d.vector, q.qvec) AS dist,
+          |         row_number() OVER (PARTITION BY q.qid
+          |                            ORDER BY dist_euclidean(d.vector, q.qvec), d.id) AS rnk
+          |  FROM knn_sqlr_data d CROSS JOIN knn_sqlr_q q)
+          |WHERE rnk <= 10""".stripMargin)
+      val fired = graft.plans.KnnRewrite.fired(df)
+      df.withColumn("rewritten", lit(if (fired) 1L else 0L)).orderBy("qid", "rank")
+    }),
+
     // §2.7+14 DataFrame-native query side (no driver query array anywhere):
     // the FULL embeddings table is both corpus and query batch — the
     // corpus-vs-corpus LLM-pipeline shape (e.g. dedup-by-ANN). The query
@@ -2003,6 +2031,13 @@ object Queries {
     "knn_partitioned_df" -> knnOracleAll(duckEuclid, 10),
     "ann_ivf_df" -> knnOracleAll(duckEuclid, 5),
     "knn_custom_plan" -> knnOracle(duckEuclid, 5, 10),
+    "sql_knn_rewrite" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+         |SELECT qid, id, round(dist, 4) AS dist, rank, CAST(1 AS BIGINT) AS rewritten
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_quantized_manhattan" -> knnOracle(duckManhattan, 3, 5),

@@ -142,5 +142,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((new FunctionIdentifier(name), new ExpressionInfo("graft", name), b))
     }
     ext.injectPlannerStrategy(_ => new graft.plans.KnnStrategy)
+    ext.injectOptimizerRule(_ => new graft.plans.KnnSqlRewrite)
   }
 }
