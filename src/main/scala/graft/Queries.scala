@@ -1433,6 +1433,16 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (GPT-style concat-and-chunk): documents ordered by
+    // id within (source, shard) streams, token offsets from ONE prefix-sum
+    // window, each doc exploded onto the 512-token blocks it overlaps.
+    // The shard key bounds every window group at any corpus size — no
+    // corpus-wide ordered window.
+    "pack_sequences" -> ((spark, dir) => {
+      graft.ops.Packing.packBlocks(t(spark, dir, "documents"), blockLen = 512, nShards = 4)
+        .orderBy("source", "shard", "block", "doc_id")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -2170,6 +2180,21 @@ object Queries {
         |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
         |  WHEN 'es' THEN 2500 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id % 4 AS shard, doc_id,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t),
+        |e AS (SELECT *, tok_start + n_tokens AS tok_end FROM c),
+        |x AS (SELECT *, unnest(generate_series(CAST(floor(tok_start / 512) AS BIGINT),
+        |                                       CAST(floor((tok_end - 1) / 512) AS BIGINT))) AS block FROM e)
+        |SELECT source, shard, block, doc_id, n_tokens, tok_start, tok_end,
+        |       CAST(least(tok_end, (block + 1) * 512) - greatest(tok_start, block * 512) AS BIGINT) AS n_in_block
+        |FROM x ORDER BY source, shard, block, doc_id""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
         |t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS ws FROM c),

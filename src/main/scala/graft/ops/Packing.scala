@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing — the concat-and-chunk step that turns a curated corpus
+  * into fixed-length training blocks (the GPT-style pretraining layout:
+  * documents concatenated in a deterministic order with an EOS separator,
+  * the token stream sliced into `blockLen`-token blocks, each document
+  * mapped to the block(s) its tokens land in).
+  *
+  * The packing stream is keyed by (source, shard): documents are ordered by
+  * `doc_id` within their stream and shard = doc_id mod `nShards`. A single
+  * corpus-wide ordered stream would funnel the prefix sum through one
+  * partition — the (source, shard) key keeps every window group bounded by
+  * construction at any corpus size (size `nShards` to the data; any
+  * deterministic shard key works, e.g. a hash for skewed id spaces).
+  * Training-data layouts shard the packing stream anyway: block identity
+  * only has to be deterministic, not global.
+  *
+  * One window shuffle (the per-stream prefix sum) + a narrow explode of each
+  * document onto the blocks it overlaps — rows out ≈ rows in + one extra row
+  * per block boundary a document straddles. No driver state, no global sort.
+  *
+  * Token counts are whitespace tokens ([[TextAnalysis.tokens]]) + 1 EOS per
+  * document, so offsets are reproducible by any engine with the same
+  * tokenizer (the catalog oracle replays the identical arithmetic in DuckDB).
+  */
+object Packing {
+
+  /** Map every document onto its training blocks.
+    *
+    * Output: (source, shard, block, doc_id, n_tokens, tok_start, tok_end,
+    * n_in_block) — offsets within the (source, shard) token stream,
+    * `[tok_start, tok_end)` spanning the document's tokens + EOS, and
+    * `n_in_block` the portion landing in `block`. Summing `n_in_block` over
+    * a document's rows gives back `n_tokens`; summing over a block gives
+    * `blockLen` except for each stream's tail block.
+    */
+  def packBlocks(docs: DataFrame, blockLen: Int, nShards: Int): DataFrame = {
+    require(blockLen > 0, s"blockLen must be positive, got $blockLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val l = lit(blockLen.toLong)
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("doc_id"),
+        (size(TextAnalysis.tokens(col("text"))).cast(LongType) + lit(1L)).as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+      .withColumn("block",
+        explode(sequence(floor(col("tok_start") / l).cast(LongType),
+          floor((col("tok_end") - lit(1L)) / l).cast(LongType))))
+      .withColumn("n_in_block",
+        least(col("tok_end"), (col("block") + lit(1L)) * l)
+          - greatest(col("tok_start"), col("block") * l))
+      .select("source", "shard", "block", "doc_id", "n_tokens",
+        "tok_start", "tok_end", "n_in_block")
+  }
+
+  /** Per-block fill summary over [[packBlocks]] output: how many documents
+    * touch each block and how full it is — the packing-efficiency view
+    * (tail blocks under-fill; everything else must be exactly `blockLen`).
+    */
+  def packSummary(packed: DataFrame, blockLen: Int): DataFrame =
+    packed.groupBy("source", "shard", "block")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_in_block").as("n_tokens"),
+        (sum("n_in_block") / lit(blockLen.toDouble)).as("fill_ratio"))
+}
