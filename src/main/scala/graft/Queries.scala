@@ -402,6 +402,21 @@ object Queries {
       knnFinish(graft.knn.Quantize.searchExact(spark, q, queries, k = 10))
     }),
 
+    // PCA-bounded provably-exact kNN: truncate to 8 of 64 dims, scan the
+    // projections + residual norms with pairwise lower/upper bounds
+    // (d² = d_proj² + d_res², d_res ∈ [|r_q−r_v|, r_q+r_v]), rescore the
+    // τ-filtered superset at full precision — the geometric counterpart of
+    // knn_quantized's SQ8 τ-proof; the oracle is the exact kNN itself.
+    "knn_pca_exact" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val model = graft.knn.Pca.fit(data, "vector", 8)
+      val projected = graft.knn.Pca.projectWithResidual(data, model)
+      knnFinish(graft.knn.Pca.searchExact(spark, projected, model, queries, k = 10))
+    }),
+
     // SQ8 exact COSINE search: the τ-proof extended to cosine by the
     // normalize-then-L2 reduction (unit vectors: L2² = 2·cos_dist) —
     // hash-matches the exact cosine oracle on ANY data
@@ -1280,6 +1295,73 @@ object Queries {
         .orderBy("label", "pos")
     }),
 
+    // Distributed PCA (graft.knn.Pca): one tree-reduced statistics pass +
+    // driver Jacobi eigensolve + codegen'd projection kernel. Every column
+    // is a closed-form check: orthonormality and descending order of the
+    // fitted spectrum, trace conservation (Σλ = trace(cov)), full-rank
+    // ISOMETRY (pairwise L2 preserved under rotation ⇒ kNN equality),
+    // the truncation identity (mean squared reconstruction error = tail
+    // eigenvalue sum), and recovery of a planted rank-3 subspace.
+    "vec_pca" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("vector"))
+      val model = graft.knn.Pca.fit(emb, "vector", 64)
+      val p = model.components
+      var orthoBad = 0L
+      for (i <- p.indices; j <- i until p.length) {
+        val d = p(i).zip(p(j)).map { case (x, y) => x * y }.sum
+        if (math.abs(d - (if (i == j) 1.0 else 0.0)) > 1e-8) orthoBad += 1
+      }
+      val orderBad = model.eigenvalues.sliding(2)
+        .count(w => w(0) < w(1) - 1e-12).toLong
+      val traceOk =
+        if (math.abs(model.eigenvalues.sum - model.covTrace) <
+          1e-8 * math.max(1.0, model.covTrace)) 1L else 0L
+
+      val sample = emb.filter(col("vec_id") < 100)
+        .withColumn("rot", graft.knn.Pca.projectCol(model, col("vector")))
+      val isoBad = sample.as("a")
+        .join(broadcast(sample.as("b")), $"a.vec_id" < $"b.vec_id")
+        .filter(abs(
+          graft.functions.vec.distEuclidean($"a.vector", $"b.vector") -
+            graft.functions.vec.distEuclidean($"a.rot", $"b.rot")) > 1e-3)
+        .count()
+
+      val m8 = model.truncate(8)
+      val mse = emb
+        .withColumn("back", graft.knn.Pca.reconstructCol(m8,
+          graft.knn.Pca.projectCol(m8, col("vector"))))
+        .select(avg(aggregate(zip_with(col("vector"), col("back"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, d) => acc + d)).as("mse"))
+        .head().getDouble(0)
+      val residual = model.residualVariance(8)
+      val reconOk =
+        if (math.abs(mse - residual) < 1e-3 * math.max(1.0, residual)) 1L else 0L
+
+      // planted rank-3 subspace (Walsh directions, splitmix coefficients):
+      // top-3 must explain >99.9% of variance, top-2 must NOT
+      val planted = spark.range(600).map { id =>
+        val c1 = (graft.core.SplitMix.unit(id * 3) - 0.5) * 6.0
+        val c2 = (graft.core.SplitMix.unit(id * 3 + 1) - 0.5) * 4.0
+        val c3 = (graft.core.SplitMix.unit(id * 3 + 2) - 0.5) * 2.0
+        Array.tabulate(16) { i =>
+          val d2 = if (i % 2 == 0) 0.25 else -0.25
+          val d3 = if ((i / 2) % 2 == 0) 0.25 else -0.25
+          val noise = (graft.core.SplitMix.unit(id * 100 + i) - 0.5) * 2e-3
+          (c1 * 0.25 + c2 * d2 + c3 * d3 + noise).toFloat
+        }
+      }.toDF("vector")
+      val pm = graft.knn.Pca.fit(planted, "vector", 3)
+      val plantedOk =
+        if (pm.explainedVariance(3) > 0.999 && pm.explainedVariance(2) < 0.999) 1L
+        else 0L
+
+      Seq((model.dim.toLong, orthoBad, orderBad, traceOk, isoBad, reconOk, plantedOk))
+        .toDF("n_components", "n_ortho_bad", "n_order_bad", "trace_ok",
+          "n_iso_bad", "recon_ok", "planted_ok")
+    }),
+
     // Grouped top-k (WindowGroupLimit: per-partition top-k before shuffle)
     "top_orders_per_segment" -> ((spark, dir) => {
       val o = t(spark, dir, "orders")
@@ -2049,6 +2131,7 @@ object Queries {
          |SELECT qid, id, round(dist, 4) AS dist, rank, CAST(1 AS BIGINT) AS rewritten
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
+    "knn_pca_exact" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_quantized_manhattan" -> knnOracle(duckManhattan, 3, 5),
     "knn_with_deletes" -> knnOracle(duckEuclid, 3, 5, where = "e.label % 7 <> 0"),
@@ -2292,6 +2375,14 @@ object Queries {
          |WHERE s.quality >= 0.25 AND s.pred_lang = 'en'
          |ORDER BY s.doc_id""".stripMargin
     },
+    // the PCA fit/rotation itself is exercised Spark-side; orthonormality,
+    // trace conservation, isometry, the truncation identity, and planted
+    // rank-3 recovery make every column closed-form
+    "vec_pca" ->
+      """SELECT CAST(64 AS BIGINT) AS n_components, CAST(0 AS BIGINT) AS n_ortho_bad,
+        |  CAST(0 AS BIGINT) AS n_order_bad, CAST(1 AS BIGINT) AS trace_ok,
+        |  CAST(0 AS BIGINT) AS n_iso_bad, CAST(1 AS BIGINT) AS recon_ok,
+        |  CAST(1 AS BIGINT) AS planted_ok""".stripMargin,
     "vec_centroids" ->
       """WITH ex AS (
         |  SELECT label, r.pos - 1 AS pos, embedding[r.pos]::DOUBLE AS v
