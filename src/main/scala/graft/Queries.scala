@@ -1220,6 +1220,32 @@ object Queries {
     // copies of the first 30 docs — including each copied doc's own body
     // line, so full-removal docs exercise the empty-clean path) are cut
     // from every document; unique lines survive verbatim in order.
+    // C4 boilerplate line cleaning (Raffel et al. 2020 §2.2): planted
+    // multi-line pages exercise each rule — a good line survives, a
+    // truncated line (no terminal punctuation) drops, a 2-word line drops,
+    // a javascript line drops, and every 7th page is discarded outright by
+    // the "{" rule. One narrow codegen pass; DuckDB replays the identical
+    // predicates via list_filter.
+    "c4_clean" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+        .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+      val planted = docs.select(col("doc_id"),
+        concat(
+          lit("This is a good line with punctuation.\n"),
+          substring(col("text"), 1, 40), lit("\n"),
+          lit("Short line.\n"),
+          lit("Enable javascript to view comments today.\n"),
+          col("text"), lit("."),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit("\ncurly { brace"))
+            .otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"), graft.text.TextAnalysis.c4CleanLines(col("text")).as("c"))
+        .select(col("doc_id"), col("c.page_dropped").as("page_dropped"),
+          col("c.n_kept").as("n_kept"), col("c.n_dropped").as("n_dropped"),
+          col("c.clean_text").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     "line_dedup_clean" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val wrapped = docs.filter(col("doc_id") < 30)
@@ -1995,6 +2021,32 @@ object Queries {
          |  round(len(list_filter(lns, l -> starts_with(ltrim(l, ' '), '- ') OR starts_with(ltrim(l, ' '), '* ') OR starts_with(ltrim(l, ' '), '• ')))::DOUBLE / len(lns), 4) AS bullet_line_frac,
          |  round(len(list_filter(lns, l -> ends_with(rtrim(l, ' '), '...')))::DOUBLE / len(lns), 4) AS ellipsis_line_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    "c4_clean" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'This is a good line with punctuation.' || chr(10) ||
+        |    substr(text, 1, 40) || chr(10) ||
+        |    'Short line.' || chr(10) ||
+        |    'Enable javascript to view comments today.' || chr(10) ||
+        |    text || '.' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'curly { brace' ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS flag
+        |  FROM p),
+        |f AS (
+        |  SELECT doc_id, flag, lines,
+        |    list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN flag THEN 1 ELSE 0 END AS BIGINT) AS page_dropped,
+        |  CAST(CASE WHEN flag THEN 0 ELSE len(kept) END AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN flag THEN len(lines) ELSE len(lines) - len(kept) END AS BIGINT) AS n_dropped,
+        |  CASE WHEN flag THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
+        |FROM f ORDER BY doc_id""".stripMargin,
     "line_dedup_clean" ->
       s"""WITH wrapped AS (SELECT doc_id + 400000 AS doc_id,
          |  'share this article' || chr(10) || text || chr(10) || 'all rights reserved' || chr(10) || 'subscribe to our newsletter' AS text

@@ -117,6 +117,45 @@ object TextAnalysis {
       .otherwise(lit(1.0) - distinctN.cast("double") / (nToks - (n - 1)).cast("double"))
   }
 
+  /** C4 line-keep rule (Raffel et al. 2020 §2.2): a line survives iff it
+    * ends in terminal punctuation, has at least 3 words, and does not
+    * mention "javascript". Expressed in engine-portable primitives (trim +
+    * anchored regex + whitespace split) so the DuckDB oracle replays the
+    * identical predicate.
+    */
+  def c4LineKeep(line: Column): Column =
+    regexp_like(trim(line), lit("[.!?\"]$")) &&
+      size(split(trim(line), "\\s+")) >= 3 &&
+      !contains(lower(line), lit("javascript"))
+
+  /** C4 page-drop rule: any "lorem ipsum" (placeholder text) or "{" (code
+    * leaking into prose) discards the whole document.
+    */
+  def c4PageFlag(text: Column): Column =
+    contains(lower(text), lit("lorem ipsum")) || contains(text, lit("{"))
+
+  /** C4 boilerplate cleaning as ONE narrow codegen pass (split → HOF
+    * filter → rejoin — no shuffle, no UDF): returns `struct(clean_text,
+    * n_kept, n_dropped, page_dropped)`. A flagged page keeps nothing
+    * (clean_text = '', every line counted dropped), mirroring C4's
+    * page-level discard; callers filter on `page_dropped` and write
+    * `clean_text`. Line scrubbing composes BEFORE the cross-document
+    * passes ([[graft.dedup.Dedup.removeDuplicateLines]], MinHash): C4's
+    * in-document heuristics need no corpus state, so they belong in the
+    * scan projection where they cost one pass at any corpus size.
+    */
+  def c4CleanLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, c4LineKeep _)
+    val flagged = c4PageFlag(text)
+    struct(
+      when(flagged, lit("")).otherwise(array_join(kept, "\n")).as("clean_text"),
+      when(flagged, lit(0)).otherwise(size(kept)).cast("long").as("n_kept"),
+      when(flagged, size(lines)).otherwise(size(lines) - size(kept))
+        .cast("long").as("n_dropped"),
+      flagged.cast("long").as("page_dropped"))
+  }
+
   /** C4-style character-class ratios over the raw text (ASCII classes so
     * every engine computes the same value): uppercase, digit, alphabetic.
     * Empty text ratios are 0.0, not null — Spark's x/0 is null while

@@ -81,6 +81,24 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(h(2).sum === 0L)
   }
 
+  test("c4 line cleaning: each rule fires, empty text survives, flagged pages keep nothing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Good sentence with three words.\nno terminal punct\nTwo words.\nenable JavaScript now please.\nAnother keeper line here!"),
+      (2L, "Contains lorem ipsum filler.\nGood sentence with three words."),
+      (3L, "code { leaks }\nGood sentence with three words."),
+      (4L, ""),
+      (5L, "   \n\t.")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextAnalysis.c4CleanLines(col("text")).as("c"))
+      .select(col("doc_id"), col("c.clean_text"), col("c.n_kept"), col("c.n_dropped"), col("c.page_dropped"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L) == (("Good sentence with three words.\nAnother keeper line here!", 2L, 3L, 0L)))
+    assert(rows(2L) == (("", 0L, 2L, 1L))) // lorem ipsum page-drop
+    assert(rows(3L) == (("", 0L, 2L, 1L))) // curly-brace page-drop
+    assert(rows(4L) == (("", 0L, 1L, 0L))) // empty text: one empty line, dropped, page kept
+    assert(rows(5L) == (("", 0L, 2L, 0L))) // whitespace + lone punctuation: too few words
+  }
+
   test("repetition ratio survives empty / whitespace-only / single-token text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a a")).toDF("doc_id", "text")
     val r = df.orderBy("doc_id")
