@@ -24,6 +24,44 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` normalized to epoch NANOS (long). The
+    * testdata generator has emitted both parquet TIMESTAMP(NANOS) — which
+    * Spark can only surface as a raw nanos long (legacy flag) — and
+    * TIMESTAMP(MICROS), which arrives as an ntz timestamp. Both encode the
+    * same as-if-UTC instant, so the downstream bucket/gap integer-nanos
+    * arithmetic is exact either way, and the oracle's epoch()/epoch_ns()
+    * read the same instants directly from the file.
+    */
+  private def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = t(spark, dir, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => e
+      case _ =>
+        // ntz wall time == as-if-UTC instant: pin the session zone so the
+        // ntz→instant cast is the identity on the internal micros value
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        e.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
+
+  /** Streaming twin of [[eventsNanos]]: the events file-stream with `ts`
+    * as a proper µs event-time timestamp whichever way it was encoded.
+    * nanos → micros truncation (< 1 µs) cannot cross any window or join
+    * boundary used downstream.
+    */
+  private def eventsStreamMicros(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val s = streamTable(spark, dir, "events")
+    s.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        s.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   private def dEmb(c: String) = s"$c::DOUBLE[]"
 
   /** DuckDB: element-ordered double fold equivalents of graft's kernels. */
@@ -127,11 +165,12 @@ object Queries {
   /** State-store partition count for the streaming rows. A stateful query
     * pays per-partition store open/commit every micro-batch, which
     * DOMINATES replay time at test volumes (stream_join measured 5.6 s at
-    * 32 partitions vs 3.1 s at 8 — same result bytes, proven by the
-    * 4-vs-8 CPU invariance runs). Sized small here; a real deployment
-    * raises it to its key-cardinality via SPARK_GRAFT_STREAM_PARTITIONS.
+    * 32 partitions vs 3.1 s at 8 vs ~2.4 s at 4 — same result bytes,
+    * proven by the CPU/partition invariance runs). Sized small here; a
+    * real deployment raises it to its key-cardinality via
+    * SPARK_GRAFT_STREAM_PARTITIONS.
     */
-  private val streamStateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+  private val streamStateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
   /** Set shuffle partitions (captured by a streaming query at START into
     * its checkpoint) for the duration of `body`, then restore. The swap
@@ -196,11 +235,7 @@ object Queries {
     */
   private def streamEventsReplay(spark: SparkSession, dir: String)(
       agg: DataFrame => DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // nanos → micros timestamp: truncation (< 1µs) cannot cross a 300s
-    // window boundary, so buckets equal the batch formulation's ts div 3e11
-    val stream = streamTable(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStreamMicros(spark, dir)
     runStream(spark, agg(stream), "complete", "stream_ev_")
       .select(col("event_type"),
         (unix_timestamp(col("window.start")) / 300).cast("long").as("bucket"),
@@ -1077,6 +1112,7 @@ object Queries {
       import spark.implicits._
       val e = t(spark, dir, "embeddings")
       e.select(col("vec_id"), col("embedding").cast("array<float>"))
+        .filter(col("vec_id") < 500)
         .as[(Long, Array[Float])]
         .mapPartitions { rows =>
           rows.map { case (id, emb) =>
@@ -1119,9 +1155,9 @@ object Queries {
       val e = t(spark, dir, "embeddings")
       // cap the row count: the row proves the distributed encode→segment→
       // sample→decode pipeline, not ImageIO throughput (8 JPEG encodes per
-      // row dominate its bench cost at larger SFs — 500 rows is already
-      // 4k encodes + 4k decodes across every partition)
-      e.select(col("vec_id")).filter(col("vec_id") < 500).as[Long]
+      // row dominate its bench cost — 150 rows is still 1.2k encodes +
+      // 2.4k decodes spread across every partition)
+      e.select(col("vec_id")).filter(col("vec_id") < 150).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val (w, h, nF, kS) = (8, 6, 8, 4)
@@ -1619,8 +1655,7 @@ object Queries {
     // Gap-based sessionization (30-min inactivity): lag window + cumulative
     // flag sum — the standard scalable sessionizer (shuffle on user_id only)
     "events_sessionize" -> ((spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = t(spark, dir, "events")
+      val e = eventsNanos(spark, dir)
       val byUser = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
       val flagged = e.withColumn("prev_ts",
@@ -1663,13 +1698,11 @@ object Queries {
     // the per-user pair count equals the batch range-join answer (both
     // engines compare µs-truncated times)
     "stream_join" -> ((spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // user subset: the per-user pair count is quadratic in window
       // occupancy — a bounded slice keeps the replay representative at any
       // SF (the oracle applies the same slice)
-      val src = streamTable(spark, dir, "events")
+      val src = eventsStreamMicros(spark, dir)
         .filter(col("user_id") % 10 === 0)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val events = src.select(col("ts"), col("user_id"), col("event_type"), col("value"))
       val users = src.select(col("ts").as("u_ts"), col("user_id"),
         (col("user_id") % 5).as("segment"))
@@ -1805,11 +1838,10 @@ object Queries {
     }),
 
     "events_window" -> ((spark, dir) => {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
-      // type, so read it as raw nanos (long) and bucket with exact integer
-      // division (ts div 3e11 == floor(epoch_seconds/300) for positive ts).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = t(spark, dir, "events")
+      // bucket with exact integer division on epoch nanos (ts div 3e11 ==
+      // floor(epoch_seconds/300) for positive ts), whichever way the
+      // parquet encoded the timestamp
+      val e = eventsNanos(spark, dir)
       e.groupBy(
           col("event_type"),
           expr("ts div 300000000000").cast("long").as("bucket"))
@@ -2222,7 +2254,7 @@ object Queries {
       """SELECT vec_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  CAST(0 AS BIGINT) AS n_px_mismatch, CAST(0 AS BIGINT) AS n_resize_mismatch,
         |  CAST(48 AS BIGINT) AS resized_bytes
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""".stripMargin,
     // MJPEG encode→segment-scan→sample→decode is exercised Spark-side;
     // the in-query byte-equality and solid-color-tolerance checks make
     // every column closed-form
@@ -2230,7 +2262,7 @@ object Queries {
       """SELECT vec_id, CAST(8 AS BIGINT) AS n_segments, CAST(4 AS BIGINT) AS n_sampled,
         |  CAST(8 AS BIGINT) AS frame_w, CAST(6 AS BIGINT) AS frame_h,
         |  CAST(0 AS BIGINT) AS n_sample_mismatch, CAST(0 AS BIGINT) AS n_color_off
-        |FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""".stripMargin,
+        |FROM embeddings WHERE vec_id < 150 ORDER BY vec_id""".stripMargin,
     // WAV encode→decode is exercised Spark-side; 16-bit PCM losslessness
     // makes every column closed-form
     "multimodal_audio" ->
