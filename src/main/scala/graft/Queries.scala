@@ -1282,6 +1282,30 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 markup-to-text extraction (WET-style ingest): planted docs are
+    // wrapped in full HTML (script with internal < > operators, style,
+    // comments, block tags, the predefined entities); the unplanted corpus
+    // must pass through with only whitespace normalization. One narrow
+    // codegen regexp/replace chain — DuckDB replays the identical
+    // RE2-compatible patterns.
+    "html_extract" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(
+            lit("<html><head><style type=\"text/css\">p { margin: 0; }</style>" +
+              "<script>if (a < b && c > 1) { emit(\"x\"); }</script></head>" +
+              "<body><!-- boilerplate --><h1>Title &amp; more</h1><p>"),
+            col("text"),
+            lit("</p><ul><li>first item</li><li>second</li></ul><br/>" +
+              "Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;end</body></html>"))
+            .as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.extractMarkup(col("text")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     "line_dedup_clean" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val wrapped = docs.filter(col("doc_id") < 30)
@@ -2079,6 +2103,27 @@ object Queries {
         |  CAST(CASE WHEN flag THEN len(lines) ELSE len(lines) - len(kept) END AS BIGINT) AS n_dropped,
         |  CASE WHEN flag THEN '' ELSE array_to_string(kept, chr(10)) END AS clean_text
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the identical RE2-compatible regexp/replace chain, stage by stage;
+    // replacements use chr(10) (SQL literals do not process escapes),
+    // patterns use \n (RE2 processes escapes in the PATTERN)
+    "html_extract" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id,
+        |    '<html><head><style type="text/css">p { margin: 0; }</style><script>if (a < b && c > 1) { emit("x"); }</script></head><body><!-- boilerplate --><h1>Title &amp; more</h1><p>'
+        |    || text ||
+        |    '</p><ul><li>first item</li><li>second</li></ul><br/>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;end</body></html>' AS text
+        |  FROM documents WHERE doc_id < 25),
+        |s1 AS (SELECT doc_id, regexp_replace(text, '(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->', ' ', 'g') AS t FROM all_docs),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?i)</p[ \t]*>|</h[1-6]>|</li>|</div>|</tr>|<br[^>]*>', chr(10), 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '( ?\n ?)+', chr(10), 'g') AS t FROM s5)
+        |SELECT doc_id, regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS clean_text
+        |FROM s6 ORDER BY doc_id""".stripMargin,
     "line_dedup_clean" ->
       s"""WITH wrapped AS (SELECT doc_id + 400000 AS doc_id,
          |  'share this article' || chr(10) || text || chr(10) || 'all rights reserved' || chr(10) || 'subscribe to our newsletter' AS text

@@ -347,4 +347,43 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
+
+  /** Markup-to-text extraction — the WET-style ingest step that turns
+    * crawled HTML into the plain text every downstream pass (dedup,
+    * quality, packing) consumes. One narrow chain of codegen'd
+    * regexp_replace/replace calls, no UDF, no shuffle; composes BEFORE
+    * [[c4CleanLines]] (block-closing tags become newlines so the line
+    * heuristics still see line structure).
+    *
+    * Every pattern is restricted to RE2-compatible syntax (non-greedy
+    * `.*?`, inline `(?is)` flags, NO backreferences — script and style
+    * blocks get separate literal patterns) so the DuckDB oracle evaluates
+    * the identical chain. Entity decoding handles the five predefined XML
+    * entities + nbsp, `&amp;` LAST so `&amp;lt;` decodes to the literal
+    * `&lt;` the author wrote, not `<`.
+    *
+    * Documents with no markup pass through with only whitespace
+    * normalization (runs of spaces/tabs collapse, blank lines drop,
+    * ends trim) — the catalog row proves pass-through on the unplanted
+    * corpus.
+    */
+  def extractMarkup(text: Column): Column = {
+    // strip script/style WITH content + comments in ONE alternation pass
+    // (separate script/style branches: RE2 has no backreferences)
+    val stripped = regexp_replace(text,
+      "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>|<!--.*?-->", " ")
+    // block-closing tags keep line structure for downstream line heuristics
+    val blocksAsNl = regexp_replace(stripped,
+      "(?i)</p[ \t]*>|</h[1-6]>|</li>|</div>|</tr>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocksAsNl, "<[^>]*>", " ")
+    // predefined entities; &amp; last (see scaladoc)
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    // whitespace: collapse space/tab runs, then any run of newlines and
+    // their surrounding spaces to one newline, then trim the ends
+    val oneSpace = regexp_replace(decoded, "[ \t]+", " ")
+    val oneNl = regexp_replace(oneSpace, "( ?\n ?)+", "\n")
+    regexp_replace(oneNl, "^[ \n]+|[ \n]+$", "")
+  }
 }

@@ -99,6 +99,24 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(rows(5L) == (("", 0L, 2L, 0L))) // whitespace + lone punctuation: too few words
   }
 
+  test("markup extraction: scripts/styles/comments vanish, blocks keep lines, entities decode, plain text passes through") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<html><head><style>p{x:1}</style><script>if (a < b && c > 1) { go(\"x\"); }</script></head>" +
+        "<body><!-- note --><h1>Title &amp; more</h1><p>Body line one.</p><ul><li>item</li></ul>" +
+        "<br/>Tom &lt;3 &quot;q&quot;&nbsp;end</body></html>"),
+      (2L, "plain  text,   no markup"),      // pass-through: only space collapse
+      (3L, ""),                              // empty survives
+      (4L, "a &amp;lt; b"))                  // &amp; decodes LAST: author wrote literal &lt;
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextAnalysis.extractMarkup(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "Title & more\nBody line one.\nitem\nTom <3 \"q\" end")
+    assert(rows(2L) == "plain text, no markup")
+    assert(rows(3L) == "")
+    assert(rows(4L) == "a &lt; b")
+  }
+
   test("repetition ratio survives empty / whitespace-only / single-token text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a a")).toDF("doc_id", "text")
     val r = df.orderBy("doc_id")
