@@ -588,6 +588,30 @@ object StreamingOps {
     }
   }
 
+  /** The closed drift loop in one call: measure [[ivfMaintainedDrift]]
+    * and, when it exceeds `threshold`, re-train + atomically swap via
+    * [[retrainIvfMaintained]]. Returns (measured drift, whether a retrain
+    * ran) — the maintenance-job form, so the measure→decide→retrain
+    * pipeline (with its tombstone and crash-recovery subtleties) never
+    * has to be hand-composed. Run it after each compaction window; a
+    * restarted sink must then be constructed with the NEW centroids
+    * (the sidecar guard refuses the stale ones).
+    */
+  def retrainIfDrifted(
+      spark: SparkSession,
+      indexDir: String,
+      threshold: Double = 0.3,
+      c: Int = 0,
+      iterations: Int = 2,
+      seed: Long = 42L): (Double, Boolean) = {
+    require(threshold >= 0, s"threshold must be non-negative, got $threshold")
+    val drift = ivfMaintainedDrift(spark, indexDir)
+    if (drift > threshold) {
+      retrainIvfMaintained(spark, indexDir, c, iterations, seed)
+      (drift, true)
+    } else (drift, false)
+  }
+
   /** Search an [[ivfMaintenanceSink]] directory, self-configured from its
     * meta sidecar (training metric, spill ⇒ dedupe) — the streaming
     * counterpart of [[graft.knn.Ivf.searchSaved]]. The converged result

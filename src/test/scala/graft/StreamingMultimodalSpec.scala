@@ -471,6 +471,37 @@ class StreamingIndexSpec extends SparkTestBase {
       StreamingOps.searchHnswMaintained(spark, foreign, Array((0L, Array(1f, 0f))), k = 3))
   }
 
+  test("retrainIfDrifted: no-op below threshold, retrains above it") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_gate").toString
+    val centroids0 = Array(Array(1f, 0f), Array(0f, 1f))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids0))
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 40L).map { i =>
+        StreamingOps.VectorOp(i, "upsert",
+          if (i % 2 == 0) Array(1f, 0.01f * i) else Array(0.01f * i, 1f), 1)
+      }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // fresh sink: zero drift → gate must NOT touch the quantizer
+    val before = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    val (d0, ran0) = StreamingOps.retrainIfDrifted(spark, dir, threshold = 0.3)
+    assert(d0 === 0.0 && !ran0)
+    assert(spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq === before)
+    // stale quantizer installed post-hoc (see the retrain test below for
+    // why the sink itself cannot produce drift) → gate retrains to zero
+    Seq((0, Seq(-9f, -9f)), (1, Seq(9f, 9f))).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val (d1, ran1) = StreamingOps.retrainIfDrifted(spark, dir, threshold = 0.3)
+    assert(d1 > 0.3 && ran1)
+    assert(StreamingOps.ivfMaintainedDrift(spark, dir) === 0.0)
+  }
+
   test("retrainIvfMaintained: drift collapses to zero; search equals batch IVF on new centroids") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
