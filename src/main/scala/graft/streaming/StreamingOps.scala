@@ -450,6 +450,43 @@ object StreamingOps {
     graft.io.HadoopIO.rename(tmpDir, deltaDir, hconf)
   }
 
+  private def deltaToBaseRatio(deltaBytes: Long, baseBytes: Long): Double =
+    if (deltaBytes == 0L) 0.0
+    else if (baseBytes == 0L) Double.PositiveInfinity
+    else deltaBytes.toDouble / baseBytes
+
+  /** Operational gauge for the IVF maintenance log: bytes of un-compacted
+    * delta batches relative to the compacted history, read from the
+    * completeness manifest alone — no data scan, no Spark job. 0.0 for an
+    * empty log; Double.PositiveInfinity when fresh batches sit over no
+    * compacted history (a never-compacted log is always worth one pass).
+    */
+  def ivfMaintainedDeltaRatio(spark: SparkSession, indexDir: String): Double = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val entries = graft.io.Manifest.read(s"$indexDir/delta", hconf).getOrElse(
+      throw new IllegalStateException(
+        s"maintained IVF delta log at $indexDir/delta has no manifest — not a maintained IVF dir"))
+    val (compacted, fresh) = entries.partition(_.name.startsWith("batch=compacted/"))
+    deltaToBaseRatio(fresh.map(_.length).sum, compacted.map(_.length).sum)
+  }
+
+  /** [[compactIvfMaintained]] gated on [[ivfMaintainedDeltaRatio]]: the
+    * one-call maintenance form — compact only when the un-compacted log
+    * has grown past `maxDeltaRatio` of the compacted history, so a
+    * scheduled job can invoke it unconditionally after every batch window
+    * without paying a full-history rewrite each time. Returns (measured
+    * ratio, whether a compaction ran).
+    */
+  def compactIvfIfNeeded(
+      spark: SparkSession,
+      indexDir: String,
+      maxDeltaRatio: Double = 0.25): (Double, Boolean) = {
+    require(maxDeltaRatio >= 0, s"maxDeltaRatio must be non-negative, got $maxDeltaRatio")
+    val ratio = ivfMaintainedDeltaRatio(spark, indexDir)
+    if (ratio > maxDeltaRatio) { compactIvfMaintained(spark, indexDir); (ratio, true) }
+    else (ratio, false)
+  }
+
   /** Re-train signal for a maintained IVF index: the fraction of live ids
     * whose CURRENT nearest centroid is not among their stored cells — the
     * quantizer-drift metric a caller thresholds to decide when the fixed
@@ -966,6 +1003,39 @@ object StreamingOps {
     graft.io.HadoopIO.rename(baseTmp, baseDir, hconf)
     graft.io.HadoopIO.delete(deltaDir, hconf)
     graft.io.HadoopIO.rename(deltaTmp, deltaDir, hconf)
+  }
+
+  /** [[ivfMaintainedDeltaRatio]]'s HNSW twin: un-compacted delta bytes
+    * over base graph bytes, from the two completeness manifests alone.
+    * The compacted pseudo-batch's guard rows count as history, not fresh
+    * delta, mirroring the IVF gauge.
+    */
+  def hnswMaintainedDeltaRatio(spark: SparkSession, indexDir: String): Double = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = graft.io.Manifest.read(s"$indexDir/base", hconf).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir/base has no manifest — not a maintained HNSW dir"))
+    val delta = graft.io.Manifest.read(s"$indexDir/delta", hconf).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir/delta has no manifest — not a maintained HNSW dir"))
+    val fresh = delta.filterNot(_.name.startsWith("batch=compacted/"))
+    deltaToBaseRatio(fresh.map(_.length).sum, base.map(_.length).sum)
+  }
+
+  /** [[compactHnswMaintained]] gated on [[hnswMaintainedDeltaRatio]] —
+    * the scheduled-maintenance form: graph rebuild cost is only paid when
+    * the exact-scanned delta has grown past `maxDeltaRatio` of the base
+    * (delta scans are correct at any size, just linear). Returns
+    * (measured ratio, whether a compaction ran).
+    */
+  def compactHnswIfNeeded(
+      spark: SparkSession,
+      indexDir: String,
+      maxDeltaRatio: Double = 0.25): (Double, Boolean) = {
+    require(maxDeltaRatio >= 0, s"maxDeltaRatio must be non-negative, got $maxDeltaRatio")
+    val ratio = hnswMaintainedDeltaRatio(spark, indexDir)
+    if (ratio > maxDeltaRatio) { compactHnswMaintained(spark, indexDir); (ratio, true) }
+    else (ratio, false)
   }
 
   /** Output mode required by [[latestVectorState]] sinks. */

@@ -471,6 +471,57 @@ class StreamingIndexSpec extends SparkTestBase {
       StreamingOps.searchHnswMaintained(spark, foreign, Array((0L, Array(1f, 0f))), k = 3))
   }
 
+  test("compactIfNeeded gates on manifest byte ratios for both index types") {
+    implicit val sqlCtx = spark.sqlContext
+    // IVF: a never-compacted log reads Infinity and compacts; then 0/no-op
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_gate_c").toString
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val in1 = MemoryStream[StreamingOps.VectorOp]
+    val q1 = in1.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, ivfDir, centroids))
+      .outputMode("append").start()
+    try {
+      in1.addData((0L until 20L).map(i =>
+        StreamingOps.VectorOp(i, "upsert", Array(1f, 0.01f * i), 1)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(StreamingOps.ivfMaintainedDeltaRatio(spark, ivfDir).isPosInfinity)
+    val (r1, ran1) = StreamingOps.compactIvfIfNeeded(spark, ivfDir)
+    assert(r1.isPosInfinity && ran1)
+    val (r2, ran2) = StreamingOps.compactIvfIfNeeded(spark, ivfDir)
+    assert(r2 === 0.0 && !ran2)
+    // the gated compaction preserved the view
+    val res = StreamingOps.searchIvfMaintained(spark, ivfDir,
+      Array((0L, Array(1f, 0f))), k = 3, nprobe = 2)
+    assert(res.count() === 3)
+
+    // HNSW: fresh delta over an empty base compacts; a small follow-up
+    // batch is below a loose threshold, above a tight one
+    val hDir = java.nio.file.Files.createTempDirectory("hnsw_gate_c").toString
+    val in2 = MemoryStream[StreamingOps.VectorOp]
+    val sink = StreamingOps.hnswDeltaMaintenanceSink(spark, hDir, 2)
+    def run(data: Seq[StreamingOps.VectorOp]): Unit = {
+      val q = in2.toDS().writeStream
+        .foreachBatch(sink)
+        .outputMode("update").start()
+      try { in2.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run((0L until 50L).map(i =>
+      StreamingOps.VectorOp(i, "upsert", Array(0.1f * i, 1f), 1)))
+    assert(StreamingOps.hnswMaintainedDeltaRatio(spark, hDir).isPosInfinity)
+    val (h1, hran1) = StreamingOps.compactHnswIfNeeded(spark, hDir)
+    assert(h1.isPosInfinity && hran1)
+    assert(StreamingOps.hnswMaintainedDeltaRatio(spark, hDir) === 0.0)
+    run(Seq(StreamingOps.VectorOp(999L, "upsert", Array(9f, 9f), 2)))
+    val (h2, hran2) = StreamingOps.compactHnswIfNeeded(spark, hDir, maxDeltaRatio = 10.0)
+    assert(h2 > 0.0 && !hran2, s"one small batch over full graphs must sit under a loose gate, got $h2")
+    val (h3, hran3) = StreamingOps.compactHnswIfNeeded(spark, hDir, maxDeltaRatio = 1e-6)
+    assert(h3 === h2 && hran3)
+    val after = StreamingOps.searchHnswMaintained(spark, hDir, Array((0L, Array(9f, 9f))), k = 1)
+      .select("id").collect().map(_.getLong(0))
+    assert(after.toSeq === Seq(999L))
+  }
+
   test("retrainIfDrifted: no-op below threshold, retrains above it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivf_gate").toString
