@@ -122,6 +122,104 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming MinHash-LSH near-duplicate detection — the ingestion-time
+    * form of [[graft.dedup.Dedup.minhashLshPairs]], completing the
+    * streaming dedup triangle (exact: [[dedupStream]]; decontamination:
+    * [[contaminationStream]]; near-dup: here).
+    *
+    * Stateless projection: ONE [[graft.functions.ShingleHashSet]] +
+    * ONE [[graft.functions.ShingleBandHashes]] kernel pass per document
+    * (the batch operator's kernels), exploded to (band, bh) probe rows.
+    * Stateful stage: groups on the SAME (band, bh) key the batch join
+    * shuffles on; per-bucket state holds members' (id, hashed shingle
+    * set); each arrival verifies EXACT hashed Jaccard against stored
+    * members (and earlier same-batch arrivals, id-ascending for
+    * determinism) and emits pairs meeting `threshold` — verified at the
+    * collision site, no second pass, no post-hoc join.
+    *
+    * A pair surfaces once PER COLLIDING BAND (cross-band dedup would need
+    * a second stateful stage); the DISTINCT (doc_a, doc_b, jaccard) set
+    * equals the batch operator's output on the same corpus — the equality
+    * StreamingSpec asserts. Skew guard, mirroring the batch star
+    * semantics: a bucket at `maxBucketSize` stops accumulating and
+    * arrivals verify against the bucket's FIRST member only, so
+    * boilerplate buckets cost O(1) per arrival and emit representative
+    * star pairs instead of C(n,2). At-least-once replays are absorbed:
+    * a redelivered member id neither re-pairs nor re-enters state. State
+    * never expires (NoTimeout) — near-dup detection is corpus-lifetime;
+    * bound retention by keying the stream into corpus epochs.
+    */
+  def nearDupStream(
+      docs: DataFrame, // (doc_id, text)
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    import graft.internal.SqlBridge.{column => gc, expression => ge}
+    docs
+      .select(col("doc_id").cast("long").as("id"),
+        gc(graft.functions.ShingleHashSet(ge(col("text")), 3)).as("hs"),
+        gc(graft.functions.ShingleBandHashes(ge(col("text")), 3, bands, rowsPerBand)).as("bhs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"), col("hs"), posexplode(col("bhs")).as(Seq("band", "bh")))
+      .as[(Long, Array[Long], Int, Long)]
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        nearDupBucket(threshold, maxBucketSize))
+      .toDF("doc_a", "doc_b", "band", "jaccard")
+  }
+
+  /** Jaccard of two ascending-sorted hash sets — the state-side scalar
+    * twin of [[graft.functions.JaccardFromSortedSets]] (same merge walk,
+    * same empty-union convention).
+    */
+  private def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { cnt += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length.toLong + b.length - cnt
+    if (union == 0) 0.0 else cnt.toDouble / union
+  }
+
+  /** Per-bucket update for [[nearDupStream]]: state is the member list
+    * OLDEST-FIRST (head = the bucket's representative for the skew
+    * guard).
+    */
+  private def nearDupBucket(threshold: Double, maxBucketSize: Int)(
+      key: (Int, Long),
+      rows: Iterator[(Long, Array[Long], Int, Long)],
+      state: GroupState[Seq[(Long, Array[Long])]]): Iterator[(Long, Long, Int, Double)] = {
+    val band = key._1
+    var members = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[(Long, Long, Int, Double)]
+    var changed = false
+    rows.toArray.sortBy(_._1).foreach { case (id, hs, _, _) =>
+      if (!members.exists(_._1 == id)) { // replay guard
+        val compareTo = if (members.size >= maxBucketSize) members.take(1) else members
+        compareTo.foreach { case (mid, mhs) =>
+          val jac = jaccardSorted(hs, mhs)
+          if (jac >= threshold)
+            out += ((math.min(id, mid), math.max(id, mid), band, jac))
+        }
+        if (members.size < maxBucketSize) {
+          members = members :+ ((id, hs))
+          changed = true
+        }
+      }
+    }
+    if (changed) state.update(members)
+    out.result().iterator
+  }
+
   /** Streaming benchmark decontamination: flag arriving documents that
     * share at least `minShared` distinct token n-gram shingles with any
     * benchmark document — the ingestion-time form of

@@ -30,6 +30,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs equal the batch LSH operator across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // 30 base docs of 40 distinct tokens each; docs < 8 get a near-copy
+    // differing in 2 tokens (jaccard ≈ 38/42 ≈ 0.9 on 3-gram shingles of
+    // a token-distinct corpus the two operators shingle identically)
+    def text(i: Long): String = (0 until 40).map(t => s"w${i}x$t").mkString(" ")
+    def copyText(i: Long): String =
+      ((0 until 38).map(t => s"w${i}x$t") ++ Seq("changedA", "changedB")).mkString(" ")
+    val base = (0L until 30L).map(i => (i, text(i)))
+    val copies = (0L until 8L).map(i => (i + 1000L, copyText(i)))
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDF().toDF("doc_id", "text"), threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_stream").outputMode("append").start()
+    try {
+      input.addData(base: _*) // copies arrive in a LATER batch: state must carry
+      q.processAllAvailable()
+      input.addData(copies: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT DISTINCT doc_a, doc_b, round(jaccard, 9) FROM neardup_stream")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.dedup.Dedup
+      .minhashLshPairs((base ++ copies).toDF("doc_id", "text"), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty && batch.map(p => (p._1, p._2)) ===
+      (0L until 8L).map(i => (i, i + 1000L)).toSet, s"unexpected batch pairs: $batch")
+    assert(streamed === batch)
+  }
+
+  test("streaming near-dup skew guard: a capped bucket emits representative star pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val same = (0 until 50).map(t => s"boiler$t").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDF().toDF("doc_id", "text"),
+        threshold = 0.8, maxBucketSize = 2)
+      .writeStream.format("memory").queryName("neardup_skew").outputMode("append").start()
+    try {
+      input.addData((0L until 6L).map(i => (i, same)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.sql("SELECT DISTINCT doc_a, doc_b, jaccard FROM neardup_skew")
+      .as[(Long, Long, Double)].collect().toSet
+    // doc 0 is every bucket's representative: 5 verified star pairs, not C(6,2)
+    assert(pairs === (1L until 6L).map(i => (0L, i, 1.0)).toSet)
+  }
+
   test("watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
