@@ -263,6 +263,26 @@ object BenchScale {
         .filter(col("id") =!= col("group_id")).count()
     }
     println(s"[scale] non-representative members dropped: $groups")
+
+    // streaming near-dup at corpus scale: the same corpus replayed through
+    // the ingestion-time form; the distinct pair count must equal batch
+    {
+      val sdir = java.nio.file.Files.createTempDirectory("neardup_stream_scale").toString
+      withCopies.write.parquet(s"$sdir/in")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$sdir/in").schema).parquet(s"$sdir/in")
+      val q = graft.streaming.StreamingOps.nearDupStream(src, threshold = 0.8)
+        .writeStream.format("memory").queryName("neardup_scale")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      timed(s"streaming near-dup replay ($nDocs docs + planted)")(q.awaitTermination())
+      val streamed = spark.sql(
+        "SELECT count(*) FROM (SELECT DISTINCT doc_a, doc_b FROM neardup_scale)")
+        .head().getLong(0)
+      println(s"[scale] streaming near-dup pairs: $streamed (batch found $pairs)")
+      require(streamed == pairs,
+        s"streaming near-dup diverged from batch: $streamed vs $pairs")
+    }
     pairsDf.unpersist()
 
     // decontamination at corpus scale: the benchmark side is suite-sized,

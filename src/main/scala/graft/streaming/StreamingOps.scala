@@ -138,14 +138,20 @@ object StreamingOps {
     * collision site, no second pass, no post-hoc join.
     *
     * A pair surfaces once PER COLLIDING BAND (cross-band dedup would need
-    * a second stateful stage); the DISTINCT (doc_a, doc_b, jaccard) set
-    * equals the batch operator's output on the same corpus — the equality
-    * StreamingSpec asserts. Skew guard, mirroring the batch star
-    * semantics: a bucket at `maxBucketSize` stops accumulating and
+    * a second stateful stage), so consumers take the DISTINCT
+    * (doc_a, doc_b, jaccard) set — which equals the batch operator's
+    * output on any corpus whose buckets stay under `maxBucketSize` (the
+    * equality StreamingSpec asserts). Skew guard, mirroring the batch
+    * star semantics: a bucket at `maxBucketSize` stops accumulating and
     * arrivals verify against the bucket's FIRST member only, so
     * boilerplate buckets cost O(1) per arrival and emit representative
-    * star pairs instead of C(n,2). At-least-once replays are absorbed:
-    * a redelivered member id neither re-pairs nor re-enters state. State
+    * star pairs instead of C(n,2) — still Jaccard-verified (no false
+    * pairs, possible misses, the same trade the batch guard makes; which
+    * docs a capped bucket retains depends on arrival/batch order, where
+    * batch retains by global bucket membership). At-least-once replays
+    * are absorbed: a redelivered RETAINED member neither re-pairs nor
+    * re-enters state, and a redelivered arrival to a full bucket re-emits
+    * only its identical star pair, which the distinct absorbs. State
     * never expires (NoTimeout) — near-dup detection is corpus-lifetime;
     * bound retention by keying the stream into corpus epochs.
     */
