@@ -586,6 +586,15 @@ object StreamingOps {
       indexDir: String,
       maxDeltaRatio: Double = 0.25): (Double, Boolean) = {
     require(maxDeltaRatio >= 0, s"maxDeltaRatio must be non-negative, got $maxDeltaRatio")
+    // a missing delta/ under a live index is an interrupted compaction
+    // swap: its ratio is unknowable until the swap completes, and
+    // compactIvfMaintained IS the resume path — finish it unconditionally
+    // instead of throwing the gauge's misleading "not maintained" error
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (!graft.io.HadoopIO.exists(s"$indexDir/delta", hconf)) {
+      compactIvfMaintained(spark, indexDir)
+      return (Double.NaN, true)
+    }
     val ratio = ivfMaintainedDeltaRatio(spark, indexDir)
     if (ratio > maxDeltaRatio) { compactIvfMaintained(spark, indexDir); (ratio, true) }
     else (ratio, false)
@@ -1137,6 +1146,15 @@ object StreamingOps {
       indexDir: String,
       maxDeltaRatio: Double = 0.25): (Double, Boolean) = {
     require(maxDeltaRatio >= 0, s"maxDeltaRatio must be non-negative, got $maxDeltaRatio")
+    // either half missing = an interrupted double swap: resume it through
+    // compactHnswMaintained (the ratio is unknowable mid-swap) rather than
+    // throwing the gauge's misleading "not maintained" error
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (!graft.io.HadoopIO.exists(s"$indexDir/base", hconf) ||
+        !graft.io.HadoopIO.exists(s"$indexDir/delta", hconf)) {
+      compactHnswMaintained(spark, indexDir)
+      return (Double.NaN, true)
+    }
     val ratio = hnswMaintainedDeltaRatio(spark, indexDir)
     if (ratio > maxDeltaRatio) { compactHnswMaintained(spark, indexDir); (ratio, true) }
     else (ratio, false)

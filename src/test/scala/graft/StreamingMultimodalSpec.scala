@@ -568,6 +568,21 @@ class StreamingIndexSpec extends SparkTestBase {
     val after = StreamingOps.searchHnswMaintained(spark, hDir, Array((0L, Array(9f, 9f))), k = 1)
       .select("id").collect().map(_.getLong(0))
     assert(after.toSeq === Seq(999L))
+
+    // interrupted-swap resume: delta/ deleted with a manifest-complete
+    // delta.compact in place (the crash window between delete and rename)
+    // — the gate finishes the swap instead of throwing "not maintained"
+    for (dir <- Seq(ivfDir, hDir)) {
+      assert(new java.io.File(s"$dir/delta")
+        .renameTo(new java.io.File(s"$dir/delta.compact")), s"test rename failed for $dir")
+    }
+    val (rIvf, ranIvf) = StreamingOps.compactIvfIfNeeded(spark, ivfDir)
+    assert(rIvf.isNaN && ranIvf)
+    assert(StreamingOps.ivfMaintainedDeltaRatio(spark, ivfDir) === 0.0)
+    val (rH, ranH) = StreamingOps.compactHnswIfNeeded(spark, hDir)
+    assert(rH.isNaN && ranH)
+    assert(StreamingOps.searchHnswMaintained(spark, hDir, Array((0L, Array(9f, 9f))), k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(999L))
   }
 
   test("retrainIfDrifted: no-op below threshold, retrains above it") {
