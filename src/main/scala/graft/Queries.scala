@@ -1306,6 +1306,31 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 link/domain census: URLs + distinct domains per document — the
+    // stats domain-mixing and blocklist curation consume. Planted docs
+    // carry anchor-tag and bare URLs (one with trailing sentence
+    // punctuation); the unplanted corpus must report zero links.
+    "link_stats" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("See <a href=\"https://example.org/a\">one</a> and " +
+            "<a href=\"http://docs.example.org/b?q=1\">two</a> and " +
+            "<a href=\"https://Example.org/c#frag\">three</a> " +
+            "plus bare https://mirror.example.net/path. "),
+            col("text")).as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.links(col("text")).as("links"))
+        .select(col("doc_id"),
+          size(col("links")).cast("long").as("n_links"),
+          graft.text.TextAnalysis.linkDomains(col("links")).as("doms"))
+        .select(col("doc_id"), col("n_links"),
+          size(col("doms")).cast("long").as("n_domains"),
+          array_join(array_sort(col("doms")), ",").as("domains"))
+        .orderBy("doc_id")
+    }),
+
     "line_dedup_clean" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val wrapped = docs.filter(col("doc_id") < 30)
@@ -2124,6 +2149,24 @@ object Queries {
         |s6 AS (SELECT doc_id, regexp_replace(t, '( ?\n ?)+', chr(10), 'g') AS t FROM s5)
         |SELECT doc_id, regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS clean_text
         |FROM s6 ORDER BY doc_id""".stripMargin,
+    // identical URL + domain patterns (explicit whitespace class — RE2 and
+    // Java \s diverge on \x0B); both sides sort domains before joining
+    "link_stats" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000 AS doc_id,
+        |    'See <a href="https://example.org/a">one</a> and <a href="http://docs.example.org/b?q=1">two</a> and <a href="https://Example.org/c#frag">three</a> plus bare https://mirror.example.net/path. ' || text AS text
+        |  FROM documents WHERE doc_id < 20),
+        |l AS (SELECT doc_id, regexp_extract_all(text, '(?i)\bhttps?://[^ \t\n\r"''<>)]+', 0) AS links FROM all_docs),
+        |d AS (SELECT doc_id, len(links) AS n_links,
+        |       list_distinct(list_transform(links, u ->
+        |         lower(regexp_extract(regexp_replace(u, '[.,;:!?]+$', ''), '^[a-zA-Z]+://([^/?#]+)', 1)))) AS doms
+        |     FROM l)
+        |SELECT doc_id, CAST(n_links AS BIGINT) AS n_links, CAST(len(doms) AS BIGINT) AS n_domains,
+        |  -- DuckDB's array_to_string is NULL on an empty list; Spark's array_join is ''
+        |  coalesce(array_to_string(list_sort(doms), ','), '') AS domains
+        |FROM d ORDER BY doc_id""".stripMargin,
     "line_dedup_clean" ->
       s"""WITH wrapped AS (SELECT doc_id + 400000 AS doc_id,
          |  'share this article' || chr(10) || text || chr(10) || 'all rights reserved' || chr(10) || 'subscribe to our newsletter' AS text

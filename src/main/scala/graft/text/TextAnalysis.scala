@@ -348,6 +348,30 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** URL pattern for [[links]]. Explicit whitespace class — Java's \s and
+    * RE2's \s disagree on \x0B, and the DuckDB oracle must evaluate the
+    * IDENTICAL pattern (same rationale as [[BpePretokenPattern]]).
+    */
+  val UrlPattern = "(?i)\\bhttps?://[^ \t\n\r\"'<>)]+"
+
+  /** All http(s) URLs in a document, in order — the first half of the
+    * link/domain census web-corpus curation runs for domain mixing,
+    * blocklists, and link-graph features. One codegen'd
+    * `regexp_extract_all` pass.
+    */
+  def links(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Distinct lowercased registrable-host strings of a [[links]] array.
+    * Trailing sentence punctuation is trimmed first (a bare URL at the
+    * end of a sentence captures its period), then the authority component
+    * is taken up to the first `/`, `?`, or `#`.
+    */
+  def linkDomains(linksCol: Column): Column =
+    array_distinct(transform(linksCol, u =>
+      lower(regexp_extract(regexp_replace(u, "[.,;:!?]+$", ""),
+        "^[a-zA-Z]+://([^/?#]+)", 1))))
+
   /** Markup-to-text extraction — the WET-style ingest step that turns
     * crawled HTML into the plain text every downstream pass (dedup,
     * quality, packing) consumes. One narrow chain of codegen'd

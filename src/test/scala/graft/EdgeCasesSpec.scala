@@ -117,6 +117,24 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(rows(4L) == "a &lt; b")
   }
 
+  test("link extraction: quoted and bare URLs, case-folded domains, trailing punctuation trimmed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "no urls here"),
+      (2L, "go to <a href=\"https://A.example.com/x\">x</a> or https://b.example.com/y?z=1."),
+      (3L, "ftp://not.matched and https://\nbroken"), // scheme filter + newline stops the match
+      (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextAnalysis.links(col("text")).as("links"))
+      .select(col("doc_id"), size(col("links")).as("n"),
+        array_join(array_sort(graft.text.TextAnalysis.linkDomains(col("links"))), ",").as("doms"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(rows(1L) == ((0, "")))
+    assert(rows(2L) == ((2, "a.example.com,b.example.com")))
+    assert(rows(3L) == ((0, ""))) // non-http scheme skipped; "https://" + newline never matches
+    assert(rows(4L) == ((0, "")))
+  }
+
   test("repetition ratio survives empty / whitespace-only / single-token text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a a")).toDF("doc_id", "text")
     val r = df.orderBy("doc_id")
