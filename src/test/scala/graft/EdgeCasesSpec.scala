@@ -135,6 +135,33 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(rows(4L) == ((0, "")))
   }
 
+  test("markup extraction fuzz: 300 random atom sequences uphold the output invariants") {
+    import spark.implicits._
+    // no &lt;/&gt; atoms, so NO '<' or '>' may survive extraction; script/
+    // style/comment content must vanish; whitespace must be normalized
+    val atoms = Vector("alpha", "beta", "gamma", " ", " ", "\n", "\t",
+      "<p>", "</p>", "<div class=\"x\">", "</div>", "<br/>", "<h1>", "</h1>",
+      "<li>", "</li>", "<script>var zz < 1;</script>", "<style>p{zz:0}</style>",
+      "<!-- zzhidden -->", "&amp;", "&nbsp;", "&quot;", "&#39;",
+      "<a href=\"https://x.example/y\">", "</a>")
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 300L).map { i =>
+      (i, (0 until 1 + rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString)
+    }
+    val out = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextAnalysis.extractMarkup(col("text")).as("t"))
+      .as[(Long, String)].collect()
+    assert(out.length == 300)
+    out.foreach { case (id, t) =>
+      def bad(why: String) = fail(s"doc $id violates '$why': ${t.take(120)}")
+      if (t.contains("<") || t.contains(">")) bad("no angle brackets")
+      if (t.contains("zz")) bad("script/style/comment content stripped")
+      if (t.contains("\t") || t.contains("  ") || t.contains("\n\n") ||
+        t.contains(" \n") || t.contains("\n ")) bad("normalized whitespace")
+      if (t != t.trim) bad("trimmed ends")
+    }
+  }
+
   test("repetition ratio survives empty / whitespace-only / single-token text") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a a")).toDF("doc_id", "text")
     val r = df.orderBy("doc_id")
