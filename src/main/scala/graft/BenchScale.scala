@@ -265,23 +265,35 @@ object BenchScale {
     println(s"[scale] non-representative members dropped: $groups")
 
     // streaming near-dup at corpus scale: the same corpus replayed through
-    // the ingestion-time form; the distinct pair count must equal batch
+    // the ingestion-time form; the distinct pair count must equal batch.
+    // Bounded to 200k docs: per-band bucket state stores each member's
+    // shingle set once PER BAND (bands× the corpus shingle footprint —
+    // ~6 GB of state at 1M docs, an OOM in this heap). The r9 fix is a
+    // two-stage state layout (doc→set once, band buckets hold ids only).
     {
+      val sCap = 200000
+      val sDocs =
+        if (nDocs <= sCap) withCopies
+        else withCopies.filter(col("doc_id") % (nDocs / sCap) === 0)
+      val sPairs =
+        if (nDocs <= sCap) pairs
+        else graft.dedup.Dedup.minhashLshPairs(sDocs, threshold = 0.8).count()
       val sdir = java.nio.file.Files.createTempDirectory("neardup_stream_scale").toString
-      withCopies.write.parquet(s"$sdir/in")
+      sDocs.write.parquet(s"$sdir/in")
       val src = spark.readStream
         .schema(spark.read.parquet(s"$sdir/in").schema).parquet(s"$sdir/in")
       val q = graft.streaming.StreamingOps.nearDupStream(src, threshold = 0.8)
         .writeStream.format("memory").queryName("neardup_scale")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      timed(s"streaming near-dup replay ($nDocs docs + planted)")(q.awaitTermination())
+      timed(s"streaming near-dup replay (${math.min(nDocs, sCap)} docs + planted)")(
+        q.awaitTermination())
       val streamed = spark.sql(
         "SELECT count(*) FROM (SELECT DISTINCT doc_a, doc_b FROM neardup_scale)")
         .head().getLong(0)
-      println(s"[scale] streaming near-dup pairs: $streamed (batch found $pairs)")
-      require(streamed == pairs,
-        s"streaming near-dup diverged from batch: $streamed vs $pairs")
+      println(s"[scale] streaming near-dup pairs: $streamed (batch found $sPairs)")
+      require(streamed == sPairs,
+        s"streaming near-dup diverged from batch: $streamed vs $sPairs")
     }
     pairsDf.unpersist()
 

@@ -154,6 +154,15 @@ object StreamingOps {
     * only its identical star pair, which the distinct absorbs. State
     * never expires (NoTimeout) — near-dup detection is corpus-lifetime;
     * bound retention by keying the stream into corpus epochs.
+    *
+    * State footprint: each retained member's shingle set is stored once
+    * PER BAND, i.e. `bands`× the corpus shingle footprint (measured
+    * ~6 GB at 1M docs × 16 bands) — size executors to that, or shrink
+    * `bands`/shingle width. Collapsing the duplication needs a two-stage
+    * state layout (doc→set stored once, band buckets holding ids only,
+    * verification joining the two) — the planned evolution of this
+    * operator; today's single-stage form trades memory for the one-pass
+    * collision-site verify.
     */
   def nearDupStream(
       docs: DataFrame, // (doc_id, text)
