@@ -822,6 +822,46 @@ object Queries {
       recallSummary(approx, exact, 10, minHits = 8)
     }),
 
+    // §2.18+24 OPQ×IVFADC (Ge et al. 2013, parametric): the PCA-derived
+    // rotation with balanced eigenvalue allocation runs BEFORE the IVF+PQ
+    // stack, spreading the corpus's variance evenly across the m codebook
+    // subspaces — same bytes/vector, lower quantization error (gated in
+    // OpqSpec on a planted anisotropic spectrum). The rotation is an
+    // isometry, so the row carries a PROVABLE arm alongside the recall
+    // gate: exact kNN in rotated coordinates must equal exact kNN in
+    // original coordinates ROW-FOR-ROW (n_same_rot = k on any data), and
+    // the oracle stays a constant table.
+    "ann_ivf_opq" -> ((spark, dir) => {
+      val (data0, queriesDf) = knnInputs(spark, dir, 5)
+      val data = data0.cache()
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val model = graft.knn.Opq.train(data, m = 8)
+      val rotated = graft.knn.Opq.rotate(data, model).cache()
+      val rq = graft.knn.Opq.rotateQueries(model, queries)
+      val centroids = Ivf.train(spark, rotated, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, rotated, centroids)
+      val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 32,
+        iterations = 1, sampleCap = 2000, seeding = "first")
+      val encoded = graft.knn.Pq.encodeResidual(assigned, centroids, cb)
+      val approx = graft.knn.Pq.searchIvfPqResidual(spark, encoded, centroids, cb, rq,
+        k = 10, nprobe = 8, overscan = 12)
+      val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+      // isometry arm: brute force over rotated corpus with rotated queries
+      val rqDf = queriesDf.select(col("qid"),
+        graft.knn.Opq.rotateCol(model, col("qvec")).as("qvec"))
+      val exactRot = Knn.bruteForce(rotated, rqDf, 10, "euclidean")
+      val sameRot = exactRot.select(col("qid"), col("id"), col("rank"))
+        .join(exact.select(col("qid"), col("id"), col("rank")),
+          Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_rot"))
+      recallSummary(approx, exact, 10, minHits = 8)
+        .join(sameRot, Seq("qid"))
+        .select(col("qid"), col("k"), col("n_results"), col("recall_ok"), col("n_same_rot"))
+        .orderBy("qid")
+    }),
+
     // §2.18 attribute-FILTERED search on a SAVED index (tenant/date/label
     // scoping — every production vector store's bread and butter). The
     // predicate applies PRE-search: non-matching vectors never enter
@@ -1865,6 +1905,52 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // §2.18+21+24 continuous IVF×PQ maintenance — the delta log at the
+    // m-bytes-per-vector tier: each micro-batch's upserts assign against
+    // the frozen centroids AND PQ-encode against the frozen codebooks
+    // (here with stored vectors, the rescore-capable 4·dim+m layout; the
+    // codes-only m-byte configuration is gated in StreamingIndexSpec).
+    // Codes are a pure function of (vector, centroids, books), so the
+    // converged maintained ADC search must equal the batch IVFADC answer
+    // over the surviving vectors ROW-FOR-ROW — n_same_as_batch = k on any
+    // data, closed-form oracle.
+    "stream_ivf_pq_maintenance" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 3)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 8, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 16,
+        iterations = 1, sampleCap = 2000, seeding = "first")
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_ipm_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_ipm_ckpt").toString
+      val sink = graft.streaming.StreamingOps.ivfPqMaintenanceSink(spark, idxDir, centroids, cb,
+        residual = true, storeVectors = true)
+      withStreamParts(spark) {
+        val q = mutationOps(spark, dir).writeStream.foreachBatch(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val maintained = graft.streaming.StreamingOps
+        .searchIvfPqMaintained(spark, idxDir, queries, k = 10, nprobe = 4)
+      val surviving = data.filter(col("id") % 7 =!= 0)
+      val batch = graft.knn.Pq.searchIvfPqResidual(spark,
+        graft.knn.Pq.encodeResidual(Ivf.assign(spark, surviving, centroids), centroids, cb),
+        centroids, cb, queries, k = 10, nprobe = 4)
+      val same = maintained.select(col("qid"), col("id"), col("rank"))
+        .join(batch.select(col("qid"), col("id"), col("rank")), Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_as_batch"))
+      maintained.select(col("qid"), col("id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(same, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_same_as_batch"))
+        .orderBy("qid")
+    }),
+
     // §2.15+21 stateful streaming upserts (mapGroupsWithState): the
     // embeddings table replays as a mutation stream — an upsert@v1 for
     // every id, plus a remove@v2 for ids ≡ 0 (mod 7) — through
@@ -2258,6 +2344,10 @@ object Queries {
     "hnsw_filtered" -> recallOracle(5, 10),
     "hnsw_persisted" -> recallOracle(5, 10),
     "stream_hnsw_maintenance" -> recallOracle(5, 10),
+    "stream_ivf_pq_maintenance" ->
+      ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, " +
+        "CAST(10 AS BIGINT) AS n_same_as_batch " +
+        "FROM embeddings WHERE vec_id < 3 ORDER BY qid"),
     "stream_ivf_maintenance" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_batch
@@ -2287,6 +2377,10 @@ object Queries {
         "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_df " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "ann_ivf_pq_residual" -> recallOracle(5, 10),
+    "ann_ivf_opq" ->
+      ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, " +
+        "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_rot " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "ann_ivf_filtered" -> knnOracle(duckEuclid, 5, 10, where = "e.vec_id % 3 = 0"),
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),

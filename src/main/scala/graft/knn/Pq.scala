@@ -243,7 +243,8 @@ object Pq {
       overscan: Int = 8,
       probeCells: Option[Map[Long, Array[Int]]] = None,
       dedup: Boolean = false,
-      residualCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
+      residualCentroids: Option[Array[Array[Float]]] = None,
+      rescore: Boolean = true): DataFrame = {
     import spark.implicits._
     require(residualCentroids.isEmpty || probeCells.isDefined,
       "residual (IVFADC) search requires probeCells — per-cell LUTs need a bounded probe set")
@@ -261,7 +262,9 @@ object Pq {
       })
     val cellCol =
       if (probeCells.isDefined) col("cell").cast("int") else lit(-1).cast("int")
-    val kk = k * overscan
+    // ADC-only mode (rescore=false) keeps exactly k per query — overscan
+    // only exists to feed the rescore a candidate superset
+    val kk = if (rescore) k * overscan else k
 
     val coarse = encoded
       .select(col("id").cast("long"), cellCol.as("cell"), col("pq_codes"))
@@ -327,9 +330,65 @@ object Pq {
     val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
     val cand = (if (dedup) coarse.dropDuplicates("qid", "id") else coarse)
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
-      .select("qid", "id")
-    Quantize.rescoreTopK(cand, encoded, broadcast(queries.toSeq.toDF("qid", "qvec")),
-      k, "euclidean", dedupVectors = dedup)
+    if (!rescore)
+      // ADC ranking IS the result (the memory-bounded serving tier where
+      // no full-precision vectors exist to rescore against — e.g. a
+      // codes-only maintained index). √adc keeps the distance unit
+      // consistent with the rescored path's euclidean output.
+      cand.select(col("qid"), col("id"), sqrt(col("approx")).as("dist"),
+        col("crank").cast("int").as("rank"))
+    else
+      Quantize.rescoreTopK(cand.select("qid", "id"), encoded,
+        broadcast(queries.toSeq.toDF("qid", "qvec")), k, "euclidean", dedupVectors = dedup)
+  }
+
+  /** Mean squared reconstruction error of an [[encode]]d (or
+    * [[encodeResidual]]-encoded, when `residualCentroids` is given)
+    * corpus: E‖v − decode(codes)‖². ONE mapPartitions + treeReduce pass
+    * (two doubles per partition cross the wire); the quantity OPQ's
+    * rotation provably lowers on anisotropic data and the right
+    * apples-to-apples lens for comparing encodings at equal byte budget
+    * (lower MSE ⇒ tighter ADC estimates ⇒ recall at equal overscan).
+    */
+  def reconstructionMse(
+      encoded: DataFrame,
+      cb: PqCodebooks,
+      residualCentroids: Option[Array[Array[Float]]] = None): Double = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcRes = spark.sparkContext.broadcast(residualCentroids.orNull)
+    val cellCol =
+      if (residualCentroids.isDefined) col("cell").cast("int") else lit(-1).cast("int")
+    val (sse, n) = encoded
+      .select(cellCol.as("cell"), col("vector").cast("array<float>"), col("pq_codes"))
+      .as[(Int, Array[Float], Array[Byte])].rdd
+      .mapPartitions { iter =>
+        val c = bcCb.value
+        val res = bcRes.value
+        var sse = 0.0
+        var cnt = 0L
+        iter.foreach { case (cell, v, codes) =>
+          var j = 0
+          while (j < c.m) {
+            val cw = c.books(j)(codes(j) & 0xff)
+            var t = 0
+            while (t < c.dsub) {
+              val i = j * c.dsub + t
+              val rec = cw(t) + (if (res == null) 0.0 else res(cell)(i).toDouble)
+              val diff = v(i) - rec
+              sse += diff * diff
+              t += 1
+            }
+            j += 1
+          }
+          cnt += 1
+        }
+        Iterator.single((sse, cnt))
+      }
+      .treeReduce { case ((s1, n1), (s2, n2)) => (s1 + s2, n1 + n2) }
+    require(n > 0, "reconstructionMse over an empty corpus")
+    sse / n
   }
 
   /** Persist an IVF×PQ index: the [[Ivf.save]] layout (cell-partitioned
@@ -348,9 +407,21 @@ object Pq {
     require(encodedAssigned.columns.contains("pq_codes"),
       "assignment lacks pq_codes — pass encode(assign(...))")
     Ivf.save(spark, encodedAssigned, centroids, dir, "euclidean")
-    // the residual flag rides on every codebook row: raw-ADC search over
-    // residual codes (or vice versa) ranks garbage, so the layout must be
-    // self-describing about WHICH encoding the codes carry
+    saveCodebooks(spark, cb, dir, residual)
+  }
+
+  /** The `pq_books` sidecar alone (shared by [[save]] and the streaming
+    * maintenance sink). The residual flag rides on every codebook row:
+    * raw-ADC search over residual codes (or vice versa) ranks garbage, so
+    * the layout must be self-describing about WHICH encoding the codes
+    * carry.
+    */
+  def saveCodebooks(
+      spark: SparkSession,
+      cb: PqCodebooks,
+      dir: String,
+      residual: Boolean): Unit = {
+    import spark.implicits._
     cb.books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq, residual) }
     }.toSeq.toDF("subspace", "code", "codeword", "residual")
@@ -401,12 +472,19 @@ object Pq {
       queries: Array[(Long, Array[Float])],
       k: Int,
       nprobe: Int,
-      overscan: Int = 8): DataFrame = {
+      overscan: Int = 8,
+      rotatedQueries: Boolean = false): DataFrame = {
     val (assigned, centroids, meta) = Ivf.loadWithMeta(spark, dir)
     require(meta.metric == "euclidean",
       s"saved index at $dir was trained with metric '${meta.metric}' — the PQ ADC path is euclidean-only")
     require(assigned.columns.contains("pq_codes"),
       s"saved assignment at $dir lacks pq_codes — save encode(assign(...)) to use this path")
+    // an OPQ index stores ROTATED coordinates: raw queries against it
+    // would rank garbage silently — the exact mismatch class the residual
+    // flag guards against, so guard it the same way
+    require(rotatedQueries || !Opq.savedRotation(spark, dir),
+      s"index at $dir carries an OPQ rotation sidecar — search it via Opq.searchSaved " +
+        "(raw-coordinate queries against rotated codes rank garbage)")
     val cb = loadCodebooks(spark, dir)
     require(cb.m * cb.dsub == meta.dim,
       s"index at $dir is torn: codebooks cover ${cb.m * cb.dsub} dims, sidecar says ${meta.dim}")
@@ -566,6 +644,10 @@ object Pq {
       s"saved index at $dir was trained with metric '${meta.metric}' — the PQ ADC path is euclidean-only")
     require(assigned.columns.contains("pq_codes"),
       s"saved assignment at $dir lacks pq_codes — save encode(assign(...)) to use this path")
+    require(!Opq.savedRotation(spark, dir),
+      s"index at $dir carries an OPQ rotation sidecar — rotate the query column with " +
+        "Opq.rotateCol(Opq.loadModel(...)) before this scan (raw-coordinate queries " +
+        "against rotated codes rank garbage)")
     val cb = loadCodebooks(spark, dir)
     require(cb.m * cb.dsub == meta.dim,
       s"index at $dir is torn: codebooks cover ${cb.m * cb.dsub} dims, sidecar says ${meta.dim}")
