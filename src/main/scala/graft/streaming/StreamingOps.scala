@@ -339,12 +339,21 @@ object StreamingOps {
     * stale-version safety; within a batch, [[ivfMaintainedState]]'s
     * version order decides.
     */
-  def ivfMaintenanceSink(
+  /** Quantizer sidecars (centroids + meta) at sink construction, shared by
+    * [[ivfMaintenanceSink]] and [[ivfPqMaintenanceSink]]: write them if the
+    * directory is fresh, otherwise VERIFY the passed quantizer matches the
+    * stored one and throw on mismatch — existing delta rows were assigned
+    * under the stored quantizer, so silently overwriting it would leave
+    * searches probing new centroids against stale cell ids (a silent
+    * recall hole in a codebase that otherwise fails loudly on exactly this
+    * class of mismatch).
+    */
+  private def ensureIvfSidecars(
       spark: SparkSession,
       indexDir: String,
       centroids: Array[Array[Float]],
-      metric: String = "euclidean",
-      spill: Int = 1): (Dataset[VectorOp], Long) => Unit = {
+      metric: String,
+      spill: Int): Unit = {
     import spark.implicits._
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     graft.knn.Ivf.loadMeta(spark, indexDir) match {
@@ -371,6 +380,15 @@ object StreamingOps {
           .toDF("metric", "spill", "c", "dim").coalesce(1)
           .write.mode("overwrite").parquet(s"$indexDir/meta")
     }
+  }
+
+  def ivfMaintenanceSink(
+      spark: SparkSession,
+      indexDir: String,
+      centroids: Array[Array[Float]],
+      metric: String = "euclidean",
+      spill: Int = 1): (Dataset[VectorOp], Long) => Unit = {
+    ensureIvfSidecars(spark, indexDir, centroids, metric, spill)
 
     (batch: Dataset[VectorOp], batchId: Long) => {
       val sess = batch.sparkSession
@@ -625,6 +643,7 @@ object StreamingOps {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .select("cell", "centroid").as[(Int, Seq[Float])].collect()
       .sortBy(_._1).map(_._2.toArray)
+    requireFullPrecisionView(spark, indexDir, "drift-measured")
     val m = graft.core.Distances.metricId(meta.metric)
     val bc = spark.sparkContext.broadcast(centroids)
     val perId = ivfMaintainedState(spark, indexDir)
@@ -708,6 +727,9 @@ object StreamingOps {
 
     val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    require(loadIvfPqFlags(spark, indexDir).isEmpty,
+      s"index at $indexDir is PQ-maintained — retrain it with retrainIvfPqMaintained (this " +
+        "path would silently drop the codes and PQ sidecars from the rebuilt directory)")
     val winners = latestDeltaRows(spark, indexDir).persist()
     // one row per live id (spill replicas share the vector and version)
     val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
@@ -796,9 +818,22 @@ object StreamingOps {
       require(qv.length == meta.dim,
         s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
     }
+    requireFullPrecisionView(spark, indexDir, "searched at full precision")
     graft.knn.Ivf.search(spark, ivfMaintainedState(spark, indexDir), centroids,
       queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
   }
+
+  /** A codes-only PQ-maintained directory has NO full-precision vectors in
+    * its view — full-precision consumers (raw IVF search, drift) must fail
+    * loudly instead of scanning nulls.
+    */
+  private def requireFullPrecisionView(
+      spark: SparkSession, indexDir: String, what: String): Unit =
+    loadIvfPqFlags(spark, indexDir).foreach { flags =>
+      require(flags.storeVectors,
+        s"index at $indexDir is PQ-maintained codes-only (storeVectors=false) and cannot be " +
+          s"$what — the view holds m-byte codes, not vectors; use searchIvfPqMaintained")
+    }
 
   /** [[searchIvfMaintained]] with a DataFrame query side — the
     * corpus-vs-corpus shape over a maintained index: per-query probe cells
@@ -828,6 +863,249 @@ object StreamingOps {
         .as("qvec"))
     graft.knn.Ivf.searchDF(ivfMaintainedState(spark, indexDir), centroids,
       checked, k, nprobe, meta.metric, dedup = meta.spill > 1)
+  }
+
+  // ---------------------------------------------- IVF×PQ delta maintenance
+
+  /** Flags of a PQ-maintained IVF directory, beyond what `pq_books`
+    * records: whether codes are residual (IVFADC) and whether full-
+    * precision vectors ride in the delta (rescore + retrain capability)
+    * or only the m-byte codes do (the memory-bounded serving tier).
+    */
+  private case class IvfPqMaintainedFlags(residual: Boolean, storeVectors: Boolean)
+
+  private def loadIvfPqFlags(spark: SparkSession, indexDir: String): Option[IvfPqMaintainedFlags] =
+    if (!graft.io.HadoopIO.exists(s"$indexDir/pq_maintained",
+        spark.sparkContext.hadoopConfiguration)) None
+    else {
+      val r = spark.read.parquet(s"$indexDir/pq_maintained")
+        .select("residual", "store_vectors").head()
+      Some(IvfPqMaintainedFlags(r.getBoolean(0), r.getBoolean(1)))
+    }
+
+  /** [[ivfMaintenanceSink]] with PRODUCT-QUANTIZED delta rows: each
+    * micro-batch's upserts are assigned to their cells against the FROZEN
+    * centroids and PQ-ENCODED against the FROZEN codebooks
+    * ([[graft.knn.Pq.encode]] / [[graft.knn.Pq.encodeResidual]] — one
+    * narrow codegen pass), so with the default `storeVectors = false` the
+    * delta log costs m BYTES per vector instead of 4·dim: the maintained
+    * index stays scannable from memory at the batch PQ tier's budget
+    * (16-32× past raw floats). The price is explicit and recorded in the
+    * `pq_maintained` sidecar: a codes-only index serves ADC-ranked results
+    * (no full-precision rescore — there is nothing to rescore against) and
+    * CANNOT re-train its quantizer from the maintained view
+    * ([[retrainIvfPqMaintained]] fails loudly; re-deriving geometry from
+    * codes alone is not possible — keep the source-of-truth corpus, or set
+    * `storeVectors = true` for the 4·dim+m layout that can do both).
+    *
+    * Same delta-log mechanics as [[ivfMaintenanceSink]]: versioned
+    * cell-partitioned appends, cell-less tombstones, O(batch) manifest
+    * merge, fail-loud completeness, restart guards on every sidecar
+    * (centroids, meta, codebooks, flags). ADC is euclidean-only, like the
+    * whole PQ tier.
+    */
+  def ivfPqMaintenanceSink(
+      spark: SparkSession,
+      indexDir: String,
+      centroids: Array[Array[Float]],
+      cb: graft.knn.Pq.PqCodebooks,
+      residual: Boolean = true,
+      storeVectors: Boolean = false,
+      spill: Int = 1): (Dataset[VectorOp], Long) => Unit = {
+    import spark.implicits._
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    require(cb.m * cb.dsub == dim,
+      s"codebooks cover ${cb.m * cb.dsub} dims, centroids have $dim")
+    ensureIvfSidecars(spark, indexDir, centroids, "euclidean", spill)
+    loadIvfPqFlags(spark, indexDir) match {
+      case Some(existing) =>
+        require(existing == IvfPqMaintainedFlags(residual, storeVectors),
+          s"index at $indexDir is already PQ-maintained with (residual=${existing.residual}, " +
+            s"storeVectors=${existing.storeVectors}); restarting with (residual=$residual, " +
+            s"storeVectors=$storeVectors) would mix incompatible delta rows — delete the " +
+            "directory instead")
+        val stored = graft.knn.Pq.loadCodebooks(spark, indexDir)
+        require(stored.m == cb.m && stored.dsub == cb.dsub && stored.ksub == cb.ksub &&
+          stored.books.zip(cb.books).forall { case (ba, bb) =>
+            ba.zip(bb).forall { case (a, b) => java.util.Arrays.equals(a, b) } },
+          s"index at $indexDir is already PQ-maintained with DIFFERENT codebooks — old delta " +
+            "rows carry codes from the stored books; refusing to overwrite them")
+      case None =>
+        graft.knn.Pq.saveCodebooks(spark, cb, indexDir, residual)
+        Seq((residual, storeVectors)).toDF("residual", "store_vectors")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pq_maintained")
+    }
+
+    (batch: Dataset[VectorOp], batchId: Long) => {
+      val sess = batch.sparkSession
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id")
+        .orderBy(col("version").desc, col("op"), xxhash64(col("vector")))
+      val ops = batch.toDF()
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .persist()
+      try {
+        val upserts = ops.filter(col("op") === "upsert")
+        val assigned = graft.knn.Ivf
+          .assign(sess, upserts.select("id", "vector"), centroids, "euclidean", spill)
+        val encoded =
+          (if (residual) graft.knn.Pq.encodeResidual(assigned, centroids, cb)
+           else graft.knn.Pq.encode(assigned, cb))
+            .join(upserts.select(col("id"), col("version")), Seq("id"))
+            .select(col("id"), col("cell"),
+              (if (storeVectors) col("vector") else lit(null).cast("array<float>")).as("vector"),
+              col("pq_codes"), col("version"), lit("upsert").as("op"))
+        val tombstones = ops.filter(col("op") === "remove")
+          .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
+            lit(null).cast("binary").as("pq_codes"), col("version"), lit("remove").as("op"))
+        encoded.unionByName(tombstones)
+          .write.mode("append").partitionBy("cell").parquet(s"$indexDir/delta/batch=$batchId")
+        mergeDeltaManifest(s"$indexDir/delta", s"batch=$batchId",
+          sess.sparkContext.hadoopConfiguration)
+      } finally ops.unpersist()
+    }
+  }
+
+  /** Current view of an [[ivfPqMaintenanceSink]] directory:
+    * (id, cell, vector, pq_codes) — `vector` is null throughout when the
+    * sink ran codes-only. Same latest-wins / tombstone semantics as
+    * [[ivfMaintainedState]].
+    */
+  def ivfPqMaintainedState(spark: SparkSession, indexDir: String): DataFrame =
+    latestDeltaRows(spark, indexDir)
+      .filter(col("op") === "upsert")
+      .select(col("id"), col("cell").cast("int"), col("vector"), col("pq_codes"))
+
+  /** ADC search over a PQ-maintained directory, self-configured from its
+    * sidecars (centroids, codebooks, residual flag, spill ⇒ dedupe,
+    * store_vectors ⇒ rescore). With stored vectors this is exactly the
+    * batch [[graft.knn.Pq.searchIvfPq]]/[[graft.knn.Pq.searchIvfPqResidual]]
+    * over the reconstructed view — converged equality with the batch
+    * answer is the catalog row's gate; codes-only serves the ADC ranking
+    * (√adc distances, deterministic (adc, id) tie-break).
+    */
+  def searchIvfPqMaintained(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8): DataFrame = {
+    import spark.implicits._
+    val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    val flags = loadIvfPqFlags(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no pq_maintained sidecar under $indexDir — not a PQ-maintained dir (use " +
+          "searchIvfMaintained for a raw-vector maintained index)"))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val cb = graft.knn.Pq.loadCodebooks(spark, indexDir)
+    queries.foreach { case (qid, qv) =>
+      require(qv.length == meta.dim,
+        s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
+    }
+    val state = ivfPqMaintainedState(spark, indexDir)
+    val metric = graft.core.Distances.Euclidean
+    val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> centroids.zipWithIndex
+        .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    graft.knn.Pq.search(spark, state, cb, queries, k, overscan, Some(probed),
+      dedup = meta.spill > 1,
+      residualCentroids = if (flags.residual) Some(centroids) else None,
+      rescore = flags.storeVectors)
+  }
+
+  /** [[retrainIvfMaintained]] for a PQ-maintained directory: re-train the
+    * coarse quantizer from the maintained view, re-assign, and RE-ENCODE
+    * every live vector against the new geometry (residual codes quantize
+    * vector − centroid, so new centroids invalidate old codes — raw codes
+    * are centroid-independent but are re-derived anyway for one uniform
+    * path). Codebooks stay FROZEN: they are the contract the ADC scan and
+    * any downstream consumers share; re-learning them is building a new
+    * index, not maintaining this one. Requires `storeVectors = true` —
+    * codes alone cannot re-derive the geometry (fails loudly; this is the
+    * documented price of the m-byte tier). Same complete-then-swap
+    * protocol and tombstone preservation as [[retrainIvfMaintained]].
+    */
+  def retrainIvfPqMaintained(
+      spark: SparkSession,
+      indexDir: String,
+      c: Int = 0,
+      iterations: Int = 2,
+      seed: Long = 42L): Array[Array[Float]] = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmpDir = s"$indexDir.retrain"
+
+    if (!graft.io.HadoopIO.exists(indexDir, hconf)) {
+      require(graft.io.HadoopIO.exists(tmpDir, hconf) &&
+        graft.io.HadoopIO.exists(s"$tmpDir/meta", hconf),
+        s"$indexDir does not exist and $tmpDir is absent or incomplete — not a maintained " +
+          "IVF directory (or an unrecoverable state)")
+      graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
+      return spark.read.parquet(s"$indexDir/centroids")
+        .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+        .sortBy(_._1).map(_._2.toArray)
+    }
+    graft.io.HadoopIO.delete(tmpDir, hconf)
+
+    val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    val flags = loadIvfPqFlags(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no pq_maintained sidecar under $indexDir — not a PQ-maintained dir"))
+    require(flags.storeVectors,
+      s"index at $indexDir is maintained codes-only (storeVectors=false): PQ codes cannot " +
+        "re-derive vector geometry, so the quantizer cannot be re-trained from the maintained " +
+        "view — re-build from the source-of-truth corpus instead (this is the documented " +
+        "trade of the m-byte tier)")
+    val cb = graft.knn.Pq.loadCodebooks(spark, indexDir)
+    val winners = latestDeltaRows(spark, indexDir).persist()
+    val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
+      .select(col("id").cast("long"), col("vector").cast("array<float>"), col("version"))
+      .persist()
+    try {
+      require(liveOne.limit(1).count() > 0,
+        s"maintained view at $indexDir is empty — nothing to re-train the quantizer on")
+      val newC = if (c > 0) c else meta.c
+      val centroids = graft.knn.Ivf.train(spark, liveOne.select("id", "vector"), newC,
+        meta.metric, iterations, seed = seed)
+
+      val assigned = graft.knn.Ivf
+        .assign(spark, liveOne.select("id", "vector"), centroids, meta.metric, meta.spill)
+      val encoded =
+        (if (flags.residual) graft.knn.Pq.encodeResidual(assigned, centroids, cb)
+         else graft.knn.Pq.encode(assigned, cb))
+          .join(liveOne.select(col("id"), col("version")), Seq("id"))
+          .select(col("id"), col("cell"), col("vector"), col("pq_codes"),
+            col("version"), lit("upsert").as("op"))
+      val tombstones = winners.filter(col("op") === "remove")
+        .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
+          lit(null).cast("binary").as("pq_codes"), col("version"), col("op"))
+      encoded.unionByName(tombstones)
+        .write.partitionBy("cell").parquet(s"$tmpDir/delta/batch=retrained")
+      writeDeltaManifest(s"$tmpDir/delta", hconf)
+      centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$tmpDir/centroids")
+      graft.knn.Pq.saveCodebooks(spark, cb, tmpDir, flags.residual)
+      Seq((flags.residual, flags.storeVectors)).toDF("residual", "store_vectors")
+        .coalesce(1).write.parquet(s"$tmpDir/pq_maintained")
+      // meta last: its presence marks the tmp index complete
+      Seq((meta.metric, meta.spill, centroids.length, meta.dim))
+        .toDF("metric", "spill", "c", "dim").coalesce(1)
+        .write.parquet(s"$tmpDir/meta")
+
+      graft.io.HadoopIO.delete(indexDir, hconf)
+      graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
+      centroids
+    } finally {
+      liveOne.unpersist()
+      winners.unpersist()
+    }
   }
 
   // ------------------------------------------------- HNSW delta maintenance

@@ -742,6 +742,140 @@ class StreamingIndexSpec extends SparkTestBase {
     // which is exactly what versionedOps exists to prevent
     assert(runPipeline(versionStore = false) > 0.5, "control: raw sink unexpectedly versioned")
   }
+
+  /** Deterministic dim-8 corpus + trained PQ artifacts for the
+    * PQ-maintained sink tests: two well-separated clusters so cell
+    * assignment and ADC ranking are unambiguous.
+    */
+  private def pqFixture() = {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      (i, Array.tabulate(8)(d => base + ((i * 7 + d * 3) % 5) * 0.1f))
+    }
+    val df = vecs.toDF("id", "vector")
+    val centroids = graft.knn.Ivf.train(spark, df, c = 2, iterations = 2)
+    val assigned = graft.knn.Ivf.assign(spark, df, centroids)
+    val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 4, ksub = 8,
+      iterations = 1, sampleCap = 1000, seeding = "first")
+    (vecs, df, centroids, cb)
+  }
+
+  test("PQ-maintained sink (codes-only): m-byte delta, codes equal batch encode, ADC search; " +
+    "full-precision consumers fail loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (vecs, _, centroids, cb) = pqFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfPqMaintenanceSink(spark, dir, centroids, cb))
+      .outputMode("append").start()
+    try {
+      input.addData(vecs.take(20).map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+      input.addData(
+        (vecs.drop(20).map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) } :+
+          StreamingOps.VectorOp(6L, "remove", Array.empty, 2)): _*)
+      q.processAllAvailable()
+
+      // view: survivors only, vector column null throughout, codes equal
+      // the batch encode of the surviving vectors (pure function of
+      // (vector, centroids, books))
+      val state = StreamingOps.ivfPqMaintainedState(spark, dir)
+      assert(state.filter(col("vector").isNotNull).count() === 0, "codes-only sink stored vectors")
+      val got = state.select(col("id"), col("pq_codes")).as[(Long, Array[Byte])]
+        .collect().map { case (i, c) => (i, c.toSeq) }.sortBy(_._1)
+      val surviving = vecs.filterNot(_._1 == 6L).toDF("id", "vector")
+      val expect = graft.knn.Pq.encodeResidual(
+          graft.knn.Ivf.assign(spark, surviving, centroids), centroids, cb)
+        .select(col("id"), col("pq_codes")).as[(Long, Array[Byte])]
+        .collect().map { case (i, c) => (i, c.toSeq) }.sortBy(_._1)
+      assert(got.toSeq === expect.toSeq)
+
+      // ADC-only search: ranked ids come back (k of them, removed id absent)
+      val res = StreamingOps.searchIvfPqMaintained(spark, dir,
+        Array((0L, vecs.head._2)), k = 5, nprobe = 2)
+      val ids = res.orderBy("rank").select("id").as[Long].collect()
+      assert(ids.length === 5 && !ids.contains(6L))
+
+      // full-precision consumers refuse the codes-only view
+      val e1 = intercept[IllegalArgumentException] {
+        StreamingOps.searchIvfMaintained(spark, dir, Array((0L, vecs.head._2)), k = 3, nprobe = 2)
+      }
+      assert(e1.getMessage.contains("codes-only"))
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingOps.ivfMaintainedDrift(spark, dir)
+      }
+      assert(e2.getMessage.contains("codes-only"))
+      val e3 = intercept[IllegalArgumentException] {
+        StreamingOps.retrainIvfPqMaintained(spark, dir)
+      }
+      assert(e3.getMessage.contains("codes-only"))
+    } finally q.stop()
+  }
+
+  test("PQ-maintained sink (stored vectors): search equals batch IVFADC row-for-row; " +
+    "retrain re-encodes against the new centroids; compaction keeps codes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (vecs, _, centroids, cb) = pqFixture()
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stream_v").toString
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfPqMaintenanceSink(spark, dir, centroids, cb,
+        residual = true, storeVectors = true))
+      .outputMode("append").start()
+    try {
+      input.addData(vecs.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+      input.addData(StreamingOps.VectorOp(6L, "remove", Array.empty, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = Array((0L, vecs(1)._2), (1L, vecs(2)._2))
+    val maintained = StreamingOps.searchIvfPqMaintained(spark, dir, queries, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val surviving = vecs.filterNot(_._1 == 6L).toDF("id", "vector")
+    val assigned = graft.knn.Ivf.assign(spark, surviving, centroids)
+    val batch = graft.knn.Pq.searchIvfPqResidual(spark,
+        graft.knn.Pq.encodeResidual(assigned, centroids, cb), centroids, cb,
+        queries, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(maintained.toSeq === batch.toSeq)
+
+    // compaction preserves the codes column and the view
+    StreamingOps.compactIvfMaintained(spark, dir)
+    val afterCompact = StreamingOps.searchIvfPqMaintained(spark, dir, queries, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(afterCompact.toSeq === batch.toSeq)
+
+    // retrain: new centroids land, codes re-encode against them (residual
+    // codes are centroid-dependent), tombstone survives
+    val newCentroids = StreamingOps.retrainIvfPqMaintained(spark, dir, iterations = 1)
+    val state = StreamingOps.ivfPqMaintainedState(spark, dir)
+    val got = state.select(col("id"), col("pq_codes")).as[(Long, Array[Byte])]
+      .collect().map { case (i, c) => (i, c.toSeq) }.sortBy(_._1)
+    val expect = graft.knn.Pq.encodeResidual(
+        graft.knn.Ivf.assign(spark, surviving, newCentroids), newCentroids, cb)
+      .select(col("id"), col("pq_codes")).as[(Long, Array[Byte])]
+      .collect().map { case (i, c) => (i, c.toSeq) }.sortBy(_._1)
+    assert(got.toSeq === expect.toSeq, "retrain did not re-encode against the new centroids")
+    assert(!got.map(_._1).contains(6L), "retrain resurrected a removed id")
+
+    // restart guard: different flags or codebooks refuse the directory
+    val cb2 = cb.copy(books = cb.books.map(_.map(_.map(x => x + 1f))))
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingOps.ivfPqMaintenanceSink(spark, dir, newCentroids, cb2,
+        residual = true, storeVectors = true)
+    }
+    assert(e1.getMessage.contains("DIFFERENT codebooks"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingOps.ivfPqMaintenanceSink(spark, dir, newCentroids, cb,
+        residual = true, storeVectors = false)
+    }
+    assert(e2.getMessage.contains("already PQ-maintained"))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
