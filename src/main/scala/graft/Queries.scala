@@ -1072,6 +1072,25 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    // §2.17 embedding near-dup with Lv et al. 2007 PROBE SEQUENCES: the
+    // left side probes the T=8 buckets ranked by summed flipped margins
+    // (|dot| per hyperplane) instead of hamming-1's uniform 17-probe ring
+    // — fewer probe rows AND coverage of multi-plane straddles whose
+    // margins are small (the planted 2-plane case is in DedupSpec).
+    // Planted verbatim copies share the exact bucket at any budget, so
+    // the same all-pairs oracle's recall is guaranteed.
+    "neardup_embedding_probeseq" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val base = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val copies = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("id"), col("embedding").as("vector"))
+      val planes = Dedup.randomPlanes(nbits = 16, dim = 64, seed = 7)
+      Dedup.embeddingNearDupPairs(base.unionByName(copies), planes, threshold = 0.1,
+          probes = 8)
+        .select(col("id_a"), col("id_b"), round(col("cos_dist"), 4).as("cos_dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.17 SemDeDup-style SEMANTIC near-dedup (Abbas et al. 2023):
     // k-means cells over unit-normalized embeddings as density-following
     // buckets, intra-cell cosine verify — the cluster replaces the random
@@ -2152,6 +2171,13 @@ object Queries {
          |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
          |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
     "neardup_embedding" ->
+      s"""WITH all_v AS (
+         |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, ${dEmb("embedding")} FROM embeddings WHERE vec_id < 100),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCosine("a.v", "b.v")} AS cd
+         |      FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cd, 4) AS cos_dist FROM p WHERE cd <= 0.1 ORDER BY id_a, id_b""".stripMargin,
+    "neardup_embedding_probeseq" ->
       s"""WITH all_v AS (
          |  SELECT vec_id, ${dEmb("embedding")} AS v FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, ${dEmb("embedding")} FROM embeddings WHERE vec_id < 100),

@@ -636,6 +636,44 @@ object Dedup {
       if (((x >>> 13) & 1L) == 1L) 1f else -1f
     }
 
+  /** The first `probes` signatures of Lv et al. 2007's query-directed
+    * probe sequence for sign-LSH ("Multi-Probe LSH: Efficient Indexing
+    * for High-Dimensional Similarity Search", §4): perturbation sets of
+    * hyperplane bits ordered by the SUM of flipped margins (|dot| — how
+    * close the vector sits to each boundary), enumerated lazily with the
+    * paper's shift/expand min-heap so only the emitted prefix is ever
+    * materialized. The exact signature comes first; then single smallest-
+    * margin flips, the two-smallest pair, … — so a fixed probe budget
+    * goes to the buckets MOST likely to hold a straddling neighbor,
+    * instead of hamming-1's uniform one-bit ring (which spends nbits
+    * probes and still misses any 2-plane straddle).
+    */
+  private[graft] def probeSequence(sig: Long, margins: Array[Double], probes: Int): Array[Long] = {
+    val n = margins.length
+    if (probes <= 1 || n == 0) return Array(sig)
+    // positions sorted by margin ascending; a perturbation set is a set of
+    // POSITIONS (mapped back to bit indices at emit time)
+    val order = margins.indices.sortBy(margins(_)).toArray
+    val out = new scala.collection.mutable.ArrayBuffer[Long](probes)
+    out += sig
+    case class Cand(score: Double, positions: List[Int]) // positions sorted desc (head = max)
+    implicit val ord: Ordering[Cand] = Ordering.by(c => -c.score) // min-heap
+    val heap = scala.collection.mutable.PriorityQueue(Cand(margins(order(0)), List(0)))
+    while (out.length < probes && heap.nonEmpty) {
+      val c = heap.dequeue()
+      out += c.positions.foldLeft(sig)((s, pos) => s ^ (1L << order(pos)))
+      val j = c.positions.head
+      if (j + 1 < n) {
+        // shift: replace the max position with its successor
+        heap.enqueue(Cand(c.score - margins(order(j)) + margins(order(j + 1)),
+          (j + 1) :: c.positions.tail))
+        // expand: add the successor
+        heap.enqueue(Cand(c.score + margins(order(j + 1)), (j + 1) :: c.positions))
+      }
+    }
+    out.toArray
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH (sign buckets) +
     * exact cosine verify. Parallel vectors always share a signature, so
     * recall for true near-dups (cosine distance ≈ 0) is exact. With
@@ -644,13 +682,23 @@ object Dedup {
     * pair is silently missed even at cos_dist ≈ 0 (see the planted-pair
     * test in DedupSpec). Pairs straddling ≥ 2 planes can still be missed;
     * at 16 bits and cos_dist ≤ 0.1 that probability is small but nonzero.
+    *
+    * `probes` > 0 switches the left side to [[probeSequence]] (Lv et al.
+    * 2007): T margin-ordered probes per row instead of hamming-1's
+    * uniform nbits+1 — T× left rows, same equi-join shape, and a 2-plane
+    * straddle with small margins is caught at T ≪ nbits² (the planted
+    * test in DedupSpec has hamming-1 miss what an 8-probe sequence
+    * finds). Mutually exclusive with `multiProbe`.
     */
   def embeddingNearDupPairs(
       data: DataFrame, // (id, vector array<float>)
       planes: Array[Array[Float]],
       threshold: Double,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false,
+      probes: Int = 0): DataFrame = {
     import graft.functions.vec
+    require(probes == 0 || !multiProbe,
+      "multiProbe (hamming-1) and probes (probe-sequence) are alternative probing strategies")
     val sigCol = (0 until planes.length).map { p =>
       val plane = array(planes(p).map(x => lit(x)): _*)
       when(vec.dot(col("vector"), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -663,7 +711,36 @@ object Dedup {
     // buckets) at the cost of (nbits+1)× left-side rows. Exact-probe only
     // guarantees parallel vectors.
     val left =
-      if (!multiProbe) bucketed.select(col("id"), col("vector"), col("sig").as("psig"))
+      if (probes > 0) {
+        // one narrow typed pass: all nbits dots per row (margins + sig in
+        // the same fold — the same `dot >= 0` convention as sigCol), then
+        // the heap enumeration emits the T probe signatures
+        val spark = data.sparkSession
+        import spark.implicits._
+        val bcPlanes = spark.sparkContext.broadcast(planes)
+        val t = probes
+        data.select(col("id").cast("long"), col("vector").cast("array<float>"))
+          .as[(Long, Array[Float])]
+          .mapPartitions { iter =>
+            val ps = bcPlanes.value
+            iter.flatMap { case (id, v) =>
+              val margins = new Array[Double](ps.length)
+              var sig = 0L
+              var p = 0
+              while (p < ps.length) {
+                val plane = ps(p)
+                var acc = 0.0
+                var i = 0
+                while (i < v.length) { acc += v(i).toDouble * plane(i); i += 1 }
+                if (acc >= 0) sig |= (1L << p)
+                margins(p) = math.abs(acc)
+                p += 1
+              }
+              probeSequence(sig, margins, t).iterator.map(psig => (id, v, psig))
+            }
+          }
+          .toDF("id", "vector", "psig")
+      } else if (!multiProbe) bucketed.select(col("id"), col("vector"), col("sig").as("psig"))
       else {
         val probeSigs = array(col("sig") +: (0 until planes.length)
           .map(b => col("sig").bitwiseXOR(lit(1L << b))): _*)

@@ -79,6 +79,46 @@ class DedupSpec extends SparkTestBase {
     assert(probed === Set((1L, 2L)))
   }
 
+  test("probe-sequence enumeration: margin-ordered subsets, lazily, exact first") {
+    // margins: bit 2 smallest (0.1), then bit 0 (0.2), then bit 1 (5.0)
+    val sigs = Dedup.probeSequence(sig = 0L, margins = Array(0.2, 5.0, 0.1), probes = 5)
+    // score order: {} (0) < {2} (.1) < {0} (.2) < {2,0} (.3) < {1} (5) …
+    assert(sigs.toSeq === Seq(0L, 4L, 1L, 5L, 2L))
+    // a probe budget of 1 is just the exact signature
+    assert(Dedup.probeSequence(7L, Array(1.0, 2.0, 3.0), 1).toSeq === Seq(7L))
+    // the full enumeration covers all 2^n subsets without repeats
+    val all = Dedup.probeSequence(0L, Array(0.4, 0.3, 0.2, 0.1), 16)
+    assert(all.length === 16 && all.toSet.size === 16)
+  }
+
+  test("probe-sequence LSH catches a 2-plane straddle that hamming-1 misses (Lv et al. 2007)") {
+    // axis planes; a and b sit 0.01 from planes 0 AND 1 on opposite sides:
+    // signatures differ in two bits, so hamming-1 probing (flip ONE bit of
+    // the left side) can never reach the partner bucket — the probe
+    // sequence flips the two smallest-margin bits as its 4th probe
+    val planes = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val vecs = Seq(
+      (1L, Array(0.01f, 0.01f, 1f, 1f)),
+      (2L, Array(-0.01f, -0.01f, 1f, 1f))) // cos dist ≈ 2e-4
+    val df = vecs.toDF("id", "vector")
+    val h1 = Dedup.embeddingNearDupPairs(df, planes, threshold = 0.1, multiProbe = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(h1.isEmpty, "hamming-1 should miss a 2-plane straddle")
+    val seq4 = Dedup.embeddingNearDupPairs(df, planes, threshold = 0.1, probes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(seq4 === Set((1L, 2L)),
+      "a 4-probe sequence must reach the two-smallest-margin flip")
+    // and the sequence still finds everything hamming-1 finds: exact
+    // copies share the exact bucket at any probe budget
+    val copies = Seq((1L, Array(1f, 2f, 3f, 4f)), (2L, Array(1f, 2f, 3f, 4f)))
+      .toDF("id", "vector")
+    val c = Dedup.embeddingNearDupPairs(copies, planes, threshold = 0.01, probes = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(c === Set((1L, 2L)))
+  }
+
   test("LSH skew guard: a 10k-doc boilerplate bucket yields n-1 star pairs, not C(n,2)") {
     val n = 10000
     // identical text: every band bucket holds all n docs — the C(n,2)
