@@ -221,4 +221,24 @@ object Opq {
     Pq.searchSavedIvfPq(spark, dir, rotateQueries(model, queries), k, nprobe, overscan,
       rotatedQueries = true)
   }
+
+  /** [[searchSaved]] with a DataFrame query side — the corpus-vs-corpus
+    * shape: the rotation applies to the query column as the same codegen
+    * kernel the corpus was encoded with (one narrow pass, nothing
+    * driver-resident), then [[Pq.searchSavedIvfPqDF]]'s per-cell cogroup
+    * ADC scan runs in rotated coordinates.
+    */
+  def searchSavedDF(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8): DataFrame = {
+    require(savedRotation(spark, dir),
+      s"no OPQ rotation sidecar under $dir — use Pq.searchSavedIvfPqDF for a non-rotated index")
+    val model = loadModel(spark, dir)
+    val rotated = queries.select(col("qid"), rotateCol(model, col("qvec")).as("qvec"))
+    Pq.searchSavedIvfPqDF(spark, dir, rotated, k, nprobe, overscan, rotatedQueries = true)
+  }
 }

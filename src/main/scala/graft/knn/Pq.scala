@@ -638,16 +638,16 @@ object Pq {
       queries: DataFrame,
       k: Int,
       nprobe: Int,
-      overscan: Int = 8): DataFrame = {
+      overscan: Int = 8,
+      rotatedQueries: Boolean = false): DataFrame = {
     val (assigned, centroids, meta) = Ivf.loadWithMeta(spark, dir)
     require(meta.metric == "euclidean",
       s"saved index at $dir was trained with metric '${meta.metric}' — the PQ ADC path is euclidean-only")
     require(assigned.columns.contains("pq_codes"),
       s"saved assignment at $dir lacks pq_codes — save encode(assign(...)) to use this path")
-    require(!Opq.savedRotation(spark, dir),
-      s"index at $dir carries an OPQ rotation sidecar — rotate the query column with " +
-        "Opq.rotateCol(Opq.loadModel(...)) before this scan (raw-coordinate queries " +
-        "against rotated codes rank garbage)")
+    require(rotatedQueries || !Opq.savedRotation(spark, dir),
+      s"index at $dir carries an OPQ rotation sidecar — search it via Opq.searchSavedDF " +
+        "(raw-coordinate queries against rotated codes rank garbage)")
     val cb = loadCodebooks(spark, dir)
     require(cb.m * cb.dsub == meta.dim,
       s"index at $dir is torn: codebooks cover ${cb.m * cb.dsub} dims, sidecar says ${meta.dim}")

@@ -788,7 +788,12 @@ object StreamingOps {
     require(threshold >= 0, s"threshold must be non-negative, got $threshold")
     val drift = ivfMaintainedDrift(spark, indexDir)
     if (drift > threshold) {
-      retrainIvfMaintained(spark, indexDir, c, iterations, seed)
+      // a PQ-maintained dir retrains through the code-aware path (re-encode
+      // against the new geometry); drift itself already refused codes-only
+      if (loadIvfPqFlags(spark, indexDir).isDefined)
+        retrainIvfPqMaintained(spark, indexDir, c, iterations, seed)
+      else
+        retrainIvfMaintained(spark, indexDir, c, iterations, seed)
       (drift, true)
     } else (drift, false)
   }

@@ -134,6 +134,19 @@ class OpqSpec extends SparkTestBase {
       back.rotation.zip(model.rotation).foreach { case (a, b) =>
         a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
       }
+
+      // the DataFrame query side must reproduce the driver-array result
+      // ROW-FOR-ROW (same LUT math, same tie-break) and refuse raw paths
+      val qDf = aniso.filter(col("id") < 5).toDF("qid", "qvec")
+      val dfRes = Opq.searchSavedDF(spark, dir, qDf, k = 10, nprobe = 8, overscan = 12)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+      val arrRes = res.select("qid", "id", "rank").as[(Long, Long, Int)]
+        .collect().sortBy(r => (r._1, r._3))
+      assert(dfRes.toSeq === arrRes.toSeq)
+      val exDf = intercept[IllegalArgumentException] {
+        Pq.searchSavedIvfPqDF(spark, dir, qDf, k = 10, nprobe = 8)
+      }
+      assert(exDf.getMessage.contains("OPQ rotation sidecar"))
     } finally rotated.unpersist()
   }
 }

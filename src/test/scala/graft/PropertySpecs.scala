@@ -246,3 +246,31 @@ object BpeProps extends Properties("Bpe") {
         org.apache.spark.unsafe.types.UTF8String.fromString(text), spec) == expect
     }
 }
+
+object ProbeSequenceProps extends Properties("ProbeSequence") {
+  private val margins = Gen.choose(1, 10).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(0.001, 100.0)).map(_.toArray))
+
+  property("prefix of the brute-force subset enumeration by (score, then stable)") =
+    forAll(margins, Gen.choose(1, 40), Gen.choose(0L, 1000L)) { (ms, t, sig) =>
+      val got = graft.dedup.Dedup.probeSequence(sig, ms, t)
+      // brute force: all 2^n masks scored by summed flipped margins
+      val n = ms.length
+      val all = (0 until (1 << n)).map { mask =>
+        val score = (0 until n).filter(b => (mask & (1 << b)) != 0).map(ms).sum
+        (score, mask.toLong ^ sig)
+      }.sortBy(_._1)
+      val budget = math.min(t, 1 << n)
+      // scores must match the best-possible prefix (signatures may permute
+      // within exact score ties, which random doubles make measure-zero —
+      // still compare scores, not sigs, to stay robust)
+      val gotScores = got.map { g =>
+        val mask = (g ^ sig).toInt
+        (0 until n).filter(b => (mask & (1 << b)) != 0).map(ms).sum
+      }
+      got.length == budget &&
+        got.toSet.size == got.length && // no duplicate probes
+        got.head == sig && // exact signature first
+        gotScores.zip(all.take(budget).map(_._1)).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+    }
+}

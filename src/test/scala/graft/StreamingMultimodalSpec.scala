@@ -875,6 +875,22 @@ class StreamingIndexSpec extends SparkTestBase {
         residual = true, storeVectors = false)
     }
     assert(e2.getMessage.contains("already PQ-maintained"))
+
+    // the gated drift loop dispatches to the code-aware retrain: install a
+    // stale quantizer post-hoc (the sink itself cannot produce drift — it
+    // assigns against the centroids it stores), then the gate must fire
+    // AND the PQ sidecars must survive (the raw retrain path would have
+    // dropped them)
+    val swapped = newCentroids.reverse.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+    swapped.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val (drift, ran) = StreamingOps.retrainIfDrifted(spark, dir, threshold = 0.3)
+    assert(drift > 0.3 && ran, s"swapped quantizer must trip the gate (drift=$drift)")
+    assert(graft.io.HadoopIO.exists(s"$dir/pq_books", spark.sparkContext.hadoopConfiguration) &&
+      graft.io.HadoopIO.exists(s"$dir/pq_maintained", spark.sparkContext.hadoopConfiguration),
+      "gated retrain dropped the PQ sidecars — raw path taken for a PQ dir")
+    assert(StreamingOps.ivfPqMaintainedState(spark, dir)
+      .filter(col("pq_codes").isNull).count() === 0)
   }
 }
 
