@@ -1248,6 +1248,39 @@ object Queries {
         .orderBy("vec_id")
     }),
 
+    // §2.19 REAL animated-PNG video, distributed: per row 6 deterministic
+    // frames are APNG-encoded (acTL/fcTL/fdAT chunk stream, JDK PNG
+    // compressor), the Decoder samples 3 evenly, and — PNG being lossless
+    // — every sampled frame must equal its source BYTE-EXACTLY
+    // (n_mismatch = 0), a strictly stronger gate than MJPEG's DC
+    // tolerance. Capped rows like multimodal_video: the row prices the
+    // chunk codec and sampling, not PNG deflate throughput.
+    "multimodal_video_apng" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      e.select(col("vec_id")).filter(col("vec_id") < 150).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val (w, h, nF, kS) = (8, 6, 6, 3)
+            val frames = Array.tabulate(nF)(f =>
+              Array.tabulate(w * h * 3)(i => ((id * 31 + f * 17 + i * 7) % 251).toByte))
+            val apng = graft.multimodal.Multimodal.encodeApng(frames.toSeq, w, h)
+            val sampled = graft.multimodal.Multimodal.ApngDecoder.decodeFrames(apng, kS)
+            val idx = graft.multimodal.Multimodal.MjpegDecoder.sampleIndices(nF, kS)
+            val mismatch =
+              if (sampled.length != idx.length) kS.toLong
+              else sampled.zip(idx).count { case (g, f) =>
+                !java.util.Arrays.equals(g, frames(f))
+              }.toLong
+            (id, nF.toLong, sampled.length.toLong, apng.length.toLong > 0, mismatch)
+          }
+        }
+        .toDF("vec_id", "n_frames", "n_sampled", "encoded_nonempty", "n_mismatch")
+        .select(col("vec_id"), col("n_frames"), col("n_sampled"),
+          col("encoded_nonempty").cast("long").as("encoded_nonempty"), col("n_mismatch"))
+        .orderBy("vec_id")
+    }),
+
     // §2.19 REAL audio codec end-to-end, distributed: per row 64 16-bit
     // PCM samples are synthesized from the embedding's float bits, ENCODED
     // to an actual WAV payload (javax.sound.sampled, in executor tasks),
@@ -2470,6 +2503,10 @@ object Queries {
       """SELECT vec_id, CAST(8 AS BIGINT) AS n_segments, CAST(4 AS BIGINT) AS n_sampled,
         |  CAST(8 AS BIGINT) AS frame_w, CAST(6 AS BIGINT) AS frame_h,
         |  CAST(0 AS BIGINT) AS n_sample_mismatch, CAST(0 AS BIGINT) AS n_color_off
+        |FROM embeddings WHERE vec_id < 150 ORDER BY vec_id""".stripMargin,
+    "multimodal_video_apng" ->
+      """SELECT vec_id, CAST(6 AS BIGINT) AS n_frames, CAST(3 AS BIGINT) AS n_sampled,
+        |  CAST(1 AS BIGINT) AS encoded_nonempty, CAST(0 AS BIGINT) AS n_mismatch
         |FROM embeddings WHERE vec_id < 150 ORDER BY vec_id""".stripMargin,
     // WAV encode→decode is exercised Spark-side; 16-bit PCM losslessness
     // makes every column closed-form

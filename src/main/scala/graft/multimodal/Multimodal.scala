@@ -14,13 +14,16 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   * external codecs needed), and [[resizeNearest]] is a real
   * nearest-neighbor resampler over decoded pixels. AUDIO decoding is REAL:
   * [[WavDecoder]]/[[encodeWav]] round-trip 16-bit PCM WAV through
-  * `javax.sound.sampled` (also in the JDK). VIDEO is REAL for the one
-  * container the JDK can decode end-to-end: [[MjpegDecoder]]/[[encodeMjpeg]]
-  * handle Motion-JPEG (concatenated JPEG frames — the classic IP-camera /
-  * AVI-MJPC stream layout), with evenly-spaced frame SAMPLING at decode.
-  * Compressed containers (mp4/H.264) genuinely need codecs absent from
-  * the JDK — those still enter through the same [[Decoder]] boundary via
-  * an external binding. [[DecodeStub]] remains as the format-agnostic
+  * `javax.sound.sampled` (also in the JDK). VIDEO is REAL for the two
+  * containers the JDK can decode end-to-end:
+  * [[MjpegDecoder]]/[[encodeMjpeg]] handle Motion-JPEG (concatenated JPEG
+  * frames — the classic IP-camera / AVI-MJPC stream layout) and
+  * [[ApngDecoder]]/[[encodeApng]] handle ANIMATED PNG (acTL/fcTL/fdAT
+  * chunked frames — losslessly, where JPEG tolerates DC quantization),
+  * both with evenly-spaced frame SAMPLING at decode. Compressed
+  * containers (mp4/H.264) genuinely need codecs absent from the JDK —
+  * those still enter through the same [[Decoder]] boundary via an
+  * external binding. [[DecodeStub]] remains as the format-agnostic
   * byte-split stand-in for pipelines that want plumbing without a codec.
   */
 object Multimodal {
@@ -197,6 +200,151 @@ object Multimodal {
           }
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => (-1, -1) }
+  }
+
+  // ------------------------------------------------------------------ APNG
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** (type, data) PNG chunks of a payload in order; malformed framing
+    * (bad length, truncation) ends the walk — callers treat the payload
+    * as undecodable past that point (skip-not-throw).
+    */
+  private def pngChunks(payload: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    if (payload.length < 8 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 0, 8), PngSig)) return out.toSeq
+    var i = 8
+    var ok = true
+    while (ok && i + 8 <= payload.length) {
+      val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+      if (len < 0 || i + 12 + len.toLong > payload.length) ok = false
+      else {
+        val tpe = new String(payload, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        out += ((tpe, java.util.Arrays.copyOfRange(payload, i + 8, i + 8 + len)))
+        i += 12 + len
+      }
+    }
+    out.toSeq
+  }
+
+  private def writeChunk(bos: java.io.ByteArrayOutputStream, tpe: String, data: Array[Byte]): Unit = {
+    def be(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val tb = tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    bos.write(be(data.length))
+    bos.write(tb)
+    bos.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    bos.write(be(crc.getValue.toInt))
+  }
+
+  /** Encode packed-RGB frames as ANIMATED PNG (APNG, the PNG third
+    * edition's animation chunks): each frame compresses through the JDK's
+    * own PNG encoder, its IDAT payloads splice in as frame 0's IDAT /
+    * later frames' fdAT, with acTL/fcTL control chunks framing the
+    * sequence. All frames are full-frame (x=y=0, blend=SOURCE), which is
+    * also the only composition [[ApngDecoder]] serves. LOSSLESS — unlike
+    * MJPEG, sampled frames round-trip byte-exact.
+    */
+  def encodeApng(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty, "APNG needs at least one frame")
+    val encoded = frames.map(rgb => pngChunks(encodePng(rgb, width, height)))
+    val ihdr = encoded.head.collectFirst { case ("IHDR", d) => d }.get
+    require(encoded.forall(_.collectFirst { case ("IHDR", d) => d }.exists(
+      java.util.Arrays.equals(_, ihdr))), "frames encoded with differing IHDRs")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(PngSig)
+    writeChunk(bos, "IHDR", ihdr)
+    def be(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    writeChunk(bos, "acTL", be(frames.length) ++ be(0) /* loop forever */)
+    var seq = 0
+    encoded.zipWithIndex.foreach { case (chunks, fi) =>
+      // fcTL: seq, w, h, x, y, delay 1/10 s, dispose=0 (NONE), blend=0 (SOURCE)
+      writeChunk(bos, "fcTL",
+        be(seq) ++ be(width) ++ be(height) ++ be(0) ++ be(0) ++
+          Array[Byte](0, 1, 0, 10, 0, 0))
+      seq += 1
+      chunks.collect { case ("IDAT", d) => d }.foreach { d =>
+        if (fi == 0) writeChunk(bos, "IDAT", d)
+        else { writeChunk(bos, "fdAT", be(seq) ++ d); seq += 1 }
+      }
+    }
+    writeChunk(bos, "IEND", Array.empty)
+    bos.toByteArray
+  }
+
+  /** REAL decoder for ANIMATED PNG: walks the chunk stream, validates the
+    * acTL/fcTL/fdAT animation framing, SAMPLES up to `maxFrames` frames
+    * evenly across the sequence, and reconstructs each sampled frame as a
+    * standalone PNG (IHDR + its data chunks, fdAT renumbered back to
+    * IDAT) decoded through the same `javax.imageio` path as
+    * [[PngDecoder]] — pure JVM, no external codecs, and lossless where
+    * [[MjpegDecoder]] tolerates DC quantization.
+    *
+    * Supported composition: full-frame frames only (x=y=0, frame size =
+    * canvas size, blend=SOURCE) — the frame-sampling shape a training
+    * pipeline wants. Region/blend-OVER payloads (valid APNG, incremental
+    * composition) are treated as undecodable: zero frames, skip-not-throw,
+    * never a silently mis-composed image. A plain PNG (no acTL) decodes
+    * as its single frame.
+    */
+  object ApngDecoder extends Decoder {
+
+    /** Each animation frame's standalone-PNG byte ranges, reassembled:
+      * None when the payload is not a supported full-frame APNG.
+      */
+    private[multimodal] def framePngs(payload: Array[Byte]): Option[Array[Array[Byte]]] = {
+      val chunks = pngChunks(payload)
+      if (chunks.isEmpty) return None
+      val ihdr = chunks.collectFirst { case ("IHDR", d) => d }.getOrElse(return None)
+      if (!chunks.exists(_._1 == "acTL"))
+        return Some(Array(payload)) // plain PNG: its own single frame
+      def be(d: Array[Byte], o: Int): Int =
+        ((d(o) & 0xff) << 24) | ((d(o + 1) & 0xff) << 16) | ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)
+      val (canvasW, canvasH) = (be(ihdr, 0), be(ihdr, 4))
+      // frames in fcTL order; every fcTL must be full-frame blend=SOURCE
+      val frames = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+      var sawFctl = false
+      chunks.foreach {
+        case ("fcTL", d) =>
+          if (d.length < 26) return None
+          val (w, h, x, y, blend) = (be(d, 4), be(d, 8), be(d, 12), be(d, 16), d(25))
+          if (w != canvasW || h != canvasH || x != 0 || y != 0 || blend != 0) return None
+          frames += scala.collection.mutable.ArrayBuffer.empty
+          sawFctl = true
+        case ("IDAT", d) =>
+          // an IDAT before any fcTL is a non-animated default image
+          // (allowed by the spec); with a preceding fcTL it IS frame 0
+          if (sawFctl && frames.nonEmpty && frames.length == 1) frames.head += d
+        case ("fdAT", d) =>
+          if (d.length < 4 || frames.isEmpty) return None
+          frames.last += java.util.Arrays.copyOfRange(d, 4, d.length) // strip sequence number
+        case _ => ()
+      }
+      if (frames.isEmpty || frames.exists(_.isEmpty)) return None
+      Some(frames.map { datas =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(PngSig)
+        writeChunk(bos, "IHDR", ihdr)
+        chunks.collect { case ("PLTE", d) => d }.foreach(writeChunk(bos, "PLTE", _))
+        datas.foreach(writeChunk(bos, "IDAT", _))
+        writeChunk(bos, "IEND", Array.empty)
+        bos.toByteArray
+      }.toArray)
+    }
+
+    def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] =
+      if (maxFrames < 1) Array.empty
+      else framePngs(payload) match {
+        case None => Array.empty
+        case Some(pngs) =>
+          MjpegDecoder.sampleIndices(pngs.length, maxFrames)
+            .flatMap(i => PngDecoder.decodeRgb(pngs(i)).map(_._1))
+      }
   }
 
   /** Encode 16-bit signed mono PCM samples as a WAV payload

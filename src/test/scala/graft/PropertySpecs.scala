@@ -181,6 +181,43 @@ object MjpegCodecProps extends Properties("MjpegCodec") {
     }
 }
 
+object ApngCodecProps extends Properties("ApngCodec") {
+  import graft.multimodal.Multimodal
+
+  private val dims = for {
+    w <- Gen.choose(1, 8)
+    h <- Gen.choose(1, 8)
+  } yield (w, h)
+
+  property("encode -> decode is byte-exact on every frame (lossless)") =
+    forAll(dims, Gen.choose(1, 5), Gen.choose(0, 255)) { case ((w, h), n, seed) =>
+      val frames = (0 until n).map(f =>
+        Array.tabulate(w * h * 3)(i => ((seed + f * 37 + i * 11) & 0xff).toByte))
+      val apng = Multimodal.encodeApng(frames, w, h)
+      val decoded = Multimodal.ApngDecoder.decodeFrames(apng, n)
+      decoded.length == n &&
+        decoded.zip(frames).forall { case (g, e) => java.util.Arrays.equals(g, e) }
+    }
+
+  property("arbitrary byte garbage never throws, yields no frames") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.map(_.toByte).toArray)) { junk =>
+      // the walk may salvage nothing or (for junk that is a valid PNG
+      // prefix) a well-formed frame — either way: no exception, and any
+      // frame is packed RGB
+      Multimodal.ApngDecoder.decodeFrames(junk, 4).forall(_.length % 3 == 0)
+    }
+
+  property("truncation of a valid APNG never throws") =
+    forAll(dims, Gen.choose(1, 3), Gen.choose(0.0, 1.0)) { case ((w, h), n, frac) =>
+      val frames = (0 until n).map(f =>
+        Array.tabulate(w * h * 3)(i => ((f * 53 + i * 17) & 0xff).toByte))
+      val apng = Multimodal.encodeApng(frames, w, h)
+      val cut = java.util.Arrays.copyOfRange(apng, 0, (apng.length * frac).toInt)
+      val out = Multimodal.ApngDecoder.decodeFrames(cut, 4)
+      out.forall(_.length == w * h * 3)
+    }
+}
+
 object BpeProps extends Properties("Bpe") {
   import graft.text.Bpe
 

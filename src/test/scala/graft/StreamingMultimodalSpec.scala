@@ -1018,6 +1018,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.MjpegDecoder.decodeFrames(mjpeg, 0).isEmpty)
   }
 
+  test("APNG encode/decode round-trips every frame byte-exactly (lossless, real chunk codec)") {
+    val (w, h) = (6, 4)
+    val frames = (0 until 5).map { f =>
+      Array.tabulate(w * h * 3)(i => ((i * 31 + f * 97) % 251).toByte)
+    }
+    val apng = Multimodal.encodeApng(frames, w, h)
+    // all 5 frames, sampled at budget >= count: byte equality per frame
+    val got = Multimodal.ApngDecoder.decodeFrames(apng, maxFrames = 8)
+    assert(got.length === 5)
+    got.zip(frames).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(java.util.Arrays.equals(g, e), s"frame $i not byte-exact")
+    }
+    // sampling: 2 of 5 = indices 0 and 2 (floor(i*n/k))
+    val two = Multimodal.ApngDecoder.decodeFrames(apng, maxFrames = 2)
+    assert(two.length === 2)
+    assert(java.util.Arrays.equals(two(0), frames(0)))
+    assert(java.util.Arrays.equals(two(1), frames(2)))
+  }
+
+  test("APNG decoder: plain PNG is its single frame; region/blend-over and junk are skipped") {
+    val rgb = Array.tabulate(4 * 4 * 3)(i => (i * 7 % 200).toByte)
+    val png = Multimodal.encodePng(rgb, 4, 4)
+    val one = Multimodal.ApngDecoder.decodeFrames(png, maxFrames = 4)
+    assert(one.length === 1 && java.util.Arrays.equals(one(0), rgb))
+    // region frame (fcTL width != canvas): valid APNG we do not compose —
+    // zero frames, not a silently mis-composed image
+    val apng = Multimodal.encodeApng(Seq(rgb, rgb), 4, 4)
+    val broken = {
+      // surgically shrink the width field of the SECOND fcTL chunk (the
+      // decoder reads framing, not CRCs, so the edit lands)
+      val needle = "fcTL".getBytes.toSeq
+      val first = apng.toSeq.indexOfSlice(needle)
+      val idx = apng.toSeq.indexOfSlice(needle, first + 1)
+      assert(idx > 0, "expected two fcTL chunks")
+      val b = apng.clone()
+      b(idx + 4 + 7) = 1 // data offset 4..7 = width; low byte at data[7]
+      b
+    }
+    assert(Multimodal.ApngDecoder.decodeFrames(broken, maxFrames = 4).isEmpty)
+    assert(Multimodal.ApngDecoder.decodeFrames(Array[Byte](1, 2, 3), maxFrames = 4).isEmpty)
+    assert(Multimodal.ApngDecoder.decodeFrames(Array.empty[Byte], maxFrames = 4).isEmpty)
+  }
+
   test("WAV encode/decode round-trips 16-bit PCM samples losslessly (real javax.sound codec)") {
     val samples = Array.tabulate(480)(i => (math.sin(i * 0.1) * 12345).toShort)
     val wav = Multimodal.encodeWav(samples, 16000)
