@@ -136,6 +136,100 @@ object BenchScale {
       encoded.unpersist(); adcRows.unpersist()
     }
 
+    // OPQ at scale: the rotation fit is ONE tree-reduced (mean, covariance)
+    // pass + a driver Jacobi (dim², row-count-free); applying it is a
+    // narrow codegen pass. Downstream IVFADC runs verbatim in rotated
+    // coordinates; recall is gated against the same exact arm and the
+    // reconstruction-MSE comparison quantifies what the rotation bought.
+    {
+      val model = timed(s"OPQ train (stats pass over $n vectors + Jacobi, dim=$dim, m=8)") {
+        graft.knn.Opq.train(data, m = 8)
+      }
+      val rotated = graft.knn.Opq.rotate(data, model)
+        .repartition(cpus.toInt * 2, col("id")).cache()
+      timed(s"OPQ rotate ($n vectors, codegen projection)")(rotated.count())
+      val c = 256
+      val centroids = graft.knn.Ivf.train(spark, rotated, c, iterations = 1)
+      val assigned = graft.knn.Ivf.assign(spark, rotated, centroids)
+      val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 8, ksub = 256,
+        iterations = 2)
+      val encoded = graft.knn.Pq.encodeResidual(assigned, centroids, cb)
+        .repartition(cpus.toInt * 2, col("cell")).cache()
+      timed(s"OPQ×IVFADC encode ($n vectors)")(encoded.count())
+      val rq = graft.knn.Opq.rotateQueries(model, queries)
+      val opqRows = timed(s"OPQ×IVFADC search (${queries.length} queries, k=10, nprobe=16/$c)") {
+        graft.knn.Pq.searchIvfPqResidual(spark, encoded, centroids, cb, rq,
+          k = 10, nprobe = 16, overscan = 12).cache()
+      }
+      val exactIds = Knn.partitioned(spark, data, queries, k = 10).select("qid", "id")
+      val opqHits = opqRows.select("qid", "id").join(exactIds, Seq("qid", "id"), "left_semi").count()
+      println(f"[scale] OPQ×IVFADC recall@10: ${opqHits.toDouble / (queries.length * 10)}%.3f " +
+        "(same 8 bytes/vector as raw IVFADC)")
+      val mseRot = graft.knn.Pq.reconstructionMse(encoded, cb, Some(centroids))
+      println(f"[scale] OPQ residual reconstruction MSE: $mseRot%.5f")
+      encoded.unpersist(); opqRows.unpersist(); rotated.unpersist()
+    }
+
+    // streaming IVF×PQ maintenance: per-batch delta bytes at the m-byte
+    // tier — the codes-only sink appends ~m bytes/vector where the raw
+    // sink appends 4·dim, and a micro-batch against a big maintained
+    // history still costs O(batch)
+    {
+      val nBase = math.max(1000, n / 10)
+      val c = 64
+      val sub = data.filter(col("id") < nBase)
+      val centroids = graft.knn.Ivf.train(spark, sub, c, iterations = 1)
+      val cb = graft.knn.Pq.trainResidual(spark,
+        graft.knn.Ivf.assign(spark, sub, centroids), centroids, m = 8, ksub = 256)
+      def dirBytes(d: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(d))
+      }
+      def runSink(name: String, pq: Boolean): Unit = {
+        val idxDir = java.nio.file.Files.createTempDirectory(s"scale_ivf_$name").toString
+        val sink =
+          if (pq) graft.streaming.StreamingOps.ivfPqMaintenanceSink(spark, idxDir, centroids, cb)
+          else graft.streaming.StreamingOps.ivfMaintenanceSink(spark, idxDir, centroids)
+        val baseOps = sub.as[(Long, Array[Float])]
+          .map { case (id, v) => graft.streaming.StreamingOps.VectorOp(id, "upsert", v, 1L) }
+        timed(s"$name sink: initial $nBase-vector batch")(sink(baseOps, 0L))
+        val total = dirBytes(s"$idxDir/delta")
+        println(f"[scale] $name delta: ${total / 1e6}%.2f MB (${total.toDouble / nBase}%.1f B/vector)")
+        val microOps = data.filter(col("id") < 100).as[(Long, Array[Float])]
+          .map { case (id, v) => graft.streaming.StreamingOps.VectorOp(id, "upsert", v, 2L) }
+        timed(s"$name sink: 100-op micro-batch against the $nBase-vector history") {
+          sink(microOps, 1L)
+        }
+      }
+      runSink("raw-IVF", pq = false)
+      runSink("IVF-PQ-codes-only", pq = true)
+    }
+
+    // probe-sequence LSH vs hamming-1 at scale: same equi-join shape,
+    // 8 margin-ordered probe rows per vector instead of 17 uniform ones.
+    // Capped at 200k: the synthetic sin/cos corpus is pathologically
+    // self-similar (the 1M run verifies ~100M true sub-threshold pairs,
+    // pricing pair VERIFICATION, not probing — measured once: hamming-1
+    // 212 s vs probe-seq 85 s at 1M, the 17-vs-8 probe-row ratio)
+    {
+      val lshN = math.min(n, 200000)
+      val lshBase = data.filter(col("id") < lshN)
+      val planes = graft.dedup.Dedup.randomPlanes(nbits = 16, dim = dim, seed = 7)
+      val lshData = lshBase.unionByName(
+        lshBase.filter(col("id") % 1000 === 0).select((col("id") + 100000000L).as("id"), col("vector")))
+      val h1 = timed(s"embedding near-dup hamming-1 ($lshN vectors + planted, 17 probes)") {
+        graft.dedup.Dedup.embeddingNearDupPairs(lshData, planes, threshold = 0.01,
+          multiProbe = true).count()
+      }
+      val ps = timed(s"embedding near-dup probe-sequence ($lshN vectors + planted, T=8)") {
+        graft.dedup.Dedup.embeddingNearDupPairs(lshData, planes, threshold = 0.01,
+          probes = 8).count()
+      }
+      println(s"[scale] near-dup pairs: hamming-1=$h1 probe-seq=$ps (planted copies in both)")
+    }
+
     // SemDeDup at scale: k-means cells bound candidate work at N²/C
     // verifications — C is the lever that keeps intra-cell pair
     // generation tractable (the published SemDeDup deployment shape);

@@ -328,7 +328,15 @@ object Pq {
     // dropDuplicates. Off by default: the dedupe is an extra exchange the
     // unique-ids-by-contract case should not pay.
     val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
-    val cand = (if (dedup) coarse.dropDuplicates("qid", "id") else coarse)
+    // spilled ids: under a rescore the surviving replica is immaterial
+    // (exact distance recomputes), so dropDuplicates is enough — but the
+    // ADC-only path REPORTS approx, and residual replicas carry different
+    // codes per cell, so keep the MIN adc per (qid, id) deterministically
+    val deduped =
+      if (!dedup) coarse
+      else if (rescore) coarse.dropDuplicates("qid", "id")
+      else coarse.groupBy("qid", "id").agg(min(col("approx")).as("approx"))
+    val cand = deduped
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
     if (!rescore)
       // ADC ranking IS the result (the memory-bounded serving tier where
