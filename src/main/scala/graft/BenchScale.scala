@@ -389,6 +389,23 @@ object BenchScale {
       require(streamed == sPairs,
         s"streaming near-dup diverged from batch: $streamed vs $sPairs")
     }
+    // the DISK-STATE near-dup sink has no bands×footprint memory bound —
+    // run it over the FULL corpus the state-store form must cap, split
+    // across two batches so the accumulated tables carry state
+    {
+      val sdir = java.nio.file.Files.createTempDirectory("neardup_sink_scale").toString
+      val sink = graft.streaming.StreamingOps.nearDupSink(spark, sdir, threshold = 0.8)
+      timed(s"disk-state near-dup sink: batch 1 (~${nDocs / 2} docs)") {
+        sink(withCopies.filter(col("doc_id") % 2 === 0), 0L)
+      }
+      timed(s"disk-state near-dup sink: batch 2 (~${nDocs / 2} docs)") {
+        sink(withCopies.filter(col("doc_id") % 2 =!= 0), 1L)
+      }
+      val sinkPairs = graft.streaming.StreamingOps.nearDupSinkPairs(spark, sdir).count()
+      println(s"[scale] disk-state sink pairs: $sinkPairs (batch found $pairs)")
+      require(sinkPairs == pairs,
+        s"disk-state near-dup sink diverged from batch: $sinkPairs vs $pairs")
+    }
     pairsDf.unpersist()
 
     // decontamination at corpus scale: the benchmark side is suite-sized,

@@ -235,6 +235,131 @@ object StreamingOps {
     out.result().iterator
   }
 
+  /** [[nearDupStream]]'s corpus-scale sibling: a `foreachBatch` sink whose
+    * accumulated state lives ON DISK as manifested delta tables instead of
+    * in the state store. The state-store form keeps, per (band, bucket),
+    * every member's full shingle-hash set — `bands`× the corpus shingle
+    * footprint in executor memory (measured ~6 GB at 1M docs), which is
+    * the ms-latency design and its bound. This sink holds each doc's set
+    * ONCE in a `docs` delta table, band membership as bare (band, bh, id)
+    * rows in a `bands` table, and per batch: candidate pairs come from
+    * joining the batch's band rows against the accumulated table
+    * (column-pruned, bucket-key join), exact hashed-Jaccard verification
+    * joins the two sides' sets by id, and everything appends O(batch) with
+    * the same per-batch manifest-merge completeness contract as the index
+    * maintenance sinks (a lost delta file fails the next batch loudly;
+    * at-least-once replays are absorbed by an id replay guard + distinct
+    * at read). Per-batch cost includes a column-pruned scan of the
+    * accumulated id/band tables, so size micro-batches to minutes — the
+    * state-store form serves the ms regime under its memory bound; this
+    * form serves the 100 TB corpus under disk.
+    *
+    * Pair semantics converge to [[graft.dedup.Dedup.minhashLshPairs]] on
+    * buckets within `maxBucketSize` regardless of batch boundaries
+    * (proven in StreamingSpec); oversized buckets degrade to
+    * Jaccard-verified star pairs against the bucket's current min-id
+    * representative — arrival-order dependent, like the state-store form.
+    * Read converged pairs with [[nearDupSinkPairs]].
+    */
+  def nearDupSink(
+      spark: SparkSession,
+      dir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 4096): (DataFrame, Long) => Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      val hconf = sess.sparkContext.hadoopConfiguration
+      import graft.internal.SqlBridge.{column => gc, expression => ge}
+      val haveDocs = graft.io.HadoopIO.exists(s"$dir/docs", hconf)
+      if (haveDocs) {
+        validateDelta(s"$dir/docs", hconf)
+        validateDelta(s"$dir/bands", hconf)
+      }
+
+      val preparedAll = batch
+        .select(col("doc_id").cast("long").as("id"),
+          gc(graft.functions.ShingleHashSet(ge(col("text")), 3)).as("hs"),
+          gc(graft.functions.ShingleBandHashes(ge(col("text")), 3, bands, rowsPerBand)).as("bhs"))
+        .filter(size(col("hs")) > 0)
+        .dropDuplicates("id")
+      // replay guard: ids already accumulated (a redelivered micro-batch)
+      // must not pair with themselves or re-append
+      val prepared = (if (!haveDocs) preparedAll
+        else preparedAll.join(sess.read.parquet(s"$dir/docs").select("id"), Seq("id"), "left_anti"))
+        .persist()
+      try {
+        val newBands = prepared
+          .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+        val oldBands =
+          if (!haveDocs) newBands.filter(lit(false))
+          else sess.read.parquet(s"$dir/bands").select("id", "band", "bh")
+            .join(newBands.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
+        val allBands = newBands.unionByName(oldBands)
+
+        // bucket sizes on the join's own key; oversized buckets emit
+        // star pairs against the current min-id representative — the
+        // same degradation as the batch operator's skew guard
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+        val sized = allBands
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__min_id", min("id").over(w))
+        val newInBucket = sized.join(newBands.select(col("id"), col("band"), col("bh")),
+          Seq("id", "band", "bh"), "left_semi")
+        val small = sized.filter(col("__n") <= maxBucketSize)
+        // a pair needs at least one NEW member; old×old pairs were emitted
+        // when their younger member arrived
+        val newSmall = small.join(newBands, Seq("id", "band", "bh"), "left_semi")
+        val smallPairs = newSmall.alias("l")
+          .join(small.alias("r"), Seq("band", "bh"))
+          .filter(col("l.id") =!= col("r.id"))
+          .select(least(col("l.id"), col("r.id")).as("doc_a"),
+            greatest(col("l.id"), col("r.id")).as("doc_b"))
+        val starPairs = newInBucket
+          .filter(col("__n") > maxBucketSize && col("id") =!= col("__min_id"))
+          .select(col("__min_id").as("doc_a"), col("id").as("doc_b"))
+        val candidates = smallPairs.unionByName(starPairs)
+          .dropDuplicates("doc_a", "doc_b")
+
+        // verify with each side's set: new ids resolve from the batch,
+        // old ids from the accumulated docs table (semi-filtered by the
+        // candidate ids before the join fans out)
+        val setsNew = prepared.select(col("id"), col("hs"))
+        val sets =
+          if (!haveDocs) setsNew
+          else setsNew.unionByName(sess.read.parquet(s"$dir/docs").select("id", "hs"))
+        val verified = candidates
+          .join(sets.select(col("id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+          .join(sets.select(col("id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+          .withColumn("jaccard", graft.dedup.Dedup.hashedJaccard(col("hs_a"), col("hs_b")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+        // pairs first (their replay dedupes at read); the correctness-
+        // bearing state tables land AFTER with manifest merges, so a crash
+        // mid-batch is either invisible (no manifest update → extra files
+        // tolerated) or complete
+        verified.write.mode("append").parquet(s"$dir/pairs/batch=$batchId")
+        prepared.select("id", "hs")
+          .write.mode("append").parquet(s"$dir/docs/batch=$batchId")
+        mergeDeltaManifest(s"$dir/docs", s"batch=$batchId", hconf)
+        newBands.write.mode("append").parquet(s"$dir/bands/batch=$batchId")
+        mergeDeltaManifest(s"$dir/bands", s"batch=$batchId", hconf)
+      } finally prepared.unpersist()
+    }
+  }
+
+  /** Converged distinct near-dup pairs of a [[nearDupSink]] directory
+    * (at-least-once replays dedupe here).
+    */
+  def nearDupSinkPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs").select("doc_a", "doc_b", "jaccard")
+      .dropDuplicates("doc_a", "doc_b")
+
   /** Streaming benchmark decontamination: flag arriving documents that
     * share at least `minShared` distinct token n-gram shingles with any
     * benchmark document — the ingestion-time form of
@@ -488,13 +613,13 @@ object StreamingOps {
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val entries = graft.io.Manifest.read(deltaDir, conf).getOrElse(
       throw new IllegalStateException(
-        s"maintained IVF delta log at $deltaDir has no manifest — the sink writes one from " +
+        s"maintained delta log at $deltaDir has no manifest — sinks write one from " +
           "batch 0 and compaction writes one before its swap, so this directory is foreign or " +
           "a torn compaction swap; refusing to serve unverifiable state"))
     val present = listDelta(deltaDir, conf).toMap
     val missing = entries.filterNot(e => present.contains(e.name))
     require(missing.isEmpty,
-      s"maintained IVF delta log at $deltaDir is INCOMPLETE: manifest lists ${entries.size} " +
+      s"maintained delta log at $deltaDir is INCOMPLETE: manifest lists ${entries.size} " +
         s"files, missing [${missing.map(_.name).mkString(", ")}] — refusing to serve a view " +
         "with silently dropped mutations")
     entries.foreach { e =>

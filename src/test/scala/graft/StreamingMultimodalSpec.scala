@@ -78,6 +78,63 @@ class StreamingSpec extends SparkTestBase {
     assert(pairs === (1L until 6L).map(i => (0L, i, 1.0)).toSet)
   }
 
+  test("disk-state near-dup sink: pairs equal the batch operator across batches; " +
+    "replay absorbed; lost state file fails loudly") {
+    def text(i: Long): String = (0 until 40).map(t => s"w${i}x$t").mkString(" ")
+    def copyText(i: Long): String =
+      ((0 until 38).map(t => s"w${i}x$t") ++ Seq("changedA", "changedB")).mkString(" ")
+    val base = (0L until 30L).map(i => (i, text(i)))
+    val copies = (0L until 8L).map(i => (i + 1000L, copyText(i)))
+
+    val dir = java.nio.file.Files.createTempDirectory("neardup_sink").toString
+    val sink = StreamingOps.nearDupSink(spark, dir, threshold = 0.8)
+    // drive the sink directly (foreachBatch shape): copies in a LATER
+    // batch — the disk tables must carry the earlier members
+    sink(base.toDF("doc_id", "text"), 0L)
+    sink(copies.toDF("doc_id", "text"), 1L)
+
+    val got = StreamingOps.nearDupSinkPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.dedup.Dedup
+      .minhashLshPairs((base ++ copies).toDF("doc_id", "text"), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty && got === batch)
+
+    // at-least-once redelivery of batch 1: the id replay guard must not
+    // re-pair or self-pair; the converged pair set is unchanged
+    sink(copies.toDF("doc_id", "text"), 1L)
+    val afterReplay = StreamingOps.nearDupSinkPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterReplay === batch)
+
+    // losing a manifested docs delta file must fail the NEXT batch loudly
+    val docsDir = new java.io.File(s"$dir/docs")
+    val victim = new java.io.File(s"$docsDir/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val e = intercept[Exception] {
+      sink(Seq((5000L, text(99))).toDF("doc_id", "text"), 2L)
+    }
+    assert(e.getMessage.contains("INCOMPLETE"), s"got: ${e.getMessage}")
+  }
+
+  test("disk-state near-dup sink skew guard: oversized bucket degrades to verified star pairs") {
+    val same = (0 until 50).map(t => s"boiler$t").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_sink_skew").toString
+    val sink = StreamingOps.nearDupSink(spark, dir, threshold = 0.8, maxBucketSize = 2)
+    sink((0L until 2L).map(i => (i, same)).toDF("doc_id", "text"), 0L)
+    sink((2L until 6L).map(i => (i, same)).toDF("doc_id", "text"), 1L)
+    val pairs = StreamingOps.nearDupSinkPairs(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // batch 0's pair (0,1) was all-pairs (bucket of 2 <= cap); batch 1
+    // pushes every bucket to 6 > cap, so docs 2-5 star-pair with the
+    // min-id representative 0 — n-1 growth, never C(n,2)
+    assert(pairs === Set((0L, 1L, 1.0)) ++ (2L until 6L).map(i => (0L, i, 1.0)))
+  }
+
   test("watermark drops events later than the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
