@@ -424,6 +424,24 @@ object Queries {
       knnFinish(Ivf.searchDF(assigned, centroids, queries, k = 5, nprobe = 16))
     }),
 
+    // §2.18 IVF with the HNSW COARSE QUANTIZER (the published
+    // IndexIVF+HNSW shape): probe selection walks an HNSW graph built
+    // over the centroids — Q·log C instead of Q·C distance evaluations,
+    // which is what keeps probe selection off the critical path at
+    // 100 TB-scale cell counts (C >= 100k). Approximate probe sets, so
+    // the row is recall-gated against the oracle-proven exact kNN like
+    // every approximate entry; at nprobe = C the path bypasses the graph
+    // and stays provably exact (gated in IvfTopKSpec).
+    "ann_ivf_hnsw_coarse" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      val approx = Ivf.searchDF(assigned, centroids,
+        queriesDf, k = 10, nprobe = 6, coarse = "hnsw")
+      val exact = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+      recallSummary(approx, exact, 10, minHits = 8)
+    }),
+
     // SQ8 quantized two-stage search: coarse scans on 1-byte codes with a
     // per-vector reconstruction-error bound (Quantize.searchExact), exact
     // full-precision rescore of the provably complete candidate set —
@@ -2436,6 +2454,7 @@ object Queries {
         "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_df " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "ann_ivf_pq_residual" -> recallOracle(5, 10),
+    "ann_ivf_hnsw_coarse" -> recallOracle(5, 10),
     "ann_ivf_opq" ->
       ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, " +
         "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_rot " +

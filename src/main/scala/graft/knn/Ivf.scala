@@ -596,27 +596,78 @@ object Ivf {
     * (cell, qid, qvec) — the shared front half of [[searchDF]] and
     * [[Quantize.searchIvfSq8DF]].
     */
+  /** Build an HNSW graph over the CENTROIDS — the published
+    * IndexIVF+HNSW coarse-quantizer shape: at 100 TB-scale cell counts
+    * (C ≥ 100k) per-query probe selection by linear centroid scan costs
+    * Q·C distance evaluations; an HNSW walk over the centroids makes it
+    * Q·log C. The graph is C vertices (driver-sized by the same argument
+    * as the centroids themselves), built deterministically (seeded
+    * levels, insertion order = cell id), so probe sets are
+    * layout-independent. Approximate: at nprobe < C the selected cells
+    * may differ from the linear scan's (recall-gated like every
+    * approximate path); at nprobe = C every cell is returned and search
+    * stays provably exact.
+    */
+  def buildCoarseIndex(
+      centroids: Array[Array[Float]],
+      metric: String = "euclidean",
+      config: graft.hnsw.HnswConfig = graft.hnsw.HnswConfig(efConstruction = 100)): graft.hnsw.HnswIndex = {
+    val idx = new graft.hnsw.HnswIndex(Distances.metricId(metric), config)
+    var i = 0
+    while (i < centroids.length) {
+      idx.add(i.toLong, centroids(i))
+      i += 1
+    }
+    idx
+  }
+
+  /** Per-JVM coarse-index cache for the DataFrame probe path: the graph
+    * builds ONCE per executor per broadcast (keyed by broadcast id) from
+    * the broadcast centroids — C·log C work per executor lifetime, not
+    * per task or per query. HnswIndex itself never crosses the wire.
+    */
+  private val coarseCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, graft.hnsw.HnswIndex]()
+
   private[knn] def probeCells(
       queries: DataFrame, // (qid, qvec)
       centroids: Array[Array[Float]],
       nprobe: Int,
-      metric: String): org.apache.spark.sql.Dataset[(Int, Long, Array[Float])] = {
+      metric: String,
+      coarse: String = "linear"): org.apache.spark.sql.Dataset[(Int, Long, Array[Float])] = {
+    require(coarse == "linear" || coarse == "hnsw", s"unknown coarse quantizer '$coarse'")
     val spark = queries.sparkSession
     import spark.implicits._
     val m = Distances.metricId(metric)
     val bc = spark.sparkContext.broadcast(centroids)
+    val useHnsw = coarse == "hnsw"
     queries
       .select(col("qid").cast("long"), col("qvec").cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
         val cs = bc.value
-        val kernel = Distances.distance(m) _
-        iter.flatMap { case (qid, qv) =>
-          cs.zipWithIndex
-            .map { case (cv, ci) => (kernel(qv, cv), ci) }
-            .sortBy(identity)
-            .take(nprobe)
-            .iterator.map { case (_, ci) => (ci, qid, qv) }
+        if (useHnsw) {
+          val idx = coarseCache.computeIfAbsent(bc.id, _ => buildCoarseIndex(cs, metric))
+          // ef floor at 2·nprobe: the walk must hold a candidate frontier
+          // wider than what it returns or recall at small nprobe suffers
+          val ef = math.max(idx.config.ef, 2 * nprobe)
+          iter.flatMap { case (qid, qv) =>
+            // nprobe >= C probes everything — returned directly so the
+            // full-probe exactness guarantee never rests on the graph
+            // being connected
+            if (nprobe >= cs.length) cs.indices.iterator.map(ci => (ci, qid, qv))
+            else idx.searchFiltered(qv, nprobe, _ => true, efOverride = ef)
+              .iterator.map { case (ci, _) => (ci.toInt, qid, qv) }
+          }
+        } else {
+          val kernel = Distances.distance(m) _
+          iter.flatMap { case (qid, qv) =>
+            cs.zipWithIndex
+              .map { case (cv, ci) => (kernel(qv, cv), ci) }
+              .sortBy(identity)
+              .take(nprobe)
+              .iterator.map { case (_, ci) => (ci, qid, qv) }
+          }
         }
       }
   }
@@ -628,12 +679,13 @@ object Ivf {
       k: Int,
       nprobe: Int,
       metric: String = "euclidean",
-      dedup: Boolean = false): DataFrame = {
+      dedup: Boolean = false,
+      coarse: String = "linear"): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val m = Distances.metricId(metric)
 
-    val probes = probeCells(queries, centroids, nprobe, metric)
+    val probes = probeCells(queries, centroids, nprobe, metric, coarse)
 
     val dataByCell = assigned
       .select(col("cell").cast("int"), col("id").cast("long"), col("vector").cast("array<float>"))

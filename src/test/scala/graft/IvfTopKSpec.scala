@@ -57,6 +57,37 @@ class IvfSpec extends SparkTestBase {
     assert(ivf === exact)
   }
 
+  test("HNSW coarse quantizer: nprobe=C bypasses the graph and stays exact; " +
+    "small-nprobe probe sets reach linear-scan recall") {
+    val c = 16
+    val centroids = Ivf.train(spark, data, c, iterations = 1)
+    val assigned = Ivf.assign(spark, data, centroids)
+    val qDf = queries.toSeq.toDF("qid", "qvec")
+    // full probe: provably exact regardless of graph connectivity (the
+    // path returns every cell without consulting the graph)
+    val full = resultMap(Ivf.searchDF(assigned, centroids, qDf, k = 10, nprobe = c,
+      coarse = "hnsw"))
+    val exact = resultMap(Knn.bruteForce(data, qDf, k = 10))
+    assert(full === exact)
+    // small probe: the walk's recall must match the linear scan's on
+    // this corpus (16 centroids — the graph search at ef=2·nprobe finds
+    // the same nearest cells here; at huge C it is the only affordable
+    // selector)
+    val viaHnsw = resultMap(Ivf.searchDF(assigned, centroids, qDf, k = 10, nprobe = 6,
+      coarse = "hnsw"))
+    val viaLinear = resultMap(Ivf.searchDF(assigned, centroids, qDf, k = 10, nprobe = 6))
+    val recallH = queries.map { case (qid, _) =>
+      exact(qid).toSet.intersect(viaHnsw(qid).toSet).size.toDouble / 10 }.sum / queries.length
+    val recallL = queries.map { case (qid, _) =>
+      exact(qid).toSet.intersect(viaLinear(qid).toSet).size.toDouble / 10 }.sum / queries.length
+    assert(recallH >= recallL - 0.05, s"hnsw-coarse recall $recallH vs linear $recallL")
+    // unknown coarse name fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Ivf.searchDF(assigned, centroids, qDf, k = 10, nprobe = 4, coarse = "typo").collect()
+    }
+    assert(e.getMessage.contains("unknown coarse quantizer"))
+  }
+
   test("IVF with nprobe=4/16 has recall >= 0.8") {
     val c = 16
     val centroids = Ivf.train(spark, data, c, iterations = 2)
