@@ -424,6 +424,18 @@ object Queries {
       knnFinish(Ivf.searchDF(assigned, centroids, queries, k = 5, nprobe = 16))
     }),
 
+    // §2.6+18 exact RADIUS search — the range-query twin of top-k
+    // ("everything within the duplicate threshold"): queries broadcast,
+    // one codegen'd distance+filter pass over the scan, output bounded by
+    // the predicate's selectivity, not k. Hash-matched against the same
+    // DuckDB cross-join formulation with the filter inlined.
+    "knn_radius" -> ((spark, dir) => {
+      val (data, queriesDf0) = knnInputs(spark, dir, 3)
+      val res = Knn.radius(data, queriesDf0, r = 1.3)
+      res.select(col("qid"), col("id"), round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "id")
+    }),
+
     // §2.18 IVF with the HNSW COARSE QUANTIZER (the published
     // IndexIVF+HNSW shape): probe selection walks an HNSW graph built
     // over the centroids — Q·log C instead of Q·C distance evaluations,
@@ -2455,6 +2467,11 @@ object Queries {
         "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "ann_ivf_pq_residual" -> recallOracle(5, 10),
     "ann_ivf_hnsw_coarse" -> recallOracle(5, 10),
+    "knn_radius" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
+         |      FROM embeddings e CROSS JOIN q)
+         |SELECT qid, id, round(dist, 4) AS dist FROM d WHERE dist <= 1.3 ORDER BY qid, id""".stripMargin,
     "ann_ivf_opq" ->
       ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, " +
         "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_rot " +

@@ -28,6 +28,22 @@ object Knn {
     d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact RADIUS search: every data vector within distance `r` of each
+    * query — the range-query twin of top-k (dedup-by-radius, geofencing,
+    * "everything closer than the duplicate threshold"). Same plan shape
+    * as [[bruteForce]]: queries broadcast, the scan streams once, and the
+    * radius predicate is a codegen'd filter ON the scan — no window, no
+    * shuffle beyond the final ordering, and the filter's selectivity
+    * (not k) bounds the output. At 100 TB the same query runs against an
+    * IVF assignment by pre-filtering to cells whose centroid is within
+    * r + cell radius; this is the exact reference arm.
+    */
+  def radius(data: DataFrame, queries: DataFrame, r: Double,
+      metric: String = "euclidean"): DataFrame =
+    data.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+      .filter(col("dist") <= r)
+
   /** Exact kNN via per-partition bounded heaps: ONE pass over the data
     * computes all query heaps per partition (`mapPartitions`), emitting only
     * k candidates per (partition, query). The global merge ranks the k·P·Q

@@ -99,6 +99,22 @@ class OpqSpec extends SparkTestBase {
     } finally rotated.unpersist()
   }
 
+  test("OPQ composes with SQ8's exactness proof: rotated searchExact equals raw top-k") {
+    // the τ reconstruction bound is isometry-invariant — quantization
+    // error changes under rotation, the exactness guarantee does not, so
+    // SQ8 search in rotated coordinates must return the identical top-k
+    val queries = aniso.filter(col("id") < 5).as[(Long, Array[Float])].collect().sortBy(_._1)
+    val rawQ = graft.knn.Quantize.sq8(aniso)
+    val raw = graft.knn.Quantize.searchExact(spark, rawQ, queries, k = 10)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val rotated = Opq.rotate(aniso, model)
+    val rotQ = graft.knn.Quantize.sq8(rotated)
+    val rot = graft.knn.Quantize.searchExact(spark, rotQ,
+        Opq.rotateQueries(model, queries), k = 10)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(rot.toSeq === raw.toSeq)
+  }
+
   test("rotated IVF×PQ search clears the recall gate; saved index self-describes") {
     val rotated = Opq.rotate(aniso, model).cache()
     try {
