@@ -274,4 +274,56 @@ class EdgeCasesSpec extends SparkTestBase {
     t.push(1.0, 1L)
     assert(t.size === 0 && t.sorted.isEmpty)
   }
+
+  test("OPQ on zero-variance data: orthonormal rotation, no crash, isometry holds") {
+    // constant vectors → zero covariance → Jacobi on the zero matrix; the
+    // MinEig clamp keeps the allocation objective finite and the basis
+    // stays orthonormal (any orthonormal basis diagonalizes 0)
+    val const = (0L until 50L).map(i => (i, Array.fill(8)(2.5f))).toDF("id", "vector")
+    val model = graft.knn.Opq.train(const, m = 4)
+    for (i <- model.rotation.indices; j <- i until model.rotation.length) {
+      val expect = if (i == j) 1.0 else 0.0
+      val d = model.rotation(i).zip(model.rotation(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - expect) < 1e-9)
+    }
+    // rotating the constant corpus yields constant (all-equal) outputs
+    val rotated = graft.knn.Opq.rotate(const, model)
+      .select("vector").as[Array[Float]].collect()
+    assert(rotated.forall(v => v.zip(rotated.head).forall { case (a, b) => math.abs(a - b) < 1e-5f }))
+  }
+
+  test("probe sequence: budget beyond 2^n drains to exactly 2^n distinct probes") {
+    val all = graft.dedup.Dedup.probeSequence(5L, Array(0.3, 0.1), probes = 100)
+    assert(all.length === 4 && all.toSet.size === 4 && all.head === 5L)
+  }
+
+  test("radius search: r=0 returns exact self-matches only") {
+    val data = (0L until 20L).map(i => (i, Array(i.toFloat, 1f))).toDF("id", "vector")
+    val queries = Seq((0L, Array(3f, 1f))).toDF("qid", "qvec")
+    val hits = graft.knn.Knn.radius(data, queries, r = 0.0)
+      .select("id").as[Long].collect()
+    assert(hits.toSeq === Seq(3L))
+  }
+
+  test("near-dup sink: first batch empty, later batch still pairs against nothing silently lost") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_sink_edge").toString
+    val sink = graft.streaming.StreamingOps.nearDupSink(spark, dir, threshold = 0.8)
+    sink(Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L)
+    val text = (0 until 40).map(t => s"tok$t").mkString(" ")
+    sink(Seq((1L, text), (2L, text)).toDF("doc_id", "text"), 1L)
+    val pairs = graft.streaming.StreamingOps.nearDupSinkPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("APNG: single-pixel frames round-trip; encodeApng refuses zero frames") {
+    val apng = graft.multimodal.Multimodal.encodeApng(
+      Seq(Array[Byte](1, 2, 3), Array[Byte](40, 50, 60)), 1, 1)
+    val frames = graft.multimodal.Multimodal.ApngDecoder.decodeFrames(apng, 4)
+    assert(frames.length === 2)
+    assert(frames(0).toSeq === Seq[Byte](1, 2, 3) && frames(1).toSeq === Seq[Byte](40, 50, 60))
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.encodeApng(Seq.empty, 1, 1)
+    }
+  }
 }
