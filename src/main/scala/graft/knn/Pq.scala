@@ -579,20 +579,21 @@ object Pq {
       k: Int,
       nprobe: Int,
       overscan: Int = 8,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      coarse: String = "linear"): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcCent = spark.sparkContext.broadcast(centroids)
 
-    val probes = Ivf.probeCells(queries, centroids, nprobe, "euclidean")
+    val probes = Ivf.probeCells(queries, centroids, nprobe, "euclidean", coarse)
     val dataByCell = encoded
       .select(col("cell").cast("int"), col("id").cast("long"), col("pq_codes"))
       .as[(Int, Long, Array[Byte])]
       .groupByKey(_._1)
 
     val kk = k * overscan
-    val coarse = dataByCell.cogroup(probes.groupByKey(_._1)) { case (cell, dIter, qIter) =>
+    val coarseScan = dataByCell.cogroup(probes.groupByKey(_._1)) { case (cell, dIter, qIter) =>
       val qs = qIter.toArray
       if (qs.isEmpty) Iterator.empty
       else {
@@ -630,7 +631,7 @@ object Pq {
     // dedupe BEFORE the coarse window (spilled ids; equal approx values,
     // survivor immaterial) — same contract as searchIvfSq8DF
     val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
-    val cand = coarse.dropDuplicates("qid", "id")
+    val cand = coarseScan.dropDuplicates("qid", "id")
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
       .select("qid", "id")
     Quantize.rescoreTopK(cand, encoded, queries, k, "euclidean", dedupVectors = true)

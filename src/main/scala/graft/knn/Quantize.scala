@@ -138,11 +138,12 @@ object Quantize {
       queries: DataFrame, // (qid, qvec)
       k: Int,
       nprobe: Int,
-      overscan: Int = 4): DataFrame = {
+      overscan: Int = 4,
+      coarse: String = "linear"): DataFrame = {
     val spark = quantized.sparkSession
     import spark.implicits._
 
-    val probes = Ivf.probeCells(queries, centroids, nprobe, "euclidean")
+    val probes = Ivf.probeCells(queries, centroids, nprobe, "euclidean", coarse)
 
     val dataByCell = quantized
       .select(col("cell").cast("int"), col("id").cast("long"),
@@ -152,7 +153,7 @@ object Quantize {
       .groupByKey(_._1)
 
     val kk = k * overscan
-    val coarse = dataByCell.cogroup(probes.groupByKey(_._1)) { case (_, dIter, qIter) =>
+    val coarseScan = dataByCell.cogroup(probes.groupByKey(_._1)) { case (_, dIter, qIter) =>
       val qs = qIter.toArray
       if (qs.isEmpty) Iterator.empty
       else {
@@ -177,7 +178,7 @@ object Quantize {
     // the k·overscan budget (duplicate rows carry equal approx values,
     // so which copy survives is immaterial)
     val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
-    val cand = coarse.dropDuplicates("qid", "id")
+    val cand = coarseScan.dropDuplicates("qid", "id")
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
       .select("qid", "id")
 
