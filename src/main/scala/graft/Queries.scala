@@ -424,6 +424,26 @@ object Queries {
       knnFinish(Ivf.searchDF(assigned, centroids, queries, k = 5, nprobe = 16))
     }),
 
+    // §2.20 BPE TRAINING (Sennrich et al. 2016 §3.2 — the algorithm that
+    // produced every merges.txt the counting kernel consumes): one
+    // distributed pretoken-frequency aggregation (corpus streams once,
+    // result is vocabulary-sized), then the published merge loop runs
+    // driver-side over the word-frequency dict — the shape production
+    // tokenizer trainers use. The planted corpus is the paper's
+    // low/lower/newest/widest example at frequencies 5/2/6/3; the merge
+    // sequence is hand-derivable (ties break lexicographically), so the
+    // oracle is a constant table: es, es+t, l+o, lo+w.
+    "bpe_train" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val merges = graft.text.Bpe.train(docs, numMerges = 4)
+      merges.filterNot(_.startsWith("#")).zipWithIndex
+        .map { case (l, r) => val Array(a, b) = l.split(" "); (r.toLong, a, b) }
+        .toDF("rank", "mleft", "mright").orderBy("rank")
+    }),
+
     // §2.6+18 exact RADIUS search — the range-query twin of top-k
     // ("everything within the duplicate threshold"): queries broadcast,
     // one codegen'd distance+filter pass over the scan, output bounded by
@@ -2467,6 +2487,9 @@ object Queries {
         "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "ann_ivf_pq_residual" -> recallOracle(5, 10),
     "ann_ivf_hnsw_coarse" -> recallOracle(5, 10),
+    "bpe_train" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'e', 's'), (1, 'es', 't'), " +
+        "(2, 'l', 'o'), (3, 'lo', 'w')) AS t(rank, mleft, mright) ORDER BY rank"),
     "knn_radius" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
          |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist

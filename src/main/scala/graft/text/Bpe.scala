@@ -75,6 +75,102 @@ object Bpe {
       }
       .toMap
 
+  /** TRAIN a BPE merge table from a corpus (Sennrich et al. 2016 §3.2 —
+    * the algorithm that produced every merges.txt this file consumes).
+    * Spark-first shape, and the one production tokenizer trainers use:
+    * the corpus streams ONCE through a distributed pretoken-frequency
+    * aggregation (partial-agg shuffle on the pretoken — the result is
+    * vocabulary-sized, not corpus-sized), deterministically capped to the
+    * `maxWords` most frequent pretokens (count desc, pretoken asc — the
+    * standard practical bound: the rare tail cannot move pair counts),
+    * and the published merge loop then runs DRIVER-side over that
+    * word-frequency dict: per round, count every adjacent symbol pair
+    * weighted by word frequency, merge the most frequent pair (ties break
+    * lexicographically, so training is layout- and engine-independent),
+    * stop at `numMerges` rules or when the best pair drops below
+    * `minFrequency` (subword-nmt's early-stop). Driver work is
+    * O(maxWords · avgLen · numMerges) — corpus-size-free.
+    *
+    * Returns standard merges.txt lines (header included): feed them
+    * straight to [[loadMerges]] / the `BpeTokenCount` kernel, and the
+    * apply side's left-to-right non-overlapping merge is the same
+    * convention the training loop uses below.
+    */
+  def train(
+      docs: org.apache.spark.sql.DataFrame,
+      numMerges: Int,
+      textCol: String = "text",
+      maxWords: Int = 100000,
+      minFrequency: Long = 2L): Seq[String] = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pat = TextAnalysis.BpeTokenPattern
+    val freqs: Array[(String, Long)] = docs
+      .select(col(textCol).cast("string").as("t")).as[String]
+      .mapPartitions { iter =>
+        val m = java.util.regex.Pattern.compile(pat)
+        iter.flatMap { t =>
+          if (t == null) Iterator.empty
+          else {
+            val mm = m.matcher(t)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (mm.find()) buf += mm.group()
+            buf.iterator
+          }
+        }
+      }
+      .toDF("w").groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+
+    var words: Array[(Array[String], Long)] = freqs.map { case (w, c) =>
+      (w.iterator.map(ch => if (ch == ' ') "Ġ" else ch.toString).toArray, c)
+    }
+    val merges = Seq.newBuilder[String]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val (bestPair, bestCount) = pairCounts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (bestCount < minFrequency) exhausted = true
+        else {
+          merges += s"${bestPair._1} ${bestPair._2}"
+          words = words.map { case (syms, c) =>
+            if (syms.length < 2) (syms, c)
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == bestPair._1 && syms(j + 1) == bestPair._2) {
+                  out += syms(j) + syms(j + 1)
+                  j += 2
+                } else {
+                  out += syms(j)
+                  j += 1
+                }
+              }
+              (out.toArray, c)
+            }
+          }
+          round += 1
+        }
+      }
+    }
+    Seq("#version: 0.2") ++ merges.result()
+  }
+
   /** Token count of one pretoken after applying `ranks` to exhaustion. */
   def countTokens(pretoken: String, ranks: Map[(String, String), Int]): Int = {
     if (pretoken.isEmpty) return 0

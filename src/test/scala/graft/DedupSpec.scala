@@ -346,6 +346,38 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(2) - 4.0 / 7) < 1e-12)
   }
 
+  test("BPE training: learned merges follow pair frequencies with the space marker; " +
+    "composes with the counting kernel; deterministic across layouts") {
+    // "aa aa aa" pretokenizes (GPT-2 style, leading space attaches) to
+    // "aa", " aa", " aa": pair (a,a) counts 3, (Ġ,a) counts 2 — so the
+    // learned sequence is a+a, then Ġ+aa
+    val tiny = Seq((0L, "aa aa aa")).toDF("doc_id", "text")
+    val m1 = graft.text.Bpe.train(tiny, numMerges = 5)
+    assert(m1.filterNot(_.startsWith("#")) === Seq("a a", "Ġ aa"))
+
+    // the paper's corpus; trained table feeds countTokens directly:
+    // low=1 sym, lower=3, newest=4, widest=4 after the 4 merges
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = graft.text.Bpe.train(docs, numMerges = 4)
+    val ranks = graft.text.Bpe.loadMerges(merges)
+    assert(graft.text.Bpe.countTokens("low", ranks) === 1)
+    assert(graft.text.Bpe.countTokens("lower", ranks) === 3)
+    assert(graft.text.Bpe.countTokens("newest", ranks) === 4)
+    assert(graft.text.Bpe.countTokens("widest", ranks) === 4)
+
+    // layout invariance: the frequency aggregation is exact and the cap
+    // ordering total, so any partitioning trains the same table
+    val m7 = graft.text.Bpe.train(docs.repartition(7), numMerges = 4)
+    assert(m7 === merges)
+
+    // minFrequency early-stop: a singleton corpus cannot reach 10 merges
+    val single = Seq((0L, "xyz")).toDF("doc_id", "text")
+    val ms = graft.text.Bpe.train(single, numMerges = 10, minFrequency = 2)
+    assert(ms.filterNot(_.startsWith("#")).isEmpty)
+  }
+
   test("real BPE: merge loop follows rank order, Ġ space marker, merges.txt format") {
     val ranks = graft.text.Bpe.loadMerges(graft.text.Bpe.DemoMerges)
     // header line consumed no rank: first rule is rank 0
