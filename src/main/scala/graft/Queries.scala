@@ -952,6 +952,47 @@ object Queries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // §2.17+21 DISK-STATE streaming near-dup: the same planted corpus
+    // replayed through nearDupSink's foreachBatch — each doc's shingle set
+    // held ONCE in a manifested delta table (vs the state-store form's
+    // bands× executor-memory footprint), candidates from a bucket-key
+    // join against the accumulated tables, O(batch) appends. The
+    // converged pair set must equal the batch operator's, so the row
+    // shares dedup_minhash_lsh's all-pairs DuckDB oracle verbatim.
+    "stream_neardup_sink" -> ((spark, dir) => {
+      // 2000-doc slice: the row prices the disk-state PROTOCOL (manifested
+      // accumulation, bucket-key join, batch-set convergence); the batch
+      // row prices the kernels at full size and BenchScale at 100k docs
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 2000)
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      val sinkDir = java.nio.file.Files.createTempDirectory("stream_nds_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_nds_ckpt").toString
+      val sink = graft.streaming.StreamingOps.nearDupSink(spark, sinkDir, threshold = 0.8)
+      val copiesStream = streamTable(spark, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      withStreamParts(spark) {
+        // originals land as a direct batch (the sink is foreachBatch-shaped
+        // either way); the copies replay through a real file stream so the
+        // accumulated disk tables must carry the earlier members
+        sink(docs.toDF(), 0L)
+        val q = copiesStream.writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id + 1L))
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.streaming.StreamingOps.nearDupSinkPairs(spark, sinkDir)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // §2.17 dedup GROUP resolution: the same planted LSH pair set resolved
     // to clusters via distributed connected components (min-label
     // propagation) — pairs are evidence, clusters are what a curation
@@ -2135,6 +2176,14 @@ object Queries {
     "dedup_minhash_lsh" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
+         |s AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM all_docs),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc
+         |      FROM s a CROSS JOIN s b WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM p WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "stream_neardup_sink" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
          |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
          |s AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM all_docs),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc
