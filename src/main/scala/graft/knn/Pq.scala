@@ -580,7 +580,8 @@ object Pq {
       nprobe: Int,
       overscan: Int = 8,
       residual: Boolean = false,
-      coarse: String = "linear"): DataFrame = {
+      coarse: String = "linear",
+      rescore: Boolean = true): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cb)
@@ -592,7 +593,7 @@ object Pq {
       .as[(Int, Long, Array[Byte])]
       .groupByKey(_._1)
 
-    val kk = k * overscan
+    val kk = if (rescore) k * overscan else k
     val coarseScan = dataByCell.cogroup(probes.groupByKey(_._1)) { case (cell, dIter, qIter) =>
       val qs = qIter.toArray
       if (qs.isEmpty) Iterator.empty
@@ -631,10 +632,20 @@ object Pq {
     // dedupe BEFORE the coarse window (spilled ids; equal approx values,
     // survivor immaterial) — same contract as searchIvfSq8DF
     val wc = Window.partitionBy("qid").orderBy(col("approx"), col("id"))
-    val cand = coarseScan.dropDuplicates("qid", "id")
+    // spilled replicas: under a rescore the survivor is immaterial; the
+    // ADC-only path REPORTS approx, so it keeps the deterministic MIN
+    // per (qid, id) — same contract as the driver-array path
+    val deduped =
+      if (rescore) coarseScan.dropDuplicates("qid", "id")
+      else coarseScan.groupBy("qid", "id").agg(min(col("approx")).as("approx"))
+    val cand = deduped
       .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kk)
-      .select("qid", "id")
-    Quantize.rescoreTopK(cand, encoded, queries, k, "euclidean", dedupVectors = true)
+    if (!rescore)
+      cand.select(col("qid"), col("id"), sqrt(col("approx")).as("dist"),
+        col("crank").cast("int").as("rank"))
+    else
+      Quantize.rescoreTopK(cand.select("qid", "id"), encoded, queries, k, "euclidean",
+        dedupVectors = true)
   }
 
   /** [[searchIvfPqDF]] over a persisted index: centroids, codebooks, the

@@ -1149,6 +1149,40 @@ object StreamingOps {
       rescore = flags.storeVectors)
   }
 
+  /** [[searchIvfPqMaintained]] with a DataFrame query side — the
+    * corpus-vs-corpus shape over a PQ-maintained index: per-cell cogroup
+    * ADC scans with task-built LUTs, nothing driver-resident, rescore vs
+    * ADC-only self-dispatched from the `pq_maintained` sidecar exactly
+    * like the array-side path.
+    */
+  def searchIvfPqMaintainedDF(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8): DataFrame = {
+    import spark.implicits._
+    val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
+    val flags = loadIvfPqFlags(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no pq_maintained sidecar under $indexDir — not a PQ-maintained dir (use " +
+          "searchIvfMaintainedDF for a raw-vector maintained index)"))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val cb = graft.knn.Pq.loadCodebooks(spark, indexDir)
+    val checked = queries.select(col("qid").cast("long"),
+      when(size(col("qvec")) === meta.dim, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit(s"query dimension != index dimension ${meta.dim}, got "),
+          size(col("qvec")).cast("string"))))
+        .as("qvec"))
+    graft.knn.Pq.searchIvfPqDF(ivfPqMaintainedState(spark, indexDir), centroids, cb,
+      checked, k, nprobe, overscan, residual = flags.residual, rescore = flags.storeVectors)
+  }
+
   /** [[retrainIvfMaintained]] for a PQ-maintained directory: re-train the
     * coarse quantizer from the maintained view, re-assign, and RE-ENCODE
     * every live vector against the new geometry (residual codes quantize

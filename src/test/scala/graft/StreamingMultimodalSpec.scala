@@ -856,6 +856,15 @@ class StreamingIndexSpec extends SparkTestBase {
       val ids = res.orderBy("rank").select("id").as[Long].collect()
       assert(ids.length === 5 && !ids.contains(6L))
 
+      // DataFrame query side: same ADC math, same (adc, id) tie-break —
+      // row-for-row equal to the array path, codes-only included
+      val qDf = Seq((0L, vecs.head._2)).toDF("qid", "qvec")
+      val dfRes = StreamingOps.searchIvfPqMaintainedDF(spark, dir, qDf, k = 5, nprobe = 2)
+        .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(_._3)
+      val arrRes = res.select("qid", "id", "rank").as[(Long, Long, Int)]
+        .collect().sortBy(_._3)
+      assert(dfRes.toSeq === arrRes.toSeq)
+
       // full-precision consumers refuse the codes-only view
       val e1 = intercept[IllegalArgumentException] {
         StreamingOps.searchIvfMaintained(spark, dir, Array((0L, vecs.head._2)), k = 3, nprobe = 2)
@@ -900,6 +909,12 @@ class StreamingIndexSpec extends SparkTestBase {
         queries, k = 5, nprobe = 2)
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
     assert(maintained.toSeq === batch.toSeq)
+
+    // DataFrame query side reproduces the array side (rescored config)
+    val qDf = queries.toSeq.map { case (qid, v) => (qid, v) }.toDF("qid", "qvec")
+    val dfRes = StreamingOps.searchIvfPqMaintainedDF(spark, dir, qDf, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(dfRes.toSeq === maintained.toSeq)
 
     // compaction preserves the codes column and the view
     StreamingOps.compactIvfMaintained(spark, dir)
