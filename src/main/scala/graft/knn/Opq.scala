@@ -175,8 +175,15 @@ object Opq {
       model: OpqModel,
       dir: String,
       residual: Boolean = false): Unit = {
-    import spark.implicits._
     Pq.save(spark, encodedAssignedRotated, centroids, cb, dir, residual)
+    saveModel(spark, model, dir)
+  }
+
+  /** The `opq_rot` sidecar alone (shared by [[save]] and the streaming
+    * maintenance sink).
+    */
+  def saveModel(spark: SparkSession, model: OpqModel, dir: String): Unit = {
+    import spark.implicits._
     model.rotation.indices.map { r =>
       (r, model.mean(r), model.rotation(r).toSeq, model.eigenvalues(r), model.m)
     }.toDF("i", "mean", "row", "eigenvalue", "m")

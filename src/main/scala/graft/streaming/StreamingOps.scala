@@ -1041,12 +1041,38 @@ object StreamingOps {
       cb: graft.knn.Pq.PqCodebooks,
       residual: Boolean = true,
       storeVectors: Boolean = false,
-      spill: Int = 1): (Dataset[VectorOp], Long) => Unit = {
+      spill: Int = 1,
+      opq: Option[graft.knn.Opq.OpqModel] = None): (Dataset[VectorOp], Long) => Unit = {
     import spark.implicits._
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     require(cb.m * cb.dsub == dim,
       s"codebooks cover ${cb.m * cb.dsub} dims, centroids have $dim")
+    opq.foreach(m => require(m.dim == dim,
+      s"OPQ rotation dimension ${m.dim} != centroid dimension $dim"))
     ensureIvfSidecars(spark, indexDir, centroids, "euclidean", spill)
+    // OPQ-rotated maintenance: every arriving vector rotates through the
+    // FROZEN model before assignment/encoding (centroids and codebooks
+    // live in rotated coordinates — pass rotated artifacts), queries
+    // rotate at search via the sidecar, and — the rotation being an
+    // isometry — all reported distances stay original-space distances.
+    // Re-fitting the rotation on drift is future work (SURVEY §7); the
+    // retrain path preserves the frozen sidecar.
+    opq match {
+      case Some(model) =>
+        if (graft.knn.Opq.savedRotation(spark, indexDir)) {
+          val stored = graft.knn.Opq.loadModel(spark, indexDir)
+          require(stored.m == model.m && stored.dim == model.dim &&
+            stored.rotation.zip(model.rotation).forall { case (a, b) =>
+              java.util.Arrays.equals(a, b) } &&
+            java.util.Arrays.equals(stored.mean, model.mean),
+            s"index at $indexDir is already maintained under a DIFFERENT OPQ rotation — " +
+              "old delta rows carry rotated coordinates from the stored model; refusing to overwrite")
+        } else graft.knn.Opq.saveModel(spark, model, indexDir)
+      case None =>
+        require(!graft.knn.Opq.savedRotation(spark, indexDir),
+          s"index at $indexDir carries an OPQ rotation sidecar — restart the sink with the " +
+            "stored model (raw-coordinate ingest against rotated codes corrupts the index)")
+    }
     loadIvfPqFlags(spark, indexDir) match {
       case Some(existing) =>
         require(existing == IvfPqMaintainedFlags(residual, storeVectors),
@@ -1075,7 +1101,14 @@ object StreamingOps {
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
         .persist()
       try {
-        val upserts = ops.filter(col("op") === "upsert")
+        val upserts0 = ops.filter(col("op") === "upsert")
+        // rotate on ingest (one narrow codegen pass) — from here on the
+        // batch lives in the same coordinates as centroids and codebooks
+        val upserts = opq match {
+          case Some(model) => upserts0.withColumn("vector",
+            graft.knn.Opq.rotateCol(model, col("vector")))
+          case None => upserts0
+        }
         val assigned = graft.knn.Ivf
           .assign(sess, upserts.select("id", "vector"), centroids, "euclidean", spill)
         val encoded =
@@ -1136,14 +1169,21 @@ object StreamingOps {
       require(qv.length == meta.dim,
         s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
     }
+    // an OPQ-maintained index stores rotated coordinates: rotate the
+    // queries through the sidecar model (isometry — reported distances
+    // stay original-space)
+    val rotQueries =
+      if (graft.knn.Opq.savedRotation(spark, indexDir))
+        graft.knn.Opq.rotateQueries(graft.knn.Opq.loadModel(spark, indexDir), queries)
+      else queries
     val state = ivfPqMaintainedState(spark, indexDir)
     val metric = graft.core.Distances.Euclidean
-    val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+    val probed: Map[Long, Array[Int]] = rotQueries.map { case (qid, qv) =>
       qid -> centroids.zipWithIndex
         .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
         .sortBy(identity).take(nprobe).map(_._2)
     }.toMap
-    graft.knn.Pq.search(spark, state, cb, queries, k, overscan, Some(probed),
+    graft.knn.Pq.search(spark, state, cb, rotQueries, k, overscan, Some(probed),
       dedup = meta.spill > 1,
       residualCentroids = if (flags.residual) Some(centroids) else None,
       rescore = flags.storeVectors)
@@ -1173,12 +1213,19 @@ object StreamingOps {
       .select("cell", "centroid").as[(Int, Seq[Float])].collect()
       .sortBy(_._1).map(_._2.toArray)
     val cb = graft.knn.Pq.loadCodebooks(spark, indexDir)
-    val checked = queries.select(col("qid").cast("long"),
+    val checked0 = queries.select(col("qid").cast("long"),
       when(size(col("qvec")) === meta.dim, col("qvec"))
         .otherwise(raise_error(concat(
           lit(s"query dimension != index dimension ${meta.dim}, got "),
           size(col("qvec")).cast("string"))))
         .as("qvec"))
+    // OPQ-maintained: rotate the query column through the sidecar model
+    // (the same codegen kernel the sink rotated the corpus with)
+    val checked =
+      if (graft.knn.Opq.savedRotation(spark, indexDir)) {
+        val model = graft.knn.Opq.loadModel(spark, indexDir)
+        checked0.select(col("qid"), graft.knn.Opq.rotateCol(model, col("qvec")).as("qvec"))
+      } else checked0
     graft.knn.Pq.searchIvfPqDF(ivfPqMaintainedState(spark, indexDir), centroids, cb,
       checked, k, nprobe, overscan, residual = flags.residual, rescore = flags.storeVectors)
   }
@@ -1258,6 +1305,11 @@ object StreamingOps {
       graft.knn.Pq.saveCodebooks(spark, cb, tmpDir, flags.residual)
       Seq((flags.residual, flags.storeVectors)).toDF("residual", "store_vectors")
         .coalesce(1).write.parquet(s"$tmpDir/pq_maintained")
+      // an OPQ-rotated index: the stored vectors (and the centroids just
+      // trained from them) are in ROTATED coordinates, so the frozen
+      // rotation rides along unchanged — re-fitting it is future work
+      if (graft.knn.Opq.savedRotation(spark, indexDir))
+        graft.knn.Opq.saveModel(spark, graft.knn.Opq.loadModel(spark, indexDir), tmpDir)
       // meta last: its presence marks the tmp index complete
       Seq((meta.metric, meta.spill, centroids.length, meta.dim))
         .toDF("metric", "spill", "c", "dim").coalesce(1)

@@ -800,6 +800,64 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(runPipeline(versionStore = false) > 0.5, "control: raw sink unexpectedly versioned")
   }
 
+  test("OPQ-maintained sink: rotated ingest + sidecar query rotation equal the batch " +
+    "OPQ pipeline; retrain preserves the frozen rotation; raw restart refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (vecs, df, _, _) = pqFixture()
+    // rotated-space artifacts: the sink contract is rotated centroids +
+    // rotated-trained codebooks, the model in hand
+    val model = graft.knn.Opq.train(df, m = 4)
+    val rotated = graft.knn.Opq.rotate(df, model)
+    val centroids = graft.knn.Ivf.train(spark, rotated, c = 2, iterations = 2)
+    val assigned = graft.knn.Ivf.assign(spark, rotated, centroids)
+    val cb = graft.knn.Pq.trainResidual(spark, assigned, centroids, m = 4, ksub = 8,
+      iterations = 1, sampleCap = 1000, seeding = "first")
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_opq_stream").toString
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfPqMaintenanceSink(spark, dir, centroids, cb,
+        residual = true, storeVectors = true, opq = Some(model)))
+      .outputMode("append").start()
+    try {
+      input.addData(vecs.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // maintained search (RAW queries — rotation happens inside) must equal
+    // the batch OPQ×IVFADC pipeline over the same artifacts
+    val queries = Array((0L, vecs(1)._2), (1L, vecs(2)._2))
+    val maintained = StreamingOps.searchIvfPqMaintained(spark, dir, queries, k = 5, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val batch = graft.knn.Pq.searchIvfPqResidual(spark,
+        graft.knn.Pq.encodeResidual(assigned, centroids, cb), centroids, cb,
+        graft.knn.Opq.rotateQueries(model, queries), k = 5, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(maintained.toSeq === batch.toSeq)
+
+    // DF side rotates the query column the same way
+    val dfRes = StreamingOps.searchIvfPqMaintainedDF(spark, dir,
+        queries.toSeq.toDF("qid", "qvec"), k = 5, nprobe = 2)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(dfRes.toSeq === maintained.toSeq)
+
+    // retrain keeps the frozen rotation and the view stays searchable
+    StreamingOps.retrainIvfPqMaintained(spark, dir, iterations = 1)
+    assert(graft.knn.Opq.savedRotation(spark, dir), "retrain dropped the OPQ sidecar")
+    val after = StreamingOps.searchIvfPqMaintained(spark, dir, queries, k = 5, nprobe = 2)
+    assert(after.count() === 10)
+
+    // a raw (model-less) sink restart against the rotated index refuses
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.ivfPqMaintenanceSink(spark, dir,
+        spark.read.parquet(s"$dir/centroids").select("cell", "centroid")
+          .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray),
+        cb, residual = true, storeVectors = true)
+    }
+    assert(e.getMessage.contains("OPQ rotation sidecar"))
+  }
+
   /** Deterministic dim-8 corpus + trained PQ artifacts for the
     * PQ-maintained sink tests: two well-separated clusters so cell
     * assignment and ADC ranking are unambiguous.
