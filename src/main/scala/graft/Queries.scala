@@ -245,6 +245,14 @@ object Queries {
 
   // ---------------------------------------------------------------- queries
 
+  /** Hybrid-search query batch: terms drawn from the synthetic corpus
+    * vocabulary; qids align with the embeddings used by the vector arm.
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    (0L, "vector hash join"),
+    (1L, "slow query scan"),
+    (2L, "spark merge batch window"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1-3 distance expressions
     "dist_euclidean" -> distQuery("euclidean"),
@@ -523,6 +531,40 @@ object Queries {
         .sortBy(_._1)
       val q = graft.knn.Quantize.sq8(data)
       knnFinish(graft.knn.Quantize.searchExact(spark, q, queries, k = 5, metric = "manhattan"))
+    }),
+
+    // §2.24+ 1-bit binary quantization: 32× compression, pop-count Hamming
+    // coarse scan + exact full-precision rescore. One bit per dimension
+    // carries no τ reconstruction bound, so the row self-verifies both
+    // regimes: overscan·k ≥ N must EQUAL brute force row-for-row (the
+    // rescore-correctness arm), modest overscan is recall-gated against
+    // the same exact result (0.86 measured at overscan 8, 0.94+ at 12, on the UNIFORM
+    // sf embeddings — the adversarial geometry for sign sketches; the
+    // clustered floor is 0.9+, gated in BinarySpec).
+    "knn_binary" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val k = 10
+      val thr = graft.knn.Quantize.binaryThresholds(data)
+      val n = data.count().toInt
+      val exact = Knn.bruteForce(data, queriesDf, k).select("qid", "id", "rank")
+      val full = graft.knn.Quantize.searchBinary(spark, data, thr, queries, k,
+        overscan = (n + k - 1) / k)
+      val approx = graft.knn.Quantize.searchBinary(spark, data, thr, queries, k,
+        overscan = 12)
+      val sameFull = exact.join(full.select("qid", "id", "rank"), Seq("qid", "id", "rank"))
+        .groupBy("qid").agg(count(lit(1)).as("n_same_exact"))
+      approx.groupBy("qid").agg(count(lit(1)).as("n_results"),
+          sum(when(col("rank") <= k, 1L).otherwise(0L)).as("__na"))
+        .join(exact.join(approx.select("qid", "id"), Seq("qid", "id"))
+          .groupBy("qid").agg(count(lit(1)).as("__overlap")), Seq("qid"))
+        .join(sameFull, Seq("qid"))
+        .select(col("qid"), lit(k.toLong).as("k"), col("n_results"),
+          col("n_same_exact"),
+          when(col("__overlap") >= k * 0.7, 1L).otherwise(0L).as("recall_ok"))
+        .orderBy("qid")
     }),
 
     // §2.13 tombstone handling: search skips deleted ids
@@ -1514,6 +1556,31 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20+ BM25 lexical retrieval (Robertson et al., TREC-3 1994) — the
+    // keyword arm of hybrid search. Query-term postings drop out of the
+    // tokenize scan immediately (term set is query-sized); df + query
+    // tables broadcast; per-qid WindowGroupLimit bounds the top-k
+    // shuffle. Ranks order by the ROUNDED score, so ulp-level fp
+    // summation differences between engines cannot flip them.
+    "bm25_topk" -> ((spark, dir) => {
+      graft.text.Bm25.search(t(spark, dir, "documents"), bm25Queries, 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // Hybrid search: reciprocal-rank fusion (Cormack et al., SIGIR 2009)
+    // of the BM25 lexical arm and the exact-kNN vector arm over the SAME
+    // query ids (doc_id ≡ vec_id in the testdata). Both arms are already
+    // top-k-bounded, so fusion runs on query-sized data at any corpus
+    // scale; integer ranks make the fused score bit-deterministic.
+    "hybrid_rrf" -> ((spark, dir) => {
+      val bm = graft.text.Bm25.search(t(spark, dir, "documents"), bm25Queries, 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val (data, queriesDf) = knnInputs(spark, dir, 3)
+      val nn = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+        .select(col("qid"), col("id"), col("rank"))
+      graft.ops.Fusion.rrf(Seq(bm, nn), 10).orderBy("qid", "rank")
+    }),
+
     "line_dedup_clean" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val wrapped = docs.filter(col("doc_id") < 30)
@@ -2134,6 +2201,33 @@ object Queries {
     * degenerate whole-text shingle under n tokens as ShingleKernel).
     */
   private val duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** DuckDB replay of [[graft.text.Bm25.search]] over [[bm25Queries]]:
+    * CTE chain ending in `bmr(qid, doc_id, score, rank)`. Arithmetic is
+    * parenthesized exactly like the Spark side so both engines execute
+    * the same IEEE operation sequence (only ln may differ by an ulp,
+    * absorbed by the 4-decimal round that also drives the rank order).
+    */
+  private def duckBm25Cte(k1: Double = 1.2, b: Double = 0.75): String = {
+    val qVals = bm25Queries.zipWithIndex.map { case ((qid, text), i) =>
+      if (i == 0) s"(CAST($qid AS BIGINT), '$text')" else s"($qid, '$text')"
+    }.mkString(", ")
+    s"""qt AS (SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\\s+'))) AS token
+       |       FROM (VALUES $qVals) AS q(qid, qtext)),
+       |stats AS (SELECT count(*)::DOUBLE AS n, avg(len($duckToks))::DOUBLE AS avgdl FROM documents),
+       |post AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf FROM (
+       |           SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, unnest($duckToks) AS token FROM documents)
+       |         WHERE token IN (SELECT DISTINCT token FROM qt)
+       |         GROUP BY doc_id, dl, token),
+       |dftab AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY token),
+       |contrib AS (SELECT qt.qid, post.doc_id,
+       |              (ln(1.0 + (stats.n - dftab.df + 0.5)/(dftab.df + 0.5)) *
+       |               ((post.tf * ${k1 + 1.0}) / (post.tf + $k1 * (${1.0 - b} + ($b * post.dl)/stats.avgdl)))) AS c
+       |            FROM post JOIN dftab USING (token) JOIN qt USING (token) CROSS JOIN stats),
+       |scored AS (SELECT qid, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY qid, doc_id),
+       |bmr AS (SELECT qid, doc_id, score,
+       |          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM scored)""".stripMargin
+  }
   private def duckShinglesN(toks: String, n: Int): String = {
     val gram = (0 until n).map {
       case 0 => s"$toks[i]"
@@ -2394,6 +2488,28 @@ object Queries {
         |SELECT doc_id, regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS clean_text
         |FROM s6 ORDER BY doc_id""".stripMargin,
     // identical URL + domain patterns (explicit whitespace class — RE2 and
+    // BM25 replay (k1=1.2, b=0.75): same tokenizer, same arithmetic
+    // parenthesization as the Spark side, rank by the ROUNDED score then
+    // doc_id — so engine-level fp ulps cannot flip ranks
+    "bm25_topk" ->
+      s"""WITH ${duckBm25Cte()}
+         |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // hybrid RRF: BM25 arm + exact-kNN vector arm, fused by
+    // sum(1/(60+rank)) over integer ranks — bit-deterministic, so the
+    // fused ordering uses the FULL score like the Spark side
+    "hybrid_rrf" ->
+      s"""WITH ${duckBm25Cte()},
+         |q2 AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
+         |d2 AS (SELECT q2.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q2.qv")} AS dist
+         |       FROM embeddings e CROSS JOIN q2),
+         |nr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d2),
+         |lists AS (SELECT qid, doc_id AS id, rank FROM bmr WHERE rank <= 10
+         |          UNION ALL SELECT qid, id, rank FROM nr WHERE rank <= 10),
+         |fused AS (SELECT qid, id, sum(1.0/(60 + rank)) AS s FROM lists GROUP BY qid, id),
+         |fr AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM fused)
+         |SELECT qid, id, round(s, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
+         |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // Java \s diverge on \x0B); both sides sort domains before joining
     "link_stats" ->
       """WITH all_docs AS (
@@ -2564,6 +2680,10 @@ object Queries {
          |SELECT qid, id, round(dist, 4) AS dist, rank, CAST(1 AS BIGINT) AS rewritten
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
+    "knn_binary" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "knn_pca_exact" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_quantized_manhattan" -> knnOracle(duckManhattan, 3, 5),

@@ -43,6 +43,16 @@ object vec {
   def sq8Encode(a: Column, normalize: Boolean = false): Column =
     c(Sq8Encode(e(a), normalize))
 
+  /** 1-bit signature pack: bit i set iff a(i) > thresholds(i); 64 dims
+    * per long word (32× smaller than float32).
+    */
+  def binaryPack(a: Column, thresholds: Column): Column =
+    c(BinaryPack(e(a), e(thresholds)))
+
+  /** Pop-count Hamming distance between [[binaryPack]] signatures. */
+  def hammingWords(a: Column, b: Column): Column =
+    c(HammingWords(e(a), e(b)))
+
   def toBytes(a: Column): Column = c(VecToBytes(e(a)))
   def fromBytes(a: Column): Column = c(VecFromBytes(e(a)))
 

@@ -398,4 +398,105 @@ object Quantize {
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---------------------------------------------------------------- binary
+
+  /** Per-dimension mean thresholds for 1-bit binary quantization — the
+    * sign pivot that balances each bit ~50/50 (maximum sketch entropy).
+    * One tree-aggregated pass: partial (sum, count) per task is O(dim),
+    * the driver only ever sees O(dim) — never O(rows).
+    */
+  def binaryThresholds(data: DataFrame, vectorCol: String = "vector"): Array[Float] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val (sums, n) = data.select(col(vectorCol).cast("array<float>")).as[Array[Float]]
+      .rdd
+      .treeAggregate((null: Array[Double], 0L))(
+        seqOp = { case ((acc, cnt), v) =>
+          val a = if (acc == null) new Array[Double](v.length) else acc
+          require(a.length == v.length,
+            s"ragged vector column: dim ${v.length} != ${a.length}")
+          var i = 0
+          while (i < v.length) { a(i) += v(i); i += 1 }
+          (a, cnt + 1)
+        },
+        combOp = {
+          case ((null, _), r) => r
+          case (l, (null, _)) => l
+          case ((a, ca), (b, cb)) =>
+            require(a.length == b.length,
+              s"ragged vector column: dim ${b.length} != ${a.length}")
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            (a, ca + cb)
+        })
+    require(n > 0, "binaryThresholds: empty vector column")
+    sums.map(s => (s / n).toFloat)
+  }
+
+  /** Add a packed 1-bit signature column (`sig: array<long>`, 64 dims per
+    * word — 32× smaller than float32) via the fused
+    * [[graft.functions.BinaryPack]] kernel.
+    */
+  def binarize(
+      data: DataFrame,
+      thresholds: Array[Float],
+      vectorCol: String = "vector",
+      sigCol: String = "sig"): DataFrame =
+    data.withColumn(sigCol,
+      vec.binaryPack(col(vectorCol), lit(thresholds)))
+
+  /** Two-stage binary-sketch ANN: coarse Hamming top-(k·overscan) over the
+    * packed signatures, exact full-precision rescore of the survivors.
+    * The coarse pass is the 32×-compression scale lever: per-partition
+    * bounded heaps scan 8 bytes per 64 dims (pop-count XOR per word), so
+    * only k·overscan·P·Q candidate rows ever shuffle; the float vectors
+    * are touched only for candidate ids. Unlike SQ8's τ-bound, one bit
+    * per dimension carries no reconstruction-error bound — this tier is
+    * recall-gated, not provably exact (overscan is the recall knob;
+    * overscan·k ≥ N degenerates to exact brute force by construction).
+    */
+  def searchBinary(
+      spark: SparkSession,
+      data: DataFrame, // (id, vector)
+      thresholds: Array[Float],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      overscan: Int = 8,
+      metric: String = "euclidean"): DataFrame = {
+    import spark.implicits._
+    require(k > 0 && overscan > 0, s"k and overscan must be positive, got $k, $overscan")
+    val packedQ = queries.map { case (qid, qv) =>
+      (qid, graft.functions.BinaryKernels.pack(qv, thresholds))
+    }
+    val bcQ = spark.sparkContext.broadcast(packedQ)
+    val kc = k * overscan
+
+    val coarse = binarize(
+        data.select(col("id").cast("long"), col("vector").cast("array<float>")), thresholds)
+      .select(col("id"), col("sig"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { iter =>
+        val qs = bcQ.value
+        val heaps = Array.fill(qs.length)(new TopK(kc))
+        iter.foreach { case (id, sig) =>
+          var qi = 0
+          while (qi < qs.length) {
+            heaps(qi).push(graft.functions.BinaryKernels.hamming(sig, qs(qi)._2).toDouble, id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }
+      .toDF("qid", "id", "hd")
+    val wc = Window.partitionBy("qid").orderBy(col("hd"), col("id"))
+    val candidates = coarse
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= kc)
+      .select("qid", "id")
+
+    rescoreTopK(candidates, data.select(col("id").cast("long"), col("vector")),
+      broadcast(queries.toSeq.toDF("qid", "qvec")), k, metric, dedupVectors = false)
+  }
 }

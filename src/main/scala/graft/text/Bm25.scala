@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranked document retrieval (Robertson et al., TREC-3 1994;
+  * the idf form is the standard "+1" variant that keeps weights positive:
+  * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))). This is the lexical half
+  * of the hybrid (keyword + vector) search surface every production
+  * vector store ships; [[graft.ops.Fusion]] fuses it with the kNN arm.
+  *
+  * Scale shape (100 TB corpus, query batch of Q queries with ≤T distinct
+  * terms total):
+  *   - The corpus streams ONCE: tokenize → explode → `token IN terms`
+  *     filter immediately after the generate, so only postings matching
+  *     some query term survive the scan — T is query-sized, so the
+  *     surviving set is the true posting lists, not the corpus.
+  *   - Per-document length and the (N, avgdl) corpus statistics come from
+  *     the same tokenize pass shapes (one narrow aggregate; no extra wide
+  *     shuffle).
+  *   - The document-frequency table is ≤T rows (aggregated map-side from
+  *     the postings), and the (qid, term) query table is ≤Q·T rows — both
+  *     broadcast; the posting side never shuffles for either join.
+  *   - The only wide exchanges are the (doc, token) tf aggregation and the
+  *     per-qid top-k window, whose rank predicate pushes a
+  *     WindowGroupLimit bound into every shuffle-map task, so k·P rows
+  *     cross per query, not the posting-list length.
+  *
+  * Determinism: ranking orders by the 4-decimal-ROUNDED score before the
+  * doc-id tie-break, so engines (or layouts) differing in floating-point
+  * summation order by ulps cannot flip ranks — distinct real-score docs
+  * stay ordered, exact-tie docs order by id both sides.
+  */
+object Bm25 {
+
+  /** (doc_id, token, tf, dl) posting rows restricted to `terms` — the
+    * exploded-and-filtered single corpus pass described above.
+    */
+  def postings(
+      docs: DataFrame,
+      terms: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-`k` documents per query. `queries` = (qid, query text,
+    * tokenized with the corpus tokenizer); duplicate terms within one
+    * query count once (standard when query term frequency is ignored).
+    * Returns (qid, doc_id, score, rank), rank 1-based by descending
+    * rounded score then ascending doc_id; documents sharing no term with
+    * the query never appear (their score is 0 by definition).
+    */
+  def search(
+      docs: DataFrame,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queries.nonEmpty, "empty query batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, text) =>
+      text.trim.toLowerCase.split("\\s+").toSeq.distinct.filter(_.nonEmpty).map(qid -> _)
+    }
+    require(qTerms.nonEmpty, "no query terms after tokenization")
+    val terms = qTerms.map(_._2).distinct
+
+    // one aggregate-only pass for the corpus statistics; the tokenizer
+    // runs inside the scan so no materialized token column exists
+    val statsRow = docs
+      .agg(count(lit(1)).as("n"),
+        avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
+      .head()
+    val n = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1)
+    require(n > 0, "empty corpus")
+
+    val post = postings(docs, terms, idCol, textCol)
+
+    // df is ≤|terms| rows: aggregate map-side, then broadcast back
+    val dfTable = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val qTable = qTerms.toDF("qid", "token")
+
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
+    val contrib = post
+      .join(broadcast(dfTable), Seq("token"))
+      .join(broadcast(qTable), Seq("token"))
+      .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
+
+    val scored = contrib
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+}

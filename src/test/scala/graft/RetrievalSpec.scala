@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.Fusion
+import graft.text.Bm25
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval + RRF hybrid fusion. The BM25 gate is a
+  * hand-computed score on a four-document corpus (Robertson et al. 1994
+  * formulas, "+1" idf variant); fusion gates check the rank-merge
+  * semantics hybrid search depends on.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "spark shuffle join spark"),  // dl 4, "spark" twice
+    (1L, "join filter scan"),          // dl 3
+    (2L, "spark scan"),                // dl 2
+    (3L, "window agg agg window"))     // dl 4, no query terms
+    .toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed score and drops term-free docs") {
+    val out = Bm25.search(corpus, Seq((7L, "spark join")), k = 10)
+      .orderBy("rank").collect()
+    // N=4, avgdl=13/4; df(spark)=2, df(join)=2 -> idf = ln(1+2.5/2.5)=ln 2
+    val idf = math.log(2.0)
+    def tfn(tf: Double, dl: Double) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / 3.25))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map( // doc -> rounded score
+      0L -> r4(idf * tfn(2, 4) + idf * tfn(1, 4)),
+      1L -> r4(idf * tfn(1, 3)),
+      2L -> r4(idf * tfn(1, 2)))
+    assert(out.map(_.getLong(1)).toSet === exp.keySet) // doc 3 absent
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - exp(r.getLong(1))) < 1e-9,
+        s"doc ${r.getLong(1)}: got ${r.getDouble(2)} want ${exp(r.getLong(1))}")
+    }
+    // ranks follow descending score
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.sliding(2).forall(p => p(0).getDouble(2) >= p(1).getDouble(2)))
+  }
+
+  test("bm25 duplicate query terms count once; k truncates") {
+    val once = Bm25.search(corpus, Seq((1L, "spark join")), k = 10).collect()
+    val dup = Bm25.search(corpus, Seq((1L, "spark spark join")), k = 10).collect()
+    assert(once.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq ===
+      dup.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq)
+    assert(Bm25.search(corpus, Seq((1L, "spark join")), k = 2).count() === 2)
+  }
+
+  test("rrf rewards presence in both lists and falls back by id on ties") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("qid", "id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 13L, 2L), (0L, 10L, 3L)).toDF("qid", "id", "rank")
+    val out = Fusion.rrf(Seq(a, b), k = 10).orderBy("rank").collect()
+    // 11: 1/62+1/61 tops 10: 1/61+1/63; 12 (1/63) and 13 (1/62) single-list
+    assert(out.map(_.getLong(1)).toSeq === Seq(11L, 10L, 13L, 12L))
+    val s11 = 1.0 / 62 + 1.0 / 61
+    assert(math.abs(out(0).getDouble(2) - BigDecimal(s11).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // exact tie (same single-list rank in mirrored lists) orders by id
+    val c = Seq((0L, 20L, 1L)).toDF("qid", "id", "rank")
+    val d = Seq((0L, 21L, 1L)).toDF("qid", "id", "rank")
+    val tied = Fusion.rrf(Seq(c, d), k = 10).orderBy("rank").collect()
+    assert(tied.map(_.getLong(1)).toSeq === Seq(20L, 21L))
+  }
+
+  test("rrf is invariant to input partition layout") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 10L, 1L)).toDF("qid", "id", "rank")
+    val b = Seq((0L, 11L, 1L), (1L, 12L, 1L)).toDF("qid", "id", "rank")
+    val one = Fusion.rrf(Seq(a, b), k = 10).orderBy("qid", "rank").collect().toSeq
+    val other = Fusion.rrf(Seq(a.repartition(7), b.repartition(3)), k = 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(one === other)
+  }
+}
