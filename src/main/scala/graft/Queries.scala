@@ -533,6 +533,33 @@ object Queries {
       knnFinish(graft.knn.Quantize.searchExact(spark, q, queries, k = 5, metric = "manhattan"))
     }),
 
+    // §2.24×25 OPQ∘SQ8 composition: the τ-bound exactness proof is
+    // isometry-invariant, so the exact two-pass SQ8 search runs UNCHANGED
+    // over OPQ-rotated coordinates (where the rotation balances the
+    // per-dimension ranges the affine byte quantizer spans) and still
+    // hash-matches the raw-space exact-kNN oracle. The τ scans rank in
+    // rotated space; the displayed distances re-derive in ORIGINAL space
+    // (one candidate-sized join) so the oracle comparison never sees
+    // rotation float-rounding.
+    "knn_quantized_opq" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val model = graft.knn.Opq.train(data, m = 8)
+      val q = graft.knn.Quantize.sq8(graft.knn.Opq.rotate(data, model))
+      val cand = graft.knn.Quantize
+        .searchExact(spark, q, graft.knn.Opq.rotateQueries(model, queries), k = 10)
+        .select("qid", "id")
+      val rescored = cand
+        .join(data, Seq("id"))
+        .join(broadcast(queriesDf), Seq("qid"))
+        .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), "euclidean").as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist"), col("id"))
+      knnFinish(rescored.withColumn("rank", row_number().over(w)))
+    }),
+
     // §2.24+ 1-bit binary quantization: 32× compression, pop-count Hamming
     // coarse scan + exact full-precision rescore. One bit per dimension
     // carries no τ reconstruction bound, so the row self-verifies both
@@ -2680,6 +2707,7 @@ object Queries {
          |SELECT qid, id, round(dist, 4) AS dist, rank, CAST(1 AS BIGINT) AS rewritten
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
+    "knn_quantized_opq" -> knnOracle(duckEuclid, 5, 10),
     "knn_binary" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok

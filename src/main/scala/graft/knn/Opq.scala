@@ -125,6 +125,38 @@ object Opq {
     OpqModel(pca.mean, rotation, eigs, m)
   }
 
+  /** Compose two rotations: `outer` FITTED IN `inner`'s OUTPUT SPACE
+    * (y = R₁(v − μ₁), z = R₂(y − μ₂)) collapses to one original-space
+    * model z = (R₂R₁)(v − (μ₁ + R₁ᵀμ₂)) — the incremental-OPQ identity:
+    * when drift moves the maintained view's spectrum, re-FIT a fresh
+    * rotation on the (already-rotated) view and fold it onto the frozen
+    * one, so consumers keep exactly one `opq_rot` sidecar and one narrow
+    * rotation pass per vector. The composed eigenvalues/m are `outer`'s
+    * (the current-view spectrum — the one the allocation balanced).
+    * Orthogonality is preserved (product of orthonormal matrices); the
+    * O(dim³) products run driver-side like the Jacobi eigensolve.
+    */
+  def compose(outer: OpqModel, inner: OpqModel): OpqModel = {
+    require(outer.dim == inner.dim,
+      s"cannot compose rotations of dimension ${outer.dim} and ${inner.dim}")
+    val d = inner.dim
+    // R = R₂ · R₁
+    val r = Array.tabulate(d, d) { (i, j) =>
+      var acc = 0.0
+      var t = 0
+      while (t < d) { acc += outer.rotation(i)(t) * inner.rotation(t)(j); t += 1 }
+      acc
+    }
+    // μ = μ₁ + R₁ᵀ μ₂
+    val mean = Array.tabulate(d) { i =>
+      var acc = inner.mean(i)
+      var t = 0
+      while (t < d) { acc += inner.rotation(t)(i) * outer.mean(t); t += 1 }
+      acc
+    }
+    OpqModel(mean, r, outer.eigenvalues.clone(), outer.m)
+  }
+
   /** `R · (v − mean)` as a codegen'd column — [[Pca.projectCol]] at full
     * rank with the permuted basis. An isometry: distances in the output
     * space equal distances in the input space exactly (up to float

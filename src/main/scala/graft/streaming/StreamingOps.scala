@@ -909,16 +909,20 @@ object StreamingOps {
       threshold: Double = 0.3,
       c: Int = 0,
       iterations: Int = 2,
-      seed: Long = 42L): (Double, Boolean) = {
+      seed: Long = 42L,
+      refitRotation: Boolean = false): (Double, Boolean) = {
     require(threshold >= 0, s"threshold must be non-negative, got $threshold")
     val drift = ivfMaintainedDrift(spark, indexDir)
     if (drift > threshold) {
       // a PQ-maintained dir retrains through the code-aware path (re-encode
       // against the new geometry); drift itself already refused codes-only
       if (loadIvfPqFlags(spark, indexDir).isDefined)
-        retrainIvfPqMaintained(spark, indexDir, c, iterations, seed)
-      else
+        retrainIvfPqMaintained(spark, indexDir, c, iterations, seed, refitRotation)
+      else {
+        require(!refitRotation,
+          s"refitRotation: $indexDir is not PQ-maintained — no rotation sidecar to re-fit")
         retrainIvfMaintained(spark, indexDir, c, iterations, seed)
+      }
       (drift, true)
     } else (drift, false)
   }
@@ -1055,8 +1059,9 @@ object StreamingOps {
     // live in rotated coordinates — pass rotated artifacts), queries
     // rotate at search via the sidecar, and — the rotation being an
     // isometry — all reported distances stay original-space distances.
-    // Re-fitting the rotation on drift is future work (SURVEY §7); the
-    // retrain path preserves the frozen sidecar.
+    // On drift, [[retrainIvfPqMaintained]] with refitRotation=true re-fits
+    // the rotation on the maintained view and COMPOSES it onto the frozen
+    // one (Opq.compose); the default retrain preserves the frozen sidecar.
     opq match {
       case Some(model) =>
         if (graft.knn.Opq.savedRotation(spark, indexDir)) {
@@ -1235,19 +1240,35 @@ object StreamingOps {
     * every live vector against the new geometry (residual codes quantize
     * vector − centroid, so new centroids invalidate old codes — raw codes
     * are centroid-independent but are re-derived anyway for one uniform
-    * path). Codebooks stay FROZEN: they are the contract the ADC scan and
-    * any downstream consumers share; re-learning them is building a new
-    * index, not maintaining this one. Requires `storeVectors = true` —
-    * codes alone cannot re-derive the geometry (fails loudly; this is the
-    * documented price of the m-byte tier). Same complete-then-swap
-    * protocol and tombstone preservation as [[retrainIvfMaintained]].
+    * path). Codebooks stay FROZEN by default: they are the contract the
+    * ADC scan and any downstream consumers share; re-learning them is
+    * building a new index, not maintaining this one. Requires
+    * `storeVectors = true` — codes alone cannot re-derive the geometry
+    * (fails loudly; this is the documented price of the m-byte tier).
+    * Same complete-then-swap protocol and tombstone preservation as
+    * [[retrainIvfMaintained]].
+    *
+    * `refitRotation = true` (incremental OPQ, requires an `opq_rot`
+    * sidecar): additionally re-FIT the rotation on the maintained view —
+    * drift that moves the spectrum un-balances the frozen subspace
+    * allocation, which is exactly the distortion OPQ exists to remove.
+    * The fresh rotation is fitted in the FROZEN rotation's coordinates
+    * (what the stored vectors are in) and folded onto it via
+    * [[graft.knn.Opq.compose]], so the swapped index still carries ONE
+    * original-space model; centroids AND codebooks are then re-trained in
+    * the refit coordinates (a refit exists to re-balance subspaces —
+    * stale codebooks would encode against geometry the fit just moved).
+    * Consumers self-configure from the composed sidecar as before; a sink
+    * restart must pass the COMPOSED model (the guard refuses the stale
+    * one).
     */
   def retrainIvfPqMaintained(
       spark: SparkSession,
       indexDir: String,
       c: Int = 0,
       iterations: Int = 2,
-      seed: Long = 42L): Array[Array[Float]] = {
+      seed: Long = 42L,
+      refitRotation: Boolean = false): Array[Array[Float]] = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmpDir = s"$indexDir.retrain"
@@ -1278,19 +1299,50 @@ object StreamingOps {
     val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
       .select(col("id").cast("long"), col("vector").cast("array<float>"), col("version"))
       .persist()
+    var refitPersisted: Option[DataFrame] = None
     try {
       require(liveOne.limit(1).count() > 0,
         s"maintained view at $indexDir is empty — nothing to re-train the quantizer on")
+
+      // incremental OPQ (Ge et al. 2013 fit, composed): the stored vectors
+      // are in the FROZEN rotation's coordinates, so a fresh rotation
+      // fitted on the maintained view composes onto it (Opq.compose) —
+      // consumers still hold ONE opq_rot sidecar and the re-encode below
+      // runs in the refit coordinates, with codebooks RE-TRAINED there
+      // (a refit exists to re-balance the subspaces; carrying the stale
+      // codebooks would re-encode against geometry the fit just moved)
+      val refit = if (refitRotation) {
+        require(graft.knn.Opq.savedRotation(spark, indexDir),
+          s"refitRotation: no OPQ rotation sidecar under $indexDir — nothing to re-fit " +
+            "(train one with Opq.train and rebuild, or retrain without the flag)")
+        val frozen = graft.knn.Opq.loadModel(spark, indexDir)
+        val fresh = graft.knn.Opq.train(liveOne.select("id", "vector"), frozen.m)
+        Some((fresh, graft.knn.Opq.compose(fresh, frozen)))
+      } else None
+      val live = refit match {
+        case Some((fresh, _)) =>
+          val r = graft.knn.Opq.rotate(liveOne, fresh).persist()
+          refitPersisted = Some(r)
+          r
+        case None => liveOne
+      }
+      val cbUsed = refit match {
+        case Some(_) =>
+          graft.knn.Pq.train(spark, live.select("id", "vector"), cb.m, cb.ksub,
+            iterations, seed = seed)
+        case None => cb
+      }
+
       val newC = if (c > 0) c else meta.c
-      val centroids = graft.knn.Ivf.train(spark, liveOne.select("id", "vector"), newC,
+      val centroids = graft.knn.Ivf.train(spark, live.select("id", "vector"), newC,
         meta.metric, iterations, seed = seed)
 
       val assigned = graft.knn.Ivf
-        .assign(spark, liveOne.select("id", "vector"), centroids, meta.metric, meta.spill)
+        .assign(spark, live.select("id", "vector"), centroids, meta.metric, meta.spill)
       val encoded =
-        (if (flags.residual) graft.knn.Pq.encodeResidual(assigned, centroids, cb)
-         else graft.knn.Pq.encode(assigned, cb))
-          .join(liveOne.select(col("id"), col("version")), Seq("id"))
+        (if (flags.residual) graft.knn.Pq.encodeResidual(assigned, centroids, cbUsed)
+         else graft.knn.Pq.encode(assigned, cbUsed))
+          .join(live.select(col("id"), col("version")), Seq("id"))
           .select(col("id"), col("cell"), col("vector"), col("pq_codes"),
             col("version"), lit("upsert").as("op"))
       val tombstones = winners.filter(col("op") === "remove")
@@ -1302,14 +1354,21 @@ object StreamingOps {
       centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("cell", "centroid").coalesce(1)
         .write.parquet(s"$tmpDir/centroids")
-      graft.knn.Pq.saveCodebooks(spark, cb, tmpDir, flags.residual)
+      graft.knn.Pq.saveCodebooks(spark, cbUsed, tmpDir, flags.residual)
       Seq((flags.residual, flags.storeVectors)).toDF("residual", "store_vectors")
         .coalesce(1).write.parquet(s"$tmpDir/pq_maintained")
-      // an OPQ-rotated index: the stored vectors (and the centroids just
-      // trained from them) are in ROTATED coordinates, so the frozen
-      // rotation rides along unchanged — re-fitting it is future work
-      if (graft.knn.Opq.savedRotation(spark, indexDir))
-        graft.knn.Opq.saveModel(spark, graft.knn.Opq.loadModel(spark, indexDir), tmpDir)
+      // an OPQ-rotated index without refitRotation: the stored vectors
+      // (and the centroids just trained from them) are in ROTATED
+      // coordinates, so the frozen rotation rides along unchanged; with
+      // refitRotation the COMPOSED model (fresh ∘ frozen) is the new
+      // original-space contract
+      refit match {
+        case Some((_, composed)) =>
+          graft.knn.Opq.saveModel(spark, composed, tmpDir)
+        case None =>
+          if (graft.knn.Opq.savedRotation(spark, indexDir))
+            graft.knn.Opq.saveModel(spark, graft.knn.Opq.loadModel(spark, indexDir), tmpDir)
+      }
       // meta last: its presence marks the tmp index complete
       Seq((meta.metric, meta.spill, centroids.length, meta.dim))
         .toDF("metric", "spill", "c", "dim").coalesce(1)
@@ -1319,6 +1378,7 @@ object StreamingOps {
       graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
       centroids
     } finally {
+      refitPersisted.foreach(_.unpersist())
       liveOne.unpersist()
       winners.unpersist()
     }

@@ -165,4 +165,35 @@ class OpqSpec extends SparkTestBase {
       assert(exDf.getMessage.contains("OPQ rotation sidecar"))
     } finally rotated.unpersist()
   }
+
+  test("compose collapses sequential rotations into one original-space model") {
+    val m1 = model
+    val m2 = Opq.train(Opq.rotate(aniso, m1), m = 4)
+    val composed = Opq.compose(m2, m1)
+    // still orthonormal (product of orthonormal matrices)
+    val dim = composed.dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = dot(composed.rotation(i), composed.rotation(j))
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRᵀ[$i][$j] = $d")
+    }
+    // pointwise identity: composed(v) == m2(m1(v)) — the two-step side
+    // rounds to float between stages, so tolerance is float-level
+    val sample = aniso.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val oneShot = Opq.rotateQueries(composed, sample)
+    val twoStep = Opq.rotateQueries(m2, Opq.rotateQueries(m1, sample))
+    oneShot.zip(twoStep).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-4, s"composed $x vs sequential $y")
+      }
+    }
+    // the composed model carries the CURRENT-view spectrum and m
+    assert(composed.m === 4)
+    assert(composed.eigenvalues.toSeq === m2.eigenvalues.toSeq)
+    intercept[IllegalArgumentException] {
+      Opq.compose(m2, Opq.OpqModel(new Array[Double](8),
+        Array.tabulate(8, 8)((i, j) => if (i == j) 1.0 else 0.0), new Array[Double](8), 4))
+    }
+  }
 }

@@ -1022,6 +1022,103 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(StreamingOps.ivfPqMaintainedState(spark, dir)
       .filter(col("pq_codes").isNull).count() === 0)
   }
+  test("incremental OPQ: drift re-fits + composes the rotation, re-balances subspaces, " +
+    "search stays exact, and a stale-model restart is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // wave 1 concentrates energy on dim 0 (the frozen rotation balances
+    // THAT spectrum); wave 2 drifts the energy to dim 4 — the frozen
+    // allocation is now unbalanced, which is exactly what a refit fixes
+    def wave(idBase: Long, hot: Int, n: Int): Seq[(Long, Array[Float])] =
+      (0 until n).map { i =>
+        val rnd = new graft.core.SplitMix.Stream(idBase * 7919 + i * 31L + 5)
+        val v = Array.tabulate(8) { d =>
+          val sd = if (d == hot) 2.0 else 0.05
+          ((rnd.nextUnit() - 0.5) * 2 * sd).toFloat
+        }
+        (idBase + i, v)
+      }
+    val w1 = wave(0L, hot = 0, 60)
+    val w2 = wave(1000L, hot = 4, 60)
+
+    val df1 = w1.toDF("id", "vector")
+    val m1 = graft.knn.Opq.train(df1, m = 4)
+    val rot1 = graft.knn.Opq.rotate(df1, m1)
+    val centroids = graft.knn.Ivf.train(spark, rot1, c = 2, iterations = 2)
+    val cb = graft.knn.Pq.trainResidual(spark, graft.knn.Ivf.assign(spark, rot1, centroids),
+      centroids, m = 4, ksub = 8, iterations = 1, sampleCap = 1000, seeding = "first")
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_opq_refit").toString
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfPqMaintenanceSink(spark, dir, centroids, cb,
+        residual = true, storeVectors = true, opq = Some(m1)))
+      .outputMode("append").start()
+    try {
+      input.addData(w1.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+      input.addData(w2.map { case (i, v) => StreamingOps.VectorOp(i, "upsert", v, 1) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    StreamingOps.retrainIvfPqMaintained(spark, dir, iterations = 1, refitRotation = true)
+    val composed = graft.knn.Opq.loadModel(spark, dir)
+    assert(composed.m === m1.m)
+    // the rotation actually changed
+    assert(composed.rotation.zip(m1.rotation).exists { case (a, b) =>
+      a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-6 } })
+    // and is still orthonormal
+    for (i <- 0 until 8; j <- i until 8) {
+      val d = (0 until 8).map(t => composed.rotation(i)(t) * composed.rotation(j)(t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+
+    // the incremental claim: the COMPOSED model balances the current view
+    // exactly as well as a from-scratch rotation fitted on the original
+    // coordinates would (the spectrum is rotation-invariant and the
+    // allocation is a deterministic function of it) — measured as the
+    // per-subspace log-variance spread over the live vectors. (Comparing
+    // against the FROZEN rotation's spread would be unsound: under a
+    // non-PCA rotation the coordinates are correlated, so its spread
+    // understates the distortion OPQ's product model prices.)
+    def subspaceSpread(model: graft.knn.Opq.OpqModel): Double = {
+      val rotated = graft.knn.Opq.rotateQueries(model, (w1 ++ w2).toArray).map(_._2)
+      val n = rotated.length
+      val mean = Array.tabulate(8)(d => rotated.map(_(d).toDouble).sum / n)
+      val vars = Array.tabulate(8)(d =>
+        math.max(rotated.map(v => math.pow(v(d) - mean(d), 2)).sum / n, 1e-12))
+      val logs = Array.tabulate(4)(j => (j * 2 until (j + 1) * 2).map(d => math.log(vars(d))).sum)
+      logs.max - logs.min
+    }
+    val fromScratch = graft.knn.Opq.train((w1 ++ w2).toDF("id", "vector"), m = 4)
+    assert(subspaceSpread(composed) <= subspaceSpread(fromScratch) + 0.1,
+      s"composed refit (spread ${subspaceSpread(composed)}) materially worse than a " +
+        s"from-scratch fit on the current view (${subspaceSpread(fromScratch)})")
+
+    // RAW original-space queries, full probe, overscan covering the view:
+    // stored vectors + exact rescore ⇒ the top-k id set equals exact
+    // brute force over the live original vectors (rotation is an isometry)
+    val queries = Array((0L, w2.head._2), (1L, w1(1)._2))
+    val res = StreamingOps.searchIvfPqMaintained(spark, dir, queries, k = 5, nprobe = 2,
+        overscan = 24)
+      .select("qid", "id").as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.knn.Knn.bruteForce((w1 ++ w2).toDF("id", "vector"),
+        queries.toSeq.toDF("qid", "qvec"), 5)
+      .select("qid", "id").as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(res === exact)
+
+    // restarting the sink with the STALE pre-refit model must refuse
+    val newCentroids = spark.read.parquet(s"$dir/centroids").select("cell", "centroid")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1).map(_._2.toArray)
+    val newCb = graft.knn.Pq.loadCodebooks(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.ivfPqMaintenanceSink(spark, dir, newCentroids, newCb,
+        residual = true, storeVectors = true, opq = Some(m1))
+    }
+    assert(e.getMessage.contains("DIFFERENT OPQ rotation"))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
