@@ -1583,6 +1583,15 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.22+ fixed-length token chunking with overlap — the RAG/embedding-
+    // ingestion twin of pack_sequences. Entirely narrow (tokenize →
+    // integer chunk arithmetic → explode → slice), no shuffle at any
+    // corpus size; DuckDB replays the identical integer window math.
+    "chunk_docs" -> ((spark, dir) => {
+      graft.ops.Packing.chunkTokens(t(spark, dir, "documents"), chunkLen = 40, overlap = 8)
+        .orderBy("doc_id", "chunk")
+    }),
+
     // §2.20+ BM25 lexical retrieval (Robertson et al., TREC-3 1994) — the
     // keyword arm of hybrid search. Query-term postings drop out of the
     // tokenize scan immediately (term set is query-sized); df + query
@@ -2515,6 +2524,18 @@ object Queries {
         |SELECT doc_id, regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS clean_text
         |FROM s6 ORDER BY doc_id""".stripMargin,
     // identical URL + domain patterns (explicit whitespace class — RE2 and
+    // chunking replay: identical integer arithmetic (ceil via // on
+    // BIGINTs), 1-based inclusive list slice == Spark's slice(start, len)
+    "chunk_docs" ->
+      s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |        greatest(CAST(1 AS BIGINT), (CAST(len(toks) AS BIGINT) - 8 + 31) // 32) AS nc FROM tok),
+         |e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS chunk FROM c),
+         |s AS (SELECT doc_id, CAST(chunk AS BIGINT) AS chunk, chunk*32 AS tok_start,
+         |        least(chunk*32 + 40, n) AS tok_end, toks FROM e)
+         |SELECT doc_id, chunk, tok_start, tok_end, tok_end - tok_start AS n_chunk_tokens,
+         |  array_to_string(toks[tok_start+1 : tok_end], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk""".stripMargin,
     // BM25 replay (k1=1.2, b=0.75): same tokenizer, same arithmetic
     // parenthesization as the Spark side, rank by the ROUNDED score then
     // doc_id — so engine-level fp ulps cannot flip ranks

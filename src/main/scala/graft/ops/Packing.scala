@@ -71,4 +71,51 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_in_block").as("n_tokens"),
         (sum("n_in_block") / lit(blockLen.toDouble)).as("fill_ratio"))
+
+  /** Fixed-length token chunking with overlap — [[packBlocks]]'s
+    * inference-side twin (RAG / embedding-index ingestion slices each
+    * document into `chunkLen`-token windows advancing by
+    * `chunkLen − overlap`, so retrieval context never cuts mid-window
+    * without a carried margin). Chunk i of a document covers tokens
+    * `[i·stride, min(i·stride + chunkLen, n))`; every document yields at
+    * least one chunk (a short one yields exactly one).
+    *
+    * Entirely NARROW — tokenize, per-row chunk-count arithmetic (all
+    * integer, so any engine replays it exactly), explode onto chunk
+    * indices, slice + rejoin. No shuffle, no window, no driver state:
+    * at 100 TB this is a pure scan whose output is ≈ rows·(n/stride).
+    *
+    * Output: (doc_id, chunk, tok_start, tok_end, n_chunk_tokens,
+    * chunk_text) with `chunk_text` the whitespace-rejoined token slice
+    * (the tokenizer is whitespace-split, so rejoining is lossless up to
+    * whitespace normalization — the same canonicalization every
+    * downstream text stage here uses).
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      chunkLen: Int,
+      overlap: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")
+    require(overlap >= 0 && overlap < chunkLen,
+      s"overlap must be in [0, chunkLen), got $overlap for chunkLen $chunkLen")
+    val stride = (chunkLen - overlap).toLong
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast(LongType))
+      // integer ceil((n − overlap)/stride), floored at one chunk
+      .withColumn("__nc",
+        greatest(lit(1L),
+          floor((col("__n") - lit(overlap.toLong) + lit(stride - 1L)) / lit(stride))
+            .cast(LongType)))
+      .withColumn("chunk", explode(sequence(lit(0L), col("__nc") - lit(1L))))
+      .withColumn("tok_start", col("chunk") * lit(stride))
+      .withColumn("tok_end", least(col("tok_start") + lit(chunkLen.toLong), col("__n")))
+      .select(col("doc_id"), col("chunk"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start")).as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), (col("tok_start") + lit(1L)).cast("int"),
+          (col("tok_end") - col("tok_start")).cast("int")), " ").as("chunk_text"))
+  }
 }
