@@ -436,6 +436,36 @@ object BenchScale {
       println(s"[scale] docs scored: $scored")
     }
 
+    // 1-bit binary tier at corpus scale: one tree-aggregated threshold
+    // pass, one fused pack + pop-count Hamming heap scan (8 bytes per 64
+    // dims touched), candidate-only exact rescore; recall vs the exact
+    // partitioned result above
+    {
+      val thr = timed(s"binary thresholds ($n x$dim, tree-aggregated mean)") {
+        graft.knn.Quantize.binaryThresholds(data)
+      }
+      val bres = timed(s"binary-sketch kNN (${queries.length} queries, k=10, overscan=16)") {
+        graft.knn.Quantize.searchBinary(spark, data, thr, queries, k = 10, overscan = 16)
+          .select("qid", "id").as[(Long, Long)].collect()
+      }
+      val exactSet = Knn.partitioned(spark, data, queries, k = 10)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      val recall = bres.count(exactSet.contains).toDouble / exactSet.size
+      println(f"[scale] binary-sketch recall@10: $recall%.3f (${bres.length} rows)")
+    }
+
+    // BM25 at corpus scale: one corpus scan (postings filtered inside it),
+    // window df over query-term postings only, broadcast query table
+    {
+      val sample = docs.orderBy("doc_id").limit(2).collect().map(_.getString(1))
+      val bmQ = Seq((0L, sample(0).split(" ").take(3).mkString(" ")),
+        (1L, sample(1).split(" ").slice(3, 6).mkString(" ")))
+      val res = timed(s"BM25 top-10 ($nDocs docs, ${bmQ.length} queries)") {
+        graft.text.Bm25.search(docs, bmQ, k = 10).count()
+      }
+      println(s"[scale] bm25 result rows: $res")
+    }
+
     spark.stop()
   }
 }

@@ -1603,6 +1603,18 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    // BM25 with a DataFrame query side — the corpus-vs-corpus shape: the
+    // query batch never lands on the driver (its distinct-term table is a
+    // broadcast semi-join inside the same single corpus scan). Queries
+    // here are full documents retrieving their lexical near-neighbors;
+    // hash-matched against the identical DuckDB replay.
+    "bm25_topk_df" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      graft.text.Bm25.searchDF(docs, queries, 10).orderBy("qid", "rank")
+    }),
+
     // Hybrid search: reciprocal-rank fusion (Cormack et al., SIGIR 2009)
     // of the BM25 lexical arm and the exact-kNN vector arm over the SAME
     // query ids (doc_id ≡ vec_id in the testdata). Both arms are already
@@ -2244,12 +2256,15 @@ object Queries {
     * the same IEEE operation sequence (only ln may differ by an ulp,
     * absorbed by the 4-decimal round that also drives the rank order).
     */
-  private def duckBm25Cte(k1: Double = 1.2, b: Double = 0.75): String = {
+  private def duckBm25Cte(k1: Double = 1.2, b: Double = 0.75,
+      qtOverride: Option[String] = None): String = {
     val qVals = bm25Queries.zipWithIndex.map { case ((qid, text), i) =>
       if (i == 0) s"(CAST($qid AS BIGINT), '$text')" else s"($qid, '$text')"
     }.mkString(", ")
-    s"""qt AS (SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\\s+'))) AS token
-       |       FROM (VALUES $qVals) AS q(qid, qtext)),
+    val qtSql = qtOverride.getOrElse(
+      s"""SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\\s+'))) AS token
+         |       FROM (VALUES $qVals) AS q(qid, qtext)""".stripMargin)
+    s"""qt AS ($qtSql),
        |stats AS (SELECT count(*)::DOUBLE AS n, avg(len($duckToks))::DOUBLE AS avgdl FROM documents),
        |post AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf FROM (
        |           SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, unnest($duckToks) AS token FROM documents)
@@ -2541,6 +2556,14 @@ object Queries {
     // doc_id — so engine-level fp ulps cannot flip ranks
     "bm25_topk" ->
       s"""WITH ${duckBm25Cte()}
+         |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // DataFrame-query-side BM25: same replay, query terms drawn from the
+    // first three documents themselves
+    "bm25_topk_df" ->
+      s"""WITH ${duckBm25Cte(qtOverride = Some(
+             "SELECT doc_id AS qid, unnest(list_distinct(" + duckToks + ")) AS token " +
+             "FROM documents WHERE doc_id < 3"))}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // hybrid RRF: BM25 arm + exact-kNN vector arm, fused by

@@ -52,6 +52,68 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** [[search]] with a DataFrame query side — the corpus-vs-corpus shape
+    * (lexical near-dup mining, batch retrieval for RAG ingestion): no
+    * driver-resident term list anywhere. `queries` is (qid, qtext); its
+    * distinct-term table replaces both the driver `isin` posting filter
+    * (a broadcast LEFT SEMI join inside the same single corpus scan) and
+    * the literal query table. Plan shape is otherwise [[search]]'s: one
+    * corpus scan, window df over the surviving postings, per-qid
+    * WindowGroupLimit top-k. The query side broadcasts while it is the
+    * small side; at a truly corpus-sized query batch Spark switches the
+    * semi and scoring joins to shuffles on `token` without plan changes.
+    */
+  def searchDF(
+      docs: DataFrame,
+      queries: DataFrame, // (qid, qtext)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val statsRow = docs
+      .agg(count(lit(1)).as("n"),
+        avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
+      .head()
+    val n = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1)
+    require(n > 0, "empty corpus")
+
+    val qTable = queries
+      .select(col("qid").cast("long").as("qid"),
+        explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("token"))
+      .filter(col("token") =!= "")
+    val terms = qTable.select("token").distinct()
+
+    val post = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("token"))
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("token")))
+
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
+    val scored = withDf
+      .join(broadcast(qTable), Seq("token"))
+      .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** BM25 top-`k` documents per query. `queries` = (qid, query text,
     * tokenized with the corpus tokenizer); duplicate terms within one
     * query count once (standard when query term frequency is ignored).
@@ -90,16 +152,20 @@ object Bm25 {
 
     val post = postings(docs, terms, idCol, textCol)
 
-    // df is ≤|terms| rows: aggregate map-side, then broadcast back
-    val dfTable = post.groupBy("token").agg(count(lit(1)).as("df"))
+    // df via a window over the postings (one row per doc-token, so the
+    // per-token row count IS the document frequency): a groupBy-then-join
+    // formulation would re-derive the posting pipeline — a SECOND full
+    // corpus scan — while the window costs one extra shuffle of the
+    // (query-term-filtered, corpus-scan-sized-smaller) postings only
     val qTable = qTerms.toDF("qid", "token")
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("token")))
 
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
 
-    val contrib = post
-      .join(broadcast(dfTable), Seq("token"))
+    val contrib = withDf
       .join(broadcast(qTable), Seq("token"))
       .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
 

@@ -49,6 +49,14 @@ class RetrievalSpec extends SparkTestBase {
     assert(Bm25.search(corpus, Seq((1L, "spark join")), k = 2).count() === 2)
   }
 
+  test("searchDF equals the driver-side search row for row") {
+    val qs = Seq((0L, "spark join"), (1L, "scan filter window"))
+    val a = Bm25.search(corpus, qs, 10).orderBy("qid", "rank").collect().toSeq
+    val b = Bm25.searchDF(corpus, qs.toDF("qid", "qtext"), 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("rrf rewards presence in both lists and falls back by id on ties") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("qid", "id", "rank")
     val b = Seq((0L, 11L, 1L), (0L, 13L, 2L), (0L, 10L, 3L)).toDF("qid", "id", "rank")
