@@ -1603,6 +1603,17 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    // BM25 over a MATERIALIZED inverted index — the serving path: the
+    // corpus tokenizes once at build; a query batch then reads only the
+    // term-hash buckets (partition pruning) + matching token row groups,
+    // with the prebuilt df table broadcast. Hash-matches the same replay
+    // oracle as the scan-side row — the index is a pure layout change.
+    "bm25_saved" -> ((spark, dir) => {
+      val ixDir = java.nio.file.Files.createTempDirectory("bm25_ix").toString
+      graft.text.Bm25.buildIndex(t(spark, dir, "documents"), ixDir, nBuckets = 16)
+      graft.text.Bm25.searchSaved(spark, ixDir, bm25Queries, 10).orderBy("qid", "rank")
+    }),
+
     // BM25 with a DataFrame query side — the corpus-vs-corpus shape: the
     // query batch never lands on the driver (its distinct-term table is a
     // broadcast semi-join inside the same single corpus scan). Queries
@@ -2555,6 +2566,10 @@ object Queries {
     // parenthesization as the Spark side, rank by the ROUNDED score then
     // doc_id — so engine-level fp ulps cannot flip ranks
     "bm25_topk" ->
+      s"""WITH ${duckBm25Cte()}
+         |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "bm25_saved" ->
       s"""WITH ${duckBm25Cte()}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,

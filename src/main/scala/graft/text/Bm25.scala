@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,106 @@ object Bm25 {
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
 
     val scored = withDf
+      .join(broadcast(qTable), Seq("token"))
+      .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Materialize an inverted index: the serving path. [[search]] re-scans
+    * and re-tokenizes the corpus per query batch — right for one-off
+    * analytics, wrong for a 100 TB corpus served repeatedly. The saved
+    * layout holds the FULL postings (every (doc, token, tf, dl) row —
+    * corpus-token-sized, the classic inverted-index trade) partitioned by
+    * `bucket = pmod(xxhash64(token), nBuckets)`, so a query batch reads
+    * only the buckets its terms hash to (partition pruning) and inside
+    * them only matching `token` row groups (predicate pushdown); the
+    * document-frequency table (vocab-sized) and the (N, avgdl) stats ride
+    * alongside, so serving needs NO window over postings at all. `stats`
+    * is written LAST as the completion marker — a torn build fails loudly
+    * at load instead of serving partial postings.
+    */
+  def buildIndex(
+      docs: DataFrame,
+      dir: String,
+      nBuckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+    post.write.partitionBy("bucket").parquet(s"$dir/postings")
+    // df from the just-written postings (one read of the compact layout,
+    // not a second corpus tokenize)
+    spark.read.parquet(s"$dir/postings")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .write.parquet(s"$dir/df")
+    val statsRow = docs
+      .agg(count(lit(1)).as("n"),
+        avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
+      .head()
+    Seq((statsRow.getLong(0), statsRow.getDouble(1), nBuckets))
+      .toDF("n", "avgdl", "n_buckets")
+      .coalesce(1).write.parquet(s"$dir/stats")
+  }
+
+  /** [[search]] over a [[buildIndex]] directory: reads only the term
+    * buckets + matching row groups, joins the (tiny, term-filtered) df
+    * table broadcast, scores and top-ks — no corpus scan, no tokenize, no
+    * posting-wide shuffle beyond the per-qid top-k window.
+    */
+  def searchSaved(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    require(graft.io.HadoopIO.exists(s"$dir/stats", spark.sparkContext.hadoopConfiguration),
+      s"no stats under $dir — not a (complete) bm25 index directory (stats is written last; " +
+        "a missing one means the build was torn)")
+    val statsRow = spark.read.parquet(s"$dir/stats").select("n", "avgdl", "n_buckets").head()
+    val n = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1)
+    val nBuckets = statsRow.getInt(2)
+
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.trim.toLowerCase.split("\\s+").toSeq.distinct.filter(_.nonEmpty).map(qid -> _)
+    }
+    require(qTerms.nonEmpty, "no query terms after tokenization")
+    val terms = qTerms.map(_._2).distinct
+    val buckets = terms.map(t => math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L), nBuckets.toLong)).distinct
+
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val dfTable = spark.read.parquet(s"$dir/df").filter(col("token").isin(terms: _*))
+    val qTable = qTerms.toDF("qid", "token")
+
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
+    val scored = post
+      .join(broadcast(dfTable), Seq("token"))
       .join(broadcast(qTable), Seq("token"))
       .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
       .groupBy("qid", "doc_id")

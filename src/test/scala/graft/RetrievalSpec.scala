@@ -57,6 +57,25 @@ class RetrievalSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("saved inverted index serves the same ranking; pruning reaches the scan; torn build refused") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_spec_ix").toString
+    Bm25.buildIndex(corpus, dir, nBuckets = 8)
+    val qs = Seq((0L, "spark join"), (1L, "scan filter window"))
+    val scan = Bm25.search(corpus, qs, 10).orderBy("qid", "rank").collect().toSeq
+    val saved = Bm25.searchSaved(spark, dir, qs, 10).orderBy("qid", "rank").collect().toSeq
+    assert(saved === scan)
+    // the term filters reach the postings scan: partition pruning on
+    // bucket + pushed token predicate
+    val plan = Bm25.searchSaved(spark, dir, qs, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("token"),
+      s"token predicate not pushed:\n$plan")
+    // a torn build (no stats marker) fails loudly
+    val torn = java.nio.file.Files.createTempDirectory("bm25_spec_torn").toString
+    intercept[IllegalArgumentException] {
+      Bm25.searchSaved(spark, torn, qs, 10)
+    }
+  }
+
   test("rrf rewards presence in both lists and falls back by id on ties") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L)).toDF("qid", "id", "rank")
     val b = Seq((0L, 11L, 1L), (0L, 13L, 2L), (0L, 10L, 3L)).toDF("qid", "id", "rank")
