@@ -1614,6 +1614,45 @@ object Queries {
       graft.text.Bm25.searchSaved(spark, ixDir, bm25Queries, 10).orderBy("qid", "rank")
     }),
 
+    // §2.21+26 continuous BM25 maintenance — the delta-log design applied
+    // to the lexical index: per-batch O(batch) appends (doc rows + bucket-
+    // partitioned posting rows, both manifest-guarded), latest-wins view
+    // with tombstones, serving scores the surviving postings with the
+    // IDENTICAL arithmetic as the batch search — so the converged replay
+    // (upsert all docs; drift-modify doc_id%7; remove doc_id%10, removes
+    // outranking) must hash-match the DuckDB replay over the surviving
+    // mutated corpus.
+    "stream_bm25_maintenance" -> ((spark, dir) => {
+      import spark.implicits._
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_bm25_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_bm25_ckpt").toString
+      val sink = graft.streaming.StreamingOps.bm25MaintenanceSink(spark, idxDir, nBuckets = 16)
+      val up1 = struct(col("doc_id").as("id"), lit("upsert").as("op"),
+        col("text").as("text"), lit(1L).as("version"))
+      val drift2 = struct(col("doc_id").as("id"), lit("upsert").as("op"),
+        concat(lit("drift "), col("text")).as("text"), lit(2L).as("version"))
+      val rm3 = struct(col("doc_id").as("id"), lit("remove").as("op"),
+        lit("").as("text"), lit(3L).as("version"))
+      val ops = streamTable(spark, dir, "documents")
+        .select(explode(
+          when(col("doc_id") % 70 === 0, array(up1, drift2, rm3))
+            .when(col("doc_id") % 10 === 0, array(up1, rm3))
+            .when(col("doc_id") % 7 === 0, array(up1, drift2))
+            .otherwise(array(up1))).as("o"))
+        .select("o.*").as[graft.streaming.StreamingOps.DocOp]
+      withStreamParts(spark) {
+        val q = ops.writeStream.foreachBatch(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.streaming.StreamingOps
+        .searchBm25Maintained(spark, idxDir, bm25Queries, 10)
+        .orderBy("qid", "rank")
+    }),
+
     // BM25 with a DataFrame query side — the corpus-vs-corpus shape: the
     // query batch never lands on the driver (its distinct-term table is a
     // broadcast semi-join inside the same single corpus scan). Queries
@@ -2268,7 +2307,7 @@ object Queries {
     * absorbed by the 4-decimal round that also drives the rank order).
     */
   private def duckBm25Cte(k1: Double = 1.2, b: Double = 0.75,
-      qtOverride: Option[String] = None): String = {
+      qtOverride: Option[String] = None, docsRel: String = "documents"): String = {
     val qVals = bm25Queries.zipWithIndex.map { case ((qid, text), i) =>
       if (i == 0) s"(CAST($qid AS BIGINT), '$text')" else s"($qid, '$text')"
     }.mkString(", ")
@@ -2276,9 +2315,9 @@ object Queries {
       s"""SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\\s+'))) AS token
          |       FROM (VALUES $qVals) AS q(qid, qtext)""".stripMargin)
     s"""qt AS ($qtSql),
-       |stats AS (SELECT count(*)::DOUBLE AS n, avg(len($duckToks))::DOUBLE AS avgdl FROM documents),
+       |stats AS (SELECT count(*)::DOUBLE AS n, avg(len($duckToks))::DOUBLE AS avgdl FROM $docsRel),
        |post AS (SELECT doc_id, dl, token, count(*)::DOUBLE AS tf FROM (
-       |           SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, unnest($duckToks) AS token FROM documents)
+       |           SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl, unnest($duckToks) AS token FROM $docsRel)
        |         WHERE token IN (SELECT DISTINCT token FROM qt)
        |         GROUP BY doc_id, dl, token),
        |dftab AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY token),
@@ -2567,6 +2606,15 @@ object Queries {
     // doc_id — so engine-level fp ulps cannot flip ranks
     "bm25_topk" ->
       s"""WITH ${duckBm25Cte()}
+         |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // maintained BM25 replay: the same formula CTE over the SURVIVING
+    // mutated corpus (drift-modified doc_id%7, removed doc_id%10)
+    "stream_bm25_maintenance" ->
+      s"""WITH corpus AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN 'drift ' || text ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |${duckBm25Cte(docsRel = "corpus")}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "bm25_saved" ->

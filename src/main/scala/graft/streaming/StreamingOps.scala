@@ -1725,4 +1725,274 @@ object StreamingOps {
 
   /** Output mode required by [[latestVectorState]] sinks. */
   val UpsertOutputMode: OutputMode = OutputMode.Update()
+
+  // ------------------------------------------------- BM25 delta maintenance
+
+  /** Document mutation for the lexical-index maintenance sink. */
+  case class DocOp(id: Long, op: String, text: String, version: Long)
+
+  private def bm25MetaPath(indexDir: String) = s"$indexDir/bm25_meta"
+
+  def loadBm25MaintainedMeta(spark: SparkSession, indexDir: String): Option[Int] = {
+    if (!graft.io.HadoopIO.exists(bm25MetaPath(indexDir),
+        spark.sparkContext.hadoopConfiguration)) None
+    else Some(spark.read.parquet(bm25MetaPath(indexDir)).select("n_buckets").head().getInt(0))
+  }
+
+  /** `foreachBatch` sink maintaining a BM25 inverted index through an
+    * append-only delta log — [[ivfMaintenanceSink]]'s design applied to
+    * the lexical tier: per micro-batch the write cost is O(batch), never
+    * O(index). Two delta streams ride under the index dir, each with the
+    * fail-loud completeness manifest:
+    *   - `delta_docs/batch=<id>`: (doc_id, version, op, dl) — latest-wins
+    *     document rows; removes are dl-less tombstones.
+    *   - `delta_post/batch=<id>`: (doc_id, version, token, tf, bucket) —
+    *     the upserts' posting rows, bucket-partitioned with the SAME
+    *     `pmod(xxhash64(token), nBuckets)` the batch layout uses, so
+    *     maintained serving prunes term buckets identically.
+    * An optional `base/` subdirectory holds a [[graft.text.Bm25.buildIndex]]
+    * layout (adopt an existing batch-built index by building into
+    * `<indexDir>/base` before starting the sink); base rows for a document
+    * are superseded the moment any delta winner exists for it.
+    *
+    * The `bm25_meta` sidecar pins `nBuckets` (and with it the bucket
+    * routing old delta rows were written under) — a restart with a
+    * different value throws instead of silently splitting terms across
+    * bucket schemes. Tombstones persist through [[compactBm25Maintained]]
+    * (same rationale as the IVF delta: a post-compaction stale upsert
+    * must not resurrect a removed document).
+    */
+  def bm25MaintenanceSink(
+      spark: SparkSession,
+      indexDir: String,
+      nBuckets: Int = 64): (Dataset[DocOp], Long) => Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import spark.implicits._
+    loadBm25MaintainedMeta(spark, indexDir) match {
+      case Some(existing) =>
+        require(existing == nBuckets,
+          s"index at $indexDir is maintained with nBuckets=$existing; restarting with " +
+            s"$nBuckets would route tokens to different buckets than old delta rows — " +
+            "pass the stored value or delete the directory")
+      case None =>
+        graft.io.HadoopIO.exists(s"$indexDir/base/stats",
+          spark.sparkContext.hadoopConfiguration) match {
+          case true =>
+            val baseB = spark.read.parquet(s"$indexDir/base/stats").select("n_buckets")
+              .head().getInt(0)
+            require(baseB == nBuckets,
+              s"adopted base index at $indexDir/base was built with nBuckets=$baseB, " +
+                s"sink constructed with $nBuckets — bucket routing must match")
+          case false => ()
+        }
+        Seq(nBuckets).toDF("n_buckets").coalesce(1)
+          .write.mode("overwrite").parquet(bm25MetaPath(indexDir))
+    }
+
+    (batch: Dataset[DocOp], batchId: Long) => {
+      val sess = batch.sparkSession
+      val hconf = sess.sparkContext.hadoopConfiguration
+      // within-batch latest-wins (remove beats upsert on a version tie —
+      // same conservative convention as the vector sinks), replay dedupe
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("version").desc, col("op").asc)
+      val ops = batch.toDF()
+        .withColumn("__rk", rank().over(w)).filter(col("__rk") === 1).drop("__rk")
+        .dropDuplicates("id", "op")
+        .persist()
+      val upserts = ops.filter(col("op") === "upsert")
+        .select(col("id").as("doc_id"), col("version"),
+          graft.text.TextAnalysis.tokens(col("text")).as("__toks"))
+        .persist()
+      try {
+        val docRows = upserts
+          .select(col("doc_id"), col("version"), lit("upsert").as("op"),
+            size(col("__toks")).cast("long").as("dl"))
+          .unionByName(ops.filter(col("op") === "remove")
+            .select(col("id").as("doc_id"), col("version"), lit("remove").as("op"),
+              lit(0L).as("dl")))
+        docRows.write.mode("append").parquet(s"$indexDir/delta_docs/batch=$batchId")
+        mergeDeltaManifest(s"$indexDir/delta_docs", s"batch=$batchId", hconf)
+
+        val postRows = upserts
+          .select(col("doc_id"), col("version"), explode(col("__toks")).as("token"))
+          .groupBy("doc_id", "version", "token")
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+        postRows.write.mode("append").partitionBy("bucket")
+          .parquet(s"$indexDir/delta_post/batch=$batchId")
+        mergeDeltaManifest(s"$indexDir/delta_post", s"batch=$batchId", hconf)
+      } finally {
+        upserts.unpersist()
+        ops.unpersist()
+      }
+    }
+  }
+
+  /** Each document's winning delta rows (tombstones KEPT — serving filters
+    * them, compaction must persist them): one shuffle on doc_id over the
+    * manifest-validated delta_docs log. An absent delta_docs dir (nothing
+    * ingested yet) is an empty view, not an error; a PRESENT dir without a
+    * manifest is an error (see [[validateDelta]]).
+    */
+  private def bm25DeltaWinners(spark: SparkSession, indexDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (!graft.io.HadoopIO.exists(s"$indexDir/delta_docs", hconf))
+      return spark.emptyDataset[(Long, Long, String, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, String, Long)])
+        .toDF("doc_id", "version", "op", "dl")
+    validateDelta(s"$indexDir/delta_docs", hconf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("version").desc, col("op").asc)
+    spark.read.parquet(s"$indexDir/delta_docs")
+      .select("doc_id", "version", "op", "dl")
+      .withColumn("__rk", rank().over(w)).filter(col("__rk") === 1).drop("__rk")
+      .dropDuplicates("doc_id", "op")
+  }
+
+  /** Search a [[bm25MaintenanceSink]] directory: the latest-wins view —
+    * base postings for documents no delta winner touched, plus the delta
+    * winners' postings — scored with the IDENTICAL arithmetic as the batch
+    * [[graft.text.Bm25.search]] (df from the same window over the
+    * term-filtered survivors, (n, avgdl) re-derived from base doclen +
+    * delta overrides). Converged over a quiesced stream this equals the
+    * batch search over the surviving documents row-for-row: every input
+    * to the formula is a pure function of the surviving (doc, token)
+    * multiset. Serving reads only the query terms' buckets in BOTH base
+    * and delta postings.
+    */
+  def searchBm25Maintained(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val nBuckets = loadBm25MaintainedMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no bm25_meta sidecar under $indexDir — not a maintained BM25 dir"))
+
+    val qTerms = queries.flatMap { case (qid, text) =>
+      graft.text.Bm25.queryTerms(text).map(qid -> _)
+    }
+    require(qTerms.nonEmpty, "no query terms after tokenization")
+    val terms = qTerms.map(_._2).distinct
+    val buckets = terms.map(graft.text.Bm25.tokenBucket(_, nBuckets)).distinct
+
+    val winners = bm25DeltaWinners(spark, indexDir).persist()
+    try {
+      val winnerDocs = winners.select("doc_id")
+      val upsertWinners = winners.filter(col("op") === "upsert")
+
+      val hasBase = graft.io.HadoopIO.exists(s"$indexDir/base/stats", hconf)
+      if (graft.io.HadoopIO.exists(s"$indexDir/base", hconf) && !hasBase)
+        throw new IllegalStateException(
+          s"base index at $indexDir/base has no stats marker — torn build; refusing to " +
+            "serve partial postings")
+
+      // surviving postings, term-filtered on BOTH sides
+      val basePost =
+        if (!hasBase)
+          spark.emptyDataset[(Long, Long, String, Long)](
+            org.apache.spark.sql.Encoders.product[(Long, Long, String, Long)])
+            .toDF("doc_id", "dl", "token", "tf")
+        else spark.read.parquet(s"$indexDir/base/postings")
+          .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+          .select("doc_id", "dl", "token", "tf")
+          .join(winnerDocs, Seq("doc_id"), "left_anti")
+      val deltaPost =
+        if (!graft.io.HadoopIO.exists(s"$indexDir/delta_post", hconf))
+          basePost.limit(0)
+        else {
+          validateDelta(s"$indexDir/delta_post", hconf)
+          spark.read.parquet(s"$indexDir/delta_post")
+            .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+            .select("doc_id", "version", "token", "tf")
+            .join(upsertWinners.select("doc_id", "version", "dl"), Seq("doc_id", "version"))
+            .dropDuplicates("doc_id", "token") // at-least-once replay appends
+            .select("doc_id", "dl", "token", "tf")
+        }
+      val post = basePost.unionByName(deltaPost)
+
+      // (n, sum_dl) from base doclen minus overridden docs, plus upsert
+      // winners — aggregate-only passes over doc-count-sized tables
+      val (baseN, baseSum) =
+        if (!hasBase) (0L, 0L)
+        else {
+          val r = spark.read.parquet(s"$indexDir/base/doclen")
+            .join(winnerDocs, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      val dr = upsertWinners.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+      val n = baseN + dr.getLong(0)
+      val sumDl = baseSum + dr.getLong(1)
+      require(n > 0, s"maintained view at $indexDir is empty — nothing to search")
+      // same arithmetic as Spark's Average over longs: exact long sum,
+      // one double division
+      val avgdl = sumDl.toDouble / n.toDouble
+
+      graft.text.Bm25.scoreMaintained(post, qTerms, n.toDouble, avgdl, k, k1, b)
+    } finally winners.unpersist()
+  }
+
+  /** Compact the BM25 delta logs to each document's winning rows (upserts
+    * AND tombstones — dropping a tombstone would let a post-compaction
+    * stale upsert resurrect a removed document): read cost of the
+    * maintained view stops growing with mutation history. Run while the
+    * maintenance stream is STOPPED. Same manifest-before-destructive-steps
+    * swap as [[compactIvfMaintained]], independently per delta stream —
+    * the two streams join on (doc_id, version), so any mix of
+    * {compacted, original} halves serves the identical view (superseded
+    * rows in the un-compacted half simply never match a winner).
+    */
+  def compactBm25Maintained(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    def resumeOrClear(dir: String): Unit = {
+      val tmp = s"$dir.compact"
+      if (graft.io.HadoopIO.exists(tmp, hconf)) {
+        if (graft.io.Manifest.read(tmp, hconf).isDefined) {
+          // manifest-complete tmp: finish the interrupted swap
+          graft.io.HadoopIO.delete(dir, hconf)
+          graft.io.HadoopIO.rename(tmp, dir, hconf)
+        } else graft.io.HadoopIO.delete(tmp, hconf) // torn write — rebuild
+      }
+    }
+    resumeOrClear(s"$indexDir/delta_docs")
+    resumeOrClear(s"$indexDir/delta_post")
+    if (!graft.io.HadoopIO.exists(s"$indexDir/delta_docs", hconf)) return
+
+    val nBuckets = loadBm25MaintainedMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no bm25_meta sidecar under $indexDir — not a maintained BM25 dir"))
+
+    val winners = bm25DeltaWinners(spark, indexDir).persist()
+    try {
+      val docsTmp = s"$indexDir/delta_docs.compact"
+      winners.select("doc_id", "version", "op", "dl")
+        .write.parquet(s"$docsTmp/batch=compacted")
+      writeDeltaManifest(docsTmp, hconf)
+
+      val postTmp = s"$indexDir/delta_post.compact"
+      validateDelta(s"$indexDir/delta_post", hconf)
+      spark.read.parquet(s"$indexDir/delta_post")
+        .select("doc_id", "version", "token", "tf")
+        .join(winners.filter(col("op") === "upsert").select("doc_id", "version"),
+          Seq("doc_id", "version"))
+        .dropDuplicates("doc_id", "token")
+        .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+        .write.partitionBy("bucket").parquet(s"$postTmp/batch=compacted")
+      writeDeltaManifest(postTmp, hconf)
+
+      graft.io.HadoopIO.delete(s"$indexDir/delta_docs", hconf)
+      graft.io.HadoopIO.rename(docsTmp, s"$indexDir/delta_docs", hconf)
+      graft.io.HadoopIO.delete(s"$indexDir/delta_post", hconf)
+      graft.io.HadoopIO.rename(postTmp, s"$indexDir/delta_post", hconf)
+    } finally winners.unpersist()
+  }
 }

@@ -34,6 +34,47 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Tokenize a query string with the corpus tokenizer, distinct terms. */
+  private[graft] def queryTerms(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq.distinct.filter(_.nonEmpty)
+
+  /** Driver-side twin of the `pmod(xxhash64(token), nBuckets)` bucket the
+    * index layout partitions by — bit-identical to the written column.
+    */
+  private[graft] def tokenBucket(token: String, nBuckets: Int): Long =
+    math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(token),
+      org.apache.spark.sql.types.StringType, 42L), nBuckets.toLong)
+
+  /** Shared scoring tail: `post` is (qid-joinable) posting rows
+    * (doc_id, dl, token, tf, df), `qTable` the broadcastable (qid, token)
+    * pairs; scores, rounds, ranks (rounded score desc, doc_id asc), cuts
+    * at `k`. Every public search surface funnels through this so the
+    * arithmetic (and thus the oracle hash) cannot drift between them.
+    */
+  private def scoreTopK(
+      post: DataFrame,
+      qTable: DataFrame,
+      n: Double,
+      avgdl: Double,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = post
+      .join(broadcast(qTable), Seq("token"))
+      .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** (doc_id, token, tf, dl) posting rows restricted to `terms` — the
     * exploded-and-filtered single corpus pass described above.
     */
@@ -96,22 +137,7 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
     val withDf = post.withColumn("df",
       count(lit(1)).over(Window.partitionBy("token")))
-
-    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-
-    val scored = withDf
-      .join(broadcast(qTable), Seq("token"))
-      .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
-      .groupBy("qid", "doc_id")
-      .agg(round(sum("contrib"), 4).as("score"))
-
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+    scoreTopK(withDf, qTable, n, avgdl, k, k1, b)
   }
 
   /** Materialize an inverted index: the serving path. [[search]] re-scans
@@ -150,6 +176,11 @@ object Bm25 {
     spark.read.parquet(s"$dir/postings")
       .groupBy("token").agg(count(lit(1)).as("df"))
       .write.parquet(s"$dir/df")
+    // per-document lengths (the maintained-serving path needs them to
+    // re-derive (n, avgdl) under mutations) — from the compact layout
+    spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "dl").dropDuplicates("doc_id")
+      .write.parquet(s"$dir/doclen")
     val statsRow = docs
       .agg(count(lit(1)).as("n"),
         avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
@@ -181,37 +212,16 @@ object Bm25 {
     val avgdl = statsRow.getDouble(1)
     val nBuckets = statsRow.getInt(2)
 
-    val qTerms = queries.flatMap { case (qid, text) =>
-      text.trim.toLowerCase.split("\\s+").toSeq.distinct.filter(_.nonEmpty).map(qid -> _)
-    }
+    val qTerms = queries.flatMap { case (qid, text) => queryTerms(text).map(qid -> _) }
     require(qTerms.nonEmpty, "no query terms after tokenization")
     val terms = qTerms.map(_._2).distinct
-    val buckets = terms.map(t => math.floorMod(
-      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(t),
-        org.apache.spark.sql.types.StringType, 42L), nBuckets.toLong)).distinct
+    val buckets = terms.map(tokenBucket(_, nBuckets)).distinct
 
     val post = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
     val dfTable = spark.read.parquet(s"$dir/df").filter(col("token").isin(terms: _*))
     val qTable = qTerms.toDF("qid", "token")
-
-    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-
-    val scored = post
-      .join(broadcast(dfTable), Seq("token"))
-      .join(broadcast(qTable), Seq("token"))
-      .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
-      .groupBy("qid", "doc_id")
-      .agg(round(sum("contrib"), 4).as("score"))
-
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+    scoreTopK(post.join(broadcast(dfTable), Seq("token")), qTable, n, avgdl, k, k1, b)
   }
 
   /** BM25 top-`k` documents per query. `queries` = (qid, query text,
@@ -235,7 +245,7 @@ object Bm25 {
     import spark.implicits._
 
     val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, text) =>
-      text.trim.toLowerCase.split("\\s+").toSeq.distinct.filter(_.nonEmpty).map(qid -> _)
+      queryTerms(text).map(qid -> _)
     }
     require(qTerms.nonEmpty, "no query terms after tokenization")
     val terms = qTerms.map(_._2).distinct
@@ -260,23 +270,26 @@ object Bm25 {
     val qTable = qTerms.toDF("qid", "token")
     val withDf = post.withColumn("df",
       count(lit(1)).over(Window.partitionBy("token")))
+    scoreTopK(withDf, qTable, n, avgdl, k, k1, b)
+  }
 
-    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-
-    val contrib = withDf
-      .join(broadcast(qTable), Seq("token"))
-      .select(col("qid"), col("doc_id"), (idf * tfNorm).as("contrib"))
-
-    val scored = contrib
-      .groupBy("qid", "doc_id")
-      .agg(round(sum("contrib"), 4).as("score"))
-
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  /** Maintained-view scoring entry for the streaming sink
+    * ([[graft.streaming.StreamingOps.bm25MaintenanceSink]]): the caller
+    * reconstructs the surviving term-filtered postings and (n, avgdl);
+    * df comes from the same window-over-postings the scan path uses.
+    */
+  private[graft] def scoreMaintained(
+      post: DataFrame, // (doc_id, dl, token, tf) — term-filtered survivors
+      qTerms: Seq[(Long, String)],
+      n: Double,
+      avgdl: Double,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    val spark = post.sparkSession
+    import spark.implicits._
+    val withDf = post.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("token")))
+    scoreTopK(withDf, qTerms.toDF("qid", "token"), n, avgdl, k, k1, b)
   }
 }

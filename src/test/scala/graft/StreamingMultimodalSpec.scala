@@ -1022,6 +1022,67 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(StreamingOps.ivfPqMaintainedState(spark, dir)
       .filter(col("pq_codes").isNull).count() === 0)
   }
+  test("BM25 maintenance: adopted base + delta converge to the batch ranking; compaction " +
+    "preserves tombstones against stale resurrection; torn delta fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    def text(i: Long, drift: Boolean): String = {
+      val base = s"alpha w${i % 5} w${(i * 3) % 11} beta w${(i * 7) % 13} gamma"
+      if (drift) s"drift $base" else base
+    }
+    val baseDocs = (0L until 30L).map(i => (i, text(i, drift = false))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_maint").toString
+    graft.text.Bm25.buildIndex(baseDocs, s"$dir/base", nBuckets = 8)
+
+    // nBuckets contract: a sink under a different bucket scheme refuses
+    intercept[IllegalArgumentException] {
+      StreamingOps.bm25MaintenanceSink(spark, dir, nBuckets = 16)
+    }
+    val sink = StreamingOps.bm25MaintenanceSink(spark, dir, nBuckets = 8)
+
+    // batch 0: new docs 100-109; batch 1: drift-modify docs 0-4 (v2),
+    // remove docs 5-9 (v3)
+    sink((100L until 110L).map(i => StreamingOps.DocOp(i, "upsert", text(i, false), 1L))
+      .toDS(), 0L)
+    sink(((0L until 5L).map(i => StreamingOps.DocOp(i, "upsert", text(i, true), 2L)) ++
+      (5L until 10L).map(i => StreamingOps.DocOp(i, "remove", "", 3L))).toDS(), 1L)
+
+    val surviving = baseDocs.filter(col("doc_id") >= 10)
+      .unionByName((0L until 5L).map(i => (i, text(i, true))).toDF("doc_id", "text"))
+      .unionByName((100L until 110L).map(i => (i, text(i, false))).toDF("doc_id", "text"))
+    val qs = Seq((0L, "alpha w1"), (1L, "drift beta"), (2L, "gamma w2 w3"))
+    def maintained() = StreamingOps.searchBm25Maintained(spark, dir, qs, 10)
+      .orderBy("qid", "rank").collect().toSeq
+    val batch = graft.text.Bm25.search(surviving, qs, 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(maintained() === batch)
+
+    // compaction: identical view, tombstones preserved
+    StreamingOps.compactBm25Maintained(spark, dir)
+    assert(maintained() === batch)
+    val tomb = spark.read.parquet(s"$dir/delta_docs")
+      .filter(col("op") === "remove").select("doc_id").as[Long].collect().toSet
+    assert(tomb === (5L until 10L).toSet, s"compaction dropped tombstones: $tomb")
+
+    // a post-compaction STALE upsert (v1 < remove v3) cannot resurrect
+    sink(Seq(StreamingOps.DocOp(5L, "upsert", text(5L, false), 1L)).toDS(), 2L)
+    assert(maintained() === batch)
+
+    // losing a manifest-listed delta file fails the load instead of
+    // silently dropping mutations
+    val postFiles = new java.io.File(s"$dir/delta_post").listFiles()
+      .filter(_.getName.startsWith("batch="))
+      .flatMap(b => b.listFiles.flatMap(d =>
+        if (d.isDirectory) d.listFiles.toSeq else Seq(d)))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(postFiles.nonEmpty)
+    postFiles.head.delete()
+    val e = intercept[Exception] { maintained() }
+    assert(e.getMessage.contains("missing") || e.getMessage.contains("manifest"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("incremental OPQ: drift re-fits + composes the rotation, re-balances subspaces, " +
     "search stays exact, and a stale-model restart is refused") {
     implicit val sqlCtx = spark.sqlContext
