@@ -1679,6 +1679,26 @@ object Queries {
       graft.ops.Fusion.rrf(Seq(bm, nn), 10).orderBy("qid", "rank")
     }),
 
+    // §2.26 MMR diversification (Carbonell & Goldstein 1998) — the tail of
+    // the hybrid stack: RRF candidates re-ordered greedily by
+    // λ·rel − (1−λ)·max-sim-to-selected over the embedding column.
+    // Candidates are top-k-bounded, so the greedy runs per-qid in
+    // mapGroups over ≤10 rows; the DuckDB oracle replays the loop
+    // unrolled with identical IEEE arithmetic and id tie-breaks.
+    "hybrid_mmr" -> ((spark, dir) => {
+      val bm = graft.text.Bm25.search(t(spark, dir, "documents"), bm25Queries, 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val (data, queriesDf) = knnInputs(spark, dir, 3)
+      val nn = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+        .select(col("qid"), col("id"), col("rank"))
+      val cand = graft.ops.Fusion.rrf(Seq(bm, nn), 10)
+        .select(col("qid"), col("id"), col("rrf_score").as("rel"))
+      graft.ops.Mmr.rerank(cand, data.select(col("id"), col("vector")), k = 5)
+        .select(col("qid"), col("id"), col("mmr_rank"),
+          round(col("rel"), 6).as("rel"), round(col("max_sim"), 6).as("max_sim"))
+        .orderBy("qid", "mmr_rank")
+    }),
+
     "line_dedup_clean" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val wrapped = docs.filter(col("doc_id") < 30)
@@ -2300,6 +2320,52 @@ object Queries {
     */
   private val duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** CTE chain ending in `fr(qid, id, s, rank)` — the fused hybrid
+    * (BM25 + exact-kNN RRF) ranking both hybrid rows replay.
+    */
+  private def duckHybridCte(): String =
+    s"""${duckBm25Cte()},
+       |q2 AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
+       |d2 AS (SELECT q2.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q2.qv")} AS dist
+       |       FROM embeddings e CROSS JOIN q2),
+       |nr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d2),
+       |lists AS (SELECT qid, doc_id AS id, rank FROM bmr WHERE rank <= 10
+       |          UNION ALL SELECT qid, id, rank FROM nr WHERE rank <= 10),
+       |fused AS (SELECT qid, id, sum(1.0/(60 + rank)) AS s FROM lists GROUP BY qid, id),
+       |fr AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM fused)""".stripMargin
+
+  /** [[graft.ops.Mmr.rerank]] replayed with the greedy selection UNROLLED
+    * (k stages, each = redundancy max over the selected-so-far + one
+    * QUALIFY argmax with the same λ arithmetic and id tie-break). rel is
+    * the 6-decimal-rounded RRF score — exactly the Spark side's input.
+    */
+  private def duckMmrSql(k: Int, lambda: Double): String = {
+    val oml = 1.0 - lambda
+    val sim = (a: String, b: String) =>
+      s"list_inner_product($a, $b)/(sqrt(list_inner_product($a, $a))*sqrt(list_inner_product($b, $b)))"
+    val stages = (2 to k).map { i =>
+      val prev = s"selu${i - 1}"
+      s"""ms$i AS (
+         |  SELECT r.qid, r.id, r.rel, max(${sim("r.v", "cs.v")}) AS ms
+         |  FROM cand r
+         |  JOIN (SELECT s.qid, s.id, c2.v FROM $prev s JOIN cand c2 ON s.qid = c2.qid AND s.id = c2.id) cs
+         |    ON r.qid = cs.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s2 WHERE s2.qid = r.qid AND s2.id = r.id)
+         |  GROUP BY r.qid, r.id, r.rel),
+         |sel$i AS (SELECT qid, id, rel, CAST($i AS BIGINT) AS mmr_rank, ms FROM ms$i
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ($lambda*rel - $oml*ms) DESC, id) = 1),
+         |selu$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${duckHybridCte()},
+       |cand AS (SELECT fr.qid, fr.id, round(fr.s, 6) AS rel, ${dEmb("e.embedding")} AS v
+       |         FROM fr JOIN embeddings e ON fr.id = e.vec_id WHERE fr.rank <= 10),
+       |selu1 AS (SELECT qid, id, rel, CAST(1 AS BIGINT) AS mmr_rank, 0.0 AS ms FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) = 1),
+       |$stages
+       |SELECT qid, id, mmr_rank, round(rel, 6) AS rel, round(ms, 6) AS max_sim
+       |FROM selu$k ORDER BY qid, mmr_rank""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.text.Bm25.search]] over [[bm25Queries]]:
     * CTE chain ending in `bmr(qid, doc_id, score, rank)`. Arithmetic is
     * parenthesized exactly like the Spark side so both engines execute
@@ -2633,17 +2699,12 @@ object Queries {
     // sum(1/(60+rank)) over integer ranks — bit-deterministic, so the
     // fused ordering uses the FULL score like the Spark side
     "hybrid_rrf" ->
-      s"""WITH ${duckBm25Cte()},
-         |q2 AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
-         |d2 AS (SELECT q2.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q2.qv")} AS dist
-         |       FROM embeddings e CROSS JOIN q2),
-         |nr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d2),
-         |lists AS (SELECT qid, doc_id AS id, rank FROM bmr WHERE rank <= 10
-         |          UNION ALL SELECT qid, id, rank FROM nr WHERE rank <= 10),
-         |fused AS (SELECT qid, id, sum(1.0/(60 + rank)) AS s FROM lists GROUP BY qid, id),
-         |fr AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM fused)
+      s"""WITH ${duckHybridCte()}
          |SELECT qid, id, round(s, 6) AS rrf_score, CAST(rank AS BIGINT) AS rank
          |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // MMR diversification replay: the greedy loop unrolled stage by stage
+    // with the IDENTICAL IEEE arithmetic and id tie-breaks
+    "hybrid_mmr" -> duckMmrSql(5, 0.7),
     // Java \s diverge on \x0B); both sides sort domains before joining
     "link_stats" ->
       """WITH all_docs AS (

@@ -92,6 +92,39 @@ class RetrievalSpec extends SparkTestBase {
     assert(tied.map(_.getLong(1)).toSeq === Seq(20L, 21L))
   }
 
+  test("mmr prefers diversity over marginal relevance; ties break by id; k caps") {
+    import graft.ops.Mmr
+    // doc 20 ~parallel to doc 10; doc 30 orthogonal. rel favors 10 > 20 > 30.
+    val cand = Seq((0L, 10L, 1.0), (0L, 20L, 0.9), (0L, 30L, 0.8)).toDF("qid", "id", "rel")
+    val vecs = Seq(
+      (10L, Array(1f, 0f)),
+      (20L, Array(0.99f, 0.1f)),
+      (30L, Array(0f, 1f))).toDF("id", "vector")
+    val out = Mmr.rerank(cand, vecs, k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    // pick 1 = max rel; pick 2: 0.5*0.9 - 0.5*0.995 < 0.5*0.8 - 0.5*0 → 30
+    assert(out.map(_.getLong(1)).toSeq === Seq(10L, 30L, 20L))
+    assert(out(0).getDouble(4) === 0.0) // first pick shows zero redundancy
+    assert(out(2).getDouble(4) > 0.9)   // 20's redundancy to 10
+    // k caps the output; duplicate-vector candidates tie-break by id
+    assert(Mmr.rerank(cand, vecs, k = 2).count() === 2)
+    val tied = Mmr.rerank(
+      Seq((0L, 5L, 1.0), (0L, 4L, 1.0)).toDF("qid", "id", "rel"),
+      Seq((5L, Array(1f, 0f)), (4L, Array(1f, 0f))).toDF("id", "vector"), k = 2)
+      .orderBy("mmr_rank").collect()
+    assert(tied.map(_.getLong(1)).toSeq === Seq(4L, 5L))
+  }
+
+  test("mmr is invariant to input partition layout") {
+    import graft.ops.Mmr
+    val cand = (0L until 20L).map(i => (i % 2, i, 1.0 / (1 + i))).toDF("qid", "id", "rel")
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("id", "vector")
+    def run(p: Int) = Mmr.rerank(cand.repartition(p), vecs.repartition(p), k = 5)
+      .orderBy("qid", "mmr_rank").collect().toSeq
+    assert(run(2) === run(9))
+  }
+
   test("rrf is invariant to input partition layout") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 10L, 1L)).toDF("qid", "id", "rank")
     val b = Seq((0L, 11L, 1L), (1L, 12L, 1L)).toDF("qid", "id", "rank")
