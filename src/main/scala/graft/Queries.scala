@@ -594,6 +594,40 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // §2.18+24 IVF×binary composition: probe nprobe/C of the cells AND
+    // scan 8 bytes per 64 dims inside them — both pruning levers at once.
+    // Same two-arm self-verification as knn_binary: full probe + full
+    // overscan must EQUAL brute force row-for-row, the probed arm is
+    // recall-gated (0.88 measured at nprobe=4/16, overscan=12 on the
+    // uniform embeddings, per-query min 0.8; clustered floor 0.85+ in
+    // BinarySpec).
+    "ann_ivf_binary" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val k = 10
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      val thr = graft.knn.Quantize.binaryThresholds(data)
+      val n = data.count().toInt
+      val exact = Knn.bruteForce(data, queriesDf, k).select("qid", "id", "rank")
+      val full = graft.knn.Quantize.searchIvfBinary(spark, assigned, centroids, thr,
+        queries, k, nprobe = 16, overscan = (n + k - 1) / k)
+      val approx = graft.knn.Quantize.searchIvfBinary(spark, assigned, centroids, thr,
+        queries, k, nprobe = 4, overscan = 12)
+      val sameFull = exact.join(full.select("qid", "id", "rank"), Seq("qid", "id", "rank"))
+        .groupBy("qid").agg(count(lit(1)).as("n_same_exact"))
+      approx.groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(exact.join(approx.select("qid", "id"), Seq("qid", "id"))
+          .groupBy("qid").agg(count(lit(1)).as("__overlap")), Seq("qid"))
+        .join(sameFull, Seq("qid"))
+        .select(col("qid"), lit(k.toLong).as("k"), col("n_results"),
+          col("n_same_exact"),
+          when(col("__overlap") >= k * 0.7, 1L).otherwise(0L).as("recall_ok"))
+        .orderBy("qid")
+    }),
+
     // §2.13 tombstone handling: search skips deleted ids
     "knn_with_deletes" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -2876,6 +2910,10 @@ object Queries {
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_opq" -> knnOracle(duckEuclid, 5, 10),
+    "ann_ivf_binary" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "knn_binary" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok

@@ -463,7 +463,8 @@ object Quantize {
       queries: Array[(Long, Array[Float])],
       k: Int,
       overscan: Int = 8,
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean",
+      probeCells: Option[Map[Long, Array[Int]]] = None): DataFrame = {
     import spark.implicits._
     require(k > 0 && overscan > 0, s"k and overscan must be positive, got $k, $overscan")
     val packedQ = queries.map { case (qid, qv) =>
@@ -472,17 +473,38 @@ object Quantize {
     val bcQ = spark.sparkContext.broadcast(packedQ)
     val kc = k * overscan
 
+    // per-query probed-cell mask (IVF×binary composition — null mask =
+    // unrestricted; same convention as searchExact's)
+    val nCells = probeCells.map(_.valuesIterator.flatten.foldLeft(0)(math.max) + 1).getOrElse(0)
+    val bcMask: org.apache.spark.broadcast.Broadcast[Array[Array[Boolean]]] =
+      spark.sparkContext.broadcast(queries.map { case (qid, _) =>
+        probeCells.flatMap(_.get(qid)).map { cells =>
+          val m = new Array[Boolean](nCells)
+          cells.foreach(c => if (c < nCells) m(c) = true)
+          m
+        }.orNull
+      })
+    val cellCol =
+      if (probeCells.isDefined) col("cell").cast("int") else lit(-1).cast("int")
+
     val coarse = binarize(
-        data.select(col("id").cast("long"), col("vector").cast("array<float>")), thresholds)
-      .select(col("id"), col("sig"))
-      .as[(Long, Array[Long])]
+        data.select(col("id").cast("long"), cellCol.as("cell"),
+          col("vector").cast("array<float>")), thresholds)
+      .select(col("id"), col("cell"), col("sig"))
+      .as[(Long, Int, Array[Long])]
       .mapPartitions { iter =>
         val qs = bcQ.value
+        val mask = bcMask.value
+        @inline def allowed(qi: Int, cell: Int): Boolean = {
+          val m = mask(qi)
+          m == null || (cell >= 0 && cell < m.length && m(cell))
+        }
         val heaps = Array.fill(qs.length)(new TopK(kc))
-        iter.foreach { case (id, sig) =>
+        iter.foreach { case (id, cell, sig) =>
           var qi = 0
           while (qi < qs.length) {
-            heaps(qi).push(graft.functions.BinaryKernels.hamming(sig, qs(qi)._2).toDouble, id)
+            if (allowed(qi, cell))
+              heaps(qi).push(graft.functions.BinaryKernels.hamming(sig, qs(qi)._2).toDouble, id)
             qi += 1
           }
         }
@@ -498,5 +520,30 @@ object Quantize {
 
     rescoreTopK(candidates, data.select(col("id").cast("long"), col("vector")),
       broadcast(queries.toSeq.toDF("qid", "qvec")), k, metric, dedupVectors = false)
+  }
+
+  /** IVF×binary: probe only each query's `nprobe` nearest cells AND scan
+    * 8 bytes per 64 dims inside them — the two pruning levers compose
+    * (cells cut the scanned fraction, bits cut bytes-per-row within it).
+    * `assigned` must carry a `cell` column (from [[Ivf.assign]]). Same
+    * probe ranking as [[Ivf.search]]; recall-gated like the flat binary
+    * tier (full-probe + full-overscan degenerates to exact brute force).
+    */
+  def searchIvfBinary(
+      spark: SparkSession,
+      assigned: DataFrame, // (id, cell, vector)
+      centroids: Array[Array[Float]],
+      thresholds: Array[Float],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      overscan: Int = 8): DataFrame = {
+    val metric = graft.core.Distances.Euclidean
+    val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> centroids.zipWithIndex
+        .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    searchBinary(spark, assigned, thresholds, queries, k, overscan, "euclidean", Some(probed))
   }
 }

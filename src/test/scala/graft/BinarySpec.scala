@@ -87,6 +87,28 @@ class BinarySpec extends SparkTestBase {
     assert(run(3) === run(11))
   }
 
+  test("IVF×binary composes: full probe+overscan equals brute force; probed recall holds") {
+    import graft.knn.Ivf
+    val data = clustered(3000, 30, 32, sigma = 0.05)
+    val df = data.toDF("id", "vector").repartition(6)
+    val centroids = Ivf.train(spark, df, c = 16, iterations = 2)
+    val assigned = Ivf.assign(spark, df, centroids)
+    val thr = Quantize.binaryThresholds(df)
+    val queries = data.take(6).toArray
+    val exact = Knn.bruteForce(df, queries.toSeq.toDF("qid", "qvec"), 10)
+      .select("qid", "id", "dist", "rank").orderBy("qid", "rank").collect().toSeq
+    val full = Quantize.searchIvfBinary(spark, assigned, centroids, thr, queries, 10,
+        nprobe = 16, overscan = 300)
+      .select("qid", "id", "dist", "rank").orderBy("qid", "rank").collect().toSeq
+    assert(full === exact)
+    val probed = Quantize.searchIvfBinary(spark, assigned, centroids, thr, queries, 10,
+        nprobe = 4, overscan = 8)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & probed).size.toDouble / exactSet.size
+    assert(recall >= 0.85, s"IVF×binary recall $recall < 0.85 on clustered geometry")
+  }
+
   test("thresholds reject ragged vectors; pack rejects dim mismatch") {
     intercept[Exception] {
       Quantize.binaryThresholds(
