@@ -1637,6 +1637,18 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    // §2.26 snippet extraction — result highlighting: ±4-token context
+    // around the first query-term occurrence in each hit. Narrow codegen
+    // HOFs over the (top-k-bounded) hit set only; DuckDB replays the
+    // identical index arithmetic and list slice.
+    "bm25_snippets" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val hits = graft.text.Bm25.search(docs, bm25Queries, 10)
+        .select("qid", "doc_id")
+      graft.text.Bm25.snippets(docs, hits, bm25Queries, window = 4)
+        .orderBy("qid", "doc_id")
+    }),
+
     // BM25 over a MATERIALIZED inverted index — the serving path: the
     // corpus tokenizes once at build; a query batch then reads only the
     // term-hash buckets (partition pruning) + matching token row groups,
@@ -2406,11 +2418,14 @@ object Queries {
     * the same IEEE operation sequence (only ln may differ by an ulp,
     * absorbed by the 4-decimal round that also drives the rank order).
     */
-  private def duckBm25Cte(k1: Double = 1.2, b: Double = 0.75,
-      qtOverride: Option[String] = None, docsRel: String = "documents"): String = {
-    val qVals = bm25Queries.zipWithIndex.map { case ((qid, text), i) =>
+  private def duckBm25QVals: String =
+    bm25Queries.zipWithIndex.map { case ((qid, text), i) =>
       if (i == 0) s"(CAST($qid AS BIGINT), '$text')" else s"($qid, '$text')"
     }.mkString(", ")
+
+  private def duckBm25Cte(k1: Double = 1.2, b: Double = 0.75,
+      qtOverride: Option[String] = None, docsRel: String = "documents"): String = {
+    val qVals = duckBm25QVals
     val qtSql = qtOverride.getOrElse(
       s"""SELECT qid, unnest(list_distinct(regexp_split_to_array(trim(lower(qtext)), '\\s+'))) AS token
          |       FROM (VALUES $qVals) AS q(qid, qtext)""".stripMargin)
@@ -2717,6 +2732,24 @@ object Queries {
          |${duckBm25Cte(docsRel = "corpus")}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // snippet replay: same hit set (bmr ≤ 10), same 0-based anchor (min
+    // index of a query term, head fallback), same inclusive list slice
+    "bm25_snippets" ->
+      s"""WITH ${duckBm25Cte()},
+         |hits AS (SELECT qid, doc_id FROM bmr WHERE rank <= 10),
+         |qt2 AS (SELECT qid, list_distinct(regexp_split_to_array(trim(lower(qtext)), '\\s+')) AS terms
+         |        FROM (VALUES $duckBm25QVals) AS q(qid, qtext)),
+         |tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |a AS (SELECT h.qid, h.doc_id, t.toks,
+         |        coalesce(list_min(list_transform(range(len(t.toks)),
+         |          i -> CASE WHEN list_contains(q.terms, t.toks[i+1]) THEN i END)), 0) AS anchor
+         |      FROM hits h JOIN tok t USING (doc_id) JOIN qt2 q USING (qid)),
+         |sn AS (SELECT qid, doc_id, CAST(anchor AS BIGINT) AS anchor,
+         |         greatest(anchor - 4, 0) AS s0,
+         |         least(anchor + 4, len(toks) - 1) AS e0, toks FROM a)
+         |SELECT qid, doc_id, anchor,
+         |  array_to_string(toks[s0+1 : e0+1], ' ') AS snippet
+         |FROM sn ORDER BY qid, doc_id""".stripMargin,
     "bm25_saved" ->
       s"""WITH ${duckBm25Cte()}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank

@@ -273,6 +273,55 @@ object Bm25 {
     scoreTopK(withDf, qTable, n, avgdl, k, k1, b)
   }
 
+  /** Snippet extraction for retrieval results: for each (qid, doc) hit,
+    * the ±`window`-token context around the FIRST occurrence of any of
+    * that query's terms (the standard result-highlighting step). Entirely
+    * NARROW after the (hit-sized) doc-text join: tokenize → indexed
+    * `transform` marks term positions → `array_min` finds the anchor →
+    * slice + rejoin — all codegen HOFs, no UDF, no shuffle beyond the
+    * join; hits are top-k-bounded, so the joined text is k·Q documents
+    * regardless of corpus size. A hit whose document contains none of the
+    * query's terms (possible when the ranking came from the vector arm of
+    * a hybrid) anchors at token 0 — the head of the document is the
+    * honest fallback context.
+    *
+    * `hits` = (qid, doc_id); `queries` = (qid, query text). Returns
+    * (qid, doc_id, anchor, snippet).
+    */
+  def snippets(
+      docs: DataFrame,
+      hits: DataFrame,
+      queries: Seq[(Long, String)],
+      window: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 0, s"window must be non-negative, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTable = queries.map { case (qid, text) => (qid, queryTerms(text)) }
+      .toDF("qid", "terms")
+    val w = lit(window.toLong)
+    hits
+      .select(col("qid").cast("long"), col(idCol).cast("long").as("doc_id"))
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks")), Seq("doc_id"))
+      .join(broadcast(qTable), Seq("qid"))
+      .select(col("qid"), col("doc_id"), col("__toks"),
+        // first term position: indexed transform emits the index where the
+        // token is a query term (null elsewhere); array_min skips nulls
+        coalesce(
+          array_min(transform(col("__toks"),
+            (t, i) => when(array_contains(col("terms"), t), i.cast("long")))),
+          lit(0L)).as("anchor"))
+      .select(col("qid"), col("doc_id"), col("anchor"),
+        array_join(
+          slice(col("__toks"),
+            (greatest(col("anchor") - w, lit(0L)) + lit(1L)).cast("int"),
+            (least(col("anchor") + w, size(col("__toks")).cast("long") - lit(1L))
+              - greatest(col("anchor") - w, lit(0L)) + lit(1L)).cast("int")),
+          " ").as("snippet"))
+  }
+
   /** Maintained-view scoring entry for the streaming sink
     * ([[graft.streaming.StreamingOps.bm25MaintenanceSink]]): the caller
     * reconstructs the surviving term-filtered postings and (n, avgdl);

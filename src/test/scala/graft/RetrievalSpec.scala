@@ -92,6 +92,23 @@ class RetrievalSpec extends SparkTestBase {
     assert(tied.map(_.getLong(1)).toSeq === Seq(20L, 21L))
   }
 
+  test("snippets anchor at the first query term, clamp at edges, fall back to the head") {
+    val docs = Seq(
+      (0L, "a b c d e TARGET f g h i j"), // anchor 5, full ±2 window
+      (1L, "target x y z"),               // anchor 0 (case-folded), left clamp
+      (2L, "p q r s target"),             // anchor 4, right clamp
+      (3L, "no match here at all"))       // fallback head
+      .toDF("doc_id", "text")
+    val hits = Seq((7L, 0L), (7L, 1L), (7L, 2L), (7L, 3L)).toDF("qid", "doc_id")
+    val out = Bm25.snippets(docs, hits, Seq((7L, "TARGET")), window = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq === Seq(
+      (0L, 5L, "d e target f g"),
+      (1L, 0L, "target x y"),
+      (2L, 4L, "r s target"),
+      (3L, 0L, "no match here")))
+  }
+
   test("mmr prefers diversity over marginal relevance; ties break by id; k caps") {
     import graft.ops.Mmr
     // doc 20 ~parallel to doc 10; doc 30 orthogonal. rel favors 10 > 20 > 30.
