@@ -15,7 +15,42 @@ object BenchHnsw {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val m = if (args.length > 1) args(1).toInt else 16
     val items: Array[(Long, Array[Float])] =
-      if (sfDir.startsWith("synthetic:")) {
+      if (sfDir.startsWith("synthetic-clustered:")) {
+        // synthetic-clustered:N:dim:C — planted Gaussian-ish clusters, the
+        // geometry class of the reference's Fashion-MNIST benchmark data
+        // (real embedding corpora are clustered; uniform-random vectors at
+        // dim 784 are the distance-concentration worst case where ANY
+        // graph index degrades — see the clustered-vs-uniform recall
+        // discussion at the ann_ivf catalog entry)
+        // synthetic-clustered:N:dim:C:latent — clustered points on a
+        // latent-dimensional manifold linearly embedded in the ambient
+        // space (real image/text embeddings have low INTRINSIC dimension
+        // inside a high ambient one; generating full-rank noise at dim
+        // 784 is the distance-concentration regime no index survives)
+        val parts = sfDir.split(":")
+        val n = parts(1).toInt
+        val dim = if (parts.length > 2) parts(2).toInt else 784
+        val c = if (parts.length > 3) parts(3).toInt else 100
+        val latent = if (parts.length > 4) parts(4).toInt else 16
+        def unit(x: Long): Double = graft.core.SplitMix.unit(graft.core.SplitMix.mix(x))
+        // fixed ambient embedding P (dim × latent), entries ~U(-1,1)/√latent
+        val p = Array.tabulate(dim, latent)((d, l) =>
+          (unit(d.toLong * 7919L + l * 104729L + 3L) * 2 - 1) / math.sqrt(latent))
+        Array.tabulate(n) { i =>
+          val cl = i % c
+          val z = Array.tabulate(latent) { l =>
+            val center = unit(cl.toLong * 1000003L + l)
+            val noise = (unit(i.toLong * 31L + l.toLong * 7L + 1L) - 0.5) * 0.2
+            center + noise
+          }
+          (i.toLong, Array.tabulate(dim) { d =>
+            var acc = 0.0
+            var l = 0
+            while (l < latent) { acc += p(d)(l) * z(l); l += 1 }
+            acc.toFloat
+          })
+        }
+      } else if (sfDir.startsWith("synthetic:")) {
         // synthetic:N:dim — deterministic random vectors for scale probes
         val parts = sfDir.split(":")
         val n = parts(1).toInt
