@@ -1725,6 +1725,21 @@ object Queries {
       graft.ops.Fusion.rrf(Seq(bm, nn), 10).orderBy("qid", "rank")
     }),
 
+    // §2.26 weighted-sum hybrid — the score-gap-aware merge: per-query
+    // min-max normalization puts the BM25 mass and the euclidean distance
+    // (inverted) on [0,1], rank by 0.6·lex + 0.4·vec. Distances and BM25
+    // scores fold element-ordered in both engines, so even the UNROUNDED
+    // normalized arithmetic replays bit-for-bit.
+    "hybrid_weighted" -> ((spark, dir) => {
+      val bm = graft.text.Bm25.search(t(spark, dir, "documents"), bm25Queries, 10)
+        .select(col("qid"), col("doc_id").as("id"), col("score"))
+      val (data, queriesDf) = knnInputs(spark, dir, 3)
+      val nn = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+        .select(col("qid"), col("id"), col("dist").as("score"))
+      graft.ops.Fusion.weighted(Seq((bm, 0.6, true), (nn, 0.4, false)), 10)
+        .orderBy("qid", "rank")
+    }),
+
     // §2.26 MMR diversification (Carbonell & Goldstein 1998) — the tail of
     // the hybrid stack: RRF candidates re-ordered greedily by
     // λ·rel − (1−λ)·max-sim-to-selected over the embedding column.
@@ -2772,6 +2787,32 @@ object Queries {
     // MMR diversification replay: the greedy loop unrolled stage by stage
     // with the IDENTICAL IEEE arithmetic and id tie-breaks
     "hybrid_mmr" -> duckMmrSql(5, 0.7),
+    // weighted-sum hybrid replay: same per-query min-max windows, same
+    // inverted normalization on the distance arm, same 0.6/0.4 weights
+    "hybrid_weighted" ->
+      s"""WITH ${duckBm25Cte()},
+         |bmt AS (SELECT qid, doc_id AS id, score FROM bmr WHERE rank <= 10),
+         |q2 AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
+         |d2 AS (SELECT q2.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q2.qv")} AS dist
+         |       FROM embeddings e CROSS JOIN q2),
+         |nrt AS (SELECT qid, id, dist FROM (
+         |          SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+         |          FROM d2) WHERE rank <= 10),
+         |n1 AS (SELECT qid, id, 0 AS li,
+         |         (CASE WHEN mx = mn THEN 1.0 ELSE (score - mn)/(mx - mn) END) * 0.6 AS contrib
+         |       FROM (SELECT qid, id, score,
+         |               min(score) OVER (PARTITION BY qid) AS mn,
+         |               max(score) OVER (PARTITION BY qid) AS mx FROM bmt)),
+         |n2 AS (SELECT qid, id, 1 AS li,
+         |         (CASE WHEN mx = mn THEN 1.0 ELSE (mx - dist)/(mx - mn) END) * 0.4 AS contrib
+         |       FROM (SELECT qid, id, dist,
+         |               min(dist) OVER (PARTITION BY qid) AS mn,
+         |               max(dist) OVER (PARTITION BY qid) AS mx FROM nrt)),
+         |f AS (SELECT qid, id, sum(contrib) AS s FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+         |      GROUP BY qid, id),
+         |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rank FROM f)
+         |SELECT qid, id, round(s, 6) AS fused_score, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // Java \s diverge on \x0B); both sides sort domains before joining
     "link_stats" ->
       """WITH all_docs AS (

@@ -142,6 +142,27 @@ class RetrievalSpec extends SparkTestBase {
     assert(run(2) === run(9))
   }
 
+  test("weighted fusion normalizes per query, inverts distance lists, sums weights") {
+    import graft.ops.Fusion
+    // lexical arm: 10 best (score 4), 11 mid (2), 12 worst (0)
+    val a = Seq((0L, 10L, 4.0), (0L, 11L, 2.0), (0L, 12L, 0.0)).toDF("qid", "id", "score")
+    // vector arm (distance — lower better): 12 best, 11 mid, absent 10
+    val b = Seq((0L, 12L, 1.0), (0L, 11L, 2.0), (0L, 13L, 3.0)).toDF("qid", "id", "score")
+    val out = Fusion.weighted(Seq((a, 0.6, true), (b, 0.4, false)), k = 10)
+      .orderBy("rank").collect()
+    // 10: 0.6*1.0 = 0.6; 11: 0.6*0.5 + 0.4*0.5 = 0.5; 12: 0 + 0.4*1.0 = 0.4; 13: 0
+    assert(out.map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((10L, 0.6), (11L, 0.5), (12L, 0.4), (13L, 0.0)))
+    // a constant-score list normalizes to 1.0 for every member
+    val c = Seq((0L, 20L, 7.0), (0L, 21L, 7.0)).toDF("qid", "id", "score")
+    val flat = Fusion.weighted(Seq((c, 1.0, true)), k = 10).orderBy("rank").collect()
+    assert(flat.map(r => (r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((20L, 1.0), (21L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Fusion.weighted(Seq((a, -0.1, true)), k = 5)
+    }
+  }
+
   test("rrf is invariant to input partition layout") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 10L, 1L)).toDF("qid", "id", "rank")
     val b = Seq((0L, 11L, 1L), (1L, 12L, 1L)).toDF("qid", "id", "rank")
