@@ -464,6 +464,31 @@ object BenchScale {
         graft.text.Bm25.search(docs, bmQ, k = 10).count()
       }
       println(s"[scale] bm25 result rows: $res")
+
+      // streaming-maintained lexical index at corpus scale: two O(batch)
+      // delta appends, then the maintained serve must EQUAL the batch
+      // search over the same corpus row-for-row
+      val mdir = java.nio.file.Files.createTempDirectory("bm25_maint_scale").toString
+      val sink = graft.streaming.StreamingOps.bm25MaintenanceSink(spark, mdir, nBuckets = 64)
+      import spark.implicits._
+      def ops(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+        .select(col("doc_id").as("id"), lit("upsert").as("op"), col("text"), lit(1L).as("version"))
+        .as[graft.streaming.StreamingOps.DocOp]
+      timed(s"bm25 maintenance sink: batch 1 (~${nDocs / 2} docs)") {
+        sink(ops(col("doc_id") % 2 === 0), 0L)
+      }
+      timed(s"bm25 maintenance sink: batch 2 (~${nDocs / 2} docs)") {
+        sink(ops(col("doc_id") % 2 =!= 0), 1L)
+      }
+      val maintained = timed("bm25 maintained serve (2 queries)") {
+        graft.streaming.StreamingOps.searchBm25Maintained(spark, mdir, bmQ, 10)
+          .orderBy("qid", "rank").collect().toSeq
+      }
+      val batchRes = graft.text.Bm25.search(docs, bmQ, k = 10)
+        .orderBy("qid", "rank").collect().toSeq
+      require(maintained == batchRes,
+        s"maintained BM25 diverged from batch: ${maintained.size} vs ${batchRes.size} rows")
+      println(s"[scale] bm25 maintained == batch: ${maintained.size} rows")
     }
 
     spark.stop()

@@ -253,6 +253,16 @@ object Queries {
     (1L, "slow query scan"),
     (2L, "spark merge batch window"))
 
+  /** Phrase-search batch: contiguous sequences present in the synthetic
+    * corpus, plus a repeated-term phrase exercising the offset-shifted
+    * reuse of a single posting list.
+    */
+  private val bm25Phrases: Seq[(Long, String)] = Seq(
+    (0L, "table hash"),
+    (1L, "customer join"),
+    (2L, "slow hash batch"),
+    (3L, "a a"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1-3 distance expressions
     "dist_euclidean" -> distQuery("euclidean"),
@@ -1699,6 +1709,20 @@ object Queries {
         .orderBy("qid", "rank")
     }),
 
+    // §2.26 exact PHRASE search over the POSITIONAL index: occurrence
+    // starts = ∩ᵢ (positions(tᵢ) − i) per phrase, array_intersect chains
+    // over bucket-pruned posting reads — no corpus scan at query time.
+    // The oracle derives the counts INDEPENDENTLY from the raw text
+    // (contiguous window equality), so the whole positional layout is
+    // checked end-to-end.
+    "bm25_phrase" -> ((spark, dir) => {
+      val ixDir = java.nio.file.Files.createTempDirectory("bm25_pos_ix").toString
+      graft.text.Bm25.buildIndex(t(spark, dir, "documents"), ixDir, nBuckets = 16,
+        withPositions = true)
+      graft.text.Bm25.phraseSearch(spark, ixDir, bm25Phrases)
+        .orderBy("qid", "doc_id")
+    }),
+
     // BM25 with a DataFrame query side — the corpus-vs-corpus shape: the
     // query batch never lands on the driver (its distinct-term table is a
     // broadcast semi-join inside the same single corpus scan). Queries
@@ -2738,6 +2762,22 @@ object Queries {
       s"""WITH ${duckBm25Cte()}
          |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
          |FROM bmr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // phrase replay: counts derived INDEPENDENTLY from the raw text —
+    // contiguous window equality at every start position
+    "bm25_phrase" -> {
+      val arms = bm25Phrases.map { case (qid, phrase) =>
+        val terms = phrase.split(" ")
+        val conds = terms.zipWithIndex
+          .map { case (t, j) => s"toks[i+${j + 1}] = '$t'" }.mkString(" AND ")
+        s"""SELECT CAST($qid AS BIGINT) AS qid, doc_id,
+           |  CAST(len(list_filter(range(len(toks) - ${terms.length - 1}), i -> $conds)) AS BIGINT) AS n_occurrences
+           |FROM tok""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |m AS ($arms)
+         |SELECT qid, doc_id, n_occurrences FROM m
+         |WHERE n_occurrences > 0 ORDER BY qid, doc_id""".stripMargin
+    },
     // maintained BM25 replay: the same formula CTE over the SURVIVING
     // mutated corpus (drift-modified doc_id%7, removed doc_id%10)
     "stream_bm25_maintenance" ->

@@ -158,17 +158,24 @@ object Bm25 {
       dir: String,
       nBuckets: Int = 64,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      withPositions: Boolean = false): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = docs.sparkSession
     import spark.implicits._
-    val post = docs
+    // positions make the index POSITIONAL (phrase/adjacency queries via
+    // [[phraseSearch]]) at the cost of one int per corpus token — the
+    // classic positional-postings trade, off by default
+    val exploded = docs
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-        explode(col("__toks")).as("token"))
-      .groupBy("doc_id", "dl", "token")
-      .agg(count(lit(1)).as("tf"))
+        posexplode(col("__toks")).as(Seq("pos", "token")))
+    val grouped = exploded.groupBy("doc_id", "dl", "token")
+    val post = (if (withPositions)
+        grouped.agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      else grouped.agg(count(lit(1)).as("tf")))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
     post.write.partitionBy("bucket").parquet(s"$dir/postings")
     // df from the just-written postings (one read of the compact layout,
@@ -185,9 +192,68 @@ object Bm25 {
       .agg(count(lit(1)).as("n"),
         avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
       .head()
-    Seq((statsRow.getLong(0), statsRow.getDouble(1), nBuckets))
-      .toDF("n", "avgdl", "n_buckets")
+    Seq((statsRow.getLong(0), statsRow.getDouble(1), nBuckets, withPositions))
+      .toDF("n", "avgdl", "n_buckets", "positions")
       .coalesce(1).write.parquet(s"$dir/stats")
+  }
+
+  /** Exact PHRASE search over a POSITIONAL [[buildIndex]] directory
+    * (`withPositions = true`; a positions-less index fails loudly):
+    * documents containing the phrase's tokens CONTIGUOUSLY, with the
+    * occurrence count. The classic positional-postings evaluation:
+    * per phrase, the m term posting lists (bucket-pruned + token-pushed
+    * reads, exactly like scoring) join by doc_id and the occurrence
+    * starts are the intersection of the m position sets shifted by their
+    * phrase offsets — `array_intersect` chains, all codegen, no UDF, no
+    * corpus scan. A repeated term in the phrase works unchanged (its one
+    * posting list participates at each of its offsets).
+    *
+    * Returns (qid, doc_id, n_occurrences), only matching docs. Phrase
+    * terms tokenize with the corpus tokenizer IN ORDER (no dedupe).
+    */
+  def phraseSearch(
+      spark: SparkSession,
+      dir: String,
+      phrases: Seq[(Long, String)]): DataFrame = {
+    require(phrases.nonEmpty, "empty phrase batch")
+    require(graft.io.HadoopIO.exists(s"$dir/stats", spark.sparkContext.hadoopConfiguration),
+      s"no stats under $dir — not a (complete) bm25 index directory")
+    val statsRow = spark.read.parquet(s"$dir/stats")
+      .select("n_buckets", "positions").head()
+    val nBuckets = statsRow.getInt(0)
+    require(statsRow.getBoolean(1),
+      s"index at $dir was built WITHOUT positions (buildIndex(withPositions = true)) — " +
+        "phrase adjacency cannot be evaluated from tf-only postings")
+
+    val parsed = phrases.map { case (qid, text) =>
+      val terms = text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty, s"phrase for qid $qid has no tokens")
+      (qid, terms)
+    }
+    // each per-term branch is its own bucket-pruned + token-pushed read —
+    // no persist (the reads are posting-list-sized), no driver
+    // materialization (a common phrase can hit corpus-many documents)
+    def termPostings(t: String) = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket") === lit(tokenBucket(t, nBuckets)) && col("token") === lit(t))
+      .select(col("doc_id"), col("positions"))
+    val perPhrase = parsed.map { case (qid, terms) =>
+      // fold the phrase left to right: starts = ∩_i (positions(t_i) − i)
+      var acc = termPostings(terms.head)
+        .select(col("doc_id"), col("positions").as("starts"))
+      terms.zipWithIndex.tail.foreach { case (t, i) =>
+        acc = acc.join(
+          termPostings(t)
+            .select(col("doc_id"),
+              transform(col("positions"), p => p - i).as(s"__p$i")),
+          Seq("doc_id"))
+          .select(col("doc_id"),
+            array_intersect(col("starts"), col(s"__p$i")).as("starts"))
+      }
+      acc.filter(size(col("starts")) > 0)
+        .select(lit(qid).as("qid"), col("doc_id"),
+          size(col("starts")).cast("long").as("n_occurrences"))
+    }
+    perPhrase.reduce(_ unionByName _)
   }
 
   /** [[search]] over a [[buildIndex]] directory: reads only the term

@@ -92,6 +92,36 @@ class RetrievalSpec extends SparkTestBase {
     assert(tied.map(_.getLong(1)).toSeq === Seq(20L, 21L))
   }
 
+  test("phrase search: adjacency from positions, overlapping + repeated terms, positional guard") {
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta"), // "alpha beta" ×2
+      (1L, "beta alpha beta gamma"),       // ×1, plus "beta alpha"
+      (2L, "alpha gamma beta"),            // terms present, never adjacent
+      (3L, "x x x y"))                     // overlapping repeated-term "x x" ×2
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_phrase_spec").toString
+    Bm25.buildIndex(docs, dir, nBuckets = 4, withPositions = true)
+    val out = Bm25.phraseSearch(spark, dir,
+        Seq((0L, "alpha beta"), (1L, "x x"), (2L, "beta gamma alpha")))
+      .orderBy("qid", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), // adjacency only — doc 2 absent
+      (1L, 3L, 2L),               // overlapping starts both count
+      (2L, 0L, 1L)))              // doc 0 window [beta gamma alpha] at pos 1
+    // independent recount of the 3-token phrase over both candidate docs
+    assert("alpha beta gamma alpha beta".split(" ").sliding(3)
+      .count(_.sameElements(Array("beta", "gamma", "alpha"))) === 1)
+    assert("beta alpha beta gamma".split(" ").sliding(3)
+      .count(_.sameElements(Array("beta", "gamma", "alpha"))) === 0)
+    val tfOnly = java.nio.file.Files.createTempDirectory("bm25_phrase_tf").toString
+    Bm25.buildIndex(docs, tfOnly, nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Bm25.phraseSearch(spark, tfOnly, Seq((0L, "alpha beta")))
+    }
+    assert(e.getMessage.contains("positions"))
+  }
+
   test("snippets anchor at the first query term, clamp at edges, fall back to the head") {
     val docs = Seq(
       (0L, "a b c d e TARGET f g h i j"), // anchor 5, full ±2 window
