@@ -46,7 +46,11 @@ object Mmr {
     * `k` picks per query as (qid, id, mmr_rank, rel, max_sim) in
     * selection order (`max_sim` = similarity to the closest
     * previously-selected result, 0.0 for the first pick — the quantity
-    * the picked score traded against).
+    * the picked score traded against). A candidate with no row in
+    * `vectors` is DROPPED (inner join): redundancy against it cannot be
+    * priced, and inventing a zero-similarity default would hand it a
+    * diversity bonus for missing data — left-join first if absent
+    * embeddings should rank purely by relevance instead.
     */
   def rerank(
       candidates: DataFrame, // (qid, id, rel)
