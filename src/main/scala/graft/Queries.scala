@@ -2016,6 +2016,35 @@ object Queries {
         .orderBy("doc_id", "pos")
     }),
 
+    // §2.22+23+6 RAG-ingestion capstone: chunk (overlap windows) →
+    // feature-hash embed each chunk → exact top-k retrieval over the
+    // chunk vectors — the documents-to-searchable-chunks path end to
+    // end, every stage replayed in the oracle (chunk arithmetic, md5
+    // hash embedding, dense assembly, euclidean kNN). Embedding values
+    // are small exact integers in double, so even distance TIES agree
+    // bit-for-bit and resolve by id identically in both engines.
+    "pipeline_rag" -> ((spark, dir) => {
+      val dim = 16
+      val chunks = graft.ops.Packing
+        .chunkTokens(t(spark, dir, "documents"), chunkLen = 40, overlap = 8)
+        .select((col("doc_id") * 1000 + col("chunk")).as("chunk_id"), col("chunk_text"))
+      val dense = chunks
+        .select(col("chunk_id"), explode(TextAnalysis.tokens(col("chunk_text"))).as("token"))
+        .withColumn("hv", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+        .select(col("chunk_id"), pmod(col("hv"), lit(dim)).cast("long").as("pos"),
+          when(expr("(shiftright(hv, 5) & 1)") === 0, lit(1.0)).otherwise(lit(-1.0)).as("sign"))
+        .groupBy("chunk_id", "pos")
+        .agg(sum("sign").as("value"))
+        .groupBy("chunk_id")
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("value")))).as("m"))
+        .select(col("chunk_id").as("id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            p => coalesce(element_at(col("m"), p.cast("long")), lit(0.0))).as("vector"))
+      val queries = dense.filter(col("id").isin(0L, 1000L, 2000L))
+        .select(col("id").as("qid"), col("vector").as("qvec"))
+      knnFinish(Knn.bruteForce(dense, queries, 5, "euclidean"))
+    }),
+
     // Statistical quality: per-type z-score outliers over event values
     "events_anomalies" -> ((spark, dir) => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -2777,6 +2806,30 @@ object Queries {
          |m AS ($arms)
          |SELECT qid, doc_id, n_occurrences FROM m
          |WHERE n_occurrences > 0 ORDER BY qid, doc_id""".stripMargin
+    },
+    // RAG capstone replay: chunk arithmetic + md5 hash embedding + dense
+    // assembly + exact kNN, each stage the same formulation its
+    // standalone row uses
+    "pipeline_rag" -> {
+      val dimSums = (0 until 16)
+        .map(p => s"sum(CASE WHEN pos = $p THEN value ELSE 0.0 END)").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |        greatest(CAST(1 AS BIGINT), (CAST(len(toks) AS BIGINT) - 8 + 31) // 32) AS nc FROM tok),
+         |e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS chunk FROM c),
+         |s AS (SELECT doc_id*1000 + chunk AS chunk_id,
+         |        toks[chunk*32 + 1 : least(chunk*32 + 40, n)] AS ctoks FROM e),
+         |t2 AS (SELECT chunk_id, unnest(ctoks) AS token FROM s),
+         |h AS (SELECT chunk_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS hv FROM t2),
+         |sp AS (SELECT chunk_id, hv % 16 AS pos,
+         |         CASE WHEN ((hv >> 5) & 1) = 0 THEN 1.0 ELSE -1.0 END AS value FROM h),
+         |spg AS (SELECT chunk_id, pos, sum(value) AS value FROM sp GROUP BY chunk_id, pos),
+         |dense AS (SELECT chunk_id, [$dimSums] AS v FROM spg GROUP BY chunk_id),
+         |q AS (SELECT chunk_id AS qid, v AS qv FROM dense WHERE chunk_id IN (0, 1000, 2000)),
+         |d AS (SELECT q.qid, dense.chunk_id AS id, ${duckEuclid("dense.v", "q.qv")} AS dist
+         |      FROM dense CROSS JOIN q),
+         |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+         |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
     // maintained BM25 replay: the same formula CTE over the SURVIVING
     // mutated corpus (drift-modified doc_id%7, removed doc_id%10)
