@@ -120,6 +120,11 @@ class RetrievalSpec extends SparkTestBase {
       Bm25.phraseSearch(spark, tfOnly, Seq((0L, "alpha beta")))
     }
     assert(e.getMessage.contains("positions"))
+    // an unseen term and a phrase longer than any doc both yield empty
+    // results, not errors (selectivity, not failure)
+    assert(Bm25.phraseSearch(spark, dir, Seq((0L, "alpha zzz"))).count() === 0)
+    assert(Bm25.phraseSearch(spark, dir,
+      Seq((0L, "alpha beta gamma alpha beta gamma alpha"))).count() === 0)
   }
 
   test("snippets anchor at the first query term, clamp at edges, fall back to the head") {
