@@ -1793,9 +1793,13 @@ object StreamingOps {
       val sess = batch.sparkSession
       val hconf = sess.sparkContext.hadoopConfiguration
       // within-batch latest-wins (remove beats upsert on a version tie —
-      // same conservative convention as the vector sinks), replay dedupe
+      // same conservative convention as the vector sinks); the
+      // xxhash64(text) tiebreak makes the winner DETERMINISTIC when a
+      // malformed stream carries two same-version upserts with different
+      // texts (same convention as the PQ sink's vector-hash tiebreak),
+      // while exact replays dedupe below
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("version").desc, col("op").asc)
+        .partitionBy("id").orderBy(col("version").desc, col("op").asc, xxhash64(col("text")))
       val ops = batch.toDF()
         .withColumn("__rk", rank().over(w)).filter(col("__rk") === 1).drop("__rk")
         .dropDuplicates("id", "op")
@@ -1805,18 +1809,23 @@ object StreamingOps {
           graft.text.TextAnalysis.tokens(col("text")).as("__toks"))
         .persist()
       try {
+        // text_hash discriminates conflicting same-version upserts ACROSS
+        // batches deterministically AND keys each winner to exactly its
+        // own posting rows (removes carry 0 — they have no text)
         val docRows = upserts
           .select(col("doc_id"), col("version"), lit("upsert").as("op"),
-            size(col("__toks")).cast("long").as("dl"))
+            size(col("__toks")).cast("long").as("dl"),
+            xxhash64(col("__toks")).as("text_hash"))
           .unionByName(ops.filter(col("op") === "remove")
             .select(col("id").as("doc_id"), col("version"), lit("remove").as("op"),
-              lit(0L).as("dl")))
+              lit(0L).as("dl"), lit(0L).as("text_hash")))
         docRows.write.mode("append").parquet(s"$indexDir/delta_docs/batch=$batchId")
         mergeDeltaManifest(s"$indexDir/delta_docs", s"batch=$batchId", hconf)
 
         val postRows = upserts
-          .select(col("doc_id"), col("version"), explode(col("__toks")).as("token"))
-          .groupBy("doc_id", "version", "token")
+          .select(col("doc_id"), col("version"), xxhash64(col("__toks")).as("text_hash"),
+            explode(col("__toks")).as("token"))
+          .groupBy("doc_id", "version", "text_hash", "token")
           .agg(count(lit(1)).as("tf"))
           .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
         postRows.write.mode("append").partitionBy("bucket")
@@ -1838,14 +1847,18 @@ object StreamingOps {
   private def bm25DeltaWinners(spark: SparkSession, indexDir: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     if (!graft.io.HadoopIO.exists(s"$indexDir/delta_docs", hconf))
-      return spark.emptyDataset[(Long, Long, String, Long)](
-        org.apache.spark.sql.Encoders.product[(Long, Long, String, Long)])
-        .toDF("doc_id", "version", "op", "dl")
+      return spark.emptyDataset[(Long, Long, String, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, String, Long, Long)])
+        .toDF("doc_id", "version", "op", "dl", "text_hash")
     validateDelta(s"$indexDir/delta_docs", hconf)
+    // text_hash in the order: conflicting same-version upserts from
+    // DIFFERENT batches (a malformed stream) resolve deterministically,
+    // and serving joins the winner's OWN posting rows by the same hash
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("version").desc, col("op").asc)
+      .partitionBy("doc_id")
+      .orderBy(col("version").desc, col("op").asc, col("text_hash").asc)
     spark.read.parquet(s"$indexDir/delta_docs")
-      .select("doc_id", "version", "op", "dl")
+      .select("doc_id", "version", "op", "dl", "text_hash")
       .withColumn("__rk", rank().over(w)).filter(col("__rk") === 1).drop("__rk")
       .dropDuplicates("doc_id", "op")
   }
@@ -1910,8 +1923,9 @@ object StreamingOps {
           validateDelta(s"$indexDir/delta_post", hconf)
           spark.read.parquet(s"$indexDir/delta_post")
             .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
-            .select("doc_id", "version", "token", "tf")
-            .join(upsertWinners.select("doc_id", "version", "dl"), Seq("doc_id", "version"))
+            .select("doc_id", "version", "text_hash", "token", "tf")
+            .join(upsertWinners.select("doc_id", "version", "text_hash", "dl"),
+              Seq("doc_id", "version", "text_hash"))
             .dropDuplicates("doc_id", "token") // at-least-once replay appends
             .select("doc_id", "dl", "token", "tf")
         }
@@ -1974,17 +1988,17 @@ object StreamingOps {
     val winners = bm25DeltaWinners(spark, indexDir).persist()
     try {
       val docsTmp = s"$indexDir/delta_docs.compact"
-      winners.select("doc_id", "version", "op", "dl")
+      winners.select("doc_id", "version", "op", "dl", "text_hash")
         .write.parquet(s"$docsTmp/batch=compacted")
       writeDeltaManifest(docsTmp, hconf)
 
       val postTmp = s"$indexDir/delta_post.compact"
       validateDelta(s"$indexDir/delta_post", hconf)
       spark.read.parquet(s"$indexDir/delta_post")
-        .select("doc_id", "version", "token", "tf")
-        .join(winners.filter(col("op") === "upsert").select("doc_id", "version"),
-          Seq("doc_id", "version"))
-        .dropDuplicates("doc_id", "token")
+        .select("doc_id", "version", "text_hash", "token", "tf")
+        .join(winners.filter(col("op") === "upsert").select("doc_id", "version", "text_hash"),
+          Seq("doc_id", "version", "text_hash"))
+        .dropDuplicates("doc_id", "version", "text_hash", "token")
         .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
         .write.partitionBy("bucket").parquet(s"$postTmp/batch=compacted")
       writeDeltaManifest(postTmp, hconf)
