@@ -311,3 +311,36 @@ object ProbeSequenceProps extends Properties("ProbeSequence") {
         gotScores.zip(all.take(budget).map(_._1)).forall { case (a, b) => math.abs(a - b) < 1e-9 }
     }
 }
+
+object BinaryKernelProps extends Properties("BinaryKernels") {
+  import graft.functions.BinaryKernels
+
+  private val dimGen = Gen.choose(1, 200)
+  private def vecGen(dim: Int): Gen[Array[Float]] =
+    Gen.listOfN(dim, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
+
+  property("pack sets exactly the bits of dims above threshold") =
+    forAll(dimGen.flatMap(d => Gen.zip(vecGen(d), vecGen(d)))) { case (v, thr) =>
+      val words = BinaryKernels.pack(v, thr)
+      words.length == (v.length + 63) / 64 &&
+        v.indices.forall { i =>
+          (((words(i >> 6) >>> (i & 63)) & 1L) == 1L) == (v(i) > thr(i))
+        } &&
+        // bits past the dimension stay zero (the partial last word)
+        (v.length % 64 == 0 ||
+          (words.last >>> (v.length % 64)) == 0L)
+    }
+
+  property("hamming == per-bit disagreement count; metric axioms hold") =
+    forAll(dimGen.flatMap(d => Gen.zip(vecGen(d), vecGen(d), vecGen(d), vecGen(d)))) {
+      case (a, b, c, thr) =>
+        val (sa, sb, sc) = (BinaryKernels.pack(a, thr), BinaryKernels.pack(b, thr),
+          BinaryKernels.pack(c, thr))
+        val naive = a.indices.count(i => (a(i) > thr(i)) != (b(i) > thr(i)))
+        BinaryKernels.hamming(sa, sb) == naive &&
+          BinaryKernels.hamming(sa, sa) == 0 &&
+          BinaryKernels.hamming(sa, sb) == BinaryKernels.hamming(sb, sa) &&
+          BinaryKernels.hamming(sa, sc) <=
+            BinaryKernels.hamming(sa, sb) + BinaryKernels.hamming(sb, sc)
+    }
+}
