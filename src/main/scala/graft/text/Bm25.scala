@@ -152,6 +152,11 @@ object Bm25 {
     * alongside, so serving needs NO window over postings at all. `stats`
     * is written LAST as the completion marker — a torn build fails loudly
     * at load instead of serving partial postings.
+    *
+    * File-count note: `partitionBy` writes one file per (upstream task ×
+    * bucket it contains), so many small upstream partitions produce many
+    * small posting files — repartition the docs (or pick nBuckets) to
+    * taste; the layout and every reader are partition-count-agnostic.
     */
   def buildIndex(
       docs: DataFrame,
