@@ -474,6 +474,16 @@ object Queries {
         .orderBy("qid", "id")
     }),
 
+    // Contrastive hard-negative mining: per anchor, the 10 nearest
+    // vectors OUTSIDE the near-duplicate band (cosine dist > 0.3) — the
+    // annulus filter runs on the distance scan before the top-k window,
+    // so self-matches and probable unlabeled positives never reach the
+    // ranking. Exact-SQL-expressible, so fully oracled.
+    "mine_hard_negatives" -> ((spark, dir) => {
+      val (data, queries) = knnInputs(spark, dir, 5)
+      knnFinish(Knn.hardNegatives(data, queries, k = 10, minDist = 0.3, metric = "cosine"))
+    }),
+
     // §2.18 IVF with the HNSW COARSE QUANTIZER (the published
     // IndexIVF+HNSW shape): probe selection walks an HNSW graph built
     // over the centroids — Q·log C instead of Q·C distance evaluations,
@@ -1235,6 +1245,23 @@ object Queries {
             lit(" end quote marker")).as("text"))
       Dedup.duplicateSpans(docs.unionByName(quotes), n = 50)
         .orderBy("doc_id", "pos")
+    }),
+
+    // span_dedup anchors merged into MAXIMAL duplicated regions
+    // (variable-length ExactSubstr reporting): the planted 60-token
+    // quotes must surface as single [start, start+60) regions — in the
+    // twin offset by its 3-token preamble — not as 11 overlapping
+    // 50-gram anchors. Oracle: the span_dedup SQL plus the identical
+    // gaps-and-islands merge and token-count end cap.
+    "span_dedup_maximal" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val quotes = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat(lit("verbatim quote follows "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 60)),
+            lit(" end quote marker")).as("text"))
+      Dedup.maximalDuplicateSpans(docs.unionByName(quotes), n = 50)
+        .orderBy("doc_id", "span_start")
     }),
 
     // span_dedup APPLIED: rebuild documents with every duplicated-span
@@ -2000,6 +2027,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Bigram stupid-backoff cross-entropy (Brants et al. 2007): LM trained
+    // on the even-id half, every doc scored — odd docs genuinely exercise
+    // the backoff branch (their bigrams/tokens can be unseen in training).
+    // The bigram count table joins on the (w₋₁, w) key — never broadcast
+    // (vocab², unlike the unigram table) — which is the operator's point
+    // at 100 TB.
+    "lm_perplexity_bigram" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      TextAnalysis.lmCrossEntropyBigram(docs, docs.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          round(col("cross_entropy"), 4).as("cross_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 deterministic hash embeddings (feature hashing over md5 token
     // hashes — model-free embedding generation; flat (doc, pos) output)
     "doc_embed" -> ((spark, dir) => {
@@ -2425,6 +2466,49 @@ object Queries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
         .orderBy("event_type", "bucket")
     }),
+
+    // AS-OF join (one key-partitioned window pass, no inequality join):
+    // each purchase enriched with the same user's most recent view at or
+    // before it, voided past a 1-hour tolerance — the temporal-enrichment
+    // operator Spark lacks natively. The oracle replays the identical
+    // union+running-last formulation in DuckDB window SQL.
+    "asof_join" -> ((spark, dir) => {
+      val e = eventsNanos(spark, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"), col("value"))
+      graft.ops.Temporal.asofJoin(purchases, views, "user_id", "ts", "view_id",
+          payload = Seq("view_id", "value"), tolerance = Some(3600000000000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_view_id").as("view_id"),
+          round(col("asof_value"), 4).as("view_value"),
+          (col("ts") - col("asof_ts")).as("lag_ns"))
+        .orderBy("event_id")
+    }),
+
+    // Bucketed point-in-interval join: sessions materialized from the
+    // full event stream (gap 30 min), error events joined INTO the
+    // session that contains them by (user, time-bucket) EQUI-join +
+    // containment filter — never the nested-loop range join. Deriving
+    // sessions from ALL events keeps the row non-vacuous at every scale
+    // factor (every error is inside its own session by construction; the
+    // interesting part is that the bucketed join finds exactly the
+    // containing ones). The oracle derives the same sessions with
+    // gaps-and-islands SQL and a plain BETWEEN join (exact at test scale).
+    "interval_join" -> ((spark, dir) => {
+      val e = eventsNanos(spark, dir)
+      val sessions = graft.ops.Temporal.sessionize(
+        e, "user_id", "ts", "event_id", gap = 1800000000000L)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.Temporal.intervalJoin(errors, sessions, "user_id", "ts",
+          "start_ts", "end_ts", bucket = 3600000000000L,
+          payload = Seq("session", "n_events"), maxBucketsPerInterval = 1 << 20)
+        .select(col("user_id"), col("ivl_session").as("session"),
+          col("event_id"), col("ivl_n_events").as("n_sess_events"))
+        .orderBy("user_id", "session", "event_id")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2643,6 +2727,35 @@ object Queries {
          |d AS (SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram HAVING count(*) >= 2)
          |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, d.n_occurrences
          |FROM g JOIN d USING (gram) ORDER BY doc_id, pos""".stripMargin
+    },
+    "span_dedup_maximal" -> {
+      val gram50 = (0 until 50).map {
+        case 0 => "t[i]"
+        case j => s"t[i+$j]"
+      }.mkString(" || ' ' || ")
+      s"""WITH quotes AS (SELECT doc_id + 800000 AS doc_id,
+         |  'verbatim quote follows ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:60], ' ') || ' end quote marker' AS text
+         |  FROM documents WHERE doc_id < 20),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |tok AS (SELECT doc_id, $duckToks AS t FROM all_docs),
+         |sp AS (SELECT doc_id, CASE WHEN len(t) < 50 THEN [{'pos': 0, 'gram': array_to_string(t, ' ')}]
+         |       ELSE list_transform(range(1, len(t) - 48), i -> {'pos': i - 1, 'gram': $gram50}) END AS spans FROM tok),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |      FROM (SELECT doc_id, unnest(spans) AS u FROM sp)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |gd AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER w IS NULL THEN 0
+         |             WHEN pos > lag(pos) OVER w + 50 THEN 1 ELSE 0 END AS brk
+         |      FROM gd WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |i2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM i),
+         |reg AS (SELECT doc_id, island, min(pos) AS span_start, max(pos) + 50 AS nominal_end,
+         |          count(*) AS n_anchors FROM i2 GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, len(t) AS l FROM tok)
+         |SELECT reg.doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(least(nominal_end, l) AS BIGINT) AS span_end, n_anchors
+         |FROM reg JOIN lens USING (doc_id) ORDER BY doc_id, span_start""".stripMargin
     },
     "span_dedup_clean" -> {
       val gram50 = (0 until 50).map {
@@ -3056,6 +3169,15 @@ object Queries {
          |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
          |      FROM embeddings e CROSS JOIN q)
          |SELECT qid, id, round(dist, 4) AS dist FROM d WHERE dist <= 1.3 ORDER BY qid, id""".stripMargin,
+    // top-k over the annulus dist > 0.3: same exact cosine fold, band
+    // filter before the ranking window on both sides
+    "mine_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, e.vec_id AS id, ${duckCosine(dEmb("e.embedding"), "q.qv")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |f AS (SELECT * FROM d WHERE dist > 0.3),
+         |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM f)
+         |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_ivf_opq" ->
       ("SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results, " +
         "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_rot " +
@@ -3178,6 +3300,27 @@ object Queries {
          |       round(-avg(ln(cnt.c / tot.s)), 4) AS cross_entropy
          |FROM tok JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+    // identical stupid-backoff arithmetic: MLE conditional on a trained
+    // bigram, 0.4 · add-1 unigram otherwise
+    "lm_perplexity_bigram" ->
+      s"""WITH tok AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |trn AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 0),
+         |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM trn) GROUP BY w),
+         |tot AS (SELECT sum(c1)::DOUBLE AS t_, count(*)::DOUBLE AS v FROM c1),
+         |c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c2
+         |       FROM (SELECT unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS b FROM trn)
+         |       GROUP BY 1, 2),
+         |cb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]})) AS b FROM tok)),
+         |s AS (SELECT cb.doc_id,
+         |        CASE WHEN c2.c2 IS NOT NULL THEN c2.c2 / p.c1
+         |             ELSE 0.4 * (coalesce(cu.c1, 0) + 1) / (tot.t_ + tot.v) END AS sc
+         |      FROM cb LEFT JOIN c2 ON cb.w1 = c2.w1 AND cb.w2 = c2.w2
+         |      LEFT JOIN c1 p ON cb.w1 = p.w
+         |      LEFT JOIN c1 cu ON cb.w2 = cu.w
+         |      CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams, round(-avg(ln(sc)), 4) AS cross_entropy
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_rarity" ->
       s"""WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |df AS (SELECT token, count(*) AS df
@@ -3422,5 +3565,46 @@ object Queries {
         |  FROM events)
         |SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical union+running-last formulation; 'view' rows carry non-null
+    // (view_id, value, tsn), so the three per-column last_value picks all
+    // land on the same winning row
+    "asof_join" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id AS view_id, value
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, tsn, 0 AS side, view_id AS seq, view_id, value, NULL::BIGINT AS event_id FROM v
+        |  UNION ALL
+        |  SELECT user_id, tsn, 1, NULL, NULL, NULL, event_id FROM p),
+        |m AS (SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN view_id END IGNORE NULLS) OVER w AS m_id,
+        |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w AS m_val,
+        |    last_value(CASE WHEN side = 0 THEN tsn END IGNORE NULLS) OVER w AS m_ts
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tsn, side, seq
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, tsn AS ts,
+        |  CASE WHEN m_ts >= tsn - 3600000000000 THEN m_id END AS view_id,
+        |  CASE WHEN m_ts >= tsn - 3600000000000 THEN round(m_val, 4) END AS view_value,
+        |  CASE WHEN m_ts >= tsn - 3600000000000 THEN tsn - m_ts END AS lag_ns
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // sessions via gaps-and-islands over the full stream, then a plain
+    // containment join (exact at test scale; the Spark side buckets)
+    "interval_join" ->
+      """WITH ne AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        |f AS (SELECT user_id, event_id, tsn,
+        |        CASE WHEN lag(tsn) OVER w IS NULL THEN 0
+        |             WHEN tsn - lag(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+        |      FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        |s0 AS (SELECT user_id, tsn,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |       FROM f),
+        |s AS (SELECT user_id, CAST(session AS BIGINT) AS session, min(tsn) AS start_ts,
+        |        max(tsn) AS end_ts, count(*) AS n_events
+        |      FROM s0 GROUP BY 1, 2),
+        |err AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events WHERE event_type = 'error')
+        |SELECT err.user_id, s.session, err.event_id, s.n_events AS n_sess_events
+        |FROM err JOIN s ON err.user_id = s.user_id AND err.tsn BETWEEN s.start_ts AND s.end_ts
+        |ORDER BY 1, 2, 3""".stripMargin,
   )
 }

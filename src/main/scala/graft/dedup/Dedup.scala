@@ -549,6 +549,58 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** [[duplicateSpans]] merged into MAXIMAL duplicated regions — the
+    * variable-length span reporting of a suffix-array ExactSubstr
+    * (Lee et al. 2022) without the suffix array: a verbatim-repeated run
+    * of L ≥ n tokens flags every n-gram window inside it, so its flagged
+    * anchor positions are consecutive and merging anchors whose coverage
+    * overlaps or abuts (pos ≤ prev + n) reconstructs the region's exact
+    * bounds — [start, start + L). Returns one row per maximal region:
+    * (doc_id, span_start, span_end, n_anchors) with `span_end` EXCLUSIVE,
+    * capped at the document's token count (a doc shorter than n tokens
+    * hashes as one whole-text span whose nominal n-token coverage
+    * overshoots the doc).
+    *
+    * Two adjacent regions duplicated against DIFFERENT partners merge if
+    * they overlap or abut — the output is the maximal runs of
+    * duplicate-covered TOKENS (what curation cuts), not per-partner match
+    * spans (what [[contaminationPairs]] reports pairwise).
+    *
+    * Scale shape: [[duplicateSpans]]'s two shuffles, one doc-keyed window
+    * pass over the FLAGGED anchors only (gaps-and-islands: running sum of
+    * break flags — no self-join), and a doc-keyed join of the aggregated
+    * regions against a narrow (doc_id, token-count) projection for the
+    * end cap. Everything after the flagging step is bounded by the
+    * flagged-anchor count, not the corpus.
+    */
+  def maximalDuplicateSpans(
+      docs: DataFrame,
+      n: Int = 50,
+      minOccurrences: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val islands = duplicateSpans(docs, n, minOccurrences, idCol, textCol)
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__brk",
+        when(col("__prev").isNull, 0L)
+          .otherwise((col("pos") > col("__prev") + n).cast("long")))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("__nominal_end"),
+        count(lit(1)).as("n_anchors"))
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("__len"))
+    islands.join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"),
+        least(col("__nominal_end"), col("__len")).as("span_end"),
+        col("n_anchors"))
+  }
+
   /** CCNet/RefinedWeb-style LINE-level duplicate detection: the trimmed,
     * non-empty lines that occur in at least `minDocs` DISTINCT documents.
     * Scraped corpora are full of these — navigation chrome, cookie

@@ -44,6 +44,28 @@ object Knn {
       .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
       .filter(col("dist") <= r)
 
+  /** HARD-NEGATIVE mining for contrastive embedding training: per anchor,
+    * the k nearest vectors whose distance EXCEEDS `minDist` — close
+    * enough to be informative negatives, far enough to exclude the
+    * anchor itself and its near-duplicates (which are probable unlabeled
+    * positives; mining them as negatives poisons the loss). The band
+    * filter runs ON the distance scan before the top-k window, so the
+    * ranking never sees excluded candidates — this is [[bruteForce]]
+    * restricted to the annulus (minDist, ∞), with the same
+    * per-partition `WindowGroupLimit` bounding what reaches the qid
+    * exchange. At 100 TB the identical band composes with the ANN tiers
+    * (e.g. [[Ivf.searchSavedFiltered]], or SQ8/PQ coarse scans with the
+    * filter on the rescore) — this exact formulation is their oracle.
+    */
+  def hardNegatives(data: DataFrame, queries: DataFrame, k: Int, minDist: Double,
+      metric: String = "cosine"): DataFrame = {
+    val d = data.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+      .filter(col("dist") > minDist)
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact kNN via per-partition bounded heaps: ONE pass over the data
     * computes all query heaps per partition (`mapPartitions`), emitting only
     * k candidates per (partition, query). The global merge ranks the k·P·Q

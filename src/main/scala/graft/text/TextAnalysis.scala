@@ -278,6 +278,67 @@ object TextAnalysis {
         (-avg(log(col("c").cast("double") / lit(total)))).as("cross_entropy"))
   }
 
+  /** Bigram cross-entropy with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the CCNet-style quality
+    * score one order up from [[lmCrossEntropy]]'s unigram: score every
+    * corpus document under an LM trained on a (typically curated) `train`
+    * set, where a bigram seen in training scores its conditional MLE and
+    * an unseen one backs off to α times the add-1-smoothed unigram:
+    *
+    *   S(w | w₋₁) = c₂(w₋₁ w) / c₁(w₋₁)        if c₂ > 0
+    *              = α · (c₁(w) + 1) / (T + V)   otherwise
+    *
+    * with T the trained token count, V the trained vocabulary size (the
+    * +1/+V add-1 keeps out-of-vocabulary tokens finite), α = 0.4 (the
+    * published constant). Returns (id, n_bigrams, cross_entropy) with
+    * cross_entropy = −mean ln S over the doc's bigram positions; docs
+    * with fewer than two tokens have no bigram positions and drop out.
+    *
+    * Scale shape — why this is NOT [[lmCrossEntropy]] with a longer key:
+    * the unigram table is vocab-sized and broadcasts, but the bigram
+    * table grows toward vocab² and must NOT ride a broadcast; it joins
+    * the corpus's bigram positions on the (w₋₁, w) key — one
+    * hash-partitioned shuffle each side, partial-agg counted on the
+    * train side. Bigram positions are assembled NARROWLY per document
+    * (zip of the token array with its tail), so no window pass and no
+    * doc-keyed shuffle before the final per-doc aggregation.
+    */
+  def lmCrossEntropyBigram(
+      corpus: org.apache.spark.sql.DataFrame,
+      train: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    def bigrams(df: org.apache.spark.sql.DataFrame, keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val n = greatest(size(col("__toks")) - 1, lit(0))
+      df.select(keep.map(col) :+ tokens(col(textCol)).as("__toks"): _*)
+        .select(keep.map(col) :+ explode(zip_with(
+          slice(col("__toks"), lit(1), n), slice(col("__toks"), lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
+        .select(keep.map(col) :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    }
+    val c2 = bigrams(train, Seq.empty).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+      .cache()
+    val tot = c1.agg(sum("c1"), count(lit(1))).head()
+    val (t, v) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    val scored = bigrams(corpus, Seq(idCol))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(c1.withColumnRenamed("token", "w1").withColumnRenamed("c1", "c1_prev")),
+        Seq("w1"), "left")
+      .join(broadcast(c1.withColumnRenamed("token", "w2").withColumnRenamed("c1", "c1_cur")),
+        Seq("w2"), "left")
+    // c2 ≥ 1 implies c1_prev ≥ 1 (every trained bigram's w₋₁ is a trained
+    // token), so the MLE branch never divides by null/zero
+    val s = when(col("c2").isNotNull,
+        col("c2").cast("double") / col("c1_prev"))
+      .otherwise(lit(alpha) * (coalesce(col("c1_cur"), lit(0L)) + 1).cast("double") / lit(t + v))
+    scored
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(log(s))).as("cross_entropy"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus
     * document by how much more likely its tokens are under the TARGET

@@ -518,6 +518,29 @@ class DedupSpec extends SparkTestBase {
     assert(res(0)._3 < res(1)._3)
   }
 
+  test("bigram stupid backoff matches the closed form on both branches") {
+    // train: "a b a c" → c2{(a,b)=1,(b,a)=1,(a,c)=1}, c1{a=2,b=1,c=1}, T=4, V=3
+    val train = docs((0L, "a b a c"))
+    val corpus = docs(
+      (0L, "a b a c"),
+      (1L, "a b x"), // (a,b) trained MLE 1/2; (b,x) unseen → 0.4·(0+1)/7
+      (2L, "c a"),   // (c,a) unseen, both tokens trained → 0.4·(2+1)/7
+      (3L, "solo"))  // one token: no bigram positions → absent
+    val res = TextAnalysis.lmCrossEntropyBigram(corpus, train)
+      .select("doc_id", "n_bigrams", "cross_entropy")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val ln = (x: Double) => math.log(x)
+    assert(res.keySet === Set(0L, 1L, 2L))
+    val h0 = -(ln(0.5) + ln(1.0) + ln(0.5)) / 3 // (a,b)=1/2, (b,a)=1/1, (a,c)=1/2
+    val h1 = -(ln(0.5) + ln(0.4 / 7)) / 2
+    val h2 = -ln(0.4 * 3 / 7)
+    assert(math.abs(res(0L)._2 - h0) < 1e-9 && res(0L)._1 == 3L)
+    assert(math.abs(res(1L)._2 - h1) < 1e-9 && res(1L)._1 == 2L)
+    assert(math.abs(res(2L)._2 - h2) < 1e-9 && res(2L)._1 == 1L)
+    // trained text scores lower than backoff-dominated text
+    assert(res(0L)._2 < res(2L)._2)
+  }
+
   test("bloom-gated contamination pairs equal the exact formulation, even at fpp=0.5") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")).toDF("bench_id", "text")
@@ -571,6 +594,30 @@ class DedupSpec extends SparkTestBase {
     val s2 = Dedup.duplicateSpans(short, n = 50)
       .select("doc_id", "pos", "n_occurrences").as[(Long, Long, Long)].collect().toSet
     assert(s2 === Set((10L, 0L, 2L), (11L, 0L, 2L)))
+  }
+
+  test("maximal spans: overlapping anchors merge to exact region bounds, gaps split, short docs cap") {
+    val d = docs(
+      (1L, "p q r s t u v w tail1x"),  // shared 8-token run at pos 0
+      (2L, "lead2a p q r s t u v w"),  // same run at pos 1
+      // two occurrences of the 5-token run far apart in one doc: the
+      // anchors are 11 > 0 + 5 apart, so the regions must NOT merge
+      (3L, "p q r s t g1 g2 g3 g4 g5 g6 p q r s t"))
+    val got = Dedup.maximalDuplicateSpans(d, n = 5)
+      .select("doc_id", "span_start", "span_end", "n_anchors")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 8L, 4L),  // anchors 0..3 merge to [0, 8): the exact run
+      (2L, 1L, 9L, 4L),
+      (3L, 0L, 5L, 1L), (3L, 11L, 16L, 1L)))
+
+    // sub-n doc: the whole-text fallback anchor's nominal 50-token
+    // coverage is capped at the document's real token count
+    val short = docs((10L, "tiny doc"), (11L, "tiny doc"), (12L, "other words"))
+    val s2 = Dedup.maximalDuplicateSpans(short, n = 50)
+      .select("doc_id", "span_start", "span_end", "n_anchors")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(s2 === Set((10L, 0L, 2L, 1L), (11L, 0L, 2L, 1L)))
   }
 
   test("line dedup: cross-doc boilerplate lines removed everywhere, unique lines survive in order") {

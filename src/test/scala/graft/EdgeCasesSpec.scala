@@ -326,4 +326,16 @@ class EdgeCasesSpec extends SparkTestBase {
       graft.multimodal.Multimodal.encodeApng(Seq.empty, 1, 1)
     }
   }
+
+  test("hard negatives: the annulus filter excludes self and near-dups, keeps the nearest negative") {
+    // anchor (1,0); exact dup id=2; near-dup id=3 (same direction); the
+    // nearest legitimate negative is id=4 at 90°, then id=5 at 180°
+    val data = Seq(
+      (2L, Seq(1f, 0f)), (3L, Seq(2f, 0.001f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(-1f, 0f))).toDF("id", "vector")
+    val q = Seq((1L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val got = graft.knn.Knn.hardNegatives(data, q, k = 5, minDist = 0.5, metric = "cosine")
+      .select("id", "rank").as[(Long, Long)].collect().toSet
+    assert(got === Set((4L, 1L), (5L, 2L))) // 2 and 3 are inside the dup band
+  }
 }
