@@ -1633,6 +1633,30 @@ object Queries {
     // stats domain-mixing and blocklist curation consume. Planted docs
     // carry anchor-tag and bare URLs (one with trailing sentence
     // punctuation); the unplanted corpus must report zero links.
+    // URL canonicalization → URL-level dedup (the cheapest dedup tier a
+    // web pipeline runs — no content read): planted surface variants
+    // (case, default port, www, tracking params, fragment, trailing
+    // punctuation) must collapse to one canonical key. The oracle replays
+    // the identical RE2-safe regexp chain step by step.
+    "url_canonical" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(lit("read https://Example.com:443/Article/"), col("doc_id").cast("string"),
+            lit("?utm_source=feed&id=7&utm_medium=rss#frag also " +
+              "https://www.example.com/Article/"), col("doc_id").cast("string"),
+            lit("?id=7 and http://example.com:80/other?gclid=xyz. tail")).as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          explode(graft.text.TextAnalysis.links(col("text"))).as("url"))
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_urls"))
+        .filter(col("n_urls") >= 2)
+        .orderBy("canonical_url")
+    }),
+
     "link_stats" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 20)
@@ -2126,6 +2150,18 @@ object Queries {
           Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.1))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis keys
+    // from deterministic md5 uniforms): 100 docs ∝ n_chars — the DSIR
+    // resampling executor. The oracle replays the identical ln(u)/w key
+    // arithmetic; the selection and its rank order must match exactly.
+    "sample_weighted" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      graft.ops.Sampling.sampleWeighted(docs, "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("sample_rank")
     }),
 
     // Per-source quota cap (C4-style domain quotas): ≤ 150 docs per source,
@@ -3020,6 +3056,24 @@ object Queries {
          |SELECT qid, id, round(s, 6) AS fused_score, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // Java \s diverge on \x0B); both sides sort domains before joining
+    // the same canonicalization chain, one CTE per step; DuckDB
+    // regexp_replace needs the explicit 'g' flag where Spark's is global
+    "url_canonical" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id,
+        |    'read https://Example.com:443/Article/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=7&utm_medium=rss#frag also https://www.example.com/Article/' || CAST(doc_id AS VARCHAR) || '?id=7 and http://example.com:80/other?gclid=xyz. tail' AS text
+        |  FROM documents WHERE doc_id < 10),
+        |l AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?i)\bhttps?://[^ \t\n\r"''<>)]+', 0)) AS url FROM all_docs),
+        |c0 AS (SELECT doc_id, regexp_replace(regexp_replace(url, '[.,;:!?]+$', ''), '#.*$', '') AS u FROM l),
+        |c1 AS (SELECT doc_id, lower(regexp_extract(u, '^([a-zA-Z]+://[^/?#]+)', 1)) || regexp_replace(u, '^[a-zA-Z]+://[^/?#]+', '') AS u FROM c0),
+        |c2 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '^(https?://[^/?#:]+):(80|443)(/|\?|$)', '\1\3'), '^(https?://)www\.', '\1') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, '([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '\1', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '\?&+', '?'), '&&+', '&', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '[?&]+$', ''), '/+$', '') AS u FROM c4)
+        |SELECT u AS canonical_url, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+        |FROM c5 GROUP BY 1 HAVING count(*) >= 2 ORDER BY canonical_url""".stripMargin,
     "link_stats" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -3355,6 +3409,17 @@ object Queries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // identical Efraimidis–Spirakis key: u = (md5-60-bit + 0.5)/2^60,
+    // key = ln(u)/w, top-100 by (key desc, id)
+    "sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)
+        |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  row_number() OVER (ORDER BY skey DESC, doc_id) AS sample_rank
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -94,4 +94,50 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), seed) < threshold)
   }
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-Res):
+    * keep the k rows with the largest key u^(1/w) — computed in log space
+    * as ln(u)/w — which selects each row with probability proportional to
+    * its weight, exactly the executor DSIR-style importance resampling
+    * needs once [[graft.text.TextAnalysis.dsirWeights]] (or any quality
+    * scorer) has produced per-document weights. The uniform u derives
+    * from the same md5 hash as [[bucket]] ((h + 0.5) / 2⁶⁰ — never 0, so
+    * ln is finite), making the SAMPLE a pure function of ids:
+    * reproducible across engines, runs, and partition layouts, and
+    * mirrorable by a SQL oracle.
+    *
+    * Output: the selected rows plus `sample_rank` (1 = largest key).
+    * Non-positive or null weights fail LOUDLY (a silent weight bug
+    * otherwise skews the mixture): rows a caller wants excluded should
+    * be filtered before sampling, not given weight 0.
+    *
+    * Scale shape: the selection is `orderBy(key).limit(k)` — Spark plans
+    * TakeOrderedAndProject, a per-partition bounded top-k + driver merge
+    * of k·P candidates, never a global sort. The rank window runs on the
+    * k selected rows only. For k beyond driver-merge comfort (~10⁷),
+    * pre-filter with a key-threshold from `approxQuantile` and top-k the
+    * survivors — same keys, same order, bounded merge.
+    */
+  def sampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String = "s"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double")
+    val u = (h + 0.5) / lit(math.pow(2, 60))
+    val key = when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(lit(s"sampleWeighted: non-positive weight in '$weightCol' for id "),
+          col(idCol).cast("string"),
+          lit(" — filter unwanted rows out instead of zero-weighting them"))))
+      .otherwise(log(u) / col(weightCol).cast("double"))
+    df.withColumn("__skey", key)
+      .orderBy(col("__skey").desc, col(idCol))
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__skey").desc, col(idCol))))
+      .drop("__skey")
+  }
 }

@@ -433,6 +433,36 @@ object TextAnalysis {
       lower(regexp_extract(regexp_replace(u, "[.,;:!?]+$", ""),
         "^[a-zA-Z]+://([^/?#]+)", 1))))
 
+  /** URL CANONICALIZATION — the RefinedWeb/CCNet-style URL-level dedup
+    * key: two crawls of one page usually differ only in surface form
+    * (tracking params, fragment, www, default port, case of the
+    * case-insensitive components), and URL dedup is the cheapest dedup
+    * tier a web pipeline runs (no content read at all). Rules, in order:
+    * trailing sentence punctuation trimmed (a bare URL at sentence end
+    * captures its period), fragment stripped, scheme+authority
+    * lowercased (path case PRESERVED — paths are case-sensitive),
+    * default port (:80/:443) stripped, leading `www.` stripped,
+    * `utm_*`/`gclid`/`fbclid` tracking params stripped with separator
+    * cleanup, trailing slashes stripped.
+    *
+    * One narrow chain of codegen'd regexp_replace calls — RE2-safe (no
+    * lookaround, no pattern backreferences) so the DuckDB oracle
+    * evaluates the IDENTICAL patterns.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noPunct = regexp_replace(url, "[.,;:!?]+$", "")
+    val noFrag = regexp_replace(noPunct, "#.*$", "")
+    // lowercase scheme://authority, keep the rest verbatim
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?#]+)", 1)),
+      regexp_replace(noFrag, "^[a-zA-Z]+://[^/?#]+", ""))
+    val noPort = regexp_replace(lowered, "^(https?://[^/?#:]+):(80|443)(/|\\?|$)", "$1$3")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    val noTrack = regexp_replace(noWww, "([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "$1")
+    val cleanSep = regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
+    regexp_replace(regexp_replace(cleanSep, "[?&]+$", ""), "/+$", "")
+  }
+
   /** Markup-to-text extraction — the WET-style ingest step that turns
     * crawled HTML into the plain text every downstream pass (dedup,
     * quality, packing) consumes. One narrow chain of codegen'd

@@ -327,6 +327,48 @@ class EdgeCasesSpec extends SparkTestBase {
     }
   }
 
+  test("canonical URL: every rule fires, non-default ports and path case survive") {
+    val cases = Seq(
+      "https://Example.com:443/Article/3?utm_source=feed&id=7&utm_medium=rss#frag"
+        -> "https://example.com/Article/3?id=7",
+      "https://www.example.com/Article/3?id=7" -> "https://example.com/Article/3?id=7",
+      "http://example.com:80/other?gclid=xyz." -> "http://example.com/other",
+      "https://a.com/" -> "https://a.com",
+      "HTTPS://A.COM/PathCase" -> "https://a.com/PathCase",
+      "https://a.com:8080/x" -> "https://a.com:8080/x", // non-default port kept
+      "https://a.com/x?utm_a=1&utm_b=2&c=3" -> "https://a.com/x?c=3",
+      "https://a.com/x?a=1&utm_z=9" -> "https://a.com/x?a=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.text.TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, s"for $in") }
+  }
+
+  test("weighted sampling: matches the A-Res closed form, is layout-invariant, rejects bad weights") {
+    val df = (1L to 400L).map(i => (i, (i % 7 + 1).toDouble)).toDF("doc_id", "w")
+    // recompute the Efraimidis–Spirakis keys exactly as the operator does
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16).toDouble
+      math.log((h + 0.5) / math.pow(2, 60)) / w
+    }
+    val expect = (1L to 400L).map(i => (i, key(i, (i % 7 + 1).toDouble)))
+      .sortBy { case (id, k) => (-k, id) }.take(50).map(_._1)
+    def got(parts: Int) = graft.ops.Sampling
+      .sampleWeighted(df.repartition(parts), "doc_id", "w", k = 50)
+      .orderBy("sample_rank").select("doc_id").as[Long].collect().toSeq
+    assert(got(3) === expect)
+    assert(got(11) === expect) // pure function of ids, not layout
+    val ex = intercept[Exception] {
+      graft.ops.Sampling.sampleWeighted(
+        Seq((1L, 0.0)).toDF("doc_id", "w"), "doc_id", "w", k = 1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("non-positive weight")))
+  }
+
   test("hard negatives: the annulus filter excludes self and near-dups, keeps the nearest negative") {
     // anchor (1,0); exact dup id=2; near-dup id=3 (same direction); the
     // nearest legitimate negative is id=4 at 90°, then id=5 at 180°
