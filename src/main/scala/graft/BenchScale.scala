@@ -491,6 +491,61 @@ object BenchScale {
       println(s"[scale] bm25 maintained == batch: ${maintained.size} rows")
     }
 
+    // Temporal joins at event-log scale: the as-of window formulation
+    // (one key Exchange + sort) must hold at millions of rows, and its
+    // answer must equal an independent argmax-join formulation; the
+    // bucketed interval join must place every event in exactly the one
+    // session that contains it (sessions partition each key's timeline).
+    {
+      val nKeys = 10000
+      val ev = spark.range(n).select(col("id"),
+          (col("id") % nKeys).as("k"),
+          (pmod(xxhash64(col("id")), lit(2000000000L)) + 1L).as("ts"))
+        .cache()
+      ev.count()
+      // side split must be independent of the key (id % 10 would make
+      // each mod-10000 key entirely one side)
+      val side = pmod(xxhash64(col("id") + 7), lit(10))
+      val right = ev.filter(side === 0)
+        .select(col("k"), col("ts"), col("id").as("rid"), (col("ts") % 97).as("v"))
+      val left = ev.filter(side =!= 0).select(col("id"), col("k"), col("ts"))
+      val nLeft = left.count()
+      val joined = timed(s"as-of join ($n events, $nKeys keys)") {
+        // toRdd.count(): a bare count would let Catalyst prune the window
+        graft.ops.Temporal.asofJoin(left, right, "k", "ts", "rid", Seq("rid", "v"))
+          .queryExecution.toRdd.count()
+      }
+      require(joined == nLeft, s"as-of join must be left-total: $joined vs $nLeft")
+      // independent formulation on one key: argmax by (ts, rid) via
+      // max(struct) over an inequality join — small enough to be exact
+      val k0L = left.filter(col("k") === 0)
+      val k0R = right.filter(col("k") === 0)
+      val viaWindow = graft.ops.Temporal.asofJoin(k0L, k0R, "k", "ts", "rid", Seq("rid"))
+        .select(col("id"), col("asof_rid")).as[(Long, Option[Long])].collect().toMap
+      val brute = k0L.as("l")
+        .join(k0R.as("r"), col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+        .groupBy(col("l.id")).agg(max(struct(col("r.ts"), col("r.rid"))).as("m"))
+        .select(col("id"), col("m.rid")).as[(Long, Option[Long])].collect().toMap
+      require(viaWindow == brute,
+        s"as-of window formulation diverged from argmax join on key 0 (${k0L.count()} rows)")
+      require(viaWindow.nonEmpty && viaWindow.values.exists(_.isDefined),
+        "as-of spot check is vacuous: no key-0 left rows or no matches")
+      println(s"[scale] as-of spot check: ${viaWindow.size} rows on key 0 " +
+        s"(${viaWindow.values.count(_.isDefined)} matched), formulations equal")
+
+      val sessions = graft.ops.Temporal.sessionize(ev, "k", "ts", "id", gap = 50000000L)
+      val nSess = sessions.count()
+      val contained = timed(s"interval join ($n events into $nSess sessions)") {
+        graft.ops.Temporal.intervalJoin(ev, sessions, "k", "ts", "start_ts", "end_ts",
+          bucket = 10000000L, payload = Seq("session"),
+          maxBucketsPerInterval = 1 << 20).count()
+      }
+      require(contained == n.toLong,
+        s"each event must land in exactly its own session: $contained vs $n")
+      println(s"[scale] interval join: every event in exactly one session")
+      ev.unpersist()
+    }
+
     spark.stop()
   }
 }
