@@ -2503,6 +2503,26 @@ object Queries {
         .orderBy("event_type", "bucket")
     }),
 
+    // Z-order (Morton) clustering key over (user_id, ts) — the layout
+    // lever that lets parquet min/max stats prune range predicates on
+    // EITHER column after a re-layout. The key arithmetic (exact min/max
+    // aggregate → 8-bit min–max ranks → bit interleave) is pure
+    // integer/double math, replayed exactly by the oracle; the layout
+    // operator itself (repartitionByRange + sortWithinPartitions on this
+    // key) is gated in LayoutSpec on measured per-partition span
+    // shrinkage.
+    "zorder_key" -> ((spark, dir) => {
+      val e = eventsNanos(spark, dir)
+      val r = e.agg(
+        min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+        min(col("ts").cast("double")), max(col("ts").cast("double"))).head()
+      e.select(col("event_id"),
+          graft.ops.Layout.zvalue(Seq(col("user_id"), col("ts")),
+            Seq(r.getDouble(0), r.getDouble(2)), Seq(r.getDouble(1), r.getDouble(3)),
+            bits = 8).as("zvalue"))
+        .orderBy("event_id")
+    }),
+
     // AS-OF join (one key-partitioned window pass, no inequality join):
     // each purchase enriched with the same user's most recent view at or
     // before it, voided past a 1-hour tolerance — the temporal-enrichment
@@ -3630,6 +3650,20 @@ object Queries {
         |  FROM events)
         |SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical z-key arithmetic: exact min/max, 8-bit min–max ranks
+    // (floor → clamp, same op order), unrolled bit interleave
+    "zorder_key" -> {
+      val terms = (0 until 8).flatMap(j =>
+        Seq(s"(((r1 >> $j) & 1) << ${2 * j})", s"(((r2 >> $j) & 1) << ${2 * j + 1})"))
+        .mkString(" + ")
+      s"""WITH mm AS (SELECT min(CAST(user_id AS DOUBLE)) AS u0, max(CAST(user_id AS DOUBLE)) AS u1,
+         |  min(CAST(epoch_ns(ts) AS DOUBLE)) AS t0, max(CAST(epoch_ns(ts) AS DOUBLE)) AS t1 FROM events),
+         |r AS (SELECT event_id,
+         |  least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - u0) / (u1 - u0) * 255.0) AS BIGINT), 0), 255) AS r1,
+         |  least(greatest(CAST(floor((CAST(epoch_ns(ts) AS DOUBLE) - t0) / (t1 - t0) * 255.0) AS BIGINT), 0), 255) AS r2
+         |  FROM events CROSS JOIN mm)
+         |SELECT event_id, CAST($terms AS BIGINT) AS zvalue FROM r ORDER BY event_id""".stripMargin
+    },
     // identical union+running-last formulation; 'view' rows carry non-null
     // (view_id, value, tsn), so the three per-column last_value picks all
     // land on the same winning row
