@@ -2300,6 +2300,23 @@ object Queries {
       streamEventsReplay(spark, dir)(
         graft.streaming.StreamingOps.slidingEventStats(_, "10 minutes", "5 minutes", "10 minutes"))),
 
+    // §2.21 STREAMING sessionization: Spark-native session_window state
+    // merging over the replayed event stream must converge to the batch
+    // gaps-and-islands answer (same `> gap` split rule — verified in
+    // EdgeCasesSpec — with window end = last event + gap); µs time
+    // arithmetic mirrors the oracle exactly
+    "stream_sessionize" -> ((spark, dir) => {
+      val stream = eventsStreamMicros(spark, dir)
+      runStream(spark,
+        graft.streaming.StreamingOps.sessionizedEventStats(stream, "30 minutes", "10 minutes"),
+        "complete", "stream_sess_")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // §2.21 watermarked stream-stream inner join: the event stream enriched
     // against itself as a bounded-skew attribute stream — every (event,
     // prior-event-of-same-user-within-10min) pair emits exactly once, so
@@ -3612,6 +3629,21 @@ object Queries {
       """SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // batch gaps-and-islands in µs with the session_window rules:
+    // split strictly beyond the 30-min gap, end = last event + gap
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, value FROM events),
+        |f AS (SELECT user_id, t, value,
+        |        CASE WHEN lag(t) OVER w IS NULL THEN 0
+        |             WHEN t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s AS (SELECT user_id, t, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM f)
+        |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin,
     // per-user count of (event, same-user event within the prior 10 min)
     // pairs; µs-truncated time arithmetic mirrors the Spark side exactly
     "stream_join" ->

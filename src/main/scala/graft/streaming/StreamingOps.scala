@@ -42,6 +42,27 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowDuration, slideDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** SESSION-window stats — streaming sessionization through Spark's
+    * native `session_window` state merging: per (user, session) counts
+    * with session = maximal run of events whose consecutive gaps do not
+    * exceed `gap`. An event EXACTLY `gap` after the previous one still
+    * merges (verified in EdgeCasesSpec) — the identical break rule as
+    * the batch operator [[graft.ops.Temporal.sessionize]] (`> gap`
+    * splits), so the two converge; the emitted window end is
+    * last-event-ts + gap. State is merged distributedly per key; with a
+    * watermark, closed sessions age out of the store, so memory is
+    * bounded by OPEN sessions — the property that lets this run forever
+    * on an event firehose.
+    */
+  def sessionizedEventStats(
+      events: DataFrame, // (ts: timestamp, user_id, value)
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
   /** Watermarked stream-stream inner join: enrich an event stream with a
     * (streamed) user-attribute stream within a bounded time skew — state on
     * both sides is dropped past the watermark, so memory stays bounded.

@@ -327,6 +327,18 @@ class EdgeCasesSpec extends SparkTestBase {
     }
   }
 
+  test("session_window semantics: exact-gap events MERGE; beyond-gap events split") {
+    val df = Seq(0L, 10L, 19L, 30L)
+      .map(s => (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), 1.0))
+      .toDF("user_id", "ts", "value")
+    val s = graft.streaming.StreamingOps.sessionizedEventStats(df, "10 seconds")
+      .select("n_events").as[Long].collect().sorted.toSeq
+    // 0→10 is exactly the gap: merges (same `> gap` split rule as the
+    // batch Temporal.sessionize, which the stream_sessionize oracle
+    // encodes); 19→30 exceeds it: splits
+    assert(s === Seq(1L, 3L))
+  }
+
   test("canonical URL: every rule fires, non-default ports and path case survive") {
     val cases = Seq(
       "https://Example.com:443/Article/3?utm_source=feed&id=7&utm_medium=rss#frag"
