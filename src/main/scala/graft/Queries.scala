@@ -2520,6 +2520,21 @@ object Queries {
         .orderBy("event_type", "bucket")
     }),
 
+    // Deterministic manifest-guarded training-shard export: write → full
+    // content verification (file completeness + per-shard digest
+    // recompute) → per-shard counts. Shard membership is the same
+    // engine-portable md5 rule as the sampling rows, so the oracle
+    // recomputes the exact per-shard counts; the digest/tamper machinery
+    // is gated in ShardsSpec.
+    "export_shards" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/exp"
+      graft.ops.Shards.write(docs, out, "doc_id", nShards = 8)
+      graft.ops.Shards.validate(spark, out)
+        .select(col("shard").cast("long").as("shard"), col("n_rows"))
+        .orderBy("shard")
+    }),
+
     // Z-order (Morton) clustering key over (user_id, ts) — the layout
     // lever that lets parquet min/max stats prune range predicates on
     // EITHER column after a re-layout. The key arithmetic (exact min/max
@@ -3682,6 +3697,12 @@ object Queries {
         |  FROM events)
         |SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the same md5 shard rule; the export's verified counts must equal
+    // the closed-form assignment
+    "export_shards" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  count(*) AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical z-key arithmetic: exact min/max, 8-bit min–max ranks
     // (floor → clamp, same op order), unrolled bit interleave
     "zorder_key" -> {
