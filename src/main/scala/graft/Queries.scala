@@ -2027,6 +2027,23 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Full BPE TOKENIZATION (pieces, not just counts): over REAL corpus
+    // text, n_pieces must equal the independently-computed codegen count
+    // kernel, and un-mapping Ġ→space over the joined pieces must
+    // reconstruct the document byte-for-byte (the GPT-2 pretokenizer
+    // partitions the text, so the encode is lossless). Flags collapse to
+    // a closed-form oracle on (doc_id, whitespace-token count).
+    "bpe_encode" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pieces = TextAnalysis.bpeTokensReal(col("text"))
+      docs.select(col("doc_id"),
+          (size(pieces).cast("long") === TextAnalysis.bpeTokenCountReal(col("text")))
+            .cast("long").as("count_consistent"),
+          (array_join(transform(pieces, p => translate(p, "Ġ", " ")), "") === col("text"))
+            .cast("long").as("round_trip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 corpus statistics: token document frequency + IDF rarity score
     "token_df" -> ((spark, dir) => {
       TextAnalysis.tokenDocumentFrequency(t(spark, dir, "documents"))
@@ -3394,6 +3411,9 @@ object Queries {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_bpe_tokens FROM (VALUES
         |  (1, 3), (2, 4), (3, 12), (4, 0), (5, 4), (6, 12), (7, 4), (8, 3), (9, 13), (10, 14))
         |v(doc_id, n) ORDER BY doc_id""".stripMargin,
+    "bpe_encode" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS count_consistent, CAST(1 AS BIGINT) AS round_trip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "token_df" ->
       s"""SELECT t.token, count(*) AS df
          |FROM (SELECT unnest(list_distinct($duckToks)) AS token FROM documents) t

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 object BpeKernel {
@@ -30,6 +30,20 @@ object BpeKernel {
     while (m.find()) total += graft.text.Bpe.countTokens(m.group(), ranks)
     total
   }
+
+  /** One pretokenize pass; per-pretoken BPE encode; concatenated PIECES
+    * (GPT-2 byte-level convention, space → Ġ) in document order. */
+  def pieces(text: UTF8String, spec: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ranks = table(spec)
+    val m = pattern.matcher(text.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    while (m.find()) {
+      val ps = graft.text.Bpe.encodeTokens(m.group(), ranks)
+      var i = 0
+      while (i < ps.length) { out += UTF8String.fromString(ps(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** text → REAL BPE token count (`long`) under a standard merges table —
@@ -52,6 +66,34 @@ case class BpeTokenCount(child: Expression, mergeLines: Seq[String]) extends Una
     val specRef = ctx.addReferenceObj("bpeMergesSpec", spec, "java.lang.String")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.BpeKernel.count($a, $specRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → the full BPE token PIECE array (`array<string>`, GPT-2 space→Ġ
+  * convention) under the same merges table as [[BpeTokenCount]] — the
+  * tokenizer output itself, for piece-level pipelines (vocabulary audits,
+  * piece-length stats, id mapping through a vocab join). `size(pieces)`
+  * equals [[BpeTokenCount]] by construction (countTokens delegates to the
+  * piece encoder), and the pieces reconstruct the input exactly.
+  */
+case class BpeTokens(child: Expression, mergeLines: Seq[String]) extends UnaryExpression {
+  private val spec = BpeKernel.encode(mergeLines)
+  require(!mergeLines.exists(_.contains("\n")), "merge lines must not contain newlines")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(a: Any): Any =
+    BpeKernel.pieces(a.asInstanceOf[UTF8String], spec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("bpeMergesSpec", spec, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BpeKernel.pieces($a, $specRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

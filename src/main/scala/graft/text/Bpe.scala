@@ -172,8 +172,17 @@ object Bpe {
   }
 
   /** Token count of one pretoken after applying `ranks` to exhaustion. */
-  def countTokens(pretoken: String, ranks: Map[(String, String), Int]): Int = {
-    if (pretoken.isEmpty) return 0
+  def countTokens(pretoken: String, ranks: Map[(String, String), Int]): Int =
+    encodeTokens(pretoken, ranks).length
+
+  /** The token PIECES of one pretoken after applying `ranks` to
+    * exhaustion — the full tokenizer output, GPT-2 byte-level convention
+    * (space → Ġ), of which [[countTokens]] is the length. Joining the
+    * pieces and mapping Ġ back to space reconstructs the pretoken
+    * exactly (round-trip gated in the `bpe_encode` catalog row).
+    */
+  def encodeTokens(pretoken: String, ranks: Map[(String, String), Int]): Array[String] = {
+    if (pretoken.isEmpty) return Array.empty
     var symbols: Array[String] =
       pretoken.iterator.map(c => if (c == ' ') "Ġ" else c.toString).toArray
     var done = false
@@ -202,6 +211,6 @@ object Bpe {
         symbols = out.toArray
       }
     }
-    symbols.length
+    symbols
   }
 }

@@ -49,6 +49,13 @@ object TextAnalysis {
   def bpeTokenCountReal(text: Column, mergeLines: Seq[String] = Bpe.DemoMerges): Column =
     SqlBridge.column(graft.functions.BpeTokenCount(SqlBridge.expression(text), mergeLines))
 
+  /** The full BPE token piece array (GPT-2 space→Ġ convention) under the
+    * same merges table — `size` of it equals [[bpeTokenCountReal]] by
+    * construction, and mapping Ġ→space over a join of the pieces
+    * reconstructs the text exactly. */
+  def bpeTokensReal(text: Column, mergeLines: Seq[String] = Bpe.DemoMerges): Column =
+    SqlBridge.column(graft.functions.BpeTokens(SqlBridge.expression(text), mergeLines))
+
   /** Count of tokens present in `words`. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")

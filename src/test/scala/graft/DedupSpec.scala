@@ -366,6 +366,16 @@ class DedupSpec extends SparkTestBase {
     assert(graft.text.Bpe.countTokens("lower", ranks) === 3)
     assert(graft.text.Bpe.countTokens("newest", ranks) === 4)
     assert(graft.text.Bpe.countTokens("widest", ranks) === 4)
+    // the pieces behind those counts: merged symbols, reconstructing the input
+    assert(graft.text.Bpe.encodeTokens("lower", ranks).toSeq === Seq("low", "e", "r"))
+    assert(graft.text.Bpe.encodeTokens("newest", ranks).mkString === "newest")
+    // Ġ convention through the column API: a mid-text pretoken carries
+    // its leading space as Ġ and the round trip restores it
+    val pieces = Seq((1L, "the cat")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokensReal(col("text")).as("p"))
+      .as[Seq[String]].head()
+    assert(pieces.exists(_.startsWith("Ġ")))
+    assert(pieces.mkString.replace('Ġ', ' ') === "the cat")
 
     // layout invariance: the frequency aggregation is exact and the cap
     // ordering total, so any partitioning trains the same table
