@@ -37,6 +37,10 @@ object vec {
   def dot(a: Column, b: Column): Column = c(VectorDot(e(a), e(b)))
   def norm(a: Column): Column = c(VectorNorm(e(a)))
 
+  /** ColBERT MaxSim over token-vector lists: Σ_q max_d dot(q, d). */
+  def maxSim(docVectors: Column, queryVectors: Column): Column =
+    c(MaxSimScore(e(docVectors), e(queryVectors)))
+
   /** Fused SQ8 encode — struct(codes, q_scale, q_offset, q_err, q_err_l1);
     * `normalize = true` L2-normalizes first (NULL for zero-norm vectors).
     */
@@ -109,6 +113,7 @@ object GraftFunctionRegistry {
     "dist_manhattan" -> ((args: Seq[Expression]) => VectorDistance(args(0), args(1), VectorDistance.Manhattan)),
     "dist_cosine" -> ((args: Seq[Expression]) => VectorDistance(args(0), args(1), VectorDistance.Cosine)),
     "vec_dot" -> ((args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    "maxsim_score" -> ((args: Seq[Expression]) => MaxSimScore(args(0), args(1))),
     "vec_norm" -> ((args: Seq[Expression]) => VectorNorm(args(0))),
     "vec_to_bytes" -> ((args: Seq[Expression]) => VecToBytes(args(0))),
     "vec_from_bytes" -> ((args: Seq[Expression]) => VecFromBytes(args(0))),
