@@ -538,23 +538,36 @@ object StreamingOps {
 
     (batch: Dataset[VectorOp], batchId: Long) => {
       val sess = batch.sparkSession
-      // latest version per id WITHIN the batch first (same deterministic
-      // tie-break as hnswMaintenanceSink): joining assignments back to
-      // versions on id alone would CROSS-PRODUCT an id upserted twice in
-      // one batch — pairing the stale vector's cells with the newest
-      // version and serving stale vectors from the view
+      // exact-replay dedupe only: one row per (id, version) — an
+      // at-least-once redelivery collapses, while DISTINCT versions of an
+      // id all persist, keeping the delta log a FULL version history (the
+      // [[ivfMaintainedStateAsOf]] time-travel contract; collapsing to the
+      // batch winner would silently erase any state both written and
+      // overwritten inside one micro-batch). Serving is unchanged: the
+      // view's rank window resolves winners across however many versions a
+      // batch wrote. On an exact (id, version) tie the remove sorts first
+      // — the same conservative read the view applies.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id")
-        .orderBy(col("version").desc, col("op"), xxhash64(col("vector")))
+        .partitionBy("id", "version")
+        .orderBy(col("op"), xxhash64(col("vector")))
       val ops = batch.toDF()
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
         .persist()
       try {
         val upserts = ops.filter(col("op") === "upsert")
+        // assignment is a pure function of (id, vector): assign each
+        // distinct pair once, then re-attach every version by joining on
+        // BOTH columns (Spark normalizes NaN/-0.0 in join keys, so the
+        // id-only join's cross-product of same-batch re-upserts cannot
+        // recur, and no row is lost to NaN inequality). The trailing
+        // dropDuplicates guards the sign-of-zero corner where two
+        // key-normalized-equal vectors fan out onto each other's versions.
         val assigned = graft.knn.Ivf
-          .assign(sess, upserts.select("id", "vector"), centroids, metric, spill)
-          .join(upserts.select(col("id"), col("version")), Seq("id"))
+          .assign(sess, upserts.select("id", "vector").dropDuplicates("id", "vector"),
+            centroids, metric, spill)
+          .join(upserts.select(col("id"), col("vector"), col("version")), Seq("id", "vector"))
           .select(col("id"), col("cell"), col("vector"), col("version"), lit("upsert").as("op"))
+          .dropDuplicates("id", "version", "cell")
         val tombstones = ops.filter(col("op") === "remove")
           .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
             col("version"), lit("remove").as("op"))
@@ -669,12 +682,33 @@ object StreamingOps {
     * must persist them (dropping a tombstone would let a post-compaction
     * stale upsert resurrect the removed vector).
     */
-  private def latestDeltaRows(spark: SparkSession, indexDir: String): DataFrame = {
+  private def latestDeltaRows(spark: SparkSession, indexDir: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
     validateDelta(s"$indexDir/delta", spark.sparkContext.hadoopConfiguration)
     val delta = spark.read.parquet(s"$indexDir/delta")
+    val scoped = asOfVersion match {
+      case None => delta
+      case Some(v) =>
+        // Compaction collapses history to each id's winning rows: any id
+        // mutated after `v` has lost its at-`v` state once those winners
+        // fold into `batch=compacted`. The newest compacted version is
+        // therefore the time-travel horizon — at or above it every
+        // compacted winner already satisfies version <= v (exact read);
+        // below it the read would silently miss overwritten or removed
+        // state, so it must fail loudly instead. (The partition column is
+        // int-inferred while no compacted batch exists — the string cast
+        // makes the filter well-typed in both layouts.)
+        val floor = delta.filter(col("batch").cast("string") === "compacted")
+          .agg(max(col("version"))).head().get(0)
+        if (floor != null) require(v >= floor.asInstanceOf[Long],
+          s"as-of version $v predates the compaction horizon $floor of $indexDir — history " +
+            "below the newest compacted version was collapsed by compactIvfMaintained and " +
+            "cannot be replayed; keep the delta log un-compacted as far back as reads need")
+        delta.filter(col("version") <= v)
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("version").desc, col("op").asc)
-    delta
+    scoped
       .withColumn("__rk", rank().over(w))
       .filter(col("__rk") === 1)
       .drop("__rk")
@@ -683,6 +717,21 @@ object StreamingOps {
 
   def ivfMaintainedState(spark: SparkSession, indexDir: String): DataFrame =
     latestDeltaRows(spark, indexDir)
+      .filter(col("op") === "upsert")
+      .select(col("id"), col("cell").cast("int"), col("vector"))
+
+  /** TIME-TRAVEL view of a maintained IVF index: the assignment as of
+    * mutation version `asOfVersion` (inclusive) — the delta log is an
+    * append-only versioned history, so any past state at or above the
+    * compaction horizon reconstructs exactly: filter the log to
+    * version <= asOfVersion, then the same latest-wins resolution the
+    * current view uses. Reads BELOW the horizon fail loudly (compaction
+    * collapsed that history; see [[latestDeltaRows]]). Reproducible
+    * evaluation is the point: "which vectors did the index serve when
+    * run X queried it" stays answerable after the corpus moves on.
+    */
+  def ivfMaintainedStateAsOf(spark: SparkSession, indexDir: String, asOfVersion: Long): DataFrame =
+    latestDeltaRows(spark, indexDir, Some(asOfVersion))
       .filter(col("op") === "upsert")
       .select(col("id"), col("cell").cast("int"), col("vector"))
 
@@ -955,12 +1004,16 @@ object StreamingOps {
     * the surviving vectors with the same centroids: assignment is a pure
     * function of (vector, centroids).
     */
+  /** Search the maintained view — or, with `asOf = Some(v)`, the
+    * [[ivfMaintainedStateAsOf]] time-travel view at mutation version v.
+    */
   def searchIvfMaintained(
       spark: SparkSession,
       indexDir: String,
       queries: Array[(Long, Array[Float])],
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
@@ -974,7 +1027,9 @@ object StreamingOps {
         s"query $qid dimension ${qv.length} != index dimension ${meta.dim}")
     }
     requireFullPrecisionView(spark, indexDir, "searched at full precision")
-    graft.knn.Ivf.search(spark, ivfMaintainedState(spark, indexDir), centroids,
+    val view = asOf.map(ivfMaintainedStateAsOf(spark, indexDir, _))
+      .getOrElse(ivfMaintainedState(spark, indexDir))
+    graft.knn.Ivf.search(spark, view, centroids,
       queries, k, nprobe, meta.metric, dedup = meta.spill > 1)
   }
 
@@ -1001,7 +1056,8 @@ object StreamingOps {
       indexDir: String,
       queries: DataFrame, // (qid, qvec)
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
@@ -1016,7 +1072,9 @@ object StreamingOps {
           lit(s"query dimension != index dimension ${meta.dim}, got "),
           size(col("qvec")).cast("string"))))
         .as("qvec"))
-    graft.knn.Ivf.searchDF(ivfMaintainedState(spark, indexDir), centroids,
+    val view = asOf.map(ivfMaintainedStateAsOf(spark, indexDir, _))
+      .getOrElse(ivfMaintainedState(spark, indexDir))
+    graft.knn.Ivf.searchDF(view, centroids,
       checked, k, nprobe, meta.metric, dedup = meta.spill > 1)
   }
 

@@ -394,6 +394,62 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("time travel: as-of view reconstructs past state; pre-horizon reads fail loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_asof").toString
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids))
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.VectorOp(1L, "upsert", Array(1f, 0.1f), 1),
+        StreamingOps.VectorOp(2L, "upsert", Array(0.1f, 1f), 1),
+        StreamingOps.VectorOp(3L, "upsert", Array(0.9f, 0.2f), 1))
+      q.processAllAvailable()
+      input.addData(
+        StreamingOps.VectorOp(2L, "upsert", Array(0.95f, 0.1f), 2), // cell 1 -> 0
+        StreamingOps.VectorOp(3L, "remove", Array.empty, 2))
+      q.processAllAvailable()
+
+      // as of v1: id 3 alive, id 2 still in cell 1 with its ORIGINAL vector
+      val v1 = StreamingOps.ivfMaintainedStateAsOf(spark, dir, 1L)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(v1.toSeq === Seq((1L, 0), (2L, 1), (3L, 0)), s"as-of-1 state was ${v1.toSeq}")
+      // as of v2 == current
+      val v2 = StreamingOps.ivfMaintainedStateAsOf(spark, dir, 2L)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(v2.toSeq === Seq((1L, 0), (2L, 0)))
+
+      // as-of search serves the later-removed id 3 from cell 0
+      val hits = StreamingOps.searchIvfMaintained(spark, dir,
+          Array((0L, Array(1f, 0f))), k = 3, nprobe = 1, asOf = Some(1L))
+        .collect().map(_.getLong(1)).toSet
+      assert(hits === Set(1L, 3L), s"as-of-1 nprobe=1 cell-0 hits were $hits")
+
+      // compaction moves the horizon to 2: v1 is gone and must throw, v2 serves
+      StreamingOps.compactIvfMaintained(spark, dir)
+      val e = intercept[IllegalArgumentException](
+        StreamingOps.ivfMaintainedStateAsOf(spark, dir, 1L).collect())
+      assert(e.getMessage.contains("compaction horizon"))
+      val v2after = StreamingOps.ivfMaintainedStateAsOf(spark, dir, 2L)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(v2after.toSeq === Seq((1L, 0), (2L, 0)))
+
+      // post-compaction appends extend history ABOVE the horizon: v3
+      // removes id 1, and both v2 and v3 remain exactly readable
+      input.addData(StreamingOps.VectorOp(1L, "remove", Array.empty, 3))
+      q.processAllAvailable()
+      val v2late = StreamingOps.ivfMaintainedStateAsOf(spark, dir, 2L)
+        .collect().map(_.getLong(0)).toSet
+      assert(v2late === Set(1L, 2L))
+      val v3 = StreamingOps.ivfMaintainedStateAsOf(spark, dir, 3L)
+        .collect().map(_.getLong(0)).toSet
+      assert(v3 === Set(2L))
+    } finally q.stop()
+  }
+
   private def dirBytes(d: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isFile) f.length()
