@@ -107,6 +107,26 @@ object Queries {
     df.select(col("qid"), col("id"), round(col("dist"), 4).as("dist"), col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
 
+  /** Multi-vector (late-interaction) inputs derived deterministically from
+    * the embeddings table: document `vec_id DIV 4` owns tokens
+    * {4·id .. 4·id+3} ordered by vec_id (array_sort on (vec_id, embedding)
+    * structs pins the order Spark-side; `list(.. ORDER BY vec_id)` pins it
+    * oracle-side). Queries are documents 0–2's own token lists.
+    */
+  private def maxSimInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = t(spark, dir, "embeddings")
+    val docs = e.groupBy(expr("vec_id DIV 4").as("id"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("ts"))
+      .select(col("id"), expr("transform(ts, x -> x.embedding)").as("vectors"))
+    val queries = docs.filter(col("id") < 3).select(col("id").as("qid"), col("vectors").as("qvecs"))
+    (docs, queries)
+  }
+
+  private def maxSimFinish(df: DataFrame): DataFrame =
+    df.select(col("qid"), col("id"), round(col("score"), 4).as("score"),
+      col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+
   private def knnOracle(duckExpr: (String, String) => String, nQueries: Int, k: Int, where: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < $nQueries),
        |d AS (SELECT q.qid, e.vec_id AS id, ${duckExpr(dEmb("e.embedding"), "q.qv")} AS dist
@@ -1835,6 +1855,30 @@ object Queries {
         .orderBy("qid", "mmr_rank")
     }),
 
+    // §2.26 late-interaction (ColBERT MaxSim) retrieval, exact form: docs
+    // and queries are token-vector LISTS; relevance is Σ_q max_d dot(q,d),
+    // computed by one codegen kernel per (query, doc) pair. The oracle
+    // replays the kernel with max(list_inner_product) per query token and
+    // an ORDER-BY-pinned sum, so the unrounded scores match bit-for-bit.
+    "maxsim_exact" -> ((spark, dir) => {
+      val (docs, queries) = maxSimInputs(spark, dir)
+      maxSimFinish(graft.knn.MaxSim.search(docs, queries, 10))
+    }),
+
+    // §2.26 two-stage MaxSim — ColBERT's serving architecture: stage 1
+    // retrieves the top-8 document TOKENS per query token (token-level kNN
+    // over the exploded token table, (dot DESC, tok_id) tie-break), the
+    // owning documents become candidates, stage 2 rescores them with the
+    // exact kernel. Every stage is deterministic, so the DuckDB oracle
+    // replays the full two-stage computation — no recall gate needed.
+    "maxsim_twostage" -> ((spark, dir) => {
+      val (docs, queries) = maxSimInputs(spark, dir)
+      val docTokens = t(spark, dir, "embeddings")
+        .select(expr("vec_id DIV 4").as("doc_id"), col("vec_id").as("tok_id"),
+          col("embedding").as("vector"))
+      maxSimFinish(graft.knn.MaxSim.searchTwoStage(docs, docTokens, queries, k = 10, tokenK = 8))
+    }),
+
     "line_dedup_clean" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents").select("doc_id", "text")
       val wrapped = docs.filter(col("doc_id") < 30)
@@ -2455,6 +2499,45 @@ object Queries {
         .groupBy("qid").agg(count(lit(1)).as("n_results"))
         .join(same, Seq("qid"))
         .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_same_as_batch"))
+        .orderBy("qid")
+    }),
+
+    // §2.21 TIME-TRAVEL read of a maintained IVF index: the delta log is a
+    // versioned append-only history, so `asOf = v` reconstructs the exact
+    // assignment the index served at mutation version v — here v=1, BEFORE
+    // the v2 tombstones, so the as-of search must equal batch IVF over the
+    // FULL corpus (including every later-removed id) row-for-row, while
+    // the current view serves only survivors. Closed-form oracle:
+    // n_same_as_full = k per query on any data.
+    "stream_ivf_asof" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_asof_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_asof_ckpt").toString
+      val sink = graft.streaming.StreamingOps.ivfMaintenanceSink(spark, idxDir, centroids)
+      withStreamParts(spark) {
+        val q = mutationOps(spark, dir).writeStream.foreachBatch(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val asOf = graft.streaming.StreamingOps
+        .searchIvfMaintained(spark, idxDir, queries, k = 10, nprobe = 4, asOf = Some(1L))
+      val batchFull = Ivf.search(spark, Ivf.assign(spark, data, centroids), centroids,
+        queries, k = 10, nprobe = 4)
+      val same = asOf.select(col("qid"), col("id"), col("rank"))
+        .join(batchFull.select(col("qid"), col("id"), col("rank")),
+          Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_as_full"))
+      asOf.select(col("qid"), col("id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(same, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_same_as_full"))
         .orderBy("qid")
     }),
 
@@ -3098,6 +3181,36 @@ object Queries {
     // MMR diversification replay: the greedy loop unrolled stage by stage
     // with the IDENTICAL IEEE arithmetic and id tie-breaks
     "hybrid_mmr" -> duckMmrSql(5, 0.7),
+
+    // MaxSim replay: per (query, query-token) the max inner product over
+    // each doc's tokens, summed in query-token order (ORDER BY pins the
+    // fold, matching the kernel's loop order bit-for-bit)
+    "maxsim_exact" ->
+      s"""WITH tok AS (SELECT vec_id // 4 AS id, vec_id AS tid, ${dEmb("embedding")} AS v FROM embeddings),
+         |qt AS (SELECT id AS qid, tid, v AS qv FROM tok WHERE id < 3),
+         |m AS (SELECT qt.qid, tok.id, qt.tid, max(list_inner_product(tok.v, qt.qv)) AS mx
+         |      FROM tok CROSS JOIN qt GROUP BY qt.qid, tok.id, qt.tid),
+         |sc AS (SELECT qid, id, sum(mx ORDER BY tid) AS score FROM m GROUP BY qid, id),
+         |r AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM sc)
+         |SELECT qid, id, round(score, 4) AS score, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // two-stage replay: stage-1 token top-8 with the (dot DESC, tid)
+    // tie-break, distinct owning docs, exact rescore over candidates only
+    "maxsim_twostage" ->
+      s"""WITH tok AS (SELECT vec_id // 4 AS doc_id, vec_id AS tid, ${dEmb("embedding")} AS v FROM embeddings),
+         |qt AS (SELECT doc_id AS qid, tid AS qtid, v AS qv FROM tok WHERE doc_id < 3),
+         |s AS (SELECT qt.qid, qt.qtid, tok.doc_id, tok.tid, list_inner_product(tok.v, qt.qv) AS s
+         |      FROM tok CROSS JOIN qt),
+         |c AS (SELECT DISTINCT qid, doc_id FROM (
+         |        SELECT qid, qtid, doc_id, tid,
+         |               row_number() OVER (PARTITION BY qid, qtid ORDER BY s DESC, tid) AS r FROM s) sr
+         |      WHERE r <= 8),
+         |m AS (SELECT qt.qid, c.doc_id AS id, qt.qtid, max(list_inner_product(tok.v, qt.qv)) AS mx
+         |      FROM c JOIN qt ON qt.qid = c.qid JOIN tok ON tok.doc_id = c.doc_id
+         |      GROUP BY qt.qid, c.doc_id, qt.qtid),
+         |sc AS (SELECT qid, id, sum(mx ORDER BY qtid) AS score FROM m GROUP BY qid, id),
+         |r AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM sc)
+         |SELECT qid, id, round(score, 4) AS score, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // weighted-sum hybrid replay: same per-query min-max windows, same
     // inverted normalization on the distance arm, same 0.6/0.4 weights
     "hybrid_weighted" ->
@@ -3257,6 +3370,13 @@ object Queries {
     "stream_ivf_maintenance" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_batch
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // as-of v1 reconstructs the pre-tombstone state exactly: equality with
+    // batch IVF over the full corpus is row-for-row, so the oracle is the
+    // same closed-form constant table
+    "stream_ivf_asof" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_as_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "hnsw_with_meta" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
