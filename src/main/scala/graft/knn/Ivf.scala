@@ -712,4 +712,81 @@ object Ivf {
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** PROBE AUTOTUNING: per sample query, the smallest `nprobe` at which
+    * [[search]] reaches `targetRecall` on its true top-k — derived from ONE
+    * exact (full-probe) search plus probe-rank analysis, never a search
+    * per candidate nprobe.
+    *
+    * The identity that makes one pass enough: at any nprobe, a true
+    * neighbor appears in the search result IFF one of its assigned cells
+    * is probed (everything in the probed subset that outranks it is a
+    * closer true neighbor — fewer than k of those exist, and the (dist,
+    * id) tie-break is shared). So per (query, true neighbor) compute the
+    * neighbor's best PROBE RANK — the position of its cell in the query's
+    * centroid-distance ordering, min over spill replicas — and the minimal
+    * nprobe for recall r is simply the ⌈r·k⌉-th smallest of those ranks.
+    *
+    * Cost shape at scale: one full-probe exact search over the assignment
+    * (the ground-truth pass any recall measurement pays), one broadcast
+    * join of the k·Q hit set against the assignment, and driver-side
+    * probe-rank tables of Q·C — no repeated corpus scans. Run it on a
+    * SAMPLE of production queries; serve with [[tuneProbeGlobal]]'s
+    * quantile over the per-query requirements.
+    *
+    * Returns (qid, n_exact, required_nprobe).
+    */
+  def tuneProbe(
+      spark: SparkSession,
+      assigned: DataFrame,
+      centroids: Array[Array[Float]],
+      sampleQueries: Array[(Long, Array[Float])],
+      k: Int,
+      targetRecall: Double,
+      metric: String = "euclidean"): DataFrame = {
+    import spark.implicits._
+    require(targetRecall > 0 && targetRecall <= 1, s"targetRecall in (0,1], got $targetRecall")
+    val m = Distances.metricId(metric)
+
+    val exact = search(spark, assigned, centroids, sampleQueries, k,
+      nprobe = centroids.length, metric, dedup = true)
+
+    // (qid, cell, probe_rank): the query's centroid ordering — Q·C rows,
+    // computed driver-side like search's probe fan-out, then broadcast
+    val probeRanks = sampleQueries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (cv, ci) => (Distances.distance(m)(qv, cv), ci) }
+        .sortBy(identity).zipWithIndex
+        .map { case ((_, ci), r) => (qid, ci, r + 1) }
+    }.toSeq.toDF("qid", "cell", "probe_rank")
+
+    // each true neighbor's best probe rank (min over spill replicas)
+    val hitRanks = assigned.select(col("id"), col("cell"))
+      .join(broadcast(exact.select(col("qid"), col("id"))), Seq("id"))
+      .join(broadcast(probeRanks), Seq("qid", "cell"))
+      .groupBy("qid", "id").agg(min("probe_rank").as("best_rank"))
+
+    // required nprobe = the ⌈targetRecall·n_exact⌉-th smallest best rank
+    // (n_exact < k when the corpus is smaller than k)
+    val w = Window.partitionBy("qid").orderBy(col("best_rank"), col("id"))
+    hitRanks
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("qid")))
+      .filter(col("__pos") <= ceil(col("__n") * targetRecall))
+      .groupBy("qid")
+      .agg(max("__n").as("n_exact"), max("best_rank").as("required_nprobe"))
+  }
+
+  /** Collapse [[tuneProbe]]'s per-query requirements into one serving
+    * nprobe: the `quantile` of the per-query minima (1.0 = every sampled
+    * query meets the target, the conservative default; 0.95 trades the
+    * worst tail for probe cost). The sample is driver-sized by contract.
+    */
+  def tuneProbeGlobal(perQuery: DataFrame, quantile: Double = 1.0): Int = {
+    require(quantile > 0 && quantile <= 1, s"quantile in (0,1], got $quantile")
+    val reqs = perQuery.select(col("required_nprobe").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    require(reqs.nonEmpty, "tuneProbe produced no per-query requirements (empty sample?)")
+    reqs(math.min(reqs.length - 1, math.ceil(quantile * reqs.length).toInt - 1)).toInt
+  }
 }

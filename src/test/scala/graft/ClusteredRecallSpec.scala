@@ -116,4 +116,29 @@ class ClusteredRecallSpec extends SparkTestBase {
     assert(rRes >= rRaw, s"residual recall $rRes below raw-PQ recall $rRaw at the same byte budget")
     assigned.unpersist()
   }
+
+  test("probe autotuning: tuned nprobe meets the target, tuned-1 misses it, and the " +
+      "clustered geometry keeps it far below full probe") {
+    val c = 25
+    val centroids = Ivf.train(spark, data, c, iterations = 3, seeding = "kmeans||")
+    val assigned = Ivf.assign(spark, data, centroids).cache()
+    val nq = queryPairs.length
+    val perQ = Ivf.tuneProbe(spark, assigned, centroids, queryPairs, k = 10, targetRecall = 1.0)
+    assert(perQ.count() === nq.toLong)
+    val tuned = Ivf.tuneProbeGlobal(perQ)
+    assert(tuned >= 1 && tuned < c, s"tuned nprobe $tuned not in [1, $c) — clustered " +
+      "geometry should never need full probe")
+    val rAt = recallOf(
+      Ivf.search(spark, assigned, centroids, queryPairs, k = 10, nprobe = tuned), exactDf, nq, 10)
+    assert(rAt === 1.0, s"recall $rAt < 1.0 at tuned nprobe $tuned")
+    if (tuned > 1) {
+      val rBelow = recallOf(
+        Ivf.search(spark, assigned, centroids, queryPairs, k = 10, nprobe = tuned - 1),
+        exactDf, nq, 10)
+      assert(rBelow < 1.0, s"recall still 1.0 at nprobe ${tuned - 1} — tuned value not minimal")
+    }
+    // the relaxed quantile can only lower the serving nprobe
+    assert(Ivf.tuneProbeGlobal(perQ, quantile = 0.5) <= tuned)
+    assigned.unpersist()
+  }
 }
