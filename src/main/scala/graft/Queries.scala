@@ -2748,7 +2748,7 @@ object Queries {
        |selu1 AS (SELECT qid, id, rel, CAST(1 AS BIGINT) AS mmr_rank, 0.0 AS ms FROM cand
        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) = 1),
        |$stages
-       |SELECT qid, id, mmr_rank, round(rel, 6) AS rel, round(ms, 6) AS max_sim
+       |SELECT qid, id, mmr_rank, round(rel, 6) AS rel, round(ms, 6) + 0 AS max_sim
        |FROM selu$k ORDER BY qid, mmr_rank""".stripMargin
   }
 
@@ -3192,7 +3192,7 @@ object Queries {
          |      FROM tok CROSS JOIN qt GROUP BY qt.qid, tok.id, qt.tid),
          |sc AS (SELECT qid, id, sum(mx ORDER BY tid) AS score FROM m GROUP BY qid, id),
          |r AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM sc)
-         |SELECT qid, id, round(score, 4) AS score, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+         |SELECT qid, id, round(score, 4) + 0 AS score, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // two-stage replay: stage-1 token top-8 with the (dot DESC, tid)
     // tie-break, distinct owning docs, exact rescore over candidates only
@@ -3210,7 +3210,7 @@ object Queries {
          |      GROUP BY qt.qid, c.doc_id, qt.qtid),
          |sc AS (SELECT qid, id, sum(mx ORDER BY qtid) AS score FROM m GROUP BY qid, id),
          |r AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM sc)
-         |SELECT qid, id, round(score, 4) AS score, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+         |SELECT qid, id, round(score, 4) + 0 AS score, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // weighted-sum hybrid replay: same per-query min-max windows, same
     // inverted normalization on the distance arm, same 0.6/0.4 weights
     "hybrid_weighted" ->
@@ -3292,6 +3292,13 @@ object Queries {
          |  CAST(len(ls.lns) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
          |  coalesce(a.clean_text, '') AS clean_text
          |FROM ls LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // `round(x, d) + 0` on SIGNED columns: DuckDB's round keeps the sign
+    // of a tiny negative (-1e-9 → -0.0) while Spark's HALF_UP BigDecimal
+    // round yields +0.0 — byte-level hashes distinguish the two zeros
+    // even though they compare equal. Adding +0 normalizes -0.0 → +0.0
+    // (IEEE 754: -0.0 + 0.0 = +0.0) and is the identity elsewhere. Only
+    // columns whose values can be negative need it; distances, ratios,
+    // counts, and BM25/RRF scores are non-negative by construction.
     "dsir_weights" ->
       s"""WITH tokc AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
          |tokt AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
@@ -3301,7 +3308,7 @@ object Queries {
          |        FROM cs LEFT JOIN ctt USING (token)),
          |tot AS (SELECT sum(cs)::DOUBLE AS ns, sum(ct)::DOUBLE AS nt, count(*)::DOUBLE AS v FROM cnt)
          |SELECT tokc.doc_id, count(*) AS n_tokens,
-         |  round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) AS dsir_weight
+         |  round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) + 0 AS dsir_weight
          |FROM tokc JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY tokc.doc_id ORDER BY tokc.doc_id""".stripMargin,
     "corpus_profile" ->
@@ -3340,12 +3347,12 @@ object Queries {
     "vec_algebra" ->
       s"""WITH q AS (SELECT ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,
-         |  round(${duckDot(dEmb("e.embedding"), "q.qv")}, 4) AS dot_q,
+         |  round(${duckDot(dEmb("e.embedding"), "q.qv")}, 4) + 0 AS dot_q,
          |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS norm,
-         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]+x[2])), 4) AS sum_add,
-         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]-x[2])), 4) AS sum_sub,
-         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]*x[2])), 4) AS sum_mul,
-         |  round(list_sum(list_transform(${dEmb("e.embedding")}, x -> x*2.5)), 4) AS sum_smul
+         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]+x[2])), 4) + 0 AS sum_add,
+         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]-x[2])), 4) + 0 AS sum_sub,
+         |  round(list_sum(list_transform(list_zip(${dEmb("e.embedding")}, q.qv), x -> x[1]*x[2])), 4) + 0 AS sum_mul,
+         |  round(list_sum(list_transform(${dEmb("e.embedding")}, x -> x*2.5)), 4) + 0 AS sum_smul
          |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
     "vec_codec_roundtrip" ->
       "SELECT vec_id, CAST(0 AS BIGINT) AS n_mismatch, CAST(4*len(embedding) AS BIGINT) AS n_bytes FROM embeddings ORDER BY vec_id",
@@ -3354,7 +3361,7 @@ object Queries {
          |SELECT e.vec_id,
          |  round(${duckEuclid(dEmb("e.embedding"), "q.qv")}, 4) AS dist_l2,
          |  round(${duckCosine(dEmb("e.embedding"), "q.qv")}, 4) AS dist_cos,
-         |  round(${duckDot(dEmb("e.embedding"), "q.qv")}, 4) AS dot_q,
+         |  round(${duckDot(dEmb("e.embedding"), "q.qv")}, 4) + 0 AS dot_q,
          |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS norm
          |FROM embeddings e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
     "hnsw_search" -> recallOracle(5, 10),
@@ -3745,7 +3752,7 @@ object Queries {
       """WITH ex AS (
         |  SELECT label, r.pos - 1 AS pos, embedding[r.pos]::DOUBLE AS v
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) r)
-        |SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 4) AS mean
+        |SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 4) + 0 AS mean
         |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "top_orders_per_segment" ->
       """WITH r AS (
