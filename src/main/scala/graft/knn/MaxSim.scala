@@ -45,14 +45,37 @@ object MaxSim {
     * one codegen kernel call; queries broadcast, docs stream in place.
     * Ranking tie-break (score DESC, id) is total, so output is
     * deterministic and layout-invariant.
+    *
+    * Empty token lists are filtered on BOTH sides: a doc with no tokens
+    * would otherwise score 0.0 and could enter the top-k here while
+    * [[searchTwoStage]] can never surface it (it owns no tokens), breaking
+    * the tokenK-saturated equivalence between the two forms; a query with
+    * no tokens scores every doc 0.0 and has no meaningful ranking.
     */
   def search(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = docs.crossJoin(broadcast(queries))
-      .select(col("qid"), col("id"),
-        vec.maxSim(col("vectors"), col("qvecs")).as("score"))
+    val scored = docs.filter(size(col("vectors")) > 0)
+      .crossJoin(broadcast(queries.filter(size(col("qvecs")) > 0)))
+      .select(col("qid"), col("id"), scoreGuarded.as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** The scoring kernel behind an entry-point dimension guard: the codegen
+    * kernel ([[graft.functions.MaxSimScore]]) truncates each dot product to
+    * the shorter of the two token dims (VectorDot's convention), so a
+    * mismatched pair of token tables would yield plausible-looking but
+    * wrong scores. Comparing the FIRST token of each list catches the
+    * table-level mismatch for one extra `size` per pair (both lists are
+    * non-empty here — [[search]]/[[rescore]] filter empties first); ragged
+    * dims WITHIN one list remain the caller's contract, as documented on
+    * the kernel.
+    */
+  private def scoreGuarded: org.apache.spark.sql.Column =
+    when(size(element_at(col("vectors"), 1)) === size(element_at(col("qvecs"), 1)),
+      vec.maxSim(col("vectors"), col("qvecs")))
+      .otherwise(raise_error(concat(
+        lit("MaxSim: document token dim "), size(element_at(col("vectors"), 1)),
+        lit(" != query token dim "), size(element_at(col("qvecs"), 1)))))
 
   /** Two-stage MaxSim: exact token-level candidate generation + exact
     * rescore.
@@ -91,23 +114,39 @@ object MaxSim {
   def searchTwoStageIvf(docs: DataFrame, docTokens: DataFrame, queries: DataFrame,
       assignedTokens: DataFrame, centroids: Array[Array[Float]],
       k: Int, tokenK: Int, nprobe: Int): DataFrame = {
+    // searchDF keys results by qid alone — pack (query, token position)
+    // into one id so per-token top-k's stay separate, then unpack with
+    // INTEGER division (long `/` in Spark is double division, wrong above
+    // 2^53). The packing needs qid ∈ [0, Long.MaxValue/PackShift) and
+    // qpos < PackShift; out-of-range rows fail loudly instead of silently
+    // attributing results to a neighboring query.
     val qTokens = queries
       .select(col("qid"), posexplode(col("qvecs")).as(Seq("qpos", "qvec")))
-      // searchDF keys results by qid alone — pack (query, token position)
-      // into one id so per-token top-k's stay separate, then unpack
-      .select((col("qid") * 1000000L + col("qpos")).as("qid"), col("qvec"))
+      .select(
+        when(col("qid") >= 0 && col("qid") < MaxPackableQid && col("qpos") < PackShift,
+          col("qid") * PackShift + col("qpos"))
+          .otherwise(raise_error(concat(
+            lit(s"searchTwoStageIvf: unpackable (qid, qpos) — need 0 <= qid < $MaxPackableQid"
+              + s" and qpos < $PackShift, got ("), col("qid"), lit(", "), col("qpos"), lit(")"))))
+          .as("qid"),
+        col("qvec"))
     val tokenHits = Ivf.searchDF(assignedTokens, centroids, qTokens, tokenK, nprobe, dedup = true)
     val cand = tokenHits
-      .select((col("qid") / 1000000L).cast("long").as("qid"), col("id").as("tok_id"))
+      .select(expr(s"qid DIV $PackShift").as("qid"), col("id").as("tok_id"))
       .join(docTokens.select("tok_id", "doc_id"), "tok_id")
       .select(col("qid"), col("doc_id").as("id")).distinct()
     rescore(cand, docs, queries, k)
   }
 
+  /** (qid, qpos) packing for [[searchTwoStageIvf]]'s stage-1 id space:
+    * queries of up to one million tokens, qids up to ~9.2e12. */
+  private val PackShift = 1000000L
+  private val MaxPackableQid = Long.MaxValue / PackShift
+
   private def rescore(cand: DataFrame, docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val rescored = cand.join(docs, "id").join(broadcast(queries), "qid")
-      .select(col("qid"), col("id"),
-        vec.maxSim(col("vectors"), col("qvecs")).as("score"))
+    val rescored = cand.join(docs.filter(size(col("vectors")) > 0), "id")
+      .join(broadcast(queries.filter(size(col("qvecs")) > 0)), "qid")
+      .select(col("qid"), col("id"), scoreGuarded.as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -1002,10 +1002,9 @@ object StreamingOps {
     * counterpart of [[graft.knn.Ivf.searchSaved]]. The converged result
     * over a quiesced stream equals the batch [[graft.knn.Ivf.search]] over
     * the surviving vectors with the same centroids: assignment is a pure
-    * function of (vector, centroids).
-    */
-  /** Search the maintained view — or, with `asOf = Some(v)`, the
-    * [[ivfMaintainedStateAsOf]] time-travel view at mutation version v.
+    * function of (vector, centroids). With `asOf = Some(v)` the search
+    * runs over the [[ivfMaintainedStateAsOf]] time-travel view at
+    * mutation version v instead of the latest maintained view.
     */
   def searchIvfMaintained(
       spark: SparkSession,

@@ -115,6 +115,37 @@ class MaxSimSpec extends SparkTestBase {
     assert(df.as[Double].collect().toSeq === Seq(0.0, 0.0))
   }
 
+  test("empty token lists are excluded from search results on both sides") {
+    val docs = Seq(
+      (1L, Array(Array(1f, 0f))),
+      (2L, Array.empty[Array[Float]])).toDF("id", "vectors")
+    val qs = Seq(
+      (10L, Array(Array(1f, 0f))),
+      (11L, Array.empty[Array[Float]])).toDF("qid", "qvecs")
+    val got = MaxSim.search(docs, qs, 5).select("qid", "id").as[(Long, Long)].collect()
+    // doc 2 never appears (searchTwoStage could never surface it), and
+    // the empty query 11 has no rows at all
+    assert(got.toSeq === Seq((10L, 1L)))
+  }
+
+  test("mismatched token dimensions fail loudly instead of truncating") {
+    val docs = Seq((1L, Array(Array(1f, 0f, 0f)))).toDF("id", "vectors")
+    val qs = Seq((10L, Array(Array(1f, 0f)))).toDF("qid", "qvecs")
+    val e = intercept[Exception](MaxSim.search(docs, qs, 5).collect())
+    assert(e.getMessage.contains("token dim"), e.getMessage)
+  }
+
+  test("searchTwoStageIvf rejects unpackable qids loudly") {
+    val tokTable = docTokensDf.select(col("tok_id").as("id"), col("vector"))
+    val centroids = Ivf.train(spark, tokTable, c = nClusters, iterations = 1)
+    val assigned = Ivf.assign(spark, tokTable, centroids, spill = 1)
+    val badQueries = Seq((-1L, docVecs(0L))).toDF("qid", "qvecs")
+    val e = intercept[Exception](
+      MaxSim.searchTwoStageIvf(docsDf, docTokensDf, badQueries,
+        assigned, centroids, k = 5, tokenK = 4, nprobe = 2).collect())
+    assert(e.getMessage.contains("unpackable"), e.getMessage)
+  }
+
   test("maxsim_score is SQL-registered and matches the column API") {
     graft.functions.GraftFunctionRegistry.register(spark)
     val viaSql = spark.sql(
