@@ -2126,6 +2126,15 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 CCNet head/middle/tail bucketing (Wenzek et al. 2020): per-lang
+    // empirical terciles of the rounded LM score, cutoffs broadcast back
+    // for one comparison pass (no per-lang global sort — the largest
+    // language would serialize on one partition chain at 100 TB).
+    "ccnet_buckets" -> ((spark, dir) => {
+      TextAnalysis.ccnetBuckets(t(spark, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 deterministic hash embeddings (feature hashing over md5 token
     // hashes — model-free embedding generation; flat (doc, pos) output)
     "doc_embed" -> ((spark, dir) => {
@@ -3574,6 +3583,25 @@ object Queries {
          |      CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_bigrams, round(-avg(ln(sc)), 4) AS cross_entropy
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet tercile replay: same rounded score, same linear-interpolation
+    // quantiles (any doc that could TIE a cutoff means the quantile
+    // position landed on a sample, so the cutoff is that sample exactly
+    // in both engines — ulp differences in interpolation can't flip a
+    // bucket)
+    "ccnet_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+         |tot AS (SELECT sum(c)::DOUBLE AS s FROM cnt),
+         |ce AS (SELECT tok.doc_id, round(-avg(ln(cnt.c / tot.s)), 4) AS cross_entropy
+         |       FROM tok JOIN cnt USING (token) CROSS JOIN tot GROUP BY tok.doc_id),
+         |sc AS (SELECT d.doc_id, d.lang, ce.cross_entropy FROM documents d JOIN ce USING (doc_id)),
+         |cut AS (SELECT lang, quantile_cont(cross_entropy, 0.3333333333333333) AS c1,
+         |               quantile_cont(cross_entropy, 0.6666666666666666) AS c2
+         |        FROM sc GROUP BY lang)
+         |SELECT sc.doc_id, sc.lang, sc.cross_entropy,
+         |  CASE WHEN cross_entropy <= c1 THEN 'head'
+         |       WHEN cross_entropy <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM sc JOIN cut USING (lang) ORDER BY sc.doc_id""".stripMargin,
     "doc_rarity" ->
       s"""WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |df AS (SELECT token, count(*) AS df

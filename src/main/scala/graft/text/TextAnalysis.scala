@@ -346,6 +346,50 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), (-avg(log(s))).as("cross_entropy"))
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    * §4.3): per language, split the corpus at the empirical terciles of
+    * the LM score — `head` is the most-fluent third (lowest
+    * cross-entropy), `tail` the least; CCNet-derived corpora train on
+    * head(+middle) and drop tail. The score is [[lmCrossEntropy]]
+    * (pluggable in spirit — CCNet uses an external KenLM; the sandbox
+    * model is the corpus's own unigram LM).
+    *
+    * Cutoffs are computed on the ROUNDED (4-decimal) score: the rounded
+    * value is reproducible across engines bit-for-bit (ulp-level ln
+    * differences are absorbed), so the tercile order statistics — and
+    * hence the bucket of a document sitting exactly AT a cutoff — are
+    * deterministic. When an interpolated cutoff could tie a document's
+    * score, the quantile position lands on a sample and the cutoff IS
+    * that sample, exactly, in any engine with linear-interpolation
+    * quantiles.
+    *
+    * Scale shape: [[lmCrossEntropy]]'s passes, plus one tiny per-language
+    * aggregate (2 doubles per language) that BROADCASTS back for a single
+    * comparison pass — deliberately NOT a per-language ntile window,
+    * which would global-sort the largest language's entire corpus slice
+    * on one partition chain at 100 TB.
+    *
+    * Returns (id, byCol, cross_entropy ROUNDED to 4, bucket).
+    */
+  def ccnetBuckets(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      byCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    val ce = lmCrossEntropy(docs, idCol, textCol)
+      .select(col(idCol), round(col("cross_entropy"), 4).as("cross_entropy"))
+    val scored = docs.select(col(idCol), col(byCol)).join(ce, Seq(idCol))
+    val cuts = scored.groupBy(byCol)
+      .agg(expr("percentile(cross_entropy, array(0.3333333333333333D, 0.6666666666666666D))")
+        .as("cut"))
+      .select(col(byCol), col("cut")(0).as("c1"), col("cut")(1).as("c2"))
+    scored.join(broadcast(cuts), Seq(byCol))
+      .select(col(idCol), col(byCol), col("cross_entropy"),
+        when(col("cross_entropy") <= col("c1"), "head")
+          .when(col("cross_entropy") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus
     * document by how much more likely its tokens are under the TARGET

@@ -551,6 +551,29 @@ class DedupSpec extends SparkTestBase {
     assert(res(0L)._2 < res(2L)._2)
   }
 
+  test("ccnet buckets: per-lang terciles, monotone in cross-entropy, thirds-sized") {
+    // 9 docs per lang with strictly increasing rare-token content so the
+    // tercile boundaries are unambiguous
+    val rows = for (lang <- Seq("en", "de"); i <- 0 until 9) yield {
+      val common = Seq.fill(12 - i)(s"$lang common word").mkString(" ")
+      val rare = (0 until i).map(j => s"${lang}rare${i}_$j").mkString(" ")
+      (lang.hashCode.toLong * 100 + i, s"$common $rare", lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.ccnetBuckets(df)
+      .select("lang", "bucket", "cross_entropy")
+      .as[(String, String, Double)].collect()
+    for (lang <- Seq("en", "de")) {
+      val byBucket = got.filter(_._1 == lang).groupBy(_._2).view
+        .mapValues(_.map(_._3)).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"))
+      assert(byBucket("head").size === 3 && byBucket("middle").size === 3
+        && byBucket("tail").size === 3, s"$lang terciles not thirds: $byBucket")
+      assert(byBucket("head").max <= byBucket("middle").min)
+      assert(byBucket("middle").max <= byBucket("tail").min)
+    }
+  }
+
   test("bloom-gated contamination pairs equal the exact formulation, even at fpp=0.5") {
     val bench = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")).toDF("bench_id", "text")
