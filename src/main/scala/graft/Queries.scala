@@ -376,6 +376,15 @@ object Queries {
       knnFinish(Knn.bruteForce(data, queries, 5, "manhattan"))
     }),
 
+    // §2.18 Matryoshka prefix-dim retrieval (Kusupati et al. 2022): coarse
+    // top-50 on the first 16 of 64 dims, exact rescore at full dim. Both
+    // stages deterministic (total tie-breaks), so the oracle replays the
+    // full two-stage computation — no recall gate needed.
+    "knn_matryoshka" -> ((spark, dir) => {
+      val (data, queries) = knnInputs(spark, dir, 5)
+      knnFinish(Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = 50))
+    }),
+
     // §2.7+14 per-partition top-k + global merge (dataset.go:349-433)
     "knn_partitioned" -> ((spark, dir) => {
       val (data, queriesDf) = knnInputs(spark, dir, 5)
@@ -3445,6 +3454,21 @@ object Queries {
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),
+    // two-stage Matryoshka replay: coarse rank on the 16-dim prefix with
+    // the (cdist, id) tie-break, exact rescore of the top-50 candidates
+    "knn_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv,
+         |             ${dEmb("embedding[1:16]")} AS qp FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT q.qid, e.vec_id AS id,
+         |        ${duckEuclid(dEmb("e.embedding[1:16]"), "q.qp")} AS cdist
+         |      FROM embeddings e CROSS JOIN q),
+         |cand AS (SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cdist, id) AS r FROM c)
+         |  WHERE r <= 50),
+         |d AS (SELECT cand.qid, cand.id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
+         |      FROM cand JOIN embeddings e ON cand.id = e.vec_id JOIN q ON cand.qid = q.qid),
+         |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+         |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_partitioned" -> knnOracle(duckEuclid, 5, 10),
     "knn_partitioned_df" -> knnOracleAll(duckEuclid, 10),
     "ann_ivf_df" -> knnOracleAll(duckEuclid, 5),

@@ -66,6 +66,44 @@ object Knn {
     d.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Matryoshka (prefix-dimension) retrieval, Kusupati et al. 2022: a
+    * coarse top-`coarseK` pass over only the FIRST `dPrefix` dimensions,
+    * then an exact full-dimension rescore of the candidates. MRL-trained
+    * embeddings front-load information into the prefix, so a d/4 prefix
+    * keeps most of the ranking signal at a quarter of the flops — and,
+    * unlike PCA/OPQ/PQ, needs NO training pass over the corpus (the
+    * "projection" is coordinate truncation fixed at embedding-training
+    * time).
+    *
+    * Scale shape: at 100 TB the prefix is MATERIALIZED as its own parquet
+    * column offline (pass its name as `prefixCol`) and the coarse scan
+    * column-prunes to it — reading dPrefix/d of the vector bytes; the
+    * inline `slice` default is the self-contained form for data without
+    * the sidecar column. Candidates (coarseK·Q rows) broadcast back onto
+    * the full-vector scan for the rescore, so the corpus never shuffles
+    * in either stage. Both stages rank with a total (dist, id) tie-break:
+    * given the inputs the result is fully deterministic — a SQL oracle
+    * replays it — and `coarseK` ≥ the corpus size IS exact search.
+    */
+  def matryoshka(data: DataFrame, queries: DataFrame, k: Int, dPrefix: Int,
+      coarseK: Int, metric: String = "euclidean",
+      prefixCol: Option[String] = None): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val dPre = prefixCol.map(col).getOrElse(slice(col("vector"), 1, dPrefix))
+    val qPre = slice(col("qvec"), 1, dPrefix)
+    val coarse = data.select(col("id"), dPre.as("vp"))
+      .crossJoin(broadcast(queries.select(col("qid"), qPre.as("qp"))))
+      .select(col("qid"), col("id"), vec.dist(col("vp"), col("qp"), metric).as("cdist"))
+    val w1 = Window.partitionBy("qid").orderBy(col("cdist"), col("id"))
+    val cand = coarse.withColumn("r", row_number().over(w1)).filter(col("r") <= coarseK)
+      .select("qid", "id")
+    val rescored = data.join(broadcast(cand), Seq("id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact kNN via per-partition bounded heaps: ONE pass over the data
     * computes all query heaps per partition (`mapPartitions`), emitting only
     * k candidates per (partition, query). The global merge ranks the k·P·Q

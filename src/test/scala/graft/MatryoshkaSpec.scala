@@ -1,0 +1,63 @@
+package graft
+
+import graft.knn.Knn
+import org.apache.spark.sql.functions._
+
+/** Matryoshka prefix-dimension retrieval: exactness when the coarse stage
+  * is saturated, recall when it is not, and prefix-column equivalence.
+  */
+class MatryoshkaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def unit(x: Long): Double = graft.core.SplitMix.unit(graft.core.SplitMix.mix(x))
+
+  // MRL-like geometry: information front-loaded into the prefix — cluster
+  // identity lives in dims 0..15, dims 16..63 carry small noise
+  private val dim = 64
+  private val nVecs = 400
+  private val nClusters = 8
+  private lazy val vectors: Seq[(Long, Array[Float])] = (0 until nVecs).map { i =>
+    val c = i % nClusters
+    val v = Array.tabulate(dim) { e =>
+      val center = if (e < 16) unit(c.toLong * 1000003L + e) * 4.0 else 0.0
+      val noise = (unit(i.toLong * 131L + e) - 0.5) * 0.2
+      (center + noise).toFloat
+    }
+    (i.toLong, v)
+  }
+  private lazy val data = vectors.toDF("id", "vector").cache()
+  private lazy val queries = vectors.take(5).map { case (id, v) => (id, v) }
+    .toDF("qid", "qvec")
+
+  test("saturated coarseK equals bruteForce row-for-row") {
+    val exact = Knn.bruteForce(data, queries, 10)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    val mrl = Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = nVecs)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(mrl === exact) // identical kernel + tie-break -> bit-equal dists
+  }
+
+  test("prefix coarse stage keeps high recall on front-loaded geometry") {
+    val exact = Knn.bruteForce(data, queries, 10).select("qid", "id")
+    val mrl = Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = 40)
+      .select("qid", "id")
+    val hits = mrl.join(exact, Seq("qid", "id"), "left_semi").count()
+    val recall = hits.toDouble / (5 * 10)
+    assert(recall >= 0.9, s"matryoshka recall $recall < 0.9")
+  }
+
+  test("materialized prefix column gives the identical result to inline slice") {
+    val withPrefix = data.withColumn("vp16", slice(col("vector"), 1, 16))
+    val inline = Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = 40)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    val mat = Knn.matryoshka(withPrefix, queries, k = 10, dPrefix = 16, coarseK = 40,
+        prefixCol = Some("vp16"))
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    assert(mat === inline)
+  }
+
+  test("coarseK below k is rejected") {
+    intercept[IllegalArgumentException](
+      Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = 5))
+  }
+}
