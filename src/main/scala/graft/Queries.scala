@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.functions.vec
 import graft.hnsw.{HnswConfig, HnswSpark}
-import graft.knn.{Ivf, Knn}
+import graft.knn.{Ivf, Knn, RandomProjection}
 import graft.ops.Mutations
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -383,6 +383,16 @@ object Queries {
     "knn_matryoshka" -> ((spark, dir) => {
       val (data, queries) = knnInputs(spark, dir, 5)
       knnFinish(Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = 50))
+    }),
+
+    // §2.18 Johnson–Lindenstrauss tier: DATA-INDEPENDENT 64→16 ±1/√16
+    // sign projection (no training pass over the corpus — the matrix is a
+    // pure hash function), coarse top-50, exact rescore. The oracle
+    // rebuilds the md5 sign matrix and replays both stages bit-for-bit.
+    "knn_rp" -> ((spark, dir) => {
+      val (data, queries) = knnInputs(spark, dir, 5)
+      knnFinish(RandomProjection.search(data, queries, k = 10, d = 64, dProj = 16,
+        coarseK = 50))
     }),
 
     // §2.7+14 per-partition top-k + global merge (dataset.go:349-433)
@@ -3490,6 +3500,31 @@ object Queries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // JL replay: the ±0.25 sign matrix from md5("j_e") (same hash-to-sign
+    // convention as doc_embed), e-ordered projection sums cast to REAL
+    // (the kernel's float output), j-ordered coarse distance sums — every
+    // stage bit-identical to the Spark kernels, so the candidate set and
+    // final ranking replay exactly
+    "knn_rp" ->
+      s"""WITH mat AS (
+         |  SELECT j, e, CASE WHEN ((CAST(concat('0x', substr(md5(j || '_' || e), 1, 15)) AS BIGINT) >> 5) & 1) = 0
+         |                    THEN 0.25 ELSE -0.25 END AS s
+         |  FROM (SELECT unnest(range(16)) AS j) CROSS JOIN (SELECT unnest(range(64)) AS e)),
+         |ex AS (SELECT vec_id, r.pos - 1 AS e, embedding[r.pos]::DOUBLE AS x
+         |       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) r),
+         |proj AS (SELECT vec_id, j, CAST(sum(mat.s * ex.x ORDER BY ex.e) AS REAL) AS y
+         |         FROM ex JOIN mat ON ex.e = mat.e GROUP BY vec_id, j),
+         |cd AS (SELECT qp.vec_id AS qid, dp.vec_id AS id,
+         |         sqrt(sum((dp.y::DOUBLE - qp.y::DOUBLE) * (dp.y::DOUBLE - qp.y::DOUBLE) ORDER BY dp.j)) AS cdist
+         |       FROM proj dp JOIN proj qp ON dp.j = qp.j AND qp.vec_id < 5
+         |       GROUP BY qp.vec_id, dp.vec_id),
+         |cand AS (SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cdist, id) AS r FROM cd)
+         |  WHERE r <= 50),
+         |d AS (SELECT cand.qid, cand.id, ${duckEuclid(dEmb("e.embedding"), dEmb("q.embedding"))} AS dist
+         |      FROM cand JOIN embeddings e ON cand.id = e.vec_id JOIN embeddings q ON cand.qid = q.vec_id),
+         |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+         |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_pca_exact" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_quantized_manhattan" -> knnOracle(duckManhattan, 3, 5),
