@@ -2113,6 +2113,18 @@ object Queries {
         .filter(col("df") >= 5)
         .orderBy("token")
     }),
+
+    // §2.20 provably-exact top-10 3-grams via Misra–Gries candidates +
+    // exact recount — the n-gram key space is what's too big to
+    // full-shuffle at 100 TB (distinct 5-grams grow toward corpus size).
+    // The runtime proof check (k-th count > accounted error bound) makes
+    // "exact or loud error" the contract, so the oracle is simply the
+    // exact top-k.
+    "ngram_heavy_hitters" -> ((spark, dir) => {
+      graft.text.HeavyHitters.ngramTopK(t(spark, dir, "documents"), n = 3, k = 10, m = 16384)
+        .select(col("gram"), col("n_count"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    }),
     "doc_rarity" -> ((spark, dir) => {
       TextAnalysis.docRarity(t(spark, dir, "documents"))
         .select(col("doc_id"), round(col("rarity"), 4).as("rarity"))
@@ -3613,6 +3625,16 @@ object Queries {
       s"""SELECT t.token, count(*) AS df
          |FROM (SELECT unnest(list_distinct($duckToks)) AS token FROM documents) t
          |GROUP BY t.token HAVING count(*) >= 5 ORDER BY t.token""".stripMargin,
+    // the sketch-then-recount pipeline is exact by its runtime proof, so
+    // the oracle is the plain exact 3-gram top-10 with the same
+    // (count DESC, gram) tie-break
+    "ngram_heavy_hitters" ->
+      s"""WITH tok AS (SELECT $duckToks AS t FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM tok),
+         |c AS (SELECT gram, count(*) AS n_count FROM g GROUP BY gram),
+         |r AS (SELECT gram, n_count, row_number() OVER (ORDER BY n_count DESC, gram) AS rank FROM c)
+         |SELECT gram, n_count, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "lm_perplexity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
          |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
