@@ -687,6 +687,41 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // §2.18+31 IVF×Matryoshka composition: probe nprobe/C of the cells
+    // AND read only dPrefix/d of the vector bytes inside them (with a
+    // materialized prefix column the coarse scan column-prunes to it) —
+    // the two pruning levers compose the way SQ8/PQ/binary already do.
+    // Two-arm self-verification: nprobe = C with coarseK >= N must EQUAL
+    // brute force row-for-row (the saturation-exactness arm — both
+    // "approximations" degenerate by construction), the probed arm is
+    // recall-gated (uniform sf embeddings; clustered floor in
+    // MatryoshkaSpec).
+    "ann_ivf_matryoshka" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val k = 10
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids)
+      val n = data.count().toInt
+      val exact = Knn.bruteForce(data, queriesDf, k).select("qid", "id", "rank")
+      val full = Knn.matryoshkaIvf(spark, assigned, centroids, queries, k,
+        nprobe = 16, dPrefix = 16, coarseK = n)
+      val approx = Knn.matryoshkaIvf(spark, assigned, centroids, queries, k,
+        nprobe = 4, dPrefix = 16, coarseK = 150)
+      val sameFull = exact.join(full.select("qid", "id", "rank"), Seq("qid", "id", "rank"))
+        .groupBy("qid").agg(count(lit(1)).as("n_same_exact"))
+      approx.groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(exact.join(approx.select("qid", "id"), Seq("qid", "id"))
+          .groupBy("qid").agg(count(lit(1)).as("__overlap")), Seq("qid"))
+        .join(sameFull, Seq("qid"))
+        .select(col("qid"), lit(k.toLong).as("k"), col("n_results"),
+          col("n_same_exact"),
+          when(col("__overlap") >= k * 0.7, 1L).otherwise(0L).as("recall_ok"))
+        .orderBy("qid")
+    }),
+
     // §2.13 tombstone handling: search skips deleted ids
     "knn_with_deletes" -> ((spark, dir) => {
       val e = t(spark, dir, "embeddings")
@@ -1153,6 +1188,35 @@ object Queries {
       graft.streaming.StreamingOps.nearDupSinkPairs(spark, sinkDir)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // §2.21+30 STREAMING heavy hitters: the mergeable Misra–Gries summary
+    // maintained across micro-batches (one m-counter sketch + O(batch)
+    // corpus append per batch, no state store), read back with the same
+    // exact-recount-and-prove contract. Half the corpus lands as a direct
+    // batch, the other half replays through a real file stream — the
+    // folded sketch + accumulated corpus must converge to the BATCH
+    // operator's answer, so the oracle is the identical exact top-k SQL.
+    "stream_heavy_hitters" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val sinkDir = java.nio.file.Files.createTempDirectory("stream_hh_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_hh_ckpt").toString
+      val sink = graft.streaming.StreamingOps.heavyHittersSink(spark, sinkDir, n = 3, m = 16384)
+      val tail = streamTable(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      withStreamParts(spark) {
+        sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+        val q = tail.writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id + 1L))
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.streaming.StreamingOps.heavyHittersTopK(spark, sinkDir, k = 10)
+        .select(col("gram"), col("n_count"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
     }),
 
     // §2.17 dedup GROUP resolution: the same planted LSH pair set resolved
@@ -2125,6 +2189,20 @@ object Queries {
         .select(col("gram"), col("n_count"), col("rank").cast("long").as("rank"))
         .orderBy("rank")
     }),
+
+    // §2.20 the corpus-report shape (C4/Gopher-style audits: top n-grams
+    // per source, top domains per language): the same MG sketch-then-
+    // recount pipeline keyed by group — driver/executor state bounded at
+    // groups × m counters, the gram space (which is what grows toward
+    // corpus size) still never shuffles unfiltered, and the exact-or-throw
+    // proof applies per group.
+    "ngram_heavy_hitters_grouped" -> ((spark, dir) => {
+      graft.text.HeavyHitters.ngramTopKByGroup(t(spark, dir, "documents"),
+          n = 3, k = 5, m = 16384, groupCol = "source")
+        .select(col("source"), col("gram"), col("n_count"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")
+    }),
     "doc_rarity" -> ((spark, dir) => {
       TextAnalysis.docRarity(t(spark, dir, "documents"))
         .select(col("doc_id"), round(col("rarity"), 4).as("rarity"))
@@ -2572,6 +2650,46 @@ object Queries {
         queries, k = 10, nprobe = 4)
       val same = asOf.select(col("qid"), col("id"), col("rank"))
         .join(batchFull.select(col("qid"), col("id"), col("rank")),
+          Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_as_full"))
+      asOf.select(col("qid"), col("id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(same, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_same_as_full"))
+        .orderBy("qid")
+    }),
+
+    // §2.21 TIME-TRAVEL read of a delta-maintained HNSW index — the IVF
+    // as-of row's twin: the delta sink keeps a FULL (id, version) history,
+    // so `asOf = 1` reconstructs the pre-tombstone state. Before any
+    // compaction the base graphs are empty and the whole as-of view is
+    // served by the delta's EXACT scan, so the search must equal exact
+    // brute-force kNN over the FULL corpus (including every later-removed
+    // id) ROW-FOR-ROW — n_same_as_full = k, closed-form oracle. (Horizon
+    // refusal + post-compaction as-of serving are gated in
+    // StreamingIndexSpec.)
+    "stream_hnsw_asof" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_hasof_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_hasof_ckpt").toString
+      val sink = graft.streaming.StreamingOps.hnswDeltaMaintenanceSink(
+        spark, idxDir, 4, config = HnswConfig(ef = 100))
+      withStreamParts(spark) {
+        val q = mutationOps(spark, dir).writeStream.foreachBatch(sink)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val asOf = graft.streaming.StreamingOps
+        .searchHnswMaintained(spark, idxDir, queries, 10, asOf = Some(1L))
+      val exactFull = Knn.bruteForce(data, queriesDf, 10, "euclidean")
+      val same = asOf.select(col("qid"), col("id"), col("rank"))
+        .join(exactFull.select(col("qid"), col("id"), col("rank")),
           Seq("qid", "id", "rank"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("n_same_as_full"))
       asOf.select(col("qid"), col("id"))
@@ -3425,6 +3543,12 @@ object Queries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_full
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // pre-compaction the as-of view is the delta's exact scan, so equality
+    // with exact brute-force kNN over the full corpus is row-for-row
+    "stream_hnsw_asof" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_as_full
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "hnsw_with_meta" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(0 AS BIGINT) AS n_meta_mismatch, CAST(1 AS BIGINT) AS recall_ok
@@ -3505,6 +3629,10 @@ object Queries {
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_opq" -> knnOracle(duckEuclid, 5, 10),
     "ann_ivf_binary" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "ann_ivf_matryoshka" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
@@ -3635,6 +3763,25 @@ object Queries {
          |c AS (SELECT gram, count(*) AS n_count FROM g GROUP BY gram),
          |r AS (SELECT gram, n_count, row_number() OVER (ORDER BY n_count DESC, gram) AS rank FROM c)
          |SELECT gram, n_count, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // the streaming-maintained sketch converges to the batch operator, so
+    // the oracle is the identical exact top-k replay
+    "stream_heavy_hitters" ->
+      s"""WITH tok AS (SELECT $duckToks AS t FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM tok),
+         |c AS (SELECT gram, count(*) AS n_count FROM g GROUP BY gram),
+         |r AS (SELECT gram, n_count, row_number() OVER (ORDER BY n_count DESC, gram) AS rank FROM c)
+         |SELECT gram, n_count, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // same exactness argument per group: the per-group proof makes the
+    // oracle the plain per-group exact top-k with the same tie-break
+    "ngram_heavy_hitters_grouped" ->
+      s"""WITH tok AS (SELECT source, $duckToks AS t FROM documents),
+         |g AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM tok),
+         |c AS (SELECT source, gram, count(*) AS n_count FROM g GROUP BY source, gram),
+         |r AS (SELECT source, gram, n_count,
+         |        row_number() OVER (PARTITION BY source ORDER BY n_count DESC, gram) AS rank FROM c)
+         |SELECT source, gram, n_count, rank FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "lm_perplexity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
          |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),

@@ -104,6 +104,61 @@ object Knn {
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[matryoshka]] composed with IVF cell pruning — the 100 TB serving
+    * form: probe `nprobe`/C of the cells AND read only `dPrefix`/d of the
+    * vector bytes inside them (both pruning levers at once, the way the
+    * SQ8/PQ/binary tiers already compose with IVF), then an exact
+    * full-dimension rescore of the coarse survivors.
+    *
+    * Same plan shape as [[Ivf.search]]: probe pairs computed on the
+    * driver (Q·nprobe rows, broadcast), the assigned corpus never
+    * shuffles in either stage (probes and candidates broadcast onto it),
+    * the coarse window is WindowGroupLimit-bounded, and a materialized
+    * `prefixCol` lets the coarse scan column-prune to dPrefix/d of the
+    * bytes. `nprobe >= C` with `coarseK >=` the corpus size degenerates
+    * to exact brute force — the self-verifiable exactness arm. `dedup`
+    * mirrors [[Ivf.search]]: set it for spilled assignments so a
+    * multi-cell id cannot consume several coarse or final rank slots.
+    */
+  def matryoshkaIvf(
+      spark: SparkSession,
+      assigned: DataFrame, // output of Ivf.assign(): (id, cell, vector)
+      centroids: Array[Array[Float]],
+      queries: Array[(Long, Array[Float])],
+      k: Int, nprobe: Int, dPrefix: Int, coarseK: Int,
+      metric: String = "euclidean",
+      prefixCol: Option[String] = None,
+      dedup: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val m = Distances.metricId(metric)
+    val probes = queries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (cv, ci) => (Distances.distance(m)(qv, cv), ci) }
+        .sortBy(identity)
+        .take(nprobe)
+        .map { case (_, ci) => (qid, ci) }
+    }.toSeq.toDF("qid", "cell")
+    val queriesPre = queries.map { case (qid, qv) => (qid, qv.take(dPrefix)) }
+      .toSeq.toDF("qid", "qp")
+    val dPre = prefixCol.map(col).getOrElse(slice(col("vector"), 1, dPrefix))
+    val coarseRaw = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(queriesPre), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(dPre, col("qp"), metric).as("cdist"))
+    val coarse = if (dedup) coarseRaw.dropDuplicates("qid", "id") else coarseRaw
+    val w1 = Window.partitionBy("qid").orderBy(col("cdist"), col("id"))
+    val cand = coarse.withColumn("r", row_number().over(w1)).filter(col("r") <= coarseK)
+      .select("qid", "id")
+    val queriesDf = queries.toSeq.toDF("qid", "qvec")
+    val rescoredRaw = assigned.join(broadcast(cand), Seq("id"))
+      .join(broadcast(queriesDf), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+    val rescored = if (dedup) rescoredRaw.dropDuplicates("qid", "id") else rescoredRaw
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact kNN via per-partition bounded heaps: ONE pass over the data
     * computes all query heaps per partition (`mapPartitions`), emitting only
     * k candidates per (partition, query). The global merge ranks the k·P·Q

@@ -1556,11 +1556,19 @@ object StreamingOps {
         hconf)
 
     (batch: Dataset[VectorOp], batchId: Long) => {
-      // latest version per id within the batch (same deterministic
-      // tie-break as the other sinks); removes drop their payload
+      // exact-replay dedupe only: one row per (id, version) — an
+      // at-least-once redelivery collapses, while DISTINCT versions of an
+      // id ALL persist, keeping the delta log a FULL version history (the
+      // [[searchHnswMaintained]] `asOf` time-travel contract, mirroring
+      // [[ivfMaintenanceSink]]; collapsing to the batch winner would
+      // silently erase any state both written and overwritten inside one
+      // micro-batch). Serving is unchanged: the view's rank window
+      // resolves winners across however many versions a batch wrote. On
+      // an exact (id, version) tie the remove sorts first — the same
+      // conservative read the view applies.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id")
-        .orderBy(col("version").desc, col("op"), xxhash64(col("vector")))
+        .partitionBy("id", "version")
+        .orderBy(col("op"), xxhash64(col("vector")))
       batch.toDF()
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
         .select(col("id"),
@@ -1580,7 +1588,8 @@ object StreamingOps {
     * the replay from the delta with the identical vector — the guard is
     * preferred so replays after compaction don't grow the override set).
     */
-  private def hnswLatestDeltaRows(spark: SparkSession, indexDir: String): DataFrame = {
+  private def hnswLatestDeltaRows(spark: SparkSession, indexDir: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val deltaDir = s"$indexDir/delta"
@@ -1589,10 +1598,31 @@ object StreamingOps {
       Seq.empty[(Long, Array[Float], Long, String, Boolean)]
         .toDF("id", "vector", "version", "op", "guard")
     else {
+      val delta = spark.read.parquet(deltaDir)
+      val scoped = asOfVersion match {
+        case None => delta
+        case Some(v) =>
+          // Same horizon rule as [[latestDeltaRows]]: compaction collapses
+          // each id's history to its winning row (a guard or tombstone in
+          // `batch=compacted`), so the newest compacted version is the
+          // time-travel floor — at or above it every compacted winner
+          // already satisfies version <= v and base serves the exact at-v
+          // state; below it overwritten/removed history is gone and the
+          // read must fail loudly. (The partition column is int-inferred
+          // while no compacted batch exists — the string cast keeps the
+          // filter well-typed in both layouts.)
+          val floor = delta.filter(col("batch").cast("string") === "compacted")
+            .agg(max(col("version"))).head().get(0)
+          if (floor != null) require(v >= floor.asInstanceOf[Long],
+            s"as-of version $v predates the compaction horizon $floor of $indexDir — history " +
+              "below the newest compacted version was collapsed by compactHnswMaintained and " +
+              "cannot be replayed; keep the delta log un-compacted as far back as reads need")
+          delta.filter(col("version") <= v)
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id")
         .orderBy(col("version").desc, col("op").asc, col("guard").desc, xxhash64(col("vector")))
-      spark.read.parquet(deltaDir)
+      scoped
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
         .select("id", "vector", "version", "op", "guard")
     }
@@ -1610,17 +1640,27 @@ object StreamingOps {
     * bounded by mutations since the last compaction (compaction cadence is
     * the knob), NOT by index size — the same contract as the IVF delta
     * view's read cost.
+    *
+    * With `asOf = Some(v)` the search serves the index's exact state at
+    * mutation version v (inclusive) — the delta log is a full version
+    * history, so any past state at or above the compaction horizon
+    * reconstructs exactly (the [[ivfMaintainedStateAsOf]] twin; reads
+    * below the horizon fail loudly). Ids whose at-v winner was folded into
+    * base by a compaction at or below v serve from the base graphs;
+    * everything mutated in (horizon, v] serves from the delta's exact
+    * scan.
     */
   def searchHnswMaintained(
       spark: SparkSession,
       indexDir: String,
       queries: Array[(Long, Array[Float])],
       k: Int,
-      efOverride: Int = 0): DataFrame = {
+      efOverride: Int = 0,
+      asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val meta = loadHnswMaintainedMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained HNSW dir"))
-    val winners = hnswLatestDeltaRows(spark, indexDir)
+    val winners = hnswLatestDeltaRows(spark, indexDir, asOf)
     val overriding = winners.filter(!col("guard"))
     val touched = overriding.select(col("id").cast("long")).as[Long].collect()
     val live = overriding.filter(col("op") === "upsert")
@@ -1662,11 +1702,12 @@ object StreamingOps {
       indexDir: String,
       queries: DataFrame, // (qid, qvec)
       k: Int,
-      efOverride: Int = 0): DataFrame = {
+      efOverride: Int = 0,
+      asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val meta = loadHnswMaintainedMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained HNSW dir"))
-    val winners = hnswLatestDeltaRows(spark, indexDir)
+    val winners = hnswLatestDeltaRows(spark, indexDir, asOf)
     val overriding = winners.filter(!col("guard"))
     val touched = overriding.select(col("id").cast("long")).as[Long].collect()
     val live = overriding.filter(col("op") === "upsert")
@@ -2086,5 +2127,236 @@ object StreamingOps {
       graft.io.HadoopIO.delete(s"$indexDir/delta_post", hconf)
       graft.io.HadoopIO.rename(postTmp, s"$indexDir/delta_post", hconf)
     } finally winners.unpersist()
+  }
+
+  // ------------------------------------------- heavy-hitter maintenance
+
+  private def hhMetaPath(indexDir: String) = s"$indexDir/hh_meta"
+
+  def loadHeavyHittersMeta(spark: SparkSession, indexDir: String): Option[(Int, Int)] = {
+    if (!graft.io.HadoopIO.exists(hhMetaPath(indexDir),
+        spark.sparkContext.hadoopConfiguration)) None
+    else {
+      val r = spark.read.parquet(hhMetaPath(indexDir)).select("n", "m").head()
+      Some((r.getInt(0), r.getInt(1)))
+    }
+  }
+
+  /** Replace a batch subdirectory's manifest entries wholesale — unlike
+    * [[mergeDeltaManifest]]'s same-name replacement, ALL prior entries
+    * under the batch prefix are dropped first, so a re-written batch
+    * (idempotent replay of an uncommitted attempt, whose part-file names
+    * differ) leaves no stale entries behind.
+    */
+  private def replaceBatchManifest(
+      deltaDir: String,
+      batchSubdir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val prior = graft.io.Manifest.read(deltaDir, conf).getOrElse(Seq.empty)
+    val batchEntries = listDelta(deltaDir, conf, Some(batchSubdir))
+      .map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) }
+    graft.io.Manifest.write(deltaDir,
+      prior.filterNot(_.name.startsWith(batchSubdir + "/")) ++ batchEntries, conf)
+  }
+
+  /** `foreachBatch` sink maintaining PROVABLY-EXACT top-k n-gram heavy
+    * hitters across micro-batches ([[graft.text.HeavyHitters]] online).
+    * The Misra–Gries summary is MERGEABLE by construction (Agarwal et al.
+    * 2013), so each batch pays only its own sketch — one m-counter pass
+    * over the batch's grams, written as an (m+1)-row parquet batch
+    * directory — plus an O(batch) append of the batch's documents to the
+    * manifested corpus table the exact recount reads at query time. Per
+    * batch: O(batch) bytes, no state store, executor memory bounded at m
+    * counters — the same disk-state shape as [[nearDupSink]].
+    *
+    * Replays are idempotent by batch id: the sketch manifest is the
+    * COMMIT MARKER (merged last), a redelivered committed batch is
+    * skipped entirely, and an uncommitted attempt's partial directories
+    * are deleted and rewritten — both manifests replace the batch's
+    * entries wholesale, so no stale file names survive.
+    *
+    * Query with [[heavyHittersTopK]]: the per-batch summaries fold into
+    * one (driver cost: batches × m counters — fold cadence, not corpus
+    * size), candidates recount EXACTLY against the accumulated corpus,
+    * and the same exact-or-throw proof applies. Converges to the batch
+    * operator's answer over any micro-batch boundaries.
+    */
+  def heavyHittersSink(
+      spark: SparkSession,
+      indexDir: String,
+      n: Int,
+      m: Int): (DataFrame, Long) => Unit = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    loadHeavyHittersMeta(spark, indexDir) match {
+      case Some((en, em)) =>
+        require(en == n && em == m,
+          s"heavy-hitter state at $indexDir was maintained with (n=$en, m=$em); restarting " +
+            s"with (n=$n, m=$m) would merge incompatible sketches — delete the directory " +
+            "or pass matching parameters")
+      case None =>
+        Seq((n, m)).toDF("n", "m").coalesce(1)
+          .write.mode("overwrite").parquet(hhMetaPath(indexDir))
+    }
+    val sketchDir = s"$indexDir/sketch"
+    val docsDir = s"$indexDir/docs"
+    graft.io.HadoopIO.mkdirs(sketchDir, hconf)
+    graft.io.HadoopIO.mkdirs(docsDir, hconf)
+    Seq(sketchDir, docsDir).foreach { d =>
+      if (graft.io.Manifest.read(d, hconf).isEmpty)
+        graft.io.Manifest.write(d,
+          listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+          hconf)
+    }
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      import sess.implicits._
+      val conf = sess.sparkContext.hadoopConfiguration
+      // committed = present in the sketch manifest (the commit marker) OR
+      // already folded away by compactHeavyHitters (whose sidecar
+      // remembers folded batch ids exactly so a post-compaction replay of
+      // an old micro-batch cannot re-append and double-count)
+      val committed = graft.io.Manifest.read(sketchDir, conf).getOrElse(Seq.empty)
+        .exists(_.name.startsWith(s"batch=$batchId/")) ||
+        foldedBatchIds(sess, indexDir).contains(batchId)
+      if (!committed) {
+        graft.io.HadoopIO.delete(s"$docsDir/batch=$batchId", conf)
+        graft.io.HadoopIO.delete(s"$sketchDir/batch=$batchId", conf)
+        val docs = batch.select(col("doc_id"), col("text"))
+        docs.write.parquet(s"$docsDir/batch=$batchId")
+        val mg = graft.text.HeavyHitters.ngrams(docs, n).as[String].rdd
+          .mapPartitions(it => Iterator(graft.text.HeavyHitters.sketchPartition(it, m)))
+          .treeAggregate(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
+            (a, b) => graft.text.HeavyHitters.merge(a, b, m),
+            (a, b) => graft.text.HeavyHitters.merge(a, b, m), depth = 2)
+        // one meta row (gram = null) carries (err, total) and marks even an
+        // empty batch committed
+        (mg.counts.toSeq.map { case (g, c) => (Option(g), c, mg.err, mg.total) } :+
+            ((None: Option[String]), 0L, mg.err, mg.total))
+          .toDF("gram", "cnt", "err", "total")
+          .coalesce(1).write.parquet(s"$sketchDir/batch=$batchId")
+        replaceBatchManifest(docsDir, s"batch=$batchId", conf)
+        // sketch manifest LAST = the commit marker
+        replaceBatchManifest(sketchDir, s"batch=$batchId", conf)
+      }
+    }
+  }
+
+  /** Exact top-k over everything a [[heavyHittersSink]] directory has
+    * absorbed: fold the per-batch Misra–Gries summaries (mergeable — the
+    * combined summary carries the same `true ∈ [cnt, cnt+err]` guarantee
+    * as a single-pass sketch), then run the identical exact recount +
+    * proof over the accumulated corpus. Exact or a loud error, never
+    * silently approximate.
+    */
+  def heavyHittersTopK(spark: SparkSession, indexDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (n, m) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
+    require(m > k, s"sketch size m ($m) must exceed k ($k)")
+    val sketchDir = s"$indexDir/sketch"
+    val docsDir = s"$indexDir/docs"
+    validateDelta(sketchDir, hconf)
+    validateDelta(docsDir, hconf)
+    if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty)
+      return Seq.empty[(String, Long, Int)].toDF("gram", "n_count", "rank")
+    // batches × (m+1) rows — bounded by sketch size and batch count, not
+    // corpus size (the knob is fold cadence / batch duration)
+    val perBatch = spark.read.parquet(sketchDir)
+      .select(col("batch").cast("string"), col("gram"), col("cnt"), col("err"), col("total"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (_, rows) =>
+        val metaRow = rows.find(_.isNullAt(1)).getOrElse(
+          throw new IllegalStateException(s"sketch batch under $sketchDir lacks its meta row"))
+        graft.text.HeavyHitters.MgSummary(
+          rows.filterNot(_.isNullAt(1)).map(r => (r.getString(1), r.getLong(2))).toMap,
+          metaRow.getLong(3), metaRow.getLong(4))
+      }
+    val mg = perBatch.foldLeft(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
+      (a, b) => graft.text.HeavyHitters.merge(a, b, m))
+    val docs =
+      if (graft.io.Manifest.read(docsDir, hconf).get.isEmpty)
+        Seq.empty[(Long, String)].toDF("doc_id", "text")
+      else spark.read.parquet(docsDir).select("doc_id", "text")
+    graft.text.HeavyHitters.recountAndProve(docs, n, k, m, mg)
+  }
+
+  private def foldedBatchIds(spark: SparkSession, indexDir: String): Set[Long] = {
+    val foldedDir = s"$indexDir/folded"
+    if (!graft.io.HadoopIO.exists(foldedDir, spark.sparkContext.hadoopConfiguration)) Set.empty
+    else spark.read.parquet(foldedDir).select("batch_id")
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Compact a [[heavyHittersSink]] sketch log: fold the per-batch
+    * Misra–Gries summaries into ONE merged `batch=compacted` summary, so
+    * the read-time driver fold stops growing with batch count (m counters
+    * instead of batches × m). The corpus table is untouched — the exact
+    * recount reads it wholesale either way, and rewriting it would be an
+    * O(corpus) pass for nothing. Run while the maintenance stream is
+    * STOPPED.
+    *
+    * Replay safety: the `folded` sidecar accumulates every batch id ever
+    * folded, and it lands BEFORE the destructive sketch swap — a
+    * checkpoint-recovery redelivery of a pre-compaction micro-batch finds
+    * its id there and skips, instead of re-appending grams the compacted
+    * summary already counts. (A crash between the sidecar write and the
+    * swap leaves batches both listed and still present — the sink skips
+    * them either way.)
+    */
+  def compactHeavyHitters(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (_, m) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
+    val sketchDir = s"$indexDir/sketch"
+    val sketchTmp = s"$indexDir/sketch.compact"
+    // resume a torn swap: a missing live dir means the tmp was
+    // manifest-complete before the delete ran
+    if (!graft.io.HadoopIO.exists(sketchDir, hconf)) {
+      require(graft.io.HadoopIO.exists(sketchTmp, hconf) &&
+        graft.io.Manifest.read(sketchTmp, hconf).isDefined,
+        s"$sketchDir is gone and $sketchTmp is absent or manifest-less — inconsistent state")
+      graft.io.HadoopIO.rename(sketchTmp, sketchDir, hconf)
+      return
+    }
+    graft.io.HadoopIO.delete(sketchTmp, hconf)
+    validateDelta(sketchDir, hconf)
+    if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty) return
+
+    val rows = spark.read.parquet(sketchDir)
+      .select(col("batch").cast("string"), col("gram"), col("cnt"), col("err"), col("total"))
+      .collect()
+    val byBatch = rows.groupBy(_.getString(0))
+    val mg = byBatch.values
+      .map { rs =>
+        val meta = rs.find(_.isNullAt(1)).getOrElse(
+          throw new IllegalStateException(s"sketch batch under $sketchDir lacks its meta row"))
+        graft.text.HeavyHitters.MgSummary(
+          rs.filterNot(_.isNullAt(1)).map(r => (r.getString(1), r.getLong(2))).toMap,
+          meta.getLong(3), meta.getLong(4))
+      }
+      .foldLeft(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
+        (a, b) => graft.text.HeavyHitters.merge(a, b, m))
+
+    // the replay guard must cover every numeric batch id being folded (and
+    // every id folded before), and must land before the destructive swap
+    val numericIds = byBatch.keys.filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    val allFolded = foldedBatchIds(spark, indexDir) ++ numericIds
+    allFolded.toSeq.sorted.toDF("batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/folded")
+
+    (mg.counts.toSeq.map { case (g, c) => (Option(g), c, mg.err, mg.total) } :+
+        ((None: Option[String]), 0L, mg.err, mg.total))
+      .toDF("gram", "cnt", "err", "total")
+      .coalesce(1).write.parquet(s"$sketchTmp/batch=compacted")
+    writeDeltaManifest(sketchTmp, hconf)
+    graft.io.HadoopIO.delete(sketchDir, hconf)
+    graft.io.HadoopIO.rename(sketchTmp, sketchDir, hconf)
   }
 }

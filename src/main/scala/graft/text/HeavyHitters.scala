@@ -35,15 +35,14 @@ object HeavyHitters {
   final case class MgSummary(counts: Map[String, Long], err: Long, total: Long)
       extends Serializable
 
-  /** One-pass MG over a partition: m counters, O(1) amortized per item
+  /** Mutable Misra–Gries accumulator: m counters, O(1) amortized per item
     * (each decrement round is O(m) but consumes ≥ m stream positions).
     */
-  def sketchPartition(it: Iterator[String], m: Int): MgSummary = {
-    val c = new java.util.HashMap[String, Long](m * 2)
-    var err = 0L
-    var total = 0L
-    while (it.hasNext) {
-      val g = it.next()
+  final class MgState(m: Int) {
+    private val c = new java.util.HashMap[String, Long](m * 2)
+    private var err = 0L
+    private var total = 0L
+    def add(g: String): Unit = {
       total += 1
       val cur = c.get(g)
       if (cur != 0L || c.containsKey(g)) c.put(g, cur + 1)
@@ -57,8 +56,17 @@ object HeavyHitters {
         }
       }
     }
-    import scala.jdk.CollectionConverters._
-    MgSummary(c.asScala.toMap, err, total)
+    def summary: MgSummary = {
+      import scala.jdk.CollectionConverters._
+      MgSummary(c.asScala.toMap, err, total)
+    }
+  }
+
+  /** One-pass MG over a partition. */
+  def sketchPartition(it: Iterator[String], m: Int): MgSummary = {
+    val s = new MgState(m)
+    while (it.hasNext) s.add(it.next())
+    s.summary
   }
 
   /** Merge two summaries: sum counts, then — if over m keys — subtract the
@@ -109,29 +117,140 @@ object HeavyHitters {
   def ngramTopK(docs: DataFrame, n: Int, k: Int, m: Int,
       textCol: String = "text"): DataFrame = {
     require(m > k, s"sketch size m ($m) must exceed k ($k)")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val grams: Dataset[String] = ngrams(docs, n, textCol).as[String]
+    val grams: Dataset[String] = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      ngrams(docs, n, textCol).as[String]
+    }
+    // treeAggregate, not treeReduce: MgSummary has an identity element by
+    // construction, and treeReduce throws on a zero-partition RDD (the
+    // empty-DataFrame shape).
     val mg = grams.rdd
       .mapPartitions(it => Iterator(sketchPartition(it, m)))
-      .treeReduce((a, b) => merge(a, b, m), depth = 2)
+      .treeAggregate(MgSummary(Map.empty, 0L, 0L))(
+        (a, b) => merge(a, b, m), (a, b) => merge(a, b, m), depth = 2)
+    recountAndProve(docs, n, k, m, mg, textCol)
+  }
+
+  /** Exact recount of `mg`'s candidates over `docs` + the runtime proof —
+    * the shared back half of [[ngramTopK]] and the streaming-maintained
+    * form ([[graft.streaming.StreamingOps.heavyHittersTopK]], where the
+    * sketch was accumulated across micro-batches; mergeability makes the
+    * combined summary carry the identical guarantee).
+    */
+  def recountAndProve(docs: DataFrame, n: Int, k: Int, m: Int, mg: MgSummary,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val cands = mg.counts.keys.toSeq.toDF("gram")
-    val ranked = grams.toDF("gram")
+    // ≤ m rows survive the broadcast-candidate filter; the collect below is
+    // ≤ k rows — bounded at any corpus size, and it releases the plan
+    // instead of leaking a cached DataFrame into the session.
+    val top = ngrams(docs, n, textCol)
       .join(broadcast(cands), Seq("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_count"))
-      // ≤ m rows from here on: the single-partition window is bounded
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_count").desc, col("gram"))))
       .filter(col("rank") <= k)
-      .cache()
-    val kthRow = ranked.agg(min("n_count")).head()
-    if (kthRow.isNullAt(0)) {
-      // no candidates at all: exact (vacuously) only if nothing was dropped
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    // Proof: with k ranks filled, kth > err means no untracked gram (true
+    // count ≤ err) can displace any of them. With FEWER than k ranks the
+    // kth test is vacuous — untracked grams with true counts in [1, err]
+    // could fill the missing ranks — so a short result is exact only when
+    // nothing was ever decremented or truncated (err == 0).
+    if (top.size < k) {
       require(mg.err == 0L,
-        s"top-$k not provable on an all-dropped stream (error bound ${mg.err}) — raise m")
-    } else require(kthRow.getLong(0) > mg.err,
-      s"top-$k not provable: k-th exact count ${kthRow.getLong(0)} <= error bound ${mg.err} " +
+        s"top-$k not provable: only ${top.size} candidates survive and the error " +
+          s"bound ${mg.err} > 0 — untracked grams could fill the missing ranks; raise m")
+    } else require(top.last._2 > mg.err,
+      s"top-$k not provable: k-th exact count ${top.last._2} <= error bound ${mg.err} " +
         s"(stream length ${mg.total}, m=$m) — raise the sketch size m")
-    ranked
+    top.toDF("gram", "n_count", "rank")
+  }
+
+  /** One-pass MG per GROUP over a partition: one m-counter state per group
+    * key seen, so partition memory is (local groups) × m.
+    */
+  def sketchPartitionByGroup(it: Iterator[(String, String)], m: Int): Map[String, MgSummary] = {
+    val states = new java.util.HashMap[String, MgState]()
+    while (it.hasNext) {
+      val (grp, g) = it.next()
+      var s = states.get(grp)
+      if (s == null) { s = new MgState(m); states.put(grp, s) }
+      s.add(g)
+    }
+    import scala.jdk.CollectionConverters._
+    states.asScala.iterator.map { case (grp, s) => (grp, s.summary) }.toMap
+  }
+
+  /** Keyed merge of per-group summaries — each group's sketch merges with
+    * [[merge]]'s truncation-and-account rule independently.
+    */
+  def mergeByGroup(a: Map[String, MgSummary], b: Map[String, MgSummary],
+      m: Int): Map[String, MgSummary] =
+    (a.keySet ++ b.keySet).iterator.map { grp =>
+      grp -> ((a.get(grp), b.get(grp)) match {
+        case (Some(x), Some(y)) => merge(x, y, m)
+        case (Some(x), None)    => x
+        case (None, Some(y))    => y
+        case (None, None)       => MgSummary(Map.empty, 0L, 0L) // unreachable
+      })
+    }.toMap
+
+  /** Exact top-k most frequent n-grams PER GROUP — the corpus-report shape
+    * (top n-grams per source, top domains per language; C4/Gopher-style
+    * audits). Same two-pass scheme as [[ngramTopK]] with everything keyed:
+    * per-(partition, group) MG sketches tree-merged to one (groups × m)-
+    * bounded table on the driver, an exact recount filtered by the
+    * broadcast (group, gram) candidate pairs, and the exact-or-throw proof
+    * applied PER GROUP — with k ranks filled the group's k-th count must
+    * exceed its accounted error bound; with fewer, the group's bound must
+    * be zero (a short list is exact only when nothing was decremented or
+    * truncated in that group's sketch).
+    *
+    * Memory: driver and each executor hold groups × m counters — the
+    * reporting use case (languages, sources, domains-per-language) has
+    * bounded group cardinality; the GRAM space, which is what grows toward
+    * corpus size at 100 TB, never shuffles unfiltered.
+    *
+    * Returns (groupCol, gram, n_count, rank), rank dense per group by
+    * (count DESC, gram).
+    */
+  def ngramTopKByGroup(docs: DataFrame, n: Int, k: Int, m: Int,
+      groupCol: String, textCol: String = "text"): DataFrame = {
+    require(m > k, s"sketch size m ($m) must exceed k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = TextAnalysis.tokens(col(textCol))
+    val idx = when(size(t) >= n, sequence(lit(0), size(t) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs.select(col(groupCol).cast("string").as("grp"),
+        explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
+      .as[(String, String)]
+    val mg = grams.rdd
+      .mapPartitions(it => Iterator(sketchPartitionByGroup(it, m)))
+      .treeAggregate(Map.empty[String, MgSummary])(
+        (a, b) => mergeByGroup(a, b, m), (a, b) => mergeByGroup(a, b, m), depth = 2)
+    val cands = mg.toSeq.flatMap { case (grp, s) => s.counts.keysIterator.map(g => (grp, g)) }
+      .toDF("grp", "gram")
+    val top = grams.toDF("grp", "gram")
+      .join(broadcast(cands), Seq("grp", "gram"))
+      .groupBy("grp", "gram").agg(count(lit(1)).as("n_count"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("grp").orderBy(col("n_count").desc, col("gram"))))
+      .filter(col("rank") <= k)
+      .as[(String, String, Long, Int)].collect().toSeq
+    val byGrp = top.groupBy(_._1)
+    mg.foreach { case (grp, s) =>
+      val rows = byGrp.getOrElse(grp, Seq.empty)
+      if (rows.size < k) {
+        require(s.err == 0L,
+          s"top-$k not provable for group '$grp': only ${rows.size} candidates survive " +
+            s"and the error bound ${s.err} > 0 — raise m")
+      } else require(rows.map(_._3).min > s.err,
+        s"top-$k not provable for group '$grp': k-th exact count ${rows.map(_._3).min} " +
+          s"<= error bound ${s.err} (stream length ${s.total}, m=$m) — raise m")
+    }
+    top.sortBy(r => (r._1, r._4)).toDF(groupCol, "gram", "n_count", "rank")
   }
 }

@@ -363,11 +363,16 @@ object TextAnalysis {
     * that sample, exactly, in any engine with linear-interpolation
     * quantiles.
     *
-    * Scale shape: [[lmCrossEntropy]]'s passes, plus one tiny per-language
-    * aggregate (2 doubles per language) that BROADCASTS back for a single
-    * comparison pass — deliberately NOT a per-language ntile window,
-    * which would global-sort the largest language's entire corpus slice
-    * on one partition chain at 100 TB.
+    * Scale shape: [[lmCrossEntropy]]'s passes, plus one per-language
+    * `percentile` aggregate whose RESULT is 2 doubles per language but
+    * whose aggregation STATE is a value→count map of the distinct rounded
+    * scores per language — bounded by the 4-decimal rounding (≤ ~10^4 ·
+    * score-range entries per language), not O(1); the bounded-cardinality
+    * rounding is what makes the exact aggregate affordable. The tiny
+    * cutoff table BROADCASTS back for a single comparison pass —
+    * deliberately NOT a per-language ntile window, which would global-sort
+    * the largest language's entire corpus slice on one partition chain at
+    * 100 TB.
     *
     * Returns (id, byCol, cross_entropy ROUNDED to 4, bucket).
     */

@@ -63,4 +63,129 @@ class HeavyHittersSpec extends SparkTestBase {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(HeavyHitters.ngramTopK(docs, n = 3, k = 5, m = 64).count() === 0)
   }
+
+  test("short candidate list with err > 0 fails loudly (untracked could fill ranks)") {
+    // Two partitions, each with exactly m=8 distinct grams (no in-partition
+    // decrements), 3 heavies shared + 5 partition-local uniforms. The merge
+    // truncation subtracts the 9th-largest value (10), leaving only the 3
+    // heavies with err = 10 — so a top-5 request has 3 survivors and a
+    // nonzero bound: untracked grams with true counts in [1, 10] could own
+    // ranks 4-5. Must throw, not silently return 3 rows.
+    def doc(g: String) = s"$g $g $g" // one 3-gram per doc
+    val p1 = Seq.fill(50)(doc("h1")) ++ Seq.fill(50)(doc("h2")) ++ Seq.fill(50)(doc("h3")) ++
+      (1 to 5).flatMap(i => Seq.fill(10)(doc(s"a$i")))
+    val p2 = Seq.fill(50)(doc("h1")) ++ Seq.fill(50)(doc("h2")) ++ Seq.fill(50)(doc("h3")) ++
+      (1 to 5).flatMap(i => Seq.fill(10)(doc(s"b$i")))
+    val docs = spark.sparkContext.parallelize(
+      (p1 ++ p2).zipWithIndex.map { case (t, i) => (i.toLong, t) }, 2)
+      .toDF("doc_id", "text")
+    val e = intercept[Exception](HeavyHitters.ngramTopK(docs, n = 3, k = 5, m = 8).collect())
+    assert(e.getMessage.contains("not provable"), e.getMessage)
+  }
+
+  test("ngramTopKByGroup equals the plain per-group exact count (generous m)") {
+    val docs = (0 until 300).map { i =>
+      val grp = s"src${i % 3}"
+      val filler = (0 until 5).map(j => s"x${unit(i.toLong * 17 + j) * 40 % 40}".take(4)).mkString(" ")
+      (i.toLong, grp, if (i % 4 == 0) s"the quick brown fox $filler" else s"$filler jumps over it")
+    }.toDF("doc_id", "src", "text")
+    val got = HeavyHitters.ngramTopKByGroup(docs, n = 3, k = 4, m = 4096, groupCol = "src")
+      .as[(String, String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.text.TextAnalysis.tokens(col("text"))
+      val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3)).otherwise(array().cast("array<int>"))
+      docs.select(col("src"), explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(3))))).as("gram"))
+        .groupBy("src", "gram").agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(Window.partitionBy("src").orderBy(col("c").desc, col("gram"))))
+        .filter(col("rank") <= 4)
+        .as[(String, String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    }
+    assert(got === plain)
+    // each group's ranks are 1..4
+    got.groupBy(_._1).foreach { case (_, rows) => assert(rows.map(_._4) === (1 to 4)) }
+  }
+
+  test("ngramTopKByGroup proof failure names the offending group") {
+    // src0: heavily skewed (provable); src1: near-uniform grams with tiny m
+    val skew = (0 until 100).map(i => (i.toLong, "src0", "the quick brown fox"))
+    val unif = (0 until 400).map(i => ((i + 1000).toLong, "src1", s"u$i v$i w$i z$i"))
+    val docs = (skew ++ unif).toDF("doc_id", "src", "text")
+    val e = intercept[Exception](
+      HeavyHitters.ngramTopKByGroup(docs, n = 3, k = 3, m = 4, groupCol = "src").collect())
+    assert(e.getMessage.contains("src1"), e.getMessage)
+  }
+
+  test("ngramTopKByGroup on an empty corpus is empty") {
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "src", "text")
+    assert(HeavyHitters.ngramTopKByGroup(docs, n = 3, k = 5, m = 64, groupCol = "src").count() === 0)
+  }
+
+  test("streaming sink converges to the batch answer; replays and restarts are safe") {
+    import graft.streaming.StreamingOps
+    val docs = (0 until 200).map { i =>
+      val filler = (0 until 6).map(j => s"x${unit(i.toLong * 31 + j) * 50 % 50}".take(4)).mkString(" ")
+      (i.toLong, if (i % 3 == 0) s"the quick brown fox $filler" else s"$filler jumps over it")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hh_sink").toString
+    val sink = StreamingOps.heavyHittersSink(spark, dir, n = 3, m = 4096)
+    // empty state reads as empty, not an error
+    assert(StreamingOps.heavyHittersTopK(spark, dir, k = 5).count() === 0)
+    sink(docs.filter(col("doc_id") % 3 === 0), 0L)
+    sink(docs.filter(col("doc_id") % 3 === 1), 1L)
+    sink(docs.filter(col("doc_id") % 3 === 2), 2L)
+    def topNow(): Seq[(String, Long, Int)] =
+      StreamingOps.heavyHittersTopK(spark, dir, k = 5)
+        .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    val batch = HeavyHitters.ngramTopK(docs, n = 3, k = 5, m = 4096)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(topNow() === batch)
+    // an at-least-once redelivery of a committed batch is a no-op
+    sink(docs.filter(col("doc_id") % 3 === 1), 1L)
+    assert(topNow() === batch)
+    // a restart with different sketch parameters refuses loudly
+    val e = intercept[Exception](StreamingOps.heavyHittersSink(spark, dir, n = 2, m = 4096))
+    assert(e.getMessage.contains("incompatible"), e.getMessage)
+  }
+
+  test("sketch compaction preserves the answer and blocks folded-batch replays") {
+    import graft.streaming.StreamingOps
+    val docs = (0 until 200).map { i =>
+      val filler = (0 until 6).map(j => s"x${unit(i.toLong * 31 + j) * 50 % 50}".take(4)).mkString(" ")
+      (i.toLong, if (i % 3 == 0) s"the quick brown fox $filler" else s"$filler jumps over it")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hh_compact").toString
+    val sink = StreamingOps.heavyHittersSink(spark, dir, n = 3, m = 4096)
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    def topNow(): Seq[(String, Long, Int)] =
+      StreamingOps.heavyHittersTopK(spark, dir, k = 5)
+        .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    val before = topNow()
+    StreamingOps.compactHeavyHitters(spark, dir)
+    assert(topNow() === before, "compaction changed the answer")
+    // a checkpoint-recovery replay of a FOLDED batch must not re-append
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    assert(topNow() === before, "a folded-batch replay double-counted")
+    // fresh post-compaction batches still absorb, and re-compaction folds them
+    val extra = (1000 until 1100).map(i => (i.toLong, "the quick brown fox again")).toDF("doc_id", "text")
+    sink(extra, 2L)
+    val after = topNow()
+    val batch = HeavyHitters.ngramTopK(
+      docs.unionByName(extra), n = 3, k = 5, m = 4096)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(after === batch)
+    StreamingOps.compactHeavyHitters(spark, dir)
+    assert(topNow() === after)
+  }
+
+  test("streaming read keeps the exact-or-throw contract (tiny m, near-uniform)") {
+    import graft.streaming.StreamingOps
+    val docs = (0 until 400).map(i => (i.toLong, s"u$i v$i w$i z$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hh_sink_throw").toString
+    val sink = StreamingOps.heavyHittersSink(spark, dir, n = 3, m = 4)
+    sink(docs, 0L)
+    val e = intercept[Exception](StreamingOps.heavyHittersTopK(spark, dir, k = 3).collect())
+    assert(e.getMessage.contains("not provable"), e.getMessage)
+  }
 }

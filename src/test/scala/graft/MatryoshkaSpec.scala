@@ -60,4 +60,38 @@ class MatryoshkaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = 5))
   }
+
+  test("IVF composition: saturated arms equal bruteForce; probed arm keeps recall") {
+    val queryArr = vectors.take(5).map { case (id, v) => (id, v) }.toArray
+    val centroids = graft.knn.Ivf.train(spark, data, c = 8, iterations = 2)
+    val assigned = graft.knn.Ivf.assign(spark, data, centroids)
+    val exact = Knn.bruteForce(data, queries, 10)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    // full probe + saturated coarseK: both pruning levers degenerate
+    val full = Knn.matryoshkaIvf(spark, assigned, centroids, queryArr, k = 10,
+        nprobe = 8, dPrefix = 16, coarseK = nVecs)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(full === exact)
+    // probed arm on the front-loaded clustered geometry
+    val probed = Knn.matryoshkaIvf(spark, assigned, centroids, queryArr, k = 10,
+      nprobe = 3, dPrefix = 16, coarseK = 40).select("qid", "id")
+    val hits = probed.join(Knn.bruteForce(data, queries, 10).select("qid", "id"),
+      Seq("qid", "id"), "left_semi").count()
+    assert(hits.toDouble / 50 >= 0.9, s"ivf-matryoshka recall ${hits / 50.0} < 0.9")
+  }
+
+  test("IVF composition: spilled assignment with dedup never duplicates a rank slot") {
+    val queryArr = vectors.take(3).map { case (id, v) => (id, v) }.toArray
+    val centroids = graft.knn.Ivf.train(spark, data, c = 8, iterations = 2)
+    val spilled = graft.knn.Ivf.assign(spark, data, centroids, spill = 2)
+    val res = Knn.matryoshkaIvf(spark, spilled, centroids, queryArr, k = 10,
+        nprobe = 8, dPrefix = 16, coarseK = nVecs, dedup = true)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect()
+    // no (qid, id) appears twice, and the saturated arms stay exact
+    assert(res.map(r => (r._1, r._2)).distinct.length === res.length)
+    val queries3 = vectors.take(3).map { case (id, v) => (id, v) }.toDF("qid", "qvec")
+    val exact = Knn.bruteForce(data, queries3, 10)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(res.sorted === exact)
+  }
 }

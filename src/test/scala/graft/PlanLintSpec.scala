@@ -35,7 +35,11 @@ class PlanLintSpec extends SparkTestBase {
   }
 
   test("grouped top-k bounds candidates before the shuffle (WindowGroupLimit)") {
-    Seq("knn_bruteforce", "top_orders_per_segment").foreach { name =>
+    // knn_matryoshka / knn_rp: the COARSE windows must bound the qid
+    // exchange — without WindowGroupLimit the coarse stage shuffles the
+    // full Q x N candidate stream, which is exactly what the tier exists
+    // to avoid at 100 TB
+    Seq("knn_bruteforce", "top_orders_per_segment", "knn_matryoshka", "knn_rp").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"), s"$name: expected WindowGroupLimit")
     }

@@ -545,6 +545,56 @@ class StreamingIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("HNSW as-of: full version history replays; compaction sets the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_asof").toString
+    // ef >= corpus: both the delta exact scan and the base graphs are
+    // exhaustive, so every as-of read is deterministic
+    val cfg = graft.hnsw.HnswConfig(ef = 100, efConstruction = 100)
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val sink = StreamingOps.hnswDeltaMaintenanceSink(spark, dir, numPartitions = 2, config = cfg)
+    val q = input.toDS().writeStream.foreachBatch(sink).outputMode("append").start()
+    try {
+      // v1 inserts and v2 mutations land in ONE batch: the full-history
+      // sink must keep BOTH versions of id 1 (a latest-wins-per-batch sink
+      // would erase the v1 position and break the as-of read)
+      input.addData(
+        StreamingOps.VectorOp(1L, "upsert", Array(1f, 0f), 1),
+        StreamingOps.VectorOp(2L, "upsert", Array(0f, 1f), 1),
+        StreamingOps.VectorOp(3L, "upsert", Array(0.5f, 0.5f), 1),
+        StreamingOps.VectorOp(1L, "upsert", Array(0f, 9f), 2),
+        StreamingOps.VectorOp(2L, "remove", Array.empty, 2))
+      q.processAllAvailable()
+      def idsAt(asOf: Option[Long]): Map[Long, Double] =
+        StreamingOps.searchHnswMaintained(spark, dir, Array((0L, Array(1f, 0f))), k = 3,
+            asOf = asOf)
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      val v1 = idsAt(Some(1L))
+      assert(v1.keySet === Set(1L, 2L, 3L))
+      assert(v1(1L) < 1e-6, "as-of v1 must serve id 1's ORIGINAL position")
+      val v2 = idsAt(Some(2L))
+      assert(v2.keySet === Set(1L, 3L))
+      assert(v2(1L) > 1.0, "as-of v2 must serve id 1's MOVED position")
+      assert(idsAt(None).keySet === Set(1L, 3L))
+
+      // compaction collapses history; its newest folded version (2) becomes
+      // the time-travel horizon — reads below it fail loudly
+      StreamingOps.compactHnswMaintained(spark, dir)
+      val e = intercept[Exception](idsAt(Some(1L)))
+      assert(e.getMessage.contains("horizon"), e.getMessage)
+
+      // post-compaction appends extend history ABOVE the horizon: v3
+      // removes id 3, and both v2 and v3 stay exactly readable — v2 ids
+      // now serve from the base graphs via their guard rows
+      input.addData(StreamingOps.VectorOp(3L, "remove", Array.empty, 3))
+      q.processAllAvailable()
+      val v2late = idsAt(Some(2L))
+      assert(v2late.keySet === Set(1L, 3L))
+      assert(v2late(1L) > 1.0)
+      assert(idsAt(Some(3L)).keySet === Set(1L))
+    } finally q.stop()
+  }
+
   test("compaction guards: stale post-compaction versions cannot shadow or resurrect") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("hnsw_delta_guard").toString
