@@ -436,6 +436,31 @@ object BenchScale {
       println(s"[scale] docs scored: $scored")
     }
 
+    // provably-exact heavy hitters at corpus scale: this corpus's 3-gram
+    // space is ~nDocs·40 distinct grams (each doc's tokens are
+    // pseudo-random draws from a ~1M vocab — the near-worst case where a
+    // full groupBy-count shuffle moves ~1 row per corpus position); the
+    // MG sketch bounds executor memory at m counters, the driver sees one
+    // m-entry summary, and the recount shuffle carries only
+    // candidate-matching rows. A planted phrase on every 10th doc gives 3
+    // provable heavy grams; the near-uniform tail keeps err > 0, so the
+    // runtime proof is doing real work.
+    {
+      val hhDocs = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" the quick brown fox jumps")))
+          .otherwise(col("text")).as("text"))
+      val top = timed(s"heavy hitters: proven-exact top-3 3-grams ($nDocs docs, m=65536)") {
+        graft.text.HeavyHitters.ngramTopK(hhDocs, n = 3, k = 3, m = 65536).collect()
+      }
+      val grams = top.map(_.getString(0)).toSet
+      require(grams == Set("the quick brown", "quick brown fox", "brown fox jumps"),
+        s"heavy hitters missed the planted phrase: $grams")
+      require(top.forall(_.getLong(1) == (nDocs + 9) / 10),
+        s"planted counts off: ${top.map(_.getLong(1)).mkString(",")}")
+      println(s"[scale] heavy hitters: planted top-3 proven exact at ${(nDocs + 9) / 10} each")
+    }
+
     // 1-bit binary tier at corpus scale: one tree-aggregated threshold
     // pass, one fused pack + pop-count Hamming heap scan (8 bytes per 64
     // dims touched), candidate-only exact rescore; recall vs the exact

