@@ -710,14 +710,24 @@ object Queries {
         nprobe = 16, dPrefix = 16, coarseK = n)
       val approx = Knn.matryoshkaIvf(spark, assigned, centroids, queries, k,
         nprobe = 4, dPrefix = 16, coarseK = 150)
+      // the DataFrame query side (per-cell cogroup on the prefix vectors,
+      // nothing driver-resident) must match the array path row-for-row —
+      // same kernels, same (dist, id) tie-break
+      val approxDf = Knn.matryoshkaIvfDF(assigned, centroids, queriesDf, k,
+        nprobe = 4, dPrefix = 16, coarseK = 150)
+      val sameDf = approx.select(col("qid"), col("id"), col("rank"))
+        .join(approxDf.select(col("qid"), col("id"), col("rank")),
+          Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_df"))
       val sameFull = exact.join(full.select("qid", "id", "rank"), Seq("qid", "id", "rank"))
         .groupBy("qid").agg(count(lit(1)).as("n_same_exact"))
       approx.groupBy("qid").agg(count(lit(1)).as("n_results"))
         .join(exact.join(approx.select("qid", "id"), Seq("qid", "id"))
           .groupBy("qid").agg(count(lit(1)).as("__overlap")), Seq("qid"))
         .join(sameFull, Seq("qid"))
+        .join(sameDf, Seq("qid"))
         .select(col("qid"), lit(k.toLong).as("k"), col("n_results"),
-          col("n_same_exact"),
+          col("n_same_exact"), col("n_same_df"),
           when(col("__overlap") >= k * 0.7, 1L).otherwise(0L).as("recall_ok"))
         .orderBy("qid")
     }),
@@ -3634,7 +3644,8 @@ object Queries {
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "ann_ivf_matryoshka" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
-        |  CAST(10 AS BIGINT) AS n_same_exact, CAST(1 AS BIGINT) AS recall_ok
+        |  CAST(10 AS BIGINT) AS n_same_exact, CAST(10 AS BIGINT) AS n_same_df,
+        |  CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "knn_binary" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,

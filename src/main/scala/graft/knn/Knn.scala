@@ -159,6 +159,64 @@ object Knn {
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** [[matryoshkaIvf]] with a DataFrame query side — the corpus-vs-corpus
+    * shape with both pruning levers and NOTHING driver-resident: each
+    * query row computes its own probe cells ([[Ivf.probeCells]] —
+    * centroids broadcast, optional HNSW coarse quantizer), both sides
+    * shuffle once on the small-cardinality cell id, and a per-cell
+    * cogroup streams the cell's PREFIX vectors (dPrefix/d of the bytes
+    * with a materialized `prefixCol`) past bounded per-query coarse
+    * heaps. Survivors rescore at full dimension through candidate-keyed
+    * joins (coarseK·Q rows — bounded by the serving knobs, never the
+    * corpus). Row-for-row equal to [[matryoshkaIvf]] given the same
+    * knobs (same kernels, same (dist, id) tie-break).
+    */
+  def matryoshkaIvfDF(
+      assigned: DataFrame, // output of Ivf.assign(): (id, cell, vector)
+      centroids: Array[Array[Float]],
+      queries: DataFrame, // (qid, qvec)
+      k: Int, nprobe: Int, dPrefix: Int, coarseK: Int,
+      metric: String = "euclidean",
+      prefixCol: Option[String] = None,
+      dedup: Boolean = false,
+      coarse: String = "linear"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val m = Distances.metricId(metric)
+    val probes = Ivf.probeCells(queries, centroids, nprobe, metric, coarse)
+      .map { case (cell, qid, qv) => (cell, qid, qv.take(dPrefix)) }
+    val dPre = prefixCol.map(col).getOrElse(slice(col("vector"), 1, dPrefix))
+    val dataByCell = assigned
+      .select(col("cell").cast("int"), col("id").cast("long"), dPre.cast("array<float>").as("vp"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+    val coarseCands = dataByCell.cogroup(probes.groupByKey(_._1)) { case (_, dIter, qIter) =>
+      val qs = qIter.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val heaps = Array.fill(qs.length)(new TopK(coarseK))
+        val kernel = Distances.distance(m) _
+        TopK.scanBlocked(dIter.map { case (_, id, v) => (id, v) }, qs.map(_._3), heaps, kernel)
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (cdist, id) => (qs(qi)._2, id, cdist) }
+        }
+      }
+    }.toDF("qid", "id", "cdist")
+    val cdeduped = if (dedup) coarseCands.dropDuplicates("qid", "id") else coarseCands
+    val w1 = Window.partitionBy("qid").orderBy(col("cdist"), col("id"))
+    val cand = cdeduped.withColumn("r", row_number().over(w1)).filter(col("r") <= coarseK)
+      .select("qid", "id")
+    val rescoredRaw = assigned
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .join(cand, Seq("id"))
+      .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+    val rescored = if (dedup) rescoredRaw.dropDuplicates("qid", "id") else rescoredRaw
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact kNN via per-partition bounded heaps: ONE pass over the data
     * computes all query heaps per partition (`mapPartitions`), emitting only
     * k candidates per (partition, query). The global merge ranks the k·P·Q

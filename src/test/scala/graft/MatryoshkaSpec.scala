@@ -80,6 +80,28 @@ class MatryoshkaSpec extends SparkTestBase {
     assert(hits.toDouble / 50 >= 0.9, s"ivf-matryoshka recall ${hits / 50.0} < 0.9")
   }
 
+  test("IVF composition DF query side equals the array path row-for-row") {
+    val queryArr = vectors.take(5).map { case (id, v) => (id, v) }.toArray
+    val centroids = graft.knn.Ivf.train(spark, data, c = 8, iterations = 2)
+    val assigned = graft.knn.Ivf.assign(spark, data, centroids)
+    val arr = Knn.matryoshkaIvf(spark, assigned, centroids, queryArr, k = 10,
+        nprobe = 3, dPrefix = 16, coarseK = 40)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    val df = Knn.matryoshkaIvfDF(assigned, centroids, queries, k = 10,
+        nprobe = 3, dPrefix = 16, coarseK = 40)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    assert(df === arr)
+    // and with a spilled assignment + dedup
+    val spilled = graft.knn.Ivf.assign(spark, data, centroids, spill = 2)
+    val arrS = Knn.matryoshkaIvf(spark, spilled, centroids, queryArr, k = 10,
+        nprobe = 3, dPrefix = 16, coarseK = 40, dedup = true)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    val dfS = Knn.matryoshkaIvfDF(spilled, centroids, queries, k = 10,
+        nprobe = 3, dPrefix = 16, coarseK = 40, dedup = true)
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
+    assert(dfS === arrS)
+  }
+
   test("IVF composition: spilled assignment with dedup never duplicates a rank slot") {
     val queryArr = vectors.take(3).map { case (id, v) => (id, v) }.toArray
     val centroids = graft.knn.Ivf.train(spark, data, c = 8, iterations = 2)
