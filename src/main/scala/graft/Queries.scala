@@ -1229,6 +1229,35 @@ object Queries {
         .orderBy("rank")
     }),
 
+    // §2.21+30 the GROUPED streaming form — per-(batch, group) mergeable
+    // sketches (groups × m counters), keyed fold at read, per-group
+    // exact-or-throw recount: the C4/Gopher per-source corpus report
+    // maintained online. Converges to the batch grouped operator, so the
+    // oracle is the identical per-group exact top-k SQL.
+    "stream_heavy_hitters_grouped" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "source", "text")
+      val sinkDir = java.nio.file.Files.createTempDirectory("stream_hhg_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_hhg_ckpt").toString
+      val sink = graft.streaming.StreamingOps.heavyHittersSinkByGroup(
+        spark, sinkDir, n = 3, m = 16384, groupCol = "source")
+      val tail = streamTable(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 1).select("doc_id", "source", "text")
+      withStreamParts(spark) {
+        sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+        val q = tail.writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id + 1L))
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.streaming.StreamingOps.heavyHittersTopKByGroup(spark, sinkDir, k = 5)
+        .select(col("grp").as("source"), col("gram"), col("n_count"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")
+    }),
+
     // §2.17 dedup GROUP resolution: the same planted LSH pair set resolved
     // to clusters via distributed connected components (min-label
     // propagation) — pairs are evidence, clusters are what a curation
@@ -3783,6 +3812,15 @@ object Queries {
          |c AS (SELECT gram, count(*) AS n_count FROM g GROUP BY gram),
          |r AS (SELECT gram, n_count, row_number() OVER (ORDER BY n_count DESC, gram) AS rank FROM c)
          |SELECT gram, n_count, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // the grouped streaming fold converges to the batch grouped operator
+    "stream_heavy_hitters_grouped" ->
+      s"""WITH tok AS (SELECT source, $duckToks AS t FROM documents),
+         |g AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM tok),
+         |c AS (SELECT source, gram, count(*) AS n_count FROM g GROUP BY source, gram),
+         |r AS (SELECT source, gram, n_count,
+         |        row_number() OVER (PARTITION BY source ORDER BY n_count DESC, gram) AS rank FROM c)
+         |SELECT source, gram, n_count, rank FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // same exactness argument per group: the per-group proof makes the
     // oracle the plain per-group exact top-k with the same tie-break
     "ngram_heavy_hitters_grouped" ->

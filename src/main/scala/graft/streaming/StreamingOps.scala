@@ -2133,12 +2133,16 @@ object StreamingOps {
 
   private def hhMetaPath(indexDir: String) = s"$indexDir/hh_meta"
 
-  def loadHeavyHittersMeta(spark: SparkSession, indexDir: String): Option[(Int, Int)] = {
+  /** (n, m, group column) — `group` is None for a global
+    * [[heavyHittersSink]] directory, Some(col) for a grouped one.
+    */
+  def loadHeavyHittersMeta(spark: SparkSession,
+      indexDir: String): Option[(Int, Int, Option[String])] = {
     if (!graft.io.HadoopIO.exists(hhMetaPath(indexDir),
         spark.sparkContext.hadoopConfiguration)) None
     else {
-      val r = spark.read.parquet(hhMetaPath(indexDir)).select("n", "m").head()
-      Some((r.getInt(0), r.getInt(1)))
+      val r = spark.read.parquet(hhMetaPath(indexDir)).select("n", "m", "group").head()
+      Some((r.getInt(0), r.getInt(1), Option(r.getString(2))))
     }
   }
 
@@ -2181,21 +2185,30 @@ object StreamingOps {
     * and the same exact-or-throw proof applies. Converges to the batch
     * operator's answer over any micro-batch boundaries.
     */
-  def heavyHittersSink(
+  /** Shared scaffold of the global and grouped heavy-hitter sinks: meta
+    * guard, manifest seeding, the committed-by-batch-id replay check, and
+    * the write-docs-then-sketch-then-manifests commit protocol. `groupCol`
+    * selects the keyed form. The sketch schema is unified — (grp, gram,
+    * cnt, err, total) with grp null for the global form and for the
+    * per-batch marker row the grouped form writes (so empty batches still
+    * commit); per-(grp) meta rows have gram null and carry (err, total).
+    */
+  private def heavyHittersSinkImpl(
       spark: SparkSession,
       indexDir: String,
       n: Int,
-      m: Int): (DataFrame, Long) => Unit = {
+      m: Int,
+      groupCol: Option[String]): (DataFrame, Long) => Unit = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     loadHeavyHittersMeta(spark, indexDir) match {
-      case Some((en, em)) =>
-        require(en == n && em == m,
-          s"heavy-hitter state at $indexDir was maintained with (n=$en, m=$em); restarting " +
-            s"with (n=$n, m=$m) would merge incompatible sketches — delete the directory " +
-            "or pass matching parameters")
+      case Some((en, em, eg)) =>
+        require(en == n && em == m && eg == groupCol,
+          s"heavy-hitter state at $indexDir was maintained with (n=$en, m=$em, group=$eg); " +
+            s"restarting with (n=$n, m=$m, group=$groupCol) would merge incompatible " +
+            "sketches — delete the directory or pass matching parameters")
       case None =>
-        Seq((n, m)).toDF("n", "m").coalesce(1)
+        Seq((n, m, groupCol)).toDF("n", "m", "group").coalesce(1)
           .write.mode("overwrite").parquet(hhMetaPath(indexDir))
     }
     val sketchDir = s"$indexDir/sketch"
@@ -2223,18 +2236,37 @@ object StreamingOps {
       if (!committed) {
         graft.io.HadoopIO.delete(s"$docsDir/batch=$batchId", conf)
         graft.io.HadoopIO.delete(s"$sketchDir/batch=$batchId", conf)
-        val docs = batch.select(col("doc_id"), col("text"))
-        docs.write.parquet(s"$docsDir/batch=$batchId")
-        val mg = graft.text.HeavyHitters.ngrams(docs, n).as[String].rdd
-          .mapPartitions(it => Iterator(graft.text.HeavyHitters.sketchPartition(it, m)))
-          .treeAggregate(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
-            (a, b) => graft.text.HeavyHitters.merge(a, b, m),
-            (a, b) => graft.text.HeavyHitters.merge(a, b, m), depth = 2)
-        // one meta row (gram = null) carries (err, total) and marks even an
-        // empty batch committed
-        (mg.counts.toSeq.map { case (g, c) => (Option(g), c, mg.err, mg.total) } :+
-            ((None: Option[String]), 0L, mg.err, mg.total))
-          .toDF("gram", "cnt", "err", "total")
+        val sketchRows: Seq[(Option[String], Option[String], Long, Long, Long)] =
+          groupCol match {
+            case None =>
+              val docs = batch.select(col("doc_id"), col("text"))
+              docs.write.parquet(s"$docsDir/batch=$batchId")
+              val mg = graft.text.HeavyHitters.ngrams(docs, n).as[String].rdd
+                .mapPartitions(it =>
+                  Iterator(graft.text.HeavyHitters.sketchPartition(it, m)))
+                .treeAggregate(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
+                  (a, b) => graft.text.HeavyHitters.merge(a, b, m),
+                  (a, b) => graft.text.HeavyHitters.merge(a, b, m), depth = 2)
+              mg.counts.toSeq.map { case (g, c) => (None, Option(g), c, mg.err, mg.total) } :+
+                ((None: Option[String]), (None: Option[String]), 0L, mg.err, mg.total)
+            case Some(gc) =>
+              val docs = batch.select(col("doc_id"),
+                col(gc).cast("string").as("grp"), col("text"))
+              docs.write.parquet(s"$docsDir/batch=$batchId")
+              val mg = graft.text.HeavyHitters.ngramsByGroup(docs, n, "grp")
+                .as[(String, String)].rdd
+                .mapPartitions(it =>
+                  Iterator(graft.text.HeavyHitters.sketchPartitionByGroup(it, m)))
+                .treeAggregate(Map.empty[String, graft.text.HeavyHitters.MgSummary])(
+                  (a, b) => graft.text.HeavyHitters.mergeByGroup(a, b, m),
+                  (a, b) => graft.text.HeavyHitters.mergeByGroup(a, b, m), depth = 2)
+              mg.toSeq.flatMap { case (grp, s) =>
+                s.counts.toSeq.map { case (g, c) => (Option(grp), Option(g), c, s.err, s.total) } :+
+                  ((Option(grp), (None: Option[String]), 0L, s.err, s.total))
+              } :+
+                ((None: Option[String]), (None: Option[String]), 0L, 0L, 0L) // batch marker
+          }
+        sketchRows.toDF("grp", "gram", "cnt", "err", "total")
           .coalesce(1).write.parquet(s"$sketchDir/batch=$batchId")
         replaceBatchManifest(docsDir, s"batch=$batchId", conf)
         // sketch manifest LAST = the commit marker
@@ -2243,6 +2275,27 @@ object StreamingOps {
     }
   }
 
+  def heavyHittersSink(
+      spark: SparkSession,
+      indexDir: String,
+      n: Int,
+      m: Int): (DataFrame, Long) => Unit =
+    heavyHittersSinkImpl(spark, indexDir, n, m, None)
+
+  /** The GROUPED form of [[heavyHittersSink]] — per-(batch, group)
+    * Misra–Gries sketches (executor/driver state bounded at groups × m
+    * counters), the corpus-report shape maintained online. Query with
+    * [[heavyHittersTopKByGroup]]; same commit/replay/compaction protocol
+    * as the global sink.
+    */
+  def heavyHittersSinkByGroup(
+      spark: SparkSession,
+      indexDir: String,
+      n: Int,
+      m: Int,
+      groupCol: String): (DataFrame, Long) => Unit =
+    heavyHittersSinkImpl(spark, indexDir, n, m, Some(groupCol))
+
   /** Exact top-k over everything a [[heavyHittersSink]] directory has
     * absorbed: fold the per-batch Misra–Gries summaries (mergeable — the
     * combined summary carries the same `true ∈ [cnt, cnt+err]` guarantee
@@ -2250,12 +2303,49 @@ object StreamingOps {
     * proof over the accumulated corpus. Exact or a loud error, never
     * silently approximate.
     */
+  /** Per-batch summaries keyed by group (the global form lives under the
+    * None key), folded across batches — batches × groups × m rows on the
+    * driver, bounded by sketch size and fold cadence, never corpus size.
+    */
+  private def hhFoldSketches(spark: SparkSession, sketchDir: String,
+      m: Int): Map[Option[String], graft.text.HeavyHitters.MgSummary] = {
+    val perBatch = spark.read.parquet(sketchDir)
+      .select(col("batch").cast("string"), col("grp"), col("gram"),
+        col("cnt"), col("err"), col("total"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (_, rows) =>
+        rows.groupBy(r => Option(r.getString(1))).flatMap { case (grp, rs) =>
+          rs.find(_.isNullAt(2)) match {
+            case Some(metaRow) => Some(grp -> graft.text.HeavyHitters.MgSummary(
+              rs.filterNot(_.isNullAt(2)).map(r => (r.getString(2), r.getLong(3))).toMap,
+              metaRow.getLong(4), metaRow.getLong(5)))
+            case None => throw new IllegalStateException(
+              s"sketch batch under $sketchDir lacks the meta row for group $grp")
+          }
+        }
+      }
+    perBatch.foldLeft(Map.empty[Option[String], graft.text.HeavyHitters.MgSummary]) {
+      (a, b) =>
+        (a.keySet ++ b.keySet).iterator.map { grp =>
+          grp -> ((a.get(grp), b.get(grp)) match {
+            case (Some(x), Some(y)) => graft.text.HeavyHitters.merge(x, y, m)
+            case (Some(x), None)    => x
+            case (None, Some(y))    => y
+            case (None, None)       => graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L)
+          })
+        }.toMap
+    }
+  }
+
   def heavyHittersTopK(spark: SparkSession, indexDir: String, k: Int): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val (n, m) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
+    val (n, m, group) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
+    require(group.isEmpty,
+      s"$indexDir is maintained GROUPED (by '${group.get}') — read it with heavyHittersTopKByGroup")
     require(m > k, s"sketch size m ($m) must exceed k ($k)")
     val sketchDir = s"$indexDir/sketch"
     val docsDir = s"$indexDir/docs"
@@ -2263,26 +2353,44 @@ object StreamingOps {
     validateDelta(docsDir, hconf)
     if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty)
       return Seq.empty[(String, Long, Int)].toDF("gram", "n_count", "rank")
-    // batches × (m+1) rows — bounded by sketch size and batch count, not
-    // corpus size (the knob is fold cadence / batch duration)
-    val perBatch = spark.read.parquet(sketchDir)
-      .select(col("batch").cast("string"), col("gram"), col("cnt"), col("err"), col("total"))
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (_, rows) =>
-        val metaRow = rows.find(_.isNullAt(1)).getOrElse(
-          throw new IllegalStateException(s"sketch batch under $sketchDir lacks its meta row"))
-        graft.text.HeavyHitters.MgSummary(
-          rows.filterNot(_.isNullAt(1)).map(r => (r.getString(1), r.getLong(2))).toMap,
-          metaRow.getLong(3), metaRow.getLong(4))
-      }
-    val mg = perBatch.foldLeft(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
-      (a, b) => graft.text.HeavyHitters.merge(a, b, m))
+    val mg = hhFoldSketches(spark, sketchDir, m)
+      .getOrElse(None, graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))
     val docs =
       if (graft.io.Manifest.read(docsDir, hconf).get.isEmpty)
         Seq.empty[(Long, String)].toDF("doc_id", "text")
       else spark.read.parquet(docsDir).select("doc_id", "text")
     graft.text.HeavyHitters.recountAndProve(docs, n, k, m, mg)
+  }
+
+  /** Exact top-k PER GROUP over everything a [[heavyHittersSinkByGroup]]
+    * directory has absorbed — the C4/Gopher corpus report maintained
+    * online. Folds the per-(batch, group) summaries (keyed mergeable
+    * merge), recounts the broadcast (group, gram) candidates exactly
+    * against the accumulated corpus, and applies the per-group
+    * exact-or-throw proof. Returns (grp, gram, n_count, rank).
+    */
+  def heavyHittersTopKByGroup(spark: SparkSession, indexDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (n, m, group) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
+    require(group.isDefined,
+      s"$indexDir is maintained GLOBAL — read it with heavyHittersTopK")
+    require(m > k, s"sketch size m ($m) must exceed k ($k)")
+    val sketchDir = s"$indexDir/sketch"
+    val docsDir = s"$indexDir/docs"
+    validateDelta(sketchDir, hconf)
+    validateDelta(docsDir, hconf)
+    if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty)
+      return Seq.empty[(String, String, Long, Int)].toDF("grp", "gram", "n_count", "rank")
+    val mg = hhFoldSketches(spark, sketchDir, m)
+      .collect { case (Some(grp), s) => (grp, s) } // None key = batch markers
+    val docs =
+      if (graft.io.Manifest.read(docsDir, hconf).get.isEmpty)
+        Seq.empty[(Long, String, String)].toDF("doc_id", "grp", "text")
+      else spark.read.parquet(docsDir).select("doc_id", "grp", "text")
+    graft.text.HeavyHitters.recountAndProveByGroup(docs, n, k, m, mg, "grp")
   }
 
   private def foldedBatchIds(spark: SparkSession, indexDir: String): Set[Long] = {
@@ -2311,7 +2419,7 @@ object StreamingOps {
   def compactHeavyHitters(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val (_, m) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
+    val (_, m, _) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
     val sketchDir = s"$indexDir/sketch"
@@ -2329,31 +2437,26 @@ object StreamingOps {
     validateDelta(sketchDir, hconf)
     if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty) return
 
-    val rows = spark.read.parquet(sketchDir)
-      .select(col("batch").cast("string"), col("gram"), col("cnt"), col("err"), col("total"))
-      .collect()
-    val byBatch = rows.groupBy(_.getString(0))
-    val mg = byBatch.values
-      .map { rs =>
-        val meta = rs.find(_.isNullAt(1)).getOrElse(
-          throw new IllegalStateException(s"sketch batch under $sketchDir lacks its meta row"))
-        graft.text.HeavyHitters.MgSummary(
-          rs.filterNot(_.isNullAt(1)).map(r => (r.getString(1), r.getLong(2))).toMap,
-          meta.getLong(3), meta.getLong(4))
-      }
-      .foldLeft(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
-        (a, b) => graft.text.HeavyHitters.merge(a, b, m))
-
     // the replay guard must cover every numeric batch id being folded (and
     // every id folded before), and must land before the destructive swap
-    val numericIds = byBatch.keys.filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    val batchKeys = spark.read.parquet(sketchDir)
+      .select(col("batch").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val numericIds = batchKeys.filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    val folded = hhFoldSketches(spark, sketchDir, m)
     val allFolded = foldedBatchIds(spark, indexDir) ++ numericIds
     allFolded.toSeq.sorted.toDF("batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/folded")
 
-    (mg.counts.toSeq.map { case (g, c) => (Option(g), c, mg.err, mg.total) } :+
-        ((None: Option[String]), 0L, mg.err, mg.total))
-      .toDF("gram", "cnt", "err", "total")
+    // every key writes its counts + meta row; ensure the None-key marker
+    // exists so a grouped dir's compacted batch still carries one
+    val keys = if (folded.contains(None)) folded
+      else folded + (None -> graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))
+    keys.toSeq.flatMap { case (grp, s) =>
+      s.counts.toSeq.map { case (g, c) => (grp, Option(g), c, s.err, s.total) } :+
+        ((grp, (None: Option[String]), 0L, s.err, s.total))
+    }
+      .toDF("grp", "gram", "cnt", "err", "total")
       .coalesce(1).write.parquet(s"$sketchTmp/batch=compacted")
     writeDeltaManifest(sketchTmp, hconf)
     graft.io.HadoopIO.delete(sketchDir, hconf)

@@ -221,29 +221,48 @@ object HeavyHitters {
     * Returns (groupCol, gram, n_count, rank), rank dense per group by
     * (count DESC, gram).
     */
-  def ngramTopKByGroup(docs: DataFrame, n: Int, k: Int, m: Int,
-      groupCol: String, textCol: String = "text"): DataFrame = {
-    require(m > k, s"sketch size m ($m) must exceed k ($k)")
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The (group, gram) stream of `docs` — [[ngrams]] keyed by the
+    * string-cast group column. Rows with a NULL group are dropped (a
+    * null key is not a reportable group).
+    */
+  def ngramsByGroup(docs: DataFrame, n: Int, groupCol: String,
+      textCol: String = "text"): DataFrame = {
     // tokens materialized first — see [[ngrams]] (inlining the tokenizer
     // into the transform lambda re-tokenizes per gram index)
     val t = col("__hh_tokens")
     val idx = when(size(t) >= n, sequence(lit(0), size(t) - n))
       .otherwise(array().cast("array<int>"))
-    val grams = docs
+    docs
       .select(col(groupCol).cast("string").as("grp"),
         TextAnalysis.tokens(col(textCol)).as("__hh_tokens"))
+      .filter(col("grp").isNotNull)
       .select(col("grp"),
         explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
-      .as[(String, String)]
-    val mg = grams.rdd
+  }
+
+  def ngramTopKByGroup(docs: DataFrame, n: Int, k: Int, m: Int,
+      groupCol: String, textCol: String = "text"): DataFrame = {
+    require(m > k, s"sketch size m ($m) must exceed k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mg = ngramsByGroup(docs, n, groupCol, textCol).as[(String, String)].rdd
       .mapPartitions(it => Iterator(sketchPartitionByGroup(it, m)))
       .treeAggregate(Map.empty[String, MgSummary])(
         (a, b) => mergeByGroup(a, b, m), (a, b) => mergeByGroup(a, b, m), depth = 2)
+    recountAndProveByGroup(docs, n, k, m, mg, groupCol, textCol)
+  }
+
+  /** Per-group exact recount + proof — the shared back half of
+    * [[ngramTopKByGroup]] and the streaming-maintained grouped form.
+    */
+  def recountAndProveByGroup(docs: DataFrame, n: Int, k: Int, m: Int,
+      mg: Map[String, MgSummary], groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val cands = mg.toSeq.flatMap { case (grp, s) => s.counts.keysIterator.map(g => (grp, g)) }
       .toDF("grp", "gram")
-    val top = grams.toDF("grp", "gram")
+    val top = ngramsByGroup(docs, n, groupCol, textCol)
       .join(broadcast(cands), Seq("grp", "gram"))
       .groupBy("grp", "gram").agg(count(lit(1)).as("n_count"))
       .withColumn("rank", row_number().over(

@@ -179,6 +179,44 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(topNow() === after)
   }
 
+  test("grouped streaming sink converges to the per-group batch answer; compaction + misread guards") {
+    import graft.streaming.StreamingOps
+    val docs = (0 until 300).map { i =>
+      val grp = s"src${i % 3}"
+      val filler = (0 until 5).map(j => s"x${unit(i.toLong * 17 + j) * 40 % 40}".take(4)).mkString(" ")
+      (i.toLong, grp, if (i % 4 == 0) s"the quick brown fox $filler" else s"$filler jumps over it")
+    }.toDF("doc_id", "src", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hh_grp_sink").toString
+    val sink = StreamingOps.heavyHittersSinkByGroup(spark, dir, n = 3, m = 4096, groupCol = "src")
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    def topNow(): Seq[(String, String, Long, Int)] =
+      StreamingOps.heavyHittersTopKByGroup(spark, dir, k = 4)
+        .as[(String, String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val batch = HeavyHitters.ngramTopKByGroup(docs, n = 3, k = 4, m = 4096, groupCol = "src")
+      .as[(String, String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(topNow() === batch)
+    // compaction preserves; folded-batch replay is a no-op; fresh batches absorb
+    StreamingOps.compactHeavyHitters(spark, dir)
+    assert(topNow() === batch)
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    assert(topNow() === batch)
+    val extra = (1000 until 1080).map(i => (i.toLong, "src1", "the quick brown fox again"))
+      .toDF("doc_id", "src", "text")
+    sink(extra, 2L)
+    val after = HeavyHitters.ngramTopKByGroup(docs.unionByName(extra),
+        n = 3, k = 4, m = 4096, groupCol = "src")
+      .as[(String, String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(topNow() === after)
+    // a grouped dir refuses the global read, and vice versa
+    val e1 = intercept[Exception](StreamingOps.heavyHittersTopK(spark, dir, k = 4))
+    assert(e1.getMessage.contains("GROUPED"), e1.getMessage)
+    val gdir = java.nio.file.Files.createTempDirectory("hh_glob_guard").toString
+    StreamingOps.heavyHittersSink(spark, gdir, n = 3, m = 4096)
+    val e2 = intercept[Exception](StreamingOps.heavyHittersTopKByGroup(spark, gdir, k = 4))
+    assert(e2.getMessage.contains("GLOBAL"), e2.getMessage)
+  }
+
   test("streaming read keeps the exact-or-throw contract (tiny m, near-uniform)") {
     import graft.streaming.StreamingOps
     val docs = (0 until 400).map(i => (i.toLong, s"u$i v$i w$i z$i")).toDF("doc_id", "text")
