@@ -1852,10 +1852,19 @@ object StreamingOps {
 
   private def bm25MetaPath(indexDir: String) = s"$indexDir/bm25_meta"
 
-  def loadBm25MaintainedMeta(spark: SparkSession, indexDir: String): Option[Int] = {
+  /** (nBuckets, withPositions). Pre-positional meta files (no `positions`
+    * column) read as positions = false.
+    */
+  def loadBm25MaintainedMeta(spark: SparkSession, indexDir: String): Option[(Int, Boolean)] = {
     if (!graft.io.HadoopIO.exists(bm25MetaPath(indexDir),
         spark.sparkContext.hadoopConfiguration)) None
-    else Some(spark.read.parquet(bm25MetaPath(indexDir)).select("n_buckets").head().getInt(0))
+    else {
+      val df = spark.read.parquet(bm25MetaPath(indexDir))
+      val r = df.select("n_buckets").head()
+      val pos = if (df.columns.contains("positions"))
+        df.select("positions").head().getBoolean(0) else false
+      Some((r.getInt(0), pos))
+    }
   }
 
   /** `foreachBatch` sink maintaining a BM25 inverted index through an
@@ -1884,27 +1893,40 @@ object StreamingOps {
   def bm25MaintenanceSink(
       spark: SparkSession,
       indexDir: String,
-      nBuckets: Int = 64): (Dataset[DocOp], Long) => Unit = {
+      nBuckets: Int = 64,
+      withPositions: Boolean = false): (Dataset[DocOp], Long) => Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import spark.implicits._
     loadBm25MaintainedMeta(spark, indexDir) match {
-      case Some(existing) =>
-        require(existing == nBuckets,
-          s"index at $indexDir is maintained with nBuckets=$existing; restarting with " +
+      case Some((existingB, existingP)) =>
+        require(existingB == nBuckets,
+          s"index at $indexDir is maintained with nBuckets=$existingB; restarting with " +
             s"$nBuckets would route tokens to different buckets than old delta rows — " +
+            "pass the stored value or delete the directory")
+        require(existingP == withPositions,
+          s"index at $indexDir is maintained with withPositions=$existingP; restarting with " +
+            s"$withPositions would mix positional and tf-only posting rows — " +
             "pass the stored value or delete the directory")
       case None =>
         graft.io.HadoopIO.exists(s"$indexDir/base/stats",
           spark.sparkContext.hadoopConfiguration) match {
           case true =>
-            val baseB = spark.read.parquet(s"$indexDir/base/stats").select("n_buckets")
-              .head().getInt(0)
+            val baseStats = spark.read.parquet(s"$indexDir/base/stats")
+            val baseB = baseStats.select("n_buckets").head().getInt(0)
             require(baseB == nBuckets,
               s"adopted base index at $indexDir/base was built with nBuckets=$baseB, " +
                 s"sink constructed with $nBuckets — bucket routing must match")
+            if (withPositions) {
+              val baseP = baseStats.columns.contains("positions") &&
+                baseStats.select("positions").head().getBoolean(0)
+              require(baseP,
+                s"adopted base index at $indexDir/base was built WITHOUT positions but the " +
+                  "sink is positional — phrase reads over base documents would be impossible; " +
+                  "rebuild the base with buildIndex(withPositions = true)")
+            }
           case false => ()
         }
-        Seq(nBuckets).toDF("n_buckets").coalesce(1)
+        Seq((nBuckets, withPositions)).toDF("n_buckets", "positions").coalesce(1)
           .write.mode("overwrite").parquet(bm25MetaPath(indexDir))
     }
 
@@ -1941,11 +1963,16 @@ object StreamingOps {
         docRows.write.mode("append").parquet(s"$indexDir/delta_docs/batch=$batchId")
         mergeDeltaManifest(s"$indexDir/delta_docs", s"batch=$batchId", hconf)
 
-        val postRows = upserts
+        val explodedPost = upserts
           .select(col("doc_id"), col("version"), xxhash64(col("__toks")).as("text_hash"),
-            explode(col("__toks")).as("token"))
+            posexplode(col("__toks")).as(Seq("pos", "token")))
           .groupBy("doc_id", "version", "text_hash", "token")
-          .agg(count(lit(1)).as("tf"))
+        // positional rows cost one long per corpus token — the same trade
+        // as buildIndex(withPositions), paid per O(batch) append
+        val postRows = (if (withPositions)
+            explodedPost.agg(count(lit(1)).as("tf"),
+              sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+          else explodedPost.agg(count(lit(1)).as("tf")))
           .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
         postRows.write.mode("append").partitionBy("bucket")
           .parquet(s"$indexDir/delta_post/batch=$batchId")
@@ -2003,7 +2030,7 @@ object StreamingOps {
     import spark.implicits._
     require(k > 0, s"k must be positive, got $k")
     val hconf = spark.sparkContext.hadoopConfiguration
-    val nBuckets = loadBm25MaintainedMeta(spark, indexDir).getOrElse(
+    val (nBuckets, _) = loadBm25MaintainedMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no bm25_meta sidecar under $indexDir — not a maintained BM25 dir"))
 
@@ -2072,6 +2099,100 @@ object StreamingOps {
     } finally winners.unpersist()
   }
 
+  /** Exact PHRASE search over a POSITIONAL maintained index
+    * ([[bm25MaintenanceSink]] with `withPositions = true`; a tf-only
+    * maintained dir fails loudly) — [[graft.text.Bm25.phraseSearch]]'s
+    * semantics over the latest-wins view: per phrase term, one
+    * bucket-pruned + token-pushed read of the delta postings joined to
+    * the upsert winners (each winner's OWN positions by (doc_id, version,
+    * text_hash)), plus the adopted base's positional postings for
+    * documents no delta winner superseded; the occurrence starts fold as
+    * ∩ᵢ(positions(tᵢ) − i) in codegen `array_intersect` chains — no
+    * corpus scan, no driver materialization. Converged over a quiesced
+    * stream this equals the batch [[graft.text.Bm25.phraseSearch]] over
+    * the surviving documents row-for-row (positions are a pure function
+    * of each surviving document's text).
+    *
+    * Returns (qid, doc_id, n_occurrences), only matching docs.
+    */
+  def phraseSearchBm25Maintained(
+      spark: SparkSession,
+      indexDir: String,
+      phrases: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    require(phrases.nonEmpty, "empty phrase batch")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (nBuckets, withPositions) = loadBm25MaintainedMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no bm25_meta sidecar under $indexDir — not a maintained BM25 dir"))
+    require(withPositions,
+      s"index at $indexDir is maintained WITHOUT positions " +
+        "(bm25MaintenanceSink(withPositions = true)) — phrase adjacency cannot be " +
+        "evaluated from tf-only postings")
+
+    val parsed = phrases.map { case (qid, text) =>
+      val terms = text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      require(terms.nonEmpty, s"phrase for qid $qid has no tokens")
+      (qid, terms)
+    }
+
+    val winners = bm25DeltaWinners(spark, indexDir).persist()
+    try {
+      val winnerDocs = winners.select("doc_id")
+      val upsertWinners = winners.filter(col("op") === "upsert")
+      val hasBase = graft.io.HadoopIO.exists(s"$indexDir/base/stats", hconf)
+      if (hasBase) {
+        val baseStats = spark.read.parquet(s"$indexDir/base/stats")
+        require(baseStats.columns.contains("positions") &&
+            baseStats.select("positions").head().getBoolean(0),
+          s"adopted base index at $indexDir/base has no positions — phrase reads over " +
+            "base documents are impossible")
+      }
+      val hasDelta = graft.io.HadoopIO.exists(s"$indexDir/delta_post", hconf)
+      if (hasDelta) validateDelta(s"$indexDir/delta_post", hconf)
+
+      // one bucket-pruned + token-pushed (doc_id, positions) read per term
+      // over the surviving view
+      def termPostings(t: String): DataFrame = {
+        val bucket = graft.text.Bm25.tokenBucket(t, nBuckets)
+        val base =
+          if (!hasBase)
+            Seq.empty[(Long, Seq[Long])].toDF("doc_id", "positions")
+          else spark.read.parquet(s"$indexDir/base/postings")
+            .filter(col("bucket") === lit(bucket) && col("token") === lit(t))
+            .select(col("doc_id"), col("positions"))
+            .join(winnerDocs, Seq("doc_id"), "left_anti")
+        val delta =
+          if (!hasDelta) base.limit(0)
+          else spark.read.parquet(s"$indexDir/delta_post")
+            .filter(col("bucket") === lit(bucket) && col("token") === lit(t))
+            .select("doc_id", "version", "text_hash", "positions")
+            .join(upsertWinners.select("doc_id", "version", "text_hash"),
+              Seq("doc_id", "version", "text_hash"))
+            .dropDuplicates("doc_id") // at-least-once replay appends
+            .select(col("doc_id"), col("positions"))
+        base.unionByName(delta)
+      }
+      val perPhrase = parsed.map { case (qid, terms) =>
+        var acc = termPostings(terms.head)
+          .select(col("doc_id"), col("positions").as("starts"))
+        terms.zipWithIndex.tail.foreach { case (t, i) =>
+          acc = acc.join(
+            termPostings(t)
+              .select(col("doc_id"),
+                transform(col("positions"), p => p - i).as(s"__p$i")),
+            Seq("doc_id"))
+            .select(col("doc_id"),
+              array_intersect(col("starts"), col(s"__p$i")).as("starts"))
+        }
+        acc.filter(size(col("starts")) > 0)
+          .select(lit(qid).as("qid"), col("doc_id"),
+            size(col("starts")).cast("long").as("n_occurrences"))
+      }
+      perPhrase.reduce(_ unionByName _)
+    } finally winners.unpersist()
+  }
+
   /** Compact the BM25 delta logs to each document's winning rows (upserts
     * AND tombstones — dropping a tombstone would let a post-compaction
     * stale upsert resurrect a removed document): read cost of the
@@ -2100,7 +2221,7 @@ object StreamingOps {
     resumeOrClear(s"$indexDir/delta_post")
     if (!graft.io.HadoopIO.exists(s"$indexDir/delta_docs", hconf)) return
 
-    val nBuckets = loadBm25MaintainedMeta(spark, indexDir).getOrElse(
+    val (nBuckets, withPositions) = loadBm25MaintainedMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no bm25_meta sidecar under $indexDir — not a maintained BM25 dir"))
 
@@ -2113,8 +2234,10 @@ object StreamingOps {
 
       val postTmp = s"$indexDir/delta_post.compact"
       validateDelta(s"$indexDir/delta_post", hconf)
+      val postCols = Seq("doc_id", "version", "text_hash", "token", "tf") ++
+        (if (withPositions) Seq("positions") else Seq.empty)
       spark.read.parquet(s"$indexDir/delta_post")
-        .select("doc_id", "version", "text_hash", "token", "tf")
+        .select(postCols.map(col): _*)
         .join(winners.filter(col("op") === "upsert").select("doc_id", "version", "text_hash"),
           Seq("doc_id", "version", "text_hash"))
         .dropDuplicates("doc_id", "version", "text_hash", "token")

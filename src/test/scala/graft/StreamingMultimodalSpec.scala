@@ -1189,6 +1189,64 @@ class StreamingIndexSpec extends SparkTestBase {
       s"unexpected: ${e.getMessage}")
   }
 
+  test("maintained positional index: phrase search equals the batch positional index; " +
+    "tf-only dirs and non-positional bases refuse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    def text(i: Long, drift: Boolean): String = {
+      val base = s"alpha w${i % 5} w${(i * 3) % 11} beta w${(i * 7) % 13} gamma"
+      if (drift) s"drift $base" else base
+    }
+    val baseDocs = (0L until 30L).map(i => (i, text(i, drift = false))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_phrase_maint").toString
+    graft.text.Bm25.buildIndex(baseDocs, s"$dir/base", nBuckets = 8, withPositions = true)
+    val sink = StreamingOps.bm25MaintenanceSink(spark, dir, nBuckets = 8, withPositions = true)
+    // the positional flag is part of the restart contract
+    intercept[IllegalArgumentException] {
+      StreamingOps.bm25MaintenanceSink(spark, dir, nBuckets = 8, withPositions = false)
+    }
+    sink((100L until 110L).map(i => StreamingOps.DocOp(i, "upsert", text(i, false), 1L))
+      .toDS(), 0L)
+    sink(((0L until 5L).map(i => StreamingOps.DocOp(i, "upsert", text(i, true), 2L)) ++
+      (5L until 10L).map(i => StreamingOps.DocOp(i, "remove", "", 3L))).toDS(), 1L)
+
+    val surviving = baseDocs.filter(col("doc_id") >= 10)
+      .unionByName((0L until 5L).map(i => (i, text(i, true))).toDF("doc_id", "text"))
+      .unionByName((100L until 110L).map(i => (i, text(i, false))).toDF("doc_id", "text"))
+    // phrases exercising base-only docs, drift-modified docs, and removes:
+    // "drift alpha" exists ONLY in the v2 modifications; "alpha w0" must
+    // not surface removed docs
+    val phrases = Seq((0L, "beta w0 gamma"), (1L, "drift alpha"), (2L, "alpha w0"))
+    def maintained() = StreamingOps.phraseSearchBm25Maintained(spark, dir, phrases)
+      .orderBy("qid", "doc_id").collect().toSeq
+    val scratch = java.nio.file.Files.createTempDirectory("bm25_phrase_scratch").toString
+    graft.text.Bm25.buildIndex(surviving, scratch, nBuckets = 8, withPositions = true)
+    val batch = graft.text.Bm25.phraseSearch(spark, scratch, phrases)
+      .orderBy("qid", "doc_id").collect().toSeq
+    assert(maintained() === batch)
+    assert(batch.nonEmpty, "phrase spot check is vacuous — no matches at all")
+    // compaction preserves positions (and with them the phrase answer)
+    StreamingOps.compactBm25Maintained(spark, dir)
+    assert(maintained() === batch)
+
+    // a tf-only maintained dir refuses phrase reads loudly
+    val tfDir = java.nio.file.Files.createTempDirectory("bm25_tf_only").toString
+    val tfSink = StreamingOps.bm25MaintenanceSink(spark, tfDir, nBuckets = 8)
+    tfSink(Seq(StreamingOps.DocOp(1L, "upsert", "alpha beta gamma", 1L)).toDS(), 0L)
+    val e = intercept[Exception](
+      StreamingOps.phraseSearchBm25Maintained(spark, tfDir, Seq((0L, "alpha beta"))))
+    assert(e.getMessage.contains("WITHOUT positions"), e.getMessage)
+
+    // a positional sink over a non-positional adopted base refuses at
+    // construction (phrase reads over base documents would be impossible)
+    val npDir = java.nio.file.Files.createTempDirectory("bm25_np_base").toString
+    graft.text.Bm25.buildIndex(baseDocs, s"$npDir/base", nBuckets = 8)
+    val e2 = intercept[IllegalArgumentException](
+      StreamingOps.bm25MaintenanceSink(spark, npDir, nBuckets = 8, withPositions = true))
+    assert(e2.getMessage.contains("WITHOUT positions"), e2.getMessage)
+  }
+
   test("incremental OPQ: drift re-fits + composes the rotation, re-balances subspaces, " +
     "search stays exact, and a stale-model restart is refused") {
     implicit val sqlCtx = spark.sqlContext
