@@ -395,6 +395,49 @@ object Queries {
         coarseK = 50))
     }),
 
+    // §2.31 standalone Matryoshka tier with a DataFrame query side at
+    // corpus-vs-corpus cardinality (the FULL embeddings table is both
+    // corpus and query batch): coarse pass = partitionedDF over the
+    // 16-dim prefix (query table replicated through one shuffle, bounded
+    // per-query heaps, no crossJoin anywhere), exact full-dim rescore
+    // through candidate-keyed joins. Deterministic at both stages, so the
+    // oracle replays the two-stage computation for the full batch; the
+    // arr_path_equal column additionally asserts (fail-loud,
+    // oracle-checked) row-for-row equality with the broadcast array-path
+    // formulation on the same inputs.
+    "knn_matryoshka_df" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dfRes = knnFinish(Knn.matryoshkaDF(data, queries, k = 10, dPrefix = 16,
+        coarseK = 50))
+      val arrRes = knnFinish(Knn.matryoshka(data, queries, k = 10, dPrefix = 16,
+        coarseK = 50))
+      val keys = Seq("qid", "id", "dist", "rank")
+      val nDiff = dfRes.join(arrRes, keys, "left_anti").count() +
+        arrRes.join(dfRes, keys, "left_anti").count()
+      dfRes.withColumn("arr_path_equal", lit(if (nDiff == 0) 1L else 0L))
+    }),
+
+    // §2.31 standalone JL tier with a DataFrame query side — same shape
+    // as knn_matryoshka_df (scan-blocked coarse pass over the 16-dim
+    // sign projection, candidate-keyed rescore, full query batch), same
+    // two proofs: full two-stage SQL replay + explicit row-for-row
+    // equality with the array-path formulation.
+    "knn_rp_df" -> ((spark, dir) => {
+      val e = t(spark, dir, "embeddings")
+      val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dfRes = knnFinish(RandomProjection.searchDF(data, queries, k = 10, d = 64,
+        dProj = 16, coarseK = 50))
+      val arrRes = knnFinish(RandomProjection.search(data, queries, k = 10, d = 64,
+        dProj = 16, coarseK = 50))
+      val keys = Seq("qid", "id", "dist", "rank")
+      val nDiff = dfRes.join(arrRes, keys, "left_anti").count() +
+        arrRes.join(dfRes, keys, "left_anti").count()
+      dfRes.withColumn("arr_path_equal", lit(if (nDiff == 0) 1L else 0L))
+    }),
+
     // §2.7+14 per-partition top-k + global merge (dataset.go:349-433)
     "knn_partitioned" -> ((spark, dir) => {
       val (data, queriesDf) = knnInputs(spark, dir, 5)
@@ -1420,6 +1463,51 @@ object Queries {
             lit(" end quote marker")).as("text"))
       Dedup.removeDuplicateSpans(docs.unionByName(quotes), n = 50)
         .orderBy("doc_id")
+    }),
+
+    // CROSS-DOCUMENT maximal-span reporting (the two-stage anchor-extend
+    // ExactSubstr form): planted twins (+850000) carry a 3-token preamble
+    // then up to 60 tokens quoted from source positions [5, 65) — the
+    // shared run STRADDLES the n-gram grid differently in each doc
+    // (source offset 5, twin offset 3), and stride=4 means the detected
+    // anchors start up to 3 tokens inside the true run, so the
+    // token-by-token extension stage must recover the exact bounds. The
+    // oracle derives the maximal shared runs independently from raw text
+    // (string 20-grams at EVERY position, merged per (pair, diagonal) by
+    // gaps-and-islands), filtered to the guaranteed-detection length
+    // n + stride - 1 = 23 on both sides.
+    "span_dedup_crossdoc" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val quotes = docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 850000).as("doc_id"),
+          concat(lit("q0x q1x q2x "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 6, 60)),
+            lit(" zq9x zq8x")).as("text"))
+      Dedup.crossDocMaximalSpans(docs.unionByName(quotes), n = 20, stride = 4,
+          maxExtend = 100)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
+
+    // DECONTAMINATION FORENSICS: contaminationSpans = crossDocMaximalSpans
+    // across two tables — WHERE the benchmark text sits inside each
+    // corpus doc (exact positions both sides), not just which docs
+    // overlap. Planted quotes (+750000) carry bench positions [9, 45)
+    // at quote offset 3 (grid straddle); bench docs also live in the
+    // corpus, so their full-length self-overlap rows appear by design.
+    // Oracle: independent raw-text derivation (string 13-grams, islands
+    // per (pair, diagonal)), both sides filtered to n + stride - 1 = 15.
+    "decontaminate_spans" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val quotes = bench
+        .select((col("bench_id") + 750000).as("doc_id"),
+          concat(lit("leading quote intro "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 10, 36)),
+            lit(" closing mark")).as("text"))
+      Dedup.contaminationSpans(docs.unionByName(quotes), bench, n = 13, stride = 3,
+          maxExtend = 100)
+        .orderBy("doc_id", "bench_id", "d_start", "b_start")
     }),
 
     // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
@@ -3142,6 +3230,64 @@ object Queries {
          |  CAST(least(nominal_end, l) AS BIGINT) AS span_end, n_anchors
          |FROM reg JOIN lens USING (doc_id) ORDER BY doc_id, span_start""".stripMargin
     },
+    "span_dedup_crossdoc" -> {
+      val gram20 = (0 until 20).map {
+        case 0 => "t[i]"
+        case j => s"t[i+$j]"
+      }.mkString(" || ' ' || ")
+      s"""WITH quotes AS (SELECT doc_id + 850000 AS doc_id,
+         |  'q0x q1x q2x ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[6:65], ' ') || ' zq9x zq8x' AS text
+         |  FROM documents WHERE doc_id < 15),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |tok AS (SELECT doc_id, $duckToks AS t FROM all_docs),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |      SELECT doc_id, unnest(list_transform(range(1, len(t) - 18), i -> {'pos': i - 1, 'gram': $gram20})) AS u FROM tok)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |i AS (SELECT doc_a, doc_b, diag, pa,
+         |        CASE WHEN lag(pa) OVER w IS NULL THEN 1 WHEN pa > lag(pa) OVER w + 1 THEN 1 ELSE 0 END AS brk
+         |      FROM p WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)),
+         |i2 AS (SELECT doc_a, doc_b, diag, pa, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM i),
+         |reg AS (SELECT doc_a, doc_b, diag, island, min(pa) AS a_start, max(pa) + 20 AS a_end
+         |        FROM i2 GROUP BY doc_a, doc_b, diag, island)
+         |SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start, CAST(a_end AS BIGINT) AS a_end,
+         |  CAST(a_start - diag AS BIGINT) AS b_start, CAST(a_end - diag AS BIGINT) AS b_end,
+         |  CAST(a_end - a_start AS BIGINT) AS span_len
+         |FROM reg WHERE a_end - a_start >= 23
+         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+    },
+    "decontaminate_spans" -> {
+      val gram13 = (0 until 13).map {
+        case 0 => "t[i]"
+        case j => s"t[i+$j]"
+      }.mkString(" || ' ' || ")
+      s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
+         |quotes AS (SELECT bench_id + 750000 AS doc_id,
+         |  'leading quote intro ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[10:45], ' ') || ' closing mark' AS text
+         |  FROM bench),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |tokd AS (SELECT doc_id, $duckToks AS t FROM all_docs),
+         |tokb AS (SELECT bench_id, $duckToks AS t FROM bench),
+         |gd AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |      SELECT doc_id, unnest(list_transform(range(1, len(t) - 11), i -> {'pos': i - 1, 'gram': $gram13})) AS u FROM tokd)),
+         |gb AS (SELECT bench_id, u.pos AS pos, u.gram AS gram FROM (
+         |      SELECT bench_id, unnest(list_transform(range(1, len(t) - 11), i -> {'pos': i - 1, 'gram': $gram13})) AS u FROM tokb)),
+         |p AS (SELECT d.doc_id, b.bench_id, d.pos AS pa, d.pos - b.pos AS diag
+         |      FROM gd d JOIN gb b ON d.gram = b.gram),
+         |i AS (SELECT doc_id, bench_id, diag, pa,
+         |        CASE WHEN lag(pa) OVER w IS NULL THEN 1 WHEN pa > lag(pa) OVER w + 1 THEN 1 ELSE 0 END AS brk
+         |      FROM p WINDOW w AS (PARTITION BY doc_id, bench_id, diag ORDER BY pa)),
+         |i2 AS (SELECT doc_id, bench_id, diag, pa, sum(brk) OVER (PARTITION BY doc_id, bench_id, diag ORDER BY pa
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM i),
+         |reg AS (SELECT doc_id, bench_id, diag, island, min(pa) AS d_start, max(pa) + 13 AS d_end
+         |        FROM i2 GROUP BY doc_id, bench_id, diag, island)
+         |SELECT doc_id, bench_id, CAST(d_start AS BIGINT) AS d_start, CAST(d_end AS BIGINT) AS d_end,
+         |  CAST(d_start - diag AS BIGINT) AS b_start, CAST(d_end - diag AS BIGINT) AS b_end,
+         |  CAST(d_end - d_start AS BIGINT) AS span_len
+         |FROM reg WHERE d_end - d_start >= 15
+         |ORDER BY doc_id, bench_id, d_start, b_start""".stripMargin
+    },
     "span_dedup_clean" -> {
       val gram50 = (0 until 50).map {
         case 0 => "t[i]"
@@ -3656,6 +3802,45 @@ object Queries {
          |SELECT qid, id, round(dist, 4) AS dist, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_partitioned" -> knnOracle(duckEuclid, 5, 10),
     "knn_partitioned_df" -> knnOracleAll(duckEuclid, 10),
+    // full-batch two-stage Matryoshka replay (same shape as knn_matryoshka
+    // with q = the whole table) + the constant equality-arm column
+    "knn_matryoshka_df" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv,
+         |             ${dEmb("embedding[1:16]")} AS qp FROM embeddings),
+         |c AS (SELECT q.qid, e.vec_id AS id,
+         |        ${duckEuclid(dEmb("e.embedding[1:16]"), "q.qp")} AS cdist
+         |      FROM embeddings e CROSS JOIN q),
+         |cand AS (SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cdist, id) AS r FROM c)
+         |  WHERE r <= 50),
+         |d AS (SELECT cand.qid, cand.id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
+         |      FROM cand JOIN embeddings e ON cand.id = e.vec_id JOIN q ON cand.qid = q.qid),
+         |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+         |SELECT qid, id, round(dist, 4) AS dist, rank, CAST(1 AS BIGINT) AS arr_path_equal
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // full-batch two-stage JL replay (knn_rp's md5 sign matrix and
+    // e-ordered projection, q = the whole table) + the equality arm
+    "knn_rp_df" ->
+      s"""WITH mat AS (
+         |  SELECT j, e, CASE WHEN ((CAST(concat('0x', substr(md5(j || '_' || e), 1, 15)) AS BIGINT) >> 5) & 1) = 0
+         |                    THEN 0.25 ELSE -0.25 END AS s
+         |  FROM (SELECT unnest(range(16)) AS j) CROSS JOIN (SELECT unnest(range(64)) AS e)),
+         |ex AS (SELECT vec_id, r.pos - 1 AS e, embedding[r.pos]::DOUBLE AS x
+         |       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) r),
+         |proj AS (SELECT vec_id, j, CAST(sum(mat.s * ex.x ORDER BY ex.e) AS REAL) AS y
+         |         FROM ex JOIN mat ON ex.e = mat.e GROUP BY vec_id, j),
+         |cd AS (SELECT qp.vec_id AS qid, dp.vec_id AS id,
+         |         sqrt(sum((dp.y::DOUBLE - qp.y::DOUBLE) * (dp.y::DOUBLE - qp.y::DOUBLE) ORDER BY dp.j)) AS cdist
+         |       FROM proj dp JOIN proj qp ON dp.j = qp.j
+         |       GROUP BY qp.vec_id, dp.vec_id),
+         |cand AS (SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY cdist, id) AS r FROM cd)
+         |  WHERE r <= 50),
+         |d AS (SELECT cand.qid, cand.id, ${duckEuclid(dEmb("e.embedding"), dEmb("q.embedding"))} AS dist
+         |      FROM cand JOIN embeddings e ON cand.id = e.vec_id JOIN embeddings q ON cand.qid = q.vec_id),
+         |r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+         |SELECT qid, id, round(dist, 4) AS dist, rank, CAST(1 AS BIGINT) AS arr_path_equal
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_ivf_df" -> knnOracleAll(duckEuclid, 5),
     "knn_custom_plan" -> knnOracle(duckEuclid, 5, 10),
     "sql_knn_rewrite" ->

@@ -601,6 +601,251 @@ object Dedup {
         col("n_anchors"))
   }
 
+  /** CROSS-DOCUMENT maximal shared spans — the pairwise two-stage
+    * anchor-extend form of a suffix-array ExactSubstr (Lee et al. 2022):
+    * for every ordered document pair (doc_a < doc_b), report each maximal
+    * run of tokens the two share verbatim, with the exact positions in
+    * BOTH documents — even when the run straddles the n-gram grid
+    * differently in each (the within-document form,
+    * [[maximalDuplicateSpans]], reports per-doc covered regions and
+    * cannot say which partner, or where in the partner, the text came
+    * from — the answer remediation audits and contamination forensics
+    * need).
+    *
+    * Two stages. Stage 1 (candidate discovery): positional n-gram hashes
+    * ([[graft.functions.ShingleHashes]]) — every position on one side,
+    * every `stride`-th position on the other — equi-joined on the 64-bit
+    * hash. Any shared run of length ≥ n + stride − 1 must contain a
+    * stride-aligned n-window in the smaller doc (its valid-anchor
+    * interval has length ≥ stride), so it is guaranteed to surface; the
+    * strided side divides the join's shuffled rows by `stride`. Stage 2
+    * (extension): anchors group per (pair) and a per-pair kernel walks
+    * each diagonal (pa − pb), VERIFIES the anchor window token-by-token
+    * (false hash-collision anchors are dropped — the output is exact
+    * regardless of hash quality, unlike the within-doc counting forms
+    * which accept the 64-bit collision bet), extends outward
+    * token-by-token to the true span bounds (≤ `maxExtend` steps per
+    * side per anchor), skips anchors the current span already covers,
+    * and merges overlapping extensions. With maxExtend ≥ stride − 1 the
+    * reported bounds are EXACT: a run's first in-run aligned anchor sits
+    * ≤ stride − 1 tokens from the true start, consecutive in-run anchors
+    * are stride ≤ n apart so their capped extensions chain, and
+    * extension past a maximal run's edge stops at the mismatching token
+    * by definition. The `span_len ≥ n + stride − 1` output filter keeps
+    * exactly the guaranteed-detection set, so the result is deterministic
+    * in the inputs (an alignment-lucky shorter run must not appear only
+    * sometimes) — and a plain SQL oracle derives it independently from
+    * raw text.
+    *
+    * Scale shape: one narrow kernel pass per side (tokens and tokens /
+    * stride hash rows), ONE hash-keyed shuffle for the anchor join, a
+    * pair-keyed aggregation bounded by MATCHED anchors (only doc pairs
+    * sharing a full n-gram survive), and a doc-keyed join shipping token
+    * arrays only for those matched docs. `maxAnchorFreq` is the skew
+    * guard: hashes occurring more than that many times corpus-wide are
+    * excised from the join (boilerplate n-grams would otherwise create
+    * quadratic pair blowup — they are [[duplicateLines]] /
+    * [[removeDuplicateSpans]] material, not pairwise-span material);
+    * when capped the guarantee applies to runs not built from excised
+    * grams. Docs shorter than n tokens never produce a ≥ n-token span
+    * and are skipped by the window verification.
+    *
+    * Returns (doc_a, doc_b, a_start, a_end, b_start, b_end, span_len),
+    * ends exclusive, token coordinates in the normalized (lowercased,
+    * whitespace-split) stream all span operators here use.
+    */
+  def crossDocMaximalSpans(
+      docs: DataFrame,
+      n: Int = 50,
+      stride: Int = 1,
+      maxExtend: Int = 200,
+      maxAnchorFreq: Int = Int.MaxValue,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(stride >= 1 && stride <= n,
+      s"stride ($stride) must be in [1, n=$n] so in-run anchor windows chain")
+    require(maxExtend >= stride - 1,
+      s"maxExtend ($maxExtend) must be >= stride - 1 (${stride - 1}) for exact bounds")
+    require(maxAnchorFreq >= 1, s"maxAnchorFreq must be >= 1, got $maxAnchorFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(SqlBridge.column(graft.functions.ShingleHashes(
+        SqlBridge.expression(col(textCol)), n))).as(Seq("pos", "h")))
+    val gramsGuarded =
+      if (maxAnchorFreq == Int.MaxValue) grams
+      else grams.join(
+        grams.groupBy("h").agg(count(lit(1)).as("__f"))
+          .filter(col("__f") <= maxAnchorFreq).select("h"),
+        Seq("h"), "left_semi")
+    val left = gramsGuarded.filter(col("pos") % stride === 0)
+      .select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
+    val right = gramsGuarded
+      .select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h"))
+    val pairs = left.join(right, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(collect_list(struct(col("pa").cast("int").as("_1"),
+        col("pb").cast("int").as("_2"))).as("anchors"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"), col("anchors"))
+      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int)])]
+      .flatMap { case (a, b, ta, tb, anchors) =>
+        extendAnchors(ta, tb, anchors, n, maxExtend).map { case (as0, ae, bs, be) =>
+          (a, b, as0.toLong, ae.toLong, bs.toLong, be.toLong, (ae - as0).toLong)
+        }
+      }
+      .toDF("doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "span_len")
+      .filter(col("span_len") >= n + stride - 1)
+  }
+
+  /** DECONTAMINATION FORENSICS — [[crossDocMaximalSpans]] across two
+    * tables: for each (corpus doc, benchmark doc) pair, the maximal token
+    * runs they share verbatim, with exact positions in BOTH texts. The
+    * count-based forms ([[contaminationPairs]] and friends) answer
+    * "which docs overlap the benchmark"; this answers "WHERE is the
+    * benchmark text inside them" — what a remediation pass cuts and what
+    * an audit shows. The corpus side is the STRIDED anchor side (stride
+    * divides the big side's shuffled rows; the benchmark is small and
+    * pays all positions), the per-pair kernel token-verifies and extends
+    * exactly as [[crossDocMaximalSpans]] (exact under hash collisions),
+    * and the same n + stride − 1 guaranteed-detection threshold makes
+    * the output deterministic. A benchmark doc also present in the
+    * corpus reports its full-length self-overlap — by design (that IS
+    * contamination).
+    *
+    * Returns (doc_id, bench_id, d_start, d_end, b_start, b_end,
+    * span_len), ends exclusive, normalized-token coordinates.
+    */
+  def contaminationSpans(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      stride: Int = 1,
+      maxExtend: Int = 200,
+      maxAnchorFreq: Int = Int.MaxValue,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(stride >= 1 && stride <= n,
+      s"stride ($stride) must be in [1, n=$n] so in-run anchor windows chain")
+    require(maxExtend >= stride - 1,
+      s"maxExtend ($maxExtend) must be >= stride - 1 (${stride - 1}) for exact bounds")
+    require(maxAnchorFreq >= 1, s"maxAnchorFreq must be >= 1, got $maxAnchorFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def gramsOf(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id).cast("long").as("__id"),
+        posexplode(SqlBridge.column(graft.functions.ShingleHashes(
+          SqlBridge.expression(col(text)), n))).as(Seq("pos", "h")))
+    val dGrams = {
+      val g = gramsOf(docs, idCol, textCol)
+      val guarded =
+        if (maxAnchorFreq == Int.MaxValue) g
+        else g.join(
+          g.groupBy("h").agg(count(lit(1)).as("__f"))
+            .filter(col("__f") <= maxAnchorFreq).select("h"),
+          Seq("h"), "left_semi")
+      guarded.filter(col("pos") % stride === 0)
+        .select(col("__id").as("doc_id"), col("pos").as("pa"), col("h"))
+    }
+    val bGrams = gramsOf(bench, benchIdCol, benchTextCol)
+      .select(col("__id").as("bench_id"), col("pos").as("pb"), col("h"))
+    val pairs = dGrams.join(bGrams, Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(collect_list(struct(col("pa").cast("int").as("_1"),
+        col("pb").cast("int").as("_2"))).as("anchors"))
+    val dToks = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("ta"))
+    val bToks = bench.select(col(benchIdCol).cast("long").as("bench_id"),
+      tokens(col(benchTextCol)).as("tb"))
+    pairs
+      .join(dToks, Seq("doc_id"))
+      .join(bToks, Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("ta"), col("tb"), col("anchors"))
+      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int)])]
+      .flatMap { case (d, b, ta, tb, anchors) =>
+        extendAnchors(ta, tb, anchors, n, maxExtend).map { case (ds, de, bs, be) =>
+          (d, b, ds.toLong, de.toLong, bs.toLong, be.toLong, (de - ds).toLong)
+        }
+      }
+      .toDF("doc_id", "bench_id", "d_start", "d_end", "b_start", "b_end", "span_len")
+      .filter(col("span_len") >= n + stride - 1)
+  }
+
+  /** [[crossDocMaximalSpans]]' per-pair kernel — a frontier walk per
+    * diagonal: verify each anchor's n-window token-by-token (skipping the
+    * compare when the window lies inside the already-verified span), then
+    * either EXTEND the current span's right frontier (anchor overlaps or
+    * abuts it — in-run anchors are <= n apart, so the frontier chases the
+    * run's true end even when each extension step is capped) or CLOSE it
+    * and open a new one (a gap past the frontier means a mismatching
+    * token sits between, so the closed bounds are maximal). Left/right
+    * extensions walk token-by-token up to `maxExtend` per anchor; with
+    * maxExtend >= stride - 1 the first in-run anchor's left reach and the
+    * frontier's final right reach cover the <= stride - 1 tokens the
+    * anchor grid can miss, so reported bounds are exact.
+    * O(anchors * verify + span tokens) per pair.
+    */
+  private[graft] def extendAnchors(
+      a: Array[String],
+      b: Array[String],
+      anchors: Array[(Int, Int)],
+      n: Int,
+      maxExtend: Int): Seq[(Int, Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    anchors.groupBy { case (pa, pb) => pa - pb }.toSeq.sortBy(_._1).foreach {
+      case (diag, as) =>
+        val sorted = as.map(_._1).distinct.sorted
+        var curS = -1
+        var curE = -1
+        def flush(): Unit =
+          if (curS >= 0) out += ((curS, curE, curS - diag, curE - diag))
+        def extendRight(from: Int): Int = {
+          var e = from
+          var ext = 0
+          while (ext < maxExtend && e < a.length && e - diag < b.length &&
+            a(e) == b(e - diag)) { e += 1; ext += 1 }
+          e
+        }
+        sorted.foreach { pa =>
+          val pb = pa - diag
+          // token verification: false (hash-collision) anchors drop here,
+          // which is what makes the output exact regardless of hash
+          // quality; windows inside the already-verified span skip the
+          // token compare
+          var ok = pb >= 0 && pa + n <= a.length && pb + n <= b.length
+          if (ok && !(curS >= 0 && pa >= curS && pa + n <= curE)) {
+            var j = 0
+            while (ok && j < n) { if (a(pa + j) != b(pb + j)) ok = false; j += 1 }
+          }
+          if (ok) {
+            if (curS >= 0 && pa <= curE) { // continues the current span
+              if (pa + n > curE) curE = extendRight(pa + n)
+            } else {
+              flush()
+              var s = pa
+              var ext = 0
+              while (ext < maxExtend && s > 0 && s - diag > 0 &&
+                a(s - 1) == b(s - diag - 1)) { s -= 1; ext += 1 }
+              curS = s
+              curE = extendRight(pa + n)
+            }
+          }
+        }
+        flush()
+    }
+    out.toSeq
+  }
+
+
   /** CCNet/RefinedWeb-style LINE-level duplicate detection: the trimmed,
     * non-empty lines that occur in at least `minDocs` DISTINCT documents.
     * Scraped corpora are full of these — navigation chrome, cookie

@@ -14,6 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Knn {
 
+  /** Guard for a caller-supplied materialized prefix/projection column:
+    * the distance kernels truncate to the shorter array, so an element
+    * length different from the declared coarse dimension would silently
+    * compute coarse distances over the wrong number of dimensions.
+    * `assert_true` keeps the column's type and fails loudly on the first
+    * mismatched row instead (the when-isNull wrapper is the standard
+    * pass-through idiom — assert_true returns null on success).
+    */
+  private[knn] def checkedCoarseCol(name: String, dim: Int, what: String): org.apache.spark.sql.Column =
+    when(assert_true(size(col(name)) === dim,
+      lit(s"$what column '$name' must have exactly $dim elements")).isNull,
+      col(name))
+
   /** Exact brute-force kNN as a declarative plan: broadcast the (small) query
     * side, let Catalyst pick BroadcastNestedLoopJoin, rank per query with a
     * deterministic (dist, id) tie-break. This is the SQL-expressible oracle
@@ -89,7 +102,8 @@ object Knn {
       coarseK: Int, metric: String = "euclidean",
       prefixCol: Option[String] = None): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
-    val dPre = prefixCol.map(col).getOrElse(slice(col("vector"), 1, dPrefix))
+    val dPre = prefixCol.map(checkedCoarseCol(_, dPrefix, "prefix"))
+      .getOrElse(slice(col("vector"), 1, dPrefix))
     val qPre = slice(col("qvec"), 1, dPrefix)
     val coarse = data.select(col("id"), dPre.as("vp"))
       .crossJoin(broadcast(queries.select(col("qid"), qPre.as("qp"))))
@@ -141,7 +155,8 @@ object Knn {
     }.toSeq.toDF("qid", "cell")
     val queriesPre = queries.map { case (qid, qv) => (qid, qv.take(dPrefix)) }
       .toSeq.toDF("qid", "qp")
-    val dPre = prefixCol.map(col).getOrElse(slice(col("vector"), 1, dPrefix))
+    val dPre = prefixCol.map(checkedCoarseCol(_, dPrefix, "prefix"))
+      .getOrElse(slice(col("vector"), 1, dPrefix))
     val coarseRaw = assigned
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(queriesPre), Seq("qid"))
@@ -186,7 +201,8 @@ object Knn {
     val m = Distances.metricId(metric)
     val probes = Ivf.probeCells(queries, centroids, nprobe, metric, coarse)
       .map { case (cell, qid, qv) => (cell, qid, qv.take(dPrefix)) }
-    val dPre = prefixCol.map(col).getOrElse(slice(col("vector"), 1, dPrefix))
+    val dPre = prefixCol.map(checkedCoarseCol(_, dPrefix, "prefix"))
+      .getOrElse(slice(col("vector"), 1, dPrefix))
     val dataByCell = assigned
       .select(col("cell").cast("int"), col("id").cast("long"), dPre.cast("array<float>").as("vp"))
       .as[(Int, Long, Array[Float])]
@@ -213,6 +229,39 @@ object Knn {
       .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
       .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
     val rescored = if (dedup) rescoredRaw.dropDuplicates("qid", "id") else rescoredRaw
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[matryoshka]] with a DataFrame query side — the standalone
+    * (train-free, no IVF assignment) tier at corpus-vs-corpus query
+    * cardinality, with NOTHING driver-resident and NO crossJoin: the
+    * coarse pass is [[partitionedDF]] over the prefix column (the query
+    * table replicated through one shuffle onto the un-moved prefix scan,
+    * per-query bounded heaps via `TopK.scanBlocked`; with a materialized
+    * `prefixCol` the scan column-prunes to dPrefix/d of the vector
+    * bytes), and the survivors rescore at full dimension through
+    * candidate-keyed joins (coarseK·Q rows — bounded by the serving
+    * knobs, never the corpus). Row-for-row equal to [[matryoshka]] given
+    * the same knobs: same distance kernels, same total (cdist, id) /
+    * (dist, id) tie-breaks at both stages.
+    */
+  def matryoshkaDF(data: DataFrame, queries: DataFrame, k: Int, dPrefix: Int,
+      coarseK: Int, metric: String = "euclidean",
+      prefixCol: Option[String] = None,
+      queryBlock: Int = 1 << 16): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val dPre = prefixCol.map(checkedCoarseCol(_, dPrefix, "prefix"))
+      .getOrElse(slice(col("vector"), 1, dPrefix))
+    val dataPre = data.select(col("id"), dPre.as("vector"))
+    val qPre = queries.select(col("qid"), slice(col("qvec"), 1, dPrefix).as("qvec"))
+    val cand = partitionedDF(dataPre, qPre, coarseK, metric, queryBlock)
+      .select("qid", "id")
+    val rescored = data
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .join(cand, Seq("id"))
+      .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

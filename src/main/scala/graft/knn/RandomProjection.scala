@@ -70,7 +70,8 @@ object RandomProjection {
       projCol: Option[String] = None): DataFrame = {
     require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
     val dataP = data.select(col("id"),
-      projCol.map(col).getOrElse(projectCol(dProj, d, col("vector"))).as("vp"))
+      projCol.map(Knn.checkedCoarseCol(_, dProj, "projection"))
+        .getOrElse(projectCol(dProj, d, col("vector"))).as("vp"))
     val qP = queries.select(col("qid"), projectCol(dProj, d, col("qvec")).as("qp"))
     val coarse = dataP.crossJoin(broadcast(qP))
       .select(col("qid"), col("id"), vec.dist(col("vp"), col("qp"), metric).as("cdist"))
@@ -79,6 +80,38 @@ object RandomProjection {
       .select("qid", "id")
     val rescored = data.join(broadcast(cand), Seq("id"))
       .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[search]] with a DataFrame query side — the JL tier at
+    * corpus-vs-corpus query cardinality, with NOTHING driver-resident and
+    * NO crossJoin: the coarse pass is [[Knn.partitionedDF]] over the
+    * dProj-dimensional projection (query table replicated through one
+    * shuffle onto the un-moved projection scan, per-query bounded heaps;
+    * with a materialized `projCol` the scan column-prunes to dProj
+    * floats/row), and the survivors rescore at full dimension through
+    * candidate-keyed joins (coarseK·Q rows — bounded by the serving
+    * knobs, never the corpus). Row-for-row equal to [[search]] given the
+    * same knobs: same projection kernel, same distance kernels, same
+    * total tie-breaks at both stages.
+    */
+  def searchDF(data: DataFrame, queries: DataFrame, k: Int, d: Int, dProj: Int,
+      coarseK: Int, metric: String = "euclidean",
+      projCol: Option[String] = None,
+      queryBlock: Int = 1 << 16): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val dataP = data.select(col("id"),
+      projCol.map(Knn.checkedCoarseCol(_, dProj, "projection"))
+        .getOrElse(projectCol(dProj, d, col("vector"))).as("vector"))
+    val qP = queries.select(col("qid"), projectCol(dProj, d, col("qvec")).as("qvec"))
+    val cand = Knn.partitionedDF(dataP, qP, coarseK, metric, queryBlock)
+      .select("qid", "id")
+    val rescored = data
+      .select(col("id").cast("long"), col("vector").cast("array<float>"))
+      .join(cand, Seq("id"))
+      .join(queries.select(col("qid").cast("long"), col("qvec")), Seq("qid"))
       .select(col("qid"), col("id"), vec.dist(col("vector"), col("qvec"), metric).as("dist"))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

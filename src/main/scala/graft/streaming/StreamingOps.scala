@@ -2426,13 +2426,33 @@ object StreamingOps {
     * proof over the accumulated corpus. Exact or a loud error, never
     * silently approximate.
     */
+  /** Read a heavy-hitter delta dir restricted to its MANIFEST-LISTED
+    * files — the manifest is the sink's commit marker, so this is the
+    * committed view. Reading the directory wholesale would also sweep up
+    * an in-flight or crashed-uncommitted batch's files: for the
+    * count-accumulating heavy-hitter tables that is not a harmless
+    * latest-wins duplicate (as in the versioned delta logs) but a
+    * half-committed batch whose docs are counted while its sketch is
+    * missing — silently breaking the exact-or-throw proof. `basePath`
+    * keeps the `batch=` partition-column discovery identical to a
+    * whole-directory read. Caller must have run [[validateDelta]] and
+    * checked the manifest non-empty (zero paths cannot be read).
+    */
+  private def hhReadManifested(spark: SparkSession, dir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = graft.io.Manifest.read(dir, hconf).get.map(e => s"$dir/${e.name}")
+    require(files.nonEmpty, s"hhReadManifested on empty manifest at $dir")
+    spark.read.option("basePath", dir).parquet(files: _*)
+  }
+
   /** Per-batch summaries keyed by group (the global form lives under the
     * None key), folded across batches — batches × groups × m rows on the
     * driver, bounded by sketch size and fold cadence, never corpus size.
+    * Reads only the sketch manifest's committed files ([[hhReadManifested]]).
     */
   private def hhFoldSketches(spark: SparkSession, sketchDir: String,
       m: Int): Map[Option[String], graft.text.HeavyHitters.MgSummary] = {
-    val perBatch = spark.read.parquet(sketchDir)
+    val perBatch = hhReadManifested(spark, sketchDir)
       .select(col("batch").cast("string"), col("grp"), col("gram"),
         col("cnt"), col("err"), col("total"))
       .collect()
@@ -2478,11 +2498,14 @@ object StreamingOps {
       return Seq.empty[(String, Long, Int)].toDF("gram", "n_count", "rank")
     val mg = hhFoldSketches(spark, sketchDir, m)
       .getOrElse(None, graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))
-    val docs =
-      if (graft.io.Manifest.read(docsDir, hconf).get.isEmpty)
-        Seq.empty[(Long, String)].toDF("doc_id", "text")
-      else spark.read.parquet(docsDir).select("doc_id", "text")
-    graft.text.HeavyHitters.recountAndProve(docs, n, k, m, mg)
+    val docsEntries = graft.io.Manifest.read(docsDir, hconf).get
+    val key = hhCacheKey(k, n, m, None, Map(None -> mg), docsEntries)
+    hhCachedRecount(spark, indexDir, key) {
+      val docs =
+        if (docsEntries.isEmpty) Seq.empty[(Long, String)].toDF("doc_id", "text")
+        else hhReadManifested(spark, docsDir).select("doc_id", "text")
+      graft.text.HeavyHitters.recountAndProve(docs, n, k, m, mg)
+    }
   }
 
   /** Exact top-k PER GROUP over everything a [[heavyHittersSinkByGroup]]
@@ -2507,20 +2530,98 @@ object StreamingOps {
     validateDelta(docsDir, hconf)
     if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty)
       return Seq.empty[(String, String, Long, Int)].toDF("grp", "gram", "n_count", "rank")
-    val mg = hhFoldSketches(spark, sketchDir, m)
-      .collect { case (Some(grp), s) => (grp, s) } // None key = batch markers
-    val docs =
-      if (graft.io.Manifest.read(docsDir, hconf).get.isEmpty)
-        Seq.empty[(Long, String, String)].toDF("doc_id", "grp", "text")
-      else spark.read.parquet(docsDir).select("doc_id", "grp", "text")
-    graft.text.HeavyHitters.recountAndProveByGroup(docs, n, k, m, mg, "grp")
+    val folded = hhFoldSketches(spark, sketchDir, m)
+    val mg = folded.collect { case (Some(grp), s) => (grp, s) } // None key = batch markers
+    val docsEntries = graft.io.Manifest.read(docsDir, hconf).get
+    val key = hhCacheKey(k, n, m, group, folded, docsEntries)
+    hhCachedRecount(spark, indexDir, key) {
+      val docs =
+        if (docsEntries.isEmpty) Seq.empty[(Long, String, String)].toDF("doc_id", "grp", "text")
+        else hhReadManifested(spark, docsDir).select("doc_id", "grp", "text")
+      graft.text.HeavyHitters.recountAndProveByGroup(docs, n, k, m, mg, "grp")
+    }
+  }
+
+  /** Cache key for the exact-recount result: md5 over (k, n, m, group),
+    * the FOLDED sketch summary (candidates + error accounting — exactly
+    * what the recount consumes), and the docs completeness manifest
+    * (name + length per committed file — exactly what the recount reads,
+    * since the read is manifest-restricted). Any new committed batch
+    * changes the docs manifest, any sketch change alters the fold, so a
+    * stale cache entry is unreachable; compaction refolds to the SAME
+    * summary and rewrites no docs, so the cache survives it.
+    */
+  private def hhCacheKey(k: Int, n: Int, m: Int, group: Option[String],
+      mg: Map[Option[String], graft.text.HeavyHitters.MgSummary],
+      docsEntries: Seq[graft.io.ManifestEntry]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new StringBuilder
+    sb.append(s"k=$k;n=$n;m=$m;g=${group.map("S" + _).getOrElse("N")};")
+    mg.toSeq.sortBy(_._1.map("S" + _).getOrElse("N")).foreach { case (grp, s) =>
+      sb.append('\u0004').append(grp.map("S" + _).getOrElse("N"))
+        .append('|').append(s.err).append('|').append(s.total).append('|')
+      s.counts.toSeq.sorted.foreach { case (g, c) =>
+        sb.append(g).append('\u0001').append(c).append('\u0002')
+      }
+    }
+    docsEntries.sortBy(_.name).foreach(e =>
+      sb.append(e.name).append('\u0003').append(e.length).append('\u0002'))
+    md.digest(sb.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Serve the ≤(groups × k)-row recount from `$indexDir/cache` when its
+    * stored key matches; otherwise run `compute`, persist it, and swap the
+    * cache atomically (rows first, key last inside a tmp dir, then a
+    * delete + rename — a torn write either lacks the key or never
+    * renamed, so it can never serve). Makes repeated reads of an
+    * unchanged heavy-hitter dir O(k) instead of O(corpus) while keeping
+    * the exact-or-throw contract: a proof failure propagates out of
+    * `compute` before anything is cached.
+    */
+  private def hhCachedRecount(spark: SparkSession, indexDir: String,
+      key: String)(compute: => DataFrame): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val cacheDir = s"$indexDir/cache"
+    val keyPath = s"$cacheDir/_key"
+    val stored =
+      if (graft.io.HadoopIO.exists(keyPath, hconf))
+        scala.util.Try(graft.io.HadoopIO.read(keyPath, hconf)(_.readUTF())).toOption
+      else None
+    if (stored.contains(key)) spark.read.parquet(s"$cacheDir/rows")
+    else {
+      val result = compute
+      val tmp = s"$indexDir/cache.tmp"
+      graft.io.HadoopIO.delete(tmp, hconf)
+      result.coalesce(1).write.parquet(s"$tmp/rows")
+      graft.io.HadoopIO.write(s"$tmp/_key", hconf)(_.writeUTF(key))
+      graft.io.HadoopIO.delete(cacheDir, hconf)
+      graft.io.HadoopIO.rename(tmp, cacheDir, hconf)
+      spark.read.parquet(s"$cacheDir/rows")
+    }
   }
 
   private def foldedBatchIds(spark: SparkSession, indexDir: String): Set[Long] = {
-    val foldedDir = s"$indexDir/folded"
-    if (!graft.io.HadoopIO.exists(foldedDir, spark.sparkContext.hadoopConfiguration)) Set.empty
-    else spark.read.parquet(foldedDir).select("batch_id")
-      .collect().map(_.getLong(0)).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = {
+      val d = s"$indexDir/folded"
+      if (!graft.io.HadoopIO.exists(d, hconf)) Set.empty[Long]
+      else spark.read.parquet(d).select("batch_id").collect().map(_.getLong(0)).toSet
+    }
+    // also honor a surviving folded.tmp: it is the COMPLETE successor
+    // sidecar (old ids ∪ the ids being folded) from a compaction whose
+    // delete+rename swap was interrupted — every id in it is committed, so
+    // treating it as folded is always safe, and without it a crash between
+    // the delete and the rename would lose the replay guard entirely. A
+    // torn tmp (crash mid-write) is ignored — it never renamed, and the
+    // batches it would have listed are still in the sketch manifest.
+    val tmp = {
+      val d = s"$indexDir/folded.tmp"
+      if (!graft.io.HadoopIO.exists(d, hconf)) Set.empty[Long]
+      else scala.util.Try(
+        spark.read.parquet(d).select("batch_id").collect().map(_.getLong(0)).toSet
+      ).getOrElse(Set.empty[Long])
+    }
+    live ++ tmp
   }
 
   /** Compact a [[heavyHittersSink]] sketch log: fold the per-batch
@@ -2547,6 +2648,13 @@ object StreamingOps {
         s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
     val sketchDir = s"$indexDir/sketch"
     val sketchTmp = s"$indexDir/sketch.compact"
+    // resume a torn FOLDED-sidecar swap first: a missing live sidecar with
+    // a surviving tmp means the prior run crashed between its delete and
+    // rename — complete that rename before anything deletes the tmp, or
+    // the guard's only copy of the previously folded ids would be lost
+    if (!graft.io.HadoopIO.exists(s"$indexDir/folded", hconf) &&
+        graft.io.HadoopIO.exists(s"$indexDir/folded.tmp", hconf))
+      graft.io.HadoopIO.rename(s"$indexDir/folded.tmp", s"$indexDir/folded", hconf)
     // resume a torn swap: a missing live dir means the tmp was
     // manifest-complete before the delete ran
     if (!graft.io.HadoopIO.exists(sketchDir, hconf)) {
@@ -2561,15 +2669,25 @@ object StreamingOps {
     if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty) return
 
     // the replay guard must cover every numeric batch id being folded (and
-    // every id folded before), and must land before the destructive swap
-    val batchKeys = spark.read.parquet(sketchDir)
-      .select(col("batch").cast("string")).distinct()
-      .collect().map(_.getString(0))
-    val numericIds = batchKeys.filter(_.forall(_.isDigit)).map(_.toLong).toSet
+    // every id folded before), and must land before the destructive swap.
+    // Batch keys come straight off the sketch manifest — the committed
+    // set, no Spark job, and no uncommitted stray directory can leak in
+    val batchKeys = graft.io.Manifest.read(sketchDir, hconf).get
+      .map(_.name.takeWhile(_ != '/').stripPrefix("batch=")).distinct
+    val numericIds = batchKeys.filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).toSet
     val folded = hhFoldSketches(spark, sketchDir, m)
     val allFolded = foldedBatchIds(spark, indexDir) ++ numericIds
-    allFolded.toSeq.sorted.toDF("batch_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/folded")
+    // tmp + delete + rename, never overwrite-in-place: mode("overwrite")
+    // deletes then writes, so a crash inside it would lose every
+    // previously folded id and re-open the post-compaction double-count
+    // window. foldedBatchIds reads a surviving tmp, so every crash point
+    // in this swap keeps the guard intact.
+    val foldedTmp = s"$indexDir/folded.tmp"
+    graft.io.HadoopIO.delete(foldedTmp, hconf)
+    allFolded.toSeq.sorted.toDF("batch_id").coalesce(1).write.parquet(foldedTmp)
+    graft.io.HadoopIO.delete(s"$indexDir/folded", hconf)
+    graft.io.HadoopIO.rename(foldedTmp, s"$indexDir/folded", hconf)
 
     // every key writes its counts + meta row; ensure the None-key marker
     // exists so a grouped dir's compacted batch still carries one
@@ -2584,5 +2702,48 @@ object StreamingOps {
     writeDeltaManifest(sketchTmp, hconf)
     graft.io.HadoopIO.delete(sketchDir, hconf)
     graft.io.HadoopIO.rename(sketchTmp, sketchDir, hconf)
+  }
+
+  /** Number of sketch batches a [[heavyHittersSink]] dir has accumulated
+    * since its last compaction, measured from the sketch completeness
+    * manifest alone — no data scan, no Spark job (the same
+    * manifest-only-gauge shape as [[ivfMaintainedDeltaRatio]]). The
+    * read-time driver fold costs batches × groups × m rows, so this IS
+    * the fold-cost gauge.
+    */
+  def heavyHittersSketchBatches(spark: SparkSession, indexDir: String): Int = {
+    val entries = graft.io.Manifest.read(s"$indexDir/sketch",
+      spark.sparkContext.hadoopConfiguration).getOrElse(
+      throw new IllegalStateException(
+        s"heavy-hitter sketch log at $indexDir/sketch has no manifest — " +
+          "not a maintained heavy-hitter dir"))
+    entries.map(_.name.takeWhile(_ != '/')).distinct.size
+  }
+
+  /** [[compactHeavyHitters]] gated on [[heavyHittersSketchBatches]]: the
+    * one-call maintenance form — fold the sketch log only when more than
+    * `maxBatches` batch summaries have accumulated, so a scheduled job
+    * can invoke it unconditionally after every batch window and the
+    * driver fold bound (batches × groups × m) is enforced by the
+    * maintenance loop rather than operator discipline. Returns (measured
+    * batch count, whether a compaction ran). Run while the maintenance
+    * stream is STOPPED, like the compaction itself.
+    */
+  def compactHeavyHittersIfNeeded(
+      spark: SparkSession,
+      indexDir: String,
+      maxBatches: Int = 64): (Int, Boolean) = {
+    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // a missing sketch/ under a live heavy-hitter dir is an interrupted
+    // compaction swap: compactHeavyHitters IS the resume path — finish it
+    // unconditionally instead of throwing the gauge's misleading error
+    if (!graft.io.HadoopIO.exists(s"$indexDir/sketch", hconf)) {
+      compactHeavyHitters(spark, indexDir)
+      return (-1, true)
+    }
+    val batches = heavyHittersSketchBatches(spark, indexDir)
+    if (batches > maxBatches) { compactHeavyHitters(spark, indexDir); (batches, true) }
+    else (batches, false)
   }
 }

@@ -714,4 +714,53 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("cross-doc maximal spans: exact straddling bounds, same-diagonal splits, stride invariance") {
+    val a = (0 until 100).map(i => s"w$i").mkString(" ")
+    // doc 2 quotes a[10, 70) after a 3-token preamble: the run straddles
+    // the grid differently in each doc (offsets 10 vs 3)
+    val b = "j1 j2 j3 " + (10 until 70).map(i => s"w$i").mkString(" ") + " j4"
+    // doc 3 quotes two runs split by one mismatched token — SAME diagonal
+    // in the (1,3) pair, so the kernel must keep them separate
+    val c = "j9 " + (10 until 30).map(i => s"w$i").mkString(" ") + " zz " +
+      (31 until 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    def run(stride: Int, maxExtend: Int): Seq[(Long, Long, Long, Long, Long, Long, Long)] =
+      Dedup.crossDocMaximalSpans(docs, n = 8, stride = stride, maxExtend = maxExtend)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val expected = Seq(
+      (1L, 2L, 10L, 70L, 3L, 63L, 60L),
+      (1L, 3L, 10L, 30L, 1L, 21L, 20L),
+      (1L, 3L, 31L, 60L, 22L, 51L, 29L),
+      (2L, 3L, 3L, 23L, 1L, 21L, 20L),
+      (2L, 3L, 24L, 53L, 22L, 51L, 29L))
+    assert(run(stride = 3, maxExtend = 50) === expected)
+    // stride 1 with zero extension budget finds the same runs (all are
+    // >= n + stride - 1 for both settings) — anchors alone cover them
+    assert(run(stride = 1, maxExtend = 0) === expected)
+    // a tiny capped extension still recovers exact bounds via chaining
+    // (maxExtend = stride - 1 is the proven minimum)
+    assert(run(stride = 3, maxExtend = 2) === expected)
+    // hash-collision (or unverifiable) anchors are dropped by token
+    // verification, not reported
+    assert(Dedup.extendAnchors(Array("a", "b", "c", "d"),
+      Array("x", "y", "z", "q"), Array((0, 0)), 2, 5).isEmpty)
+    // knob guards
+    intercept[IllegalArgumentException](
+      Dedup.crossDocMaximalSpans(docs, n = 8, stride = 3, maxExtend = 1).collect())
+    intercept[IllegalArgumentException](
+      Dedup.crossDocMaximalSpans(docs, n = 8, stride = 9).collect())
+  }
+
+  test("contamination spans: exact benchmark positions inside corpus docs, straddling grid") {
+    val benchText = (0 until 40).map(i => s"b$i").mkString(" ")
+    // corpus doc 5 quotes bench positions [7, 31) after a 2-token preamble
+    val contaminated = "c1 c2 " + (7 until 31).map(i => s"b$i").mkString(" ") + " c3"
+    val clean = (0 until 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq((5L, contaminated), (6L, clean)).toDF("doc_id", "text")
+    val bench = Seq((1L, benchText)).toDF("bench_id", "text")
+    val spans = Dedup.contaminationSpans(docs, bench, n = 8, stride = 3, maxExtend = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((5L, 1L, 2L, 26L, 7L, 31L, 24L)))
+  }
 }

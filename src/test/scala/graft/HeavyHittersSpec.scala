@@ -217,6 +217,117 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(e2.getMessage.contains("GLOBAL"), e2.getMessage)
   }
 
+  test("recount cache serves unchanged dirs and invalidates on any new batch") {
+    import graft.streaming.StreamingOps
+    val docs = (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta gamma delta" else "alpha beta gamma other"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hh_cache").toString
+    val sink = StreamingOps.heavyHittersSink(spark, dir, n = 3, m = 1024)
+    sink(docs, 0L)
+    def topNow(k: Int): Seq[(String, Long, Int)] =
+      StreamingOps.heavyHittersTopK(spark, dir, k)
+        .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    val first = topNow(2)
+    assert(first === HeavyHitters.ngramTopK(docs, n = 3, k = 2, m = 1024)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3))
+    // poison the cached rows while keeping the key: a second identical
+    // read must serve them verbatim — PROOF the O(corpus) recount did not
+    // re-run (no hidden re-read could reproduce a poisoned row)
+    Seq(("POISON", 999L, 1)).toDF("gram", "n_count", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cache/rows")
+    assert(topNow(2) === Seq(("POISON", 999L, 1)))
+    // a different k is a different key — fresh recount, no poison
+    assert(!topNow(3).exists(_._1 == "POISON"))
+    // a new committed batch changes the docs manifest — fresh recount
+    Seq(("POISON", 999L, 1)).toDF("gram", "n_count", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cache/rows")
+    val extra = (1000 until 1050).map(i => (i.toLong, "alpha beta gamma fresh"))
+      .toDF("doc_id", "text")
+    sink(extra, 1L)
+    val third = topNow(2)
+    assert(!third.exists(_._1 == "POISON"))
+    assert(third === HeavyHitters.ngramTopK(docs.unionByName(extra), n = 3, k = 2, m = 1024)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3))
+  }
+
+  test("compactHeavyHittersIfNeeded fires only past the manifest batch threshold") {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("hh_gate").toString
+    val sink = StreamingOps.heavyHittersSink(spark, dir, n = 2, m = 1024)
+    (0 until 5).foreach { b =>
+      sink((0 until 30).map(i => ((b * 100 + i).toLong, s"common pair plus t$b")).toDF("doc_id", "text"), b.toLong)
+    }
+    assert(StreamingOps.heavyHittersSketchBatches(spark, dir) === 5)
+    def topNow(): Seq[(String, Long, Int)] =
+      StreamingOps.heavyHittersTopK(spark, dir, k = 3)
+        .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    val before = topNow()
+    // under threshold: measured but not fired (no data scan either way)
+    val (n1, fired1) = StreamingOps.compactHeavyHittersIfNeeded(spark, dir, maxBatches = 8)
+    assert(n1 === 5 && !fired1)
+    assert(StreamingOps.heavyHittersSketchBatches(spark, dir) === 5)
+    // over threshold: fires, folds to one summary, answers unchanged
+    val (n2, fired2) = StreamingOps.compactHeavyHittersIfNeeded(spark, dir, maxBatches = 4)
+    assert(n2 === 5 && fired2)
+    assert(StreamingOps.heavyHittersSketchBatches(spark, dir) === 1)
+    assert(topNow() === before, "gated compaction changed the answer")
+    // folded-batch replays are still blocked after the gated fold
+    sink((0 until 30).map(i => (i.toLong, "common pair plus t0")).toDF("doc_id", "text"), 0L)
+    assert(topNow() === before, "a folded-batch replay double-counted")
+  }
+
+  test("a half-committed batch (docs on disk, sketch missing) is invisible to the read") {
+    import graft.streaming.StreamingOps
+    val docs = (0 until 80).map(i => (i.toLong, "red green blue cyan")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hh_torn").toString
+    val sink = StreamingOps.heavyHittersSink(spark, dir, n = 3, m = 1024)
+    sink(docs, 0L)
+    def topNow(): Seq[(String, Long, Int)] =
+      StreamingOps.heavyHittersTopK(spark, dir, k = 2)
+        .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    val before = topNow()
+    // simulate a crash between the docs append and the sketch write: the
+    // batch's doc files exist but neither manifest lists them — the
+    // manifest-restricted read must not count them (counting docs whose
+    // sketch never landed would silently break the exactness proof)
+    val stray = (1000 until 1040).map(i => (i.toLong, "red green blue stray"))
+      .toDF("doc_id", "text")
+    stray.write.parquet(s"$dir/docs/batch=7")
+    assert(topNow() === before, "uncommitted stray docs leaked into the exact recount")
+    // the stream's redelivery of that batch then commits it properly
+    // (the sink wipes the partial dir and rewrites both halves)
+    sink(stray, 7L)
+    assert(topNow() === HeavyHitters.ngramTopK(docs.unionByName(stray), n = 3, k = 2, m = 1024)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3))
+  }
+
+  test("a torn folded-sidecar swap never loses the replay guard") {
+    import graft.streaming.StreamingOps
+    val docs = (0 until 60).map(i => (i.toLong, "one two three four")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hh_folded_torn").toString
+    val sink = StreamingOps.heavyHittersSink(spark, dir, n = 3, m = 1024)
+    sink(docs, 0L)
+    StreamingOps.compactHeavyHitters(spark, dir)
+    def topNow(): Seq[(String, Long, Int)] =
+      StreamingOps.heavyHittersTopK(spark, dir, k = 2)
+        .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    val before = topNow()
+    // simulate a crash between the sidecar delete and rename of a LATER
+    // compaction: the live sidecar is gone, the complete tmp survives
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/folded"),
+      java.nio.file.Paths.get(s"$dir/folded.tmp"))
+    // the guard must still block a replay of the folded batch 0
+    sink(docs, 0L)
+    assert(topNow() === before, "torn sidecar swap lost the folded-batch replay guard")
+    // and the next compaction resumes the swap back to a live sidecar
+    StreamingOps.compactHeavyHitters(spark, dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/folded")))
+    sink(docs, 0L)
+    assert(topNow() === before)
+  }
+
   test("streaming read keeps the exact-or-throw contract (tiny m, near-uniform)") {
     import graft.streaming.StreamingOps
     val docs = (0 until 400).map(i => (i.toLong, s"u$i v$i w$i z$i")).toDF("doc_id", "text")

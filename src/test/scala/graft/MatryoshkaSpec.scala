@@ -116,4 +116,48 @@ class MatryoshkaSpec extends SparkTestBase {
       .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
     assert(res.sorted === exact)
   }
+
+  test("matryoshkaDF equals the broadcast array path row-for-row (incl. multi-block)") {
+    val arr = Knn.matryoshka(data, queries, k = 10, dPrefix = 16, coarseK = 60)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    val df = Knn.matryoshkaDF(data, queries, k = 10, dPrefix = 16, coarseK = 60)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(df === arr)
+    // queryBlock = 2 forces the blocked re-scan path; same per-query heaps
+    val blocked = Knn.matryoshkaDF(data, queries, k = 10, dPrefix = 16, coarseK = 60,
+        queryBlock = 2)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(blocked === arr)
+    // and with a materialized prefix column on the coarse scan
+    val withP = data.withColumn("vp16", slice(col("vector"), 1, 16))
+    val mat = Knn.matryoshkaDF(withP, queries, k = 10, dPrefix = 16, coarseK = 60,
+        prefixCol = Some("vp16"))
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(mat === arr)
+  }
+
+  test("mismatched materialized prefix column fails loudly instead of truncating") {
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    val bad = data.withColumn("vp8", slice(col("vector"), 1, 8)) // 8 != dPrefix 16
+    val e = intercept[Exception] {
+      Knn.matryoshka(bad, queries, k = 5, dPrefix = 16, coarseK = 50,
+        prefixCol = Some("vp8")).collect()
+    }
+    assert(msgs(e).contains("prefix column"), msgs(e))
+    val centroids = graft.knn.Ivf.train(spark, bad.select("id", "vector"), c = 8, iterations = 1)
+    val assigned = graft.knn.Ivf.assign(spark, bad.select("id", "vector"), centroids)
+      .join(bad.select(col("id"), col("vp8")), Seq("id"))
+    val queryArr = vectors.take(3).map { case (id, v) => (id, v) }.toArray
+    val e2 = intercept[Exception] {
+      Knn.matryoshkaIvf(spark, assigned, centroids, queryArr, k = 5,
+        nprobe = 8, dPrefix = 16, coarseK = 50, prefixCol = Some("vp8")).collect()
+    }
+    assert(msgs(e2).contains("prefix column"), msgs(e2))
+    val e3 = intercept[Exception] {
+      Knn.matryoshkaDF(bad, queries, k = 5, dPrefix = 16, coarseK = 50,
+        prefixCol = Some("vp8")).collect()
+    }
+    assert(msgs(e3).contains("prefix column"), msgs(e3))
+  }
 }

@@ -76,4 +76,35 @@ class RandomProjectionSpec extends SparkTestBase {
       .select("qid", "id", "rank").as[(Long, Long, Int)].collect().sorted
     assert(mat === inline)
   }
+
+  test("searchDF equals the broadcast path row-for-row (incl. multi-block)") {
+    val arr = RandomProjection.search(data, queries, k = 10, d = dim, dProj = 16,
+        coarseK = 40)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    val df = RandomProjection.searchDF(data, queries, k = 10, d = dim, dProj = 16,
+        coarseK = 40)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(df === arr)
+    // queryBlock = 2 forces the blocked re-scan path; same per-query heaps
+    val blocked = RandomProjection.searchDF(data, queries, k = 10, d = dim, dProj = 16,
+        coarseK = 40, queryBlock = 2)
+      .select("qid", "id", "dist", "rank").as[(Long, Long, Double, Int)].collect().sorted
+    assert(blocked === arr)
+  }
+
+  test("mismatched materialized projection column fails loudly instead of truncating") {
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    val bad = data.withColumn("rp8", RandomProjection.projectCol(8, dim, col("vector")))
+    val e = intercept[Exception] {
+      RandomProjection.search(bad, queries, k = 5, d = dim, dProj = 16,
+        coarseK = 40, projCol = Some("rp8")).collect()
+    }
+    assert(msgs(e).contains("projection column"), msgs(e))
+    val e2 = intercept[Exception] {
+      RandomProjection.searchDF(bad, queries, k = 5, d = dim, dProj = 16,
+        coarseK = 40, projCol = Some("rp8")).collect()
+    }
+    assert(msgs(e2).contains("projection column"), msgs(e2))
+  }
 }
