@@ -97,6 +97,13 @@ object BenchScale {
       val centroids = timed(s"IVF train (kmeans||, c=$c, 2 Lloyd passes, $n vectors)") {
         graft.knn.Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||")
       }
+      // mini-batch train: identical seeding + Lloyd over a deterministic 10%
+      // md5 sample — the offline-cost lever (recall floors for sampled train
+      // are gated by ClusteredRecallSpec; this row measures the speedup)
+      timed(s"IVF train sampled (kmeans||, c=$c, sampleFraction=0.1, $n vectors)") {
+        graft.knn.Ivf.train(spark, data, c, iterations = 2, seeding = "kmeans||",
+          sampleFraction = 0.1)
+      }
       val q8 = graft.knn.Quantize.sq8(graft.knn.Ivf.assign(spark, data, centroids))
         .select("id", "cell", "vector", "codes", "q_scale", "q_offset")
         .repartition(cpus.toInt * 2, col("cell")).cache()

@@ -107,6 +107,36 @@ object Queries {
     df.select(col("qid"), col("id"), round(col("dist"), 4).as("dist"), col("rank").cast("long").as("rank"))
       .orderBy("qid", "rank")
 
+  /** The DF-side vs broadcast-side equality row shape. The DF side runs
+    * the FULL query batch (its correctness is the SQL replay oracle's
+    * job); the broadcast side — the small-Q serving form, whose
+    * crossJoin cost grows with Q by design — re-runs only the qids below
+    * `arrQ`, and the anti-join equality compare restricts the DF side to
+    * the same qids (per-query results are independent, so the filtered
+    * DF rows ARE what a subset run would produce). The DF result
+    * PERSISTS so the compare and the output read one materialization,
+    * then the k·Q-bounded rows collect into a LocalRelation and the
+    * cache releases — nothing leaks into the session.
+    */
+  private def knnDfEqualityRow(spark: SparkSession, dfSide: DataFrame,
+      arrSide: DataFrame, arrQ: Int): DataFrame = {
+    import spark.implicits._
+    val dfP = dfSide.persist()
+    try {
+      val keys = Seq("qid", "id", "dist", "rank")
+      val dfSub = dfP.filter(col("qid") < arrQ)
+      val nDiff = dfSub.join(arrSide, keys, "left_anti").count() +
+        arrSide.join(dfSub, keys, "left_anti").count()
+      val rows = dfP.as[(Long, Long, Double, Long)].collect().toSeq
+        .map { case (qid, id, dist, rank) =>
+          (qid, id, dist, rank, if (nDiff == 0) 1L else 0L) }
+      rows.toDF("qid", "id", "dist", "rank", "arr_path_equal")
+        .orderBy("qid", "rank")
+    } finally {
+      dfP.unpersist()
+    }
+  }
+
   /** Multi-vector (late-interaction) inputs derived deterministically from
     * the embeddings table: document `vec_id DIV 4` owns tokens
     * {4·id .. 4·id+3} ordered by vec_id (array_sort on (vec_id, embedding)
@@ -409,14 +439,10 @@ object Queries {
       val e = t(spark, dir, "embeddings")
       val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
       val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val dfRes = knnFinish(Knn.matryoshkaDF(data, queries, k = 10, dPrefix = 16,
-        coarseK = 50))
-      val arrRes = knnFinish(Knn.matryoshka(data, queries, k = 10, dPrefix = 16,
-        coarseK = 50))
-      val keys = Seq("qid", "id", "dist", "rank")
-      val nDiff = dfRes.join(arrRes, keys, "left_anti").count() +
-        arrRes.join(dfRes, keys, "left_anti").count()
-      dfRes.withColumn("arr_path_equal", lit(if (nDiff == 0) 1L else 0L))
+      knnDfEqualityRow(spark,
+        knnFinish(Knn.matryoshkaDF(data, queries, k = 10, dPrefix = 16, coarseK = 50)),
+        knnFinish(Knn.matryoshka(data, queries.filter(col("qid") < 200), k = 10,
+          dPrefix = 16, coarseK = 50)), arrQ = 200)
     }),
 
     // §2.31 standalone JL tier with a DataFrame query side — same shape
@@ -428,14 +454,11 @@ object Queries {
       val e = t(spark, dir, "embeddings")
       val data = e.select(col("vec_id").as("id"), col("embedding").as("vector"))
       val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val dfRes = knnFinish(RandomProjection.searchDF(data, queries, k = 10, d = 64,
-        dProj = 16, coarseK = 50))
-      val arrRes = knnFinish(RandomProjection.search(data, queries, k = 10, d = 64,
-        dProj = 16, coarseK = 50))
-      val keys = Seq("qid", "id", "dist", "rank")
-      val nDiff = dfRes.join(arrRes, keys, "left_anti").count() +
-        arrRes.join(dfRes, keys, "left_anti").count()
-      dfRes.withColumn("arr_path_equal", lit(if (nDiff == 0) 1L else 0L))
+      knnDfEqualityRow(spark,
+        knnFinish(RandomProjection.searchDF(data, queries, k = 10, d = 64,
+          dProj = 16, coarseK = 50)),
+        knnFinish(RandomProjection.search(data, queries.filter(col("qid") < 200),
+          k = 10, d = 64, dProj = 16, coarseK = 50)), arrQ = 200)
     }),
 
     // §2.7+14 per-partition top-k + global merge (dataset.go:349-433)

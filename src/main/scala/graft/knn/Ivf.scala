@@ -26,6 +26,18 @@ object Ivf {
     * output across partition layouts matters more than saved passes — the
     * stop decision reads tree-reduced double sums, whose last-ulp drift
     * across layouts could flip an iteration near the threshold.
+    *
+    * `sampleFraction < 1` is the mini-batch train lever for big corpora:
+    * EVERY train pass (seeding and Lloyd alike) runs over a deterministic
+    * md5-bucket subsample of the ids ([[graft.ops.Sampling.sample]] — a
+    * pure function of (id, seed), layout- and run-independent), cached for
+    * the duration of train so k passes cost k scans of the SAMPLE, not the
+    * corpus. Centroid quality degrades only as the k-means estimator's
+    * √(1/sample-size) noise — at 5M vectors a 10% sample still averages
+    * ~2000 vectors per centroid at C=256. The final cell assignment
+    * ([[assign]], a separate call) always sees the full corpus. Sampled
+    * and full train produce DIFFERENT (each deterministic) centroids —
+    * leave it 1.0 where an oracle depends on the exact train output.
     */
   def train(
       spark: SparkSession,
@@ -35,7 +47,15 @@ object Ivf {
       iterations: Int = 2,
       seeding: String = "first",
       tol: Double = 0.0,
-      seed: Long = 42L): Array[Array[Float]] = {
+      seed: Long = 42L,
+      sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    if (sampleFraction < 1.0) {
+      require(sampleFraction > 0, s"sampleFraction must be in (0, 1], got $sampleFraction")
+      val sample = graft.ops.Sampling.sample(data, "id", sampleFraction, s"ivftrain$seed")
+        .persist()
+      try return train(spark, sample, c, metric, iterations, seeding, tol, seed)
+      finally sample.unpersist()
+    }
     import spark.implicits._
     var centroids = seeding match {
       case "kmeans||" => seedKMeansPar(spark, data, c, metric, seed)

@@ -73,6 +73,27 @@ class ClusteredRecallSpec extends SparkTestBase {
     assert(r2 >= r1, s"spill=2 recall $r2 below spill=1 recall $r1")
   }
 
+  test("IVF mini-batch train (sampleFraction) holds the clustered recall floor") {
+    val c = 25
+    // 25% deterministic md5 sample = ~40 train vectors per cluster — the
+    // k-means estimator stays well-conditioned, so the sampled centroids
+    // must clear the same serving floor as the full train
+    val centroids = Ivf.train(spark, data, c, iterations = 3, seeding = "kmeans||",
+      sampleFraction = 0.25)
+    assert(centroids.length == c)
+    val r = recallOf(
+      Ivf.search(spark, Ivf.assign(spark, data, centroids), centroids,
+        queryPairs, k = 10, nprobe = 2),
+      exactDf, queryPairs.length, 10)
+    assert(r >= 0.85, s"sampled-train nprobe=2 recall $r < 0.85 on clustered corpus")
+    // determinism: the sample is a pure function of (id, seed) — a second
+    // train over a different partition layout must reproduce the centroids
+    val again = Ivf.train(spark, data.repartition(3, col("id")), c, iterations = 3,
+      seeding = "kmeans||", sampleFraction = 0.25)
+    assert(centroids.zip(again).forall { case (a, b) => a.sameElements(b) },
+      "sampled train not layout-independent")
+  }
+
   test("HNSW on clustered corpus: recall >= 0.9 (reference hnsw_test.go gate)") {
     val approx = HnswSpark.search(spark, data, queryPairs, k = 10, "euclidean",
       HnswConfig(ef = 100), numPartitions = 4)

@@ -752,6 +752,61 @@ class DedupSpec extends SparkTestBase {
       Dedup.crossDocMaximalSpans(docs, n = 8, stride = 9).collect())
   }
 
+  test("cross-doc spans equal a naive quadratic reference on a random small-alphabet corpus") {
+    // 3-symbol alphabet, 60-token docs: dense accidental shared runs on
+    // many diagonals — an adversarial workout for anchor merging,
+    // frontier extension, and the detection threshold, checked against a
+    // direct O(lenA·lenB) diagonal walk
+    def tok(seed: Long): String = {
+      val u = graft.core.SplitMix.unit(graft.core.SplitMix.mix(seed))
+      "abc".charAt(math.min(2, (u * 3).toInt)).toString
+    }
+    val corpora = (0 until 6).map { di =>
+      (di.toLong, (0 until 60).map(p => tok(di * 1000L + p)).mkString(" "))
+    }
+    val docs = corpora.toDF("doc_id", "text")
+    val n = 5
+    val stride = 2
+    val minLen = n + stride - 1
+    def naive(a: Array[String], b: Array[String]): Set[(Long, Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+      for (d <- -(b.length - 1) to (a.length - 1)) {
+        val lo = math.max(0, d)
+        val hi = math.min(a.length, b.length + d) // exclusive
+        var i = lo
+        var runStart = -1
+        while (i <= hi) {
+          val m = i < hi && a(i) == b(i - d)
+          if (m && runStart < 0) runStart = i
+          if (!m && runStart >= 0) {
+            if (i - runStart >= minLen)
+              out += ((runStart.toLong, i.toLong, (runStart - d).toLong, (i - d).toLong))
+            runStart = -1
+          }
+          i += 1
+        }
+      }
+      out.toSet
+    }
+    val toksMap = corpora.map { case (id, t) => id -> t.split(" ") }.toMap
+    val want = (for {
+      (i, _) <- corpora
+      (j, _) <- corpora if i < j
+      sp <- naive(toksMap(i), toksMap(j))
+    } yield (i, j, sp._1, sp._2, sp._3, sp._4)).toSet
+    val got = Dedup.crossDocMaximalSpans(docs, n = n, stride = stride, maxExtend = 50)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSet
+    assert(want.nonEmpty, "degenerate fixture: no shared runs to check")
+    assert(got === want)
+    // the tiny-cap configuration must agree too (frontier chaining)
+    val gotTiny = Dedup.crossDocMaximalSpans(docs, n = n, stride = stride,
+        maxExtend = stride - 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSet
+    assert(gotTiny === want)
+  }
+
   test("contamination spans: exact benchmark positions inside corpus docs, straddling grid") {
     val benchText = (0 until 40).map(i => s"b$i").mkString(" ")
     // corpus doc 5 quotes bench positions [7, 31) after a 2-token preamble
