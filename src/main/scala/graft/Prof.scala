@@ -13,10 +13,12 @@ object Prof {
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime; f; println(f"PROF $name ${(System.nanoTime - t0) / 1e9}%.2f s")
     }
+    time("warmup")(graft.knn.Knn.partitionedDF(data, queries.limit(100), 10).queryExecution.toRdd.count())
     time("matryoshkaDF")(graft.knn.Knn.matryoshkaDF(data, queries, 10, 16, 50).queryExecution.toRdd.count())
-    time("matryoshka_arr")(graft.knn.Knn.matryoshka(data, queries, 10, 16, 50).queryExecution.toRdd.count())
+    time("matryoshkaDF_2nd")(graft.knn.Knn.matryoshkaDF(data, queries, 10, 16, 50).queryExecution.toRdd.count())
+    time("matryoshka_arr200")(graft.knn.Knn.matryoshka(data, queries.filter(col("qid") < 200), 10, 16, 50).queryExecution.toRdd.count())
     time("rp_searchDF")(graft.knn.RandomProjection.searchDF(data, queries, 10, 64, 16, 50).queryExecution.toRdd.count())
-    time("rp_arr")(graft.knn.RandomProjection.search(data, queries, 10, 64, 16, 50).queryExecution.toRdd.count())
+    time("rp_arr200")(graft.knn.RandomProjection.search(data, queries.filter(col("qid") < 200), 10, 64, 16, 50).queryExecution.toRdd.count())
     time("partitionedDF")(graft.knn.Knn.partitionedDF(data, queries, 10).queryExecution.toRdd.count())
     time("coarse_only_mat")(graft.knn.Knn.partitionedDF(
       data.select(col("id"), slice(col("vector"),1,16).as("vector")),

@@ -122,11 +122,12 @@ object Queries {
       arrSide: DataFrame, arrQ: Int): DataFrame = {
     import spark.implicits._
     val dfP = dfSide.persist()
+    val arrP = arrSide.persist() // evaluated once, read by BOTH anti-join directions
     try {
       val keys = Seq("qid", "id", "dist", "rank")
       val dfSub = dfP.filter(col("qid") < arrQ)
-      val nDiff = dfSub.join(arrSide, keys, "left_anti").count() +
-        arrSide.join(dfSub, keys, "left_anti").count()
+      val nDiff = dfSub.join(arrP, keys, "left_anti").count() +
+        arrP.join(dfSub, keys, "left_anti").count()
       val rows = dfP.as[(Long, Long, Double, Long)].collect().toSeq
         .map { case (qid, id, dist, rank) =>
           (qid, id, dist, rank, if (nDiff == 0) 1L else 0L) }
@@ -134,6 +135,7 @@ object Queries {
         .orderBy("qid", "rank")
     } finally {
       dfP.unpersist()
+      arrP.unpersist()
     }
   }
 

@@ -3,6 +3,7 @@ package graft.dedup
 import graft.functions.{HashedShingleSet, MinHashBandHashes, ShingleBandHashes, ShingleHashSet, SortedIntersectCount}
 import graft.internal.SqlBridge
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators (brief: exact, MinHash+LSH, SimHash,
@@ -638,10 +639,19 @@ object Dedup {
     * raw text.
     *
     * Scale shape: one narrow kernel pass per side (tokens and tokens /
-    * stride hash rows), ONE hash-keyed shuffle for the anchor join, a
-    * pair-keyed aggregation bounded by MATCHED anchors (only doc pairs
-    * sharing a full n-gram survive), and a doc-keyed join shipping token
-    * arrays only for those matched docs. `maxAnchorFreq` is the skew
+    * stride hash rows), ONE hash-keyed shuffle for the anchor join, then
+    * ISLAND COMPRESSION before anything collects: matched anchors flow
+    * through a sort-based window keyed by (pair, diagonal) — a spillable
+    * operator — that folds each maximal run of stride-contiguous anchors
+    * into one (diag, start, count) triple, so the per-pair collected
+    * payload is O(distinct shared runs), not O(matched anchors). Two
+    * near-identical 100k-token documents produce ~1 island per populated
+    * diagonal instead of a 100k-element anchor list in a single
+    * unspillable aggregation row; the kernel re-expands islands lazily
+    * (an iterator, never materialized) and its walk is identical to the
+    * raw-anchor walk position-for-position, so exactness is untouched.
+    * The final doc-keyed join ships token arrays only for matched docs.
+    * `maxAnchorFreq` is the skew
     * guard: hashes occurring more than that many times corpus-wide are
     * excised from the join (boilerplate n-grams would otherwise create
     * quadratic pair blowup — they are [[duplicateLines]] /
@@ -685,18 +695,16 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
     val right = gramsGuarded
       .select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h"))
-    val pairs = left.join(right, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(collect_list(struct(col("pa").cast("int").as("_1"),
-        col("pb").cast("int").as("_2"))).as("anchors"))
+    val pairs = anchorIslands(
+      left.join(right, Seq("h")).filter(col("doc_a") < col("doc_b")),
+      "doc_a", "doc_b", stride)
     pairs
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"), col("anchors"))
-      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int)])]
-      .flatMap { case (a, b, ta, tb, anchors) =>
-        extendAnchors(ta, tb, anchors, n, maxExtend).map { case (as0, ae, bs, be) =>
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"), col("islands"))
+      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int, Int)])]
+      .flatMap { case (a, b, ta, tb, islands) =>
+        extendIslands(ta, tb, islands, n, stride, maxExtend).map { case (as0, ae, bs, be) =>
           (a, b, as0.toLong, ae.toLong, bs.toLong, be.toLong, (ae - as0).toLong)
         }
       }
@@ -758,10 +766,8 @@ object Dedup {
     }
     val bGrams = gramsOf(bench, benchIdCol, benchTextCol)
       .select(col("__id").as("bench_id"), col("pos").as("pb"), col("h"))
-    val pairs = dGrams.join(bGrams, Seq("h"))
-      .groupBy("doc_id", "bench_id")
-      .agg(collect_list(struct(col("pa").cast("int").as("_1"),
-        col("pb").cast("int").as("_2"))).as("anchors"))
+    val pairs = anchorIslands(dGrams.join(bGrams, Seq("h")),
+      "doc_id", "bench_id", stride)
     val dToks = docs.select(col(idCol).cast("long").as("doc_id"),
       tokens(col(textCol)).as("ta"))
     val bToks = bench.select(col(benchIdCol).cast("long").as("bench_id"),
@@ -769,16 +775,59 @@ object Dedup {
     pairs
       .join(dToks, Seq("doc_id"))
       .join(bToks, Seq("bench_id"))
-      .select(col("doc_id"), col("bench_id"), col("ta"), col("tb"), col("anchors"))
-      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int)])]
-      .flatMap { case (d, b, ta, tb, anchors) =>
-        extendAnchors(ta, tb, anchors, n, maxExtend).map { case (ds, de, bs, be) =>
+      .select(col("doc_id"), col("bench_id"), col("ta"), col("tb"), col("islands"))
+      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int, Int)])]
+      .flatMap { case (d, b, ta, tb, islands) =>
+        extendIslands(ta, tb, islands, n, stride, maxExtend).map { case (ds, de, bs, be) =>
           (d, b, ds.toLong, de.toLong, bs.toLong, be.toLong, (de - ds).toLong)
         }
       }
       .toDF("doc_id", "bench_id", "d_start", "d_end", "b_start", "b_end", "span_len")
       .filter(col("span_len") >= n + stride - 1)
   }
+
+  /** Anchor-join output → per-pair island lists: each maximal run of
+    * stride-contiguous matched anchors on one (pair, diagonal) folds into
+    * a single (diag, start, count) triple. The gaps-and-islands pass is a
+    * sort-based window on (pair, diagonal) — Spark's window operator
+    * spills, so an adversarial pair (two near-identical long documents,
+    * or a degenerate small-alphabet corpus where every diagonal matches)
+    * streams through disk instead of accumulating an unbounded
+    * collect_list buffer; only the island triples — O(distinct shared
+    * runs + collisions) per pair — reach the collected row the extension
+    * kernel reads. The island groupBy extends the window's partition
+    * keys, so it reuses the window's exchange (no extra shuffle); the
+    * pair-level collect shuffles island rows only.
+    */
+  private def anchorIslands(anchorRows: DataFrame, leftId: String,
+      rightId: String, stride: Int): DataFrame = {
+    val w = Window.partitionBy(leftId, rightId, "diag").orderBy("pa")
+    anchorRows
+      .select(col(leftId), col(rightId), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+      .withColumn("__new",
+        when(col("pa") - lag("pa", 1).over(w) === stride, 0L).otherwise(1L))
+      .withColumn("__isl", sum("__new").over(w))
+      .groupBy(col(leftId), col(rightId), col("diag"), col("__isl"))
+      .agg(min("pa").as("start"), count(lit(1)).as("cnt"))
+      .groupBy(col(leftId), col(rightId))
+      .agg(collect_list(struct(col("diag").cast("int").as("_1"),
+        col("start").cast("int").as("_2"),
+        col("cnt").cast("int").as("_3"))).as("islands"))
+  }
+
+  /** [[extendIslands]] over raw (pa, pb) anchor points — each anchor its
+    * own single-element island. Test seam; the DF paths compress through
+    * [[anchorIslands]] first.
+    */
+  private[graft] def extendAnchors(
+      a: Array[String],
+      b: Array[String],
+      anchors: Array[(Int, Int)],
+      n: Int,
+      maxExtend: Int): Seq[(Int, Int, Int, Int)] =
+    extendIslands(a, b,
+      anchors.map { case (pa, pb) => (pa - pb, pa, 1) }, n, 1, maxExtend)
 
   /** [[crossDocMaximalSpans]]' per-pair kernel — a frontier walk per
     * diagonal: verify each anchor's n-window token-by-token (skipping the
@@ -792,18 +841,27 @@ object Dedup {
     * maxExtend >= stride - 1 the first in-run anchor's left reach and the
     * frontier's final right reach cover the <= stride - 1 tokens the
     * anchor grid can miss, so reported bounds are exact.
-    * O(anchors * verify + span tokens) per pair.
+    *
+    * Anchors arrive as (diag, start, count) ISLANDS ([[anchorIslands]])
+    * and re-expand through a lazy iterator — position-for-position the
+    * sorted distinct anchor sequence of the raw join output (islands on
+    * one diagonal are disjoint and ordered), so the walk, and therefore
+    * the output, is identical to the uncompressed form.
+    * O(anchors * verify + span tokens) per pair, O(islands) memory.
     */
-  private[graft] def extendAnchors(
+  private[graft] def extendIslands(
       a: Array[String],
       b: Array[String],
-      anchors: Array[(Int, Int)],
+      islands: Array[(Int, Int, Int)],
       n: Int,
+      stride: Int,
       maxExtend: Int): Seq[(Int, Int, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
-    anchors.groupBy { case (pa, pb) => pa - pb }.toSeq.sortBy(_._1).foreach {
-      case (diag, as) =>
-        val sorted = as.map(_._1).distinct.sorted
+    islands.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+      case (diag, isl) =>
+        val sorted = isl.sortBy(_._2).iterator.flatMap { case (_, s, c) =>
+          Iterator.range(0, c).map(s + _ * stride)
+        }
         var curS = -1
         var curE = -1
         def flush(): Unit =

@@ -752,6 +752,32 @@ class DedupSpec extends SparkTestBase {
       Dedup.crossDocMaximalSpans(docs, n = 8, stride = 9).collect())
   }
 
+  test("cross-doc spans: near-identical long pair stays exact through island compression") {
+    // the adversarial shape island compression exists for: two 2000-token
+    // documents sharing one giant run — the raw anchor join emits ~2000
+    // matched anchors on one diagonal, which must fold to O(1) islands
+    // and still report the exact bounds
+    val base = (0 until 2000).map(i => s"w$i")
+    val docA = base.mkString(" ")
+    // doc B = 3-token preamble + base with one token mutated at 1200
+    val docB = ("p0 p1 p2 " +
+      base.updated(1200, "MUT").mkString(" "))
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val got = Dedup.crossDocMaximalSpans(docs, n = 50, stride = 7, maxExtend = 200)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 2L, 0L, 1200L, 3L, 1203L, 1200L),
+      (1L, 2L, 1201L, 2000L, 1204L, 2003L, 799L)))
+    // kernel equivalence: a multi-count island expands to exactly the raw
+    // anchor positions (start + i*stride), so both forms must agree
+    val ta = base.toArray
+    val tb = docB.split(" ")
+    val islands = Array((-3, 0, 170)) // diag, start, cnt: anchors 0,7,...,1183
+    val raw = (0 until 170).map(i => (i * 7, i * 7 + 3)).toArray
+    assert(Dedup.extendIslands(ta, tb, islands, 50, 7, 200) ===
+      Dedup.extendAnchors(ta, tb, raw, 50, 200))
+  }
+
   test("cross-doc spans equal a naive quadratic reference on a random small-alphabet corpus") {
     // 3-symbol alphabet, 60-token docs: dense accidental shared runs on
     // many diagonals — an adversarial workout for anchor merging,
