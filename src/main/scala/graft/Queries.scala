@@ -1535,6 +1535,27 @@ object Queries {
         .orderBy("doc_id", "bench_id", "d_start", "b_start")
     }),
 
+    // DECONTAMINATION APPLIED: removeContaminationSpans cuts every corpus
+    // token covered by a reported benchmark-overlap span and reassembles
+    // the doc — same fixture as decontaminate_spans, so the planted
+    // quotes lose exactly their quoted middles and the bench docs
+    // present in the corpus lose themselves (full self-overlap IS
+    // contamination). The oracle re-derives the guaranteed-detection
+    // regions from raw text and applies the identical mask-cut in SQL.
+    "decontaminate_spans_clean" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val quotes = bench
+        .select((col("bench_id") + 750000).as("doc_id"),
+          concat(lit("leading quote intro "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 10, 36)),
+            lit(" closing mark")).as("text"))
+      Dedup.removeContaminationSpans(docs.unionByName(quotes), bench, n = 13,
+          stride = 3, maxExtend = 100)
+        .orderBy("doc_id")
+    }),
+
     // §2.17 SimHash fingerprints (md5-derived token hashes, 60 bits)
     "dedup_simhash" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -3312,6 +3333,40 @@ object Queries {
          |  CAST(d_end - d_start AS BIGINT) AS span_len
          |FROM reg WHERE d_end - d_start >= 15
          |ORDER BY doc_id, bench_id, d_start, b_start""".stripMargin
+    },
+    "decontaminate_spans_clean" -> {
+      val gram13 = (0 until 13).map {
+        case 0 => "t[i]"
+        case j => s"t[i+$j]"
+      }.mkString(" || ' ' || ")
+      s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
+         |quotes AS (SELECT bench_id + 750000 AS doc_id,
+         |  'leading quote intro ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[10:45], ' ') || ' closing mark' AS text
+         |  FROM bench),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |tokd AS (SELECT doc_id, $duckToks AS t FROM all_docs),
+         |tokb AS (SELECT bench_id, $duckToks AS t FROM bench),
+         |gd AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |      SELECT doc_id, unnest(list_transform(range(1, len(t) - 11), i -> {'pos': i - 1, 'gram': $gram13})) AS u FROM tokd)),
+         |gb AS (SELECT bench_id, u.pos AS pos, u.gram AS gram FROM (
+         |      SELECT bench_id, unnest(list_transform(range(1, len(t) - 11), i -> {'pos': i - 1, 'gram': $gram13})) AS u FROM tokb)),
+         |p AS (SELECT d.doc_id, b.bench_id, d.pos AS pa, d.pos - b.pos AS diag
+         |      FROM gd d JOIN gb b ON d.gram = b.gram),
+         |i AS (SELECT doc_id, bench_id, diag, pa,
+         |        CASE WHEN lag(pa) OVER w IS NULL THEN 1 WHEN pa > lag(pa) OVER w + 1 THEN 1 ELSE 0 END AS brk
+         |      FROM p WINDOW w AS (PARTITION BY doc_id, bench_id, diag ORDER BY pa)),
+         |i2 AS (SELECT doc_id, bench_id, diag, pa, sum(brk) OVER (PARTITION BY doc_id, bench_id, diag ORDER BY pa
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM i),
+         |reg AS (SELECT doc_id, bench_id, diag, island, min(pa) AS d_start, max(pa) + 13 AS d_end
+         |        FROM i2 GROUP BY doc_id, bench_id, diag, island),
+         |regf AS (SELECT doc_id, d_start, d_end FROM reg WHERE d_end - d_start >= 15),
+         |mask AS (SELECT doc_id, flatten(list(range(d_start, d_end))) AS cov FROM regf GROUP BY doc_id)
+         |SELECT tokd.doc_id,
+         |  CASE WHEN m.cov IS NULL THEN array_to_string(t, ' ')
+         |       ELSE coalesce(array_to_string(list_transform(list_filter(range(len(t)), i -> NOT list_contains(m.cov, i)), i -> t[i+1]), ' '), '')
+         |  END AS clean_text
+         |FROM tokd LEFT JOIN mask m ON tokd.doc_id = m.doc_id
+         |ORDER BY tokd.doc_id""".stripMargin
     },
     "span_dedup_clean" -> {
       val gram50 = (0 until 50).map {

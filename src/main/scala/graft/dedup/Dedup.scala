@@ -786,6 +786,60 @@ object Dedup {
       .filter(col("span_len") >= n + stride - 1)
   }
 
+  /** [[contaminationSpans]] APPLIED — the decontamination remediation:
+    * every corpus token covered by a reported benchmark-overlap span is
+    * CUT and each document reassembled from its surviving tokens in
+    * order (the [[removeDuplicateSpans]] shape pointed at a benchmark
+    * instead of at the corpus itself). Cuts exactly the
+    * guaranteed-detection set (span_len >= n + stride - 1), so the
+    * output is deterministic in the inputs and a plain SQL oracle
+    * derives it independently from raw text. Documents with no reported
+    * overlap pass through with normalized (lowercased,
+    * whitespace-joined) text — the same token stream every span
+    * operator here works in.
+    *
+    * Scale shape: [[contaminationSpans]]' plan (the corpus pays strided
+    * anchors, islands bound the collected payload), then one per-doc
+    * covered-position mask — bounded by reported spans, benchmark-sized
+    * at worst — joined back to the corpus on doc id; the corpus streams
+    * once more through the cut projection.
+    *
+    * Returns (doc_id, clean_text).
+    */
+  def removeContaminationSpans(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      stride: Int = 1,
+      maxExtend: Int = 200,
+      maxAnchorFreq: Int = Int.MaxValue,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame = {
+    // materialize the covered-position set ONCE per doc (array_except is
+    // a hash-set pass) — see removeDuplicateSpans for the measured cost
+    // of the per-token lambda alternative
+    val flagged = contaminationSpans(docs, bench, n, stride, maxExtend,
+        maxAnchorFreq, idCol, textCol, benchIdCol, benchTextCol)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("d_start"), col("d_end"))).as("sps"))
+      .select(col("doc_id"),
+        flatten(transform(col("sps"),
+          s => sequence(s("d_start"), s("d_end") - 1))).as("covered"))
+    docs.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("covered").isNull, concat_ws(" ", col("toks")))
+          // degenerate: zero tokens (sequence(0,-1) would run DOWNWARD)
+          .when(size(col("toks")) === 0, lit(""))
+          .otherwise(concat_ws(" ",
+            transform(
+              array_except(sequence(lit(0L), size(col("toks")).cast("long") - 1), col("covered")),
+              i => element_at(col("toks"), i.cast("int") + 1))))
+          .as("clean_text"))
+  }
+
   /** Anchor-join output → per-pair island lists: each maximal run of
     * stride-contiguous matched anchors on one (pair, diagonal) folds into
     * a single (diag, start, count) triple. The gaps-and-islands pass is a

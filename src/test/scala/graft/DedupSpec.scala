@@ -752,6 +752,31 @@ class DedupSpec extends SparkTestBase {
       Dedup.crossDocMaximalSpans(docs, n = 8, stride = 9).collect())
   }
 
+  test("removeContaminationSpans cuts exactly the reported benchmark spans") {
+    val benchText = (0 until 40).map(i => s"b$i").mkString(" ")
+    val bench = Seq((7L, benchText)).toDF("bench_id", "text")
+    // doc 1 quotes bench positions [5, 30) after a 2-token preamble;
+    // doc 2 is clean; doc 3 IS the benchmark (full self-overlap)
+    val quoted = "intro words " + (5 until 30).map(i => s"b$i").mkString(" ") + " trailing text here"
+    val clean = (0 until 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, quoted), (2L, clean), (3L, benchText)).toDF("doc_id", "text")
+    val got = Dedup.removeContaminationSpans(docs, bench, n = 8, stride = 3,
+        maxExtend = 50)
+      .as[(Long, String)].collect().toMap
+    // the 25-token quote (>= n + stride - 1 = 10) is cut, bounds exact
+    assert(got(1L) === "intro words trailing text here")
+    // untouched doc passes through (normalized token stream)
+    assert(got(2L) === clean)
+    // a corpus doc identical to a benchmark doc loses everything
+    assert(got(3L) === "")
+    // below-threshold overlap (9 shared tokens < 10) is NOT cut
+    val short = "x0 x1 " + (0 until 9).map(i => s"b$i").mkString(" ") + " y0 y1"
+    val got2 = Dedup.removeContaminationSpans(
+      Seq((4L, short)).toDF("doc_id", "text"), bench, n = 8, stride = 3,
+      maxExtend = 50).as[(Long, String)].collect().toMap
+    assert(got2(4L) === short)
+  }
+
   test("cross-doc spans: near-identical long pair stays exact through island compression") {
     // the adversarial shape island compression exists for: two 2000-token
     // documents sharing one giant run — the raw anchor join emits ~2000
