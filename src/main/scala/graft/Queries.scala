@@ -1490,6 +1490,24 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Lee et al. KEEP-ONE remediation: for every duplicated 50-gram the
+    // lexicographically-first occurrence survives as the canonical copy.
+    // Same fixture as span_dedup_clean, so the source docs (lowest
+    // doc_ids) keep their text untouched while the planted quote twins
+    // (+900000) lose exactly the quoted middle — the corpus retains each
+    // duplicated passage once. Oracle: string 50-grams, canonical chosen
+    // by row_number() over (doc_id, pos), mask-cut of rn > 1 occurrences.
+    "span_dedup_keep_one" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val quotes = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(lit("verbatim quote follows "),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 60)),
+            lit(" end quote marker")).as("text"))
+      Dedup.removeDuplicateSpansKeepFirst(docs.unionByName(quotes), n = 50)
+        .orderBy("doc_id")
+    }),
+
     // CROSS-DOCUMENT maximal-span reporting (the two-stage anchor-extend
     // ExactSubstr form): planted twins (+850000) carry a 3-token preamble
     // then up to 60 tokens quoted from source positions [5, 65) — the
@@ -3385,6 +3403,34 @@ object Queries {
          |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
          |mask AS (SELECT doc_id, flatten(list_transform(list(pos), p -> range(p, p + 50))) AS cov
          |         FROM g JOIN d USING (gram) GROUP BY doc_id)
+         |SELECT tok.doc_id,
+         |  CASE WHEN m.cov IS NULL THEN array_to_string(t, ' ')
+         |       ELSE coalesce(array_to_string(list_transform(list_filter(range(len(t)), i -> NOT list_contains(m.cov, i)), i -> t[i+1]), ' '), '')
+         |  END AS clean_text
+         |FROM tok LEFT JOIN mask m ON tok.doc_id = m.doc_id
+         |ORDER BY tok.doc_id""".stripMargin
+    },
+    "span_dedup_keep_one" -> {
+      val gram50 = (0 until 50).map {
+        case 0 => "t[i]"
+        case j => s"t[i+$j]"
+      }.mkString(" || ' ' || ")
+      s"""WITH quotes AS (SELECT doc_id + 900000 AS doc_id,
+         |  'verbatim quote follows ' || array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:60], ' ') || ' end quote marker' AS text
+         |  FROM documents WHERE doc_id < 20),
+         |all_docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM quotes),
+         |tok AS (SELECT doc_id, $duckToks AS t FROM all_docs),
+         |sp AS (SELECT doc_id, CASE WHEN len(t) < 50 THEN [{'pos': 0, 'gram': array_to_string(t, ' ')}]
+         |       ELSE list_transform(range(1, len(t) - 48), i -> {'pos': i - 1, 'gram': $gram50}) END AS spans FROM tok),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+         |      FROM (SELECT doc_id, unnest(spans) AS u FROM sp)),
+         |r AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY gram) AS n_occ,
+         |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |cut AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+         |mask AS (SELECT doc_id, flatten(list_transform(list(pos), p -> range(p, p + 50))) AS cov
+         |         FROM cut GROUP BY doc_id)
          |SELECT tok.doc_id,
          |  CASE WHEN m.cov IS NULL THEN array_to_string(t, ' ')
          |       ELSE coalesce(array_to_string(list_transform(list_filter(range(len(t)), i -> NOT list_contains(m.cov, i)), i -> t[i+1]), ' '), '')

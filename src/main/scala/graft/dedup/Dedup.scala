@@ -529,16 +529,69 @@ object Dedup {
       minOccurrences: Int = 2,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // Materialize the covered-position set ONCE per doc (array_except is a
-    // hash-set pass, O(len + |covered|)); a filter-lambda formulation that
-    // references the covered expression re-evaluates it PER TOKEN —
-    // O(len·|covered|) and measured 4× slower on fully-covered docs.
     val flagged = duplicateSpans(docs, n, minOccurrences, idCol, textCol)
       .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
       .select(col("doc_id"),
         flatten(transform(col("ps"), p => sequence(p, p + lit(n - 1)))).as("covered"))
+    cutCovered(docs, flagged, idCol, textCol)
+  }
+
+  /** [[removeDuplicateSpans]] with Lee et al. 2022's KEEP-ONE semantics:
+    * for every duplicated n-gram, the lexicographically-first occurrence
+    * (min (doc_id, pos)) is the CANONICAL copy and survives; only the
+    * other occurrences' tokens are cut. The cut-all form above is the
+    * boilerplate-removal configuration (a nav header repeated on every
+    * page carries no signal anywhere); this is the corpus-dedup
+    * configuration — the paper removes a duplicated passage from all but
+    * one document, so the corpus still contains the text once. A token
+    * survives iff no NON-canonical flagged occurrence covers it.
+    * Deterministic: the canonical choice is a pure function of
+    * (doc_id, pos), independent of partitioning.
+    *
+    * Scale shape: identical to [[removeDuplicateSpans]] except the
+    * per-hash aggregation also carries min(struct(doc_id, pos)) — same
+    * two shuffles, partial aggregation intact, and the join back to
+    * occurrences filters canonicals with a row-local comparison.
+    *
+    * Returns (doc_id, clean_text) for every input doc.
+    */
+  def removeDuplicateSpansKeepFirst(
+      docs: DataFrame,
+      n: Int = 50,
+      minOccurrences: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(SqlBridge.column(graft.functions.ShingleHashes(
+        SqlBridge.expression(col(textCol)), n))).as(Seq("pos", "h")))
+    val stats = grams.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_occ") >= minOccurrences)
+      .select(col("h"), col("first"))
+    val flagged = grams.join(stats, Seq("h"))
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("pos") =!= col("first.pos"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+      .select(col("doc_id"),
+        flatten(transform(col("ps"),
+          p => sequence(p.cast("long"), p.cast("long") + lit(n - 1)))).as("covered"))
+    cutCovered(docs, flagged, idCol, textCol)
+  }
+
+  /** (doc_id, covered positions) → (doc_id, clean_text): rebuild each
+    * document from the tokens whose positions survive the mask; docs with
+    * no mask pass through as the normalized token stream.
+    *
+    * The covered-position set materializes ONCE per doc (array_except is
+    * a hash-set pass, O(len + |covered|)); a filter-lambda formulation
+    * that references the covered expression re-evaluates it PER TOKEN —
+    * O(len·|covered|) and measured 4× slower on fully-covered docs.
+    */
+  private def cutCovered(docs: DataFrame, covered: DataFrame,
+      idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .join(flagged, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("covered").isNull, concat_ws(" ", col("toks")))
           // degenerate: zero tokens (sequence(0,-1) would run DOWNWARD)
@@ -548,7 +601,6 @@ object Dedup {
               array_except(sequence(lit(0L), size(col("toks")).cast("long") - 1), col("covered")),
               i => element_at(col("toks"), i.cast("int") + 1))))
           .as("clean_text"))
-  }
 
   /** [[duplicateSpans]] merged into MAXIMAL duplicated regions — the
     * variable-length span reporting of a suffix-array ExactSubstr

@@ -752,6 +752,33 @@ class DedupSpec extends SparkTestBase {
       Dedup.crossDocMaximalSpans(docs, n = 8, stride = 9).collect())
   }
 
+  test("removeDuplicateSpansKeepFirst keeps the canonical copy, cuts the rest") {
+    val para = (0 until 12).map(i => s"p$i").mkString(" ")
+    // doc 1 owns the canonical copy (lowest (doc_id, pos)); docs 2 and 3
+    // quote it; doc 2 also repeats it WITHIN itself (second copy cut)
+    val docs = Seq(
+      (1L, s"$para alpha beta gamma"),
+      (2L, s"lead in words $para and again $para tail"),
+      (3L, s"x0 x1 x2 $para y0"),
+      (4L, "completely unique text with no repeats at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpansKeepFirst(docs, n = 8)
+      .as[(Long, String)].collect().toMap
+    // doc 1: canonical — untouched
+    assert(got(1L) === s"$para alpha beta gamma")
+    // docs 2, 3: every quoted token cut, context survives
+    assert(got(2L) === "lead in words and again tail")
+    assert(got(3L) === "x0 x1 x2 y0")
+    assert(got(4L) === "completely unique text with no repeats at all")
+    // the corpus still contains the paragraph exactly once
+    val joined = got.values.mkString(" ")
+    assert(joined.indexOf(para) === joined.lastIndexOf(para) && joined.contains(para))
+    // contrast: the cut-all form removes the canonical copy too
+    val all = Dedup.removeDuplicateSpans(docs, n = 8)
+      .as[(Long, String)].collect().toMap
+    assert(all(1L) === "alpha beta gamma")
+  }
+
   test("removeContaminationSpans cuts exactly the reported benchmark spans") {
     val benchText = (0 until 40).map(i => s"b$i").mkString(" ")
     val bench = Seq((7L, benchText)).toDF("bench_id", "text")
