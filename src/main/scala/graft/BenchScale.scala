@@ -434,6 +434,37 @@ object BenchScale {
       println(s"[scale] contamination pairs: exact=$exactN bloom=$bloomN (must be equal)")
     }
 
+    // cross-document maximal spans at corpus scale: the anchor join's
+    // output folds to per-diagonal ISLANDS through a spillable window
+    // before anything collects, so the planted near-identical 20k-token
+    // pair (one mutated token) contributes 2 islands to its collected
+    // row, not ~5k raw anchors; each planted twin reports exactly one
+    // full-text span against its source
+    {
+      val nTwins = nDocs / 200
+      val twins = docs.filter(col("doc_id") % 200 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(lit("tw0 tw1 tw2 "), col("text"), lit(" tw3")).as("text"))
+      val big = spark.range(2).select((col("id") + 40000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19999)),
+          j => when(col("id") === 1 && j === lit(10000), lit("MUT"))
+            .otherwise(concat(lit("g"), j.cast("string"))))).as("text"))
+      val corpus = docs.unionByName(twins).unionByName(big)
+      val spans = timed(s"cross-doc maximal spans ($nDocs docs + $nTwins twins + near-identical 20k-token pair, n=13, stride=4)") {
+        graft.dedup.Dedup.crossDocMaximalSpans(corpus, n = 13, stride = 4,
+          maxExtend = 200).cache()
+      }
+      val total = spans.count()
+      val bigSpans = spans.filter(col("doc_a") === 40000000L && col("doc_b") === 40000001L)
+        .select("a_start", "a_end").as[(Long, Long)].collect().toSet
+      require(bigSpans == Set((0L, 10000L), (10001L, 20000L)),
+        s"near-identical pair spans wrong: $bigSpans")
+      require(total == nTwins + 2,
+        s"expected ${nTwins + 2} spans (twins + 2 from the mutated pair), got $total")
+      println(s"[scale] cross-doc spans: $total (exact bounds on the 20k-token pair)")
+      spans.unpersist()
+    }
+
     // LM quality scoring at corpus scale: one token-count shuffle
     // (vocab-sized result), one broadcast-join scoring pass
     {

@@ -2555,6 +2555,21 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // TOKEN-BUDGET mixing: per source keep the maximal (md5-bucket, id)-
+    // ranked prefix whose cumulative whitespace-token count stays under
+    // the source's budget — the "N tokens of source X" mixing knob.
+    // src3's zero budget keeps nothing, src5's huge budget keeps the
+    // whole source, unlisted sources drop. Oracle: the single-window
+    // cumulative-sum formulation (the operator's bucket-phased plan is
+    // proven equivalent in EdgeCasesSpec).
+    "sample_token_budget" -> ((spark, dir) => {
+      graft.ops.Sampling.sampleTokenBudget(t(spark, dir, "documents"),
+          "doc_id", "source", "text",
+          Map("src0" -> 800L, "src1" -> 1200L, "src3" -> 0L, "src5" -> 1000000L))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (GPT-style concat-and-chunk): documents ordered by
     // id within (source, shard) streams, token offsets from ONE prefix-sum
     // window, each doc exploded onto the 512-token blocks it overlaps.
@@ -4269,6 +4284,19 @@ object Queries {
         |  FROM documents)
         |SELECT b.doc_id, b.source FROM b JOIN r USING (source)
         |WHERE b.bucket < r.thr ORDER BY doc_id""".stripMargin,
+    "sample_token_budget" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |  CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS b
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src3', 'src5')),
+        |c AS (SELECT doc_id, source, tok,
+        |  sum(tok) OVER (PARTITION BY source ORDER BY b, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT doc_id, source FROM c
+        |WHERE cum - tok < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
+        |  WHEN 'src3' THEN 0 ELSE 1000000 END
+        |ORDER BY doc_id""".stripMargin,
     "sample_quota" ->
       """WITH r AS (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

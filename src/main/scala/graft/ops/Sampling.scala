@@ -140,4 +140,80 @@ object Sampling {
         org.apache.spark.sql.expressions.Window.orderBy(col("__skey").desc, col(idCol))))
       .drop("__skey")
   }
+
+  /** TOKEN-BUDGET sampling — the mixing knob training runs actually
+    * specify ("200B web tokens, 30B code tokens"), which per-doc
+    * fractions and quotas only approximate when document lengths vary:
+    * per source, documents are ranked by (md5 bucket, id) and a document
+    * is kept iff the total whitespace-token count of every document
+    * ranked before it is still below the source's budget — so each
+    * source's kept set is the maximal deterministic prefix whose
+    * cumulative size stays under budget (overshoot at most one document).
+    * Sources absent from the map are dropped ([[sampleStratified]]'s
+    * convention); a zero budget keeps nothing; a budget at or above the
+    * source's total keeps the whole source.
+    *
+    * Scale shape: the cumulative sum is NOT one window over each source
+    * (a single task per source at corpus scale). Phase 1 partial-aggs
+    * token sums per (source, md5-bucket) — ≤ sources × 10000 rows to the
+    * driver, corpus-size-free. The driver locates each source's BOUNDARY
+    * bucket (the first whose cumulative total crosses the budget);
+    * buckets strictly below pass wholesale with a stateless filter,
+    * buckets above drop, and only the boundary bucket's ~1/10000 of the
+    * source flows through the per-source cumsum window. Deterministic
+    * end to end: membership is a pure function of (id, seed, budgets),
+    * reproducible across engines and layouts, and mirrored by the SQL
+    * oracle's single-window formulation (proven equivalent: a doc's
+    * ranked-before total is the same number in both phrasings).
+    *
+    * Returns the kept rows with original columns.
+    */
+  def sampleTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      budgets: Map[String, Long],
+      seed: String = "s"): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    val outCols = df.columns.map(col).toSeq
+    val inBudget = budgets.keys.foldLeft(lit(false))((acc, g) =>
+      acc || col(groupCol) === g)
+    val base = df.filter(inBudget)
+      .withColumn("__tok", size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("__b", bucket(col(idCol), seed))
+    // phase 1: (source, bucket) token sums — bounded by sources × 10000
+    val sums = base.groupBy(groupCol, "__b").agg(sum("__tok").as("t"))
+      .collect().map(r => ((r.get(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    // driver: first bucket whose cumulative total crosses the budget
+    val cutoffs = budgets.map { case (g, budget) =>
+      var cum = 0L
+      var cut = 10000L
+      var before = 0L
+      var i = 0L
+      while (i < 10000 && cut == 10000L) {
+        val t = sums.getOrElse((g, i), 0L)
+        if (cum + t > budget) { cut = i; before = cum } else cum += t
+        i += 1
+      }
+      (g, cut, before)
+    }.toSeq
+    def byGroup(f: ((String, Long, Long)) => Long): Column =
+      cutoffs.foldLeft(lit(Long.MinValue)) { case (acc, c) =>
+        when(col(groupCol) === c._1, lit(f(c))).otherwise(acc)
+      }
+    val cutCol = byGroup(_._2)
+    val beforeCol = byGroup(_._3)
+    val budgetCol = cutoffs.foldLeft(lit(Long.MinValue)) { case (acc, (g, _, _)) =>
+      when(col(groupCol) === g, lit(budgets(g))).otherwise(acc)
+    }
+    val whole = base.filter(col("__b") < cutCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+    val boundary = base.filter(col("__b") === cutCol)
+      .withColumn("__cum", sum("__tok").over(w))
+      .filter(beforeCol + col("__cum") - col("__tok") < budgetCol)
+    whole.unionByName(boundary.drop("__cum")).select(outCols: _*)
+  }
 }

@@ -232,6 +232,41 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(ids(3) === ids(7))
   }
 
+  test("token-budget sampling: maximal prefix under budget, single-window equivalence, layouts agree") {
+    // doc i has (i % 7) + 1 tokens; two sources
+    val df = (0L until 400L).map { i =>
+      (i, s"src${i % 2}", (0L to i % 7).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budgets = Map("src0" -> 300L, "src1" -> 0L)
+    val got = graft.ops.Sampling.sampleTokenBudget(df, "doc_id", "source", "text", budgets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // reference: the one-window formulation over (bucket, id) rank
+    val b = graft.ops.Sampling.bucket(col("doc_id"), "s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(b, col("doc_id"))
+    val want = df.withColumn("__tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("__cum", sum("__tok").over(w))
+      .filter(col("source") === "src0" && col("__cum") - col("__tok") < 300L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "degenerate fixture: budget kept nothing")
+    // kept tokens reach the budget but never exceed it by a full doc
+    val keptToks = df.filter(col("doc_id").isin(got: _*))
+      .select(size(split(trim(col("text")), "\\s+")).cast("long")).as[Long].collect().sum
+    assert(keptToks >= 300L - 7 && keptToks < 300L + 7,
+      s"kept $keptToks tokens against a 300-token budget")
+    // zero budget keeps nothing; absent sources are dropped
+    assert(!got.exists(_ % 2 === 1))
+    // layout-independent
+    val again = graft.ops.Sampling.sampleTokenBudget(df.repartition(7), "doc_id",
+      "source", "text", budgets).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === got)
+    // budget >= source total keeps the whole source
+    val all = graft.ops.Sampling.sampleTokenBudget(df, "doc_id", "source", "text",
+      Map("src0" -> 1000000L)).count()
+    assert(all === 200L)
+  }
+
   test("dsir weights: target-typical docs score above corpus-typical docs; counts smoothed") {
     import graft.text.TextAnalysis
     val corpus = Seq(
