@@ -450,11 +450,11 @@ object BenchScale {
           j => when(col("id") === 1 && j === lit(10000), lit("MUT"))
             .otherwise(concat(lit("g"), j.cast("string"))))).as("text"))
       val corpus = docs.unionByName(twins).unionByName(big)
-      val spans = timed(s"cross-doc maximal spans ($nDocs docs + $nTwins twins + near-identical 20k-token pair, n=13, stride=4)") {
-        graft.dedup.Dedup.crossDocMaximalSpans(corpus, n = 13, stride = 4,
-          maxExtend = 200).cache()
+      val spans = graft.dedup.Dedup.crossDocMaximalSpans(corpus, n = 13,
+        stride = 4, maxExtend = 200).cache()
+      val total = timed(s"cross-doc maximal spans ($nDocs docs + $nTwins twins + near-identical 20k-token pair, n=13, stride=4)") {
+        spans.count()
       }
-      val total = spans.count()
       val bigSpans = spans.filter(col("doc_a") === 40000000L && col("doc_b") === 40000001L)
         .select("a_start", "a_end").as[(Long, Long)].collect().toSet
       require(bigSpans == Set((0L, 10000L), (10001L, 20000L)),
@@ -580,9 +580,15 @@ object BenchScale {
       }
       require(joined == nLeft, s"as-of join must be left-total: $joined vs $nLeft")
       // independent formulation on one key: argmax by (ts, rid) via
-      // max(struct) over an inequality join — small enough to be exact
-      val k0L = left.filter(col("k") === 0)
-      val k0R = right.filter(col("k") === 0)
+      // max(struct) over an inequality join — small enough to be exact.
+      // Spot key = deterministically the right side's busiest key, so the
+      // check can't go vacuous when small arg runs leave sparse keys
+      // without right-side rows.
+      val spotKey = right.groupBy("k").count()
+        .orderBy(col("count").desc, col("k")).limit(1)
+        .select("k").as[Long].collect().head
+      val k0L = left.filter(col("k") === spotKey)
+      val k0R = right.filter(col("k") === spotKey)
       val viaWindow = graft.ops.Temporal.asofJoin(k0L, k0R, "k", "ts", "rid", Seq("rid"))
         .select(col("id"), col("asof_rid")).as[(Long, Option[Long])].collect().toMap
       val brute = k0L.as("l")
@@ -590,10 +596,10 @@ object BenchScale {
         .groupBy(col("l.id")).agg(max(struct(col("r.ts"), col("r.rid"))).as("m"))
         .select(col("id"), col("m.rid")).as[(Long, Option[Long])].collect().toMap
       require(viaWindow == brute,
-        s"as-of window formulation diverged from argmax join on key 0 (${k0L.count()} rows)")
+        s"as-of window formulation diverged from argmax join on key $spotKey (${k0L.count()} rows)")
       require(viaWindow.nonEmpty && viaWindow.values.exists(_.isDefined),
-        "as-of spot check is vacuous: no key-0 left rows or no matches")
-      println(s"[scale] as-of spot check: ${viaWindow.size} rows on key 0 " +
+        s"as-of spot check is vacuous: no key-$spotKey left rows or no matches")
+      println(s"[scale] as-of spot check: ${viaWindow.size} rows on key $spotKey " +
         s"(${viaWindow.values.count(_.isDefined)} matched), formulations equal")
 
       val sessions = graft.ops.Temporal.sessionize(ev, "k", "ts", "id", gap = 50000000L)

@@ -1342,6 +1342,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware representative selection: same near-dup groups, but
+    // the keeper is the highest-scoring member (here: token count — the
+    // planted copies carry a 3-token prefix, so the COPY outranks its
+    // source and wins the keep flag, unlike min-id resolution). Oracle:
+    // the dedup_groups recursive-CTE closure + row_number argmax.
+    "dedup_groups_best" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      val all = docs.unionByName(copies)
+      val pairs = Dedup.minhashLshPairs(all, threshold = 0.8)
+      val groups = Dedup.connectedComponents(pairs)
+      val scores = all.select(col("doc_id").as("id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
+      Dedup.keepBestPerGroup(groups, scores)
+        .select(col("id").as("doc_id"), col("group_id"),
+          col("score").as("n_tok"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // §2.17 n-gram Jaccard pairs within a bounded bucket (same source).
     // Adaptive dispatch: a count-only stats pass picks the grouped
     // per-bucket pass here (20 modest source buckets — measured faster
@@ -3219,6 +3240,26 @@ object Queries {
          |  UNION
          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_groups_best" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
+         |s AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM all_docs),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM s a CROSS JOIN s b
+         |      WHERE a.doc_id < b.doc_id AND ${duckJaccard("a.sh", "b.sh")} >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |g AS (SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id),
+         |sc AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok FROM all_docs),
+         |j AS (SELECT g.doc_id, g.group_id, sc.n_tok,
+         |        CASE WHEN row_number() OVER (PARTITION BY g.group_id ORDER BY sc.n_tok DESC, g.doc_id) = 1
+         |          THEN 1 ELSE 0 END AS keep
+         |      FROM g JOIN sc USING (doc_id))
+         |SELECT doc_id, group_id, n_tok, CAST(keep AS BIGINT) AS keep FROM j ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH s AS (SELECT source, doc_id, ${duckShingles(duckToks)} AS sh FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

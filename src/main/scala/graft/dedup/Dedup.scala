@@ -378,6 +378,37 @@ object Dedup {
     labels.select(col("id"), col("label").as("group_id"))
   }
 
+  /** Quality-aware representative selection over resolved near-dup
+    * groups: join [[connectedComponents]] output with a per-doc score and
+    * mark the HIGHEST-scoring member of each group as the keeper
+    * (`keep = 1`; ties broken by lowest id, so the choice is a pure
+    * function of the inputs). Real curation keeps the best member of a
+    * duplicate cluster — longest, cleanest, highest LM score — not the
+    * arbitrary minimum id; feed any scorer
+    * ([[graft.text.TextAnalysis.qualitySignals]], token counts, DSIR
+    * weights). Scores must cover every grouped id: the join is inner, so
+    * an unscored member silently vanishing would skew keep decisions —
+    * score first, group second. Singletons never appear in `groups`
+    * (they are their own keepers by definition).
+    *
+    * One window over group_id: groups are near-dup clusters — bounded by
+    * the LSH skew guard's star capping, never corpus-sized — so no
+    * partition sees more than the largest cluster.
+    *
+    * Returns (idCol, groupIdCol, scoreCol, keep).
+    */
+  def keepBestPerGroup(
+      groups: DataFrame,
+      scores: DataFrame,
+      idCol: String = "id",
+      groupIdCol: String = "group_id",
+      scoreCol: String = "score"): DataFrame = {
+    val w = Window.partitionBy(groupIdCol)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    groups.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` distinct contiguous token `n`-gram shingles with any
     * benchmark document — the standard pre-training hygiene step (a doc

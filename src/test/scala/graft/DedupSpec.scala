@@ -752,6 +752,21 @@ class DedupSpec extends SparkTestBase {
       Dedup.crossDocMaximalSpans(docs, n = 8, stride = 9).collect())
   }
 
+  test("keepBestPerGroup marks the highest-scoring member, ties by lowest id") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "group_id")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0), (11L, 1.0))
+      .toDF("id", "score")
+    val got = Dedup.keepBestPerGroup(groups, scores)
+      .select("id", "keep").as[(Long, Long)].collect().toMap
+    // group 1: ids 2 and 3 tie at 9.0 — lowest id wins
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 10L -> 1L, 11L -> 0L))
+    // exactly one keeper per group regardless of layout
+    val again = Dedup.keepBestPerGroup(groups.repartition(5), scores.repartition(3))
+      .groupBy("group_id").agg(sum("keep").as("k")).as[(Long, Long)].collect().toMap
+    assert(again === Map(1L -> 1L, 10L -> 1L))
+  }
+
   test("removeDuplicateSpansKeepFirst keeps the canonical copy, cuts the rest") {
     val para = (0 until 12).map(i => s"p$i").mkString(" ")
     // doc 1 owns the canonical copy (lowest (doc_id, pos)); docs 2 and 3
