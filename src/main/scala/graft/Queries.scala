@@ -2886,6 +2886,56 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // §2.21 ORGANIC DRIFT LOOP: the corpus migrates (every vector
+    // re-upserted +8 per dim), the sink keeps assigning correctly so
+    // cell-mismatch drift stays blind, but the quantization error
+    // explodes past the recorded reference — retrainIfQuantDrifted fires
+    // (mini-batch sampled train), re-baselines, and the rebuilt index's
+    // search must equal batch IVF with the retrained centroids
+    // row-for-row (assignment purity). gate_proven folds the whole
+    // protocol: quiet before migration (ratio ~1, no retrain), fired
+    // after (ratio > 2, retrain ran), positive reference.
+    "stream_ivf_retrain" -> ((spark, dir) => {
+      import spark.implicits._
+      val so = graft.streaming.StreamingOps
+      val (data, _) = knnInputs(spark, dir, 5)
+      val c0 = Ivf.train(spark, data, c = 8, iterations = 1)
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_ir_idx").toString
+      val sink = so.ivfMaintenanceSink(spark, idxDir, c0)
+      def ops(df: DataFrame, version: Long) = df
+        .select(col("id"), lit("upsert").as("op"),
+          col("vector").cast("array<float>").as("vector"), lit(version).as("version"))
+        .as[graft.streaming.StreamingOps.VectorOp]
+      withStreamParts(spark) { sink(ops(data, 1L), 0L) }
+      val refErr = so.markIvfQuantReference(spark, idxDir)
+      val (r0, ran0) = so.retrainIfQuantDrifted(spark, idxDir, maxErrRatio = 2.0)
+      val shifted = data.select(col("id"),
+        transform(col("vector"), x => x + lit(8.0f)).as("vector"))
+      withStreamParts(spark) { sink(ops(shifted, 2L), 1L) }
+      val (r1, ran1) = so.retrainIfQuantDrifted(spark, idxDir, maxErrRatio = 2.0,
+        sampleFraction = 0.5)
+      val newCentroids = spark.read.parquet(s"$idxDir/centroids")
+        .select("cell", "centroid").as[(Int, Seq[Float])].collect()
+        .sortBy(_._1).map(_._2.toArray)
+      val queries = shifted.filter(col("id") < 5)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val maintained = so.searchIvfMaintained(spark, idxDir, queries, k = 10, nprobe = 4)
+      val batch = Ivf.search(spark, Ivf.assign(spark, shifted, newCentroids),
+        newCentroids, queries, k = 10, nprobe = 4)
+      val same = maintained.select(col("qid"), col("id"), col("rank"))
+        .join(batch.select(col("qid"), col("id"), col("rank")),
+          Seq("qid", "id", "rank"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_as_batch"))
+      val gate = lit(if (!ran0 && math.abs(r0 - 1.0) < 1e-9 && ran1 && r1 > 2.0 &&
+        refErr > 0.0) 1L else 0L)
+      maintained.select(col("qid"), col("id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(same, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"),
+          col("n_same_as_batch"), gate.as("gate_proven"))
+        .orderBy("qid")
+    }),
+
     // §2.21 TIME-TRAVEL read of a delta-maintained HNSW index — the IVF
     // as-of row's twin: the delta sink keeps a FULL (id, version) history,
     // so `asOf = 1` reconstructs the pre-tombstone state. Before any
@@ -3902,6 +3952,12 @@ object Queries {
     "stream_ivf_maintenance" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_batch
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // the retrained index serves batch-IVF-equal results and the gate
+    // protocol holds end-to-end — closed-form constant table
+    "stream_ivf_retrain" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_as_batch, CAST(1 AS BIGINT) AS gate_proven
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     // as-of v1 reconstructs the pre-tombstone state exactly: equality with
     // batch IVF over the full corpus is row-for-row, so the oracle is the

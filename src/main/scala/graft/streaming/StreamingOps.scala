@@ -832,13 +832,26 @@ object StreamingOps {
     * shuffle to reconcile spill replicas. Returns 0.0 for an empty view.
     */
   def ivfMaintainedDrift(spark: SparkSession, indexDir: String): Double = {
+    val (drifted, _, n) = ivfMaintainedQuantStats(spark, indexDir, "drift-measured")
+    if (n == 0) 0.0 else drifted.toDouble / n
+  }
+
+  /** One distributed pass over the maintained view: per live id the
+    * nearest centroid (same kernel and tie-break [[graft.knn.Ivf.assign]]
+    * uses — the exact double kernel can flip near-boundary argmins
+    * relative to the SIMD kernel, giving the metrics a spurious nonzero
+    * floor), aggregated to (ids whose nearest cell is not stored, summed
+    * nearest-centroid distance, live ids).
+    */
+  private def ivfMaintainedQuantStats(
+      spark: SparkSession, indexDir: String, what: String): (Long, Double, Long) = {
     import spark.implicits._
     val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .select("cell", "centroid").as[(Int, Seq[Float])].collect()
       .sortBy(_._1).map(_._2.toArray)
-    requireFullPrecisionView(spark, indexDir, "drift-measured")
+    requireFullPrecisionView(spark, indexDir, what)
     val m = graft.core.Distances.metricId(meta.metric)
     val bc = spark.sparkContext.broadcast(centroids)
     val perId = ivfMaintainedState(spark, indexDir)
@@ -848,9 +861,6 @@ object StreamingOps {
       .mapGroups { (_, rows) =>
         val rs = rows.toArray // spill replicas: one row per stored cell
         val cs = bc.value
-        // the SAME kernel (and tie-break) Ivf.assign used — the exact
-        // double kernel can flip near-boundary argmins relative to the
-        // SIMD kernel, giving the metric a spurious nonzero floor
         val kernel = graft.core.DistKernel.best
         var best = 0
         var bestDist = Double.MaxValue
@@ -864,12 +874,98 @@ object StreamingOps {
           if (d < bestDist) { bestDist = d; best = i }
           i += 1
         }
-        if (rs.exists(_._2 == best)) 0L else 1L
+        (if (rs.exists(_._2 == best)) 0L else 1L, bestDist)
       }
-    val agg = perId.toDF("drifted").agg(
-      coalesce(sum("drifted"), lit(0L)), count(lit(1))).head()
-    val n = agg.getLong(1)
-    if (n == 0) 0.0 else agg.getLong(0).toDouble / n
+    val agg = perId.toDF("drifted", "dist").agg(
+      coalesce(sum("drifted"), lit(0L)),
+      coalesce(sum("dist"), lit(0.0)), count(lit(1))).head()
+    (agg.getLong(0), agg.getDouble(1), agg.getLong(2))
+  }
+
+  /** Mean nearest-centroid distance over the maintained view's live ids —
+    * the ORGANIC re-train signal. [[ivfMaintainedDrift]]'s cell-mismatch
+    * metric can only fire when centroids were swapped out-of-band (the
+    * sink assigns every upsert against the centroids it stores, so
+    * nearest-cell-is-stored holds by construction); when the CORPUS
+    * migrates away from the quantizer, what grows is this quantization
+    * error. Compare against the reference recorded at a known-good time
+    * ([[markIvfQuantReference]]) — [[retrainIfQuantDrifted]] is the
+    * composed gate. 0.0 for an empty view.
+    */
+  def ivfMaintainedQuantError(spark: SparkSession, indexDir: String): Double = {
+    val (_, sumDist, n) = ivfMaintainedQuantStats(spark, indexDir, "quant-error-measured")
+    if (n == 0) 0.0 else sumDist / n
+  }
+
+  /** Record the CURRENT mean quantization error as the reference a later
+    * [[retrainIfQuantDrifted]] compares against — call once after the
+    * initial load (and after any manual retrain; [[retrainIvfMaintained]]
+    * refreshes it automatically when one exists). tmp+rename swap: a
+    * crash mid-write leaves either the old reference or the new one,
+    * never a missing sidecar. Returns the recorded error.
+    */
+  def markIvfQuantReference(spark: SparkSession, indexDir: String): Double = {
+    import spark.implicits._
+    val err = ivfMaintainedQuantError(spark, indexDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmp = s"$indexDir/quant_ref.tmp"
+    graft.io.HadoopIO.delete(tmp, hconf)
+    Seq(err).toDF("ref_err").coalesce(1).write.parquet(tmp)
+    graft.io.HadoopIO.delete(s"$indexDir/quant_ref", hconf)
+    graft.io.HadoopIO.rename(tmp, s"$indexDir/quant_ref", hconf)
+    err
+  }
+
+  private def loadIvfQuantReference(spark: SparkSession, indexDir: String): Option[Double] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // a surviving tmp with no live sidecar is a torn swap — finish it
+    if (!graft.io.HadoopIO.exists(s"$indexDir/quant_ref", hconf) &&
+        graft.io.HadoopIO.exists(s"$indexDir/quant_ref.tmp", hconf))
+      graft.io.HadoopIO.rename(s"$indexDir/quant_ref.tmp", s"$indexDir/quant_ref", hconf)
+    if (!graft.io.HadoopIO.exists(s"$indexDir/quant_ref", hconf)) None
+    else Some(spark.read.parquet(s"$indexDir/quant_ref").head().getDouble(0))
+  }
+
+  /** The ORGANIC drift loop: retrain when the maintained view's mean
+    * quantization error has grown past `maxErrRatio` × the recorded
+    * reference ([[markIvfQuantReference]] — absent reference fails
+    * loudly: without a baseline the ratio is meaningless and a silent
+    * pass would let a drifting index degrade forever). On retrain the
+    * reference refreshes to the rebuilt index's error. A shrunken error
+    * never triggers. Returns (measured ratio, whether a retrain ran);
+    * ratio is NaN for an empty view over a zero reference, 0 for an
+    * empty view otherwise.
+    */
+  def retrainIfQuantDrifted(
+      spark: SparkSession,
+      indexDir: String,
+      maxErrRatio: Double = 1.5,
+      c: Int = 0,
+      iterations: Int = 2,
+      seed: Long = 42L,
+      refitRotation: Boolean = false,
+      sampleFraction: Double = 1.0): (Double, Boolean) = {
+    require(maxErrRatio > 0, s"maxErrRatio must be positive, got $maxErrRatio")
+    val ref = loadIvfQuantReference(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no quant_ref sidecar under $indexDir — record one with markIvfQuantReference " +
+          "after the initial load (comparing against nothing would silently never retrain)"))
+    val cur = ivfMaintainedQuantError(spark, indexDir)
+    val ratio = if (ref == 0.0) { if (cur == 0.0) 0.0 else Double.PositiveInfinity }
+      else cur / ref
+    if (ratio > maxErrRatio) {
+      if (loadIvfPqFlags(spark, indexDir).isDefined)
+        retrainIvfPqMaintained(spark, indexDir, c, iterations, seed, refitRotation,
+          sampleFraction)
+      else {
+        require(!refitRotation,
+          s"refitRotation: $indexDir is not PQ-maintained — no rotation sidecar to re-fit")
+        retrainIvfMaintained(spark, indexDir, c, iterations, seed, sampleFraction)
+      }
+      // the retrain itself re-baselined quant_ref (the sidecar existed —
+      // we just loaded it — so the swap's carry-over re-marked it)
+      (ratio, true)
+    } else (ratio, false)
   }
 
   /** Close the drift loop [[ivfMaintainedDrift]] measures: re-train the
@@ -894,14 +990,18 @@ object StreamingOps {
     * finished swap. Tombstone winners carry over with their versions, so a
     * stale post-retrain upsert still cannot resurrect a removed vector.
     *
-    * `c` = 0 keeps the current centroid count. Returns the new centroids.
+    * `c` = 0 keeps the current centroid count. `sampleFraction < 1` runs
+    * every training pass over [[graft.knn.Ivf.train]]'s deterministic
+    * md5-bucket subsample — the cheap-retrain lever (assignment always
+    * sees the full view). Returns the new centroids.
     */
   def retrainIvfMaintained(
       spark: SparkSession,
       indexDir: String,
       c: Int = 0,
       iterations: Int = 2,
-      seed: Long = 42L): Array[Array[Float]] = {
+      seed: Long = 42L,
+      sampleFraction: Double = 1.0): Array[Array[Float]] = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmpDir = s"$indexDir.retrain"
@@ -935,7 +1035,7 @@ object StreamingOps {
         s"maintained view at $indexDir is empty — nothing to re-train the quantizer on")
       val newC = if (c > 0) c else meta.c
       val centroids = graft.knn.Ivf.train(spark, liveOne.select("id", "vector"), newC,
-        meta.metric, iterations, seed = seed)
+        meta.metric, iterations, seed = seed, sampleFraction = sampleFraction)
 
       val assigned = graft.knn.Ivf
         .assign(spark, liveOne.select("id", "vector"), centroids, meta.metric, meta.spill)
@@ -955,8 +1055,14 @@ object StreamingOps {
         .toDF("metric", "spill", "c", "dim").coalesce(1)
         .write.parquet(s"$tmpDir/meta")
 
+      val hadQuantRef = graft.io.HadoopIO.exists(s"$indexDir/quant_ref", hconf) ||
+        graft.io.HadoopIO.exists(s"$indexDir/quant_ref.tmp", hconf)
       graft.io.HadoopIO.delete(indexDir, hconf)
       graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
+      // the swap dropped the old quant_ref with the old directory; an
+      // index that was quant-monitored stays monitored — re-baseline on
+      // the rebuilt geometry (retrainIfQuantDrifted relies on this)
+      if (hadQuantRef) markIvfQuantReference(spark, indexDir)
       centroids
     } finally {
       liveOne.unpersist()
@@ -980,18 +1086,20 @@ object StreamingOps {
       c: Int = 0,
       iterations: Int = 2,
       seed: Long = 42L,
-      refitRotation: Boolean = false): (Double, Boolean) = {
+      refitRotation: Boolean = false,
+      sampleFraction: Double = 1.0): (Double, Boolean) = {
     require(threshold >= 0, s"threshold must be non-negative, got $threshold")
     val drift = ivfMaintainedDrift(spark, indexDir)
     if (drift > threshold) {
       // a PQ-maintained dir retrains through the code-aware path (re-encode
       // against the new geometry); drift itself already refused codes-only
       if (loadIvfPqFlags(spark, indexDir).isDefined)
-        retrainIvfPqMaintained(spark, indexDir, c, iterations, seed, refitRotation)
+        retrainIvfPqMaintained(spark, indexDir, c, iterations, seed, refitRotation,
+          sampleFraction)
       else {
         require(!refitRotation,
           s"refitRotation: $indexDir is not PQ-maintained — no rotation sidecar to re-fit")
-        retrainIvfMaintained(spark, indexDir, c, iterations, seed)
+        retrainIvfMaintained(spark, indexDir, c, iterations, seed, sampleFraction)
       }
       (drift, true)
     } else (drift, false)
@@ -1346,7 +1454,8 @@ object StreamingOps {
       c: Int = 0,
       iterations: Int = 2,
       seed: Long = 42L,
-      refitRotation: Boolean = false): Array[Array[Float]] = {
+      refitRotation: Boolean = false,
+      sampleFraction: Double = 1.0): Array[Array[Float]] = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmpDir = s"$indexDir.retrain"
@@ -1413,7 +1522,7 @@ object StreamingOps {
 
       val newC = if (c > 0) c else meta.c
       val centroids = graft.knn.Ivf.train(spark, live.select("id", "vector"), newC,
-        meta.metric, iterations, seed = seed)
+        meta.metric, iterations, seed = seed, sampleFraction = sampleFraction)
 
       val assigned = graft.knn.Ivf
         .assign(spark, live.select("id", "vector"), centroids, meta.metric, meta.spill)
@@ -1452,8 +1561,11 @@ object StreamingOps {
         .toDF("metric", "spill", "c", "dim").coalesce(1)
         .write.parquet(s"$tmpDir/meta")
 
+      val hadQuantRef = graft.io.HadoopIO.exists(s"$indexDir/quant_ref", hconf) ||
+        graft.io.HadoopIO.exists(s"$indexDir/quant_ref.tmp", hconf)
       graft.io.HadoopIO.delete(indexDir, hconf)
       graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
+      if (hadQuantRef) markIvfQuantReference(spark, indexDir)
       centroids
     } finally {
       refitPersisted.foreach(_.unpersist())

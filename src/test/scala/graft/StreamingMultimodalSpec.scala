@@ -779,6 +779,59 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(StreamingOps.ivfMaintainedDrift(spark, dir) === 0.0)
   }
 
+  test("retrainIfQuantDrifted: organic corpus migration fires the gate; reference re-baselines") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_qdrift").toString
+    val rnd = new scala.util.Random(11)
+    val centroids0 = Array(Array(0f, 0f), Array(1f, 1f))
+    val input = MemoryStream[StreamingOps.VectorOp]
+    val q = input.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir, centroids0))
+      .outputMode("append").start()
+    try {
+      // world A sits on the quantizer's corners — tight fit
+      input.addData((0L until 60L).map { i =>
+        val base = if (i % 2 == 0) Array(0f, 0f) else Array(1f, 1f)
+        StreamingOps.VectorOp(i, "upsert", base.map(_ + 0.02f * rnd.nextFloat()), 1)
+      }: _*)
+      q.processAllAvailable()
+      val ref = StreamingOps.markIvfQuantReference(spark, dir)
+      assert(ref > 0.0 && ref < 0.1)
+      // no migration yet: ratio ~1, gate must not fire
+      val (r0, ran0) = StreamingOps.retrainIfQuantDrifted(spark, dir, maxErrRatio = 1.5)
+      assert(math.abs(r0 - 1.0) < 1e-9 && !ran0)
+      // ORGANIC drift: the world migrates far from both centroids. The
+      // sink still assigns correctly (cell-mismatch drift stays 0 — the
+      // metric that cannot see this), but quantization error explodes
+      input.addData((0L until 60L).map { i =>
+        StreamingOps.VectorOp(i, "upsert",
+          Array(8f + 0.3f * rnd.nextFloat(), 8f + 0.3f * rnd.nextFloat()), 2)
+      }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamingOps.ivfMaintainedDrift(spark, dir) === 0.0,
+      "cell-mismatch drift should be blind to organic migration")
+    val (r1, ran1) = StreamingOps.retrainIfQuantDrifted(spark, dir, maxErrRatio = 1.5,
+      sampleFraction = 0.5)
+    assert(r1 > 10.0 && ran1, s"organic migration must fire the gate (ratio $r1)")
+    // re-baselined on the rebuilt geometry: the gate is quiet again
+    val (r2, ran2) = StreamingOps.retrainIfQuantDrifted(spark, dir, maxErrRatio = 1.5)
+    assert(math.abs(r2 - 1.0) < 1e-9 && !ran2,
+      s"reference must re-baseline after retrain (ratio $r2)")
+    // a missing reference fails loudly instead of silently never retraining
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_qdrift2").toString
+    val input2 = MemoryStream[StreamingOps.VectorOp]
+    val q2 = input2.toDS().writeStream
+      .foreachBatch(StreamingOps.ivfMaintenanceSink(spark, dir2, centroids0))
+      .outputMode("append").start()
+    try {
+      input2.addData(StreamingOps.VectorOp(1L, "upsert", Array(0f, 0f), 1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    intercept[IllegalStateException](
+      StreamingOps.retrainIfQuantDrifted(spark, dir2))
+  }
+
   test("retrainIvfMaintained: drift collapses to zero; search equals batch IVF on new centroids") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
