@@ -2608,6 +2608,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Curation with QUALITY-SCORED keepers (keepBestPerGroup composed
+    // into the pipeline): planted near-dup copies carry a 3-token prefix,
+    // so under token-count scoring the COPY wins each cluster and the
+    // ORIGINAL is dropped — copied originals vanish from the output
+    // (copies themselves lack embeddings and exit at the final join),
+    // the exact inverse of pipeline_curate's min-id rule. Oracle: the
+    // same recursive-CTE closure with the neardrop CTE switched to the
+    // row_number argmax.
+    "pipeline_curate_best" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      val all = docs.unionByName(copies)
+      val scores = all.select(col("doc_id").as("id"),
+        size(split(trim(col("text")), "\\s+")).cast("double").as("score"))
+      graft.pipeline.Curation.curate(all, t(spark, dir, "embeddings"),
+          keeperScores = Some(scores))
+        .orderBy("doc_id")
+    }),
+
     // Curation pipeline, embedding + LM stages: exact dedup → SEMANTIC
     // dedup (SemDeDup) → CCNet perplexity band → quality/lang filter →
     // embed join. The LSH near-dup stage is priced (and oracled) in
@@ -4420,6 +4441,46 @@ object Queries {
          |  UNION
          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
          |neardrop AS (SELECT id FROM reach GROUP BY id HAVING min(label) <> id),
+         |d AS (SELECT doc_id, text FROM d0 WHERE doc_id NOT IN (SELECT id FROM neardrop)),
+         |c AS (SELECT doc_id, text, $colsSql FROM d),
+         |m AS (SELECT *, $mx AS __mx FROM c),
+         |s AS (SELECT doc_id,
+         |  round(least(length($duckToks) / 100.0, 1.0) * 0.5 +
+         |    (len(list_filter($duckToks, t -> t IN ($en)))::DOUBLE / length($duckToks)) * 0.5, 4) AS quality,
+         |  CASE WHEN __mx = 0 THEN 'und' $whens ELSE 'und' END AS pred_lang FROM m)
+         |SELECT s.doc_id, s.quality, s.pred_lang,
+         |  round(sqrt(${duckNormSq(dEmb("e.embedding"))}), 4) AS emb_norm
+         |FROM s JOIN embeddings e ON s.doc_id = e.vec_id
+         |WHERE s.quality >= 0.25 AND s.pred_lang = 'en'
+         |ORDER BY s.doc_id""".stripMargin
+    },
+    "pipeline_curate_best" -> {
+      val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
+      def cnt(words: Seq[String]) =
+        s"len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val counts = TextAnalysis.StopWords.map { case (l, ws) => l -> cnt(ws) }
+      val colsSql = counts.map { case (l, c) => s"$c AS cnt_$l" }.mkString(", ")
+      val mx = s"greatest(${counts.map(l => s"cnt_${l._1}").mkString(", ")})"
+      val whens = counts.map { case (l, _) => s"WHEN cnt_$l = __mx THEN '$l'" }.mkString(" ")
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
+         |keeps AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)),
+         |d0 AS (SELECT doc_id, text FROM all_docs WHERE doc_id IN (SELECT doc_id FROM keeps)),
+         |sh AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM d0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sh a CROSS JOIN sh b
+         |      WHERE a.doc_id < b.doc_id AND ${duckJaccard("a.sh", "b.sh")} >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |g AS (SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id),
+         |sc AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok FROM d0),
+         |neardrop AS (SELECT doc_id AS id FROM (
+         |  SELECT g.doc_id, row_number() OVER (PARTITION BY g.group_id ORDER BY sc.n_tok DESC, g.doc_id) AS rn
+         |  FROM g JOIN sc USING (doc_id)) WHERE rn > 1),
          |d AS (SELECT doc_id, text FROM d0 WHERE doc_id NOT IN (SELECT id FROM neardrop)),
          |c AS (SELECT doc_id, text, $colsSql FROM d),
          |m AS (SELECT *, $mx AS __mx FROM c),

@@ -51,7 +51,23 @@ object Curation {
       semanticCells: Int = 16,
       semanticSeeding: String = "kmeans||",
       // CCNet band: keep docs with lo <= cross-entropy <= hi (nats/token)
-      ceBand: Option[(Double, Double)] = None): DataFrame = {
+      ceBand: Option[(Double, Double)] = None,
+      // quality-aware keepers: (id, score) — when present, the near-dup
+      // and semantic stages keep each cluster's HIGHEST-scoring member
+      // ([[graft.dedup.Dedup.keepBestPerGroup]]; ties by lowest id)
+      // instead of the minimum id; must cover every doc_id (the join is
+      // inner — an unscored member would silently vanish). The exact
+      // stage stays keep-min-id: byte-identical text has identical score.
+      keeperScores: Option[DataFrame] = None): DataFrame = {
+    def dropsFrom(pairs: DataFrame): DataFrame = {
+      val groups = Dedup.connectedComponents(pairs)
+      keeperScores match {
+        case Some(s) => Dedup.keepBestPerGroup(groups, s)
+          .filter(col("keep") === 0L).select(col("id").as("doc_id"))
+        case None => groups.filter(col("id") =!= col("group_id"))
+          .select(col("id").as("doc_id"))
+      }
+    }
     val keeps = docs
       .groupBy(md5(col("text")).as("digest"))
       .agg(min("doc_id").as("doc_id"))
@@ -70,10 +86,7 @@ object Curation {
       case Some(th) =>
         val exactDeduped = exactDedupedRaw.persist()
         val pairs = Dedup.minhashLshPairs(exactDeduped, threshold = th)
-        val drops = Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("group_id"))
-          .select(col("id").as("doc_id"))
-        exactDeduped.join(drops, Seq("doc_id"), "left_anti")
+        exactDeduped.join(dropsFrom(pairs), Seq("doc_id"), "left_anti")
       case None =>
         // still multi-consumer when a semantic stage follows (embedding
         // join + the final anti-join both replay the digest shuffle)
@@ -98,9 +111,7 @@ object Curation {
         val pairs = Dedup.semanticNearDupPairs(vecs, semanticCells, th,
           seeding = semanticSeeding)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        val drops = Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("group_id"))
-          .select(col("id").as("doc_id"))
+        val drops = dropsFrom(pairs)
         vecs.unpersist(blocking = false) // CC checkpointed: lineage is cut
         deduped.join(drops, Seq("doc_id"), "left_anti")
       case None => deduped
