@@ -2576,6 +2576,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // INGESTION-TIME token-budget admission: the sink admits arriving
+    // docs per source (same (md5-bucket, id) order within each batch,
+    // first-committed-first-served across batches) until the budget
+    // fills; commit-marker protocol makes redelivery idempotent. Two
+    // deterministic batches (doc_id parity), so the oracle replays the
+    // admitted set with ONE window ordered by (batch, bucket, id).
+    "stream_token_budget" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "source", "text")
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_tb_idx").toString
+      val sink = graft.streaming.StreamingOps.tokenBudgetSink(spark, idxDir,
+        Map("src0" -> 800L, "src1" -> 1200L, "src3" -> 0L, "src5" -> 1000000L))
+      withStreamParts(spark) {
+        sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+        sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+      }
+      graft.streaming.StreamingOps.tokenBudgetAdmitted(spark, idxDir)
+        .orderBy("doc_id")
+    }),
+
     // TOKEN-BUDGET mixing: per source keep the maximal (md5-bucket, id)-
     // ranked prefix whose cumulative whitespace-token count stays under
     // the source's budget — the "N tokens of source X" mixing knob.
@@ -4402,6 +4421,20 @@ object Queries {
         |  FROM documents)
         |SELECT b.doc_id, b.source FROM b JOIN r USING (source)
         |WHERE b.bucket < r.thr ORDER BY doc_id""".stripMargin,
+    "stream_token_budget" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |  CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS b,
+        |  doc_id % 2 AS batch
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src3', 'src5')),
+        |c AS (SELECT doc_id, source, tok,
+        |  sum(tok) OVER (PARTITION BY source ORDER BY batch, b, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT doc_id, source, tok AS n_tok FROM c
+        |WHERE cum - tok < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
+        |  WHEN 'src3' THEN 0 ELSE 1000000 END
+        |ORDER BY doc_id""".stripMargin,
     "sample_token_budget" ->
       """WITH tk AS (SELECT doc_id, source,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,

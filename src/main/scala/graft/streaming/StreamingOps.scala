@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming counterparts of the reference's online mutation and
   * query paths (`/root/reference/storage/dataset.go:238-348`): the batch
@@ -2857,5 +2857,151 @@ object StreamingOps {
     val batches = heavyHittersSketchBatches(spark, indexDir)
     if (batches > maxBatches) { compactHeavyHitters(spark, indexDir); (batches, true) }
     else (batches, false)
+  }
+
+  // ------------------------------------------- token-budget admission sink
+
+  private def tokenBudgetMetaPath(indexDir: String) = s"$indexDir/tb_meta"
+
+  private def loadTokenBudgetMeta(
+      spark: SparkSession, indexDir: String): Option[(Map[String, Long], String)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (!graft.io.HadoopIO.exists(tokenBudgetMetaPath(indexDir), hconf)) None
+    else {
+      val rows = spark.read.parquet(tokenBudgetMetaPath(indexDir))
+        .select("source", "budget", "seed").collect()
+      Some((rows.map(r => r.getString(0) -> r.getLong(1)).toMap, rows.head.getString(2)))
+    }
+  }
+
+  /** INGESTION-TIME token-budget admission — the streaming twin of
+    * [[graft.ops.Sampling.sampleTokenBudget]]: admit arriving documents
+    * per source until the source's token budget fills. Within a batch,
+    * candidates rank by the batch operator's deterministic (md5 bucket,
+    * id) order; across batches admission is first-committed-first-served
+    * (a full source admits nothing more), so the admitted set is a pure
+    * function of (batch sequence, budgets, seed) and the SQL oracle
+    * replays it with one cumulative window ordered by (batch, bucket,
+    * id).
+    *
+    * Commit protocol (the heavy-hitter docs/sketch order): per batch the
+    * admitted rows land under `admitted/batch=N` and merge into the
+    * admitted manifest, then the per-source token sums land under
+    * `totals/batch=N` whose manifest merge is the COMMIT MARKER. An
+    * at-least-once redelivery of a committed batch is skipped; a crashed
+    * half-committed batch is invisible to every read (all reads are
+    * totals-manifest-restricted) and the redelivery rewrites it — no
+    * double admission, which would double-count tokens and starve later
+    * documents.
+    *
+    * Per batch: one totals read (batches × sources rows, never the
+    * corpus), one per-source window over the BATCH's rows only (the
+    * batch operator's boundary-bucket machinery is unnecessary at
+    * micro-batch size), two appends. Query with [[tokenBudgetAdmitted]].
+    */
+  def tokenBudgetSink(
+      spark: SparkSession,
+      indexDir: String,
+      budgets: Map[String, Long],
+      seed: String = "s"): (DataFrame, Long) => Unit = {
+    import spark.implicits._
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    loadTokenBudgetMeta(spark, indexDir) match {
+      case Some((eb, es)) =>
+        require(eb == budgets && es == seed,
+          s"token-budget state at $indexDir was maintained with (budgets=$eb, seed=$es); " +
+            s"restarting with (budgets=$budgets, seed=$seed) would change who was admitted " +
+            "retroactively — delete the directory or pass matching parameters")
+      case None =>
+        budgets.toSeq.map { case (g, b) => (g, b, seed) }
+          .toDF("source", "budget", "seed").coalesce(1)
+          .write.mode("overwrite").parquet(tokenBudgetMetaPath(indexDir))
+    }
+    val admittedDir = s"$indexDir/admitted"
+    val totalsDir = s"$indexDir/totals"
+    Seq(admittedDir, totalsDir).foreach { d =>
+      graft.io.HadoopIO.mkdirs(d, hconf)
+      if (graft.io.Manifest.read(d, hconf).isEmpty)
+        graft.io.Manifest.write(d,
+          listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+          hconf)
+    }
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      import sess.implicits._
+      val conf = sess.sparkContext.hadoopConfiguration
+      val committed = graft.io.Manifest.read(totalsDir, conf).getOrElse(Seq.empty)
+        .exists(_.name.startsWith(s"batch=$batchId/"))
+      if (!committed) {
+        graft.io.HadoopIO.delete(s"$admittedDir/batch=$batchId", conf)
+        graft.io.HadoopIO.delete(s"$totalsDir/batch=$batchId", conf)
+        val prior: Map[String, Long] =
+          if (graft.io.Manifest.read(totalsDir, conf).get.isEmpty) Map.empty
+          else hhReadManifested(sess, totalsDir)
+            .groupBy("source").agg(sum("batch_toks").as("t"))
+            .as[(String, Long)].collect().toMap
+        def byGroup(m: Map[String, Long]): Column =
+          budgets.keys.foldLeft(lit(Long.MinValue)) { (acc, g) =>
+            when(col("source") === g, lit(m.getOrElse(g, 0L))).otherwise(acc)
+          }
+        val inBudget = budgets.keys.foldLeft(lit(false))((acc, g) =>
+          acc || col("source") === g)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(graft.ops.Sampling.bucket(col("doc_id"), seed), col("doc_id"))
+        val admitted = batch.select(col("doc_id").cast("long"),
+            col("source").cast("string"), col("text"))
+          .filter(inBudget)
+          .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+          .withColumn("__cum", sum("n_tok").over(w))
+          .filter(byGroup(prior) + col("__cum") - col("n_tok") < byGroup(budgets))
+          .select(col("doc_id"), col("source"),
+            graft.ops.Sampling.bucket(col("doc_id"), seed).as("bucket"), col("n_tok"))
+          .persist()
+        try {
+          admitted.write.parquet(s"$admittedDir/batch=$batchId")
+          // the "" sentinel guarantees the totals batch dir holds a file
+          // even when nothing was admitted — the commit marker (and
+          // therefore the replay guard) must exist for EVERY batch, or an
+          // all-sources-full (or empty) batch would reprocess forever
+          admitted.groupBy("source").agg(sum("n_tok").as("batch_toks"))
+            .unionByName(Seq(("", 0L)).toDF("source", "batch_toks"))
+            .coalesce(1).write.parquet(s"$totalsDir/batch=$batchId")
+          replaceBatchManifest(admittedDir, s"batch=$batchId", conf)
+          // totals manifest LAST = the commit marker
+          replaceBatchManifest(totalsDir, s"batch=$batchId", conf)
+        } finally admitted.unpersist()
+      }
+    }
+  }
+
+  /** The admitted set a [[tokenBudgetSink]] directory has committed:
+    * (doc_id, source, n_tok), restricted to batches the TOTALS manifest
+    * (the commit marker) lists — a crashed half-committed batch's
+    * admitted rows are invisible until its redelivery commits them.
+    */
+  def tokenBudgetAdmitted(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(loadTokenBudgetMeta(spark, indexDir).isDefined,
+      s"no tb_meta sidecar under $indexDir — not a token-budget admission dir")
+    val admittedDir = s"$indexDir/admitted"
+    val totalsDir = s"$indexDir/totals"
+    validateDelta(admittedDir, hconf)
+    validateDelta(totalsDir, hconf)
+    val committedBatches = graft.io.Manifest.read(totalsDir, hconf).get
+      .map(_.name.takeWhile(_ != '/')).toSet
+    if (committedBatches.isEmpty)
+      return Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tok")
+    val committedFiles = graft.io.Manifest.read(admittedDir, hconf).get
+      .filter(e => committedBatches(e.name.takeWhile(_ != '/')))
+      .map(e => s"$admittedDir/${e.name}")
+    if (committedFiles.isEmpty)
+      return Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tok")
+    spark.read.option("basePath", admittedDir).parquet(committedFiles: _*)
+      .select("doc_id", "source", "n_tok")
   }
 }

@@ -235,6 +235,48 @@ class StreamingSpec extends SparkTestBase {
 class StreamingIndexSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("token-budget sink: deterministic admission, replay-safe, saturates across batches") {
+    val budgets = Map("s0" -> 40L, "s1" -> 0L)
+    // doc i: (i % 5) + 1 tokens, two sources, two batches by parity
+    val docs = (0L until 120L).map { i =>
+      (i, s"s${i % 2}", (0L to i % 5).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tb_sink").toString
+    val sink = StreamingOps.tokenBudgetSink(spark, dir, budgets)
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    val got = StreamingOps.tokenBudgetAdmitted(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // reference: ONE window ordered by (batch, bucket, id) per source
+    val b = graft.ops.Sampling.bucket(col("doc_id"), "s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("__batch"), b, col("doc_id"))
+    val want = docs.withColumn("__batch", col("doc_id") % 2)
+      .withColumn("__tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("__cum", sum("__tok").over(w))
+      .filter(col("source") === "s0" && col("__cum") - col("__tok") < 40L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty && !got.exists(_ % 2 === 1)) // s1's zero budget admits nothing
+    // at-least-once redelivery of a committed batch changes nothing
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    assert(StreamingOps.tokenBudgetAdmitted(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq === got)
+    // a saturated source admits nothing more in later batches: every s0
+    // admission happened in batch 0 (budget 40 << batch-0 s0 tokens)
+    val batch0Toks = docs.filter(col("doc_id") % 2 === 0 && col("source") === "s0")
+      .select(size(split(trim(col("text")), "\\s+")).cast("long")).as[Long].collect().sum
+    assert(batch0Toks > 40L, "fixture: batch 0 must saturate s0")
+    assert(got.forall(_ % 2 === 0L), "saturated source admitted from a later batch")
+    // restart with different budgets is refused (retroactive rewrite)
+    intercept[IllegalArgumentException](
+      StreamingOps.tokenBudgetSink(spark, dir, Map("s0" -> 99L)))
+    // an empty admission batch still commits its replay guard
+    sink(docs.filter(lit(false)), 2L)
+    sink(docs.filter(lit(false)), 2L) // replay skipped, no error
+    assert(StreamingOps.tokenBudgetAdmitted(spark, dir).count() === got.length.toLong)
+  }
+
   test("streaming mutations maintain persisted HNSW partitions (online insert path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("hnsw_stream").toString
