@@ -2610,6 +2610,20 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the DataFrame-budgets (high-source-cardinality) form: plain
+    // per-source window + broadcast budget join — same kept set as the
+    // Map form (identical rank and rule), so the oracle is the identical
+    // single-window SQL
+    "sample_token_budget_df" -> ((spark, dir) => {
+      import spark.implicits._
+      val budgets = Seq(("src0", 800L), ("src1", 1200L), ("src3", 0L),
+        ("src5", 1000000L)).toDF("source", "budget")
+      graft.ops.Sampling.sampleTokenBudgetDF(t(spark, dir, "documents"), budgets,
+          "doc_id", "source", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (GPT-style concat-and-chunk): documents ordered by
     // id within (source, shard) streams, token offsets from ONE prefix-sum
     // window, each doc exploded onto the 512-token blocks it overlaps.
@@ -4432,6 +4446,19 @@ object Queries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM tk)
         |SELECT doc_id, source, tok AS n_tok FROM c
+        |WHERE cum - tok < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
+        |  WHEN 'src3' THEN 0 ELSE 1000000 END
+        |ORDER BY doc_id""".stripMargin,
+    "sample_token_budget_df" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |  CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS b
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src3', 'src5')),
+        |c AS (SELECT doc_id, source, tok,
+        |  sum(tok) OVER (PARTITION BY source ORDER BY b, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT doc_id, source FROM c
         |WHERE cum - tok < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
         |  WHEN 'src3' THEN 0 ELSE 1000000 END
         |ORDER BY doc_id""".stripMargin,

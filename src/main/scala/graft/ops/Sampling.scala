@@ -216,4 +216,36 @@ object Sampling {
       .filter(beforeCol + col("__cum") - col("__tok") < budgetCol)
     whole.unionByName(boundary.drop("__cum")).select(outCols: _*)
   }
+
+  /** [[sampleTokenBudget]] with budgets as a DataFrame — the
+    * HIGH-SOURCE-CARDINALITY regime. At thousands of sources a
+    * driver-built CASE chain is unwieldy AND unnecessary: per-source
+    * windows parallelize ACROSS sources (each source's rows are few when
+    * cardinality is high), so the plain single-window formulation is the
+    * right plan here and the Map form's boundary-bucket machinery is the
+    * few-huge-sources regime. `budgets` must carry (`groupCol`, budget)
+    * columns; it broadcast-joins onto the corpus, so sources absent from
+    * it drop ([[sampleStratified]]'s convention). Kept set identical to
+    * the Map form for equal budgets (per-doc rank and rule are the same;
+    * proven in ScalaTest).
+    */
+  def sampleTokenBudgetDF(
+      df: DataFrame,
+      budgets: DataFrame,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      seed: String = "s"): DataFrame = {
+    require(budgets.columns.contains(groupCol) && budgets.columns.contains("budget"),
+      s"budgets must carry ($groupCol, budget) columns, got ${budgets.columns.mkString(", ")}")
+    val outCols = df.columns.map(col).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(bucket(col(idCol), seed), col(idCol))
+    df.join(broadcast(budgets.select(col(groupCol), col("budget").cast("long"))),
+        Seq(groupCol))
+      .withColumn("__tok", size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("__cum", sum("__tok").over(w))
+      .filter(col("__cum") - col("__tok") < col("budget"))
+      .select(outCols: _*)
+  }
 }

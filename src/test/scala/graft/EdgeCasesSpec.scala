@@ -265,6 +265,11 @@ class EdgeCasesSpec extends SparkTestBase {
     val all = graft.ops.Sampling.sampleTokenBudget(df, "doc_id", "source", "text",
       Map("src0" -> 1000000L)).count()
     assert(all === 200L)
+    // the DataFrame-budgets (high-cardinality) form keeps the same set
+    val budgetsDf = Seq(("src0", 300L), ("src1", 0L)).toDF("source", "budget")
+    val gotDf = graft.ops.Sampling.sampleTokenBudgetDF(df, budgetsDf,
+      "doc_id", "source", "text").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gotDf === got)
   }
 
   test("dsir weights: target-typical docs score above corpus-typical docs; counts smoothed") {
