@@ -2952,7 +2952,11 @@ object Queries {
     "stream_ivf_retrain" -> ((spark, dir) => {
       import spark.implicits._
       val so = graft.streaming.StreamingOps
-      val (data, _) = knnInputs(spark, dir, 5)
+      // protocol row: the gate/retrain/equality proof is corpus-size-free,
+      // so bound the fixture (the full-corpus throughput cost of retrain
+      // is priced in BenchScale's 5M sweep, not here)
+      val (dataAll, _) = knnInputs(spark, dir, 5)
+      val data = dataAll.filter(col("id") < 2000)
       val c0 = Ivf.train(spark, data, c = 8, iterations = 1)
       val idxDir = java.nio.file.Files.createTempDirectory("stream_ir_idx").toString
       val sink = so.ivfMaintenanceSink(spark, idxDir, c0)
