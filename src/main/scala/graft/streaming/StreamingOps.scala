@@ -2907,15 +2907,42 @@ object StreamingOps {
     import spark.implicits._
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    tokenBudgetSinkDF(spark, indexDir,
+      budgets.toSeq.toDF("source", "budget"), seed)
+  }
+
+  /** [[tokenBudgetSink]] with budgets as a DataFrame (source, budget) —
+    * the HIGH-SOURCE-CARDINALITY form, and the actual implementation: the
+    * budgets table broadcast-joins onto each batch (no driver-built CASE
+    * chain), prior totals join the same way, so nothing scales with
+    * source cardinality except the (tiny) broadcast itself. The budgets
+    * land in the meta sidecar as rows; a restart is validated against
+    * them value-for-value.
+    */
+  def tokenBudgetSinkDF(
+      spark: SparkSession,
+      indexDir: String,
+      budgets: DataFrame,
+      seed: String = "s"): (DataFrame, Long) => Unit = {
+    import spark.implicits._
+    require(budgets.columns.contains("source") && budgets.columns.contains("budget"),
+      s"budgets must carry (source, budget) columns, got ${budgets.columns.mkString(", ")}")
+    val budgetRows = budgets
+      .select(col("source").cast("string"), col("budget").cast("long"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    require(budgetRows.nonEmpty, "budgets must be non-empty")
+    require(budgetRows.map(_._1).distinct.length == budgetRows.length,
+      "budgets must carry one row per source")
+    require(budgetRows.forall(_._2 >= 0), s"budgets must be >= 0: ${budgetRows.toSeq}")
     val hconf = spark.sparkContext.hadoopConfiguration
     loadTokenBudgetMeta(spark, indexDir) match {
       case Some((eb, es)) =>
-        require(eb == budgets && es == seed,
+        require(eb == budgetRows.toMap && es == seed,
           s"token-budget state at $indexDir was maintained with (budgets=$eb, seed=$es); " +
-            s"restarting with (budgets=$budgets, seed=$seed) would change who was admitted " +
-            "retroactively — delete the directory or pass matching parameters")
+            s"restarting with (budgets=${budgetRows.toMap}, seed=$seed) would change who was " +
+            "admitted retroactively — delete the directory or pass matching parameters")
       case None =>
-        budgets.toSeq.map { case (g, b) => (g, b, seed) }
+        budgetRows.toSeq.map { case (g, b) => (g, b, seed) }
           .toDF("source", "budget", "seed").coalesce(1)
           .write.mode("overwrite").parquet(tokenBudgetMetaPath(indexDir))
     }
@@ -2938,26 +2965,25 @@ object StreamingOps {
       if (!committed) {
         graft.io.HadoopIO.delete(s"$admittedDir/batch=$batchId", conf)
         graft.io.HadoopIO.delete(s"$totalsDir/batch=$batchId", conf)
-        val prior: Map[String, Long] =
-          if (graft.io.Manifest.read(totalsDir, conf).get.isEmpty) Map.empty
+        val priorDf =
+          if (graft.io.Manifest.read(totalsDir, conf).get.isEmpty)
+            Seq.empty[(String, Long)].toDF("source", "__prior")
           else hhReadManifested(sess, totalsDir)
-            .groupBy("source").agg(sum("batch_toks").as("t"))
-            .as[(String, Long)].collect().toMap
-        def byGroup(m: Map[String, Long]): Column =
-          budgets.keys.foldLeft(lit(Long.MinValue)) { (acc, g) =>
-            when(col("source") === g, lit(m.getOrElse(g, 0L))).otherwise(acc)
-          }
-        val inBudget = budgets.keys.foldLeft(lit(false))((acc, g) =>
-          acc || col("source") === g)
+            .groupBy("source").agg(sum("batch_toks").as("__prior"))
+        // budgets (inner: absent sources drop) and prior totals (left:
+        // a source's first batch has none) join instead of CASE chains —
+        // source cardinality only sizes the broadcasts
+        val budgetDf = budgetRows.toSeq.toDF("source", "__budget")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source")
           .orderBy(graft.ops.Sampling.bucket(col("doc_id"), seed), col("doc_id"))
         val admitted = batch.select(col("doc_id").cast("long"),
             col("source").cast("string"), col("text"))
-          .filter(inBudget)
+          .join(broadcast(budgetDf), Seq("source"))
+          .join(broadcast(priorDf), Seq("source"), "left")
           .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
           .withColumn("__cum", sum("n_tok").over(w))
-          .filter(byGroup(prior) + col("__cum") - col("n_tok") < byGroup(budgets))
+          .filter(coalesce(col("__prior"), lit(0L)) + col("__cum") - col("n_tok") < col("__budget"))
           .select(col("doc_id"), col("source"),
             graft.ops.Sampling.bucket(col("doc_id"), seed).as("bucket"), col("n_tok"))
           .persist()

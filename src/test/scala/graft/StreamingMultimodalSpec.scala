@@ -275,6 +275,16 @@ class StreamingIndexSpec extends SparkTestBase {
     sink(docs.filter(lit(false)), 2L)
     sink(docs.filter(lit(false)), 2L) // replay skipped, no error
     assert(StreamingOps.tokenBudgetAdmitted(spark, dir).count() === got.length.toLong)
+    // the DataFrame-budgets (high-cardinality) form admits the same set
+    val dir2 = java.nio.file.Files.createTempDirectory("tb_sink_df").toString
+    val sinkDf = StreamingOps.tokenBudgetSinkDF(spark, dir2,
+      budgets.toSeq.toDF("source", "budget"))
+    sinkDf(docs.filter(col("doc_id") % 2 === 0), 0L)
+    sinkDf(docs.filter(col("doc_id") % 2 === 1), 1L)
+    assert(StreamingOps.tokenBudgetAdmitted(spark, dir2)
+      .select("doc_id").as[Long].collect().sorted.toSeq === got)
+    // and a Map-form restart over a DF-form directory validates (same meta)
+    StreamingOps.tokenBudgetSink(spark, dir2, budgets)
   }
 
   test("streaming mutations maintain persisted HNSW partitions (online insert path)") {
