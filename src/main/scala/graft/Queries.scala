@@ -399,6 +399,27 @@ object Queries {
       val (data, queries) = knnInputs(spark, dir, 5)
       knnFinish(Knn.bruteForce(data, queries, 10, "euclidean"))
     }),
+
+    // Retrieval evaluation metrics (recall@k / MRR@k / nDCG@k): exact
+    // top-10 results scored against a synthetic graded relevance set
+    // (rel = 4 − |id − qid| within ±3 — id-adjacency, mostly NOT
+    // distance-adjacency, so recall is realistically partial). Oracle
+    // replays the kNN and every metric formula in SQL.
+    "rank_metrics" -> ((spark, dir) => {
+      val (data, queries) = knnInputs(spark, dir, 20)
+      val results = Knn.bruteForce(data, queries, k = 10)
+      val ids = data.select("id")
+      val relevance = queries.select(col("qid"))
+        .select(col("qid"), explode(sequence(col("qid") - 3, col("qid") + 3)).as("id"))
+        .join(ids, Seq("id"), "left_semi")
+        .withColumn("rel", lit(4) - abs(col("id") - col("qid")))
+      graft.ops.RankMetrics.evaluate(results, relevance, k = 10)
+        .select(col("qid"), col("n_relevant"), col("n_hits"),
+          round(col("recall_at_k"), 4).as("recall_at_k"),
+          round(col("mrr_at_k"), 4).as("mrr_at_k"),
+          round(col("ndcg_at_k"), 4).as("ndcg_at_k"))
+        .orderBy("qid")
+    }),
     "knn_cosine" -> ((spark, dir) => {
       val (data, queries) = knnInputs(spark, dir, 3)
       knnFinish(Knn.bruteForce(data, queries, 5, "cosine"))
@@ -4078,6 +4099,29 @@ object Queries {
         "CAST(1 AS BIGINT) AS recall_ok, CAST(10 AS BIGINT) AS n_same_rot " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY qid"),
     "ann_ivf_filtered" -> knnOracle(duckEuclid, 5, 10, where = "e.vec_id % 3 = 0"),
+    "rank_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 20),
+         |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
+         |      FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d),
+         |res AS (SELECT qid, id, rank FROM r WHERE rank <= 10),
+         |rel AS (SELECT q.qid, e.vec_id AS id, 4 - abs(e.vec_id - q.qid) AS rel
+         |        FROM embeddings e JOIN q ON abs(e.vec_id - q.qid) <= 3),
+         |ideal AS (SELECT qid, count(*) AS n_relevant,
+         |            sum(CASE WHEN rn <= 10 THEN (pow(2, rel) - 1) / log2(rn + 1) ELSE 0 END) AS idcg
+         |          FROM (SELECT qid, id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM rel)
+         |          GROUP BY qid),
+         |perq AS (SELECT res.qid,
+         |           sum(CASE WHEN rel.rel IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+         |           min(CASE WHEN rel.rel IS NOT NULL THEN res.rank END) AS first_hit,
+         |           sum(CASE WHEN rel.rel IS NOT NULL THEN (pow(2, rel.rel) - 1) / log2(res.rank + 1) ELSE 0 END) AS dcg
+         |         FROM res LEFT JOIN rel ON res.qid = rel.qid AND res.id = rel.id
+         |         GROUP BY res.qid)
+         |SELECT p.qid, CAST(i.n_relevant AS BIGINT) AS n_relevant, CAST(p.n_hits AS BIGINT) AS n_hits,
+         |  round(p.n_hits::DOUBLE / i.n_relevant, 4) AS recall_at_k,
+         |  round(coalesce(1.0 / p.first_hit, 0.0), 4) AS mrr_at_k,
+         |  round(CASE WHEN i.idcg = 0 THEN 0.0 ELSE p.dcg / i.idcg END, 4) AS ndcg_at_k
+         |FROM perq p JOIN ideal i USING (qid) ORDER BY qid""".stripMargin,
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
     "knn_manhattan" -> knnOracle(duckManhattan, 3, 5),

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval evaluation metrics over ranked results — recall@k, MRR@k,
+  * nDCG@k (graded, standard 2^rel − 1 gain, log₂(rank+1) discount). Every
+  * retrieval deployment closes its loop on these; the approximate tiers
+  * here (IVF, PQ, HNSW, binary, Matryoshka) are tuned against exactly
+  * this measurement, which the catalog rows have so far computed ad hoc
+  * per query shape.
+  *
+  * Deterministic and engine-portable: plain arithmetic over the two
+  * inputs — a SQL oracle replays it formula-for-formula.
+  */
+object RankMetrics {
+
+  /** Per-query metrics: join `results` (qidCol, idCol, rankCol — rank
+    * ascending from 1, the shape every search operator here emits)
+    * against `relevance` (qidCol, idCol, relCol — graded gain, > 0 means
+    * relevant), both truncated to the top `k` ranks.
+    *
+    * Returns one row per qid present in `results`:
+    * (qid, n_relevant, n_hits, recall_at_k, mrr_at_k, ndcg_at_k).
+    * recall@k = hits / n_relevant; MRR@k = 1/first relevant rank (0 if
+    * none); nDCG@k = DCG over the retrieved list / DCG of the ideal
+    * (relevance-sorted) list truncated at k. Queries with NO relevant
+    * documents score 0 everywhere (they cannot be retrieved well or
+    * badly; filter on n_relevant to exclude them from averages — a
+    * silent drop here would skew macro-averages unnoticed).
+    *
+    * Scale shape: one (qid, id) equi-join, per-qid partial aggregations,
+    * and one window over the RELEVANCE table per qid (bounded by the
+    * judgment-list length, never the corpus) for the ideal DCG. Nothing
+    * driver-resident; metrics for a million queries are one more
+    * qid-keyed aggregate.
+    */
+  def evaluate(
+      results: DataFrame,
+      relevance: DataFrame,
+      k: Int,
+      qidCol: String = "qid",
+      idCol: String = "id",
+      rankCol: String = "rank",
+      relCol: String = "rel"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val res = results.filter(col(rankCol) <= k)
+      .select(col(qidCol).cast("long").as("qid"), col(idCol).cast("long").as("id"),
+        col(rankCol).cast("int").as("__rank"))
+    val rel = relevance.filter(col(relCol) > 0)
+      .select(col(qidCol).cast("long").as("qid"), col(idCol).cast("long").as("id"),
+        col(relCol).cast("double").as("__rel"))
+    def gain(r: org.apache.spark.sql.Column) = pow(lit(2.0), r) - 1.0
+    def discount(rank: org.apache.spark.sql.Column) = log(2.0, rank.cast("double") + 1.0)
+    // ideal DCG: the relevance list sorted by gain desc (ties by id for
+    // determinism), truncated at k
+    val wIdeal = Window.partitionBy("qid").orderBy(col("__rel").desc, col("id"))
+    val idealAgg = rel.withColumn("__rn", row_number().over(wIdeal))
+      .groupBy("qid").agg(
+        count(lit(1)).as("n_relevant"),
+        sum(when(col("__rn") <= k, gain(col("__rel")) / discount(col("__rn")))
+          .otherwise(0.0)).as("__idcg"))
+    val perQ = res.join(rel, Seq("qid", "id"), "left")
+      .groupBy("qid").agg(
+        sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("__rel").isNotNull, col("__rank"))).as("__first_hit"),
+        sum(when(col("__rel").isNotNull, gain(col("__rel")) / discount(col("__rank")))
+          .otherwise(0.0)).as("__dcg"))
+    perQ.join(idealAgg, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("n_hits"),
+        when(coalesce(col("n_relevant"), lit(0L)) === 0, 0.0)
+          .otherwise(col("n_hits").cast("double") / col("n_relevant")).as("recall_at_k"),
+        when(col("__first_hit").isNull, 0.0)
+          .otherwise(lit(1.0) / col("__first_hit")).as("mrr_at_k"),
+        when(coalesce(col("__idcg"), lit(0.0)) === 0.0, 0.0)
+          .otherwise(col("__dcg") / col("__idcg")).as("ndcg_at_k"))
+  }
+
+  /** Corpus-level macro averages of [[evaluate]] (queries weighted
+    * equally), excluding zero-relevance queries by default — the number a
+    * tuning loop actually reads. Returns one row:
+    * (n_queries, recall_at_k, mrr_at_k, ndcg_at_k).
+    */
+  def summarize(perQuery: DataFrame, includeZeroRelevance: Boolean = false): DataFrame = {
+    val base = if (includeZeroRelevance) perQuery
+      else perQuery.filter(col("n_relevant") > 0)
+    base.agg(
+      count(lit(1)).as("n_queries"),
+      avg("recall_at_k").as("recall_at_k"),
+      avg("mrr_at_k").as("mrr_at_k"),
+      avg("ndcg_at_k").as("ndcg_at_k"))
+  }
+}

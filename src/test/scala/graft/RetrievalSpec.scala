@@ -206,4 +206,44 @@ class RetrievalSpec extends SparkTestBase {
       .orderBy("qid", "rank").collect().toSeq
     assert(one === other)
   }
+
+  test("rank metrics: hand-computed recall/MRR/nDCG, zero-relevance and miss edges") {
+    // q0: results ranks 1..3 = ids 10, 1, 2; relevant: 1 (rel 3), 2 (rel 1), 5 (rel 2)
+    //   hits at ranks 2, 3; first hit rank 2 -> MRR 0.5; recall 2/3
+    //   DCG = (2^3-1)/log2(3) + (2^1-1)/log2(4) = 7/1.58496 + 1/2
+    //   IDCG(k=3) = 7/1 + 3/1.58496 + 1/2  (ideal order rel 3,2,1)
+    // q1: no relevant docs at all -> all zeros, n_relevant 0
+    // q2: relevant exists (id 9, rel 2) but never retrieved -> 0 scores, n_relevant 1
+    val results = Seq(
+      (0L, 10L, 1), (0L, 1L, 2), (0L, 2L, 3),
+      (1L, 4L, 1), (1L, 5L, 2),
+      (2L, 7L, 1)).toDF("qid", "id", "rank")
+    val relevance = Seq(
+      (0L, 1L, 3.0), (0L, 2L, 1.0), (0L, 5L, 2.0),
+      (2L, 9L, 2.0)).toDF("qid", "id", "rel")
+    val got = graft.ops.RankMetrics.evaluate(results, relevance, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val dcg0 = 7.0 / log2(3) + 1.0 / log2(4)
+    val idcg0 = 7.0 / log2(2) + 3.0 / log2(3) + 1.0 / log2(4)
+    assert(got(0L).getLong(1) === 3L && got(0L).getLong(2) === 2L)
+    assert(math.abs(got(0L).getDouble(3) - 2.0 / 3) < 1e-12)
+    assert(math.abs(got(0L).getDouble(4) - 0.5) < 1e-12)
+    assert(math.abs(got(0L).getDouble(5) - dcg0 / idcg0) < 1e-12)
+    assert(got(1L).getLong(1) === 0L && got(1L).getDouble(3) === 0.0 &&
+      got(1L).getDouble(4) === 0.0 && got(1L).getDouble(5) === 0.0)
+    assert(got(2L).getLong(1) === 1L && got(2L).getLong(2) === 0L &&
+      got(2L).getDouble(3) === 0.0 && got(2L).getDouble(5) === 0.0)
+    // summary excludes the zero-relevance query by default
+    val s = graft.ops.RankMetrics.summarize(
+      graft.ops.RankMetrics.evaluate(results, relevance, k = 3)).head()
+    assert(s.getLong(0) === 2L)
+    assert(math.abs(s.getDouble(1) - (2.0 / 3 + 0.0) / 2) < 1e-12)
+    // perfect retrieval scores 1.0 everywhere
+    val perfect = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("qid", "id", "rank")
+    val prel = Seq((9L, 1L, 2.0), (9L, 2L, 1.0)).toDF("qid", "id", "rel")
+    val p = graft.ops.RankMetrics.evaluate(perfect, prel, k = 3).head()
+    assert(math.abs(p.getDouble(3) - 1.0) < 1e-12 &&
+      math.abs(p.getDouble(4) - 1.0) < 1e-12 && math.abs(p.getDouble(5) - 1.0) < 1e-12)
+  }
 }
