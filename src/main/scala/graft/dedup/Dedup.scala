@@ -386,10 +386,12 @@ object Dedup {
     * duplicate cluster — longest, cleanest, highest LM score — not the
     * arbitrary minimum id; feed any scorer
     * ([[graft.text.TextAnalysis.qualitySignals]], token counts, DSIR
-    * weights). Scores must cover every grouped id: the join is inner, so
-    * an unscored member silently vanishing would skew keep decisions —
-    * score first, group second. Singletons never appear in `groups`
-    * (they are their own keepers by definition).
+    * weights). Scores must cover every grouped id, and that contract is
+    * ENFORCED: the join is a left join that raises on a null score — an
+    * inner join would let an unscored member silently vanish from the
+    * output (neither keeper nor drop, so a composed curation pipeline
+    * would retain a near-duplicate uncut). Singletons never appear in
+    * `groups` (they are their own keepers by definition).
     *
     * One window over group_id: groups are near-dup clusters — bounded by
     * the LSH skew guard's star capping, never corpus-sized — so no
@@ -405,7 +407,13 @@ object Dedup {
       scoreCol: String = "score"): DataFrame = {
     val w = Window.partitionBy(groupIdCol)
       .orderBy(col(scoreCol).desc, col(idCol))
-    groups.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    groups.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
+      .withColumn(scoreCol, when(col(scoreCol).isNull,
+          raise_error(concat(
+            lit(s"keepBestPerGroup: no score in '$scoreCol' for grouped id "),
+            col(idCol).cast("string"),
+            lit(" — scores must cover every grouped id or keep decisions would skew"))))
+        .otherwise(col(scoreCol)))
       .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
   }
 
@@ -592,7 +600,11 @@ object Dedup {
       minOccurrences: Int = 2,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+    // the caller's id type is PRESERVED (min(struct) orders any orderable
+    // type) — a cast("long") here would turn string doc ids into nulls,
+    // the join back would never match, and every document would silently
+    // pass through uncut
+    val grams = docs.select(col(idCol).as("doc_id"),
       posexplode(SqlBridge.column(graft.functions.ShingleHashes(
         SqlBridge.expression(col(textCol)), n))).as(Seq("pos", "h")))
     val stats = grams.groupBy("h")

@@ -45,12 +45,19 @@ object RankMetrics {
       rankCol: String = "rank",
       relCol: String = "rel"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // both inputs dedupe on (qid, id): a doc retrieved at several ranks
+    // keeps its best rank, duplicate judgments keep the highest grade —
+    // otherwise the equi-join fans out and recall@k/nDCG silently exceed
+    // 1 on sloppy input. One extra partial aggregation each; a clean
+    // input is unchanged.
     val res = results.filter(col(rankCol) <= k)
       .select(col(qidCol).cast("long").as("qid"), col(idCol).cast("long").as("id"),
         col(rankCol).cast("int").as("__rank"))
+      .groupBy("qid", "id").agg(min("__rank").as("__rank"))
     val rel = relevance.filter(col(relCol) > 0)
       .select(col(qidCol).cast("long").as("qid"), col(idCol).cast("long").as("id"),
         col(relCol).cast("double").as("__rel"))
+      .groupBy("qid", "id").agg(max("__rel").as("__rel"))
     def gain(r: org.apache.spark.sql.Column) = pow(lit(2.0), r) - 1.0
     def discount(rank: org.apache.spark.sql.Column) = log(2.0, rank.cast("double") + 1.0)
     // ideal DCG: the relevance list sorted by gain desc (ties by id for

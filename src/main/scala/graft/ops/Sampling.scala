@@ -114,17 +114,24 @@ object Sampling {
     * Scale shape: the selection is `orderBy(key).limit(k)` — Spark plans
     * TakeOrderedAndProject, a per-partition bounded top-k + driver merge
     * of k·P candidates, never a global sort. The rank window runs on the
-    * k selected rows only. For k beyond driver-merge comfort (~10⁷),
-    * pre-filter with a key-threshold from `approxQuantile` and top-k the
-    * survivors — same keys, same order, bounded merge.
+    * k selected rows only. For k beyond driver-merge comfort
+    * (`prefilterAbove`, default ~4M), a key-threshold from
+    * `approxQuantile` pre-filters the candidates before the top-k: the
+    * quantile's error bound is over-provisioned so ≥ k rows survive (and
+    * that is VERIFIED with a count, falling back to the direct path
+    * rather than ever returning fewer/different rows), every dropped row
+    * has a key strictly below the threshold so it cannot displace a
+    * survivor — same keys, same order, bounded merge, identical output.
     */
   def sampleWeighted(
       df: DataFrame,
       idCol: String,
       weightCol: String,
       k: Int,
-      seed: String = "s"): DataFrame = {
+      seed: String = "s",
+      prefilterAbove: Int = 1 << 22): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(prefilterAbove > 0, s"prefilterAbove must be positive, got $prefilterAbove")
     val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("double")
     val u = (h + 0.5) / lit(math.pow(2, 60))
@@ -133,7 +140,24 @@ object Sampling {
           col(idCol).cast("string"),
           lit(" — filter unwanted rows out instead of zero-weighting them"))))
       .otherwise(log(u) / col(weightCol).cast("double"))
-    df.withColumn("__skey", key)
+    val keyed = df.withColumn("__skey", key)
+    val candidates =
+      if (k < prefilterAbove) keyed
+      else {
+        val total = keyed.count()
+        if (total <= k) keyed
+        else {
+          // want the top k keys: threshold at the (1 - k/total) quantile,
+          // shifted DOWN by twice the relative error so the bound
+          // guarantees >= k survivors even at the estimate's worst rank
+          val err = 0.001
+          val p = math.max(0.0, 1.0 - k.toDouble / total - 2 * err)
+          val thr = keyed.stat.approxQuantile("__skey", Array(p), err).head
+          val pre = keyed.filter(col("__skey") >= thr)
+          if (pre.count() >= k) pre else keyed
+        }
+      }
+    candidates
       .orderBy(col("__skey").desc, col(idCol))
       .limit(k)
       .withColumn("sample_rank", row_number().over(

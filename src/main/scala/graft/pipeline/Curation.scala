@@ -55,9 +55,11 @@ object Curation {
       // quality-aware keepers: (id, score) — when present, the near-dup
       // and semantic stages keep each cluster's HIGHEST-scoring member
       // ([[graft.dedup.Dedup.keepBestPerGroup]]; ties by lowest id)
-      // instead of the minimum id; must cover every doc_id (the join is
-      // inner — an unscored member would silently vanish). The exact
-      // stage stays keep-min-id: byte-identical text has identical score.
+      // instead of the minimum id; must cover every doc_id — a grouped id
+      // with no score FAILS LOUDLY (keepBestPerGroup raises), because an
+      // unscored member that is neither keeper nor drop would silently
+      // survive curation. The exact stage stays keep-min-id:
+      // byte-identical text has identical score.
       keeperScores: Option[DataFrame] = None): DataFrame = {
     def dropsFrom(pairs: DataFrame): DataFrame = {
       val groups = Dedup.connectedComponents(pairs)

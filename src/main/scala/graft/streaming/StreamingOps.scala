@@ -2689,17 +2689,28 @@ object StreamingOps {
     * unchanged heavy-hitter dir O(k) instead of O(corpus) while keeping
     * the exact-or-throw contract: a proof failure propagates out of
     * `compute` before anything is cached.
+    *
+    * The returned DataFrame is a LOCAL relation — the ≤ (groups × k)
+    * cached rows collected eagerly — never a lazy scan over
+    * `$cacheDir/rows`: a later recompute deletes + renames that directory
+    * underneath, so a returned-but-not-yet-consumed lazy handle could
+    * read torn state. Collecting is O(groups × k), the same bound the
+    * cache itself guarantees.
     */
   private def hhCachedRecount(spark: SparkSession, indexDir: String,
       key: String)(compute: => DataFrame): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val cacheDir = s"$indexDir/cache"
     val keyPath = s"$cacheDir/_key"
+    def localized(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
     val stored =
       if (graft.io.HadoopIO.exists(keyPath, hconf))
         scala.util.Try(graft.io.HadoopIO.read(keyPath, hconf)(_.readUTF())).toOption
       else None
-    if (stored.contains(key)) spark.read.parquet(s"$cacheDir/rows")
+    if (stored.contains(key)) localized(spark.read.parquet(s"$cacheDir/rows"))
     else {
       val result = compute
       val tmp = s"$indexDir/cache.tmp"
@@ -2708,7 +2719,7 @@ object StreamingOps {
       graft.io.HadoopIO.write(s"$tmp/_key", hconf)(_.writeUTF(key))
       graft.io.HadoopIO.delete(cacheDir, hconf)
       graft.io.HadoopIO.rename(tmp, cacheDir, hconf)
-      spark.read.parquet(s"$cacheDir/rows")
+      localized(spark.read.parquet(s"$cacheDir/rows"))
     }
   }
 

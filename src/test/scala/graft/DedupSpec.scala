@@ -767,6 +767,43 @@ class DedupSpec extends SparkTestBase {
     assert(again === Map(1L -> 1L, 10L -> 1L))
   }
 
+  test("keepBestPerGroup fails loudly on an unscored grouped id (never silently drops it)") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "group_id")
+    val partial = Seq((1L, 5.0), (3L, 9.0)).toDF("id", "score") // id 2 unscored
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val ex = intercept[Exception](
+      Dedup.keepBestPerGroup(groups, partial).collect())
+    assert(messages(ex).exists(_.contains("no score")), messages(ex).mkString("; "))
+  }
+
+  test("curate(keeperScores) fails loudly when a near-dup group member is unscored") {
+    // two near-identical docs form one LSH group; the scores table misses
+    // doc 2 — before the fail-loud contract it was neither keeper nor
+    // drop and silently survived curation
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "through the quiet green field near the old stone bridge every single " +
+      "morning before the bright sun rises above the distant eastern hills"
+    val docs = Seq((1L, s"$base today"), (2L, s"$base again"),
+      (3L, "totally different words about unrelated engine internals entirely"))
+      .toDF("doc_id", "text")
+    val emb = Seq((1L, Array.fill(4)(1f)), (2L, Array.fill(4)(1f)),
+      (3L, Array.fill(4)(1f))).toDF("vec_id", "embedding")
+    val partial = Seq((1L, 0.9), (3L, 0.5)).toDF("id", "score") // doc 2 unscored
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val ex = intercept[Exception](
+      graft.pipeline.Curation.curate(docs, emb, minQuality = 0.0,
+        nearDupThreshold = Some(0.5), keeperScores = Some(partial)).collect())
+    assert(messages(ex).exists(_.contains("no score")), messages(ex).mkString("; "))
+    // full coverage: the same pipeline completes and keeps the best member
+    val full = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5)).toDF("id", "score")
+    val kept = graft.pipeline.Curation.curate(docs, emb, minQuality = 0.0,
+        nearDupThreshold = Some(0.5), keeperScores = Some(full))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(2L) && !kept.contains(1L), s"kept=$kept")
+  }
+
   test("removeDuplicateSpansKeepFirst keeps the canonical copy, cuts the rest") {
     val para = (0 until 12).map(i => s"p$i").mkString(" ")
     // doc 1 owns the canonical copy (lowest (doc_id, pos)); docs 2 and 3
@@ -792,6 +829,27 @@ class DedupSpec extends SparkTestBase {
     val all = Dedup.removeDuplicateSpans(docs, n = 8)
       .as[(Long, String)].collect().toMap
     assert(all(1L) === "alpha beta gamma")
+  }
+
+  test("removeDuplicateSpansKeepFirst preserves STRING doc ids (planted duplicates are cut)") {
+    // regression: a cast(idCol as long) turned string ids into nulls, the
+    // join back never matched, and every doc silently passed through uncut
+    val para = (0 until 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      ("docA", s"$para alpha beta gamma"),
+      ("docB", s"lead in words $para tail"),
+      ("docC", s"x0 x1 x2 $para y0")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpansKeepFirst(docs, n = 8)
+      .as[(String, String)].collect().toMap
+    // "docA" is the lexicographically-first (doc_id, pos) — canonical
+    assert(got("docA") === s"$para alpha beta gamma")
+    assert(got("docB") === "lead in words tail")
+    assert(got("docC") === "x0 x1 x2 y0")
+    // and the cut-all sibling keeps behaving identically on string ids
+    val all = Dedup.removeDuplicateSpans(docs, n = 8)
+      .as[(String, String)].collect().toMap
+    assert(all("docA") === "alpha beta gamma")
   }
 
   test("removeContaminationSpans cuts exactly the reported benchmark spans") {

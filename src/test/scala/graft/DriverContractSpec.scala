@@ -21,6 +21,18 @@ class DriverContractSpec extends SparkTestBase {
     assert(q.diff(o) === Set.empty[String])
   }
 
+  test("SURVEY.md's 'Full catalog: N query keys' matches SparkEntry.queries.size") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val m = """Full catalog:\s*(\d+) query keys, (\d+) DuckDB-oracled""".r
+      .findFirstMatchIn(survey)
+      .getOrElse(fail("SURVEY.md lacks the 'Full catalog: N query keys, N DuckDB-oracled' line"))
+    assert(m.group(1).toInt === SparkEntry.queries.size,
+      "SURVEY.md's catalog count drifted from SparkEntry.queries — update the prose")
+    assert(m.group(2).toInt === SparkEntry.oracleSql.size,
+      "SURVEY.md's oracled count drifted from SparkEntry.oracleSql — update the prose")
+  }
+
   test("all queries execute against sf0.001 (cold smallest-SF run)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()

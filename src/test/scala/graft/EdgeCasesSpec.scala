@@ -419,6 +419,17 @@ class EdgeCasesSpec extends SparkTestBase {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(ex).exists(_.contains("non-positive weight")))
+    // the large-k approxQuantile pre-filter path (forced via
+    // prefilterAbove = 1) selects the IDENTICAL set in the identical
+    // order — the threshold only discards rows strictly below the k-th key
+    val pre = graft.ops.Sampling
+      .sampleWeighted(df.repartition(5), "doc_id", "w", k = 50, prefilterAbove = 1)
+      .orderBy("sample_rank").select("doc_id").as[Long].collect().toSeq
+    assert(pre === expect)
+    // k >= total rows through the pre-filter path: everything survives
+    val all = graft.ops.Sampling
+      .sampleWeighted(df, "doc_id", "w", k = 500, prefilterAbove = 1)
+    assert(all.count() === 400L)
   }
 
   test("hard negatives: the annulus filter excludes self and near-dups, keeps the nearest negative") {

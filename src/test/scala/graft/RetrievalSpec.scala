@@ -246,4 +246,22 @@ class RetrievalSpec extends SparkTestBase {
     assert(math.abs(p.getDouble(3) - 1.0) < 1e-12 &&
       math.abs(p.getDouble(4) - 1.0) < 1e-12 && math.abs(p.getDouble(5) - 1.0) < 1e-12)
   }
+
+  test("rank metrics: duplicate (qid,id) rows never double-count (recall/nDCG stay <= 1)") {
+    // q0 retrieves id 1 twice (ranks 1 and 3) and its single judgment row
+    // is itself duplicated — a naive join would fan out 2x2 and report
+    // recall 4.0; the deduped result must equal the clean-input answer
+    val dupResults = Seq((0L, 1L, 1), (0L, 1L, 3), (0L, 2L, 2)).toDF("qid", "id", "rank")
+    val dupRel = Seq((0L, 1L, 2.0), (0L, 1L, 2.0)).toDF("qid", "id", "rel")
+    val cleanResults = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("qid", "id", "rank")
+    val cleanRel = Seq((0L, 1L, 2.0)).toDF("qid", "id", "rel")
+    val got = graft.ops.RankMetrics.evaluate(dupResults, dupRel, k = 3).head()
+    val want = graft.ops.RankMetrics.evaluate(cleanResults, cleanRel, k = 3).head()
+    assert(got === want)
+    assert(got.getDouble(3) === 1.0 && got.getDouble(4) === 1.0 && got.getDouble(5) === 1.0)
+    // conflicting duplicate judgments keep the highest grade
+    val graded = Seq((0L, 1L, 1.0), (0L, 1L, 3.0)).toDF("qid", "id", "rel")
+    val g = graft.ops.RankMetrics.evaluate(cleanResults, graded, k = 3).head()
+    assert(g.getLong(1) === 1L && g.getDouble(5) === 1.0)
+  }
 }
