@@ -2905,8 +2905,10 @@ object StreamingOps {
     * double admission, which would double-count tokens and starve later
     * documents.
     *
-    * Per batch: one totals read (batches × sources rows, never the
-    * corpus), one per-source window over the BATCH's rows only (the
+    * Per batch: one totals read (batches-since-compaction × sources rows,
+    * never the corpus — [[compactTokenBudget]] folds the totals log so a
+    * long-lived stream's per-batch read stays bounded by the compaction
+    * cadence), one per-source window over the BATCH's rows only (the
     * batch operator's boundary-bucket machinery is unnecessary at
     * micro-batch size), two appends. Query with [[tokenBudgetAdmitted]].
     */
@@ -2971,8 +2973,13 @@ object StreamingOps {
       val sess = batch.sparkSession
       import sess.implicits._
       val conf = sess.sparkContext.hadoopConfiguration
+      // committed = present in the totals manifest (the commit marker) OR
+      // already folded away by compactTokenBudget (whose sidecar remembers
+      // folded batch ids exactly so a post-compaction replay of an old
+      // micro-batch cannot re-admit and double-count tokens)
       val committed = graft.io.Manifest.read(totalsDir, conf).getOrElse(Seq.empty)
-        .exists(_.name.startsWith(s"batch=$batchId/"))
+        .exists(_.name.startsWith(s"batch=$batchId/")) ||
+        foldedBatchIds(sess, indexDir).contains(batchId)
       if (!committed) {
         graft.io.HadoopIO.delete(s"$admittedDir/batch=$batchId", conf)
         graft.io.HadoopIO.delete(s"$totalsDir/batch=$batchId", conf)
@@ -3017,8 +3024,12 @@ object StreamingOps {
 
   /** The admitted set a [[tokenBudgetSink]] directory has committed:
     * (doc_id, source, n_tok), restricted to batches the TOTALS manifest
-    * (the commit marker) lists — a crashed half-committed batch's
-    * admitted rows are invisible until its redelivery commits them.
+    * (the commit marker) lists — plus batches [[compactTokenBudget]]'s
+    * sidecar records as folded into the compacted totals (compaction
+    * rewrites per-source sums only; the admitted rows stay where the
+    * batch committed them, so the admitted set is byte-identical before
+    * and after a compaction). A crashed half-committed batch's admitted
+    * rows are invisible until its redelivery commits them.
     */
   def tokenBudgetAdmitted(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
@@ -3030,7 +3041,8 @@ object StreamingOps {
     validateDelta(admittedDir, hconf)
     validateDelta(totalsDir, hconf)
     val committedBatches = graft.io.Manifest.read(totalsDir, hconf).get
-      .map(_.name.takeWhile(_ != '/')).toSet
+      .map(_.name.takeWhile(_ != '/')).toSet ++
+      foldedBatchIds(spark, indexDir).map(id => s"batch=$id")
     if (committedBatches.isEmpty)
       return Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tok")
     val committedFiles = graft.io.Manifest.read(admittedDir, hconf).get
@@ -3040,5 +3052,131 @@ object StreamingOps {
       return Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tok")
     spark.read.option("basePath", admittedDir).parquet(committedFiles: _*)
       .select("doc_id", "source", "n_tok")
+  }
+
+  /** Compact a [[tokenBudgetSink]] totals log: fold the per-batch
+    * per-source token sums into ONE merged `batch=compacted` totals
+    * directory, so the sink's per-batch prior-totals read stops growing
+    * with stream lifetime (one summary file instead of one per batch —
+    * the only maintained sink whose per-batch read cost was O(batches)).
+    * The admitted table is untouched: [[tokenBudgetAdmitted]] reads it
+    * wholesale either way (it IS the data), and the folded sidecar keeps
+    * its batches visible, so the admitted set is byte-identical across a
+    * compaction. Run while the admission stream is STOPPED.
+    *
+    * Replay safety (the [[compactHeavyHitters]] protocol exactly): the
+    * `folded` sidecar accumulates every batch id ever folded and lands
+    * BEFORE the destructive totals swap — a checkpoint-recovery
+    * redelivery of a pre-compaction micro-batch finds its id there and
+    * skips, instead of re-admitting documents the compacted totals
+    * already count (which would double-spend budget and starve later
+    * batches). A crash between the sidecar write and the swap leaves
+    * batches both listed and still present — the sink skips them either
+    * way; a crash inside the swap is resumed by the next call (the tmp
+    * is manifest-complete before the delete runs).
+    */
+  def compactTokenBudget(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(loadTokenBudgetMeta(spark, indexDir).isDefined,
+      s"no tb_meta sidecar under $indexDir — not a token-budget admission dir")
+    val totalsDir = s"$indexDir/totals"
+    val totalsTmp = s"$indexDir/totals.compact"
+    // resume a torn FOLDED-sidecar swap first: a missing live sidecar with
+    // a surviving tmp means the prior run crashed between its delete and
+    // rename — complete that rename before anything deletes the tmp, or
+    // the guard's only copy of the previously folded ids would be lost
+    if (!graft.io.HadoopIO.exists(s"$indexDir/folded", hconf) &&
+        graft.io.HadoopIO.exists(s"$indexDir/folded.tmp", hconf))
+      graft.io.HadoopIO.rename(s"$indexDir/folded.tmp", s"$indexDir/folded", hconf)
+    // resume a torn totals swap: a missing live dir means the tmp was
+    // manifest-complete before the delete ran
+    if (!graft.io.HadoopIO.exists(totalsDir, hconf)) {
+      require(graft.io.HadoopIO.exists(totalsTmp, hconf) &&
+        graft.io.Manifest.read(totalsTmp, hconf).isDefined,
+        s"$totalsDir is gone and $totalsTmp is absent or manifest-less — inconsistent state")
+      graft.io.HadoopIO.rename(totalsTmp, totalsDir, hconf)
+      return
+    }
+    graft.io.HadoopIO.delete(totalsTmp, hconf)
+    validateDelta(totalsDir, hconf)
+    if (graft.io.Manifest.read(totalsDir, hconf).get.isEmpty) return
+
+    // the replay guard must cover every numeric batch id being folded (and
+    // every id folded before), and must land before the destructive swap.
+    // Batch keys come straight off the totals manifest — the committed
+    // set, no Spark job, no uncommitted stray directory can leak in
+    val batchKeys = graft.io.Manifest.read(totalsDir, hconf).get
+      .map(_.name.takeWhile(_ != '/').stripPrefix("batch=")).distinct
+    val numericIds = batchKeys.filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong).toSet
+    // fold BEFORE the sidecar lands: a failure here leaves everything
+    // untouched. Per-source sums only — sources × 1 rows, never the corpus
+    val foldedTotals = hhReadManifested(spark, totalsDir)
+      .groupBy("source").agg(sum("batch_toks").as("batch_toks"))
+      .select(col("source"), col("batch_toks"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val allFolded = foldedBatchIds(spark, indexDir) ++ numericIds
+    // tmp + delete + rename, never overwrite-in-place: mode("overwrite")
+    // deletes then writes, so a crash inside it would lose every
+    // previously folded id and re-open the post-compaction double-count
+    // window. foldedBatchIds reads a surviving tmp, so every crash point
+    // in this swap keeps the guard intact.
+    val foldedTmp = s"$indexDir/folded.tmp"
+    graft.io.HadoopIO.delete(foldedTmp, hconf)
+    allFolded.toSeq.sorted.toDF("batch_id").coalesce(1).write.parquet(foldedTmp)
+    graft.io.HadoopIO.delete(s"$indexDir/folded", hconf)
+    graft.io.HadoopIO.rename(foldedTmp, s"$indexDir/folded", hconf)
+
+    // every committed batch wrote the "" sentinel row, so the fold always
+    // carries it — the compacted batch directory is never empty
+    foldedTotals.toSeq.toDF("source", "batch_toks")
+      .coalesce(1).write.parquet(s"$totalsTmp/batch=compacted")
+    writeDeltaManifest(totalsTmp, hconf)
+    graft.io.HadoopIO.delete(totalsDir, hconf)
+    graft.io.HadoopIO.rename(totalsTmp, totalsDir, hconf)
+  }
+
+  /** Number of totals batches a [[tokenBudgetSink]] dir has accumulated
+    * since its last compaction, measured from the totals completeness
+    * manifest alone — no data scan, no Spark job (the same
+    * manifest-only-gauge shape as [[heavyHittersSketchBatches]]). The
+    * sink's per-batch prior-totals read costs batches × sources rows, so
+    * this IS the per-batch-read-cost gauge.
+    */
+  def tokenBudgetTotalsBatches(spark: SparkSession, indexDir: String): Int = {
+    val entries = graft.io.Manifest.read(s"$indexDir/totals",
+      spark.sparkContext.hadoopConfiguration).getOrElse(
+      throw new IllegalStateException(
+        s"token-budget totals log at $indexDir/totals has no manifest — " +
+          "not a token-budget admission dir"))
+    entries.map(_.name.takeWhile(_ != '/')).distinct.size
+  }
+
+  /** [[compactTokenBudget]] gated on [[tokenBudgetTotalsBatches]]: the
+    * one-call maintenance form — fold the totals log only when more than
+    * `maxBatches` batch summaries have accumulated, so a scheduled job
+    * can invoke it unconditionally after every batch window and the
+    * per-batch read bound (batches × sources) is enforced by the
+    * maintenance loop rather than operator discipline. Returns (measured
+    * batch count, whether a compaction ran). Run while the admission
+    * stream is STOPPED, like the compaction itself.
+    */
+  def compactTokenBudgetIfNeeded(
+      spark: SparkSession,
+      indexDir: String,
+      maxBatches: Int = 64): (Int, Boolean) = {
+    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // a missing totals/ under a live token-budget dir is an interrupted
+    // compaction swap: compactTokenBudget IS the resume path — finish it
+    // unconditionally instead of throwing the gauge's misleading error
+    if (!graft.io.HadoopIO.exists(s"$indexDir/totals", hconf)) {
+      compactTokenBudget(spark, indexDir)
+      return (-1, true)
+    }
+    val batches = tokenBudgetTotalsBatches(spark, indexDir)
+    if (batches > maxBatches) { compactTokenBudget(spark, indexDir); (batches, true) }
+    else (batches, false)
   }
 }

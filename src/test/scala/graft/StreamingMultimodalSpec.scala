@@ -287,6 +287,70 @@ class StreamingIndexSpec extends SparkTestBase {
     StreamingOps.tokenBudgetSink(spark, dir2, budgets)
   }
 
+  test("token-budget compaction folds totals to one batch, keeps the admitted set identical, blocks folded replays") {
+    // s0 saturates mid-stream (budget 150 over 60 tokens/batch); s1 never
+    // does — post-compaction admission must keep honoring BOTH states
+    val budgets = Map("s0" -> 150L, "s1" -> 1000L)
+    def mkBatch(b: Int) = (0 until 40).map { i =>
+      ((b * 100 + i).toLong, s"s${i % 2}", "w1 w2 w3")
+    }.toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tb_compact").toString
+    val sink = StreamingOps.tokenBudgetSink(spark, dir, budgets)
+    (0 until 6).foreach(b => sink(mkBatch(b), b.toLong))
+    def admittedNow(): Seq[(Long, String, Long)] =
+      StreamingOps.tokenBudgetAdmitted(spark, dir)
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    val before = admittedNow()
+    // s0: 150/3 = 50 docs then saturated; s1: all 6 x 20 docs under budget
+    assert(before.count(_._2 == "s0") === 50)
+    assert(before.count(_._2 == "s1") === 120)
+    assert(StreamingOps.tokenBudgetTotalsBatches(spark, dir) === 6)
+    StreamingOps.compactTokenBudget(spark, dir)
+    assert(StreamingOps.tokenBudgetTotalsBatches(spark, dir) === 1)
+    assert(admittedNow() === before, "compaction changed the admitted set")
+    // a checkpoint-recovery replay of a FOLDED batch must not re-admit
+    sink(mkBatch(1), 1L)
+    assert(admittedNow() === before, "a folded-batch replay double-admitted")
+    // fresh post-compaction batches admit against the COMPACTED totals:
+    // s0 stays saturated, s1 keeps absorbing
+    sink(mkBatch(6), 6L)
+    val after = admittedNow()
+    assert(after.count(_._2 == "s0") === 50, "saturated source re-admitted after compaction")
+    assert(after.count(_._2 == "s1") === 140)
+    // re-compaction folds the fresh batch too, idempotently
+    StreamingOps.compactTokenBudget(spark, dir)
+    assert(StreamingOps.tokenBudgetTotalsBatches(spark, dir) === 1)
+    assert(admittedNow() === after)
+    // gate: measured-but-not-fired under threshold, fires over it
+    sink(mkBatch(7), 7L)
+    sink(mkBatch(8), 8L)
+    val (n1, fired1) = StreamingOps.compactTokenBudgetIfNeeded(spark, dir, maxBatches = 8)
+    assert(n1 === 3 && !fired1)
+    val (n2, fired2) = StreamingOps.compactTokenBudgetIfNeeded(spark, dir, maxBatches = 2)
+    assert(n2 === 3 && fired2)
+    assert(StreamingOps.tokenBudgetTotalsBatches(spark, dir) === 1)
+    val afterGate = admittedNow()
+    assert(afterGate.count(_._2 == "s0") === 50 && afterGate.count(_._2 == "s1") === 180)
+    // torn folded-sidecar swap: live gone, complete tmp survives — the
+    // replay guard must hold, and the next compaction resumes the rename
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/folded"),
+      java.nio.file.Paths.get(s"$dir/folded.tmp"))
+    sink(mkBatch(0), 0L)
+    assert(admittedNow() === afterGate, "torn sidecar swap lost the folded-batch replay guard")
+    StreamingOps.compactTokenBudget(spark, dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/folded")))
+    // torn totals swap: totals deleted after the manifest-complete tmp
+    // landed — the next compaction (or the gate) completes the rename
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/totals"),
+      java.nio.file.Paths.get(s"$dir/totals.compact"))
+    val (n3, fired3) = StreamingOps.compactTokenBudgetIfNeeded(spark, dir, maxBatches = 64)
+    assert(n3 === -1 && fired3)
+    assert(admittedNow() === afterGate)
+    assert(StreamingOps.tokenBudgetTotalsBatches(spark, dir) === 1)
+  }
+
   test("streaming mutations maintain persisted HNSW partitions (online insert path)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("hnsw_stream").toString
