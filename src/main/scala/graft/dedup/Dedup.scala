@@ -745,15 +745,25 @@ object Dedup {
     * unspillable aggregation row; the kernel re-expands islands lazily
     * (an iterator, never materialized) and its walk is identical to the
     * raw-anchor walk position-for-position, so exactness is untouched.
-    * The final doc-keyed join ships token arrays only for matched docs.
+    * The final doc-keyed join ships token arrays only for matched docs,
+    * SLICED per (pair, side) to the islands' reach envelope
+    * [min island start − maxExtend, max island end + n + maxExtend): a
+    * doc matched in 1,000 pairs ships 1,000 envelopes — each bounded by
+    * its shared runs — instead of 1,000 copies of its whole token array;
+    * the kernel runs in envelope coordinates and offsets its output
+    * back, and every boundary it can touch coincides with a cap the walk
+    * enforces anyway (left/right reach ≤ maxExtend per anchor), so the
+    * output is byte-identical to the unsliced form.
     * `maxAnchorFreq` is the skew
-    * guard: hashes occurring more than that many times corpus-wide are
-    * excised from the join (boilerplate n-grams would otherwise create
-    * quadratic pair blowup — they are [[duplicateLines]] /
-    * [[removeDuplicateSpans]] material, not pairwise-span material);
-    * when capped the guarantee applies to runs not built from excised
-    * grams. Docs shorter than n tokens never produce a ≥ n-token span
-    * and are skipped by the window verification.
+    * guard, ON BY DEFAULT (128): hashes occurring more than that many
+    * times corpus-wide are excised from the join — boilerplate n-grams
+    * (license headers, nav chrome) would otherwise create quadratic pair
+    * blowup under DEFAULT config; they are [[duplicateLines]] /
+    * [[removeDuplicateSpans]] material, not pairwise-span material. When
+    * capped the guarantee applies to runs not built from excised grams;
+    * pass `Int.MaxValue` to opt out on corpora known clean. Docs shorter
+    * than n tokens never produce a ≥ n-token span and are skipped by the
+    * window verification.
     *
     * Returns (doc_a, doc_b, a_start, a_end, b_start, b_end, span_len),
     * ends exclusive, token coordinates in the normalized (lowercased,
@@ -764,7 +774,7 @@ object Dedup {
       n: Int = 50,
       stride: Int = 1,
       maxExtend: Int = 200,
-      maxAnchorFreq: Int = Int.MaxValue,
+      maxAnchorFreq: Int = 128,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
@@ -793,19 +803,66 @@ object Dedup {
     val pairs = anchorIslands(
       left.join(right, Seq("h")).filter(col("doc_a") < col("doc_b")),
       "doc_a", "doc_b", stride)
-    pairs
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"), col("islands"))
-      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int, Int)])]
-      .flatMap { case (a, b, ta, tb, islands) =>
-        extendIslands(ta, tb, islands, n, stride, maxExtend).map { case (as0, ae, bs, be) =>
-          (a, b, as0.toLong, ae.toLong, bs.toLong, be.toLong, (ae - as0).toLong)
+    sliceToEnvelopes(pairs,
+      toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+      toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+      "doc_a", "doc_b", n, stride, maxExtend)
+      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int, Int)], Int, Int)]
+      .flatMap { case (a, b, ta, tb, islands, aLo, bLo) =>
+        val local = islands.map { case (diag, start, cnt) =>
+          (diag - aLo + bLo, start - aLo, cnt)
+        }
+        extendIslands(ta, tb, local, n, stride, maxExtend).map { case (as0, ae, bs, be) =>
+          (a, b, (as0 + aLo).toLong, (ae + aLo).toLong,
+            (bs + bLo).toLong, (be + bLo).toLong, (ae - as0).toLong)
         }
       }
       .toDF("doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "span_len")
       .filter(col("span_len") >= n + stride - 1)
   }
+
+  /** Join a pair/islands table against per-doc token arrays and slice
+    * each side to its islands' REACH ENVELOPE — the interval the
+    * extension kernel can possibly touch: anchors span
+    * [min start, max start + (cnt−1)·stride + n) and every left/right
+    * walk is capped at `maxExtend` tokens per anchor, so
+    * [min − maxExtend, max + maxExtend) clamped to the array bounds what
+    * the walk can read. Shipping envelopes instead of whole arrays keeps
+    * the per-pair join payload O(shared runs): a doc matched in 1,000
+    * pairs no longer ships its full token array 1,000×. The slice
+    * boundaries are only reachable exactly when the kernel's own
+    * per-anchor `maxExtend` cap (or a real array edge, when the clamp
+    * binds) stops the walk at the same step, so envelope-local execution
+    * is position-for-position identical to the unsliced form.
+    *
+    * Returns (leftId, rightId, ta, tb, islands, __alo, __blo) with ta/tb
+    * sliced and __alo/__blo the slice offsets the kernel must add back.
+    */
+  private def sliceToEnvelopes(
+      pairs: DataFrame,     // (leftId, rightId, islands)
+      leftToks: DataFrame,  // (leftId, ta)
+      rightToks: DataFrame, // (rightId, tb)
+      leftId: String, rightId: String, n: Int, stride: Int,
+      maxExtend: Int): DataFrame =
+    pairs
+      .withColumn("__alo", greatest(lit(0),
+        array_min(transform(col("islands"), i => i("_2"))) - maxExtend))
+      .withColumn("__ahi", array_max(transform(col("islands"),
+        i => i("_2") + (i("_3") - 1) * stride + lit(n))) + maxExtend)
+      .withColumn("__blo", greatest(lit(0),
+        array_min(transform(col("islands"), i => i("_2") - i("_1"))) - maxExtend))
+      .withColumn("__bhi", array_max(transform(col("islands"),
+        i => i("_2") + (i("_3") - 1) * stride + lit(n) - i("_1"))) + maxExtend)
+      .join(leftToks, Seq(leftId))
+      // slice the left side BEFORE the right-id shuffle: the sliced
+      // array, not the whole doc, is what crosses the wire per pair
+      .withColumn("ta", slice(col("ta"), col("__alo") + 1,
+        greatest(lit(0), least(col("__ahi"), size(col("ta"))) - col("__alo"))))
+      .join(rightToks, Seq(rightId))
+      .withColumn("tb", slice(col("tb"), col("__blo") + 1,
+        greatest(lit(0), least(col("__bhi"), size(col("tb"))) - col("__blo"))))
+      .select(col(leftId), col(rightId), col("ta"), col("tb"), col("islands"),
+        col("__alo"), col("__blo"))
 
   /** DECONTAMINATION FORENSICS — [[crossDocMaximalSpans]] across two
     * tables: for each (corpus doc, benchmark doc) pair, the maximal token
@@ -820,7 +877,12 @@ object Dedup {
     * and the same n + stride − 1 guaranteed-detection threshold makes
     * the output deterministic. A benchmark doc also present in the
     * corpus reports its full-length self-overlap — by design (that IS
-    * contamination).
+    * contamination). `maxAnchorFreq` (default ON at 128, corpus-side
+    * frequency) excises boilerplate grams that would fan the anchor join
+    * out quadratically, exactly as in [[crossDocMaximalSpans]]; the
+    * token arrays ship sliced to the islands' reach envelopes
+    * ([[sliceToEnvelopes]]), so a corpus doc overlapping many benchmark
+    * items ships envelopes, not whole-array copies.
     *
     * Returns (doc_id, bench_id, d_start, d_end, b_start, b_end,
     * span_len), ends exclusive, normalized-token coordinates.
@@ -831,7 +893,7 @@ object Dedup {
       n: Int = 13,
       stride: Int = 1,
       maxExtend: Int = 200,
-      maxAnchorFreq: Int = Int.MaxValue,
+      maxAnchorFreq: Int = 128,
       idCol: String = "doc_id",
       textCol: String = "text",
       benchIdCol: String = "bench_id",
@@ -867,14 +929,15 @@ object Dedup {
       tokens(col(textCol)).as("ta"))
     val bToks = bench.select(col(benchIdCol).cast("long").as("bench_id"),
       tokens(col(benchTextCol)).as("tb"))
-    pairs
-      .join(dToks, Seq("doc_id"))
-      .join(bToks, Seq("bench_id"))
-      .select(col("doc_id"), col("bench_id"), col("ta"), col("tb"), col("islands"))
-      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int, Int)])]
-      .flatMap { case (d, b, ta, tb, islands) =>
-        extendIslands(ta, tb, islands, n, stride, maxExtend).map { case (ds, de, bs, be) =>
-          (d, b, ds.toLong, de.toLong, bs.toLong, be.toLong, (de - ds).toLong)
+    sliceToEnvelopes(pairs, dToks, bToks, "doc_id", "bench_id", n, stride, maxExtend)
+      .as[(Long, Long, Array[String], Array[String], Array[(Int, Int, Int)], Int, Int)]
+      .flatMap { case (d, b, ta, tb, islands, dLo, bLo) =>
+        val local = islands.map { case (diag, start, cnt) =>
+          (diag - dLo + bLo, start - dLo, cnt)
+        }
+        extendIslands(ta, tb, local, n, stride, maxExtend).map { case (ds, de, bs, be) =>
+          (d, b, (ds + dLo).toLong, (de + dLo).toLong,
+            (bs + bLo).toLong, (be + bLo).toLong, (de - ds).toLong)
         }
       }
       .toDF("doc_id", "bench_id", "d_start", "d_end", "b_start", "b_end", "span_len")
@@ -907,7 +970,7 @@ object Dedup {
       n: Int = 13,
       stride: Int = 1,
       maxExtend: Int = 200,
-      maxAnchorFreq: Int = Int.MaxValue,
+      maxAnchorFreq: Int = 128,
       idCol: String = "doc_id",
       textCol: String = "text",
       benchIdCol: String = "bench_id",

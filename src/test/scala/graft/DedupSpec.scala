@@ -958,6 +958,45 @@ class DedupSpec extends SparkTestBase {
     assert(gotTiny === want)
   }
 
+  test("cross-doc span skew guard is ON by default: a 1k-doc license-header corpus completes linearly") {
+    // every doc opens with the same 20-token license header — under the
+    // old default (no cap) the anchor join fans out to ~500k pairs; the
+    // default maxAnchorFreq=128 excises the header grams (freq 1000),
+    // keeping the join linear and the pairwise output empty (boilerplate
+    // is removeDuplicateSpans/duplicateLines material, not span material)
+    val header = (0 until 20).map(i => s"lic$i").mkString(" ")
+    // docs 7 and 13 additionally share a UNIQUE 25-token passage (freq 2,
+    // far under the cap) — the guard must NOT swallow a legit pair
+    val passage = (0 until 25).map(i => s"pz$i").mkString(" ")
+    val docs = (0 until 1000).map { i =>
+      val tail = if (i == 7 || i == 13) passage
+        else (0 until 25).map(j => s"u${i}x$j").mkString(" ")
+      (i.toLong, s"$header $tail")
+    }.toDF("doc_id", "text")
+    // docs 7 and 13 are identical (header + passage): the excised header
+    // anchors cost no exactness because extension from the surviving
+    // straddle anchors walks the matching header tokens back to 0 — the
+    // FULL 45-token shared run is reported; header-only pairs (no
+    // surviving anchor at all) are not
+    val got = Dedup.crossDocMaximalSpans(docs, n = 10, stride = 2, maxExtend = 30)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 13L, 0L, 45L, 0L, 45L, 45L)))
+    // contaminationSpans: the header in the benchmark is excised by the
+    // corpus-side frequency guard for header-only docs; the two docs
+    // carrying the uniquely-quoted passage are found with exact bounds
+    val bench = Seq((1L, s"$header $passage")).toDF("bench_id", "text")
+    val spans = Dedup.contaminationSpans(docs, bench, n = 10, stride = 2, maxExtend = 30)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(spans === Seq(
+      (7L, 1L, 0L, 45L, 0L, 45L, 45L),
+      (13L, 1L, 0L, 45L, 0L, 45L, 45L)))
+    // explicit opt-out on a small slice still reports every header pair
+    val small = docs.filter(col("doc_id") < 10)
+    val optOut = Dedup.crossDocMaximalSpans(small, n = 10, stride = 2,
+      maxExtend = 30, maxAnchorFreq = Int.MaxValue)
+    assert(optOut.count() === 45L) // C(10,2): every pair shares the header
+  }
+
   test("contamination spans: exact benchmark positions inside corpus docs, straddling grid") {
     val benchText = (0 until 40).map(i => s"b$i").mkString(" ")
     // corpus doc 5 quotes bench positions [7, 31) after a 2-token preamble
