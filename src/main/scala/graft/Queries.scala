@@ -417,7 +417,8 @@ object Queries {
         .select(col("qid"), col("n_relevant"), col("n_hits"),
           round(col("recall_at_k"), 4).as("recall_at_k"),
           round(col("mrr_at_k"), 4).as("mrr_at_k"),
-          round(col("ndcg_at_k"), 4).as("ndcg_at_k"))
+          round(col("ndcg_at_k"), 4).as("ndcg_at_k"),
+          round(col("ap_at_k"), 4).as("ap_at_k"))
         .orderBy("qid")
     }),
     "knn_cosine" -> ((spark, dir) => {
@@ -2576,6 +2577,20 @@ object Queries {
         .orderBy("sample_rank")
     }),
 
+    // The LARGE-k regime of the same operator: prefilterAbove = 1 forces
+    // the approxQuantile key-threshold pre-filter (the path a 10⁷-row
+    // selection takes at corpus scale), and the DuckDB oracle is the
+    // identical A-Res closed form — proving the pre-filter changes
+    // NOTHING about which rows are selected or their order.
+    "sample_weighted_large" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      graft.ops.Sampling.sampleWeighted(docs, "doc_id", "n_chars", k = 200,
+          prefilterAbove = 1)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("sample_rank")
+    }),
+
     // Per-source quota cap (C4-style domain quotas): ≤ 150 docs per source,
     // survivors chosen deterministically by (md5 bucket, doc_id) — which
     // rows survive is a pure function of ids, identical across engines
@@ -2608,6 +2623,32 @@ object Queries {
       val idxDir = java.nio.file.Files.createTempDirectory("stream_tb_idx").toString
       val sink = graft.streaming.StreamingOps.tokenBudgetSink(spark, idxDir,
         Map("src0" -> 800L, "src1" -> 1200L, "src3" -> 0L, "src5" -> 1000000L))
+      withStreamParts(spark) {
+        sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+        sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+      }
+      graft.streaming.StreamingOps.tokenBudgetAdmitted(spark, idxDir)
+        .orderBy("doc_id")
+    }),
+
+    // The budgets-as-DataFrame sink form at HIGH source cardinality:
+    // EVERY source gets a budget DERIVED FROM THE DATA (45% of the
+    // source's own token mass, floored) — the "keep X% of each domain"
+    // admission knob, a budgets table too large / too dynamic to
+    // hand-list as a Map. Same two-batch parity protocol; the oracle
+    // computes the same budgets in a subquery and replays the one-window
+    // cumulative form (admission-prefix equivalence proven general:
+    // once a source's cumulative crosses its budget every later row is
+    // rejected on both sides, so admitted-only prior totals and the
+    // global window agree on every corpus).
+    "stream_token_budget_df" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "source", "text")
+      val budgets = docs
+        .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .groupBy("source")
+        .agg(floor(sum("n_tok").cast("double") * 0.45).cast("long").as("budget"))
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_tbdf_idx").toString
+      val sink = graft.streaming.StreamingOps.tokenBudgetSinkDF(spark, idxDir, budgets)
       withStreamParts(spark) {
         sink(docs.filter(col("doc_id") % 2 === 0), 0L)
         sink(docs.filter(col("doc_id") % 2 === 1), 1L)
@@ -4122,16 +4163,21 @@ object Queries {
          |            sum(CASE WHEN rn <= 10 THEN (pow(2, rel) - 1) / log2(rn + 1) ELSE 0 END) AS idcg
          |          FROM (SELECT qid, id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn FROM rel)
          |          GROUP BY qid),
-         |perq AS (SELECT res.qid,
-         |           sum(CASE WHEN rel.rel IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
-         |           min(CASE WHEN rel.rel IS NOT NULL THEN res.rank END) AS first_hit,
-         |           sum(CASE WHEN rel.rel IS NOT NULL THEN (pow(2, rel.rel) - 1) / log2(res.rank + 1) ELSE 0 END) AS dcg
-         |         FROM res LEFT JOIN rel ON res.qid = rel.qid AND res.id = rel.id
-         |         GROUP BY res.qid)
+         |cum AS (SELECT res.qid, res.rank, rel.rel,
+         |          sum(CASE WHEN rel.rel IS NOT NULL THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY res.qid ORDER BY res.rank) AS cumh
+         |        FROM res LEFT JOIN rel ON res.qid = rel.qid AND res.id = rel.id),
+         |perq AS (SELECT qid,
+         |           sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+         |           min(CASE WHEN rel IS NOT NULL THEN rank END) AS first_hit,
+         |           sum(CASE WHEN rel IS NOT NULL THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END) AS dcg,
+         |           sum(CASE WHEN rel IS NOT NULL THEN cumh::DOUBLE / rank END) AS apsum
+         |         FROM cum GROUP BY qid)
          |SELECT p.qid, CAST(i.n_relevant AS BIGINT) AS n_relevant, CAST(p.n_hits AS BIGINT) AS n_hits,
          |  round(p.n_hits::DOUBLE / i.n_relevant, 4) AS recall_at_k,
          |  round(coalesce(1.0 / p.first_hit, 0.0), 4) AS mrr_at_k,
-         |  round(CASE WHEN i.idcg = 0 THEN 0.0 ELSE p.dcg / i.idcg END, 4) AS ndcg_at_k
+         |  round(CASE WHEN i.idcg = 0 THEN 0.0 ELSE p.dcg / i.idcg END, 4) AS ndcg_at_k,
+         |  round(coalesce(p.apsum, 0.0) / least(i.n_relevant, 10), 4) AS ap_at_k
          |FROM perq p JOIN ideal i USING (qid) ORDER BY qid""".stripMargin,
     "knn_bruteforce" -> knnOracle(duckEuclid, 5, 10),
     "knn_cosine" -> knnOracle(duckCosine, 3, 5),
@@ -4460,6 +4506,17 @@ object Queries {
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |  row_number() OVER (ORDER BY skey DESC, doc_id) AS sample_rank
         |FROM k ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+    // identical closed form — the pre-filter path must select the same
+    // rows in the same order as the direct path
+    "sample_weighted_large" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)
+        |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  row_number() OVER (ORDER BY skey DESC, doc_id) AS sample_rank
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
@@ -4508,6 +4565,23 @@ object Queries {
         |WHERE cum - tok < CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
         |  WHEN 'src3' THEN 0 ELSE 1000000 END
         |ORDER BY doc_id""".stripMargin,
+    // budgets derived in a subquery (45% of each source's token mass);
+    // otherwise the identical one-window cumulative replay
+    "stream_token_budget_df" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |  CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS b,
+        |  doc_id % 2 AS batch
+        |  FROM documents),
+        |bud AS (SELECT source, CAST(floor(CAST(sum(tok) AS DOUBLE) * 0.45) AS BIGINT) AS budget
+        |  FROM tk GROUP BY source),
+        |c AS (SELECT doc_id, source, tok,
+        |  sum(tok) OVER (PARTITION BY source ORDER BY batch, b, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT c.doc_id, c.source, c.tok AS n_tok FROM c JOIN bud USING (source)
+        |WHERE c.cum - c.tok < bud.budget
+        |ORDER BY c.doc_id""".stripMargin,
     "sample_token_budget_df" ->
       """WITH tk AS (SELECT doc_id, source,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,

@@ -22,12 +22,40 @@ object BpeKernel {
   private def table(spec: String): Map[(String, String), Int] =
     tables.computeIfAbsent(spec, s => graft.text.Bpe.loadMerges(s.split("\n", -1)))
 
+  /** Pretoken → pieces memo (the cache every production BPE tokenizer
+    * ships): natural-language pretokens are Zipf-distributed, so the
+    * quadratic-ish merge loop runs once per DISTINCT pretoken per
+    * executor instead of once per occurrence. Keyed by (spec, pretoken);
+    * BOUNDED — an adversarial corpus of unique pretokens stops inserting
+    * at the cap instead of growing executor memory, and encodes exactly
+    * as before. Values are the already-UTF8-encoded piece arrays, shared
+    * (never mutated) across rows.
+    */
+  private val pieceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[UTF8String]]()
+  private val MaxCacheEntries = 1 << 16
+
+  private def encodeCached(pretoken: String, spec: String,
+      ranks: Map[(String, String), Int]): Array[UTF8String] = {
+    val key = (spec, pretoken)
+    val hit = pieceCache.get(key)
+    if (hit != null) hit
+    else {
+      val ps = graft.text.Bpe.encodeTokens(pretoken, ranks)
+      val enc = new Array[UTF8String](ps.length)
+      var i = 0
+      while (i < ps.length) { enc(i) = UTF8String.fromString(ps(i)); i += 1 }
+      if (pieceCache.size < MaxCacheEntries) pieceCache.put(key, enc)
+      enc
+    }
+  }
+
   /** One pretokenize pass; per-pretoken BPE encode; summed token count. */
   def count(text: UTF8String, spec: String): Long = {
     val ranks = table(spec)
     val m = pattern.matcher(text.toString)
     var total = 0L
-    while (m.find()) total += graft.text.Bpe.countTokens(m.group(), ranks)
+    while (m.find()) total += encodeCached(m.group(), spec, ranks).length
     total
   }
 
@@ -38,9 +66,9 @@ object BpeKernel {
     val m = pattern.matcher(text.toString)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     while (m.find()) {
-      val ps = graft.text.Bpe.encodeTokens(m.group(), ranks)
+      val ps = encodeCached(m.group(), spec, ranks)
       var i = 0
-      while (i < ps.length) { out += UTF8String.fromString(ps(i)); i += 1 }
+      while (i < ps.length) { out += ps(i); i += 1 }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }

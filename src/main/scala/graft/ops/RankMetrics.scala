@@ -22,17 +22,24 @@ object RankMetrics {
     * relevant), both truncated to the top `k` ranks.
     *
     * Returns one row per qid present in `results`:
-    * (qid, n_relevant, n_hits, recall_at_k, mrr_at_k, ndcg_at_k).
-    * recall@k = hits / n_relevant; MRR@k = 1/first relevant rank (0 if
-    * none); nDCG@k = DCG over the retrieved list / DCG of the ideal
-    * (relevance-sorted) list truncated at k. Queries with NO relevant
-    * documents score 0 everywhere (they cannot be retrieved well or
-    * badly; filter on n_relevant to exclude them from averages — a
-    * silent drop here would skew macro-averages unnoticed).
+    * (qid, n_relevant, n_hits, recall_at_k, mrr_at_k, ndcg_at_k,
+    * ap_at_k). recall@k = hits / n_relevant; MRR@k = 1/first relevant
+    * rank (0 if none); nDCG@k = DCG over the retrieved list / DCG of the
+    * ideal (relevance-sorted) list truncated at k; AP@k = the standard
+    * binary average precision — Σ over hit ranks r of precision@r,
+    * normalized by min(n_relevant, k) (TREC convention: a perfect top-k
+    * scores 1 even when n_relevant > k), with rel > 0 counting as
+    * relevant ([[summarize]]'s mean of this column is MAP@k). Tied ranks
+    * use a RANGE cumulative frame, so precision at a tie counts all
+    * peers — deterministic regardless of layout. Queries with NO
+    * relevant documents score 0 everywhere (they cannot be retrieved
+    * well or badly; filter on n_relevant to exclude them from averages —
+    * a silent drop here would skew macro-averages unnoticed).
     *
     * Scale shape: one (qid, id) equi-join, per-qid partial aggregations,
-    * and one window over the RELEVANCE table per qid (bounded by the
-    * judgment-list length, never the corpus) for the ideal DCG. Nothing
+    * and one window each over the RELEVANCE table (ideal DCG, bounded by
+    * the judgment-list length) and the top-k RESULT rows (cumulative
+    * hits for AP, ≤ k rows per qid) — never the corpus. Nothing
     * driver-resident; metrics for a million queries are one more
     * qid-keyed aggregate.
     */
@@ -68,12 +75,19 @@ object RankMetrics {
         count(lit(1)).as("n_relevant"),
         sum(when(col("__rn") <= k, gain(col("__rel")) / discount(col("__rn")))
           .otherwise(0.0)).as("__idcg"))
+    // cumulative hit count along the ranked list (RANGE frame: ties are
+    // peers) — the precision@r numerator AP sums over hit positions
+    val wRank = Window.partitionBy("qid").orderBy("__rank")
     val perQ = res.join(rel, Seq("qid", "id"), "left")
+      .withColumn("__hit", when(col("__rel").isNotNull, 1L).otherwise(0L))
+      .withColumn("__cumhits", sum("__hit").over(wRank))
       .groupBy("qid").agg(
-        sum(when(col("__rel").isNotNull, 1L).otherwise(0L)).as("n_hits"),
-        min(when(col("__rel").isNotNull, col("__rank"))).as("__first_hit"),
-        sum(when(col("__rel").isNotNull, gain(col("__rel")) / discount(col("__rank")))
-          .otherwise(0.0)).as("__dcg"))
+        sum(col("__hit")).as("n_hits"),
+        min(when(col("__hit") === 1, col("__rank"))).as("__first_hit"),
+        sum(when(col("__hit") === 1, gain(col("__rel")) / discount(col("__rank")))
+          .otherwise(0.0)).as("__dcg"),
+        sum(when(col("__hit") === 1,
+          col("__cumhits").cast("double") / col("__rank"))).as("__apsum"))
     perQ.join(idealAgg, Seq("qid"), "left")
       .select(
         col("qid"),
@@ -84,13 +98,17 @@ object RankMetrics {
         when(col("__first_hit").isNull, 0.0)
           .otherwise(lit(1.0) / col("__first_hit")).as("mrr_at_k"),
         when(coalesce(col("__idcg"), lit(0.0)) === 0.0, 0.0)
-          .otherwise(col("__dcg") / col("__idcg")).as("ndcg_at_k"))
+          .otherwise(col("__dcg") / col("__idcg")).as("ndcg_at_k"),
+        when(coalesce(col("n_relevant"), lit(0L)) === 0, 0.0)
+          .otherwise(coalesce(col("__apsum"), lit(0.0)) /
+            least(col("n_relevant"), lit(k.toLong)).cast("double")).as("ap_at_k"))
   }
 
   /** Corpus-level macro averages of [[evaluate]] (queries weighted
     * equally), excluding zero-relevance queries by default — the number a
-    * tuning loop actually reads. Returns one row:
-    * (n_queries, recall_at_k, mrr_at_k, ndcg_at_k).
+    * tuning loop actually reads. `map_at_k` is the mean of the per-query
+    * average precision (MAP in the TREC sense). Returns one row:
+    * (n_queries, recall_at_k, mrr_at_k, ndcg_at_k, map_at_k).
     */
   def summarize(perQuery: DataFrame, includeZeroRelevance: Boolean = false): DataFrame = {
     val base = if (includeZeroRelevance) perQuery
@@ -99,6 +117,7 @@ object RankMetrics {
       count(lit(1)).as("n_queries"),
       avg("recall_at_k").as("recall_at_k"),
       avg("mrr_at_k").as("mrr_at_k"),
-      avg("ndcg_at_k").as("ndcg_at_k"))
+      avg("ndcg_at_k").as("ndcg_at_k"),
+      avg("ap_at_k").as("map_at_k"))
   }
 }

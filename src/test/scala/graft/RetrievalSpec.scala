@@ -230,21 +230,34 @@ class RetrievalSpec extends SparkTestBase {
     assert(math.abs(got(0L).getDouble(3) - 2.0 / 3) < 1e-12)
     assert(math.abs(got(0L).getDouble(4) - 0.5) < 1e-12)
     assert(math.abs(got(0L).getDouble(5) - dcg0 / idcg0) < 1e-12)
+    // AP@3 for q0: hits at ranks 2 (cum 1) and 3 (cum 2) ->
+    // (1/2 + 2/3) / min(3, 3) = 7/18
+    assert(math.abs(got(0L).getDouble(6) - 7.0 / 18) < 1e-12)
     assert(got(1L).getLong(1) === 0L && got(1L).getDouble(3) === 0.0 &&
-      got(1L).getDouble(4) === 0.0 && got(1L).getDouble(5) === 0.0)
+      got(1L).getDouble(4) === 0.0 && got(1L).getDouble(5) === 0.0 &&
+      got(1L).getDouble(6) === 0.0)
     assert(got(2L).getLong(1) === 1L && got(2L).getLong(2) === 0L &&
-      got(2L).getDouble(3) === 0.0 && got(2L).getDouble(5) === 0.0)
+      got(2L).getDouble(3) === 0.0 && got(2L).getDouble(5) === 0.0 &&
+      got(2L).getDouble(6) === 0.0)
     // summary excludes the zero-relevance query by default
     val s = graft.ops.RankMetrics.summarize(
       graft.ops.RankMetrics.evaluate(results, relevance, k = 3)).head()
     assert(s.getLong(0) === 2L)
     assert(math.abs(s.getDouble(1) - (2.0 / 3 + 0.0) / 2) < 1e-12)
+    assert(math.abs(s.getDouble(4) - (7.0 / 18 + 0.0) / 2) < 1e-12) // MAP@3
     // perfect retrieval scores 1.0 everywhere
     val perfect = Seq((9L, 1L, 1), (9L, 2L, 2)).toDF("qid", "id", "rank")
     val prel = Seq((9L, 1L, 2.0), (9L, 2L, 1.0)).toDF("qid", "id", "rel")
     val p = graft.ops.RankMetrics.evaluate(perfect, prel, k = 3).head()
     assert(math.abs(p.getDouble(3) - 1.0) < 1e-12 &&
-      math.abs(p.getDouble(4) - 1.0) < 1e-12 && math.abs(p.getDouble(5) - 1.0) < 1e-12)
+      math.abs(p.getDouble(4) - 1.0) < 1e-12 && math.abs(p.getDouble(5) - 1.0) < 1e-12 &&
+      math.abs(p.getDouble(6) - 1.0) < 1e-12)
+    // TREC normalization: n_relevant beyond k cannot push a perfect top-k
+    // below 1 — denominator is min(n_relevant, k)
+    val manyRel = Seq((9L, 1L, 1.0), (9L, 2L, 1.0), (9L, 3L, 1.0), (9L, 4L, 1.0),
+      (9L, 5L, 1.0)).toDF("qid", "id", "rel")
+    val pm = graft.ops.RankMetrics.evaluate(perfect, manyRel, k = 2).head()
+    assert(math.abs(pm.getDouble(6) - 1.0) < 1e-12)
   }
 
   test("rank metrics: duplicate (qid,id) rows never double-count (recall/nDCG stay <= 1)") {
