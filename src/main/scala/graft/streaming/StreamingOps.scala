@@ -2478,10 +2478,11 @@ object StreamingOps {
               docs.write.parquet(s"$docsDir/batch=$batchId")
               val mg = graft.text.HeavyHitters.ngrams(docs, n).as[String].rdd
                 .mapPartitions(it =>
-                  Iterator(graft.text.HeavyHitters.sketchPartition(it, m)))
-                .treeAggregate(graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))(
-                  (a, b) => graft.text.HeavyHitters.merge(a, b, m),
-                  (a, b) => graft.text.HeavyHitters.merge(a, b, m), depth = 2)
+                  Iterator(graft.text.HeavyHitters.sketchPartitionAcc(it, m)))
+                .treeAggregate(graft.text.HeavyHitters.MgAcc.empty)(
+                  (a, b) => a.mergeIn(b, m),
+                  (a, b) => a.mergeIn(b, m), depth = 2)
+                .toSummary
               mg.counts.toSeq.map { case (g, c) => (None, Option(g), c, mg.err, mg.total) } :+
                 ((None: Option[String]), (None: Option[String]), 0L, mg.err, mg.total)
             case Some(gc) =>
@@ -2491,10 +2492,11 @@ object StreamingOps {
               val mg = graft.text.HeavyHitters.ngramsByGroup(docs, n, "grp")
                 .as[(String, String)].rdd
                 .mapPartitions(it =>
-                  Iterator(graft.text.HeavyHitters.sketchPartitionByGroup(it, m)))
-                .treeAggregate(Map.empty[String, graft.text.HeavyHitters.MgSummary])(
-                  (a, b) => graft.text.HeavyHitters.mergeByGroup(a, b, m),
-                  (a, b) => graft.text.HeavyHitters.mergeByGroup(a, b, m), depth = 2)
+                  Iterator(graft.text.HeavyHitters.sketchPartitionByGroupAcc(it, m)))
+                .treeAggregate(graft.text.HeavyHitters.MgGroupAcc.empty)(
+                  (a, b) => a.mergeIn(b, m),
+                  (a, b) => a.mergeIn(b, m), depth = 2)
+                .toSummaries
               mg.toSeq.flatMap { case (grp, s) =>
                 s.counts.toSeq.map { case (g, c) => (Option(grp), Option(g), c, s.err, s.total) } :+
                   ((Option(grp), (None: Option[String]), 0L, s.err, s.total))

@@ -60,6 +60,9 @@ object HeavyHitters {
       import scala.jdk.CollectionConverters._
       MgSummary(c.asScala.toMap, err, total)
     }
+    /** Hand the internal map to a merge accumulator (the state is
+      * discarded after — no copy). */
+    def acc: MgAcc = new MgAcc(c, err, total)
   }
 
   /** One-pass MG over a partition. */
@@ -67,6 +70,95 @@ object HeavyHitters {
     val s = new MgState(m)
     while (it.hasNext) s.add(it.next())
     s.summary
+  }
+
+  /** [[sketchPartition]] returning the mutable accumulator — the
+    * tree-aggregate input (skips the per-partition immutable-map copy). */
+  def sketchPartitionAcc(it: Iterator[String], m: Int): MgAcc = {
+    val s = new MgState(m)
+    while (it.hasNext) s.add(it.next())
+    s.acc
+  }
+
+  /** The mergeable-summaries truncation: if over m keys, subtract the
+    * (m+1)-th largest value from every counter and drop the non-positive
+    * ones; returns the subtracted offset (it adds to the error bound
+    * exactly like a decrement round). No-op (returns 0) at ≤ m keys.
+    */
+  private def truncate(c: java.util.HashMap[String, Long], m: Int): Long =
+    if (c.size <= m) 0L
+    else {
+      val vals = new Array[Long](c.size)
+      var i = 0
+      val it0 = c.values().iterator()
+      while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val s = vals(c.size - m - 1) // (m+1)-th largest
+      val itr = c.entrySet().iterator()
+      while (itr.hasNext) {
+        val e = itr.next()
+        if (e.getValue <= s) itr.remove() else e.setValue(e.getValue - s)
+      }
+      s
+    }
+
+  /** Mutable merge accumulator for the tree-aggregate hot path: the same
+    * (counts, err, total) as [[MgSummary]] held in a mutable java map, so
+    * a tree of merges adds the SMALLER side into the larger in place
+    * instead of building a fresh immutable map per merge — the per-merge
+    * copy dominated the fold at groups × m entries (the grouped corpus
+    * report holds up to groups × 16k counters per partition summary).
+    * Merge math is [[truncate]]'s rule value-for-value, so the final
+    * [[toSummary]] is identical to a [[merge]] fold; HeavyHittersSpec
+    * asserts the equivalence on adversarial streams.
+    */
+  final class MgAcc(var counts: java.util.HashMap[String, Long],
+      var err: Long, var total: Long) extends Serializable {
+    /** Merge `b` into this accumulator and return THIS (the Spark
+      * aggregate contract: the first argument may be mutated and
+      * returned; `b` is consumed — its map may be stolen or drained). */
+    def mergeIn(b: MgAcc, m: Int): MgAcc = {
+      if (b.counts.size > counts.size) { val t = counts; counts = b.counts; b.counts = t }
+      val itr = b.counts.entrySet().iterator()
+      while (itr.hasNext) {
+        val e = itr.next()
+        counts.put(e.getKey, counts.getOrDefault(e.getKey, 0L) + e.getValue)
+      }
+      err += b.err
+      total += b.total
+      err += truncate(counts, m)
+      this
+    }
+    def toSummary: MgSummary = {
+      import scala.jdk.CollectionConverters._
+      MgSummary(counts.asScala.toMap, err, total)
+    }
+  }
+  object MgAcc {
+    def empty: MgAcc = new MgAcc(new java.util.HashMap[String, Long](), 0L, 0L)
+  }
+
+  /** Keyed [[MgAcc]]s — the grouped tree-aggregate accumulator. */
+  final class MgGroupAcc(var groups: java.util.HashMap[String, MgAcc])
+      extends Serializable {
+    def mergeIn(b: MgGroupAcc, m: Int): MgGroupAcc = {
+      if (b.groups.size > groups.size) { val t = groups; groups = b.groups; b.groups = t }
+      val itr = b.groups.entrySet().iterator()
+      while (itr.hasNext) {
+        val e = itr.next()
+        val mine = groups.get(e.getKey)
+        if (mine == null) groups.put(e.getKey, e.getValue)
+        else groups.put(e.getKey, mine.mergeIn(e.getValue, m))
+      }
+      this
+    }
+    def toSummaries: Map[String, MgSummary] = {
+      import scala.jdk.CollectionConverters._
+      groups.asScala.iterator.map { case (g, a) => (g, a.toSummary) }.toMap
+    }
+  }
+  object MgGroupAcc {
+    def empty: MgGroupAcc = new MgGroupAcc(new java.util.HashMap[String, MgAcc]())
   }
 
   /** Merge two summaries: sum counts, then — if over m keys — subtract the
@@ -78,21 +170,7 @@ object HeavyHitters {
     val c = new java.util.HashMap[String, Long](a.counts.size + b.counts.size)
     a.counts.foreach { case (g, v) => c.put(g, v) }
     b.counts.foreach { case (g, v) => c.put(g, c.getOrDefault(g, 0L) + v) }
-    var err = a.err + b.err
-    if (c.size > m) {
-      val vals = new Array[Long](c.size)
-      var i = 0
-      val it0 = c.values().iterator()
-      while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
-      java.util.Arrays.sort(vals)
-      val s = vals(c.size - m - 1) // (m+1)-th largest
-      err += s
-      val itr = c.entrySet().iterator()
-      while (itr.hasNext) {
-        val e = itr.next()
-        if (e.getValue <= s) itr.remove() else e.setValue(e.getValue - s)
-      }
-    }
+    val err = a.err + b.err + truncate(c, m)
     import scala.jdk.CollectionConverters._
     MgSummary(c.asScala.toMap, err, a.total + b.total)
   }
@@ -127,13 +205,16 @@ object HeavyHitters {
       import spark.implicits._
       ngrams(docs, n, textCol).as[String]
     }
-    // treeAggregate, not treeReduce: MgSummary has an identity element by
-    // construction, and treeReduce throws on a zero-partition RDD (the
-    // empty-DataFrame shape).
+    // treeAggregate, not treeReduce: the accumulator has an identity
+    // element by construction, and treeReduce throws on a zero-partition
+    // RDD (the empty-DataFrame shape). Mutable MgAcc path: each merge
+    // folds the smaller side into the larger in place (proven equal to
+    // the immutable [[merge]] fold in HeavyHittersSpec).
     val mg = grams.rdd
-      .mapPartitions(it => Iterator(sketchPartition(it, m)))
-      .treeAggregate(MgSummary(Map.empty, 0L, 0L))(
-        (a, b) => merge(a, b, m), (a, b) => merge(a, b, m), depth = 2)
+      .mapPartitions(it => Iterator(sketchPartitionAcc(it, m)))
+      .treeAggregate(MgAcc.empty)(
+        (a, b) => a.mergeIn(b, m), (a, b) => a.mergeIn(b, m), depth = 2)
+      .toSummary
     recountAndProve(docs, n, k, m, mg, textCol)
   }
 
@@ -186,6 +267,23 @@ object HeavyHitters {
     }
     import scala.jdk.CollectionConverters._
     states.asScala.iterator.map { case (grp, s) => (grp, s.summary) }.toMap
+  }
+
+  /** [[sketchPartitionByGroup]] returning the mutable grouped accumulator
+    * — the tree-aggregate input (skips groups × m immutable-map copies
+    * per partition). */
+  def sketchPartitionByGroupAcc(it: Iterator[(String, String)], m: Int): MgGroupAcc = {
+    val states = new java.util.HashMap[String, MgState]()
+    while (it.hasNext) {
+      val (grp, g) = it.next()
+      var s = states.get(grp)
+      if (s == null) { s = new MgState(m); states.put(grp, s) }
+      s.add(g)
+    }
+    val out = new java.util.HashMap[String, MgAcc](states.size * 2)
+    val itr = states.entrySet().iterator()
+    while (itr.hasNext) { val e = itr.next(); out.put(e.getKey, e.getValue.acc) }
+    new MgGroupAcc(out)
   }
 
   /** Keyed merge of per-group summaries — each group's sketch merges with
@@ -246,9 +344,10 @@ object HeavyHitters {
     val spark = docs.sparkSession
     import spark.implicits._
     val mg = ngramsByGroup(docs, n, groupCol, textCol).as[(String, String)].rdd
-      .mapPartitions(it => Iterator(sketchPartitionByGroup(it, m)))
-      .treeAggregate(Map.empty[String, MgSummary])(
-        (a, b) => mergeByGroup(a, b, m), (a, b) => mergeByGroup(a, b, m), depth = 2)
+      .mapPartitions(it => Iterator(sketchPartitionByGroupAcc(it, m)))
+      .treeAggregate(MgGroupAcc.empty)(
+        (a, b) => a.mergeIn(b, m), (a, b) => a.mergeIn(b, m), depth = 2)
+      .toSummaries
     recountAndProveByGroup(docs, n, k, m, mg, groupCol, textCol)
   }
 

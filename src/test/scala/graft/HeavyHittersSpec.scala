@@ -337,4 +337,32 @@ class HeavyHittersSpec extends SparkTestBase {
     val e = intercept[Exception](StreamingOps.heavyHittersTopK(spark, dir, k = 3).collect())
     assert(e.getMessage.contains("not provable"), e.getMessage)
   }
+
+  test("mutable MgAcc tree fold equals the immutable merge fold (incl. truncation rounds)") {
+    import graft.text.HeavyHitters._
+    // adversarial: skewed head + long uniform tail, tiny m so every merge
+    // truncates; several partitionings so the tree shape varies
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 3000).map { i =>
+      if (rnd.nextInt(10) < 4) s"hot${rnd.nextInt(3)}" else s"cold${rnd.nextInt(800)}"
+    }
+    for (parts <- Seq(1, 3, 8); m <- Seq(4, 16, 64)) {
+      val chunks = stream.grouped(math.max(1, stream.size / parts)).toSeq
+      val viaSummary = chunks.map(c => sketchPartition(c.iterator, m))
+        .foldLeft(MgSummary(Map.empty, 0L, 0L))((a, b) => merge(a, b, m))
+      val viaAcc = chunks.map(c => sketchPartitionAcc(c.iterator, m))
+        .foldLeft(MgAcc.empty)((a, b) => a.mergeIn(b, m)).toSummary
+      assert(viaAcc === viaSummary, s"parts=$parts m=$m")
+    }
+    // grouped form: same stream split across 3 groups
+    val keyed = stream.zipWithIndex.map { case (g, i) => (s"g${i % 3}", g) }
+    for (parts <- Seq(1, 4); m <- Seq(8, 32)) {
+      val chunks = keyed.grouped(math.max(1, keyed.size / parts)).toSeq
+      val viaSummary = chunks.map(c => sketchPartitionByGroup(c.iterator, m))
+        .foldLeft(Map.empty[String, MgSummary])((a, b) => mergeByGroup(a, b, m))
+      val viaAcc = chunks.map(c => sketchPartitionByGroupAcc(c.iterator, m))
+        .foldLeft(MgGroupAcc.empty)((a, b) => a.mergeIn(b, m)).toSummaries
+      assert(viaAcc === viaSummary, s"grouped parts=$parts m=$m")
+    }
+  }
 }
