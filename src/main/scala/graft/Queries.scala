@@ -1437,6 +1437,27 @@ object Queries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Contamination RATE report — the audit number (GPT-3 appendix-C
+    // shape): per EVAL document, the fraction of its distinct 13-gram
+    // shingles found anywhere in the training corpus. Eval items are a
+    // 20-token contiguous quote of a corpus doc plus a held-out suffix,
+    // so fully-interior shingles match and suffix-crossing ones don't —
+    // rates land strictly between 0 and 1. Corpus streams once through
+    // the broadcast bench-shingle gate; nothing corpus-sized shuffles.
+    "decontaminate_rate" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 5, 20)),
+            lit(" eval item "), col("doc_id").cast("string"),
+            lit(" held out suffix")).as("text"))
+      Dedup.contaminationRate(docs, bench, n = 13)
+        .select(col("bench_id"), col("n_shingles").cast("long").as("n_shingles"),
+          col("n_matched").cast("long").as("n_matched"),
+          round(col("rate"), 4).as("rate"))
+        .orderBy("bench_id")
+    }),
+
     // 13-gram decontamination through the BLOOM pre-gate — the large-
     // benchmark-suite configuration: the corpus side probes a ~10-bit/
     // element Bloom filter first and only survivors reach the exact
@@ -3472,6 +3493,24 @@ object Queries {
          |      FROM sd d CROSS JOIN sb b)
          |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared
          |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
+    // string n-grams stand in for the 64-bit shingle hashes (identical
+    // membership absent collisions — the bet every hashed-dedup row takes)
+    "decontaminate_rate" ->
+      s"""WITH bench AS (SELECT doc_id AS bench_id,
+         |  array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ')
+         |    || ' eval item ' || CAST(doc_id AS VARCHAR) || ' held out suffix' AS text
+         |  FROM documents WHERE doc_id % 23 = 0),
+         |sb AS (SELECT bench_id, ${duckShinglesN(duckToks, 13)} AS sh FROM bench),
+         |eb AS (SELECT bench_id, unnest(sh) AS g FROM sb),
+         |corpus AS (SELECT DISTINCT unnest(${duckShinglesN(duckToks, 13)}) AS g FROM documents),
+         |perq AS (SELECT eb.bench_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+         |  FROM eb LEFT JOIN corpus c ON eb.g = c.g GROUP BY eb.bench_id)
+         |SELECT s.bench_id, CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(p.n_matched, 0) AS BIGINT) AS n_matched,
+         |  round(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
+         |    ELSE p.n_matched::DOUBLE / p.n_shingles END, 4) AS rate
+         |FROM sb s LEFT JOIN perq p USING (bench_id) ORDER BY s.bench_id""".stripMargin,
     "decontaminate_bloom" ->
       s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
          |quotes AS (SELECT bench_id + 500000 AS doc_id,

@@ -504,6 +504,59 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-benchmark-document contamination RATE: the fraction of each
+    * eval document's distinct n-gram shingles that appear ANYWHERE in
+    * the training corpus — the audit number contamination reports
+    * publish (the GPT-3 appendix-C "percent of eval n-grams seen in
+    * training" shape), complementing [[contaminationPairs]] /
+    * [[contaminationSpans]], which identify and cut the matching TRAIN
+    * side. Returns one row per benchmark document:
+    * (bench_id, n_shingles, n_matched, rate); a bench doc shorter than
+    * n tokens contributes its whole-text fallback shingle (the shingle
+    * kernels' documented short-doc rule).
+    *
+    * Scale shape: the benchmark's distinct shingle hashes broadcast onto
+    * the corpus scan (the [[contaminationPairs]] gate — the corpus
+    * streams once and never shuffles unfiltered); the distinct MATCHED
+    * hash set is bounded by the benchmark's own shingle count, never the
+    * corpus (map-side partial-agg dedups occurrences before the
+    * shuffle), and broadcasts back onto the benchmark explode for the
+    * per-doc rate aggregate.
+    */
+  def contaminationRate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame = {
+    def exploded(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+          SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(text)), n)).as("hs"))
+        .select(col(outId), explode(col("hs")).as("h"))
+    val benchSh = exploded(benchmark, benchIdCol, benchTextCol, "bench_id")
+    // hashes of bench shingles that occur anywhere in the corpus —
+    // distinct'd (partial agg kills per-occurrence rows map-side), so the
+    // result is ≤ the benchmark's shingle count regardless of corpus size
+    val matched = exploded(docs, idCol, textCol, "__cd")
+      .join(broadcast(benchSh.select("h").distinct()), Seq("h"))
+      .select("h").distinct()
+      .withColumn("__m", lit(1L))
+    val perDoc = benchSh
+      .join(broadcast(matched), Seq("h"), "left")
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__m"), lit(0L))).as("n_matched"))
+    benchmark.select(col(benchIdCol).as("bench_id"))
+      .join(perDoc, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("rate", when(col("n_shingles") === 0, lit(0.0))
+        .otherwise(col("n_matched").cast("double") / col("n_shingles")))
+  }
+
   /** Span-level EXACT substring dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": remove token spans
     * that occur verbatim more than once in the corpus — their ExactSubstr

@@ -323,6 +323,29 @@ class DedupSpec extends SparkTestBase {
     assert(loose === Set(1L))
   }
 
+  test("contamination rate: per-eval-doc fraction of n-grams seen in training") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven"),
+      (3L, "unrelated corpus filler text goes here"))
+    val bench = Seq(
+      // 8 tokens quoted from doc 1 + 2 held-out -> 8 3-grams, 6 interior
+      // match (quoted 3-grams), 2 crossing the suffix don't
+      (100L, "alpha beta gamma delta epsilon zeta eta theta QQQ WWW"),
+      // nothing shared -> rate 0
+      (200L, "totally novel eval question nobody has seen"),
+      // exact substring of doc 2 -> every 3-gram matches -> rate 1
+      (300L, "two three four five six"),
+      // short doc (< n tokens): whole-text fallback shingle, unseen -> 0/1
+      (400L, "tiny one")).toDF("bench_id", "text")
+    val got = Dedup.contaminationRate(corpus, bench, n = 3)
+      .select("bench_id", "n_shingles", "n_matched", "rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (100L, 8L, 6L, 0.75), (200L, 5L, 0L, 0.0),
+      (300L, 3L, 3L, 1.0), (400L, 1L, 0L, 0.0)))
+  }
+
   test("repetition ratio: looped text scores high, unique text zero, short docs zero") {
     val d = docs(
       (1L, "a b c d e f"),             // 4 distinct 3-grams of 4 -> 0
