@@ -808,15 +808,20 @@ object Dedup {
     * enforces anyway (left/right reach ≤ maxExtend per anchor), so the
     * output is byte-identical to the unsliced form.
     * `maxAnchorFreq` is the skew
-    * guard, ON BY DEFAULT (128): hashes occurring more than that many
-    * times corpus-wide are excised from the join — boilerplate n-grams
-    * (license headers, nav chrome) would otherwise create quadratic pair
-    * blowup under DEFAULT config; they are [[duplicateLines]] /
-    * [[removeDuplicateSpans]] material, not pairwise-span material. When
-    * capped the guarantee applies to runs not built from excised grams;
-    * pass `Int.MaxValue` to opt out on corpora known clean. Docs shorter
-    * than n tokens never produce a ≥ n-token span and are skipped by the
-    * window verification.
+    * guard, ON BY DEFAULT (128) for this corpus×corpus form only: a hash
+    * in f docs creates ~f² anchor-join pairs, so boilerplate n-grams
+    * (license headers, nav chrome) blow up quadratically under an
+    * unguarded default; they are [[duplicateLines]] /
+    * [[removeDuplicateSpans]] material, not pairwise-span material. The
+    * cost of the cap is stated, not silent: a passage spread across MORE
+    * than maxAnchorFreq documents has all its anchors excised and its
+    * pairs go unreported (extension still recovers runs with at least
+    * one surviving rarer anchor) — if completeness against widespread
+    * text is the point, that is a decontamination question and
+    * [[contaminationSpans]] (corpus×benchmark, linear fan-out, EXACT
+    * default) is the right operator. Pass `Int.MaxValue` to opt out on
+    * corpora known clean. Docs shorter than n tokens never produce a
+    * ≥ n-token span and are skipped by the window verification.
     *
     * Returns (doc_a, doc_b, a_start, a_end, b_start, b_end, span_len),
     * ends exclusive, token coordinates in the normalized (lowercased,
@@ -930,9 +935,16 @@ object Dedup {
     * and the same n + stride − 1 guaranteed-detection threshold makes
     * the output deterministic. A benchmark doc also present in the
     * corpus reports its full-length self-overlap — by design (that IS
-    * contamination). `maxAnchorFreq` (default ON at 128, corpus-side
-    * frequency) excises boilerplate grams that would fan the anchor join
-    * out quadratically, exactly as in [[crossDocMaximalSpans]]; the
+    * contamination). `maxAnchorFreq` defaults to Int.MaxValue — EXACT:
+    * unlike the corpus×corpus form, the anchor join here is corpus ×
+    * benchmark, so a boilerplate gram fans out LINEARLY in its corpus
+    * occurrences (the benchmark side is eval-suite-sized), and every one
+    * of those occurrences is real contamination a remediation pass must
+    * see — an excision default would silently miss exactly the
+    * most-widespread contamination, the worst kind to miss. Set a finite
+    * cap only as an explicit forensics-speed knob on bench suites known
+    * to carry common boilerplate, accepting that capped grams' overlaps
+    * go unreported unless a rarer anchor in the same run survives. The
     * token arrays ship sliced to the islands' reach envelopes
     * ([[sliceToEnvelopes]]), so a corpus doc overlapping many benchmark
     * items ships envelopes, not whole-array copies.
@@ -946,7 +958,7 @@ object Dedup {
       n: Int = 13,
       stride: Int = 1,
       maxExtend: Int = 200,
-      maxAnchorFreq: Int = 128,
+      maxAnchorFreq: Int = Int.MaxValue,
       idCol: String = "doc_id",
       textCol: String = "text",
       benchIdCol: String = "bench_id",
@@ -1023,7 +1035,7 @@ object Dedup {
       n: Int = 13,
       stride: Int = 1,
       maxExtend: Int = 200,
-      maxAnchorFreq: Int = 128,
+      maxAnchorFreq: Int = Int.MaxValue,
       idCol: String = "doc_id",
       textCol: String = "text",
       benchIdCol: String = "bench_id",

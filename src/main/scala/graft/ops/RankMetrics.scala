@@ -29,12 +29,15 @@ object RankMetrics {
     * binary average precision — Σ over hit ranks r of precision@r,
     * normalized by min(n_relevant, k) (TREC convention: a perfect top-k
     * scores 1 even when n_relevant > k), with rel > 0 counting as
-    * relevant ([[summarize]]'s mean of this column is MAP@k). Tied ranks
-    * use a RANGE cumulative frame, so precision at a tie counts all
-    * peers — deterministic regardless of layout. Queries with NO
-    * relevant documents score 0 everywhere (they cannot be retrieved
-    * well or badly; filter on n_relevant to exclude them from averages —
-    * a silent drop here would skew macro-averages unnoticed).
+    * relevant ([[summarize]]'s mean of this column is MAP@k). A ranking
+    * must be a permutation: two DISTINCT ids sharing one (qid, rank)
+    * raise loudly — rank-label arithmetic would otherwise push AP@k and
+    * nDCG@k silently past 1 (the same silent-wrong class the (qid, id)
+    * dedup below closes), and there is no unambiguous tie semantics to
+    * pick for the caller. Queries with NO relevant documents score 0
+    * everywhere (they cannot be retrieved well or badly; filter on
+    * n_relevant to exclude them from averages — a silent drop here would
+    * skew macro-averages unnoticed).
     *
     * Scale shape: one (qid, id) equi-join, per-qid partial aggregations,
     * and one window each over the RELEVANCE table (ideal DCG, bounded by
@@ -75,10 +78,26 @@ object RankMetrics {
         count(lit(1)).as("n_relevant"),
         sum(when(col("__rn") <= k, gain(col("__rel")) / discount(col("__rn")))
           .otherwise(0.0)).as("__idcg"))
-    // cumulative hit count along the ranked list (RANGE frame: ties are
-    // peers) — the precision@r numerator AP sums over hit positions
+    // a ranking must be a permutation: distinct ids sharing one rank have
+    // no unambiguous precision/discount, and rank-label arithmetic would
+    // silently push AP/nDCG past 1 — raise instead (same qid-keyed
+    // exchange as the cumulative window below; ≤ k rows per qid)
+    val wTie = Window.partitionBy("qid", "__rank")
+    val resChecked = res
+      .withColumn("__peers", count(lit(1)).over(wTie))
+      .withColumn("__rank", when(col("__peers") > 1,
+          raise_error(concat(
+            lit("RankMetrics.evaluate: distinct ids share rank "),
+            col("__rank").cast("string"), lit(" for qid "),
+            col("qid").cast("string"),
+            lit(" — a ranking must be a permutation; fix the ranker or pre-dedupe")))
+          .cast("int"))
+        .otherwise(col("__rank")))
+      .drop("__peers")
+    // cumulative hit count along the ranked list — the precision@r
+    // numerator AP sums over hit positions
     val wRank = Window.partitionBy("qid").orderBy("__rank")
-    val perQ = res.join(rel, Seq("qid", "id"), "left")
+    val perQ = resChecked.join(rel, Seq("qid", "id"), "left")
       .withColumn("__hit", when(col("__rel").isNotNull, 1L).otherwise(0L))
       .withColumn("__cumhits", sum("__hit").over(wRank))
       .groupBy("qid").agg(

@@ -118,10 +118,11 @@ object Sampling {
     * (`prefilterAbove`, default ~4M), a key-threshold from
     * `approxQuantile` pre-filters the candidates before the top-k: the
     * quantile's error bound is over-provisioned so ≥ k rows survive (and
-    * that is VERIFIED with a count, falling back to the direct path
-    * rather than ever returning fewer/different rows), every dropped row
-    * has a key strictly below the threshold so it cannot displace a
-    * survivor — same keys, same order, bounded merge, identical output.
+    * that is VERIFIED on the top-k job itself — exactly k rows back
+    * proves sufficiency; fewer falls back to the direct path rather than
+    * ever returning fewer/different rows), every dropped row has a key
+    * strictly below the threshold so it cannot displace a survivor —
+    * same keys, same order, bounded merge, identical output.
     */
   def sampleWeighted(
       df: DataFrame,
@@ -154,7 +155,17 @@ object Sampling {
           val p = math.max(0.0, 1.0 - k.toDouble / total - 2 * err)
           val thr = keyed.stat.approxQuantile("__skey", Array(p), err).head
           val pre = keyed.filter(col("__skey") >= thr)
-          if (pre.count() >= k) pre else keyed
+          // survivor sufficiency is verified ON the top-k job itself:
+          // limit(k) returns exactly k rows iff >= k keys survive the
+          // threshold, so the verification pass IS the result — one
+          // key-computing corpus scan instead of a count pass plus a
+          // re-scan (the `total` count above is column-pruned to a
+          // metadata count on parquet sources). The persist is bounded
+          // by k, the operator's own output size, never the corpus.
+          val topPre = pre.orderBy(col("__skey").desc, col(idCol)).limit(k)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (topPre.count() == k) topPre
+          else { topPre.unpersist(); keyed }
         }
       }
     candidates

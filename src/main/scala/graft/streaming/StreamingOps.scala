@@ -2765,68 +2765,93 @@ object StreamingOps {
     * swap leaves batches both listed and still present — the sink skips
     * them either way.)
     */
-  def compactHeavyHitters(spark: SparkSession, indexDir: String): Unit = {
+  /** The ONE copy of the delta-log compaction crash protocol, shared by
+    * [[compactHeavyHitters]] and [[compactTokenBudget]] (a protocol this
+    * subtle must not exist twice — a fix to one crash window that misses
+    * a hand-kept twin re-opens the double-count replay hazard there).
+    * `compute()` runs while the live log is still untouched (a failure
+    * there changes nothing) and returns the writer that materializes the
+    * folded `batch=compacted` content under the swap tmp. Sequence, and
+    * the crash window each step covers:
+    *
+    *  1. resume a torn FOLDED-sidecar swap (missing live sidecar +
+    *     surviving tmp → complete the rename first) — the guard's only
+    *     copy of the previously folded ids must never be deleted;
+    *  2. resume a torn directory swap (missing live dir + manifest-
+    *     complete tmp → finish the rename and return);
+    *  3. fold-compute over the live log (failure leaves everything
+    *     untouched); batch ids come straight off the live manifest — the
+    *     committed set, no Spark job, no uncommitted stray dir leaks in;
+    *  4. replay-guard sidecar: every numeric batch id being folded plus
+    *     all previously folded land via tmp + delete + rename, BEFORE
+    *     the destructive swap — never overwrite-in-place, whose
+    *     delete-then-write window would lose every previously folded id
+    *     and re-open the post-compaction double-count replay
+    *     (foldedBatchIds reads a surviving tmp, so every crash point in
+    *     this swap keeps the guard intact);
+    *  5. write the compacted content + completeness manifest under tmp,
+    *     delete the live dir, rename tmp over it — a crash between the
+    *     delete and the rename is resumed by step 2 on the next call. A
+    *     crash between steps 4 and 5 leaves batches both listed and
+    *     still present; consumers skip them either way.
+    */
+  private def compactDeltaLog(
+      spark: SparkSession,
+      indexDir: String,
+      liveName: String,
+      compute: () => (String => Unit)): Unit = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val (_, m, _) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
-    val sketchDir = s"$indexDir/sketch"
-    val sketchTmp = s"$indexDir/sketch.compact"
-    // resume a torn FOLDED-sidecar swap first: a missing live sidecar with
-    // a surviving tmp means the prior run crashed between its delete and
-    // rename — complete that rename before anything deletes the tmp, or
-    // the guard's only copy of the previously folded ids would be lost
+    val liveDir = s"$indexDir/$liveName"
+    val tmpDir = s"$indexDir/$liveName.compact"
     if (!graft.io.HadoopIO.exists(s"$indexDir/folded", hconf) &&
         graft.io.HadoopIO.exists(s"$indexDir/folded.tmp", hconf))
       graft.io.HadoopIO.rename(s"$indexDir/folded.tmp", s"$indexDir/folded", hconf)
-    // resume a torn swap: a missing live dir means the tmp was
-    // manifest-complete before the delete ran
-    if (!graft.io.HadoopIO.exists(sketchDir, hconf)) {
-      require(graft.io.HadoopIO.exists(sketchTmp, hconf) &&
-        graft.io.Manifest.read(sketchTmp, hconf).isDefined,
-        s"$sketchDir is gone and $sketchTmp is absent or manifest-less — inconsistent state")
-      graft.io.HadoopIO.rename(sketchTmp, sketchDir, hconf)
+    if (!graft.io.HadoopIO.exists(liveDir, hconf)) {
+      require(graft.io.HadoopIO.exists(tmpDir, hconf) &&
+        graft.io.Manifest.read(tmpDir, hconf).isDefined,
+        s"$liveDir is gone and $tmpDir is absent or manifest-less — inconsistent state")
+      graft.io.HadoopIO.rename(tmpDir, liveDir, hconf)
       return
     }
-    graft.io.HadoopIO.delete(sketchTmp, hconf)
-    validateDelta(sketchDir, hconf)
-    if (graft.io.Manifest.read(sketchDir, hconf).get.isEmpty) return
-
-    // the replay guard must cover every numeric batch id being folded (and
-    // every id folded before), and must land before the destructive swap.
-    // Batch keys come straight off the sketch manifest — the committed
-    // set, no Spark job, and no uncommitted stray directory can leak in
-    val batchKeys = graft.io.Manifest.read(sketchDir, hconf).get
+    graft.io.HadoopIO.delete(tmpDir, hconf)
+    validateDelta(liveDir, hconf)
+    if (graft.io.Manifest.read(liveDir, hconf).get.isEmpty) return
+    val batchKeys = graft.io.Manifest.read(liveDir, hconf).get
       .map(_.name.takeWhile(_ != '/').stripPrefix("batch=")).distinct
     val numericIds = batchKeys.filter(s => s.nonEmpty && s.forall(_.isDigit))
       .map(_.toLong).toSet
-    val folded = hhFoldSketches(spark, sketchDir, m)
+    val write = compute()
     val allFolded = foldedBatchIds(spark, indexDir) ++ numericIds
-    // tmp + delete + rename, never overwrite-in-place: mode("overwrite")
-    // deletes then writes, so a crash inside it would lose every
-    // previously folded id and re-open the post-compaction double-count
-    // window. foldedBatchIds reads a surviving tmp, so every crash point
-    // in this swap keeps the guard intact.
     val foldedTmp = s"$indexDir/folded.tmp"
     graft.io.HadoopIO.delete(foldedTmp, hconf)
     allFolded.toSeq.sorted.toDF("batch_id").coalesce(1).write.parquet(foldedTmp)
     graft.io.HadoopIO.delete(s"$indexDir/folded", hconf)
     graft.io.HadoopIO.rename(foldedTmp, s"$indexDir/folded", hconf)
+    write(tmpDir)
+    writeDeltaManifest(tmpDir, hconf)
+    graft.io.HadoopIO.delete(liveDir, hconf)
+    graft.io.HadoopIO.rename(tmpDir, liveDir, hconf)
+  }
 
-    // every key writes its counts + meta row; ensure the None-key marker
-    // exists so a grouped dir's compacted batch still carries one
-    val keys = if (folded.contains(None)) folded
-      else folded + (None -> graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))
-    keys.toSeq.flatMap { case (grp, s) =>
-      s.counts.toSeq.map { case (g, c) => (grp, Option(g), c, s.err, s.total) } :+
-        ((grp, (None: Option[String]), 0L, s.err, s.total))
-    }
-      .toDF("grp", "gram", "cnt", "err", "total")
-      .coalesce(1).write.parquet(s"$sketchTmp/batch=compacted")
-    writeDeltaManifest(sketchTmp, hconf)
-    graft.io.HadoopIO.delete(sketchDir, hconf)
-    graft.io.HadoopIO.rename(sketchTmp, sketchDir, hconf)
+  def compactHeavyHitters(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val (_, m, _) = loadHeavyHittersMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
+    compactDeltaLog(spark, indexDir, "sketch", () => {
+      val folded = hhFoldSketches(spark, s"$indexDir/sketch", m)
+      // every key writes its counts + meta row; ensure the None-key marker
+      // exists so a grouped dir's compacted batch still carries one
+      val keys = if (folded.contains(None)) folded
+        else folded + (None -> graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))
+      val rows = keys.toSeq.flatMap { case (grp, s) =>
+        s.counts.toSeq.map { case (g, c) => (grp, Option(g), c, s.err, s.total) } :+
+          ((grp, (None: Option[String]), 0L, s.err, s.total))
+      }
+      (tmp: String) => rows.toDF("grp", "gram", "cnt", "err", "total")
+        .coalesce(1).write.parquet(s"$tmp/batch=compacted")
+    })
   }
 
   /** Number of sketch batches a [[heavyHittersSink]] dir has accumulated
@@ -2857,18 +2882,32 @@ object StreamingOps {
   def compactHeavyHittersIfNeeded(
       spark: SparkSession,
       indexDir: String,
-      maxBatches: Int = 64): (Int, Boolean) = {
+      maxBatches: Int = 64): (Int, Boolean) =
+    gatedCompact(spark, indexDir, "sketch", maxBatches,
+      () => heavyHittersSketchBatches(spark, indexDir),
+      () => compactHeavyHitters(spark, indexDir))
+
+  /** The shared gate for the compaction wrappers: a missing live dir
+    * under a maintained root is an interrupted compaction swap — the
+    * compaction IS the resume path, so finish it unconditionally instead
+    * of throwing the gauge's misleading error; otherwise compact only
+    * past the manifest batch threshold.
+    */
+  private def gatedCompact(
+      spark: SparkSession,
+      indexDir: String,
+      liveName: String,
+      maxBatches: Int,
+      gauge: () => Int,
+      compact: () => Unit): (Int, Boolean) = {
     require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
     val hconf = spark.sparkContext.hadoopConfiguration
-    // a missing sketch/ under a live heavy-hitter dir is an interrupted
-    // compaction swap: compactHeavyHitters IS the resume path — finish it
-    // unconditionally instead of throwing the gauge's misleading error
-    if (!graft.io.HadoopIO.exists(s"$indexDir/sketch", hconf)) {
-      compactHeavyHitters(spark, indexDir)
+    if (!graft.io.HadoopIO.exists(s"$indexDir/$liveName", hconf)) {
+      compact()
       return (-1, true)
     }
-    val batches = heavyHittersSketchBatches(spark, indexDir)
-    if (batches > maxBatches) { compactHeavyHitters(spark, indexDir); (batches, true) }
+    val batches = gauge()
+    if (batches > maxBatches) { compact(); (batches, true) }
     else (batches, false)
   }
 
@@ -3066,77 +3105,28 @@ object StreamingOps {
     * its batches visible, so the admitted set is byte-identical across a
     * compaction. Run while the admission stream is STOPPED.
     *
-    * Replay safety (the [[compactHeavyHitters]] protocol exactly): the
-    * `folded` sidecar accumulates every batch id ever folded and lands
-    * BEFORE the destructive totals swap — a checkpoint-recovery
-    * redelivery of a pre-compaction micro-batch finds its id there and
-    * skips, instead of re-admitting documents the compacted totals
-    * already count (which would double-spend budget and starve later
-    * batches). A crash between the sidecar write and the swap leaves
-    * batches both listed and still present — the sink skips them either
-    * way; a crash inside the swap is resumed by the next call (the tmp
-    * is manifest-complete before the delete runs).
+    * Replay safety: [[compactDeltaLog]] (the one shared copy of the
+    * crash protocol) — the `folded` sidecar lands before the destructive
+    * totals swap, so a checkpoint-recovery redelivery of a
+    * pre-compaction micro-batch skips instead of re-admitting documents
+    * the compacted totals already count (which would double-spend budget
+    * and starve later batches).
     */
   def compactTokenBudget(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
-    val hconf = spark.sparkContext.hadoopConfiguration
     require(loadTokenBudgetMeta(spark, indexDir).isDefined,
       s"no tb_meta sidecar under $indexDir — not a token-budget admission dir")
-    val totalsDir = s"$indexDir/totals"
-    val totalsTmp = s"$indexDir/totals.compact"
-    // resume a torn FOLDED-sidecar swap first: a missing live sidecar with
-    // a surviving tmp means the prior run crashed between its delete and
-    // rename — complete that rename before anything deletes the tmp, or
-    // the guard's only copy of the previously folded ids would be lost
-    if (!graft.io.HadoopIO.exists(s"$indexDir/folded", hconf) &&
-        graft.io.HadoopIO.exists(s"$indexDir/folded.tmp", hconf))
-      graft.io.HadoopIO.rename(s"$indexDir/folded.tmp", s"$indexDir/folded", hconf)
-    // resume a torn totals swap: a missing live dir means the tmp was
-    // manifest-complete before the delete ran
-    if (!graft.io.HadoopIO.exists(totalsDir, hconf)) {
-      require(graft.io.HadoopIO.exists(totalsTmp, hconf) &&
-        graft.io.Manifest.read(totalsTmp, hconf).isDefined,
-        s"$totalsDir is gone and $totalsTmp is absent or manifest-less — inconsistent state")
-      graft.io.HadoopIO.rename(totalsTmp, totalsDir, hconf)
-      return
-    }
-    graft.io.HadoopIO.delete(totalsTmp, hconf)
-    validateDelta(totalsDir, hconf)
-    if (graft.io.Manifest.read(totalsDir, hconf).get.isEmpty) return
-
-    // the replay guard must cover every numeric batch id being folded (and
-    // every id folded before), and must land before the destructive swap.
-    // Batch keys come straight off the totals manifest — the committed
-    // set, no Spark job, no uncommitted stray directory can leak in
-    val batchKeys = graft.io.Manifest.read(totalsDir, hconf).get
-      .map(_.name.takeWhile(_ != '/').stripPrefix("batch=")).distinct
-    val numericIds = batchKeys.filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong).toSet
-    // fold BEFORE the sidecar lands: a failure here leaves everything
-    // untouched. Per-source sums only — sources × 1 rows, never the corpus
-    val foldedTotals = hhReadManifested(spark, totalsDir)
-      .groupBy("source").agg(sum("batch_toks").as("batch_toks"))
-      .select(col("source"), col("batch_toks"))
-      .as[(String, Long)].collect().sortBy(_._1)
-    val allFolded = foldedBatchIds(spark, indexDir) ++ numericIds
-    // tmp + delete + rename, never overwrite-in-place: mode("overwrite")
-    // deletes then writes, so a crash inside it would lose every
-    // previously folded id and re-open the post-compaction double-count
-    // window. foldedBatchIds reads a surviving tmp, so every crash point
-    // in this swap keeps the guard intact.
-    val foldedTmp = s"$indexDir/folded.tmp"
-    graft.io.HadoopIO.delete(foldedTmp, hconf)
-    allFolded.toSeq.sorted.toDF("batch_id").coalesce(1).write.parquet(foldedTmp)
-    graft.io.HadoopIO.delete(s"$indexDir/folded", hconf)
-    graft.io.HadoopIO.rename(foldedTmp, s"$indexDir/folded", hconf)
-
-    // every committed batch wrote the "" sentinel row, so the fold always
-    // carries it — the compacted batch directory is never empty
-    foldedTotals.toSeq.toDF("source", "batch_toks")
-      .coalesce(1).write.parquet(s"$totalsTmp/batch=compacted")
-    writeDeltaManifest(totalsTmp, hconf)
-    graft.io.HadoopIO.delete(totalsDir, hconf)
-    graft.io.HadoopIO.rename(totalsTmp, totalsDir, hconf)
+    compactDeltaLog(spark, indexDir, "totals", () => {
+      // per-source sums only — sources × 1 rows, never the corpus; every
+      // committed batch wrote the "" sentinel row, so the fold always
+      // carries it and the compacted batch directory is never empty
+      val foldedTotals = hhReadManifested(spark, s"$indexDir/totals")
+        .groupBy("source").agg(sum("batch_toks").as("batch_toks"))
+        .select(col("source"), col("batch_toks"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      (tmp: String) => foldedTotals.toSeq.toDF("source", "batch_toks")
+        .coalesce(1).write.parquet(s"$tmp/batch=compacted")
+    })
   }
 
   /** Number of totals batches a [[tokenBudgetSink]] dir has accumulated
@@ -3167,18 +3157,8 @@ object StreamingOps {
   def compactTokenBudgetIfNeeded(
       spark: SparkSession,
       indexDir: String,
-      maxBatches: Int = 64): (Int, Boolean) = {
-    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
-    val hconf = spark.sparkContext.hadoopConfiguration
-    // a missing totals/ under a live token-budget dir is an interrupted
-    // compaction swap: compactTokenBudget IS the resume path — finish it
-    // unconditionally instead of throwing the gauge's misleading error
-    if (!graft.io.HadoopIO.exists(s"$indexDir/totals", hconf)) {
-      compactTokenBudget(spark, indexDir)
-      return (-1, true)
-    }
-    val batches = tokenBudgetTotalsBatches(spark, indexDir)
-    if (batches > maxBatches) { compactTokenBudget(spark, indexDir); (batches, true) }
-    else (batches, false)
-  }
+      maxBatches: Int = 64): (Int, Boolean) =
+    gatedCompact(spark, indexDir, "totals", maxBatches,
+      () => tokenBudgetTotalsBatches(spark, indexDir),
+      () => compactTokenBudget(spark, indexDir))
 }

@@ -1004,13 +1004,26 @@ class DedupSpec extends SparkTestBase {
     val got = Dedup.crossDocMaximalSpans(docs, n = 10, stride = 2, maxExtend = 30)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got === Seq((7L, 13L, 0L, 45L, 0L, 45L, 45L)))
-    // contaminationSpans: the header in the benchmark is excised by the
-    // corpus-side frequency guard for header-only docs; the two docs
-    // carrying the uniquely-quoted passage are found with exact bounds
+    // contaminationSpans is EXACT BY DEFAULT (corpus×bench fans out
+    // linearly — bench side is eval-suite-sized): every header-carrying
+    // doc reports its header overlap (widespread contamination is the
+    // worst kind to silently miss), the two quoting docs report the full
+    // 45-token run
     val bench = Seq((1L, s"$header $passage")).toDF("bench_id", "text")
     val spans = Dedup.contaminationSpans(docs, bench, n = 10, stride = 2, maxExtend = 30)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
-    assert(spans === Seq(
+    assert(spans.size === 1000)
+    assert(spans.filter(s => s._1 == 7L || s._1 == 13L) === Seq(
+      (7L, 1L, 0L, 45L, 0L, 45L, 45L),
+      (13L, 1L, 0L, 45L, 0L, 45L, 45L)))
+    assert(spans.filterNot(s => s._1 == 7L || s._1 == 13L)
+      .forall(s => s._3 == 0L && s._4 == 20L && s._7 == 20L))
+    // the frequency cap is an explicit forensics-speed OPT-IN there —
+    // with it, only the sub-cap passage survives
+    val capped = Dedup.contaminationSpans(docs, bench, n = 10, stride = 2,
+        maxExtend = 30, maxAnchorFreq = 128)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(capped === Seq(
       (7L, 1L, 0L, 45L, 0L, 45L, 45L),
       (13L, 1L, 0L, 45L, 0L, 45L, 45L)))
     // explicit opt-out on a small slice still reports every header pair

@@ -277,4 +277,22 @@ class RetrievalSpec extends SparkTestBase {
     val g = graft.ops.RankMetrics.evaluate(cleanResults, graded, k = 3).head()
     assert(g.getLong(1) === 1L && g.getDouble(5) === 1.0)
   }
+
+  test("rank metrics: distinct ids tied at one rank raise instead of inflating AP/nDCG") {
+    // two DIFFERENT relevant docs both at rank 1: rank-label arithmetic
+    // would report AP = (2/1 + 2/1) / 2 = 2.0 and nDCG ~1.22 — malformed
+    // ranking input must be loud, not silently > 1
+    val tied = Seq((0L, 1L, 1), (0L, 2L, 1)).toDF("qid", "id", "rank")
+    val rel = Seq((0L, 1L, 1.0), (0L, 2L, 1.0)).toDF("qid", "id", "rel")
+    val e = intercept[Exception](
+      graft.ops.RankMetrics.evaluate(tied, rel, k = 3).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("share rank")), messages(e).mkString(" | "))
+    // the same doc at the same rank twice is mere duplication (deduped,
+    // no error) — only distinct ids sharing a rank are malformed
+    val dupSame = Seq((0L, 1L, 1), (0L, 1L, 1), (0L, 2L, 2)).toDF("qid", "id", "rank")
+    val ok = graft.ops.RankMetrics.evaluate(dupSame, rel, k = 3).head()
+    assert(ok.getDouble(3) === 1.0 && ok.getDouble(6) === 1.0)
+  }
 }
