@@ -432,6 +432,29 @@ object BenchScale {
         graft.dedup.Dedup.contaminationPairsBloom(corpus, bench, minShared = 1, n = 13).count()
       }
       println(s"[scale] contamination pairs: exact=$exactN bloom=$bloomN (must be equal)")
+
+      // the audit RATE at scale: per-eval-doc fraction of 13-grams seen
+      // in training — corpus streams once through the broadcast
+      // bench-shingle gate, the matched-hash set is bounded by the suite.
+      // Planted suite: half verbatim corpus slices (rate exactly 1),
+      // half novel items (rate exactly 0) — any other value fails loudly.
+      val rateBench = docs.filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("bench_id"),
+          when(col("doc_id") % 400 === 0,
+            concat_ws(" ", slice(split(col("text"), " "), 3, 30)))
+            .otherwise(expr("concat_ws(' ', transform(sequence(0, 19), " +
+              "j -> concat('nv', cast(doc_id as string), 'x', cast(j as string))))"))
+            .as("text"))
+      val rates = timed(s"contamination rate ($nDocs docs x ${nDocs / 200}-item suite, 13-gram)") {
+        graft.dedup.Dedup.contaminationRate(docs, rateBench, n = 13)
+          .select(col("bench_id"), col("rate")).as[(Long, Double)].collect()
+      }
+      val ones = rates.count { case (id, r) => id % 400 == 0 && r == 1.0 }
+      val zeros = rates.count { case (id, r) => id % 400 != 0 && r == 0.0 }
+      require(ones + zeros == rates.length,
+        s"contamination rates off: $ones exact-1 + $zeros exact-0 of ${rates.length}")
+      println(s"[scale] contamination rate: ${rates.length} eval items, " +
+        s"$ones fully-contained (rate 1), $zeros novel (rate 0)")
     }
 
     // cross-document maximal spans at corpus scale: the anchor join's
