@@ -2238,6 +2238,22 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // DSIR END-TO-END (Xie et al. 2023): the recipe's second half —
+    // importance RESAMPLING proportional to exp(importance weight) via
+    // the same A-Res machinery as sample_weighted, composed onto
+    // dsir_weights' token-level estimate. The weight is rounded to 4
+    // decimals before exp on BOTH engines (the dsir_weights row's
+    // cross-engine determinism bet); the selection is then a pure
+    // function of ids.
+    "sample_dsir" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val w = TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), exp(round(col("dsir_weight"), 4)).as("w"))
+      graft.ops.Sampling.sampleWeighted(w, "doc_id", "w", k = 120)
+        .select(col("doc_id"), col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("sample_rank")
+    }),
+
     // §2.20 corpus profiling: per-source doc counts, char totals, and
     // EXACT p50/p95 length percentiles (Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition) — the
@@ -4056,6 +4072,25 @@ object Queries {
          |  round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) + 0 AS dsir_weight
          |FROM tokc JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY tokc.doc_id ORDER BY tokc.doc_id""".stripMargin,
+    // the same weight CTE feeding the A-Res closed form (sample_weighted's
+    // oracle shape, weight = exp(rounded dsir weight))
+    "sample_dsir" ->
+      s"""WITH tokc AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+         |tokt AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
+         |cs AS (SELECT token, count(*) AS cs FROM tokc GROUP BY token),
+         |ctt AS (SELECT token, count(*) AS ct FROM tokt GROUP BY token),
+         |cnt AS (SELECT cs.token, cs.cs, coalesce(ctt.ct, 0) AS ct
+         |        FROM cs LEFT JOIN ctt USING (token)),
+         |tot AS (SELECT sum(cs)::DOUBLE AS ns, sum(ct)::DOUBLE AS nt, count(*)::DOUBLE AS v FROM cnt),
+         |dw AS (SELECT tokc.doc_id,
+         |    round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) + 0 AS dwt
+         |  FROM tokc JOIN cnt USING (token) CROSS JOIN tot GROUP BY tokc.doc_id),
+         |k AS (SELECT doc_id,
+         |    ln((CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)
+         |       / 1152921504606846976.0) / exp(dwt) AS skey
+         |  FROM dw)
+         |SELECT doc_id, row_number() OVER (ORDER BY skey DESC, doc_id) AS sample_rank
+         |FROM k ORDER BY skey DESC, doc_id LIMIT 120""".stripMargin,
     "corpus_profile" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
