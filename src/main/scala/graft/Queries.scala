@@ -2733,6 +2733,20 @@ object Queries {
         .orderBy("source", "shard", "block", "doc_id")
     }),
 
+    // PACKING EFFICIENCY report: per-block doc count / token count / fill
+    // ratio over the same packing — the padding-waste number a training
+    // run monitors (tail blocks fill < 1.0; interior blocks must be
+    // exactly full by construction). Pure aggregation of pack_sequences'
+    // proven output; the oracle extends the same window arithmetic.
+    "pack_summary" -> ((spark, dir) => {
+      val packed = graft.ops.Packing.packBlocks(t(spark, dir, "documents"),
+        blockLen = 512, nShards = 4)
+      graft.ops.Packing.packSummary(packed, blockLen = 512)
+        .select(col("source"), col("shard"), col("block"), col("n_docs"),
+          col("n_tokens"), round(col("fill_ratio"), 4).as("fill_ratio"))
+        .orderBy("source", "shard", "block")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -4615,6 +4629,27 @@ object Queries {
         |SELECT source, shard, block, doc_id, n_tokens, tok_start, tok_end,
         |       CAST(least(tok_end, (block + 1) * 512) - greatest(tok_start, block * 512) AS BIGINT) AS n_in_block
         |FROM x ORDER BY source, shard, block, doc_id""".stripMargin,
+    // the same window arithmetic aggregated per block
+    "pack_summary" ->
+      """WITH t AS (
+        |  SELECT source, doc_id % 4 AS shard, doc_id,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t),
+        |e AS (SELECT *, tok_start + n_tokens AS tok_end FROM c),
+        |x AS (SELECT *, unnest(generate_series(CAST(floor(tok_start / 512) AS BIGINT),
+        |                                       CAST(floor((tok_end - 1) / 512) AS BIGINT))) AS block FROM e),
+        |nb AS (SELECT source, shard, block, doc_id,
+        |         CAST(least(tok_end, (block + 1) * 512) - greatest(tok_start, block * 512) AS BIGINT) AS n_in_block
+        |       FROM x)
+        |SELECT source, shard, block, count(*) AS n_docs,
+        |  CAST(sum(n_in_block) AS BIGINT) AS n_tokens,
+        |  round(sum(n_in_block)::DOUBLE / 512, 4) AS fill_ratio
+        |FROM nb GROUP BY source, shard, block
+        |ORDER BY source, shard, block""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
         |t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS ws FROM c),
