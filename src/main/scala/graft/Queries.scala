@@ -3323,6 +3323,44 @@ object Queries {
     */
   private val duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** ONE copy of the DSIR weight arithmetic (TextAnalysis.dsirWeights'
+    * SQL mirror) — CTE chain ending in `dw(doc_id, n_tokens, dwt)`;
+    * `dsir_weights` and `sample_dsir` both consume it, so a formula
+    * change cannot silently drift one oracle away from the other.
+    */
+  private def duckDsirCte(): String =
+    s"""tokc AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |tokt AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
+       |cs AS (SELECT token, count(*) AS cs FROM tokc GROUP BY token),
+       |ctt AS (SELECT token, count(*) AS ct FROM tokt GROUP BY token),
+       |cnt AS (SELECT cs.token, cs.cs, coalesce(ctt.ct, 0) AS ct
+       |        FROM cs LEFT JOIN ctt USING (token)),
+       |tot AS (SELECT sum(cs)::DOUBLE AS ns, sum(ct)::DOUBLE AS nt, count(*)::DOUBLE AS v FROM cnt),
+       |dw AS (SELECT tokc.doc_id, count(*) AS n_tokens,
+       |    round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) + 0 AS dwt
+       |  FROM tokc JOIN cnt USING (token) CROSS JOIN tot GROUP BY tokc.doc_id)""".stripMargin
+
+  /** ONE copy of the packing arithmetic (Packing.packBlocks' SQL mirror)
+    * — CTE chain ending in `nb(source, shard, block, doc_id, n_tokens,
+    * tok_start, tok_end, n_in_block)`; `pack_sequences` and
+    * `pack_summary` both consume it.
+    */
+  private def duckPackCte(): String =
+    """t AS (
+      |  SELECT source, doc_id % 4 AS shard, doc_id,
+      |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1 AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      |  FROM t),
+      |e AS (SELECT *, tok_start + n_tokens AS tok_end FROM c),
+      |x AS (SELECT *, unnest(generate_series(CAST(floor(tok_start / 512) AS BIGINT),
+      |                                       CAST(floor((tok_end - 1) / 512) AS BIGINT))) AS block FROM e),
+      |nb AS (SELECT source, shard, block, doc_id, n_tokens, tok_start, tok_end,
+      |         CAST(least(tok_end, (block + 1) * 512) - greatest(tok_start, block * 512) AS BIGINT) AS n_in_block
+      |       FROM x)""".stripMargin
+
   /** CTE chain ending in `fr(qid, id, s, rank)` — the fused hybrid
     * (BM25 + exact-kNN RRF) ranking both hybrid rows replay.
     */
@@ -4075,30 +4113,13 @@ object Queries {
     // columns whose values can be negative need it; distances, ratios,
     // counts, and BM25/RRF scores are non-negative by construction.
     "dsir_weights" ->
-      s"""WITH tokc AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
-         |tokt AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
-         |cs AS (SELECT token, count(*) AS cs FROM tokc GROUP BY token),
-         |ctt AS (SELECT token, count(*) AS ct FROM tokt GROUP BY token),
-         |cnt AS (SELECT cs.token, cs.cs, coalesce(ctt.ct, 0) AS ct
-         |        FROM cs LEFT JOIN ctt USING (token)),
-         |tot AS (SELECT sum(cs)::DOUBLE AS ns, sum(ct)::DOUBLE AS nt, count(*)::DOUBLE AS v FROM cnt)
-         |SELECT tokc.doc_id, count(*) AS n_tokens,
-         |  round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) + 0 AS dsir_weight
-         |FROM tokc JOIN cnt USING (token) CROSS JOIN tot
-         |GROUP BY tokc.doc_id ORDER BY tokc.doc_id""".stripMargin,
+      s"""WITH ${duckDsirCte()}
+         |SELECT doc_id, n_tokens, dwt AS dsir_weight
+         |FROM dw ORDER BY doc_id""".stripMargin,
     // the same weight CTE feeding the A-Res closed form (sample_weighted's
     // oracle shape, weight = exp(rounded dsir weight))
     "sample_dsir" ->
-      s"""WITH tokc AS (SELECT doc_id, unnest($duckToks) AS token FROM documents),
-         |tokt AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
-         |cs AS (SELECT token, count(*) AS cs FROM tokc GROUP BY token),
-         |ctt AS (SELECT token, count(*) AS ct FROM tokt GROUP BY token),
-         |cnt AS (SELECT cs.token, cs.cs, coalesce(ctt.ct, 0) AS ct
-         |        FROM cs LEFT JOIN ctt USING (token)),
-         |tot AS (SELECT sum(cs)::DOUBLE AS ns, sum(ct)::DOUBLE AS nt, count(*)::DOUBLE AS v FROM cnt),
-         |dw AS (SELECT tokc.doc_id,
-         |    round(avg(ln((cnt.ct + 1) / (tot.nt + tot.v)) - ln((cnt.cs + 1) / (tot.ns + tot.v))), 4) + 0 AS dwt
-         |  FROM tokc JOIN cnt USING (token) CROSS JOIN tot GROUP BY tokc.doc_id),
+      s"""WITH ${duckDsirCte()},
          |k AS (SELECT doc_id,
          |    ln((CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)
          |       / 1152921504606846976.0) / exp(dwt) AS skey
@@ -4615,41 +4636,17 @@ object Queries {
         |  WHEN 'es' THEN 2500 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
-      """WITH t AS (
-        |  SELECT source, doc_id % 4 AS shard, doc_id,
-        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1 AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-        |  FROM t),
-        |e AS (SELECT *, tok_start + n_tokens AS tok_end FROM c),
-        |x AS (SELECT *, unnest(generate_series(CAST(floor(tok_start / 512) AS BIGINT),
-        |                                       CAST(floor((tok_end - 1) / 512) AS BIGINT))) AS block FROM e)
-        |SELECT source, shard, block, doc_id, n_tokens, tok_start, tok_end,
-        |       CAST(least(tok_end, (block + 1) * 512) - greatest(tok_start, block * 512) AS BIGINT) AS n_in_block
-        |FROM x ORDER BY source, shard, block, doc_id""".stripMargin,
+      s"""WITH ${duckPackCte()}
+         |SELECT source, shard, block, doc_id, n_tokens, tok_start, tok_end, n_in_block
+         |FROM nb ORDER BY source, shard, block, doc_id""".stripMargin,
     // the same window arithmetic aggregated per block
     "pack_summary" ->
-      """WITH t AS (
-        |  SELECT source, doc_id % 4 AS shard, doc_id,
-        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1 AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-        |  FROM t),
-        |e AS (SELECT *, tok_start + n_tokens AS tok_end FROM c),
-        |x AS (SELECT *, unnest(generate_series(CAST(floor(tok_start / 512) AS BIGINT),
-        |                                       CAST(floor((tok_end - 1) / 512) AS BIGINT))) AS block FROM e),
-        |nb AS (SELECT source, shard, block, doc_id,
-        |         CAST(least(tok_end, (block + 1) * 512) - greatest(tok_start, block * 512) AS BIGINT) AS n_in_block
-        |       FROM x)
-        |SELECT source, shard, block, count(*) AS n_docs,
-        |  CAST(sum(n_in_block) AS BIGINT) AS n_tokens,
-        |  round(sum(n_in_block)::DOUBLE / 512, 4) AS fill_ratio
-        |FROM nb GROUP BY source, shard, block
-        |ORDER BY source, shard, block""".stripMargin,
+      s"""WITH ${duckPackCte()}
+         |SELECT source, shard, block, count(*) AS n_docs,
+         |  CAST(sum(n_in_block) AS BIGINT) AS n_tokens,
+         |  round(sum(n_in_block)::DOUBLE / 512, 4) AS fill_ratio
+         |FROM nb GROUP BY source, shard, block
+         |ORDER BY source, shard, block""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
         |t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS ws FROM c),
