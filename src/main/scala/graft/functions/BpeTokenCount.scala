@@ -6,42 +6,63 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 object BpeKernel {
-  /** Merge tables parsed lazily once per JVM from their spec string (same
-    * executor-side-rebuild pattern as [[StopwordCountsKernel]]): a
-    * production 50k-rule GPT-2 table costs one parse per executor, not
-    * one per row or per task.
+  /** Per-JVM interned merges table: the spec string is resolved ONCE to a
+    * small-integer id + parsed rank map (same executor-side-rebuild
+    * pattern as [[StopwordCountsKernel]]), so a production 50k-rule GPT-2
+    * table costs one parse per executor and downstream cache keys never
+    * touch the (potentially hundreds-of-KB) spec content again.
     */
-  private val tables =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), Int]]()
+  private final class SpecEntry(val id: java.lang.Integer,
+      val ranks: Map[(String, String), Int])
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, SpecEntry]()
+  private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Reference-equality fast path: codegen deserializes ONE spec String
+    * per task and passes that same instance every row, so after the first
+    * row of a task this resolves in O(1) with zero content compares.
+    * Racy-but-safe single-slot memo (worst case: an extra map lookup).
+    */
+  @volatile private var lastResolved: (String, SpecEntry) = null
 
   private val pattern =
     java.util.regex.Pattern.compile(graft.text.TextAnalysis.BpeTokenPattern)
 
   def encode(mergeLines: Seq[String]): String = mergeLines.mkString("\n")
 
-  private def table(spec: String): Map[(String, String), Int] =
-    tables.computeIfAbsent(spec, s => graft.text.Bpe.loadMerges(s.split("\n", -1)))
+  private def entry(spec: String): SpecEntry = {
+    val l = lastResolved
+    if (l != null && (l._1 eq spec)) l._2
+    else {
+      val e = entries.computeIfAbsent(spec, s =>
+        new SpecEntry(nextId.getAndIncrement(),
+          graft.text.Bpe.loadMerges(s.split("\n", -1))))
+      lastResolved = (spec, e)
+      e
+    }
+  }
 
   /** Pretoken → pieces memo (the cache every production BPE tokenizer
     * ships): natural-language pretokens are Zipf-distributed, so the
     * quadratic-ish merge loop runs once per DISTINCT pretoken per
-    * executor instead of once per occurrence. Keyed by (spec, pretoken);
-    * BOUNDED — an adversarial corpus of unique pretokens stops inserting
-    * at the cap instead of growing executor memory, and encodes exactly
-    * as before. Values are the already-UTF8-encoded piece arrays, shared
-    * (never mutated) across rows.
+    * executor instead of once per occurrence. Keyed by (internedSpecId,
+    * pretoken) — an O(1) int compare plus the pretoken, never the spec
+    * content, so a cache hit stays cheaper than re-encoding even under a
+    * production-sized merges table. BOUNDED — an adversarial corpus of
+    * unique pretokens stops inserting at the cap instead of growing
+    * executor memory, and encodes exactly as before. Values are the
+    * already-UTF8-encoded piece arrays, shared (never mutated) across rows.
     */
   private val pieceCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[UTF8String]]()
+    new java.util.concurrent.ConcurrentHashMap[(java.lang.Integer, String), Array[UTF8String]]()
   private val MaxCacheEntries = 1 << 16
 
-  private def encodeCached(pretoken: String, spec: String,
-      ranks: Map[(String, String), Int]): Array[UTF8String] = {
-    val key = (spec, pretoken)
+  private def encodeCached(pretoken: String, e: SpecEntry): Array[UTF8String] = {
+    val key = (e.id, pretoken)
     val hit = pieceCache.get(key)
     if (hit != null) hit
     else {
-      val ps = graft.text.Bpe.encodeTokens(pretoken, ranks)
+      val ps = graft.text.Bpe.encodeTokens(pretoken, e.ranks)
       val enc = new Array[UTF8String](ps.length)
       var i = 0
       while (i < ps.length) { enc(i) = UTF8String.fromString(ps(i)); i += 1 }
@@ -52,21 +73,21 @@ object BpeKernel {
 
   /** One pretokenize pass; per-pretoken BPE encode; summed token count. */
   def count(text: UTF8String, spec: String): Long = {
-    val ranks = table(spec)
+    val e = entry(spec)
     val m = pattern.matcher(text.toString)
     var total = 0L
-    while (m.find()) total += encodeCached(m.group(), spec, ranks).length
+    while (m.find()) total += encodeCached(m.group(), e).length
     total
   }
 
   /** One pretokenize pass; per-pretoken BPE encode; concatenated PIECES
     * (GPT-2 byte-level convention, space → Ġ) in document order. */
   def pieces(text: UTF8String, spec: String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val ranks = table(spec)
+    val e = entry(spec)
     val m = pattern.matcher(text.toString)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     while (m.find()) {
-      val ps = encodeCached(m.group(), spec, ranks)
+      val ps = encodeCached(m.group(), e)
       var i = 0
       while (i < ps.length) { out += ps(i); i += 1 }
     }

@@ -160,12 +160,17 @@ object Sampling {
           // threshold, so the verification pass IS the result — one
           // key-computing corpus scan instead of a count pass plus a
           // re-scan (the `total` count above is column-pruned to a
-          // metadata count on parquet sources). The persist is bounded
-          // by k, the operator's own output size, never the corpus.
+          // metadata count on parquet sources). The k rows are collected
+          // into a LOCAL relation — TakeOrderedAndProject already merges
+          // k·P candidates on the driver to produce this limit, so the
+          // collect adds no new driver load, and nothing stays persisted
+          // across calls in a long-lived session (no cache to leak).
           val topPre = pre.orderBy(col("__skey").desc, col(idCol)).limit(k)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (topPre.count() == k) topPre
-          else { topPre.unpersist(); keyed }
+          val rows = topPre.collect()
+          if (rows.length == k)
+            df.sparkSession.createDataFrame(
+              java.util.Arrays.asList(rows: _*), topPre.schema)
+          else keyed
         }
       }
     candidates
