@@ -2747,6 +2747,31 @@ object Queries {
         .orderBy("source", "shard", "block")
     }),
 
+    // NON-SPLITTING best-fit packing (first-fit-decreasing): every doc in
+    // exactly ONE 512-token bin — no cross-document attention
+    // contamination from split docs, padding bounded by the FFD
+    // guarantee. Deterministic per (source, shard): docs ordered by
+    // (n_tokens DESC, doc_id), placed first-fit; the oracle replays the
+    // identical placement with a recursive CTE carrying each group's
+    // bin-remainder list.
+    "pack_bestfit" -> ((spark, dir) => {
+      graft.ops.Packing.packBestFit(t(spark, dir, "documents"),
+          blockLen = 512, nShards = 4)
+        .orderBy("source", "shard", "bin", "doc_id")
+    }),
+
+    // the packing-efficiency report over the same FFD layout: per-bin doc
+    // count / token total / fill ratio — the padding-waste number that
+    // decides between this layout and pack_sequences' concat-and-chunk
+    "pack_bestfit_summary" -> ((spark, dir) => {
+      val packed = graft.ops.Packing.packBestFit(t(spark, dir, "documents"),
+        blockLen = 512, nShards = 4)
+      graft.ops.Packing.packBestFitSummary(packed, blockLen = 512)
+        .select(col("source"), col("shard"), col("bin"), col("n_docs"),
+          col("n_tokens"), round(col("fill_ratio"), 4).as("fill_ratio"))
+        .orderBy("source", "shard", "bin")
+    }),
+
     // Composed curation pipeline: dedup → quality/lang → filter → embed join
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
@@ -3360,6 +3385,41 @@ object Queries {
       |nb AS (SELECT source, shard, block, doc_id, n_tokens, tok_start, tok_end,
       |         CAST(least(tok_end, (block + 1) * 512) - greatest(tok_start, block * 512) AS BIGINT) AS n_in_block
       |       FROM x)""".stripMargin
+
+  /** Recursive-CTE chain ending in `ffd(source, shard, rn, doc_id,
+    * n_tokens, bin, rem)` — first-fit-decreasing bin packing replayed
+    * item by item: each (source, shard) group's docs ordered by
+    * (n_tokens DESC, doc_id), the working row carrying the group's
+    * bin-remainder list; `list_position(list_transform(rem, x -> x >= n),
+    * true)` finds the first bin with capacity (0/NULL = none → open bin
+    * len(rem)). Both `pack_bestfit` rows replay [[graft.ops.Packing
+    * .packBestFit]] through it. Requires WITH RECURSIVE at the caller.
+    */
+  private def duckFfdCte(): String =
+    """t AS (
+      |  SELECT source, doc_id % 4 AS shard, doc_id,
+      |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1 AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY n_tokens DESC, doc_id) AS rn
+      |  FROM t),
+      |ffd AS (
+      |  SELECT source, shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      |         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin,
+      |         CAST([] AS BIGINT[]) AS rem
+      |  FROM (SELECT DISTINCT source, shard FROM s)
+      |  UNION ALL
+      |  SELECT s.source, s.shard, s.rn, s.doc_id, s.n_tokens,
+      |         CASE WHEN coalesce(list_position(list_transform(f.rem, x -> x >= s.n_tokens), true), 0) = 0
+      |              THEN len(f.rem)
+      |              ELSE list_position(list_transform(f.rem, x -> x >= s.n_tokens), true) - 1 END AS bin,
+      |         CASE WHEN coalesce(list_position(list_transform(f.rem, x -> x >= s.n_tokens), true), 0) = 0
+      |              THEN list_append(f.rem, 512 - s.n_tokens)
+      |              ELSE list_transform(f.rem, (x, i) ->
+      |                CASE WHEN i = list_position(list_transform(f.rem, x2 -> x2 >= s.n_tokens), true)
+      |                     THEN x - s.n_tokens ELSE x END) END AS rem
+      |  FROM ffd f
+      |  JOIN s ON s.source = f.source AND s.shard = f.shard AND s.rn = f.rn + 1)""".stripMargin
 
   /** CTE chain ending in `fr(qid, id, s, rank)` — the fused hybrid
     * (BM25 + exact-kNN RRF) ranking both hybrid rows replay.
@@ -4639,6 +4699,18 @@ object Queries {
       s"""WITH ${duckPackCte()}
          |SELECT source, shard, block, doc_id, n_tokens, tok_start, tok_end, n_in_block
          |FROM nb ORDER BY source, shard, block, doc_id""".stripMargin,
+    // FFD replayed item-by-item through the recursive bin-remainder CTE
+    "pack_bestfit" ->
+      s"""WITH RECURSIVE ${duckFfdCte()}
+         |SELECT source, shard, bin, doc_id, n_tokens
+         |FROM ffd WHERE rn > 0 ORDER BY source, shard, bin, doc_id""".stripMargin,
+    "pack_bestfit_summary" ->
+      s"""WITH RECURSIVE ${duckFfdCte()}
+         |SELECT source, shard, bin, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(sum(n_tokens)::DOUBLE / 512, 4) AS fill_ratio
+         |FROM ffd WHERE rn > 0 GROUP BY source, shard, bin
+         |ORDER BY source, shard, bin""".stripMargin,
     // the same window arithmetic aggregated per block
     "pack_summary" ->
       s"""WITH ${duckPackCte()}

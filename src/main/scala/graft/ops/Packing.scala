@@ -72,6 +72,80 @@ object Packing {
         sum("n_in_block").as("n_tokens"),
         (sum("n_in_block") / lit(blockLen.toDouble)).as("fill_ratio"))
 
+  /** NON-SPLITTING best-fit sequence packing (first-fit-decreasing — the
+    * Krell et al. 2021 "Efficient Sequence Packing" family): each document
+    * is assigned to exactly ONE `blockLen`-token bin, so no training
+    * sequence carries a document split across block boundaries (the
+    * cross-document-attention contamination [[packBlocks]]'s GPT-style
+    * concat-and-chunk accepts). The price is padding: bins fill to ≤
+    * `blockLen` and the tail capacity is wasted — FFD keeps that waste
+    * near the bin-packing optimum (≤ 11/9·OPT + 6/9 bins, Dósa 2007).
+    *
+    * Deterministic and engine-replayable: within each (source, shard)
+    * group documents are ordered by (n_tokens DESC, doc_id ASC) and
+    * placed first-fit into the lowest-indexed bin with enough remaining
+    * capacity, opening bin `len(bins)` when none fits — a pure function
+    * of the group's rows, so a SQL engine replays it with a recursive
+    * CTE over the same ordering (the catalog oracle does exactly that).
+    *
+    * A document LONGER than `blockLen` (with its EOS) fits no bin and
+    * opens its own: its bin's remaining capacity goes negative, which no
+    * later (smaller) document can satisfy, so oversized documents end up
+    * alone in overfull bins — visible as fill_ratio > 1 in
+    * [[packSummary]], for downstream truncation policy to handle rather
+    * than this operator silently splitting or dropping them.
+    *
+    * Scale shape: one shuffle on (source, shard); each group is buffered
+    * and sorted in one task, with bin state O(group tokens / blockLen) —
+    * `nShards` is the bound on group size exactly as in [[packBlocks]]
+    * (size it to the data; the assignment is shard-local by design, so
+    * more shards = smaller groups = more parallelism, at zero cost to
+    * packing quality beyond the shard boundary). The first-fit scan is
+    * O(docs × bins) per group — the textbook form; groups sized like
+    * Spark partitions keep it far from mattering.
+    *
+    * Output: (source, shard, bin, doc_id, n_tokens) — one row per
+    * document. Token counts are whitespace tokens + 1 EOS, the same
+    * arithmetic as [[packBlocks]]. Feed to [[packSummary]] (grouping by
+    * `bin`) for the fill-ratio report.
+    */
+  def packBestFit(docs: DataFrame, blockLen: Int, nShards: Int): DataFrame = {
+    require(blockLen > 0, s"blockLen must be positive, got $blockLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source").cast("string"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        col("doc_id").cast(LongType),
+        (size(TextAnalysis.tokens(col("text"))).cast(LongType) + lit(1L)).as("n_tokens"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (src, shard, _, _) => (src, shard) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val (src, shard) = key
+        val items = it.toArray.sortBy { case (_, _, id, n) => (-n, id) }
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (_, _, id, n) =>
+          var b = 0
+          while (b < rem.length && rem(b) < n) b += 1
+          if (b == rem.length) rem += blockLen - n else rem(b) -= n
+          (src, shard, b.toLong, id, n)
+        }
+      }
+      .toDF("source", "shard", "bin", "doc_id", "n_tokens")
+  }
+
+  /** Per-bin fill summary over [[packBestFit]] output — [[packSummary]]'s
+    * twin for the non-splitting layout: n_docs, token total and fill
+    * ratio per bin. Interior bins fill ≤ 1.0 (the padding-waste view);
+    * an oversized single-document bin reports > 1.0.
+    */
+  def packBestFitSummary(packed: DataFrame, blockLen: Int): DataFrame =
+    packed.groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (sum("n_tokens") / lit(blockLen.toDouble)).as("fill_ratio"))
+
   /** Fixed-length token chunking with overlap — [[packBlocks]]'s
     * inference-side twin (RAG / embedding-index ingestion slices each
     * document into `chunkLen`-token windows advancing by
