@@ -1712,6 +1712,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 language id, RANK-PROFILE form (Cavnar–Trenkle): per-language
+    // character-trigram profiles trained on the planted LABELED slice
+    // (the curated training set of the published method), every corpus
+    // doc + five short planted probes classified by out-of-place
+    // distance. Pure integer arithmetic over deterministic orderings —
+    // the oracle replays profile build, rank windows and the distance
+    // sum verbatim. The short probes are exactly the inputs the stopword
+    // heuristic cannot call (no function words).
+    "lang_id_ngram" -> ((spark, dir) => {
+      import spark.implicits._
+      val train = langTrainFixture.toDF("doc_id", "lang", "text")
+      val probes = langProbeFixture.toDF("doc_id", "text")
+      val corpus = t(spark, dir, "documents").select("doc_id", "text")
+        .unionByName(probes)
+      val prof = graft.text.LangIdNgram.profiles(train, profileSize = 80)
+      graft.text.LangIdNgram.classify(corpus, prof, profileSize = 80)
+        .orderBy("doc_id")
+    }),
+
     // §2.19 multimodal feature extraction: payload → frames → byte-nibble
     // histogram (decode stubbed, plumbing real). Output is FLAT scalars
     // (arrays would break the driver's pandas value-sort) and self-verifying:
@@ -3523,6 +3542,69 @@ object Queries {
   }
 
   /** DuckDB mirror of [[TextAnalysis.langId]] + counts. */
+  /** The labeled training slice for `lang_id_ngram` — one source of truth
+    * for the Spark fixture and the oracle VALUES (texts carry no single
+    * quotes by construction, so they inline into SQL verbatim).
+    */
+  private val langTrainFixture: Seq[(Long, String, String)] = Seq(
+    (900001L, "en", "the quick brown fox jumps over the lazy dog and the children watch while they run through the green fields in the morning light"),
+    (900002L, "en", "she said that they would come home early because the weather was getting worse and nobody wanted to stay outside"),
+    (900003L, "en", "a simple question with a simple answer is often the thing that people want most when they are searching for help"),
+    (900011L, "de", "der schnelle braune fuchs springt über den faulen hund während die kinder durch die grünen felder laufen und das wetter schön bleibt"),
+    (900012L, "de", "sie sagte dass sie früh nach hause kommen würden weil das wetter schlechter wurde und niemand draußen bleiben wollte"),
+    (900013L, "de", "eine einfache frage mit einer einfachen antwort ist oft das was die menschen am meisten wollen wenn sie hilfe suchen"),
+    (900021L, "es", "el rápido zorro marrón salta sobre el perro perezoso mientras los niños corren por los campos verdes en la mañana"),
+    (900022L, "es", "ella dijo que volverían temprano a casa porque el tiempo empeoraba y nadie quería quedarse fuera en la noche"),
+    (900023L, "es", "una pregunta sencilla con una respuesta sencilla es a menudo lo que la gente más quiere cuando busca ayuda"),
+    (900031L, "fr", "le renard brun rapide saute par dessus le chien paresseux pendant que les enfants courent dans les champs verts le matin"),
+    (900032L, "fr", "elle a dit que ils rentreraient tôt à la maison parce que le temps devenait mauvais et personne ne voulait rester dehors"),
+    (900033L, "fr", "une question simple avec une réponse simple est souvent ce que les gens veulent le plus quand ils cherchent de aide"),
+    (900041L, "zh", "敏捷的棕色狐狸跳过懒惰的狗孩子们在绿色的田野里奔跑早晨的阳光很温暖天气很好"),
+    (900042L, "zh", "她说他们会早点回家因为天气越来越糟糕没有人想留在外面晚上很冷大家都回去了"),
+    (900043L, "zh", "一个简单的问题和一个简单的答案往往是人们寻求帮助时最想要的东西我们应该互相帮助"))
+
+  /** Short unlabeled probes the stopword heuristic cannot call. */
+  private val langProbeFixture: Seq[(Long, String)] = Seq(
+    (910001L, "running quickly home through fields"),
+    (910002L, "über den grünen wäldern fliegen"),
+    (910003L, "la mañana es muy bonita"),
+    (910004L, "les enfants jouent dans le jardin"),
+    (910005L, "他们会早点回家因为天气很好"))
+
+  /** Cavnar–Trenkle rank-profile classification replayed in SQL: profile
+    * build over the planted labeled slice, per-doc trigram rank windows,
+    * out-of-place distance with the profileSize penalty, argmin pick.
+    */
+  private def langIdNgramOracle: String = {
+    val n = 80
+    val trainVals = langTrainFixture
+      .map { case (id, l, t) => s"($id, '$l', '$t')" }.mkString(",")
+    val probeVals = langProbeFixture
+      .map { case (id, t) => s"($id, '$t')" }.mkString(",")
+    s"""WITH train(doc_id, lang, text) AS (VALUES $trainVals),
+       |probes(doc_id, text) AS (VALUES $probeVals),
+       |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM probes),
+       |tn AS (SELECT lang, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS t FROM train),
+       |ti AS (SELECT lang, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tn),
+       |tg AS (SELECT lang, substr(t, CAST(i AS INT), 3) AS gram FROM ti),
+       |pc AS (SELECT lang, gram, count(*) AS cnt FROM tg GROUP BY lang, gram),
+       |prof AS (SELECT lang, gram, lrank FROM (
+       |  SELECT lang, gram, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS BIGINT) AS lrank FROM pc) WHERE lrank <= $n),
+       |dn AS (SELECT doc_id, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS t FROM corpus),
+       |di AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM dn),
+       |dg AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM di),
+       |dc AS (SELECT doc_id, gram, count(*) AS cnt FROM dg GROUP BY doc_id, gram),
+       |dr AS (SELECT doc_id, gram, drank FROM (
+       |  SELECT doc_id, gram, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS BIGINT) AS drank FROM dc) WHERE drank <= $n),
+       |langs AS (SELECT DISTINCT lang FROM prof),
+       |dist AS (SELECT dr.doc_id, l.lang, CAST(sum(coalesce(abs(dr.drank - p.lrank), $n)) AS BIGINT) AS dist
+       |         FROM dr CROSS JOIN langs l LEFT JOIN prof p ON p.lang = l.lang AND p.gram = dr.gram
+       |         GROUP BY dr.doc_id, l.lang),
+       |best AS (SELECT doc_id, lang AS pred_lang, dist,
+       |                row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS r FROM dist)
+       |SELECT doc_id, pred_lang, dist FROM best WHERE r = 1 ORDER BY doc_id""".stripMargin
+  }
+
   private def langIdOracle: String = {
     def cnt(words: Seq[String]) =
       s"CAST(len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
@@ -3876,6 +3958,7 @@ object Queries {
          |      FROM all_v a CROSS JOIN all_v b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cd, 4) AS cos_dist FROM p WHERE cd <= 0.1 ORDER BY id_a, id_b""".stripMargin,
     "lang_id" -> langIdOracle,
+    "lang_id_ngram" -> langIdNgramOracle,
     "quality_filters" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram rank-profile language identification (Cavnar &
+  * Trenkle 1994, "N-Gram-Based Text Categorization"): each language gets
+  * a PROFILE — its top-`profileSize` character trigrams ranked by
+  * frequency over a labeled training slice — and a document is classified
+  * to the language whose profile is closest under the OUT-OF-PLACE
+  * distance (sum over the document's own top-ranked trigrams of the rank
+  * difference to the language profile, with a fixed `profileSize` penalty
+  * for trigrams absent from the profile).
+  *
+  * This is the model-free classifier that handles the cases the stopword
+  * heuristic ([[TextAnalysis.langId]]) cannot: SHORT text (a three-word
+  * string rarely contains a stopword), morphology-heavy languages where
+  * character patterns (sch/ção/öß) identify the language even when no
+  * function word appears, and diacritic-bearing fragments. Profiles are
+  * data-derived but tiny (languages × profileSize rows), so they
+  * BROADCAST; the corpus is never shuffled against itself.
+  *
+  * Everything is integer arithmetic over deterministic orderings
+  * (count DESC, gram ASC), so the result is exactly reproducible by any
+  * engine — the catalog oracle replays profile build, rank windows, and
+  * the out-of-place sum verbatim in SQL.
+  *
+  * Scale shape: profile build = one explode + partial-agg count + one
+  * per-language window over ≤ distinct-gram rows (bounded by training
+  * slice size, which is curated and small by design — NOT the corpus).
+  * Classification = one explode + per-document count/rank (partial-agg +
+  * a window partitioned by doc — each group ≤ the doc's distinct grams),
+  * then a broadcast join against the profile table and one bounded
+  * aggregation: rows ≈ docs × profileSize × languages at worst, linear
+  * in the corpus.
+  */
+object LangIdNgram {
+
+  /** Lowercased, whitespace-collapsed, space-padded classification form —
+    * the Cavnar–Trenkle normalization (padding lets trigrams see word
+    * boundaries). Identical in Spark and DuckDB (`' ' ||
+    * regexp_replace(lower(trim(t)), '\s+', ' ', 'g') || ' '`).
+    */
+  def normalized(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(trim(text)), "\\s+", " "), lit(" "))
+
+  /** All character trigrams of the normalized text, in order (one per
+    * start offset). Empty/too-short text yields an empty array — NOT a
+    * descending `sequence(1, 0)` (Spark's sequence runs backwards when
+    * stop < start, so the guard is load-bearing).
+    */
+  def charTrigrams(text: Column): Column = {
+    val n = normalized(text)
+    when(length(n) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3))))
+  }
+
+  /** Per-language rank profiles from a LABELED training slice:
+    * (lang, gram, lrank) with lrank 1..`profileSize` by
+    * (count DESC, gram ASC). The labeled slice is the curated training
+    * set of the published method — pass a small high-confidence sample,
+    * not the raw corpus.
+    */
+  def profiles(
+      labeled: DataFrame,
+      profileSize: Int = 100,
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    require(profileSize > 0, s"profileSize must be positive, got $profileSize")
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+    labeled
+      .select(col(langCol).cast("string").as("lang"),
+        explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("lrank", row_number().over(w))
+      .filter(col("lrank") <= profileSize)
+      .select(col("lang"), col("gram"), col("lrank").cast("long").as("lrank"))
+  }
+
+  /** Classify documents against `profileDf` ([[profiles]] output):
+    * (id, pred_lang, dist) — pred_lang the out-of-place-distance argmin
+    * (ties to the alphabetically first language), dist the winning
+    * integer distance. Documents whose normalized text is shorter than
+    * one trigram produce no row (no evidence — callers route them to
+    * their own policy rather than receiving an arbitrary label).
+    */
+  def classify(
+      docs: DataFrame,
+      profileDf: DataFrame,
+      profileSize: Int = 100,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(profileSize > 0, s"profileSize must be positive, got $profileSize")
+    val dw = Window.partitionBy("__id").orderBy(col("cnt").desc, col("gram"))
+    val docGrams = docs
+      .select(col(idCol).as("__id"), explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy("__id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("drank", row_number().over(dw))
+      .filter(col("drank") <= profileSize)
+      .select(col("__id"), col("gram"), col("drank").cast("long").as("drank"))
+    val langs = profileDf.select("lang").distinct()
+    val pick = Window.partitionBy("__id").orderBy(col("dist"), col("lang"))
+    docGrams
+      .join(broadcast(langs))
+      .join(broadcast(profileDf), Seq("lang", "gram"), "left")
+      .groupBy("__id", "lang")
+      .agg(sum(coalesce(abs(col("drank") - col("lrank")),
+        lit(profileSize.toLong))).as("dist"))
+      .withColumn("__r", row_number().over(pick))
+      .filter(col("__r") === 1)
+      .select(col("__id").as(idCol), col("lang").as("pred_lang"), col("dist"))
+  }
+}
