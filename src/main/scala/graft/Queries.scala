@@ -1951,6 +1951,37 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // LEARNED quality-classifier stage (fastText-style linear model):
+    // logistic regression over the eight fused quality signals
+    // (mean_word_len scaled /10 into the ratios' range), trained by
+    // deterministic full-batch GD (15 iters, lr 2.0, zero init) on a
+    // PLANTED labeled slice — originals positive, tripled-text+symbol-
+    // spam corruptions negative — then every labeled row scored by the
+    // fitted sigmoid. Weights round to 6dp so the oracle's recursive-CTE
+    // GD replay scores from bit-identical weights.
+    "quality_classifier" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val corrupted = docs.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text"), lit(" "), col("text"),
+            lit(" ### ### 12345 67890 ###")).as("text"))
+      val labeled = docs.withColumn("label", lit(1.0))
+        .unionByName(corrupted.withColumn("label", lit(0.0)))
+      val sigNames = Seq("rep3_ratio", "upper_ratio", "digit_ratio", "alpha_ratio",
+        "mean_word_len", "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac")
+      val feats = labeled
+        .select(col("doc_id"), col("label"), TextAnalysis.qualitySignals(col("text")).as("s"))
+        .select(col("doc_id") +: col("label") +: sigNames.map { nm =>
+          val c = col(s"s.$nm")
+          (if (nm == "mean_word_len") c / 10.0 else c).as(nm)
+        }: _*)
+      val w = graft.text.QualityClassifier.train(feats, "label", sigNames,
+        iters = 15, lr = 2.0)
+      feats.select(col("doc_id"),
+          round(graft.text.QualityClassifier.scoreCol(sigNames.map(col), w), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // §2.17 CCNet/RefinedWeb LINE-level boilerplate dedup, APPLIED:
     // lines shared by ≥2 distinct docs (planted nav/footer chrome around
     // copies of the first 30 docs — including each copied doc's own body
@@ -3605,6 +3636,56 @@ object Queries {
        |SELECT doc_id, pred_lang, dist FROM best WHERE r = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** quality_classifier replayed in SQL: the same eight signals (the
+    * quality_filters formulas, mean_word_len/10), the identical
+    * deterministic full-batch GD as a recursive CTE over (it, w0..w8) —
+    * each step ONE aggregation of avg((p−y)·xᵢ) over the labeled slice —
+    * weights rounded to 6dp exactly as the Scala trainer rounds, scores
+    * from the fitted sigmoid.
+    */
+  private def qualityClassifierOracle: String = {
+    val iters = 15
+    val lr = "2.0"
+    // z(w, f) with x0..x7 — shared by the GD step and the scoring pass
+    def z(w: String, f: String) =
+      s"($w.w0 + " + (0 until 8).map(i => s"$w.w${i + 1}*$f.x$i").mkString(" + ") + ")"
+    val wCols = (0 to 8).map(i => s"w$i")
+    s"""WITH RECURSIVE all_docs AS (
+       |  SELECT doc_id, 1.0::DOUBLE AS y, text FROM documents
+       |  UNION ALL SELECT doc_id + 400000, 0.0::DOUBLE,
+       |    text || ' ' || text || ' ' || text || ' ### ### 12345 67890 ###'
+       |  FROM documents WHERE doc_id < 250),
+       |t AS (SELECT doc_id, y, text, $duckToks AS toks, string_split(text, chr(10)) AS lns FROM all_docs),
+       |g AS (SELECT doc_id, y, text, toks, lns,
+       |        CASE WHEN len(toks) < 3 THEN 1 ELSE len(toks) - 2 END AS total3,
+       |        len(${duckShingles("toks")}) AS distinct3 FROM t),
+       |f AS (SELECT doc_id, y,
+       |  (1.0 - distinct3::DOUBLE / total3) AS x0,
+       |  (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text) END) AS x1,
+       |  (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END) AS x2,
+       |  (CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END) AS x3,
+       |  (list_sum(list_transform(toks, tk -> length(tk)))::DOUBLE / len(toks) / 10.0) AS x4,
+       |  (((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(toks)) AS x5,
+       |  (len(list_filter(lns, l -> starts_with(ltrim(l, ' '), '- ') OR starts_with(ltrim(l, ' '), '* ') OR starts_with(ltrim(l, ' '), '• ')))::DOUBLE / len(lns)) AS x6,
+       |  (len(list_filter(lns, l -> ends_with(rtrim(l, ' '), '...')))::DOUBLE / len(lns)) AS x7
+       |  FROM g),
+       |gd AS (
+       |  SELECT 0 AS it, ${wCols.map(w => s"0.0::DOUBLE AS $w").mkString(", ")}
+       |  UNION ALL
+       |  SELECT it + 1, w0 - $lr * avg(d),
+       |    ${(0 until 8).map(i => s"w${i + 1} - $lr * avg(d * x$i)").mkString(", ")}
+       |  FROM (
+       |    SELECT gg.it, ${wCols.map(w => s"gg.$w").mkString(", ")},
+       |           ${(0 until 8).map(i => s"f.x$i").mkString(", ")},
+       |           1.0/(1.0 + exp(-${z("gg", "f")})) - f.y AS d
+       |    FROM gd gg CROSS JOIN f WHERE gg.it < $iters)
+       |  GROUP BY it, ${wCols.mkString(", ")}),
+       |wf AS (SELECT ${wCols.map(w => s"round($w, 6) AS $w").mkString(", ")}
+       |       FROM gd WHERE it = $iters)
+       |SELECT f.doc_id, round(1.0/(1.0 + exp(-${z("w", "f")})), 4) AS score
+       |FROM f CROSS JOIN wf w ORDER BY f.doc_id""".stripMargin
+  }
+
   private def langIdOracle: String = {
     def cnt(words: Seq[String]) =
       s"CAST(len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
@@ -3959,6 +4040,7 @@ object Queries {
          |SELECT id_a, id_b, round(cd, 4) AS cos_dist FROM p WHERE cd <= 0.1 ORDER BY id_a, id_b""".stripMargin,
     "lang_id" -> langIdOracle,
     "lang_id_ngram" -> langIdNgramOracle,
+    "quality_classifier" -> qualityClassifierOracle,
     "quality_filters" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents
