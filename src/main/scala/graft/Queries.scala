@@ -2718,6 +2718,33 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // INGESTION-TIME contamination-rate audit: the decontaminate_rate
+    // benchmark's shingles persist once, each micro-batch appends only
+    // its NEWLY-matched bench hashes (log bounded by the benchmark, not
+    // the stream), manifest merge = commit marker. After both batches
+    // the converged rates equal the batch audit row-for-row — the oracle
+    // is decontaminate_rate's, verbatim.
+    "stream_decontaminate_rate" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 5, 20)),
+            lit(" eval item "), col("doc_id").cast("string"),
+            lit(" held out suffix")).as("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_dcr_idx").toString
+      val sink = graft.streaming.StreamingOps.decontaminateRateSink(
+        spark, idxDir, bench, n = 13)
+      withStreamParts(spark) {
+        sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+        sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+      }
+      graft.streaming.StreamingOps.decontaminateRateMaintained(spark, idxDir)
+        .select(col("bench_id"), col("n_shingles").cast("long").as("n_shingles"),
+          col("n_matched").cast("long").as("n_matched"),
+          round(col("rate"), 4).as("rate"))
+        .orderBy("bench_id")
+    }),
+
     // The budgets-as-DataFrame sink form at HIGH source cardinality:
     // EVERY source gets a budget DERIVED FROM THE DATA (45% of the
     // source's own token mass, floored) — the "keep X% of each domain"
@@ -3636,6 +3663,28 @@ object Queries {
        |SELECT doc_id, pred_lang, dist FROM best WHERE r = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** ONE copy of the contamination-rate audit SQL — `decontaminate_rate`
+    * (batch) and `stream_decontaminate_rate` (the converged maintained
+    * view) share it, since the streaming sink's matched-hash union over
+    * committed batches is exactly the batch corpus match set.
+    */
+  private def decontaminateRateOracle: String =
+    s"""WITH bench AS (SELECT doc_id AS bench_id,
+       |  array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ')
+       |    || ' eval item ' || CAST(doc_id AS VARCHAR) || ' held out suffix' AS text
+       |  FROM documents WHERE doc_id % 23 = 0),
+       |sb AS (SELECT bench_id, ${duckShinglesN(duckToks, 13)} AS sh FROM bench),
+       |eb AS (SELECT bench_id, unnest(sh) AS g FROM sb),
+       |corpus AS (SELECT DISTINCT unnest(${duckShinglesN(duckToks, 13)}) AS g FROM documents),
+       |perq AS (SELECT eb.bench_id, count(*) AS n_shingles,
+       |    sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+       |  FROM eb LEFT JOIN corpus c ON eb.g = c.g GROUP BY eb.bench_id)
+       |SELECT s.bench_id, CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(p.n_matched, 0) AS BIGINT) AS n_matched,
+       |  round(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
+       |    ELSE p.n_matched::DOUBLE / p.n_shingles END, 4) AS rate
+       |FROM sb s LEFT JOIN perq p USING (bench_id) ORDER BY s.bench_id""".stripMargin
+
   /** quality_classifier replayed in SQL: the same eight signals (the
     * quality_filters formulas, mean_word_len/10), the identical
     * deterministic full-batch GD as a recursive CTE over (it, w0..w8) —
@@ -3786,22 +3835,10 @@ object Queries {
          |FROM p WHERE n_shared >= 1 ORDER BY doc_id, bench_id""".stripMargin,
     // string n-grams stand in for the 64-bit shingle hashes (identical
     // membership absent collisions — the bet every hashed-dedup row takes)
-    "decontaminate_rate" ->
-      s"""WITH bench AS (SELECT doc_id AS bench_id,
-         |  array_to_string(regexp_split_to_array(trim(text), '\\s+')[5:24], ' ')
-         |    || ' eval item ' || CAST(doc_id AS VARCHAR) || ' held out suffix' AS text
-         |  FROM documents WHERE doc_id % 23 = 0),
-         |sb AS (SELECT bench_id, ${duckShinglesN(duckToks, 13)} AS sh FROM bench),
-         |eb AS (SELECT bench_id, unnest(sh) AS g FROM sb),
-         |corpus AS (SELECT DISTINCT unnest(${duckShinglesN(duckToks, 13)}) AS g FROM documents),
-         |perq AS (SELECT eb.bench_id, count(*) AS n_shingles,
-         |    sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
-         |  FROM eb LEFT JOIN corpus c ON eb.g = c.g GROUP BY eb.bench_id)
-         |SELECT s.bench_id, CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
-         |  CAST(coalesce(p.n_matched, 0) AS BIGINT) AS n_matched,
-         |  round(CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
-         |    ELSE p.n_matched::DOUBLE / p.n_shingles END, 4) AS rate
-         |FROM sb s LEFT JOIN perq p USING (bench_id) ORDER BY s.bench_id""".stripMargin,
+    "decontaminate_rate" -> decontaminateRateOracle,
+    // the streaming sink converges to the batch audit exactly (the
+    // matched-hash union over committed batches IS the corpus match set)
+    "stream_decontaminate_rate" -> decontaminateRateOracle,
     "decontaminate_bloom" ->
       s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
          |quotes AS (SELECT bench_id + 500000 AS doc_id,

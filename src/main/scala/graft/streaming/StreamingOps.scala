@@ -3161,4 +3161,156 @@ object StreamingOps {
     gatedCompact(spark, indexDir, "totals", maxBatches,
       () => tokenBudgetTotalsBatches(spark, indexDir),
       () => compactTokenBudget(spark, indexDir))
+
+  // ------------------------------------ streaming contamination-rate audit
+
+  private def dcrBenchDir(indexDir: String) = s"$indexDir/bench"
+  private def dcrDocsDir(indexDir: String) = s"$indexDir/bench_docs"
+  private def dcrMatchedDir(indexDir: String) = s"$indexDir/matched"
+  private def dcrMetaPath(indexDir: String) = s"$indexDir/dcr_meta"
+
+  /** INGESTION-TIME contamination-rate audit — the streaming twin of
+    * [[graft.dedup.Dedup.contaminationRate]]: as training documents
+    * arrive, accumulate which of the benchmark's n-gram shingles have
+    * been seen ANYWHERE in the admitted corpus, so the per-eval-doc
+    * "percent of eval n-grams seen in training" number (the GPT-3
+    * appendix-C audit) is queryable at any point of the stream and
+    * CONVERGES to the batch audit once the same documents have flowed
+    * through — the monitoring side of the decontamination loop
+    * ([[contaminationStream]] quarantines docs; this one watches the
+    * rates drift as the corpus grows).
+    *
+    * Setup persists the benchmark's shingle table (bench_id, h) and doc
+    * list once; a restart is validated against a deterministic digest of
+    * them (a different benchmark would silently change every rate). Per
+    * batch: the batch's distinct shingle hashes stream through a
+    * broadcast of the benchmark's (bounded) hash set, already-matched
+    * hashes are anti-joined away, and only the NEWLY matched hashes land
+    * under `matched/batch=N` — so the whole matched log is bounded by
+    * the benchmark's own shingle count regardless of stream lifetime
+    * (the per-batch delta IS the rate delta), and the manifest merge is
+    * the commit marker: an at-least-once redelivery of a committed batch
+    * is skipped, a crashed half-commit is invisible to every read and
+    * rewritten on redelivery.
+    */
+  def decontaminateRateSink(
+      spark: SparkSession,
+      indexDir: String,
+      benchmark: DataFrame,
+      n: Int = 13,
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text",
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) => Unit = {
+    import spark.implicits._
+    require(n >= 1, s"n must be >= 1, got $n")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val benchDir = dcrBenchDir(indexDir)
+    val docsDir = dcrDocsDir(indexDir)
+    val matchedDir = dcrMatchedDir(indexDir)
+
+    def shingles(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).cast("long").as(outId),
+          graft.internal.SqlBridge.column(graft.functions.ShingleHashSet(
+            graft.internal.SqlBridge.expression(col(text)), n)).as("__hs"))
+        .select(col(outId), explode(col("__hs")).as("h"))
+
+    val benchSh = shingles(benchmark, benchIdCol, benchTextCol, "bench_id")
+    // deterministic digest: order-free xor of (bench_id * prime ^ h) plus
+    // counts — enough to catch a different benchmark or n on restart
+    def digestOf(sh: DataFrame): (Long, Long) = {
+      val r = sh.agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(bench_id * 1000003 + h)"), lit(0L)).as("d")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    if (!graft.io.HadoopIO.exists(dcrMetaPath(indexDir), hconf)) {
+      benchSh.coalesce(1).write.mode("overwrite").parquet(benchDir)
+      benchmark.select(col(benchIdCol).cast("long").as("bench_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(docsDir)
+      val (c, d) = digestOf(spark.read.parquet(benchDir))
+      Seq((n, c, d)).toDF("n", "bench_shingles", "bench_digest")
+        .coalesce(1).write.mode("overwrite").parquet(dcrMetaPath(indexDir))
+    } else {
+      val meta = spark.read.parquet(dcrMetaPath(indexDir))
+        .select("n", "bench_shingles", "bench_digest").head()
+      val (c, d) = digestOf(benchSh)
+      require(meta.getInt(0) == n && meta.getLong(1) == c && meta.getLong(2) == d,
+        s"contamination-rate state at $indexDir was maintained with a different " +
+          s"(benchmark, n=${meta.getInt(0)}); restarting with n=$n and a benchmark " +
+          s"digesting ($c, $d) vs recorded (${meta.getLong(1)}, ${meta.getLong(2)}) " +
+          "would silently change every rate — delete the directory or pass the same benchmark")
+    }
+    graft.io.HadoopIO.mkdirs(matchedDir, hconf)
+    if (graft.io.Manifest.read(matchedDir, hconf).isEmpty)
+      graft.io.Manifest.write(matchedDir,
+        listDelta(matchedDir, hconf).map { case (rel, len) =>
+          graft.io.ManifestEntry(rel, len, -1L) }, hconf)
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      import sess.implicits._
+      val conf = sess.sparkContext.hadoopConfiguration
+      val committed = graft.io.Manifest.read(matchedDir, conf).getOrElse(Seq.empty)
+        .exists(_.name.startsWith(s"batch=$batchId/"))
+      if (!committed) {
+        graft.io.HadoopIO.delete(s"$matchedDir/batch=$batchId", conf)
+        val benchH = sess.read.parquet(benchDir).select("h").distinct()
+        val priorEntries = graft.io.Manifest.read(matchedDir, conf).get
+        val prior =
+          if (priorEntries.isEmpty) Seq.empty[Long].toDF("h")
+          else hhReadManifested(sess, matchedDir)
+            .filter(col("real")).select("h").distinct()
+        // the corpus batch streams ONCE through the broadcast bench gate;
+        // the matched set is bounded by the benchmark's shingle count
+        val newMatches = shingles(batch, idCol, textCol, "__cd")
+          .join(broadcast(benchH), Seq("h"))
+          .select("h").distinct()
+          .join(broadcast(prior), Seq("h"), "left_anti")
+          .withColumn("real", lit(true))
+        // the sentinel guarantees the batch dir (the replay guard) exists
+        // even when the batch matched nothing new
+        newMatches
+          .unionByName(Seq((0L, false)).toDF("h", "real"))
+          .coalesce(1).write.parquet(s"$matchedDir/batch=$batchId")
+        // manifest merge LAST = the commit marker
+        replaceBatchManifest(matchedDir, s"batch=$batchId", conf)
+      }
+    }
+  }
+
+  /** The converged audit a [[decontaminateRateSink]] directory serves:
+    * (bench_id, n_shingles, n_matched, rate) — exactly
+    * [[graft.dedup.Dedup.contaminationRate]]'s output over every
+    * document a COMMITTED batch has carried (half-committed batches are
+    * invisible). The matched log is manifest-validated fail-loud; rates
+    * before any batch commits are all zero, and after the full corpus
+    * has streamed through they equal the batch audit row-for-row.
+    */
+  def decontaminateRateMaintained(spark: SparkSession, indexDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(graft.io.HadoopIO.exists(dcrMetaPath(indexDir), hconf),
+      s"no dcr_meta sidecar under $indexDir — not a contamination-rate audit dir")
+    val matchedDir = dcrMatchedDir(indexDir)
+    validateDelta(matchedDir, hconf)
+    val benchSh = spark.read.parquet(dcrBenchDir(indexDir))
+    val entries = graft.io.Manifest.read(matchedDir, hconf).get
+    val matched =
+      if (entries.isEmpty) {
+        import spark.implicits._
+        Seq.empty[Long].toDF("h")
+      } else hhReadManifested(spark, matchedDir)
+        .filter(col("real")).select("h").distinct()
+    val perDoc = benchSh
+      .join(broadcast(matched.withColumn("__m", lit(1L))), Seq("h"), "left")
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__m"), lit(0L))).as("n_matched"))
+    spark.read.parquet(dcrDocsDir(indexDir))
+      .join(perDoc, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("rate", when(col("n_shingles") === 0, lit(0.0))
+        .otherwise(col("n_matched").cast("double") / col("n_shingles")))
+  }
 }

@@ -287,6 +287,51 @@ class StreamingIndexSpec extends SparkTestBase {
     StreamingOps.tokenBudgetSink(spark, dir2, budgets)
   }
 
+  test("contamination-rate sink: converges to the batch audit, replay-safe, bench-change refused") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id").as("bench_id"),
+        concat(concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 5, 20)),
+          lit(" eval item "), col("doc_id").cast("string"),
+          lit(" held out suffix")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("dcr_sink").toString
+    val sink = StreamingOps.decontaminateRateSink(spark, dir, bench, n = 13)
+    def snap() = StreamingOps.decontaminateRateMaintained(spark, dir)
+      .orderBy("bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // before any batch: denominators in place, zero matches
+    val pre = snap()
+    assert(pre.nonEmpty && pre.forall(t => t._2 > 0 && t._3 == 0L && t._4 == 0.0))
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    val mid = snap()
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    val got = snap()
+    // monotone convergence: batch 1 can only add matches
+    mid.zip(got).foreach { case (m, g) => assert(m._3 <= g._3 && m._1 == g._1) }
+    // converged = the batch audit, row for row (same longs, same division)
+    val want = graft.dedup.Dedup.contaminationRate(docs, bench, n = 13)
+      .orderBy("bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(got.exists(_._3 > 0L), "fixture must contain real contamination")
+    // at-least-once redelivery of a committed batch changes nothing
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    assert(snap() === got)
+    // the matched log is bounded by the benchmark's own shingle count
+    val benchShingles = want.map(_._2).sum
+    val logged = spark.read.parquet(s"$dir/matched").filter(col("real")).count()
+    assert(logged <= benchShingles)
+    // restarting against a DIFFERENT benchmark (or n) is refused loudly
+    intercept[IllegalArgumentException](
+      StreamingOps.decontaminateRateSink(spark, dir, bench.limit(3), n = 13))
+    intercept[IllegalArgumentException](
+      StreamingOps.decontaminateRateSink(spark, dir, bench, n = 7))
+    // the same benchmark revalidates and keeps serving
+    StreamingOps.decontaminateRateSink(spark, dir, bench, n = 13)
+    assert(snap() === got)
+  }
+
   test("token-budget compaction folds totals to one batch, keeps the admitted set identical, blocks folded replays") {
     // s0 saturates mid-stream (budget 150 over 60 tokens/batch); s1 never
     // does — post-compaction admission must keep honoring BOTH states
