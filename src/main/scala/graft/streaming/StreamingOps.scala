@@ -576,7 +576,12 @@ object StreamingOps {
         // maintenance stream must not re-list months of deltas per batch)
         // and merges them into the manifest. Parquet partition discovery
         // surfaces `batch` as a column; the view reader ignores it.
-        assigned.unionByName(tombstones)
+        // repartition on the partition column first: otherwise every write
+        // task emits a file per cell it saw (tasks × cells files per
+        // batch — the classic small-files explosion an S3 delta log at
+        // corpus scale cannot absorb); after the shuffle each cell is
+        // written by one task, so files ≈ cells
+        assigned.unionByName(tombstones).repartition(col("cell"))
           .write.mode("append").partitionBy("cell").parquet(s"$indexDir/delta/batch=$batchId")
         mergeDeltaManifest(s"$indexDir/delta", s"batch=$batchId",
           sess.sparkContext.hadoopConfiguration)
@@ -768,6 +773,7 @@ object StreamingOps {
     graft.io.HadoopIO.delete(tmpDir, hconf) // stale tmp from an interrupted attempt
     latestDeltaRows(spark, indexDir)
       .drop("batch") // discovered partition column; compacted history is one pseudo-batch
+      .repartition(col("cell")) // one writer per cell: files ≈ cells, not tasks × cells
       .write.partitionBy("cell").parquet(s"$tmpDir/batch=compacted")
     // manifest BEFORE the destructive steps: from here on, any partial
     // state under deltaDir fails validateDelta instead of serving silently
@@ -844,7 +850,8 @@ object StreamingOps {
     * nearest-centroid distance, live ids).
     */
   private def ivfMaintainedQuantStats(
-      spark: SparkSession, indexDir: String, what: String): (Long, Double, Long) = {
+      spark: SparkSession, indexDir: String, what: String,
+      winnersOpt: Option[DataFrame] = None): (Long, Double, Long) = {
     import spark.implicits._
     val meta = graft.knn.Ivf.loadMeta(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no meta sidecar under $indexDir — not a maintained IVF dir"))
@@ -854,7 +861,14 @@ object StreamingOps {
     requireFullPrecisionView(spark, indexDir, what)
     val m = graft.core.Distances.metricId(meta.metric)
     val bc = spark.sparkContext.broadcast(centroids)
-    val perId = ivfMaintainedState(spark, indexDir)
+    // a caller holding the latest-wins rows already (retrainIfQuantDrifted
+    // shares one persisted scan between this gauge and the retrain it may
+    // fire) passes them in; otherwise resolve from the log
+    val state = winnersOpt
+      .map(_.filter(col("op") === "upsert")
+        .select(col("id"), col("cell").cast("int"), col("vector")))
+      .getOrElse(ivfMaintainedState(spark, indexDir))
+    val perId = state
       .select(col("id").cast("long"), col("cell").cast("int"), col("vector").cast("array<float>"))
       .as[(Long, Int, Array[Float])]
       .groupByKey(_._1)
@@ -905,15 +919,64 @@ object StreamingOps {
     * never a missing sidecar. Returns the recorded error.
     */
   def markIvfQuantReference(spark: SparkSession, indexDir: String): Double = {
-    import spark.implicits._
     val err = ivfMaintainedQuantError(spark, indexDir)
+    writeQuantRef(spark, indexDir, err)
+    err
+  }
+
+  /** The quant_ref sidecar swap, factored so a retrain can re-baseline
+    * from a value it already computed (see [[meanQuantErrorOver]]) instead
+    * of re-reading the freshly swapped delta log end to end.
+    */
+  private def writeQuantRef(spark: SparkSession, indexDir: String, err: Double): Unit = {
+    import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmp = s"$indexDir/quant_ref.tmp"
     graft.io.HadoopIO.delete(tmp, hconf)
     Seq(err).toDF("ref_err").coalesce(1).write.parquet(tmp)
     graft.io.HadoopIO.delete(s"$indexDir/quant_ref", hconf)
     graft.io.HadoopIO.rename(tmp, s"$indexDir/quant_ref", hconf)
-    err
+  }
+
+  /** Mean nearest-centroid distance of `vecs` (ONE row per id, `vector`
+    * column) against `centroids` — the same kernel and value
+    * [[ivfMaintainedQuantError]] measures from a maintained directory,
+    * computed as one NARROW broadcast pass over an already-resolved view.
+    * The retrain paths use it to refresh quant_ref from the `liveOne`
+    * relation they are already holding persisted: one fewer full
+    * delta-log read + latest-wins window + id-keyed shuffle per retrain,
+    * which at corpus scale is a full extra pass over the index.
+    */
+  private def meanQuantErrorOver(
+      spark: SparkSession,
+      vecs: DataFrame,
+      centroids: Array[Array[Float]],
+      metric: String): Double = {
+    import spark.implicits._
+    val m = graft.core.Distances.metricId(metric)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val agg = vecs.select(col("vector").cast("array<float>"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val kernel = graft.core.DistKernel.best
+        it.map { v =>
+          var bestDist = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val d = m match {
+              case graft.core.Distances.Euclidean => kernel.euclidean(v, cs(i))
+              case graft.core.Distances.Manhattan => kernel.manhattan(v, cs(i))
+              case _ => kernel.cosine(v, cs(i))
+            }
+            if (d < bestDist) bestDist = d
+            i += 1
+          }
+          bestDist
+        }
+      }
+      .toDF("d").agg(coalesce(sum("d"), lit(0.0)), count(lit(1))).head()
+    if (agg.getLong(1) == 0) 0.0 else agg.getDouble(0) / agg.getLong(1)
   }
 
   private def loadIvfQuantReference(spark: SparkSession, indexDir: String): Option[Double] = {
@@ -950,22 +1013,32 @@ object StreamingOps {
       throw new IllegalStateException(
         s"no quant_ref sidecar under $indexDir — record one with markIvfQuantReference " +
           "after the initial load (comparing against nothing would silently never retrain)"))
-    val cur = ivfMaintainedQuantError(spark, indexDir)
-    val ratio = if (ref == 0.0) { if (cur == 0.0) 0.0 else Double.PositiveInfinity }
-      else cur / ref
-    if (ratio > maxErrRatio) {
-      if (loadIvfPqFlags(spark, indexDir).isDefined)
-        retrainIvfPqMaintained(spark, indexDir, c, iterations, seed, refitRotation,
-          sampleFraction)
-      else {
-        require(!refitRotation,
-          s"refitRotation: $indexDir is not PQ-maintained — no rotation sidecar to re-fit")
-        retrainIvfMaintained(spark, indexDir, c, iterations, seed, sampleFraction)
-      }
-      // the retrain itself re-baselined quant_ref (the sidecar existed —
-      // we just loaded it — so the swap's carry-over re-marked it)
-      (ratio, true)
-    } else (ratio, false)
+    // resolve the latest-wins view ONCE: the gauge and (when the gate
+    // fires) the retrain share this persisted scan instead of each
+    // re-reading the delta log — at corpus scale one full pass saved per
+    // fired gate
+    val winners = latestDeltaRows(spark, indexDir).persist()
+    try {
+      val (_, sumDist, n) = ivfMaintainedQuantStats(spark, indexDir,
+        "quant-error-measured", Some(winners))
+      val cur = if (n == 0) 0.0 else sumDist / n
+      val ratio = if (ref == 0.0) { if (cur == 0.0) 0.0 else Double.PositiveInfinity }
+        else cur / ref
+      if (ratio > maxErrRatio) {
+        if (loadIvfPqFlags(spark, indexDir).isDefined)
+          retrainIvfPqMaintainedImpl(spark, indexDir, c, iterations, seed, refitRotation,
+            sampleFraction, Some(winners))
+        else {
+          require(!refitRotation,
+            s"refitRotation: $indexDir is not PQ-maintained — no rotation sidecar to re-fit")
+          retrainIvfMaintainedImpl(spark, indexDir, c, iterations, seed, sampleFraction,
+            Some(winners))
+        }
+        // the retrain itself re-baselined quant_ref (the sidecar existed —
+        // we just loaded it — so the swap's carry-over re-marked it)
+        (ratio, true)
+      } else (ratio, false)
+    } finally winners.unpersist()
   }
 
   /** Close the drift loop [[ivfMaintainedDrift]] measures: re-train the
@@ -1001,7 +1074,22 @@ object StreamingOps {
       c: Int = 0,
       iterations: Int = 2,
       seed: Long = 42L,
-      sampleFraction: Double = 1.0): Array[Array[Float]] = {
+      sampleFraction: Double = 1.0): Array[Array[Float]] =
+    retrainIvfMaintainedImpl(spark, indexDir, c, iterations, seed, sampleFraction, None)
+
+  /** [[retrainIvfMaintained]] with an optional pre-resolved (and
+    * caller-persisted) latest-wins view, so a gate that just measured
+    * drift does not pay a second delta-log scan (the caller owns the
+    * persist lifecycle).
+    */
+  private def retrainIvfMaintainedImpl(
+      spark: SparkSession,
+      indexDir: String,
+      c: Int,
+      iterations: Int,
+      seed: Long,
+      sampleFraction: Double,
+      preResolved: Option[DataFrame]): Array[Array[Float]] = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmpDir = s"$indexDir.retrain"
@@ -1025,7 +1113,7 @@ object StreamingOps {
     require(loadIvfPqFlags(spark, indexDir).isEmpty,
       s"index at $indexDir is PQ-maintained — retrain it with retrainIvfPqMaintained (this " +
         "path would silently drop the codes and PQ sidecars from the rebuilt directory)")
-    val winners = latestDeltaRows(spark, indexDir).persist()
+    val winners = preResolved.getOrElse(latestDeltaRows(spark, indexDir).persist())
     // one row per live id (spill replicas share the vector and version)
     val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
       .select(col("id").cast("long"), col("vector").cast("array<float>"), col("version"))
@@ -1045,6 +1133,7 @@ object StreamingOps {
         .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
           col("version"), col("op"))
       assigned.unionByName(tombstones)
+        .repartition(col("cell")) // files ≈ cells, not tasks × cells
         .write.partitionBy("cell").parquet(s"$tmpDir/delta/batch=retrained")
       writeDeltaManifest(s"$tmpDir/delta", hconf)
       centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -1057,16 +1146,23 @@ object StreamingOps {
 
       val hadQuantRef = graft.io.HadoopIO.exists(s"$indexDir/quant_ref", hconf) ||
         graft.io.HadoopIO.exists(s"$indexDir/quant_ref.tmp", hconf)
+      // the swap drops the old quant_ref with the old directory; an index
+      // that was quant-monitored stays monitored — re-baseline on the
+      // rebuilt geometry (retrainIfQuantDrifted relies on this). Computed
+      // from the STILL-PERSISTED liveOne (same rows, same kernel as a
+      // post-swap ivfMaintainedQuantError) so the retrain does not re-read
+      // the log it just wrote.
+      val newRef = if (hadQuantRef)
+        Some(meanQuantErrorOver(spark, liveOne.select("id", "vector"),
+          centroids, meta.metric))
+      else None
       graft.io.HadoopIO.delete(indexDir, hconf)
       graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
-      // the swap dropped the old quant_ref with the old directory; an
-      // index that was quant-monitored stays monitored — re-baseline on
-      // the rebuilt geometry (retrainIfQuantDrifted relies on this)
-      if (hadQuantRef) markIvfQuantReference(spark, indexDir)
+      newRef.foreach(writeQuantRef(spark, indexDir, _))
       centroids
     } finally {
       liveOne.unpersist()
-      winners.unpersist()
+      if (preResolved.isEmpty) winners.unpersist()
     }
   }
 
@@ -1313,6 +1409,7 @@ object StreamingOps {
           .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
             lit(null).cast("binary").as("pq_codes"), col("version"), lit("remove").as("op"))
         encoded.unionByName(tombstones)
+          .repartition(col("cell")) // files ≈ cells per batch, not tasks × cells
           .write.mode("append").partitionBy("cell").parquet(s"$indexDir/delta/batch=$batchId")
         mergeDeltaManifest(s"$indexDir/delta", s"batch=$batchId",
           sess.sparkContext.hadoopConfiguration)
@@ -1455,7 +1552,22 @@ object StreamingOps {
       iterations: Int = 2,
       seed: Long = 42L,
       refitRotation: Boolean = false,
-      sampleFraction: Double = 1.0): Array[Array[Float]] = {
+      sampleFraction: Double = 1.0): Array[Array[Float]] =
+    retrainIvfPqMaintainedImpl(spark, indexDir, c, iterations, seed, refitRotation,
+      sampleFraction, None)
+
+  /** [[retrainIvfPqMaintained]] with an optional pre-resolved latest-wins
+    * view — same single-scan contract as [[retrainIvfMaintainedImpl]].
+    */
+  private def retrainIvfPqMaintainedImpl(
+      spark: SparkSession,
+      indexDir: String,
+      c: Int,
+      iterations: Int,
+      seed: Long,
+      refitRotation: Boolean,
+      sampleFraction: Double,
+      preResolved: Option[DataFrame]): Array[Array[Float]] = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmpDir = s"$indexDir.retrain"
@@ -1482,7 +1594,7 @@ object StreamingOps {
         "view — re-build from the source-of-truth corpus instead (this is the documented " +
         "trade of the m-byte tier)")
     val cb = graft.knn.Pq.loadCodebooks(spark, indexDir)
-    val winners = latestDeltaRows(spark, indexDir).persist()
+    val winners = preResolved.getOrElse(latestDeltaRows(spark, indexDir).persist())
     val liveOne = winners.filter(col("op") === "upsert").dropDuplicates("id")
       .select(col("id").cast("long"), col("vector").cast("array<float>"), col("version"))
       .persist()
@@ -1536,6 +1648,7 @@ object StreamingOps {
         .select(col("id"), lit(-1).as("cell"), lit(null).cast("array<float>").as("vector"),
           lit(null).cast("binary").as("pq_codes"), col("version"), col("op"))
       encoded.unionByName(tombstones)
+        .repartition(col("cell")) // files ≈ cells, not tasks × cells
         .write.partitionBy("cell").parquet(s"$tmpDir/delta/batch=retrained")
       writeDeltaManifest(s"$tmpDir/delta", hconf)
       centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -1563,14 +1676,21 @@ object StreamingOps {
 
       val hadQuantRef = graft.io.HadoopIO.exists(s"$indexDir/quant_ref", hconf) ||
         graft.io.HadoopIO.exists(s"$indexDir/quant_ref.tmp", hconf)
+      // re-baseline from the already-persisted live view (rotated when the
+      // rotation was refit — exactly what the swapped index stores), not a
+      // re-read of the log the retrain just wrote
+      val newRef = if (hadQuantRef)
+        Some(meanQuantErrorOver(spark, live.select("id", "vector"),
+          centroids, meta.metric))
+      else None
       graft.io.HadoopIO.delete(indexDir, hconf)
       graft.io.HadoopIO.rename(tmpDir, indexDir, hconf)
-      if (hadQuantRef) markIvfQuantReference(spark, indexDir)
+      newRef.foreach(writeQuantRef(spark, indexDir, _))
       centroids
     } finally {
       refitPersisted.foreach(_.unpersist())
       liveOne.unpersist()
-      winners.unpersist()
+      if (preResolved.isEmpty) winners.unpersist()
     }
   }
 
