@@ -1951,6 +1951,30 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Per-document n-gram NOVELTY (inverse boilerplate): fraction of each
+    // doc's distinct 3-gram shingles appearing in no other document —
+    // string shingles (exact, no hash bet), the duplicateSpans shuffle
+    // shape (rows ≈ tokens, no pair join).
+    "doc_novelty" -> ((spark, dir) => {
+      TextAnalysis.docNovelty(t(spark, dir, "documents"), n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          round(col("novelty"), 4).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source corpus-statistics diagnostics: token/type counts, TTR,
+    // Zipf slope (OLS of log freq on log rank over the top-100 tokens,
+    // deterministic ties) — the distribution health check a mixing
+    // pipeline runs per domain. WindowGroupLimit bounds the rank
+    // exchange to topK rows per source per map partition.
+    "corpus_zipf" -> ((spark, dir) => {
+      TextAnalysis.corpusZipf(t(spark, dir, "documents"), topK = 100)
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("ttr"), 4).as("ttr"),
+          round(col("zipf_slope"), 4).as("zipf_slope"))
+        .orderBy("source")
+    }),
+
     // LEARNED quality-classifier stage (fastText-style linear model):
     // logistic regression over the eight fused quality signals
     // (mean_word_len scaled /10 into the ratios' range), trained by
@@ -4078,6 +4102,32 @@ object Queries {
     "lang_id" -> langIdOracle,
     "lang_id_ngram" -> langIdNgramOracle,
     "quality_classifier" -> qualityClassifierOracle,
+    "doc_novelty" ->
+      s"""WITH sd AS (SELECT doc_id, ${duckShinglesN(duckToks, 3)} AS sh FROM documents),
+         |g AS (SELECT doc_id, unnest(sh) AS g FROM sd),
+         |dfreq AS (SELECT g, count(*) AS docs_with FROM g GROUP BY g),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN docs_with = 1 THEN 1 ELSE 0 END) AS n_unique
+         |  FROM g JOIN dfreq USING (g) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_unique AS BIGINT) AS n_unique,
+         |  round(n_unique::DOUBLE / n_shingles, 4) AS novelty
+         |FROM per ORDER BY doc_id""".stripMargin,
+    "corpus_zipf" ->
+      s"""WITH tk AS (SELECT source, unnest($duckToks) AS token FROM documents),
+         |tf AS (SELECT source, token, count(*) AS freq FROM tk GROUP BY source, token),
+         |tot AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types FROM tf GROUP BY source),
+         |r AS (SELECT source, token, freq,
+         |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, token) AS rank FROM tf),
+         |f AS (SELECT source, count(*)::DOUBLE AS k, sum(ln(rank)) AS sx, sum(ln(freq)) AS sy,
+         |    sum(ln(rank)*ln(freq)) AS sxy, sum(ln(rank)*ln(rank)) AS sxx
+         |  FROM r WHERE rank <= 100 GROUP BY source)
+         |SELECT t.source, t.n_tokens, t.n_types,
+         |  round(t.n_types::DOUBLE / t.n_tokens, 4) AS ttr,
+         |  round(CASE WHEN k*sxx - sx*sx = 0 THEN 0.0
+         |    ELSE (k*sxy - sx*sy)/(k*sxx - sx*sx) END, 4) AS zipf_slope
+         |FROM tot t JOIN f USING (source) ORDER BY t.source""".stripMargin,
     "quality_filters" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

@@ -557,4 +557,90 @@ object TextAnalysis {
     val oneNl = regexp_replace(oneSpace, "( ?\n ?)+", "\n")
     regexp_replace(oneNl, "^[ \n]+|[ \n]+$", "")
   }
+
+  /** The document's DISTINCT token-n-gram shingles as STRINGS (a doc
+    * shorter than n tokens contributes its whole text — the shingle
+    * kernels' short-doc rule), declaratively: any engine with the same
+    * tokenizer replays it, so operators built on it hash-match without
+    * betting on 64-bit hash collisions.
+    */
+  def shingleStrings(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+  }
+
+  /** Per-document n-gram NOVELTY — the inverse-boilerplate diagnostic a
+    * curation pipeline tracks next to its dedup rates: the fraction of a
+    * document's distinct n-gram shingles that appear in NO other document
+    * (after span/line dedup has cut the repeats, what remains should
+    * score high; template-stamped docs score near zero). Returns
+    * (doc_id, n_shingles, n_unique, novelty).
+    *
+    * Scale shape: one narrow shingle explode, one partial-aggregated
+    * count per shingle (the [[graft.dedup.Dedup.duplicateSpans]] shuffle
+    * shape — rows ≈ token count, never a pair join), one hash join back,
+    * one per-doc aggregate. String shingles, not hashes: exact by
+    * construction, and the tokens are already materialized for the
+    * explode so the concat costs no extra pass.
+    */
+  def docNovelty(
+      docs: org.apache.spark.sql.DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(shingleStrings(col(textCol), n)).as("g"))
+    // per (doc, g) already distinct, so count(*) = docs containing g
+    val docFreq = grams.groupBy("g").agg(count(lit(1)).as("docs_with"))
+    grams.join(docFreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("docs_with") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", col("n_unique").cast("double") / col("n_shingles"))
+  }
+
+  /** Per-source corpus-statistics diagnostics — the distribution health
+    * check a mixing pipeline runs per domain: token/type counts,
+    * type-token ratio, and the ZIPF SLOPE (OLS fit of log frequency on
+    * log rank over the top-`topK` tokens; natural text sits near −1,
+    * template spam flattens, id-dumps steepen). Deterministic: ranks
+    * break ties by token, the fit is a closed-form function of the
+    * top-K rows. Returns (source, n_tokens, n_types, ttr, zipf_slope).
+    *
+    * Scale shape: one (source, token) partial-aggregated count shuffle;
+    * the `row_number <= topK` filter plans WindowGroupLimit, so each
+    * source's rank exchange carries ≤ topK rows per map partition, never
+    * the vocabulary; the fit aggregates K rows per source.
+    */
+  def corpusZipf(
+      docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 100,
+      sourceCol: String = "source",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val tf = docs.select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+    val totals = tf.groupBy("source")
+      .agg(sum("freq").as("n_tokens"), count(lit(1)).as("n_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("freq").desc, col("token"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    val fit = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("__den", col("k") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("zipf_slope",
+        when(col("__den") === 0.0, lit(0.0)) // degenerate: one distinct token
+          .otherwise((col("k") * col("sxy") - col("sx") * col("sy")) / col("__den")))
+    totals.join(fit.select("source", "zipf_slope"), Seq("source"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("ttr"), col("zipf_slope"))
+  }
 }
