@@ -106,8 +106,8 @@ object Packing {
     *
     * Output: (source, shard, bin, doc_id, n_tokens) — one row per
     * document. Token counts are whitespace tokens + 1 EOS, the same
-    * arithmetic as [[packBlocks]]. Feed to [[packSummary]] (grouping by
-    * `bin`) for the fill-ratio report.
+    * arithmetic as [[packBlocks]]. Feed to [[packBestFitSummary]] for
+    * the fill-ratio report.
     */
   def packBestFit(docs: DataFrame, blockLen: Int, nShards: Int): DataFrame = {
     require(blockLen > 0, s"blockLen must be positive, got $blockLen")

@@ -118,10 +118,10 @@ object Sampling {
     * (`prefilterAbove`, default ~4M), a key-threshold from
     * `approxQuantile` pre-filters the candidates before the top-k: the
     * quantile's error bound is over-provisioned so ≥ k rows survive (and
-    * that is VERIFIED on the top-k job itself — exactly k rows back
-    * proves sufficiency; fewer falls back to the direct path rather than
-    * ever returning fewer/different rows), every dropped row has a key
-    * strictly below the threshold so it cannot displace a survivor —
+    * that is VERIFIED — an unordered executor-side `limit(k).count()`
+    * proves ≥ k survivors; fewer falls back to the direct path rather
+    * than ever returning fewer/different rows), every dropped row has a
+    * key strictly below the threshold so it cannot displace a survivor —
     * same keys, same order, bounded merge, identical output.
     */
   def sampleWeighted(
@@ -155,22 +155,17 @@ object Sampling {
           val p = math.max(0.0, 1.0 - k.toDouble / total - 2 * err)
           val thr = keyed.stat.approxQuantile("__skey", Array(p), err).head
           val pre = keyed.filter(col("__skey") >= thr)
-          // survivor sufficiency is verified ON the top-k job itself:
-          // limit(k) returns exactly k rows iff >= k keys survive the
-          // threshold, so the verification pass IS the result — one
-          // key-computing corpus scan instead of a count pass plus a
-          // re-scan (the `total` count above is column-pruned to a
-          // metadata count on parquet sources). The k rows are collected
-          // into a LOCAL relation — TakeOrderedAndProject already merges
-          // k·P candidates on the driver to produce this limit, so the
-          // collect adds no new driver load, and nothing stays persisted
-          // across calls in a long-lived session (no cache to leak).
-          val topPre = pre.orderBy(col("__skey").desc, col(idCol)).limit(k)
-          val rows = topPre.collect()
-          if (rows.length == k)
-            df.sparkSession.createDataFrame(
-              java.util.Arrays.asList(rows: _*), topPre.schema)
-          else keyed
+          // survivor sufficiency: >= k rows past the threshold proves the
+          // true top-k survived (every dropped key is strictly below thr,
+          // which is at or below the k-th survivor). Verified by an
+          // UNORDERED limit(k).count() — per-partition emission caps at k,
+          // nothing sorts, nothing persists, and NOTHING lands on the
+          // driver (the k rows can be corpus documents; collecting them
+          // was a driver-OOM at exactly the multi-million-k scale this
+          // path exists for). The filtered candidates flow lazily into the
+          // shared top-k below — one more codegen key scan than a cached
+          // plan, in exchange for zero cross-call cache residue.
+          if (pre.limit(k).count() == k) pre else keyed
         }
       }
     candidates

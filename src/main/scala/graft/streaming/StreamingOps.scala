@@ -3347,6 +3347,10 @@ object StreamingOps {
       benchSh.coalesce(1).write.mode("overwrite").parquet(benchDir)
       benchmark.select(col(benchIdCol).cast("long").as("bench_id")).distinct()
         .coalesce(1).write.mode("overwrite").parquet(docsDir)
+      graft.io.HadoopIO.mkdirs(matchedDir, hconf)
+      graft.io.Manifest.write(matchedDir, Seq.empty, hconf)
+      // meta LAST: the init commit marker — a crash anywhere above leaves
+      // no meta and the next construction re-runs the whole init
       val (c, d) = digestOf(spark.read.parquet(benchDir))
       Seq((n, c, d)).toDF("n", "bench_shingles", "bench_digest")
         .coalesce(1).write.mode("overwrite").parquet(dcrMetaPath(indexDir))
@@ -3359,12 +3363,14 @@ object StreamingOps {
           s"(benchmark, n=${meta.getInt(0)}); restarting with n=$n and a benchmark " +
           s"digesting ($c, $d) vs recorded (${meta.getLong(1)}, ${meta.getLong(2)}) " +
           "would silently change every rate — delete the directory or pass the same benchmark")
+      // fail-loud, not bootstrap: meta exists, so init committed a
+      // manifest — a missing one is lost state, and re-creating it from a
+      // raw listing would bless orphaned half-written batch files as
+      // committed (the validateDelta convention everywhere else)
+      require(graft.io.Manifest.read(matchedDir, hconf).isDefined,
+        s"contamination-rate matched log at $matchedDir has no manifest but $indexDir " +
+          "has committed meta — lost or foreign state; refusing to serve or extend it")
     }
-    graft.io.HadoopIO.mkdirs(matchedDir, hconf)
-    if (graft.io.Manifest.read(matchedDir, hconf).isEmpty)
-      graft.io.Manifest.write(matchedDir,
-        listDelta(matchedDir, hconf).map { case (rel, len) =>
-          graft.io.ManifestEntry(rel, len, -1L) }, hconf)
 
     (batch: DataFrame, batchId: Long) => {
       val sess = batch.sparkSession

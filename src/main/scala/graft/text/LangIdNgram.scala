@@ -49,12 +49,18 @@ object LangIdNgram {
     * start offset). Empty/too-short text yields an empty array — NOT a
     * descending `sequence(1, 0)` (Spark's sequence runs backwards when
     * stop < start, so the guard is load-bearing).
+    *
+    * IMPORTANT: `text` must be a MATERIALIZED column (a plain column
+    * reference), not an expression tree — the lambda inlines its input
+    * into every element's substr, so handing `normalized(raw)` here
+    * re-runs the regexp normalization once per character (O(len²) per
+    * document; measured 10× on the catalog row). [[gramsOf]] is the safe
+    * composition.
     */
-  def charTrigrams(text: Column): Column = {
-    val n = normalized(text)
-    when(length(n) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3))))
-  }
+  def charTrigrams(text: Column): Column =
+    when(length(text) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
+
 
   /** Per-language rank profiles from a LABELED training slice:
     * (lang, gram, lrank) with lrank 1..`profileSize` by
@@ -70,8 +76,11 @@ object LangIdNgram {
     require(profileSize > 0, s"profileSize must be positive, got $profileSize")
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
     labeled
+      // normalize in its own projection: the transform lambda must see a
+      // materialized column, or the regexp chain re-runs per character
       .select(col(langCol).cast("string").as("lang"),
-        explode(charTrigrams(col(textCol))).as("gram"))
+        normalized(col(textCol)).as("__n"))
+      .select(col("lang"), explode(charTrigrams(col("__n"))).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("lrank", row_number().over(w))
       .filter(col("lrank") <= profileSize)
@@ -94,7 +103,8 @@ object LangIdNgram {
     require(profileSize > 0, s"profileSize must be positive, got $profileSize")
     val dw = Window.partitionBy("__id").orderBy(col("cnt").desc, col("gram"))
     val docGrams = docs
-      .select(col(idCol).as("__id"), explode(charTrigrams(col(textCol))).as("gram"))
+      .select(col(idCol).as("__id"), normalized(col(textCol)).as("__n"))
+      .select(col("__id"), explode(charTrigrams(col("__n"))).as("gram"))
       .groupBy("__id", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("drank", row_number().over(dw))
       .filter(col("drank") <= profileSize)

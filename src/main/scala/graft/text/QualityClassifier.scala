@@ -43,12 +43,23 @@ object QualityClassifier {
     val n = featureCols.length
     var w = Array.fill(n + 1)(0.0)
     // one narrow projection cached for the iteration loop: iters scans
-    // of (label, features) only, never the full input row
+    // of (label, features) only, never the full input row. Nulls fail
+    // LOUDLY: a null label/feature silently vanishing from every avg()
+    // would skew the fit with no error (the keepBestPerGroup lesson).
+    def loud(c: String) = {
+      val v = col(c).cast("double")
+      when(v.isNull, raise_error(lit(
+        s"QualityClassifier.train: null in '$c' — impute or filter before training, " +
+          "a silently dropped row skews every gradient"))).otherwise(v)
+    }
     val cached = df.select(
-        col(labelCol).cast("double").as("__y") +:
-          featureCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"__x$i") }: _*)
+        loud(labelCol).as("__y") +:
+          featureCols.zipWithIndex.map { case (c, i) => loud(c).as(s"__x$i") }: _*)
       .persist()
     try {
+      require(cached.limit(1).count() > 0,
+        "QualityClassifier.train: empty training slice — zero rows would return the " +
+          "zero-initialized weights as if they were fitted")
       for (_ <- 0 until iters) {
         val z = (0 until n).foldLeft(lit(w(0)): Column) { (acc, i) =>
           acc + col(s"__x$i") * lit(w(i + 1))

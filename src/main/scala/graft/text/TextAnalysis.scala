@@ -563,14 +563,18 @@ object TextAnalysis {
     * kernels' short-doc rule), declaratively: any engine with the same
     * tokenizer replays it, so operators built on it hash-match without
     * betting on 64-bit hash collisions.
+    *
+    * `toks` must be a MATERIALIZED token-array column (a plain reference):
+    * the transform lambda inlines its input into every element's slice,
+    * so handing `tokens(text)` directly re-tokenizes once per shingle —
+    * O(len²) per document. Callers project the token array first (see
+    * [[docNovelty]]).
     */
-  def shingleStrings(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingleStrings(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-  }
 
   /** Per-document n-gram NOVELTY — the inverse-boilerplate diagnostic a
     * curation pipeline tracks next to its dedup rates: the fraction of a
@@ -592,8 +596,9 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = docs.select(col(idCol).as("doc_id"),
-      explode(shingleStrings(col(textCol), n)).as("g"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(shingleStrings(col("__toks"), n)).as("g"))
     // per (doc, g) already distinct, so count(*) = docs containing g
     val docFreq = grams.groupBy("g").agg(count(lit(1)).as("docs_with"))
     grams.join(docFreq, Seq("g"))

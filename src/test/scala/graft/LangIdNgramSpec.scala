@@ -45,7 +45,8 @@ class LangIdNgramSpec extends SparkTestBase {
   test("charTrigrams: padding, ordering, and empty/short guards") {
     val rows = Seq((1L, "ab c"), (2L, ""), (3L, " "), (4L, "x"))
       .toDF("id", "t")
-      .select(col("id"), LangIdNgram.charTrigrams(col("t")).as("g"))
+      .select(col("id"), LangIdNgram.normalized(col("t")).as("n"))
+      .select(col("id"), LangIdNgram.charTrigrams(col("n")).as("g"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     // " ab c " → 4 trigrams in offset order
     assert(rows(1L) == Seq(" ab", "ab ", "b c", " c "))
