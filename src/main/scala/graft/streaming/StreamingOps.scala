@@ -1762,30 +1762,39 @@ object StreamingOps {
       config: graft.hnsw.HnswConfig = graft.hnsw.HnswConfig()): (Dataset[VectorOp], Long) => Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val passed = HnswMaintainedMeta(numPartitions, metric, config)
+    val deltaDir = s"$indexDir/delta"
+    val baseDir = s"$indexDir/base"
     loadHnswMaintainedMeta(spark, indexDir) match {
       case Some(existing) =>
         require(existing == passed,
           s"index at $indexDir is already maintained under $existing; restarting the sink " +
             s"with $passed would change the routing/graph contract old delta rows and base " +
             "graphs were written under — delete the directory or pass matching parameters")
+        // committed meta implies committed manifests (init seeds them
+        // before meta, compaction rewrites them before its swap): a
+        // missing one is LOST state, and re-seeding it from a raw
+        // listing would bless orphaned half-written batch files as
+        // committed — fail loudly instead (the validateDelta convention)
+        require(graft.io.Manifest.read(deltaDir, hconf).isDefined &&
+            graft.io.Manifest.read(baseDir, hconf).isDefined,
+          s"maintained HNSW dir $indexDir has committed meta but a missing delta/base " +
+            "manifest — lost or foreign state; refusing to extend it")
       case None =>
+        // fresh init: seed manifests from what exists (empty for a new
+        // dir; an adopted pre-built base's graphs for the HnswSpark
+        // persist → maintain flow), then meta LAST as the init commit
+        // marker — a crash above leaves no meta and init re-runs whole
+        graft.io.HadoopIO.mkdirs(deltaDir, hconf)
+        graft.io.Manifest.write(deltaDir,
+          listDelta(deltaDir, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+          hconf)
+        graft.io.HadoopIO.mkdirs(baseDir, hconf)
+        graft.io.Manifest.write(baseDir,
+          graft.io.HadoopIO.globWithLength(baseDir, "*.hnsw", hconf)
+            .map { case (uri, len) => graft.io.ManifestEntry(graft.io.Manifest.baseName(uri), len, -1L) },
+          hconf)
         writeHnswMaintainedMeta(spark, indexDir, passed)
     }
-    // seed manifests for both halves so "never written" and "lost" are
-    // distinguishable from batch 0 (same rationale as the base seedManifest)
-    val deltaDir = s"$indexDir/delta"
-    graft.io.HadoopIO.mkdirs(deltaDir, hconf)
-    if (graft.io.Manifest.read(deltaDir, hconf).isEmpty)
-      graft.io.Manifest.write(deltaDir,
-        listDelta(deltaDir, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
-        hconf)
-    val baseDir = s"$indexDir/base"
-    graft.io.HadoopIO.mkdirs(baseDir, hconf)
-    if (graft.io.Manifest.read(baseDir, hconf).isEmpty)
-      graft.io.Manifest.write(baseDir,
-        graft.io.HadoopIO.globWithLength(baseDir, "*.hnsw", hconf)
-          .map { case (uri, len) => graft.io.ManifestEntry(graft.io.Manifest.baseName(uri), len, -1L) },
-        hconf)
 
     (batch: Dataset[VectorOp], batchId: Long) => {
       // exact-replay dedupe only: one row per (id, version) — an
@@ -2562,20 +2571,26 @@ object StreamingOps {
           s"heavy-hitter state at $indexDir was maintained with (n=$en, m=$em, group=$eg); " +
             s"restarting with (n=$n, m=$m, group=$groupCol) would merge incompatible " +
             "sketches — delete the directory or pass matching parameters")
+        // committed meta implies committed manifests: a missing one is
+        // lost state — re-seeding from a raw listing would bless orphaned
+        // half-written batch files as committed; fail loudly instead
+        require(graft.io.Manifest.read(s"$indexDir/sketch", hconf).isDefined &&
+            graft.io.Manifest.read(s"$indexDir/docs", hconf).isDefined,
+          s"heavy-hitter dir $indexDir has committed meta but a missing sketch/docs " +
+            "manifest — lost or foreign state; refusing to extend it")
       case None =>
+        // fresh init: seed both manifests, meta LAST as the commit marker
+        Seq(s"$indexDir/sketch", s"$indexDir/docs").foreach { d =>
+          graft.io.HadoopIO.mkdirs(d, hconf)
+          graft.io.Manifest.write(d,
+            listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+            hconf)
+        }
         Seq((n, m, groupCol)).toDF("n", "m", "group").coalesce(1)
           .write.mode("overwrite").parquet(hhMetaPath(indexDir))
     }
     val sketchDir = s"$indexDir/sketch"
     val docsDir = s"$indexDir/docs"
-    graft.io.HadoopIO.mkdirs(sketchDir, hconf)
-    graft.io.HadoopIO.mkdirs(docsDir, hconf)
-    Seq(sketchDir, docsDir).foreach { d =>
-      if (graft.io.Manifest.read(d, hconf).isEmpty)
-        graft.io.Manifest.write(d,
-          listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
-          hconf)
-    }
 
     (batch: DataFrame, batchId: Long) => {
       val sess = batch.sparkSession
@@ -3109,25 +3124,32 @@ object StreamingOps {
       "budgets must carry one row per source")
     require(budgetRows.forall(_._2 >= 0), s"budgets must be >= 0: ${budgetRows.toSeq}")
     val hconf = spark.sparkContext.hadoopConfiguration
+    val admittedDir = s"$indexDir/admitted"
+    val totalsDir = s"$indexDir/totals"
     loadTokenBudgetMeta(spark, indexDir) match {
       case Some((eb, es)) =>
         require(eb == budgetRows.toMap && es == seed,
           s"token-budget state at $indexDir was maintained with (budgets=$eb, seed=$es); " +
             s"restarting with (budgets=${budgetRows.toMap}, seed=$seed) would change who was " +
             "admitted retroactively — delete the directory or pass matching parameters")
+        // committed meta implies committed manifests: a missing one is
+        // lost state — re-seeding from a raw listing would bless orphaned
+        // half-written batch files as committed; fail loudly instead
+        require(graft.io.Manifest.read(admittedDir, hconf).isDefined &&
+            graft.io.Manifest.read(totalsDir, hconf).isDefined,
+          s"token-budget dir $indexDir has committed meta but a missing admitted/totals " +
+            "manifest — lost or foreign state; refusing to extend it")
       case None =>
+        // fresh init: seed both manifests, meta LAST as the commit marker
+        Seq(admittedDir, totalsDir).foreach { d =>
+          graft.io.HadoopIO.mkdirs(d, hconf)
+          graft.io.Manifest.write(d,
+            listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+            hconf)
+        }
         budgetRows.toSeq.map { case (g, b) => (g, b, seed) }
           .toDF("source", "budget", "seed").coalesce(1)
           .write.mode("overwrite").parquet(tokenBudgetMetaPath(indexDir))
-    }
-    val admittedDir = s"$indexDir/admitted"
-    val totalsDir = s"$indexDir/totals"
-    Seq(admittedDir, totalsDir).foreach { d =>
-      graft.io.HadoopIO.mkdirs(d, hconf)
-      if (graft.io.Manifest.read(d, hconf).isEmpty)
-        graft.io.Manifest.write(d,
-          listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
-          hconf)
     }
 
     (batch: DataFrame, batchId: Long) => {

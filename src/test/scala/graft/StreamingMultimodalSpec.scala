@@ -287,6 +287,31 @@ class StreamingIndexSpec extends SparkTestBase {
     StreamingOps.tokenBudgetSink(spark, dir2, budgets)
   }
 
+  test("sinks refuse a meta-committed dir whose manifest was lost — no orphan blessing") {
+    // a committed meta sidecar promises committed manifests; if one is
+    // lost (partial restore, torn compaction swap), re-seeding it from a
+    // raw listing would bless orphaned batch files as committed — and for
+    // the token-budget sink, silently RESET prior totals to zero and
+    // re-admit past every budget. Construction must fail loudly instead.
+    val docs = (0L until 20L).map(i => (i, "s0", "w1 w2 w3"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tb_lostman").toString
+    val sink = StreamingOps.tokenBudgetSink(spark, dir, Map("s0" -> 1000L))
+    sink(docs, 0L)
+    assert(new java.io.File(s"$dir/totals/_manifest").delete())
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.tokenBudgetSink(spark, dir, Map("s0" -> 1000L)))
+    assert(e.getMessage.contains("missing admitted/totals manifest"))
+    // same contract for the contamination-rate sink
+    val bench = docs.limit(2).select(col("doc_id").as("bench_id"), col("text"))
+    val dir2 = java.nio.file.Files.createTempDirectory("dcr_lostman").toString
+    StreamingOps.decontaminateRateSink(spark, dir2, bench, n = 3)
+    assert(new java.io.File(s"$dir2/matched/_manifest").delete())
+    val e2 = intercept[IllegalArgumentException](
+      StreamingOps.decontaminateRateSink(spark, dir2, bench, n = 3))
+    assert(e2.getMessage.contains("no manifest"))
+  }
+
   test("contamination-rate sink: converges to the batch audit, replay-safe, bench-change refused") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
