@@ -464,18 +464,25 @@ object BenchScale {
     // row, not ~5k raw anchors; each planted twin reports exactly one
     // full-text span against its source
     {
-      val nTwins = nDocs / 200
-      val twins = docs.filter(col("doc_id") % 200 === 0)
+      // cap at the synthetic generator's vocab period: doc text repeats
+      // exactly every 999983 ids, so beyond it byte-identical duplicate
+      // docs appear and the closed-form span count below stops holding
+      // (17 wrap pairs + 1 twin interplay at nDocs=1M — fixture artifact,
+      // not operator behavior)
+      val nSpanDocs = math.min(nDocs, 999983)
+      val spanDocs = docs.filter(col("doc_id") < nSpanDocs)
+      val nTwins = (nSpanDocs + 199) / 200
+      val twins = spanDocs.filter(col("doc_id") % 200 === 0)
         .select((col("doc_id") + 30000000L).as("doc_id"),
           concat(lit("tw0 tw1 tw2 "), col("text"), lit(" tw3")).as("text"))
       val big = spark.range(2).select((col("id") + 40000000L).as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19999)),
           j => when(col("id") === 1 && j === lit(10000), lit("MUT"))
             .otherwise(concat(lit("g"), j.cast("string"))))).as("text"))
-      val corpus = docs.unionByName(twins).unionByName(big)
+      val corpus = spanDocs.unionByName(twins).unionByName(big)
       val spans = graft.dedup.Dedup.crossDocMaximalSpans(corpus, n = 13,
         stride = 4, maxExtend = 200).cache()
-      val total = timed(s"cross-doc maximal spans ($nDocs docs + $nTwins twins + near-identical 20k-token pair, n=13, stride=4)") {
+      val total = timed(s"cross-doc maximal spans ($nSpanDocs docs + $nTwins twins + near-identical 20k-token pair, n=13, stride=4)") {
         spans.count()
       }
       val bigSpans = spans.filter(col("doc_a") === 40000000L && col("doc_b") === 40000001L)
@@ -520,6 +527,46 @@ object BenchScale {
       require(top.forall(_.getLong(1) == (nDocs + 9) / 10),
         s"planted counts off: ${top.map(_.getLong(1)).mkString(",")}")
       println(s"[scale] heavy hitters: planted top-3 proven exact at ${(nDocs + 9) / 10} each")
+    }
+
+    // NON-SPLITTING FFD packing at corpus scale: ONE (source, shard)
+    // shuffle, per-shard in-task sort + first-fit, bin state O(shard
+    // tokens / blockLen). Validity proven in-flow: exactly one bin per
+    // doc, no overfull bin (this corpus has no oversized docs at 2048),
+    // and the mean fill ratio shows the padding the layout pays for
+    // kill-the-splits.
+    {
+      val packDocs = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(8L)).cast("string")))
+      val packed = graft.ops.Packing.packBestFit(packDocs, blockLen = 2048, nShards = 64)
+      val nAssigned = timed(s"packBestFit ($nDocs docs, 2048-token bins, 8 sources x 64 shards)") {
+        packed.cache().count()
+      }
+      require(nAssigned == nDocs.toLong, s"FFD split or dropped docs: $nAssigned != $nDocs")
+      val summary = graft.ops.Packing.packBestFitSummary(packed, 2048).cache()
+      val overfull = summary.filter(col("n_tokens") > 2048).count()
+      require(overfull == 0, s"$overfull overfull bins with no oversized docs")
+      val fill = summary.agg(avg("fill_ratio")).head().getDouble(0)
+      val bins = summary.count()
+      println(f"[scale] FFD packing: $bins bins, mean fill $fill%.3f, 0 split docs")
+      packed.unpersist(); summary.unpersist()
+    }
+
+    // Rank-profile language ID at corpus scale: profiles train on a
+    // bounded labeled slice (broadcast), classification is one explode +
+    // per-doc count/rank window + broadcast profile join — linear in the
+    // corpus, the corpus never self-joins.
+    {
+      val labeled = docs.filter(col("doc_id") < 1000)
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5L)).cast("string")))
+      val prof = graft.text.LangIdNgram.profiles(labeled, profileSize = 100)
+      // the published operating point: classification on a ~300-char
+      // normalized sample (Cavnar–Trenkle classify 300-byte excerpts) —
+      // the per-doc gram fan-out is bounded by the sample, not the doc
+      val classified = timed(s"lang_id_ngram classify ($nDocs docs, 5 profiles, 300-char samples)") {
+        graft.text.LangIdNgram.classify(docs, prof, profileSize = 100, maxChars = 300).count()
+      }
+      println(s"[scale] lang-id classified: $classified docs")
     }
 
     // 1-bit binary tier at corpus scale: one tree-aggregated threshold

@@ -99,16 +99,33 @@ object LangIdNgram {
       profileDf: DataFrame,
       profileSize: Int = 100,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxChars: Int = Int.MaxValue): DataFrame = {
     require(profileSize > 0, s"profileSize must be positive, got $profileSize")
-    val dw = Window.partitionBy("__id").orderBy(col("cnt").desc, col("gram"))
+    require(maxChars >= 3, s"maxChars must be >= 3 (one trigram), got $maxChars")
+    // maxChars: classify on a normalized-text PREFIX — Cavnar–Trenkle
+    // itself classifies ~300-byte samples, and the prefix bounds the
+    // per-doc gram fan-out (the corpus-scale cost lever: full-text vs
+    // 300-char classification is ~20× gram rows at web-document lengths,
+    // for a decision short samples already make)
+    val normed =
+      if (maxChars == Int.MaxValue) normalized(col(textCol))
+      else substring(normalized(col(textCol)), 1, maxChars)
+    // the document profile is computed by ONE fused kernel pass
+    // ([[graft.functions.TopGramRanks]]): the declarative equivalent —
+    // explode all trigrams, count per (doc, gram), per-doc rank window —
+    // shuffles a corpus-sized gram stream (≈ chars per doc) and sorts it
+    // per doc; the kernel ships ≤ profileSize rows per document into the
+    // plan instead (2.4× on the 1M-doc BenchScale section, 1.7× on the
+    // catalog row — the remaining cost is the ×languages scoring join)
     val docGrams = docs
-      .select(col(idCol).as("__id"), normalized(col(textCol)).as("__n"))
-      .select(col("__id"), explode(charTrigrams(col("__n"))).as("gram"))
-      .groupBy("__id", "gram").agg(count(lit(1)).as("cnt"))
-      .withColumn("drank", row_number().over(dw))
-      .filter(col("drank") <= profileSize)
-      .select(col("__id"), col("gram"), col("drank").cast("long").as("drank"))
+      .select(col(idCol).as("__id"), normed.as("__n"))
+      .select(col("__id"),
+        posexplode(graft.internal.SqlBridge.column(
+          graft.functions.TopGramRanks(
+            graft.internal.SqlBridge.expression(col("__n")), profileSize)))
+          .as(Seq("__p", "gram")))
+      .select(col("__id"), col("gram"), (col("__p") + 1).cast("long").as("drank"))
     val langs = profileDf.select("lang").distinct()
     val pick = Window.partitionBy("__id").orderBy(col("dist"), col("lang"))
     docGrams

@@ -69,6 +69,16 @@ class LangIdNgramSpec extends SparkTestBase {
     prof.unpersist()
   }
 
+  test("maxChars sample classification matches full-text on short docs; loud on <3") {
+    val prof = LangIdNgram.profiles(train, profileSize = 100)
+    val full = LangIdNgram.classify(probes, prof).orderBy("doc_id").collect().toSeq
+    val sampled = LangIdNgram.classify(probes, prof, maxChars = 300)
+      .orderBy("doc_id").collect().toSeq
+    assert(full == sampled) // probes are shorter than the sample window
+    intercept[IllegalArgumentException](
+      LangIdNgram.classify(probes, prof, maxChars = 2))
+  }
+
   test("classify: no-evidence docs yield no row; repartition-invariant") {
     val prof = LangIdNgram.profiles(train, profileSize = 100)
     val docs = Seq((1L, "läuft schnell"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
