@@ -1951,6 +1951,30 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Gopher REPETITION-REMOVAL signals (Rae et al. 2021 Table A1): all
+    // 13 within-document repetition inputs — duplicate line/paragraph
+    // fractions (count and character), top-{2,3,4}-gram character share,
+    // duplicated-{5..10}-gram character COVERAGE (overlaps counted once)
+    // — from ONE fused kernel pass. Planted offenders pin each family:
+    // repeated nav lines, repeated paragraphs, an n-gram loop; a clean
+    // doc and the unplanted corpus prove pass-through.
+    "gopher_repetition" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val planted = gopherRepetitionFixture.toDF("doc_id", "text")
+      val sigNames = Seq("dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac") ++
+        (2 to 4).map(n => s"top${n}gram_char_frac") ++
+        (5 to 10).map(n => s"dup${n}gram_char_frac")
+      // repartition ahead of the heaviest text kernel in the catalog: the
+      // single-file local fixture otherwise runs every eval in one task
+      // (at corpus scale file splits provide this parallelism for free)
+      docs.unionByName(planted).repartition(col("doc_id"))
+        .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("s"))
+        .select(col("doc_id") +: sigNames.map(nm => round(col(s"s.$nm"), 4).as(nm)): _*)
+        .orderBy("doc_id")
+    }),
+
     // Per-document n-gram NOVELTY (inverse boilerplate): fraction of each
     // doc's distinct 3-gram shingles appearing in no other document —
     // string shingles (exact, no hash bet), the duplicateSpans shuffle
@@ -3709,6 +3733,72 @@ object Queries {
        |    ELSE p.n_matched::DOUBLE / p.n_shingles END, 4) AS rate
        |FROM sb s LEFT JOIN perq p USING (bench_id) ORDER BY s.bench_id""".stripMargin
 
+  /** Planted repetition offenders for `gopher_repetition` — one source of
+    * truth for the Spark fixture and the oracle VALUES (no single quotes;
+    * newlines become `chr(10)` concatenations in SQL).
+    */
+  private val gopherRepetitionFixture: Seq[(Long, String)] = Seq(
+    (310001L, "nav bar\nnav bar\nnav bar\nreal content here stays"),
+    (310002L, "para one shared text\n\npara one shared text\n\nunique closing paragraph here"),
+    (310003L, ("buy gold now " * 12).trim),
+    (310004L, "clean first line\nsecond line differs\n\nand a closing paragraph"))
+
+  /** gopher_repetition replayed in SQL: duplicate line/paragraph stats
+    * from split+count CTEs, per-n top-gram and duplicated-gram-coverage
+    * CTEs over the token array (gram chars = len(gram) − (n−1): tokens
+    * carry no whitespace), every fraction over length(text).
+    */
+  private def gopherRepetitionOracle: String = {
+    val vals = gopherRepetitionFixture.map { case (id, t) =>
+      s"($id, '${t.replace("\n", "' || chr(10) || '")}')"
+    }.mkString(",")
+    def gram(n: Int) =
+      (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")
+    val topCtes = (2 to 4).map { n =>
+      s"""g$n AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM base),
+         |gg$n AS (SELECT doc_id, ${gram(n)} AS g FROM g$n),
+         |t$n AS (SELECT doc_id, g, count(*) AS c FROM gg$n GROUP BY doc_id, g),
+         |b$n AS (SELECT doc_id, c * (len(g) - ${n - 1}) AS chars,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS r FROM t$n),
+         |w$n AS (SELECT doc_id, chars FROM b$n WHERE r = 1)""".stripMargin
+    }
+    val covCtes = (5 to 10).map { n =>
+      s"""h$n AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i FROM base),
+         |hh$n AS (SELECT doc_id, i, ${gram(n)} AS g FROM h$n),
+         |d$n AS (SELECT doc_id, g FROM hh$n GROUP BY doc_id, g HAVING count(*) >= 2),
+         |s$n AS (SELECT hh$n.doc_id, hh$n.i FROM hh$n JOIN d$n USING (doc_id, g)),
+         |p$n AS (SELECT DISTINCT doc_id, pos FROM (SELECT doc_id, unnest(generate_series(i, i + ${n - 1})) AS pos FROM s$n)),
+         |v$n AS (SELECT p$n.doc_id, sum(len(b.toks[pos])) AS chars FROM p$n JOIN base b USING (doc_id) GROUP BY p$n.doc_id)""".stripMargin
+    }
+    val topSel = (2 to 4).map(n =>
+      s"round(coalesce(w$n.chars, 0)::DOUBLE / base.t, 4) AS top${n}gram_char_frac")
+    val covSel = (5 to 10).map(n =>
+      s"round(coalesce(v$n.chars, 0)::DOUBLE / base.t, 4) AS dup${n}gram_char_frac")
+    s"""WITH all_docs AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+       |base AS (SELECT doc_id, text, length(text) AS t, $duckToks AS toks,
+       |         string_split(text, chr(10)) AS lns, string_split(text, chr(10) || chr(10)) AS paras FROM all_docs),
+       |lc AS (SELECT doc_id, l, count(*) AS c FROM (SELECT doc_id, unnest(lns) AS l FROM base) GROUP BY doc_id, l),
+       |la AS (SELECT doc_id, coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS dup,
+       |       coalesce(sum((c - 1) * length(l)) FILTER (WHERE c >= 2), 0) AS dupch, sum(c) AS tot FROM lc GROUP BY doc_id),
+       |pc AS (SELECT doc_id, p, count(*) AS c FROM (SELECT doc_id, unnest(paras) AS p FROM base) GROUP BY doc_id, p),
+       |pa AS (SELECT doc_id, coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS dup,
+       |       coalesce(sum((c - 1) * length(p)) FILTER (WHERE c >= 2), 0) AS dupch, sum(c) AS tot FROM pc GROUP BY doc_id),
+       |${topCtes.mkString(",\n")},
+       |${covCtes.mkString(",\n")}
+       |SELECT base.doc_id,
+       |  round(la.dup::DOUBLE / la.tot, 4) AS dup_line_frac,
+       |  round(la.dupch::DOUBLE / base.t, 4) AS dup_line_char_frac,
+       |  round(pa.dup::DOUBLE / pa.tot, 4) AS dup_para_frac,
+       |  round(pa.dupch::DOUBLE / base.t, 4) AS dup_para_char_frac,
+       |  ${topSel.mkString(",\n  ")},
+       |  ${covSel.mkString(",\n  ")}
+       |FROM base JOIN la USING (doc_id) JOIN pa USING (doc_id)
+       |${(2 to 4).map(n => s"LEFT JOIN w$n USING (doc_id)").mkString(" ")}
+       |${(5 to 10).map(n => s"LEFT JOIN v$n USING (doc_id)").mkString(" ")}
+       |ORDER BY base.doc_id""".stripMargin
+  }
+
   /** quality_classifier replayed in SQL: the same eight signals (the
     * quality_filters formulas, mean_word_len/10), the identical
     * deterministic full-batch GD as a recursive CTE over (it, w0..w8) —
@@ -4102,6 +4192,7 @@ object Queries {
     "lang_id" -> langIdOracle,
     "lang_id_ngram" -> langIdNgramOracle,
     "quality_classifier" -> qualityClassifierOracle,
+    "gopher_repetition" -> gopherRepetitionOracle,
     "doc_novelty" ->
       s"""WITH sd AS (SELECT doc_id, ${duckShinglesN(duckToks, 3)} AS sh FROM documents),
          |g AS (SELECT doc_id, unnest(sh) AS g FROM sd),

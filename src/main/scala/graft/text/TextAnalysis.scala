@@ -219,6 +219,17 @@ object TextAnalysis {
   def qualitySignals(text: Column): Column =
     SqlBridge.column(graft.functions.QualitySignals(SqlBridge.expression(text)))
 
+  /** All 13 Gopher repetition-removal signals (Rae et al. 2021 Table A1 —
+    * duplicate line/paragraph fractions by count and by characters, top
+    * {2,3,4}-gram character share, duplicated {5..10}-gram character
+    * coverage) as ONE struct column from a single fused kernel pass
+    * ([[graft.functions.RepetitionSignals]]). These are the published
+    * thresholds' exact inputs; `qualitySignals.rep3_ratio` is the cheap
+    * cousin this completes.
+    */
+  def repetitionSignals(text: Column): Column =
+    SqlBridge.column(graft.functions.RepetitionSignals(SqlBridge.expression(text)))
+
   /** 60-bit SimHash over md5-derived token hashes. Engine-reproducible:
     * token hash = first 15 hex chars of md5 as a long, so DuckDB can mirror
     * it (`CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`). Single-kernel

@@ -54,6 +54,91 @@ class TextDiagnosticsSpec extends SparkTestBase {
       && t.getDouble(4) == 0.0)
   }
 
+  test("repetitionSignals: hand-pinned Gopher values per family") {
+    val navDoc = "nav bar\nnav bar\nnav bar\nreal content here stays" // T=47
+    val paraDoc = "pp qq\n\npp qq\n\nrr ss tt"
+    val loopDoc = ("buy gold now " * 12).trim
+    val d = Seq((1L, navDoc), (2L, paraDoc), (3L, loopDoc), (4L, "clean short text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("s"))
+      .select(col("doc_id"), col("s.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // nav lines: 2 of 4 lines are repeats, 14 of 47 chars
+    assert(d(1L).getDouble(1) == 0.5)
+    assert(math.abs(d(1L).getDouble(2) - 14.0 / 47) < 1e-12)
+    assert(d(1L).getDouble(3) == 0.0) // no \n\n: one paragraph
+    // "nav bar" x3 x 6 gram chars over 47
+    assert(math.abs(d(1L).getDouble(5) - 18.0 / 47) < 1e-12)
+    assert(d(1L).getDouble(8) == 0.0) // no duplicated 5-gram
+    // paragraphs: "pp qq" repeats (1 of 3), 5 chars of 22
+    val pT = paraDoc.length.toDouble
+    assert(math.abs(d(2L).getDouble(3) - 1.0 / 3) < 1e-12)
+    assert(math.abs(d(2L).getDouble(4) - 5.0 / pT) < 1e-12)
+    // the loop: every token is covered by a duplicated 5..10-gram
+    val lT = loopDoc.length.toDouble
+    val lTokChars = loopDoc.replace(" ", "").length.toDouble
+    (8 to 13).foreach { i =>
+      assert(math.abs(d(3L).getDouble(i) - lTokChars / lT) < 1e-12, s"field $i")
+    }
+    // clean short doc: zeros everywhere except top-gram shares
+    (1 to 4).foreach(i => assert(d(4L).getDouble(i) == 0.0))
+    (8 to 13).foreach(i => assert(d(4L).getDouble(i) == 0.0))
+    assert(d(4L).getDouble(5) > 0.0) // top-2-gram exists with count 1
+  }
+
+  test("repetitionSignals matches an independent reference over the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("s"))
+      .select(col("doc_id"), col("s.*"))
+      .collect().map(r => r.getLong(0) -> (1 to 13).map(r.getDouble).toSeq).toMap
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val exp = refRepetition(text)
+      val g = got(id)
+      exp.indices.foreach(i => assert(math.abs(g(i) - exp(i)) < 1e-12,
+        s"doc $id field $i: got ${g(i)} want ${exp(i)}"))
+    }
+  }
+
+  /** Independent reference: scala collections, no shared code. */
+  private def refRepetition(text: String): Seq[Double] = {
+    val T = text.codePointCount(0, text.length).toDouble
+    if (T == 0) return Seq.fill(13)(0.0)
+    def dup(parts: Seq[String]) = {
+      val c = parts.groupBy(identity).view.mapValues(_.size).toMap
+      val reps = c.collect { case (_, n) if n >= 2 => n - 1 }.sum
+      val repCh = c.collect { case (k, n) if n >= 2 =>
+        (n - 1).toLong * k.codePointCount(0, k.length) }.sum
+      (reps.toDouble / parts.size, repCh / T)
+    }
+    val (lf, lc) = dup(text.split("\n", -1).toSeq)
+    val (pf, pc) = dup(text.split("\n\n", -1).toSeq)
+    val toks = text.replaceAll("^ +| +$", "").toLowerCase.split("\\s+").toSeq
+    val tops = (2 to 4).map { n =>
+      if (toks.size < n) 0.0
+      else {
+        val c = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        val (g, cnt) = c.minBy { case (g, cnt) => (-cnt, g) }
+        cnt * (g.codePointCount(0, g.length) - (n - 1)).toDouble / T
+      }
+    }
+    val covs = (5 to 10).map { n =>
+      if (toks.size < n) 0.0
+      else {
+        val pos = (0 to toks.size - n).groupBy(i => toks.slice(i, i + n).mkString(" "))
+        val covered = Array.fill(toks.size)(false)
+        pos.values.filter(_.size >= 2)
+          .foreach(_.foreach(s => (s until s + n).foreach(covered(_) = true)))
+        toks.indices.filter(covered)
+          .map(i => toks(i).codePointCount(0, toks(i).length)).sum / T
+      }
+    }
+    Seq(lf, lc, pf, pc) ++ tops ++ covs
+  }
+
   test("corpusZipf: topK truncates the fit window; degenerate params loud") {
     val d = Seq((1L, "s", "a a a b b c d e f g")).toDF("doc_id", "source", "text")
     val full = TextAnalysis.corpusZipf(d, topK = 100).collect().head.getDouble(4)
