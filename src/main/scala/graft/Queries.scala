@@ -3771,9 +3771,9 @@ object Queries {
          |v$n AS (SELECT p$n.doc_id, sum(len(b.toks[pos])) AS chars FROM p$n JOIN base b USING (doc_id) GROUP BY p$n.doc_id)""".stripMargin
     }
     val topSel = (2 to 4).map(n =>
-      s"round(coalesce(w$n.chars, 0)::DOUBLE / base.t, 4) AS top${n}gram_char_frac")
+      s"round(coalesce(w$n.chars, 0)::DOUBLE / greatest(base.t, 1), 4) AS top${n}gram_char_frac")
     val covSel = (5 to 10).map(n =>
-      s"round(coalesce(v$n.chars, 0)::DOUBLE / base.t, 4) AS dup${n}gram_char_frac")
+      s"round(coalesce(v$n.chars, 0)::DOUBLE / greatest(base.t, 1), 4) AS dup${n}gram_char_frac")
     s"""WITH all_docs AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
        |base AS (SELECT doc_id, text, length(text) AS t, $duckToks AS toks,
@@ -3788,9 +3788,9 @@ object Queries {
        |${covCtes.mkString(",\n")}
        |SELECT base.doc_id,
        |  round(la.dup::DOUBLE / la.tot, 4) AS dup_line_frac,
-       |  round(la.dupch::DOUBLE / base.t, 4) AS dup_line_char_frac,
+       |  round(la.dupch::DOUBLE / greatest(base.t, 1), 4) AS dup_line_char_frac,
        |  round(pa.dup::DOUBLE / pa.tot, 4) AS dup_para_frac,
-       |  round(pa.dupch::DOUBLE / base.t, 4) AS dup_para_char_frac,
+       |  round(pa.dupch::DOUBLE / greatest(base.t, 1), 4) AS dup_para_char_frac,
        |  ${topSel.mkString(",\n  ")},
        |  ${covSel.mkString(",\n  ")}
        |FROM base JOIN la USING (doc_id) JOIN pa USING (doc_id)

@@ -1772,27 +1772,31 @@ object StreamingOps {
             "graphs were written under — delete the directory or pass matching parameters")
         // committed meta implies committed manifests (init seeds them
         // before meta, compaction rewrites them before its swap): a
-        // missing one is LOST state, and re-seeding it from a raw
-        // listing would bless orphaned half-written batch files as
-        // committed — fail loudly instead (the validateDelta convention)
-        require(graft.io.Manifest.read(deltaDir, hconf).isDefined &&
-            graft.io.Manifest.read(baseDir, hconf).isDefined,
-          s"maintained HNSW dir $indexDir has committed meta but a missing delta/base " +
-            "manifest — lost or foreign state; refusing to extend it")
+        // missing one is LOST state — or the torn-compaction window whose
+        // documented resume is compactHnswMaintained — and re-seeding it
+        // from a raw listing would bless orphaned half-written batch
+        // files as committed; fail loudly with the right remedy instead
+        requireCommittedManifests("maintained HNSW", indexDir,
+          Seq(deltaDir, baseDir), "compactHnswMaintained", hconf)
       case None =>
-        // fresh init: seed manifests from what exists (empty for a new
-        // dir; an adopted pre-built base's graphs for the HnswSpark
-        // persist → maintain flow), then meta LAST as the init commit
-        // marker — a crash above leaves no meta and init re-runs whole
+        // fresh init: seed manifests ONLY where none exists — an adopted
+        // pre-built base (the HnswSpark persist → maintain flow) keeps
+        // its CRC-bearing manifest, which both preserves checksum
+        // verification and keeps orphaned files from a crashed rebuild
+        // REJECTED by the load-time validation instead of silently
+        // blessed by a glob. Then meta LAST as the init commit marker —
+        // a crash above leaves no meta and init re-runs whole.
         graft.io.HadoopIO.mkdirs(deltaDir, hconf)
-        graft.io.Manifest.write(deltaDir,
-          listDelta(deltaDir, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
-          hconf)
+        if (graft.io.Manifest.read(deltaDir, hconf).isEmpty)
+          graft.io.Manifest.write(deltaDir,
+            listDelta(deltaDir, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+            hconf)
         graft.io.HadoopIO.mkdirs(baseDir, hconf)
-        graft.io.Manifest.write(baseDir,
-          graft.io.HadoopIO.globWithLength(baseDir, "*.hnsw", hconf)
-            .map { case (uri, len) => graft.io.ManifestEntry(graft.io.Manifest.baseName(uri), len, -1L) },
-          hconf)
+        if (graft.io.Manifest.read(baseDir, hconf).isEmpty)
+          graft.io.Manifest.write(baseDir,
+            graft.io.HadoopIO.globWithLength(baseDir, "*.hnsw", hconf)
+              .map { case (uri, len) => graft.io.ManifestEntry(graft.io.Manifest.baseName(uri), len, -1L) },
+            hconf)
         writeHnswMaintainedMeta(spark, indexDir, passed)
     }
 
@@ -2571,21 +2575,12 @@ object StreamingOps {
           s"heavy-hitter state at $indexDir was maintained with (n=$en, m=$em, group=$eg); " +
             s"restarting with (n=$n, m=$m, group=$groupCol) would merge incompatible " +
             "sketches — delete the directory or pass matching parameters")
-        // committed meta implies committed manifests: a missing one is
-        // lost state — re-seeding from a raw listing would bless orphaned
-        // half-written batch files as committed; fail loudly instead
-        require(graft.io.Manifest.read(s"$indexDir/sketch", hconf).isDefined &&
-            graft.io.Manifest.read(s"$indexDir/docs", hconf).isDefined,
-          s"heavy-hitter dir $indexDir has committed meta but a missing sketch/docs " +
-            "manifest — lost or foreign state; refusing to extend it")
+        requireCommittedManifests("heavy-hitter", indexDir,
+          Seq(s"$indexDir/sketch", s"$indexDir/docs"),
+          "compactHeavyHitters", hconf)
       case None =>
         // fresh init: seed both manifests, meta LAST as the commit marker
-        Seq(s"$indexDir/sketch", s"$indexDir/docs").foreach { d =>
-          graft.io.HadoopIO.mkdirs(d, hconf)
-          graft.io.Manifest.write(d,
-            listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
-            hconf)
-        }
+        seedDeltaManifests(Seq(s"$indexDir/sketch", s"$indexDir/docs"), hconf)
         Seq((n, m, groupCol)).toDF("n", "m", "group").coalesce(1)
           .write.mode("overwrite").parquet(hhMetaPath(indexDir))
     }
@@ -3022,6 +3017,42 @@ object StreamingOps {
       () => heavyHittersSketchBatches(spark, indexDir),
       () => compactHeavyHitters(spark, indexDir))
 
+  /** ONE copy of the "committed meta implies committed manifests"
+    * contract every maintained sink's restart path enforces: a
+    * meta-committed directory missing a delta manifest is LOST state (or
+    * a torn compaction swap, whose documented resume is the named
+    * compaction call) — re-seeding it from a raw listing would bless
+    * orphaned half-written batch files as committed, so refuse loudly.
+    */
+  private def requireCommittedManifests(
+      what: String,
+      indexDir: String,
+      dirs: Seq[String],
+      resumeCall: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val missing = dirs.filter(d => graft.io.Manifest.read(d, conf).isEmpty)
+    require(missing.isEmpty,
+      s"$what dir $indexDir has committed meta but no manifest under " +
+        s"[${missing.map(_.stripPrefix(indexDir + "/")).mkString(", ")}] — either lost/foreign " +
+        s"state, or a compaction swap died mid-flight (run $resumeCall to resume it); " +
+        "refusing to extend unverifiable state")
+  }
+
+  /** ONE copy of the fresh-init manifest seeding the maintained sinks
+    * share (written BEFORE the meta sidecar, which is the init commit
+    * marker): each dir gets a manifest of whatever it currently lists —
+    * empty for a new dir, the crashed-init files for a re-run init.
+    */
+  private def seedDeltaManifests(
+      dirs: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    dirs.foreach { d =>
+      graft.io.HadoopIO.mkdirs(d, conf)
+      graft.io.Manifest.write(d,
+        listDelta(d, conf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+        conf)
+    }
+
   /** The shared gate for the compaction wrappers: a missing live dir
     * under a maintained root is an interrupted compaction swap — the
     * compaction IS the resume path, so finish it unconditionally instead
@@ -3132,21 +3163,11 @@ object StreamingOps {
           s"token-budget state at $indexDir was maintained with (budgets=$eb, seed=$es); " +
             s"restarting with (budgets=${budgetRows.toMap}, seed=$seed) would change who was " +
             "admitted retroactively — delete the directory or pass matching parameters")
-        // committed meta implies committed manifests: a missing one is
-        // lost state — re-seeding from a raw listing would bless orphaned
-        // half-written batch files as committed; fail loudly instead
-        require(graft.io.Manifest.read(admittedDir, hconf).isDefined &&
-            graft.io.Manifest.read(totalsDir, hconf).isDefined,
-          s"token-budget dir $indexDir has committed meta but a missing admitted/totals " +
-            "manifest — lost or foreign state; refusing to extend it")
+        requireCommittedManifests("token-budget", indexDir,
+          Seq(admittedDir, totalsDir), "compactTokenBudget", hconf)
       case None =>
         // fresh init: seed both manifests, meta LAST as the commit marker
-        Seq(admittedDir, totalsDir).foreach { d =>
-          graft.io.HadoopIO.mkdirs(d, hconf)
-          graft.io.Manifest.write(d,
-            listDelta(d, hconf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
-            hconf)
-        }
+        seedDeltaManifests(Seq(admittedDir, totalsDir), hconf)
         budgetRows.toSeq.map { case (g, b) => (g, b, seed) }
           .toDF("source", "budget", "seed").coalesce(1)
           .write.mode("overwrite").parquet(tokenBudgetMetaPath(indexDir))

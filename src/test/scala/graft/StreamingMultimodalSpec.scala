@@ -301,7 +301,7 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(new java.io.File(s"$dir/totals/_manifest").delete())
     val e = intercept[IllegalArgumentException](
       StreamingOps.tokenBudgetSink(spark, dir, Map("s0" -> 1000L)))
-    assert(e.getMessage.contains("missing admitted/totals manifest"))
+    assert(e.getMessage.contains("committed meta but no manifest under"))
     // same contract for the contamination-rate sink
     val bench = docs.limit(2).select(col("doc_id").as("bench_id"), col("text"))
     val dir2 = java.nio.file.Files.createTempDirectory("dcr_lostman").toString
