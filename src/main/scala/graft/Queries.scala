@@ -591,6 +591,57 @@ object Queries {
         .toDF("rank", "mleft", "mright").orderBy("rank")
     }),
 
+    // §2.20 UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018, the SentencePiece
+    // unigram algorithm — the other production tokenizer family next to
+    // bpe_train): distributed E-step over the capped word table (forward-
+    // backward per pretoken, contributions reduced in sorted word order so
+    // the float sum is layout-independent), driver M-step over the
+    // vocab-bounded table, deterministic pruning. The planted corpus is
+    // "aab"×4 with maxPieceLen 3 — every stage is hand-derivable:
+    //   seed counts a:8 b:4 aa:4 ab:4 aab:4 (total 24) → init probs
+    //   (1/3, 1/6, 1/6, 1/6, 1/6); EM₁ posteriors over the four
+    //   segmentations [aab] 1/6, [aa,b] 1/36, [a,ab] 1/18, [a,a,b] 1/54
+    //   (Z = 29/108) give probs a 5/21, b 5/42, aa 1/14, ab 1/7,
+    //   aab 3/7; the prune step (vocabSize 4) drops the lowest-prob
+    //   multi-char piece aa and renormalizes by 39/42 →
+    //   (10/39, 5/39, 6/39, 18/39); the final EM pass over the reduced
+    //   lattice yields the four constants below (verified against an
+    //   independent Python replay of the same double arithmetic).
+    "unigram_train" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = Seq.fill(4)("aab").zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      graft.text.UnigramLm.train(docs, vocabSize = 4, maxPieceLen = 3,
+          seedSize = 100, emIters = 1, pruneRate = 0.25)
+        .toDF("piece", "lp")
+        .select(col("piece"), round(col("lp"), 4).as("log_prob"))
+        .orderBy("piece")
+    }),
+
+    // §2.20 unigram-LM TOKEN COUNTING with the pieces unigram_train just
+    // learned — the train→apply round trip in one row: Viterbi
+    // max-probability segmentation (deterministic tie-breaks: fewer
+    // pieces, then longest last piece; unknown chars are single pieces at
+    // the unk floor) over planted docs covering multi-word text, the
+    // ▁-marked space convention, unknown characters, multi-space runs,
+    // and empty text. Counts are hand-derivable from the trained probs
+    // (e.g. "abab" → [ab, ab] since lp(ab) > lp(a)+lp(b);
+    // "aabaabaab" → [aab]×3), so the oracle is the constant table.
+    "token_count_unigram" -> ((spark, dir) => {
+      import spark.implicits._
+      val corpus = Seq.fill(4)("aab").zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val vocab = graft.text.UnigramLm.train(corpus, vocabSize = 4,
+        maxPieceLen = 3, seedSize = 100, emIters = 1, pruneRate = 0.25)
+      val planted = Seq(
+        (1L, "aab"), (2L, "aab aab"), (3L, "ba"), (4L, "abab"), (5L, ""),
+        (6L, "xyz"), (7L, "aabaabaab"), (8L, "b"), (9L, "ab  aab"),
+        (10L, "aa bb")).toDF("doc_id", "text")
+      graft.text.UnigramLm.countTokens(planted, vocab, maxPieceLen = 3)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // §2.6+18 exact RADIUS search — the range-query twin of top-k
     // ("everything within the duplicate threshold"): queries broadcast,
     // one codegen'd distance+filter pass over the scan, output bounded by
@@ -657,6 +708,21 @@ object Queries {
       val model = graft.knn.Pca.fit(data, "vector", 8)
       val projected = graft.knn.Pca.projectWithResidual(data, model)
       knnFinish(graft.knn.Pca.searchExact(spark, projected, model, queries, k = 10))
+    }),
+
+    // §2.24 SQ4 quantized two-stage search — the 2×-over-SQ8 compression
+    // tier (half a byte per dimension): same τ two-pass scheme over
+    // packed-nibble codes, exact full-precision rescore of the provably
+    // complete candidate set — hash-matches the exact oracle on ANY data
+    // (the 16-level reconstruction error widens τ, admitting more
+    // candidates, never wrong results)
+    "knn_quantized_sq4" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val q = graft.knn.Quantize.sq4(data)
+      knnFinish(graft.knn.Quantize.searchExact(spark, q, queries, k = 10, codec = "sq4"))
     }),
 
     // SQ8 exact COSINE search: the τ-proof extended to cosine by the
@@ -1104,6 +1170,32 @@ object Queries {
         .orderBy("qid")
     }),
 
+    // §2.18+24 IVF×SQ4 — the composition arm of the 4-bit tier: probe
+    // nprobe/C of the data AND scan half a byte per dim inside the probed
+    // cells. Self-verifying like ann_ivf_sq8: the τ-bound guarantees
+    // exactness WITHIN the probed subset, so the result must equal
+    // full-precision IVF at the same nprobe row-for-row — n_same_as_ivf
+    // is 10 on any data, and the oracle is a constant table.
+    "ann_ivf_sq4" -> ((spark, dir) => {
+      val (data, queriesDf) = knnInputs(spark, dir, 5)
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 1)
+      val assigned = Ivf.assign(spark, data, centroids).cache()
+      val q4 = graft.knn.Quantize.sq4(assigned)
+      val sq = graft.knn.Quantize.searchIvfSq4(spark, q4, centroids, queries, k = 10, nprobe = 4)
+      val ivf = Ivf.search(spark, assigned, centroids, queries, k = 10, nprobe = 4)
+      val same = sq.select(col("qid"), col("id"))
+        .join(ivf.select(col("qid"), col("id")), Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_same_as_ivf"))
+      sq.select(col("qid"), col("id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_results"))
+        .join(same, Seq("qid"))
+        .select(col("qid"), lit(10L).as("k"), col("n_results"), col("n_same_as_ivf"))
+        .orderBy("qid")
+    }),
+
     // §2.18+24 IVF×PQ — the 16-32× compression tier past SQ8 (Jégou et al.
     // 2011): m=8 bytes per dim-64 vector, per-subspace codebooks, ADC
     // lookup-table scans inside the probed cells, exact rescore of the
@@ -1346,6 +1438,57 @@ object Queries {
         .select(col("grp").as("source"), col("gram"), col("n_count"),
           col("rank").cast("long").as("rank"))
         .orderBy("source", "rank")
+    }),
+
+    // §2.17+21 STREAMING cluster resolution: the verified pair set lands
+    // as the first sink batch, then two LATE BRIDGE edges arrive through
+    // a real file stream — (0,1) and (2,3) merge four already-resolved
+    // copy components pairwise ACROSS the batch boundary (the exact
+    // cross-batch-merge case batch re-resolution exists to avoid; the
+    // spec additionally replays 3-batch splits with chained merges). The
+    // union-find-by-min forest sink appends O(batch) parent rows per
+    // batch — merging two clusters writes ONE root edge, never a table
+    // rewrite — and the read-side resolution must equal batch
+    // connectedComponents over the full pair set, so the oracle is
+    // dedup_groups' recursive-CTE closure with the bridge edges unioned
+    // in.
+    "stream_dedup_groups" -> ((spark, dir) => {
+      import spark.implicits._
+      // 2000-doc slice like stream_neardup_sink: the row prices the
+      // incremental-resolution PROTOCOL; dedup_groups prices the batch
+      // operator at full size
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 2000)
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      val pairs = Dedup.minhashLshPairs(docs.unionByName(copies), threshold = 0.8)
+        .select("doc_a", "doc_b").persist()
+      val sinkDir = java.nio.file.Files.createTempDirectory("stream_dg_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_dg_ckpt").toString
+      val sink = graft.streaming.StreamingOps.dedupGroupsSink(spark, sinkDir)
+      // the direct batch also runs at the stream partition count — the
+      // sink's per-batch shuffles are frontier-sized, not corpus-sized
+      withStreamParts(spark) {
+        sink(pairs.toDF(), 0L)
+      }
+      pairs.unpersist()
+      val bridgeDir = java.nio.file.Files.createTempDirectory("stream_dg_bridge").toString
+      val bridges = Seq((0L, 1L), (2L, 3L)).toDF("doc_a", "doc_b")
+      bridges.coalesce(1).write.mode("overwrite").parquet(bridgeDir)
+      val bridgeStream = spark.readStream.schema(bridges.schema).parquet(bridgeDir)
+      withStreamParts(spark) {
+        val q = bridgeStream.writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id + 1L))
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      graft.streaming.StreamingOps.dedupGroupsSinkGroups(spark, sinkDir)
+        .select(col("id").as("doc_id"), col("group_id"))
+        .orderBy("doc_id")
     }),
 
     // §2.17 dedup GROUP resolution: the same planted LSH pair set resolved
@@ -1643,6 +1786,50 @@ object Queries {
       val docs = t(spark, dir, "documents")
       docs.select(col("doc_id"), TextAnalysis.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // §2.17 PERCEPTUAL IMAGE near-dedup (dHash + Hamming-banded LSH): per
+    // row a deterministic 16×12 RGB image synthesizes from the
+    // embedding's float bits (pixel range [48,175] so a +20 brightness
+    // shift can't clip), REAL PNG payloads encode in executor tasks, and
+    // two planted near-duplicate classes must be recovered by the banded
+    // pipeline: ids 0-24 get a +20-brightness-shifted copy (id+10000 —
+    // the BT.601 luma weights sum to 256, so every gradient bit is
+    // invariant: hamming 0), ids 25-49 a decode→re-encode copy (id+20000
+    // — PNG is lossless: hamming 0). Both classes also pass the
+    // mean-centered pixel verify at tolerance 0 (the shift cancels
+    // against the mean). Unplanted base images are float-bit noise —
+    // P(two 64-bit gradient fields within hamming 3) ≈ 2e-15, so the
+    // pair set is EXACTLY the 50 planted pairs and the oracle is the
+    // closed-form constant table.
+    "dedup_image_phash" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val imgs = e.filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, emb) =>
+            val rgb = Array.tabulate(16 * 12 * 3) { i =>
+              val bits = java.lang.Float.floatToIntBits(emb(i % emb.length))
+              val v = (bits >>> (8 * ((i / emb.length) % 4))) & 0xff
+              (48 + (v & 0x7f)).toByte // [48, 175]: +20 shift headroom
+            }
+            val png = graft.multimodal.Multimodal.encodePng(rgb, 16, 12)
+            if (id < 25) {
+              val shifted = rgb.map(b => ((b & 0xff) + 20).toByte)
+              Seq((id, png),
+                (id + 10000, graft.multimodal.Multimodal.encodePng(shifted, 16, 12)))
+            } else if (id < 50) {
+              val re = graft.multimodal.Multimodal.PngDecoder.decodeRgb(png).get._1
+              Seq((id, png),
+                (id + 20000, graft.multimodal.Multimodal.encodePng(re, 16, 12)))
+            } else Seq((id, png))
+          }
+        }.toDF("id", "payload")
+      graft.dedup.ImageDedup.imageNearDupPairs(spark, imgs,
+          maxDist = 3, bands = 4, pixTol = 0)
+        .orderBy("id_a", "id_b")
     }),
 
     // §2.17 embedding-cosine near-dup via hyperplane LSH buckets + verify.
@@ -3880,6 +4067,24 @@ object Queries {
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc
          |      FROM s a CROSS JOIN s b WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM p WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // dedup_groups' closure over the 2000-doc slice's pair set with the
+    // two late bridge edges unioned in — the converged sink must equal it
+    "stream_dedup_groups" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+         |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
+         |s AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM all_docs),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM s a CROSS JOIN s b
+         |      WHERE a.doc_id < b.doc_id AND ${duckJaccard("a.sh", "b.sh")} >= 0.8
+         |      UNION ALL SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+         |      UNION ALL SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // transitive closure of the SAME pair set via a recursive CTE; group_id
     // = min id reachable from each member
     "dedup_groups" ->
@@ -3923,6 +4128,14 @@ object Queries {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> simhashOracle,
+    // closed-form: the 50 planted copy pairs, hamming 0 (see the query's
+    // invariance argument — brightness shift preserves every gradient
+    // bit, lossless re-encode preserves every pixel)
+    "dedup_image_phash" ->
+      """SELECT CAST(i AS BIGINT) AS id_a,
+        |  CAST(i + CASE WHEN i < 25 THEN 10000 ELSE 20000 END AS BIGINT) AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM range(50) t(i) ORDER BY id_a, id_b""".stripMargin,
     "decontaminate" ->
       s"""WITH bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 200 = 0),
          |quotes AS (SELECT bench_id + 300000 AS doc_id,
@@ -4627,6 +4840,10 @@ object Queries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "ann_ivf_sq4" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+        |  CAST(10 AS BIGINT) AS n_same_as_ivf
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "hnsw_source" ->
       s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
          |round(sqrt(${duckNormSq(dEmb("embedding"))}), 4) AS norm
@@ -4644,6 +4861,17 @@ object Queries {
     "bpe_train" ->
       ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'e', 's'), (1, 'es', 't'), " +
         "(2, 'l', 'o'), (3, 'lo', 'w')) AS t(rank, mleft, mright) ORDER BY rank"),
+    // hand-derived EM trajectory (see the query comment); constants
+    // verified against an independent Python forward-backward replay
+    "unigram_train" ->
+      ("SELECT * FROM (VALUES ('a', CAST(-2.3073 AS DOUBLE)), ('aab', -0.2035), " +
+        "('ab', -2.6631), ('b', -4.2064)) AS t(piece, log_prob) ORDER BY piece"),
+    // Viterbi counts under the trained pieces: hand-derivable from the
+    // trained probs + the documented tie-breaks and unk convention
+    "token_count_unigram" ->
+      ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 3), " +
+        "(3, 2), (4, 2), (5, 0), (6, 3), (7, 3), (8, 1), (9, 4), (10, 5)) " +
+        "AS t(doc_id, n_tokens) ORDER BY doc_id"),
     "knn_radius" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
          |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
@@ -4760,6 +4988,7 @@ object Queries {
          |SELECT qid, id, round(dist, 4) AS dist, rank, CAST(1 AS BIGINT) AS rewritten
          |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "knn_quantized" -> knnOracle(duckEuclid, 5, 10),
+    "knn_quantized_sq4" -> knnOracle(duckEuclid, 5, 10),
     "knn_quantized_opq" -> knnOracle(duckEuclid, 5, 10),
     "ann_ivf_binary" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,

@@ -47,6 +47,11 @@ object vec {
   def sq8Encode(a: Column, normalize: Boolean = false): Column =
     c(Sq8Encode(e(a), normalize))
 
+  /** Fused SQ4 (4-bit) encode — struct(codes packed 2/byte, q_scale,
+    * q_offset, q_err, q_err_l1, q_dim).
+    */
+  def sq4Encode(a: Column): Column = c(Sq4Encode(e(a)))
+
   /** 1-bit signature pack: bit i set iff a(i) > thresholds(i); 64 dims
     * per long word (32× smaller than float32).
     */

@@ -45,6 +45,47 @@ object Quantize {
     out
   }
 
+  /** Add SQ4 (4-bit) columns per row — `codes` packed two nibbles per
+    * byte (8× smaller than float32, 2× smaller than [[sq8]]), plus the
+    * same affine sidecar (q_scale, q_offset) and exact τ reconstruction
+    * errors (q_err, q_err_l1), and `q_dim` (the packed array loses the
+    * odd/even distinction of the last byte). [[searchExact]] consumes
+    * this tier with `codec = "sq4"` — the exactness proof only needs the
+    * reconstruction errors, so it carries unchanged; with 16 levels the
+    * per-dim error is ~16× SQ8's, so τ admits more candidates (the
+    * compression/candidate-volume trade this tier IS).
+    */
+  def sq4(data: DataFrame, vectorCol: String = "vector"): DataFrame =
+    data
+      .withColumn("__enc", graft.functions.vec.sq4Encode(col(vectorCol)))
+      .withColumn("q_offset", col("__enc.q_offset"))
+      .withColumn("q_scale", col("__enc.q_scale"))
+      .withColumn("codes", col("__enc.codes"))
+      .withColumn("q_err", col("__enc.q_err"))
+      .withColumn("q_err_l1", col("__enc.q_err_l1"))
+      .withColumn("q_dim", col("__enc.q_dim"))
+      .drop("__enc")
+
+  /** Codec-dispatched decode for the τ scans: `dim < 0` → SQ8 byte codes,
+    * `dim >= 0` → SQ4 packed nibbles (two dims per byte; the stored
+    * tinyint reads back signed, `& 0xff` recovers the packed unsigned
+    * byte).
+    */
+  @inline private[knn] def decodeArr(
+      codes: Array[Short], dim: Int, scale: Float, offset: Float): Array[Float] =
+    if (dim < 0) dequantizeArr(codes, scale, offset)
+    else {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val u = codes(i >> 1).toInt & 0xff
+        val code = if ((i & 1) == 0) u & 0xf else u >>> 4
+        out(i) = code.toFloat * scale + offset
+        i += 1
+      }
+      out
+    }
+
   /** Reconstruct an `array<float>` from SQ8 columns. */
   def dequantize(codes: org.apache.spark.sql.Column, scale: org.apache.spark.sql.Column, offset: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(codes, c => ((c.cast("int") + 128).cast("float") * scale + offset).cast("float"))
@@ -117,6 +158,31 @@ object Quantize {
         .sortBy(identity).take(nprobe).map(_._2)
     }.toMap
     searchExact(spark, quantized, queries, k, Some(probed))
+  }
+
+  /** IVF×SQ4: [[searchIvfSq8]]'s twin on the 4-bit tier — probe only each
+    * query's nearest cells AND scan half a byte per dimension inside
+    * them. Provably equal to full-precision [[Ivf.search]] at the same
+    * nprobe for the same reason (τ-bound exactness within the probed
+    * subset, identical probe ranking); the wider SQ4 reconstruction error
+    * buys the 2×-over-SQ8 scan compression with more τ candidates, never
+    * with wrong results. `quantized` must carry `cell` (from
+    * [[Ivf.assign]]) plus the [[sq4]] columns.
+    */
+  def searchIvfSq4(
+      spark: SparkSession,
+      quantized: DataFrame, // sq4(assign(...)): (id, cell, vector, codes, q_scale, q_offset, q_err, q_dim)
+      centroids: Array[Array[Float]],
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val metric = graft.core.Distances.Euclidean
+    val probed: Map[Long, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> centroids.zipWithIndex
+        .map { case (cv, ci) => (graft.core.Distances.distance(metric)(qv, cv), ci) }
+        .sortBy(identity).take(nprobe).map(_._2)
+    }.toMap
+    searchExact(spark, quantized, queries, k, Some(probed), codec = "sq4")
   }
 
   /** IVF×SQ8 with a DataFrame query side — the corpus-vs-corpus shape at
@@ -305,17 +371,23 @@ object Quantize {
 
   def searchExact(
       spark: SparkSession,
-      quantized: DataFrame, // output of sq8 (id, vector, codes, q_scale, q_offset, q_err[, q_err_l1])
+      quantized: DataFrame, // output of sq8/sq4 (id, vector, codes, q_scale, q_offset, q_err[, q_err_l1])
       queries: Array[(Long, Array[Float])],
       k: Int,
       probeCells: Option[Map[Long, Array[Int]]] = None,
-      metric: String = "euclidean"): DataFrame = {
+      metric: String = "euclidean",
+      codec: String = "sq8"): DataFrame = {
     import spark.implicits._
+    require(codec == "sq8" || codec == "sq4",
+      s"codec must be 'sq8' or 'sq4', got '$codec'")
     val m = graft.core.Distances.metricId(metric)
     require(m == graft.core.Distances.Euclidean || m == graft.core.Distances.Manhattan,
       s"searchExact's τ-bound needs a triangle-inequality reconstruction error — " +
         s"'$metric' has none (use searchExactCosine for cosine)")
     val errCol = if (m == graft.core.Distances.Manhattan) col("q_err_l1") else col("q_err")
+    // q_dim drives the codec dispatch in decodeArr: -1 marks SQ8 byte
+    // codes, >= 0 the SQ4 packed-nibble layout (and the true dimension)
+    val dimCol = if (codec == "sq4") col("q_dim").cast("int") else lit(-1).cast("int")
     val kernel = graft.core.Distances.distance(m) _
     val bcQ = spark.sparkContext.broadcast(queries)
     // per-query probed-cell mask (null = unrestricted full scan)
@@ -335,8 +407,9 @@ object Quantize {
       if (probeCells.isDefined) col("cell").cast("int") else lit(-1).cast("int")
     val rows = quantized
       .select(col("id").cast("long"), cellCol.as("cell"), col("codes").cast("array<smallint>"),
-        col("q_scale").cast("float"), col("q_offset").cast("float"), errCol.cast("double"))
-      .as[(Long, Int, Array[Short], Float, Float, Double)]
+        col("q_scale").cast("float"), col("q_offset").cast("float"), errCol.cast("double"),
+        dimCol.as("qdim"))
+      .as[(Long, Int, Array[Short], Float, Float, Double, Int)]
 
     @inline def allowed(mask: Array[Array[Boolean]], qi: Int, cell: Int): Boolean = {
       val m = mask(qi)
@@ -348,8 +421,8 @@ object Quantize {
       val qs = bcQ.value
       val mask = bcMask.value
       val heaps = Array.fill(qs.length)(new TopK(k))
-      iter.foreach { case (id, cell, codes, scale, offset, err) =>
-        val vhat = dequantizeArr(codes, scale, offset)
+      iter.foreach { case (id, cell, codes, scale, offset, err, qdim) =>
+        val vhat = decodeArr(codes, qdim, scale, offset)
         var qi = 0
         while (qi < qs.length) {
           if (allowed(mask, qi, cell)) heaps(qi).push(kernel(vhat, qs(qi)._2) + err, id)
@@ -381,8 +454,8 @@ object Quantize {
         val t = bcTau.value.getOrElse(q._1, Double.NegativeInfinity)
         if (t.isInfinite) t else t + q._2.length * math.ulp(t)
       }
-      iter.flatMap { case (id, cell, codes, scale, offset, err) =>
-        val vhat = dequantizeArr(codes, scale, offset)
+      iter.flatMap { case (id, cell, codes, scale, offset, err, qdim) =>
+        val vhat = decodeArr(codes, qdim, scale, offset)
         qs.indices.iterator
           .filter(qi => allowed(mask, qi, cell) && kernel(vhat, qs(qi)._2) - err <= taus(qi))
           .map(qi => (qs(qi)._1, id))

@@ -100,9 +100,13 @@ object Packing {
     * `nShards` is the bound on group size exactly as in [[packBlocks]]
     * (size it to the data; the assignment is shard-local by design, so
     * more shards = smaller groups = more parallelism, at zero cost to
-    * packing quality beyond the shard boundary). The first-fit scan is
-    * O(docs × bins) per group — the textbook form; groups sized like
-    * Spark partitions keep it far from mattering.
+    * packing quality beyond the shard boundary — pick nShards so groups
+    * land near a Spark-partition's worth of documents, since each group
+    * is buffered whole in one task for the sort). The first-fit lookup
+    * runs through [[FirstFitTree]] — a max segment tree over bin
+    * remaining capacities, O(log bins) per document instead of the
+    * textbook linear scan's O(bins), with IDENTICAL bin choices
+    * (PackingSpec pins the equivalence against the linear scan).
     *
     * Output: (source, shard, bin, doc_id, n_tokens) — one row per
     * document. Token counts are whitespace tokens + 1 EOS, the same
@@ -124,15 +128,66 @@ object Packing {
       .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
         val (src, shard) = key
         val items = it.toArray.sortBy { case (_, _, id, n) => (-n, id) }
-        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val bins = new FirstFitTree(items.length)
         items.iterator.map { case (_, _, id, n) =>
-          var b = 0
-          while (b < rem.length && rem(b) < n) b += 1
-          if (b == rem.length) rem += blockLen - n else rem(b) -= n
+          val b = bins.findFirst(n) match {
+            case -1 => val nb = bins.size; bins.set(nb, blockLen - n); nb
+            case f => bins.set(f, bins.remaining(f) - n); f
+          }
           (src, shard, b.toLong, id, n)
         }
       }
       .toDF("source", "shard", "bin", "doc_id", "n_tokens")
+  }
+
+  /** First-fit bin lookup in O(log bins): a max segment tree over bin
+    * remaining capacities in bin-index order. Descending left-subtree-
+    * first yields the LOWEST-indexed bin with capacity ≥ need — exactly
+    * the linear scan's first-fit choice, without its O(bins)
+    * per-document term (the quadratic half of first-fit-decreasing's
+    * textbook cost). Capacity is `maxBins` leaves, pre-sized to the
+    * group's document count (bins ≤ docs always); unopened bins hold
+    * Long.MinValue so they never satisfy a fit probe.
+    */
+  private[graft] final class FirstFitTree(maxBins: Int) {
+    private val cap: Int = {
+      var c = 1
+      while (c < math.max(1, maxBins)) c *= 2
+      c
+    }
+    private val tree = Array.fill(2 * cap)(Long.MinValue)
+    private var nBins = 0
+
+    /** Number of opened bins. */
+    def size: Int = nBins
+
+    /** Remaining capacity of an opened bin. */
+    def remaining(bin: Int): Long = {
+      require(bin >= 0 && bin < nBins, s"bin $bin not opened (have $nBins)")
+      tree(cap + bin)
+    }
+
+    /** Lowest-indexed opened bin with remaining ≥ need, or -1. */
+    def findFirst(need: Long): Int = {
+      if (tree(1) < need) return -1
+      var i = 1
+      while (i < cap) i = if (tree(2 * i) >= need) 2 * i else 2 * i + 1
+      i - cap
+    }
+
+    /** Set a bin's remaining capacity; `bin == size` opens the next bin. */
+    def set(bin: Int, rem: Long): Unit = {
+      require(bin >= 0 && bin <= nBins && bin < cap,
+        s"bin $bin out of range (opened $nBins, capacity $cap)")
+      if (bin == nBins) nBins += 1
+      var i = cap + bin
+      tree(i) = rem
+      i /= 2
+      while (i >= 1) {
+        tree(i) = math.max(tree(2 * i), tree(2 * i + 1))
+        i /= 2
+      }
+    }
   }
 
   /** Per-bin fill summary over [[packBestFit]] output — [[packSummary]]'s

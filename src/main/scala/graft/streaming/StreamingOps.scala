@@ -381,6 +381,213 @@ object StreamingOps {
     spark.read.parquet(s"$dir/pairs").select("doc_a", "doc_b", "jaccard")
       .dropDuplicates("doc_a", "doc_b")
 
+  /** STREAMING cluster resolution: incremental connected components over
+    * an arriving near-dup PAIR stream ([[nearDupSink]]'s output shape, or
+    * any pair source) — so an ingestion-time pipeline can maintain
+    * keep/cut decisions online instead of re-resolving the whole batch
+    * graph ([[graft.dedup.Dedup.connectedComponents]]) after every batch.
+    *
+    * Disk state is a UNION-FIND FOREST as a manifested delta table of
+    * (id, parent) edges with parent < id, unions by MIN root:
+    *  - per batch, each endpoint resolves to its CURRENT root by walking
+    *    the forest (frontier-keyed joins against the accumulated table —
+    *    the frontier is batch-bounded, and path-compression rows appended
+    *    every batch keep chains ~1 hop, so the walk is 1-3 join rounds);
+    *  - the batch's ROOT-edge graph (batch-bounded — this is the batch's
+    *    spanning frontier, usually tiny since most pairs fall inside
+    *    existing clusters) resolves adaptively: classic driver union-find
+    *    below `maxDriverEdges` (bounded collect, ~1.6 MB at the default),
+    *    the batch pointer-doubling operator above it; each losing root
+    *    gains a parent row to the new min root, PLUS compression rows for
+    *    every touched id;
+    *  - appends are O(batch + touched), never a rewrite of the
+    *    accumulated table: merging two million-doc clusters writes ONE
+    *    root edge (plus the batch's compression rows), because membership
+    *    is represented by reachability, not by materialized group ids.
+    *
+    * Correctness invariants: parent values only DECREASE along any chain
+    * and unions are by min, so (a) every component has exactly one
+    * rootless node — its minimum id, (b) duplicate/stale appends from
+    * at-least-once replays are absorbed by min-aggregation at read
+    * (monotone ⇒ idempotent), (c) the forest's components EQUAL the
+    * pair graph's components regardless of how pairs were split across
+    * batches — cross-batch merges are just root edges written late.
+    * Read back with [[dedupGroupsSinkGroups]], which resolves the forest
+    * with the SAME pointer-doubling operator batch mode uses, so the
+    * converged output is row-for-row the batch `dedup_groups` answer.
+    *
+    * The per-batch manifest-merge completeness contract matches the
+    * other maintained sinks: a lost delta file fails the next batch
+    * loudly ([[validateDelta]]).
+    */
+  def dedupGroupsSink(
+      spark: SparkSession,
+      dir: String,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxResolveRounds: Int = 50,
+      maxDriverEdges: Int = 100000): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      val hconf = sess.sparkContext.hadoopConfiguration
+      val haveLabels = graft.io.HadoopIO.exists(s"$dir/labels", hconf)
+      if (haveLabels) validateDelta(s"$dir/labels", hconf)
+
+      // no dedup pass: duplicate pairs (and at-least-once replays) are
+      // harmless to union-find — they re-derive the same root edges,
+      // which min-aggregation absorbs
+      val pairs = batch
+        .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .persist()
+      try {
+        if (pairs.isEmpty) () // nothing to union; no state to touch
+        else {
+          // resolve every batch endpoint to its current root: iterated
+          // frontier-keyed min-parent lookups against the accumulated
+          // forest (labels may hold several rows per id — min wins)
+          val nodes = pairs.select(col("a").as("node"))
+            .unionByName(pairs.select(col("b").as("node"))).distinct()
+          var frontier = nodes.withColumn("label", col("node")).persist()
+          if (haveLabels) {
+            val labels = sess.read.parquet(s"$dir/labels").select("id", "parent")
+            def step(f: org.apache.spark.sql.DataFrame) = {
+              val keys = f.select(col("label")).distinct()
+              val hop = labels.join(broadcast(keys.withColumnRenamed("label", "id")), Seq("id"))
+                .groupBy(col("id").as("label")).agg(min("parent").as("next"))
+              f.join(hop, Seq("label"), "left")
+                .select(col("node"), coalesce(col("next"), col("label")).as("label"))
+                .persist()
+            }
+            def labelSum(f: org.apache.spark.sql.DataFrame): Long =
+              f.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+            var lastSum = labelSum(frontier)
+            var rounds = 0
+            var converged = false
+            while (rounds < maxResolveRounds && !converged) {
+              val next = step(frontier)
+              val s = labelSum(next)
+              frontier.unpersist()
+              converged = s == lastSum // parents strictly decrease until root
+              lastSum = s
+              frontier = next
+              rounds += 1
+            }
+            require(converged,
+              s"dedupGroupsSink: root resolution exceeded $maxResolveRounds rounds — " +
+                "forest chains deeper than the compression invariant allows (corrupt state?)")
+          }
+
+          // batch-local spanning frontier: components over ROOT edges,
+          // resolved with the batch operator itself (batch-bounded input)
+          val rootEdges = pairs
+            .join(frontier.withColumnRenamed("node", "a").withColumnRenamed("label", "ra"), Seq("a"))
+            .join(frontier.withColumnRenamed("node", "b").withColumnRenamed("label", "rb"), Seq("b"))
+            .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb"))
+            .persist()
+          val nRootEdges = rootEdges.count()
+          // the spanning frontier is usually TINY relative to the batch
+          // (most pairs fall inside existing clusters): below the bound,
+          // classic driver union-find beats the distributed operator's
+          // per-round checkpoint+action protocol by ~20×; above it the
+          // batch operator takes over — nothing unbounded ever collects
+          // (maxDriverEdges=100k root edges ≈ 1.6 MB)
+          val merged: DataFrame =
+            if (nRootEdges == 0) frontier.select(col("label").as("id"), col("label").as("group_id"))
+              .dropDuplicates("id")
+            else if (nRootEdges <= maxDriverEdges) {
+              import sess.implicits._
+              val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+              def find(x: Long): Long = {
+                var r = x
+                while (parent.getOrElse(r, r) != r) r = parent(r)
+                var c = x // path compression
+                while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+                r
+              }
+              rootEdges.as[(Long, Long)].collect().foreach { case (a, b) =>
+                val (ra, rb) = (find(a), find(b))
+                if (ra != rb) { // union by MIN — same invariant as the batch operator
+                  if (ra < rb) parent(rb) = ra else parent(ra) = rb
+                }
+              }
+              val resolved = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+              val roots = resolved.map(_._2).distinct.map(r => (r, r))
+              (resolved ++ roots).toDF("id", "group_id")
+            } else graft.dedup.Dedup.connectedComponents(rootEdges, "ra", "rb")
+          // losing roots point at the new min root; touched ids compress
+          // straight to it (min-wins makes re-appends harmless)
+          val rootRows = merged.filter(col("id") =!= col("group_id"))
+            .select(col("id"), col("group_id").as("parent"))
+          val compress = frontier
+            .join(merged.withColumnRenamed("id", "label"), Seq("label"), "left")
+            .select(col("node").as("id"),
+              coalesce(col("group_id"), col("label")).as("parent"))
+            .filter(col("id") =!= col("parent"))
+          rootRows.unionByName(compress).dropDuplicates("id", "parent")
+            .write.mode("append").parquet(s"$dir/labels/batch=$batchId")
+          mergeDeltaManifest(s"$dir/labels", s"batch=$batchId", hconf)
+          rootEdges.unpersist()
+          frontier.unpersist()
+        }
+      } finally pairs.unpersist()
+    }
+  }
+
+  /** Converged (id, group_id) clusters of a [[dedupGroupsSink]]
+    * directory — row-for-row the batch
+    * [[graft.dedup.Dedup.connectedComponents]] answer over the union of
+    * every pair batch, however the pairs were split across batches.
+    *
+    * Resolution exploits the forest invariant (parent < id, one rootless
+    * min-id node per component, min-aggregation absorbing duplicate
+    * appends): each id just follows parent pointers to its root, so the
+    * loop is pure POINTER HALVING over the (id, parent) table — label :=
+    * parent(label) with the halved table substituted each round,
+    * O(log depth) self-joins, no edge symmetrization, no undirected
+    * propagation, no per-round checkpoint. Per-batch path compression
+    * keeps real depths ~1-2, so reads converge in 2-3 rounds.
+    */
+  def dedupGroupsSinkGroups(
+      spark: SparkSession,
+      dir: String,
+      maxRounds: Int = 64): DataFrame = {
+    validateDelta(s"$dir/labels", spark.sparkContext.hadoopConfiguration)
+    val forest = spark.read.parquet(s"$dir/labels")
+      .groupBy("id").agg(min("parent").as("parent"))
+      .persist()
+    // roots never carry a row of their own — they enter as their own group
+    val roots = forest.select(col("parent").as("id"))
+      .join(forest.select("id"), Seq("id"), "left_anti").distinct()
+      .select(col("id"), col("id").as("label"))
+    var labels = forest.select(col("id"), col("parent").as("label"))
+      .unionByName(roots).persist()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var lastSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      // label := label(label): substituting the full halved table each
+      // round doubles the resolved chain length per iteration
+      val hop = labels.select(col("id").as("label"), col("label").as("plabel"))
+      val next = labels.join(hop, Seq("label"), "left")
+        .select(col("id"), coalesce(col("plabel"), col("label")).as("label"))
+        .persist()
+      val s = labelSum(next) // labels only decrease: stationary = resolved
+      labels.unpersist()
+      converged = s == lastSum
+      lastSum = s
+      labels = next
+      rounds += 1
+    }
+    forest.unpersist()
+    require(converged,
+      s"dedupGroupsSinkGroups: resolution exceeded $maxRounds pointer-halving rounds — " +
+        "forest deeper than 2^64 is impossible, so the state is corrupt")
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   /** Streaming benchmark decontamination: flag arriving documents that
     * share at least `minShared` distinct token n-gram shingles with any
     * benchmark document — the ingestion-time form of
@@ -3041,16 +3248,22 @@ object StreamingOps {
   /** ONE copy of the fresh-init manifest seeding the maintained sinks
     * share (written BEFORE the meta sidecar, which is the init commit
     * marker): each dir gets a manifest of whatever it currently lists —
-    * empty for a new dir, the crashed-init files for a re-run init.
+    * empty for a new dir, the crashed-init files for a re-run init. A
+    * dir that ALREADY carries a manifest (copied/adopted state, or a
+    * crash after manifest seeding) is preserved untouched — overwriting
+    * it with -1-CRC raw-listing entries would bless whatever files
+    * happen to be present, discarding CRC evidence the existing manifest
+    * carries (the same preserve-existing rule as the HNSW fresh init).
     */
   private def seedDeltaManifests(
       dirs: Seq[String],
       conf: org.apache.hadoop.conf.Configuration): Unit =
     dirs.foreach { d =>
       graft.io.HadoopIO.mkdirs(d, conf)
-      graft.io.Manifest.write(d,
-        listDelta(d, conf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
-        conf)
+      if (graft.io.Manifest.read(d, conf).isEmpty)
+        graft.io.Manifest.write(d,
+          listDelta(d, conf).map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) },
+          conf)
     }
 
   /** The shared gate for the compaction wrappers: a missing live dir

@@ -27,9 +27,14 @@ object QualityClassifier {
   /** Fit logistic-regression weights on `df`: label in [0,1] in
     * `labelCol`, numeric features in `featureCols`. Returns
     * `featureCols.length + 1` doubles — bias first — each rounded to 6
-    * decimals so a replaying engine scores from bit-identical weights
-    * (the raw trajectories agree to ~1e-12; rounding removes the ulp
-    * noise float-sum order can introduce).
+    * decimals so a replaying engine scores from the same weights. The
+    * cross-engine agreement is PROBABILISTIC, not absolute: raw GD
+    * trajectories differ across engines by float-sum order (~1e-12), so
+    * a weight landing within that noise of a 0.5e-6 HALF_UP rounding
+    * boundary can round differently on the two sides — rounding shrinks
+    * the disagreement window from every ulp to ~1e-12/1e-6 of weight
+    * space, it does not close it. A caller needing a hard guarantee
+    * should compare scores with a tolerance instead of by hash.
     */
   def train(
       df: DataFrame,

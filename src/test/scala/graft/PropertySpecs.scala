@@ -344,3 +344,99 @@ object BinaryKernelProps extends Properties("BinaryKernels") {
             BinaryKernels.hamming(sa, sb) + BinaryKernels.hamming(sb, sc)
     }
 }
+
+object FirstFitTreeProps extends Properties("FirstFitTree") {
+  import graft.ops.Packing.FirstFitTree
+
+  private val itemsGen = Gen.nonEmptyListOf(Gen.choose(1L, 200L))
+  private val blockGen = Gen.choose(1L, 128L)
+
+  /** The textbook linear first-fit scan the tree replaces. */
+  private def linearFirstFit(sizes: List[Long], blockLen: Long): List[Int] = {
+    val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sizes.map { n =>
+      var b = 0
+      while (b < rem.length && rem(b) < n) b += 1
+      if (b == rem.length) rem += blockLen - n else rem(b) -= n
+      b
+    }
+  }
+
+  property("bin choices identical to the linear first-fit scan") =
+    forAll(itemsGen, blockGen) { (sizes, blockLen) =>
+      // same decreasing order packBestFit feeds (includes oversized items:
+      // sizes up to 200 vs blockLen <= 128 exercise the negative-capacity
+      // own-bin path)
+      val ordered = sizes.sorted(Ordering[Long].reverse)
+      val tree = new FirstFitTree(ordered.length)
+      val treeBins = ordered.map { n =>
+        tree.findFirst(n) match {
+          case -1 => val nb = tree.size; tree.set(nb, blockLen - n); nb
+          case f => tree.set(f, tree.remaining(f) - n); f
+        }
+      }
+      treeBins == linearFirstFit(ordered, blockLen)
+    }
+
+  property("arbitrary (non-decreasing) arrival order still matches") =
+    forAll(itemsGen, blockGen) { (sizes, blockLen) =>
+      val tree = new FirstFitTree(sizes.length)
+      val treeBins = sizes.map { n =>
+        tree.findFirst(n) match {
+          case -1 => val nb = tree.size; tree.set(nb, blockLen - n); nb
+          case f => tree.set(f, tree.remaining(f) - n); f
+        }
+      }
+      treeBins == linearFirstFit(sizes, blockLen)
+    }
+}
+
+object ImageDHashProps extends Properties("ImageDHash") {
+  import graft.dedup.ImageDedup
+  import graft.multimodal.Multimodal
+
+  /** Random small RGB image: dims 1..24, pixel range [40, 183] so a +s
+    * (s <= 40) brightness shift never clips.
+    */
+  private val imgGen: Gen[(Array[Byte], Int, Int)] = for {
+    w <- Gen.choose(1, 24)
+    h <- Gen.choose(1, 24)
+    px <- Gen.listOfN(w * h * 3, Gen.choose(40, 183))
+  } yield (px.map(_.toByte).toArray, w, h)
+
+  property("lossless re-encode round-trip preserves the hash") =
+    forAll(imgGen) { case (rgb, w, h) =>
+      val png = Multimodal.encodePng(rgb, w, h)
+      val (decoded, dw, dh) = Multimodal.PngDecoder.decodeRgb(png).get
+      val png2 = Multimodal.encodePng(decoded, dw, dh)
+      ImageDedup.dHash(png) == ImageDedup.dHash(png2) &&
+        ImageDedup.dHash(png).isDefined
+    }
+
+  property("non-clipping brightness shift preserves the hash exactly") =
+    forAll(imgGen, Gen.choose(1, 40)) { case ((rgb, w, h), s) =>
+      val shifted = rgb.map(b => ((b & 0xff) + s).toByte)
+      ImageDedup.dHash(Multimodal.encodePng(rgb, w, h)) ==
+        ImageDedup.dHash(Multimodal.encodePng(shifted, w, h))
+    }
+
+  property("pigeonhole: hashes within hamming 3 share at least one of 4 band slices") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.listOfN(3, Gen.choose(0, 63))) { (h, flips) =>
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      // <= 3 distinct flips => hamming(h, h2) <= 3 < 4 bands
+      (0 until 4).exists { b =>
+        ((h >>> (16 * b)) & 0xffffL) == ((h2 >>> (16 * b)) & 0xffffL)
+      }
+    }
+
+  property("dHashFromGray: each bit is exactly its gradient comparison") =
+    forAll(Gen.listOfN(72, Gen.choose(0, 255))) { g0 =>
+      val g = g0.toArray
+      val h = ImageDedup.dHashFromGray(g)
+      (0 until 64).forall { bit =>
+        val (y, x) = (bit / 8, bit % 8)
+        (((h >>> bit) & 1L) == 1L) == (g(y * 9 + x + 1) > g(y * 9 + x))
+      }
+    }
+}

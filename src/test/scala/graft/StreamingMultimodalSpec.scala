@@ -230,6 +230,46 @@ class StreamingSpec extends SparkTestBase {
       assert(state(3L).deleted)
     } finally q.stop()
   }
+
+  test("dedup-groups sink: incremental components equal batch CC across " +
+    "batch-boundary merges; stale replay absorbed; lost state fails loudly") {
+    val b0 = Seq((10L, 11L), (20L, 21L), (40L, 41L))
+    val b1 = Seq((11L, 12L), (30L, 31L)) // extends {10,11} across the boundary
+    val b2 = Seq((12L, 20L), (31L, 40L)) // LATE edges merging clusters pairwise
+    val dir = java.nio.file.Files.createTempDirectory("dgroups_sink").toString
+    val sink = StreamingOps.dedupGroupsSink(spark, dir)
+    sink(b0.toDF("doc_a", "doc_b"), 0L)
+    sink(b1.toDF("doc_a", "doc_b"), 1L)
+    sink(b2.toDF("doc_a", "doc_b"), 2L)
+    def read() = StreamingOps.dedupGroupsSinkGroups(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val got = read()
+    val batch = graft.dedup.Dedup
+      .connectedComponents((b0 ++ b1 ++ b2).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got === Set((10L, 10L), (11L, 10L), (12L, 10L), (20L, 10L), (21L, 10L),
+      (30L, 30L), (31L, 30L), (40L, 30L), (41L, 30L)))
+
+    // at-least-once redelivery of batch 1 AFTER later merges: the stale
+    // parent appends are absorbed by min-aggregation (monotone labels)
+    sink(b1.toDF("doc_a", "doc_b"), 1L)
+    assert(read() === batch)
+
+    // union-find forest invariant: parent strictly below id on every row
+    val rows = spark.read.parquet(s"$dir/labels")
+      .select("id", "parent").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (id, p) => p < id })
+
+    // a lost manifested labels delta file must fail the NEXT batch loudly
+    val victim = new java.io.File(s"$dir/labels/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val e = intercept[Exception] {
+      sink(Seq((70L, 71L)).toDF("doc_a", "doc_b"), 3L)
+    }
+    assert(e.getMessage.contains("INCOMPLETE"), s"got: ${e.getMessage}")
+  }
 }
 
 class StreamingIndexSpec extends SparkTestBase {
