@@ -3410,10 +3410,9 @@ object Queries {
       // partitions would pay pure task-scheduling overhead; layout
       // invariance of every operator is a swept property, so the result
       // is unchanged.
-      val (r0, ran0, r1, ran1, refErr, idxDir, newCentroids, queries, shifted) =
-        withStreamParts(spark) {
+      withStreamParts(spark) {
       val (dataAll, _) = knnInputs(spark, dir, 5)
-      val data = dataAll.filter(col("id") < 800)
+      val data = dataAll.filter(col("id") < 800).persist()
       val c0 = Ivf.train(spark, data, c = 8, iterations = 1)
       val idxDir = java.nio.file.Files.createTempDirectory("stream_ir_idx").toString
       val sink = so.ivfMaintenanceSink(spark, idxDir, c0)
@@ -3425,7 +3424,8 @@ object Queries {
       val refErr = so.markIvfQuantReference(spark, idxDir)
       val (r0, ran0) = so.retrainIfQuantDrifted(spark, idxDir, maxErrRatio = 2.0)
       val shifted = data.select(col("id"),
-        transform(col("vector"), x => x + lit(8.0f)).as("vector"))
+        transform(col("vector"), x => x + lit(8.0f)).as("vector")).persist()
+      data.unpersist()
       sink(ops(shifted, 2L), 1L)
       // one k-means pass over a half subsample: the proof needs A retrain
       // to run and re-baseline, not a converged quantizer
@@ -3436,8 +3436,10 @@ object Queries {
         .sortBy(_._1).map(_._2.toArray)
       val queries = shifted.filter(col("id") < 5)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
-      (r0, ran0, r1, ran1, refErr, idxDir, newCentroids, queries, shifted)
-        }
+      // the equality arms also run (and MATERIALIZE, via the persist +
+      // count below) inside the low-partition block: the joins are
+      // 5-query-sized, so evaluating them lazily at the session's 32
+      // shuffle partitions would pay pure task-scheduling overhead
       val maintained = so.searchIvfMaintained(spark, idxDir, queries, k = 10, nprobe = 4)
       val batch = Ivf.search(spark, Ivf.assign(spark, shifted, newCentroids),
         newCentroids, queries, k = 10, nprobe = 4)
@@ -3447,12 +3449,17 @@ object Queries {
         .groupBy("qid").agg(count(lit(1)).as("n_same_as_batch"))
       val gate = lit(if (!ran0 && math.abs(r0 - 1.0) < 1e-9 && ran1 && r1 > 2.0 &&
         refErr > 0.0) 1L else 0L)
-      maintained.select(col("qid"), col("id"))
+      val out = maintained.select(col("qid"), col("id"))
         .groupBy("qid").agg(count(lit(1)).as("n_results"))
         .join(same, Seq("qid"))
         .select(col("qid"), lit(10L).as("k"), col("n_results"),
           col("n_same_as_batch"), gate.as("gate_proven"))
         .orderBy("qid")
+        .persist()
+      out.count()
+      shifted.unpersist()
+      out
+        }
     }),
 
     // §2.21 TIME-TRAVEL read of a delta-maintained HNSW index — the IVF
