@@ -133,7 +133,12 @@ object ImageDedup {
     val bandW = 64 / bands
     val mask = if (bandW == 64) -1L else (1L << bandW) - 1L
 
-    val hashed = dHashes(spark, images, idCol, payloadCol)
+    // the decode scan is the expensive pass (ImageIO per payload), and
+    // three plan branches consume it (band rows + both verify sides), so
+    // it materializes ONCE — unlike the text LSH kernels, recompute is
+    // not cheap here. Storage is (id, 8-byte hash, 72-int thumb) per
+    // image; Spark evicts LRU if the corpus outgrows the cache.
+    val hashed = dHashes(spark, images, idCol, payloadCol).persist()
 
     val bandRows = hashed.select(
       col("id"),

@@ -425,7 +425,7 @@ object StreamingOps {
       dir: String,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxResolveRounds: Int = 50,
+      maxResolveRounds: Int = 1000,
       maxDriverEdges: Int = 100000): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       val sess = batch.sparkSession
@@ -449,15 +449,25 @@ object StreamingOps {
           val nodes = pairs.select(col("a").as("node"))
             .unionByName(pairs.select(col("b").as("node"))).distinct()
           var frontier = nodes.withColumn("label", col("node")).persist()
+          // every frontier generation is kept (persisted) until the write:
+          // the labels seen along the walk are exactly the CHAIN NODES —
+          // interior losing roots whose own rows were written batches ago
+          // — and compressing THEM (not just the endpoints) is what keeps
+          // chains from growing one hop per merge between walks
+          val gens = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
           if (haveLabels) {
             val labels = sess.read.parquet(s"$dir/labels").select("id", "parent")
             def step(f: org.apache.spark.sql.DataFrame) = {
               val keys = f.select(col("label")).distinct()
               val hop = labels.join(broadcast(keys.withColumnRenamed("label", "id")), Seq("id"))
                 .groupBy(col("id").as("label")).agg(min("parent").as("next"))
+              // lazy localCheckpoint, not persist: the labelSum action
+              // materializes the round AND truncates lineage — an iterated
+              // join would otherwise nest plans until explain/codegen
+              // chokes (same per-round discipline as connectedComponents)
               f.join(hop, Seq("label"), "left")
                 .select(col("node"), coalesce(col("next"), col("label")).as("label"))
-                .persist()
+                .localCheckpoint(false)
             }
             def labelSum(f: org.apache.spark.sql.DataFrame): Long =
               f.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
@@ -467,7 +477,7 @@ object StreamingOps {
             while (rounds < maxResolveRounds && !converged) {
               val next = step(frontier)
               val s = labelSum(next)
-              frontier.unpersist()
+              gens += frontier // still persisted; freed after the write
               converged = s == lastSum // parents strictly decrease until root
               lastSum = s
               frontier = next
@@ -475,7 +485,8 @@ object StreamingOps {
             }
             require(converged,
               s"dedupGroupsSink: root resolution exceeded $maxResolveRounds rounds — " +
-                "forest chains deeper than the compression invariant allows (corrupt state?)")
+                "a parent chain deeper than maxResolveRounds merges accumulated between " +
+                "walks; raise maxResolveRounds (each round is one frontier-keyed join)")
           }
 
           // batch-local spanning frontier: components over ROOT edges,
@@ -484,6 +495,9 @@ object StreamingOps {
             .join(frontier.withColumnRenamed("node", "a").withColumnRenamed("label", "ra"), Seq("a"))
             .join(frontier.withColumnRenamed("node", "b").withColumnRenamed("label", "rb"), Seq("b"))
             .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb"))
+            .distinct() // many pairs can bridge the SAME two clusters: one
+            // root edge each — without the dedup a 1-edge frontier could
+            // spuriously escalate past maxDriverEdges
             .persist()
           val nRootEdges = rootEdges.count()
           // the spanning frontier is usually TINY relative to the batch
@@ -519,7 +533,17 @@ object StreamingOps {
           // straight to it (min-wins makes re-appends harmless)
           val rootRows = merged.filter(col("id") =!= col("group_id"))
             .select(col("id"), col("group_id").as("parent"))
-          val compress = frontier
+          // compression targets: the endpoints AND every chain node the
+          // walk traversed (a chain node at round k is some walker's label;
+          // its root is that walker's final label) — flattening walked
+          // chains is the amortized path compression that bounds future
+          // walk depth to the merges since the last touch
+          val trail = gens.drop(1).map(g =>
+              g.join(frontier.withColumnRenamed("label", "__flabel"), Seq("node"))
+                .select(col("label").as("node"), col("__flabel").as("label")))
+            .foldLeft(frontier.select(col("node"), col("label")))(_ unionByName _)
+            .dropDuplicates("node")
+          val compress = trail
             .join(merged.withColumnRenamed("id", "label"), Seq("label"), "left")
             .select(col("node").as("id"),
               coalesce(col("group_id"), col("label")).as("parent"))
@@ -528,6 +552,7 @@ object StreamingOps {
             .write.mode("append").parquet(s"$dir/labels/batch=$batchId")
           mergeDeltaManifest(s"$dir/labels", s"batch=$batchId", hconf)
           rootEdges.unpersist()
+          gens.foreach(_.unpersist())
           frontier.unpersist()
         }
       } finally pairs.unpersist()

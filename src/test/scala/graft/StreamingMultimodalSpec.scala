@@ -270,6 +270,32 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("INCOMPLETE"), s"got: ${e.getMessage}")
   }
+
+  test("dedup-groups sink: a deep root chain from successive merges resolves and FLATTENS on first touch") {
+    val dir = java.nio.file.Files.createTempDirectory("dgroups_chain").toString
+    val sink = StreamingOps.dedupGroupsSink(spark, dir)
+    // component {100, 101}; then six successive merges, each with a new
+    // smaller root, grow an interior chain 100 -> 90 -> ... -> 40 that
+    // node 101 never touches
+    sink(Seq((100L, 101L)).toDF("doc_a", "doc_b"), 0L)
+    (1 to 6).foreach { k =>
+      sink(Seq((100L - 10L * k, 110L - 10L * k)).toDF("doc_a", "doc_b"), k.toLong)
+    }
+    // first touch of 101 walks the 7-hop chain (well within the round
+    // bound) AND must compress every interior chain node it traversed
+    sink(Seq((101L, 200L)).toDF("doc_a", "doc_b"), 7L)
+    val got = StreamingOps.dedupGroupsSinkGroups(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val members = Set(40L, 50L, 60L, 70L, 80L, 90L, 100L, 101L, 200L)
+    assert(got === members.map(m => (m, 40L)))
+    // flattening: the walked chain nodes now carry DIRECT rows to the root
+    val minPar = spark.read.parquet(s"$dir/labels")
+      .groupBy("id").agg(min("parent").as("p"))
+      .as[(Long, Long)].collect().toMap
+    Seq(50L, 60L, 70L, 80L, 90L, 100L, 101L, 200L).foreach { n =>
+      assert(minPar(n) === 40L, s"chain node $n not flattened: ${minPar(n)}")
+    }
+  }
 }
 
 class StreamingIndexSpec extends SparkTestBase {
