@@ -685,6 +685,85 @@ object BenchScale {
       ev.unpersist()
     }
 
+    // Perceptual IMAGE near-dedup at corpus scale: nDocs real 16x12 PNG
+    // payloads encode distributed (ImageIO in executor tasks), 1% planted
+    // brightness-shifted copies; ONE decode scan materializes (id, hash,
+    // thumb), the banded join + exact verify recovers EXACTLY the planted
+    // pairs (random gradient fields collide within hamming 3 at ~2e-15).
+    {
+      val nImg = nDocs
+      val images = spark.range(nImg).select(col("id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val rgb = Array.tabulate(16 * 12 * 3) { i =>
+              var x = id * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+              x ^= x >>> 31; x *= 0x94d049bb133111ebL; x ^= x >>> 29
+              (48 + ((x & 0x7fL).toInt % 128)).toByte // [48, 175]
+            }
+            val png = graft.multimodal.Multimodal.encodePng(rgb, 16, 12)
+            if (id % 100 == 0) {
+              val shifted = rgb.map(b => ((b & 0xff) + 20).toByte)
+              Seq((id, png),
+                (id + 50000000L, graft.multimodal.Multimodal.encodePng(shifted, 16, 12)))
+            } else Seq((id, png))
+          }
+        }.toDF("id", "payload")
+      val planted = (nImg + 99) / 100
+      val imgPairs = graft.dedup.ImageDedup.imageNearDupPairs(spark, images,
+          maxDist = 3, bands = 4, pixTol = 0)
+        .cache()
+      val nP = timed(s"image dHash near-dedup ($nImg PNGs + $planted planted copies)") {
+        imgPairs.count()
+      }
+      val recovered = imgPairs
+        .filter(col("id_b") === col("id_a") + 50000000L && col("hamming") === 0).count()
+      require(recovered == planted.toLong,
+        s"planted brightness copies not all recovered: $recovered/$planted")
+      println(s"[scale] image near-dup pairs: $nP ($recovered planted recovered, hamming 0)")
+      imgPairs.unpersist()
+    }
+
+    // STREAMING cluster resolution at corpus scale: the dedup section's
+    // verified pair set replays through the union-find-forest sink in 4
+    // hash-split batches (cross-batch merges are the norm under the
+    // split); the read-side resolution must produce exactly the batch
+    // operator's member count.
+    {
+      val sinkDir = java.nio.file.Files.createTempDirectory("scale_dgroups").toString
+      val sink = graft.streaming.StreamingOps.dedupGroupsSink(spark, sinkDir)
+      val sp = pairsDf.persist() // re-materialize: released after the batch section
+      sp.count()
+      val h = pmod(xxhash64(col("doc_a"), col("doc_b")), lit(4))
+      timed(s"dedup-groups sink: 4-batch replay of the LSH pair set") {
+        (0 until 4).foreach(b => sink(sp.filter(h === b).toDF(), b.toLong))
+      }
+      val streamedMembers = timed("dedup-groups sink: read-side resolution") {
+        graft.streaming.StreamingOps.dedupGroupsSinkGroups(spark, sinkDir).count()
+      }
+      val batchMembers = graft.dedup.Dedup.connectedComponents(sp).count()
+      sp.unpersist()
+      require(streamedMembers == batchMembers,
+        s"incremental components diverge from batch: $streamedMembers vs $batchMembers")
+      println(s"[scale] dedup-groups sink: $streamedMembers members, equal to batch CC")
+    }
+
+    // Unigram-LM training at corpus scale: the corpus streams once into
+    // the capped word table, the E-step lattice shuffle is bounded by
+    // words x maxPieceLen, and the prune loop is vocab-local; Viterbi
+    // counting then broadcasts the trained pieces over the full corpus.
+    {
+      val vocab = timed(s"unigram-LM train ($nDocs docs, seed 50k -> vocab 40k, 2 EM passes)") {
+        graft.text.UnigramLm.train(docs, vocabSize = 40000, maxPieceLen = 8,
+          seedSize = 50000, emIters = 1, pruneRate = 0.25)
+      }
+      require(vocab.nonEmpty && vocab.forall(_._2 <= 0.0), "degenerate unigram vocab")
+      val counted = timed(s"unigram Viterbi token counts ($nDocs docs, ${vocab.size} pieces)") {
+        graft.text.UnigramLm.countTokens(docs, vocab)
+          .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+      }
+      println(s"[scale] unigram: ${vocab.size} pieces trained; $counted tokens counted")
+    }
+
     spark.stop()
   }
 }
