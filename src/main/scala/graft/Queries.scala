@@ -642,6 +642,47 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 full UNIGRAM TOKENIZATION over REAL corpus text —
+    // bpe_encode's twin for the unigram family: pieces train on a
+    // deterministic corpus slice, every document Viterbi-segments with
+    // the trained vocab (unknown chars as single unk pieces), and two
+    // in-query gates collapse to a closed-form oracle: the pretokenizer
+    // partitions the text and each segmentation partitions its pretoken,
+    // so joining pieces (▁→space) must reconstruct the document
+    // byte-for-byte, and the piece count must equal the independent
+    // count-only Viterbi path.
+    "unigram_encode" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val vocab = graft.text.UnigramLm.train(docs.filter(col("doc_id") < 200),
+        vocabSize = 500, maxPieceLen = 6, seedSize = 800, emIters = 1)
+      val bc = spark.sparkContext.broadcast(vocab.toMap)
+      val pat = TextAnalysis.BpeTokenPattern
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { iter =>
+          val m = java.util.regex.Pattern.compile(pat)
+          iter.map { case (id, text) =>
+            val t = if (text == null) "" else text
+            val mm = m.matcher(t)
+            val sb = new StringBuilder
+            var nPieces = 0L
+            var nCounted = 0L
+            while (mm.find()) {
+              val w = mm.group().replace(' ', graft.text.UnigramLm.SpaceMark)
+              val pieces = graft.text.UnigramLm.viterbiPieces(w, bc.value, maxPieceLen = 6)
+              nPieces += pieces.length
+              nCounted += graft.text.UnigramLm.viterbiCount(w, bc.value, maxPieceLen = 6)
+              pieces.foreach(p => sb.append(p.replace(graft.text.UnigramLm.SpaceMark, ' ')))
+            }
+            (id,
+              (if (sb.result() == t) 1L else 0L),
+              (if (nPieces == nCounted) 1L else 0L))
+          }
+        }
+        .toDF("doc_id", "round_trip_ok", "count_consistent")
+        .orderBy("doc_id")
+    }),
+
     // §2.6+18 exact RADIUS search — the range-query twin of top-k
     // ("everything within the duplicate threshold"): queries broadcast,
     // one codegen'd distance+filter pass over the scan, output bounded by
@@ -4873,6 +4914,13 @@ object Queries {
     "unigram_train" ->
       ("SELECT * FROM (VALUES ('a', CAST(-2.3073 AS DOUBLE)), ('aab', -0.2035), " +
         "('ab', -2.6631), ('b', -4.2064)) AS t(piece, log_prob) ORDER BY piece"),
+    // the two in-query gates (pretokenizer partitions text, segmentation
+    // partitions pretokens; pieces path == count path) make the oracle
+    // closed-form on any corpus
+    "unigram_encode" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS round_trip_ok,
+        |  CAST(1 AS BIGINT) AS count_consistent
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Viterbi counts under the trained pieces: hand-derivable from the
     // trained probs + the documented tie-breaks and unk convention
     "token_count_unigram" ->

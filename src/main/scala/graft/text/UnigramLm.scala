@@ -209,9 +209,51 @@ object UnigramLm {
     vocab.sortBy(_._1).toSeq
   }
 
-  /** Viterbi piece count of one pretoken under (piece → logProb):
+  /** Viterbi SEGMENTATION of one pretoken under (piece → logProb):
     * maximize total logProb; ties prefer fewer pieces, then the longest
-    * last piece. Unknown single characters score `unkLogProb`.
+    * last piece. Unknown single characters score `unkLogProb`. Returns
+    * the piece sequence — a PARTITION of the pretoken, so joining the
+    * pieces reconstructs it exactly (the `unigram_encode` row's gate).
+    */
+  def viterbiPieces(
+      word: String,
+      vocab: Map[String, Double],
+      maxPieceLen: Int = 8,
+      unkLogProb: Double = -20.0): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val score = Array.fill(n + 1)(Double.NegativeInfinity); score(0) = 0.0
+    val count = Array.fill(n + 1)(Int.MaxValue); count(0) = 0
+    val back = Array.fill(n + 1)(-1)
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val lpOpt = vocab.get(word.substring(i, j))
+          .orElse(if (j - i == 1) Some(unkLogProb) else None)
+        lpOpt.foreach { lp =>
+          if (score(i) != Double.NegativeInfinity) {
+            val s = score(i) + lp
+            val c = count(i) + 1
+            // strictly better score, or tie with fewer pieces; equal
+            // (score, count) keeps the earlier i = longest last piece
+            if (s > score(j) || (s == score(j) && c < count(j))) {
+              score(j) = s; count(j) = c; back(j) = i
+            }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) { out += word.substring(back(p), p); p = back(p) }
+    out.reverseIterator.toArray
+  }
+
+  /** Viterbi piece count of one pretoken — [[viterbiPieces]]' length
+    * without materializing the pieces.
     */
   def viterbiCount(
       word: String,

@@ -85,6 +85,20 @@ class UnigramLmSpec extends SparkTestBase {
     assert(got === Map(1L -> 2L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("viterbiPieces: partition property and count agreement on arbitrary words") {
+    val vocab = Map("a" -> -1.0, "b" -> -1.2, "ab" -> -1.5, "ba" -> -1.4,
+      "aba" -> -3.0, "▁" -> -2.0, "▁a" -> -1.7)
+    val rnd = new scala.util.Random(3)
+    val alphabet = "ab▁xy"
+    (0 until 500).foreach { _ =>
+      val w = Array.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val pieces = UnigramLm.viterbiPieces(w, vocab, maxPieceLen = 3)
+      assert(pieces.mkString === w, s"pieces must partition '$w'")
+      assert(pieces.length === UnigramLm.viterbiCount(w, vocab, maxPieceLen = 3),
+        s"piece path disagrees with count path on '$w'")
+    }
+  }
+
   test("loud failures: empty corpus, vocabSize below the single-char floor") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
