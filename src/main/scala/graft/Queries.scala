@@ -1873,6 +1873,55 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    // §2.17 PERCEPTUAL AUDIO near-dedup (energy-envelope sign hash +
+    // the same Hamming-banded LSH core as the image tier): per row a
+    // REAL 16-bit WAV synthesizes in executor tasks — 65 windows × 32
+    // samples of an alternating ±A square wave, window amplitudes drawn
+    // from the embedding's float bits at 12 well-separated EVEN levels —
+    // and two planted near-duplicate classes must be recovered: ids 0-24
+    // a gain-HALVED copy (id+10000 — even amplitudes halve exactly, so
+    // every window energy scales by exactly 1/4 and every gradient sign
+    // is preserved: hamming 0), ids 25-49 a decode→re-encode copy
+    // (id+20000 — 16-bit PCM WAV is lossless: hamming 0). Unplanted
+    // clips are float-bit noise (envelope-collision odds ~1e-14), so the
+    // pair set is EXACTLY the 50 planted pairs — closed-form constant
+    // oracle, the image row's audio twin.
+    "dedup_audio_phash" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val clips = e.filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, emb) =>
+            val samples = new Array[Short](65 * 32)
+            var w = 0
+            while (w < 65) {
+              val bits = java.lang.Float.floatToIntBits(emb(w % emb.length))
+              val lvl = ((bits >>> ((w / emb.length) * 4)) & 0xf) % 12
+              val amp = (100 + 50 * lvl).toShort // even, levels 50 apart
+              var j = 0
+              while (j < 32) {
+                samples(w * 32 + j) = if (j % 2 == 0) amp else (-amp).toShort
+                j += 1
+              }
+              w += 1
+            }
+            val mm = graft.multimodal.Multimodal
+            val wav = mm.encodeWav(samples, 16000)
+            if (id < 25) {
+              val halved = samples.map(s => (s / 2).toShort)
+              Seq((id, wav), (id + 10000, mm.encodeWav(halved, 16000)))
+            } else if (id < 50) {
+              val re = mm.WavDecoder.decodePcm(wav).get._1
+              Seq((id, wav), (id + 20000, mm.encodeWav(re, 16000)))
+            } else Seq((id, wav))
+          }
+        }.toDF("id", "payload")
+      graft.dedup.AudioDedup.audioNearDupPairs(spark, clips, maxDist = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.17 embedding-cosine near-dup via hyperplane LSH buckets + verify.
     // multiProbe=true: candidate recall covers pairs that straddle one
     // hyperplane (hamming-1 buckets), not just parallel vectors — see the
@@ -4180,6 +4229,14 @@ object Queries {
     // invariance argument — brightness shift preserves every gradient
     // bit, lossless re-encode preserves every pixel)
     "dedup_image_phash" ->
+      """SELECT CAST(i AS BIGINT) AS id_a,
+        |  CAST(i + CASE WHEN i < 25 THEN 10000 ELSE 20000 END AS BIGINT) AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM range(50) t(i) ORDER BY id_a, id_b""".stripMargin,
+    // closed-form: the 50 planted copy pairs, hamming 0 (gain-halving of
+    // even amplitudes scales window energies by exactly 1/4; 16-bit PCM
+    // re-encode is lossless — see the query's invariance argument)
+    "dedup_audio_phash" ->
       """SELECT CAST(i AS BIGINT) AS id_a,
         |  CAST(i + CASE WHEN i < 25 THEN 10000 ELSE 20000 END AS BIGINT) AS id_b,
         |  CAST(0 AS BIGINT) AS hamming

@@ -127,12 +127,6 @@ object ImageDedup {
       bands: Int = 4,
       pixTol: Int = -1,
       maxBucketSize: Int = 4096): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
-    require(maxDist < bands,
-      s"pigeonhole completeness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
-    val bandW = 64 / bands
-    val mask = if (bandW == 64) -1L else (1L << bandW) - 1L
-
     // the decode scan is the expensive pass (ImageIO per payload), and
     // three plan branches consume it (band rows + both verify sides), so
     // it materializes ONCE — unlike the text LSH kernels, recompute is
@@ -140,40 +134,17 @@ object ImageDedup {
     // image; Spark evicts LRU if the corpus outgrows the cache.
     val hashed = dHashes(spark, images, idCol, payloadCol).persist()
 
-    val bandRows = hashed.select(
-      col("id"),
-      posexplode(array((0 until bands).map { b =>
-        shiftrightunsigned(col("dhash"), b * bandW).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("band", "bh")))
+    // banded candidates + exact Hamming gate: the shared perceptual-hash
+    // core (pigeonhole completeness + star-pair skew guard live there)
+    val hammingPairs = HammingLsh.bandedPairs(hashed, "dhash", maxDist, bands, maxBucketSize)
 
-    val candidates = (if (maxBucketSize <= 0) {
-      bandRows.alias("l").join(bandRows.alias("r"), Seq("band", "bh"))
-        .filter(col("l.id") < col("r.id"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    } else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-      val sized = bandRows
-        .withColumn("__n", count(lit(1)).over(w))
-        .withColumn("__min_id", min("id").over(w))
-      val small = sized.filter(col("__n") <= maxBucketSize).select("id", "band", "bh")
-      val smallPairs = small.alias("l").join(small.alias("r"), Seq("band", "bh"))
-        .filter(col("l.id") < col("r.id"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      val starPairs = sized
-        .filter(col("__n") > maxBucketSize && col("id") =!= col("__min_id"))
-        .select(col("__min_id").as("id_a"), col("id").as("id_b"))
-      smallPairs.unionByName(starPairs)
-    }).dropDuplicates("id_a", "id_b")
-
-    val side = hashed.select(col("id"), col("dhash"), col("thumb"),
+    val side = hashed.select(col("id"), col("thumb"),
       aggregate(col("thumb"), lit(0L), (a, x) => a + x).as("tsum"))
-    val verified = candidates
-      .join(side.select(col("id").as("id_a"), col("dhash").as("h_a"),
+    val verified = hammingPairs
+      .join(side.select(col("id").as("id_a"),
         col("thumb").as("t_a"), col("tsum").as("s_a")), Seq("id_a"))
-      .join(side.select(col("id").as("id_b"), col("dhash").as("h_b"),
+      .join(side.select(col("id").as("id_b"),
         col("thumb").as("t_b"), col("tsum").as("s_b")), Seq("id_b"))
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
-      .filter(col("hamming") <= maxDist)
 
     val pixOk =
       if (pixTol < 0) verified
