@@ -1873,6 +1873,48 @@ object Queries {
         .orderBy("id_a", "id_b")
     }),
 
+    // §2.17 PERCEPTUAL VIDEO near-dedup (temporal-mean dHash + the
+    // shared Hamming-banded core): per row a REAL 4-frame 16×12 APNG
+    // encodes in executor tasks (frames from the embedding's float
+    // bits, pixel range [48,175]); planted classes: ids 0-24 a copy with
+    // +20 brightness on EVERY frame (id+10000 — the per-pixel frame
+    // average shifts exactly by 20 since floor((sum+4·20)/4) =
+    // floor(sum/4)+20, so every gradient bit is invariant: hamming 0),
+    // ids 25-49 a decode→re-encode copy (id+20000 — APNG is lossless:
+    // hamming 0). Pair set = exactly the 50 planted pairs (closed-form
+    // constant oracle) — the clip tier completing the image/audio
+    // family.
+    "dedup_video_phash" -> ((spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+      val clips = e.filter(col("vec_id") < 150)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, emb) =>
+            val mm = graft.multimodal.Multimodal
+            val frames = (0 until 4).map { f =>
+              Array.tabulate(16 * 12 * 3) { i =>
+                val bits = java.lang.Float.floatToIntBits(emb((i + f * 7) % emb.length))
+                val v = (bits >>> (8 * ((i / emb.length + f) % 4))) & 0xff
+                (48 + (v & 0x7f)).toByte // [48, 175]: +20 shift headroom
+              }
+            }
+            val apng = mm.encodeApng(frames, 16, 12)
+            if (id < 25) {
+              val shifted = frames.map(_.map(b => ((b & 0xff) + 20).toByte))
+              Seq((id, apng), (id + 10000, mm.encodeApng(shifted, 16, 12)))
+            } else if (id < 50) {
+              val re = mm.ApngDecoder.decodeFrames(apng, 4)
+              Seq((id, apng), (id + 20000, mm.encodeApng(re.toSeq, 16, 12)))
+            } else Seq((id, apng))
+          }
+        }.toDF("id", "payload")
+      graft.dedup.VideoDedup.videoNearDupPairs(spark, clips,
+          maxFrames = 4, maxDist = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.17 PERCEPTUAL AUDIO near-dedup (energy-envelope sign hash +
     // the same Hamming-banded LSH core as the image tier): per row a
     // REAL 16-bit WAV synthesizes in executor tasks — 65 windows × 32
@@ -4229,6 +4271,14 @@ object Queries {
     // invariance argument — brightness shift preserves every gradient
     // bit, lossless re-encode preserves every pixel)
     "dedup_image_phash" ->
+      """SELECT CAST(i AS BIGINT) AS id_a,
+        |  CAST(i + CASE WHEN i < 25 THEN 10000 ELSE 20000 END AS BIGINT) AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM range(50) t(i) ORDER BY id_a, id_b""".stripMargin,
+    // closed-form: the 50 planted copy pairs, hamming 0 (all-frame
+    // brightness shift moves the temporal mean exactly; APNG re-encode
+    // is lossless — see the query's invariance argument)
+    "dedup_video_phash" ->
       """SELECT CAST(i AS BIGINT) AS id_a,
         |  CAST(i + CASE WHEN i < 25 THEN 10000 ELSE 20000 END AS BIGINT) AS id_b,
         |  CAST(0 AS BIGINT) AS hamming
