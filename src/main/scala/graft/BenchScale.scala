@@ -692,6 +692,9 @@ object BenchScale {
     // pairs (random gradient fields collide within hamming 3 at ~2e-15).
     {
       val nImg = nDocs
+      // copy-id offset clear of ANY nImg (50M was a silent collision
+      // waiting for a >50M-doc arg run)
+      val copyOff = math.max(50000000L, 2L * nImg)
       val images = spark.range(nImg).select(col("id")).as[Long]
         .mapPartitions { ids =>
           ids.flatMap { id =>
@@ -704,7 +707,7 @@ object BenchScale {
             if (id % 100 == 0) {
               val shifted = rgb.map(b => ((b & 0xff) + 20).toByte)
               Seq((id, png),
-                (id + 50000000L, graft.multimodal.Multimodal.encodePng(shifted, 16, 12)))
+                (id + copyOff, graft.multimodal.Multimodal.encodePng(shifted, 16, 12)))
             } else Seq((id, png))
           }
         }.toDF("id", "payload")
@@ -716,7 +719,7 @@ object BenchScale {
         imgPairs.count()
       }
       val recovered = imgPairs
-        .filter(col("id_b") === col("id_a") + 50000000L && col("hamming") === 0).count()
+        .filter(col("id_b") === col("id_a") + copyOff && col("hamming") === 0).count()
       require(recovered == planted.toLong,
         s"planted brightness copies not all recovered: $recovered/$planted")
       println(s"[scale] image near-dup pairs: $nP ($recovered planted recovered, hamming 0)")

@@ -672,10 +672,13 @@ object Queries {
               val pieces = graft.text.UnigramLm.viterbiPieces(w, bc.value, maxPieceLen = 6)
               nPieces += pieces.length
               nCounted += graft.text.UnigramLm.viterbiCount(w, bc.value, maxPieceLen = 6)
-              pieces.foreach(p => sb.append(p.replace(graft.text.UnigramLm.SpaceMark, ' ')))
+              pieces.foreach(sb.append)
             }
+            // compare in MARKED space (reference mapped forward): a doc
+            // that already contains a literal ▁ round-trips exactly too,
+            // where back-mapping pieces would conflate it with a space
             (id,
-              (if (sb.result() == t) 1L else 0L),
+              (if (sb.result() == t.replace(' ', graft.text.UnigramLm.SpaceMark)) 1L else 0L),
               (if (nPieces == nCounted) 1L else 0L))
           }
         }

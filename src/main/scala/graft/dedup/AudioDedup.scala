@@ -35,7 +35,9 @@ object AudioDedup {
     * mono mixdown (multi-channel frames average). None if undecodable
     * or shorter than 65 samples (no meaningful envelope).
     */
-  def energyHash(payload: Array[Byte], windows: Int = 65): Option[Long] =
+  def energyHash(payload: Array[Byte], windows: Int = 65): Option[Long] = {
+    require(windows >= 2 && windows <= 65,
+      s"windows must be in [2, 65] (64 hash bits; a larger value would wrap the long shift), got $windows")
     graft.multimodal.Multimodal.WavDecoder.decodePcm(payload).flatMap {
       case (pcm, _, channels) =>
         val ch = math.max(1, channels)
@@ -64,6 +66,7 @@ object AudioDedup {
           Some(h)
         }
     }
+  }
 
   /** One distributed scan computing (id, dhash) per decodable clip —
     * the only pass that touches payload bytes.

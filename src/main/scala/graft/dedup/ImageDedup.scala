@@ -41,16 +41,27 @@ object ImageDedup {
   @inline private def luma(r: Int, g: Int, b: Int): Int =
     (77 * r + 150 * g + 29 * b) >> 8
 
+  /** Grayscale `tw`×`th` thumbnail of a packed-RGB buffer:
+    * nearest-neighbor resize, then the fixed-point luma per pixel — the
+    * ONE copy of the thumbnail geometry + luma convention the image AND
+    * video ([[VideoDedup]]) tiers share, so their cross-modal invariance
+    * claims cannot drift apart.
+    */
+  def grayThumbFromRgb(rgb: Array[Byte], w: Int, h: Int,
+      tw: Int = 9, th: Int = 8): Array[Int] = {
+    val small = graft.multimodal.Multimodal.resizeNearest(rgb, w, h, tw, th)
+    Array.tabulate(tw * th) { p =>
+      luma(small(p * 3) & 0xff, small(p * 3 + 1) & 0xff, small(p * 3 + 2) & 0xff)
+    }
+  }
+
   /** Grayscale `tw`×`th` thumbnail of a decodable image payload: one
-    * ImageIO decode, nearest-neighbor resize in packed RGB, then the
-    * fixed-point luma per pixel. None for undecodable payloads.
+    * ImageIO decode + [[grayThumbFromRgb]]. None for undecodable
+    * payloads.
     */
   def grayThumb(payload: Array[Byte], tw: Int = 9, th: Int = 8): Option[Array[Int]] =
     graft.multimodal.Multimodal.PngDecoder.decodeRgb(payload).map { case (rgb, w, h) =>
-      val small = graft.multimodal.Multimodal.resizeNearest(rgb, w, h, tw, th)
-      Array.tabulate(tw * th) { p =>
-        luma(small(p * 3) & 0xff, small(p * 3 + 1) & 0xff, small(p * 3 + 2) & 0xff)
-      }
+      grayThumbFromRgb(rgb, w, h, tw, th)
     }
 
   /** 64-bit difference hash from a 9×8 grayscale thumbnail: bit
@@ -128,7 +139,8 @@ object ImageDedup {
       pixTol: Int = -1,
       maxBucketSize: Int = 4096): DataFrame = {
     // the decode scan is the expensive pass (ImageIO per payload), and
-    // three plan branches consume it (band rows + both verify sides), so
+    // five plan branches consume it (band rows + both hash-verify sides
+    // inside bandedPairs + both thumb-verify sides here), so
     // it materializes ONCE — unlike the text LSH kernels, recompute is
     // not cheap here. Storage is (id, 8-byte hash, 72-int thumb) per
     // image; Spark evicts LRU if the corpus outgrows the cache.

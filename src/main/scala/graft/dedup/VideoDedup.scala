@@ -28,8 +28,7 @@ object VideoDedup {
       decoder: graft.multimodal.Multimodal.Decoder =
         graft.multimodal.Multimodal.ApngDecoder,
       maxFrames: Int = 4): Option[Long] = {
-    val mm = graft.multimodal.Multimodal
-    val (w, h) = mm.PngDecoder.dims(payload)
+    val (w, h) = decoder.dims(payload)
     if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue - 8) return None
     val frames = decoder.decodeFrames(payload, maxFrames)
       .filter(_.length == w * h * 3)
@@ -43,12 +42,7 @@ object VideoDedup {
     val avg = new Array[Byte](sum.length)
     var i = 0
     while (i < sum.length) { avg(i) = (sum(i) / n).toByte; i += 1 }
-    val small = mm.resizeNearest(avg, w, h, 9, 8)
-    val gray = Array.tabulate(72) { p =>
-      (77 * (small(p * 3) & 0xff) + 150 * (small(p * 3 + 1) & 0xff) +
-        29 * (small(p * 3 + 2) & 0xff)) >> 8
-    }
-    Some(ImageDedup.dHashFromGray(gray))
+    Some(ImageDedup.dHashFromGray(ImageDedup.grayThumbFromRgb(avg, w, h)))
   }
 
   /** One distributed scan computing (id, dhash) per decodable clip. */

@@ -38,6 +38,14 @@ object Multimodal {
   /** Decode boundary: bytes in, "frames" of bytes out. */
   trait Decoder extends Serializable {
     def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]]
+
+    /** (width, height) of the payload's frames, (-1, -1) if unknowable —
+      * the codec-generic dims hook consumers like
+      * [[graft.dedup.VideoDedup]] use (a PNG/ImageIO header parse is
+      * only right for formats whose first bytes ARE an image header, so
+      * codecs with framing junk override).
+      */
+    def dims(payload: Array[Byte]): (Int, Int) = PngDecoder.dims(payload)
   }
 
   /** STUB decoder: deterministic frame split of the raw payload — the
@@ -127,6 +135,15 @@ object Multimodal {
       if (n <= k) Array.range(0, n)
       else Array.tabulate(k)(i => (i.toLong * n / k).toInt)
 
+    /** Dims from the FIRST complete JPEG segment (header-only read), so
+      * leading junk before the first SOI — which [[segments]] tolerates —
+      * doesn't blind the generic ImageIO parse at byte 0.
+      */
+    override def dims(payload: Array[Byte]): (Int, Int) =
+      segments(payload).headOption.map { case (s, e) =>
+        PngDecoder.dims(java.util.Arrays.copyOfRange(payload, s, e))
+      }.getOrElse((-1, -1))
+
     def decodeFrames(payload: Array[Byte], maxFrames: Int): Array[Array[Byte]] =
       if (maxFrames < 1) Array.empty
       else {
@@ -185,7 +202,7 @@ object Multimodal {
       * a media corpus this is the difference between reading bytes and
       * decoding terabytes.
       */
-    def dims(payload: Array[Byte]): (Int, Int) =
+    override def dims(payload: Array[Byte]): (Int, Int) =
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
