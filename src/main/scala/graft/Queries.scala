@@ -24,6 +24,39 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Planted perceptual-image fixture shared by dedup_image_phash and
+    * stream_image_phash: 200 deterministic 16×12 PNGs from embedding
+    * float bits (pixel range [48, 175]), ids 0-24 with a
+    * +20-brightness-shifted copy (id+10000), ids 25-49 with a
+    * decode→re-encode copy (id+20000) — both hash-invariant classes (see
+    * the dedup_image_phash row comment for the invariance argument).
+    */
+  private def imagePhashFixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, emb) =>
+          val rgb = Array.tabulate(16 * 12 * 3) { i =>
+            val bits = java.lang.Float.floatToIntBits(emb(i % emb.length))
+            val v = (bits >>> (8 * ((i / emb.length) % 4))) & 0xff
+            (48 + (v & 0x7f)).toByte // [48, 175]: +20 shift headroom
+          }
+          val png = graft.multimodal.Multimodal.encodePng(rgb, 16, 12)
+          if (id < 25) {
+            val shifted = rgb.map(b => ((b & 0xff) + 20).toByte)
+            Seq((id, png),
+              (id + 10000, graft.multimodal.Multimodal.encodePng(shifted, 16, 12)))
+          } else if (id < 50) {
+            val re = graft.multimodal.Multimodal.PngDecoder.decodeRgb(png).get._1
+            Seq((id, png),
+              (id + 20000, graft.multimodal.Multimodal.encodePng(re, 16, 12)))
+          } else Seq((id, png))
+        }
+      }.toDF("id", "payload")
+  }
+
   /** The events table with `ts` normalized to epoch NANOS (long). The
     * testdata generator has emitted both parquet TIMESTAMP(NANOS) — which
     * Spark can only surface as a raw nanos long (legacy flag) — and
@@ -1847,32 +1880,45 @@ object Queries {
     // pair set is EXACTLY the 50 planted pairs and the oracle is the
     // closed-form constant table.
     "dedup_image_phash" -> ((spark, dir) => {
-      import spark.implicits._
-      val e = t(spark, dir, "embeddings")
-      val imgs = e.filter(col("vec_id") < 200)
-        .select(col("vec_id"), col("embedding").cast("array<float>"))
-        .as[(Long, Array[Float])]
-        .mapPartitions { rows =>
-          rows.flatMap { case (id, emb) =>
-            val rgb = Array.tabulate(16 * 12 * 3) { i =>
-              val bits = java.lang.Float.floatToIntBits(emb(i % emb.length))
-              val v = (bits >>> (8 * ((i / emb.length) % 4))) & 0xff
-              (48 + (v & 0x7f)).toByte // [48, 175]: +20 shift headroom
-            }
-            val png = graft.multimodal.Multimodal.encodePng(rgb, 16, 12)
-            if (id < 25) {
-              val shifted = rgb.map(b => ((b & 0xff) + 20).toByte)
-              Seq((id, png),
-                (id + 10000, graft.multimodal.Multimodal.encodePng(shifted, 16, 12)))
-            } else if (id < 50) {
-              val re = graft.multimodal.Multimodal.PngDecoder.decodeRgb(png).get._1
-              Seq((id, png),
-                (id + 20000, graft.multimodal.Multimodal.encodePng(re, 16, 12)))
-            } else Seq((id, png))
-          }
-        }.toDF("id", "payload")
-      graft.dedup.ImageDedup.imageNearDupPairs(spark, imgs,
+      graft.dedup.ImageDedup.imageNearDupPairs(spark, imagePhashFixture(spark, dir),
           maxDist = 3, bands = 4, pixTol = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // §2.17+21 STREAMING media near-dedup: the SAME planted image
+    // fixture replayed through mediaPhashSink — originals land as a
+    // direct batch, the planted copies' PAYLOADS arrive through a real
+    // file stream and hash inside foreachBatch (the ingestion shape: the
+    // decode scan runs per micro-batch; only (id, 8-byte hash) rows land
+    // in sink state). The accumulated banded tables must pair the late
+    // copies against members from the earlier batch, so the converged
+    // pair set is exactly dedup_image_phash's pairs modulo its extra
+    // pixel-verify stage — for the planted fixture both gates pass, and
+    // the oracle is the identical 50-pair constant table.
+    "stream_image_phash" -> ((spark, dir) => {
+      import spark.implicits._
+      val fixture = imagePhashFixture(spark, dir).persist()
+      val sinkDir = java.nio.file.Files.createTempDirectory("stream_ip_idx").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("stream_ip_ckpt").toString
+      val payloadDir = java.nio.file.Files.createTempDirectory("stream_ip_src").toString
+      val sink = graft.streaming.StreamingOps.mediaPhashSink(spark, sinkDir,
+        maxDist = 3, bands = 4)
+      val copies = fixture.filter(col("id") >= 10000)
+      copies.coalesce(1).write.mode("overwrite").parquet(payloadDir)
+      withStreamParts(spark) {
+        sink(graft.dedup.ImageDedup.dHashes(spark, fixture.filter(col("id") < 10000)), 0L)
+        val copyStream = spark.readStream.schema(copies.schema).parquet(payloadDir)
+        val q = copyStream.writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+            sink(graft.dedup.ImageDedup.dHashes(spark, b), id + 1L))
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      fixture.unpersist()
+      graft.streaming.StreamingOps.mediaPhashSinkPairs(spark, sinkDir)
         .orderBy("id_a", "id_b")
     }),
 
@@ -4270,6 +4316,12 @@ object Queries {
          |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> simhashOracle,
+    // the streaming sink converges to the same 50 planted pairs
+    "stream_image_phash" ->
+      """SELECT CAST(i AS BIGINT) AS id_a,
+        |  CAST(i + CASE WHEN i < 25 THEN 10000 ELSE 20000 END AS BIGINT) AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM range(50) t(i) ORDER BY id_a, id_b""".stripMargin,
     // closed-form: the 50 planted copy pairs, hamming 0 (see the query's
     // invariance argument — brightness shift preserves every gradient
     // bit, lossless re-encode preserves every pixel)

@@ -381,6 +381,128 @@ object StreamingOps {
     spark.read.parquet(s"$dir/pairs").select("doc_a", "doc_b", "jaccard")
       .dropDuplicates("doc_a", "doc_b")
 
+  /** STREAMING perceptual-hash near-dedup — [[nearDupSink]]'s shape for
+    * the MEDIA tiers: a foreachBatch sink over (id, 64-bit perceptual
+    * hash) rows (the modality-specific decode scan —
+    * [[graft.dedup.ImageDedup.dHashes]] /
+    * [[graft.dedup.AudioDedup.energyHashes]] /
+    * [[graft.dedup.VideoDedup.videoHashes]] — runs upstream in the
+    * stream's own select, so ONE sink serves all three). Disk state is a
+    * manifested `hashes` delta table (8 bytes + id per item — media
+    * payloads never land in sink state at all) plus a `bands` table of
+    * (band, slice, id) rows; per batch: candidates come from the batch's
+    * band rows joined against batch + (bucket-key semi-filtered)
+    * accumulated band rows, with [[graft.dedup.HammingLsh]]'s star-pair
+    * degradation on oversized buckets, verified by the exact bit_count
+    * Hamming gate — O(batch) appends, the same per-batch manifest-merge
+    * completeness contract as the other maintained sinks, at-least-once
+    * replays absorbed by an id guard + distinct at read.
+    *
+    * Converges to [[graft.dedup.HammingLsh.bandedPairs]]'s pair set on
+    * buckets within `maxBucketSize` regardless of batch boundaries
+    * (old×old pairs were emitted when their younger member arrived);
+    * oversized buckets degrade to Hamming-verified star pairs against
+    * the bucket's current min-id representative, arrival-order dependent
+    * like the text form. Read with [[mediaPhashSinkPairs]]; feed the
+    * pairs into [[dedupGroupsSink]] for online cluster resolution.
+    */
+  def mediaPhashSink(
+      spark: SparkSession,
+      dir: String,
+      idCol: String = "id",
+      hashCol: String = "dhash",
+      maxDist: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 4096): (DataFrame, Long) => Unit = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist < bands,
+      s"pigeonhole completeness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    val bandW = 64 / bands
+    val mask = if (bandW == 64) -1L else (1L << bandW) - 1L
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      val hconf = sess.sparkContext.hadoopConfiguration
+      val haveHashes = graft.io.HadoopIO.exists(s"$dir/hashes", hconf)
+      if (haveHashes) {
+        validateDelta(s"$dir/hashes", hconf)
+        validateDelta(s"$dir/bands", hconf)
+      }
+
+      val preparedAll = batch
+        .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("dhash"))
+        .dropDuplicates("id")
+      // replay guard: ids already accumulated must not re-pair or re-append
+      val prepared = (if (!haveHashes) preparedAll
+        else preparedAll.join(sess.read.parquet(s"$dir/hashes").select("id"), Seq("id"), "left_anti"))
+        .persist()
+      try {
+        val newBands = prepared.select(
+          col("id"),
+          posexplode(array((0 until bands).map { b =>
+            shiftrightunsigned(col("dhash"), b * bandW).bitwiseAND(lit(mask))
+          }: _*)).as(Seq("band", "bh")))
+        val oldBands =
+          if (!haveHashes) newBands.filter(lit(false))
+          else sess.read.parquet(s"$dir/bands").select("id", "band", "bh")
+            .join(newBands.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
+        val allBands = newBands.unionByName(oldBands)
+
+        // bucket sizes on the join key across old + new; oversized
+        // buckets emit star pairs against the current min-id member
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+        val sized = allBands
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__min_id", min("id").over(w))
+        val newInBucket = sized.join(newBands.select(col("id"), col("band"), col("bh")),
+          Seq("id", "band", "bh"), "left_semi")
+        val small = sized.filter(col("__n") <= maxBucketSize)
+        // a pair needs at least one NEW member; old×old pairs were
+        // emitted when their younger member arrived
+        val newSmall = small.join(newBands, Seq("id", "band", "bh"), "left_semi")
+        val smallPairs = newSmall.alias("l")
+          .join(small.alias("r"), Seq("band", "bh"))
+          .filter(col("l.id") =!= col("r.id"))
+          .select(least(col("l.id"), col("r.id")).as("id_a"),
+            greatest(col("l.id"), col("r.id")).as("id_b"))
+        val starPairs = newInBucket
+          .filter(col("__n") > maxBucketSize && col("id") =!= col("__min_id"))
+          .select(col("__min_id").as("id_a"), col("id").as("id_b"))
+        val candidates = smallPairs.unionByName(starPairs)
+          .dropDuplicates("id_a", "id_b")
+
+        // exact Hamming verify: new ids resolve from the batch, old ids
+        // from the accumulated table (candidate-semi-filtered first)
+        val hashesNew = prepared.select(col("id"), col("dhash"))
+        val sides =
+          if (!haveHashes) hashesNew
+          else hashesNew.unionByName(
+            sess.read.parquet(s"$dir/hashes").select("id", "dhash"))
+        val verified = candidates
+          .join(sides.select(col("id").as("id_a"), col("dhash").as("__h_a")), Seq("id_a"))
+          .join(sides.select(col("id").as("id_b"), col("dhash").as("__h_b")), Seq("id_b"))
+          .withColumn("hamming", bit_count(col("__h_a").bitwiseXOR(col("__h_b"))).cast("long"))
+          .filter(col("hamming") <= maxDist)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+
+        // pairs first (replays dedupe at read); state tables land AFTER
+        // with manifest merges — a crash mid-batch is invisible or complete
+        verified.write.mode("append").parquet(s"$dir/pairs/batch=$batchId")
+        prepared.write.mode("append").parquet(s"$dir/hashes/batch=$batchId")
+        mergeDeltaManifest(s"$dir/hashes", s"batch=$batchId", hconf)
+        newBands.write.mode("append").parquet(s"$dir/bands/batch=$batchId")
+        mergeDeltaManifest(s"$dir/bands", s"batch=$batchId", hconf)
+      } finally prepared.unpersist()
+    }
+  }
+
+  /** Converged distinct near-dup pairs of a [[mediaPhashSink]] directory
+    * (at-least-once replays dedupe here).
+    */
+  def mediaPhashSinkPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs").select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+
   /** STREAMING cluster resolution: incremental connected components over
     * an arriving near-dup PAIR stream ([[nearDupSink]]'s output shape, or
     * any pair source) — so an ingestion-time pipeline can maintain

@@ -296,6 +296,68 @@ class StreamingSpec extends SparkTestBase {
       assert(minPar(n) === 40L, s"chain node $n not flattened: ${minPar(n)}")
     }
   }
+
+  test("media phash sink: pairs equal the batch banded operator across batches; " +
+    "replay absorbed; lost state fails loudly; star guard degrades oversized buckets") {
+    import graft.multimodal.Multimodal
+    def img(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Multimodal.encodePng(Array.fill(16 * 12 * 3)((48 + rnd.nextInt(128)).toByte), 16, 12)
+    }
+    // base images in batch 0; brightness copies arrive in batch 1 — the
+    // accumulated tables must pair them against the earlier members
+    val base = (0 until 20).map(i => (i.toLong, img(i)))
+    val copies = (0 until 6).map { i =>
+      val rnd = new scala.util.Random(i)
+      val rgb = Array.fill(16 * 12 * 3)((48 + rnd.nextInt(128)).toByte)
+        .map(b => ((b & 0xff) + 20).toByte)
+      (i + 1000L, Multimodal.encodePng(rgb, 16, 12))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("media_phash_sink").toString
+    val sink = StreamingOps.mediaPhashSink(spark, dir, maxDist = 3, bands = 4)
+    sink(graft.dedup.ImageDedup.dHashes(spark, base.toDF("id", "payload")), 0L)
+    sink(graft.dedup.ImageDedup.dHashes(spark, copies.toDF("id", "payload")), 1L)
+    def read() = StreamingOps.mediaPhashSinkPairs(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = read()
+    val batchPairs = graft.dedup.HammingLsh.bandedPairs(
+        graft.dedup.ImageDedup.dHashes(spark, (base ++ copies).toDF("id", "payload")),
+        maxDist = 3, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty && got === batchPairs)
+    assert(got === (0 until 6).map(i => (i.toLong, i + 1000L, 0L)).toSet)
+
+    // at-least-once redelivery: the id replay guard absorbs it
+    sink(graft.dedup.ImageDedup.dHashes(spark, copies.toDF("id", "payload")), 1L)
+    assert(read() === batchPairs)
+
+    // an oversized bucket (identical hashes) degrades to star pairs
+    val flat = Multimodal.encodePng(Array.fill(16 * 12 * 3)(100.toByte), 16, 12)
+    val skewDir = java.nio.file.Files.createTempDirectory("media_phash_skew").toString
+    val skewSink = StreamingOps.mediaPhashSink(spark, skewDir, maxDist = 3,
+      bands = 4, maxBucketSize = 3)
+    skewSink(graft.dedup.ImageDedup.dHashes(spark,
+      (0L until 3L).map(i => (i, flat)).toDF("id", "payload")), 0L)
+    skewSink(graft.dedup.ImageDedup.dHashes(spark,
+      (3L until 8L).map(i => (i, flat)).toDF("id", "payload")), 1L)
+    val skewPairs = StreamingOps.mediaPhashSinkPairs(spark, skewDir)
+      .as[(Long, Long, Long)].collect().toSet
+    // batch 0's 3-clique was within the cap (all pairs); batch 1 pushes
+    // buckets past it, so 3-7 star-pair with min-id 0 — n-1 growth
+    assert(skewPairs === Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L)) ++
+      (3L until 8L).map(i => (0L, i, 0L)))
+
+    // a lost manifested hashes file fails the NEXT batch loudly
+    val victim = new java.io.File(s"$dir/hashes/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val e = intercept[Exception] {
+      sink(graft.dedup.ImageDedup.dHashes(spark,
+        Seq((5000L, img(77))).toDF("id", "payload")), 2L)
+    }
+    assert(e.getMessage.contains("INCOMPLETE"), s"got: ${e.getMessage}")
+  }
+
 }
 
 class StreamingIndexSpec extends SparkTestBase {
