@@ -719,6 +719,86 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 WORDPIECE TOKENIZER TRAINING (Schuster & Nakajima 2012 — the
+    // BERT vocabulary algorithm, the THIRD production tokenizer family
+    // next to bpe_train and unigram_train): BPE-shaped merge loop scoring
+    // pairs by likelihood gain count(ab)/(count(a)·count(b)). The planted
+    // corpus (ab×4, abc×2, cd×1) is hand-derivable (WordPieceSpec pins the
+    // same trajectory): the rare-but-EXCLUSIVE pair (c,##d) scores 1.0 and
+    // merges FIRST — the defining WordPiece-vs-BPE behavior (BPE would
+    // merge the frequent (a,##b)); then two exact-1/6 ties break
+    // lexicographically, then (a,##bc) at 0.5. Scores are exact integer
+    // ratios — the constant-table oracle replays them.
+    "wordpiece_train" -> ((spark, dir) => {
+      import spark.implicits._
+      val corpus = (Seq.fill(4)("ab") ++ Seq.fill(2)("abc") ++ Seq.fill(1)("cd"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val m = graft.text.WordPiece.train(corpus, numMerges = 4, minPairCount = 1L)
+      m.merges.zipWithIndex
+        .map { case ((l, r, s), i) => (i.toLong, l, r, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toDF("rank", "mleft", "mright", "score").orderBy("rank")
+    }),
+
+    // §2.20 full WORDPIECE TOKENIZATION over REAL corpus text —
+    // bpe_encode/unigram_encode's twin for the greedy longest-match
+    // family: vocab trains on a deterministic corpus slice, every document
+    // MaxMatch-segments, and two in-query gates collapse to a closed-form
+    // oracle: the pretokenizer partitions the text and each pretoken's
+    // pieces either reconstruct it exactly (## stripped) or are the single
+    // whole-word [UNK] (replaced by its source pretoken for the
+    // reconstruction gate), and the piece count must equal the independent
+    // count-only walk.
+    "wordpiece_encode" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val model = graft.text.WordPiece.train(
+        docs.filter(col("doc_id") < 200), numMerges = 300, minPairCount = 2L)
+      val bc = spark.sparkContext.broadcast(model.pieceSet)
+      val pat = TextAnalysis.BpeTokenPattern
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { iter =>
+          val m = java.util.regex.Pattern.compile(pat)
+          iter.map { case (id, text) =>
+            val txt = if (text == null) "" else text
+            val mm = m.matcher(txt)
+            val sb = new StringBuilder
+            var nPieces = 0L
+            var nCounted = 0L
+            while (mm.find()) {
+              val w = mm.group()
+              val pieces = graft.text.WordPiece.encodePieces(w, bc.value)
+              nPieces += pieces.length
+              nCounted += graft.text.WordPiece.countPieces(w, bc.value)
+              if (pieces.length == 1 && pieces(0) == graft.text.WordPiece.Unk) sb.append(w)
+              else pieces.foreach(p => sb.append(p.stripPrefix("##")))
+            }
+            (id,
+              (if (sb.result() == txt) 1L else 0L),
+              (if (nPieces == nCounted) 1L else 0L))
+          }
+        }
+        .toDF("doc_id", "round_trip_ok", "count_consistent")
+        .orderBy("doc_id")
+    }),
+
+    // §2.20 WordPiece counting under the hand-derived planted vocab —
+    // every count below follows from the wordpiece_train trajectory +
+    // the documented greedy/[UNK] conventions (WordPieceSpec re-derives
+    // them): "abcd"→[abc,##d], "cdcd"→[cd,##c,##d], "ba"→[UNK],
+    // "ab abc" pretokenizes to ["ab"," abc"] and the space-led pretoken
+    // is outside the training alphabet → [UNK], "accd"→[a,##c,##c,##d].
+    "token_count_wordpiece" -> ((spark, dir) => {
+      import spark.implicits._
+      val corpus = (Seq.fill(4)("ab") ++ Seq.fill(2)("abc") ++ Seq.fill(1)("cd"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val model = graft.text.WordPiece.train(corpus, numMerges = 4, minPairCount = 1L)
+      val planted = Seq((1L, "ab"), (2L, "abcd"), (3L, "ba"), (4L, "cdcd"),
+        (5L, ""), (6L, "ab abc"), (7L, "cd"), (8L, "accd")).toDF("doc_id", "text")
+      graft.text.WordPiece.countTokens(planted, model)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // §2.6+18 exact RADIUS search — the range-query twin of top-k
     // ("everything within the duplicate threshold"): queries broadcast,
     // one codegen'd distance+filter pass over the scan, output bounded by
@@ -1415,6 +1495,27 @@ object Queries {
           concat(lit("near duplicate copy "), col("text")).as("text"))
       Dedup.minhashLshPairs(docs.unionByName(copies), threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // §2.17 EDIT-DISTANCE-VERIFIED near-dup (the CodeParrot/AlphaCode-style
+    // two-stage fuzzy dedup): MinHash-LSH candidates at the 0.8 Jaccard
+    // floor, then an EXACT Levenshtein-similarity gate at 0.9 computed only
+    // on the bounded candidate set. The planted prefix copies gate
+    // DIFFERENTIALLY (a 20-char prefix on a short doc fails 0.9; on a long
+    // doc passes), so the oracle proves the edit gate does real work on top
+    // of the Jaccard stage. 1 - lev/maxlen is the same integer-ratio double
+    // on both engines (ASCII corpus: Spark codepoint DP == DuckDB byte DP).
+    "dedup_edit" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+      Dedup.editVerifiedPairs(docs.unionByName(copies),
+          jaccardFloor = 0.8, minEditSim = 0.9)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"),
+          round(col("edit_sim"), 4).as("edit_sim"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -3134,6 +3235,35 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // INGESTION-TIME weighted sampling: the A-Res key is a pure function
+    // of (seed, id, weight), so the maintained reservoir is a monotone
+    // IDEMPOTENT top-k merge — the replay proves it the hard way: two
+    // batches commit, compaction folds the candidate log to one k-row
+    // segment, batch 0 is REDELIVERED after its segment was folded away
+    // (re-appending k candidate rows the fold already dominates), a third
+    // batch commits, and the converged sample still equals the batch
+    // operator row-for-row — sample_weighted's A-Res closed-form oracle,
+    // verbatim.
+    "stream_sample_weighted" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "n_chars")
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_ws_idx").toString
+      val sink = graft.streaming.StreamingOps.weightedSampleSink(
+        spark, idxDir, k = 100, weightCol = "n_chars")
+      withStreamParts(spark) {
+        sink(docs.filter(col("doc_id") % 3 === 0), 0L)
+        sink(docs.filter(col("doc_id") % 3 === 1), 1L)
+        val (_, did) = graft.streaming.StreamingOps.compactWeightedSample(
+          spark, idxDir, maxBatches = 1)
+        require(did, "compaction gate should have fired at 2 segments")
+        sink(docs.filter(col("doc_id") % 3 === 0), 0L) // replay post-fold
+        sink(docs.filter(col("doc_id") % 3 === 2), 2L)
+      }
+      graft.streaming.StreamingOps.weightedSampleMaintained(spark, idxDir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("sample_rank")
+    }),
+
     // INGESTION-TIME contamination-rate audit: the decontaminate_rate
     // benchmark's shingles persist once, each micro-batch appends only
     // its NEWLY-matched bench hashes (log bounded by the benchmark, not
@@ -4247,6 +4377,19 @@ object Queries {
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc
          |      FROM s a CROSS JOIN s b WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM p WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // closed form: ALL pairs passing both gates (Jaccard floor + exact
+    // Levenshtein similarity); lev/len are byte-based here vs codepoint in
+    // Spark — identical on this ASCII corpus (documented at the operator)
+    "dedup_edit" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, 'near duplicate copy ' || text FROM documents WHERE doc_id < 40),
+         |s AS (SELECT doc_id, text, ${duckShingles(duckToks)} AS sh FROM all_docs),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc,
+         |        1.0 - levenshtein(a.text, b.text) / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS es
+         |      FROM s a CROSS JOIN s b WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(jacc, 4) AS jaccard, round(es, 4) AS edit_sim
+         |FROM p WHERE jacc >= 0.8 AND es >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "stream_neardup_sink" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
@@ -5089,6 +5232,25 @@ object Queries {
       ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 3), " +
         "(3, 2), (4, 2), (5, 0), (6, 3), (7, 3), (8, 1), (9, 4), (10, 5)) " +
         "AS t(doc_id, n_tokens) ORDER BY doc_id"),
+    // hand-derived likelihood-merge trajectory (see the query comment);
+    // WordPieceSpec re-derives the same constants
+    "wordpiece_train" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'c', '##d', CAST(1.0 AS DOUBLE)), " +
+        "(1, '##b', '##c', 0.1667), (2, 'a', '##b', 0.1667), (3, 'a', '##bc', 0.5)) " +
+        "AS t(rank, mleft, mright, score) ORDER BY rank"),
+    // the two in-query gates (pretokenizer partitions text; pieces
+    // reconstruct or [UNK]-fallback; pieces path == count path) make the
+    // oracle closed-form on any corpus
+    "wordpiece_encode" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS round_trip_ok,
+        |  CAST(1 AS BIGINT) AS count_consistent
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // greedy MaxMatch counts under the hand-derived vocab (see the query
+    // comment for the per-doc segmentations)
+    "token_count_wordpiece" ->
+      ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 2), " +
+        "(3, 1), (4, 3), (5, 0), (6, 2), (7, 1), (8, 4)) " +
+        "AS t(doc_id, n_tokens) ORDER BY doc_id"),
     "knn_radius" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
          |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist
@@ -5456,6 +5618,17 @@ object Queries {
     // identical Efraimidis–Spirakis key: u = (md5-60-bit + 0.5)/2^60,
     // key = ln(u)/w, top-100 by (key desc, id)
     "sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)
+        |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  row_number() OVER (ORDER BY skey DESC, doc_id) AS sample_rank
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+    // identical closed form to sample_weighted — the streamed, compacted,
+    // replayed reservoir must converge to the batch A-Res selection
+    "stream_sample_weighted" ->
       """WITH k AS (
         |  SELECT doc_id, n_chars,
         |    ln((CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 0.5)

@@ -161,6 +161,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Edit-distance-verified near-duplicate pairs — the two-stage fuzzy
+    * dedup production code pipelines run (MinHash prefilter + exact
+    * edit-similarity verify, as in CodeParrot/AlphaCode-style code dedup):
+    * stage 1 is [[minhashLshPairs]] at `jaccardFloor` (banded LSH
+    * candidates, exact hashed-shingle Jaccard gate — same completeness
+    * profile as that operator); stage 2 joins the candidate pairs' texts
+    * back by id (only candidate docs ship text — the corpus never
+    * self-joins) and keeps pairs with
+    * `1 - levenshtein(a, b) / max(len(a), len(b)) >= minEditSim`.
+    *
+    * The contract is therefore "exact shingle-Jaccard >= jaccardFloor AND
+    * edit similarity >= minEditSim": the Jaccard floor is part of the
+    * semantics (it is what makes the candidate stage bucketed instead of
+    * all-pairs — no complete LSH family exists for raw edit distance),
+    * and the Levenshtein gate is computed EXACTLY, only ever on the
+    * bounded candidate set (O(len_a x len_b) per pair is affordable there
+    * and nowhere else). `levenshtein` is Spark's codegen'd codepoint DP —
+    * note byte-based engines (DuckDB) agree only on ASCII text.
+    *
+    * Scale shape: minhashLshPairs' band equi-join + two id equi-joins
+    * carrying text for candidate ids only; no new shuffle classes.
+    */
+  def editVerifiedPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      jaccardFloor: Double = 0.8,
+      minEditSim: Double = 0.9,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(minEditSim > 0.0 && minEditSim <= 1.0,
+      s"minEditSim must be in (0, 1], got $minEditSim")
+    val pairs = minhashLshPairs(
+      docs, idCol, textCol, numHashes, bands, jaccardFloor, maxBucketSize)
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    pairs
+      .join(texts.select(col("id").as("doc_a"), col("__t").as("__ta")), Seq("doc_a"))
+      .join(texts.select(col("id").as("doc_b"), col("__t").as("__tb")), Seq("doc_b"))
+      // exact length-ratio prune BEFORE the quadratic DP: lev >= |lenA -
+      // lenB|, so edit_sim >= tau requires min_len >= tau * max_len — a
+      // pair failing that is cut by arithmetic the DP would only confirm
+      .filter(least(length(col("__ta")), length(col("__tb"))).cast("double") >=
+        lit(minEditSim) * greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+      .withColumn("edit_sim",
+        lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+      .filter(col("edit_sim") >= minEditSim)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_sim"))
+  }
+
   /** Exact n-gram Jaccard similarity over a bounded candidate generator
     * (same-`bucketCol` pairs). The bucket join bounds pair growth; an
     * unrestricted cartesian would be rejected at scale.

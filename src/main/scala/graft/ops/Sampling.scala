@@ -95,6 +95,23 @@ object Sampling {
     df.filter(bucket(col(idCol), seed) < threshold)
   }
 
+  /** The A-Res selection key ln(u)/w with u = (md5-derived h + 0.5)/2⁶⁰ —
+    * a PURE per-row function of (seed, id, weight), shared verbatim by
+    * [[sampleWeighted]] and the streaming
+    * [[graft.streaming.StreamingOps.weightedSampleSink]] so the two forms
+    * select byte-identical samples. Non-positive/null weights raise.
+    */
+  def aresKey(idCol: String, weightCol: String, seed: String): Column = {
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double")
+    val u = (h + 0.5) / lit(math.pow(2, 60))
+    when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(lit(s"sampleWeighted: non-positive weight in '$weightCol' for id "),
+          col(idCol).cast("string"),
+          lit(" — filter unwanted rows out instead of zero-weighting them"))))
+      .otherwise(log(u) / col(weightCol).cast("double"))
+  }
+
   /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-Res):
     * keep the k rows with the largest key u^(1/w) — computed in log space
     * as ln(u)/w — which selects each row with probability proportional to
@@ -133,15 +150,7 @@ object Sampling {
       prefilterAbove: Int = 1 << 22): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(prefilterAbove > 0, s"prefilterAbove must be positive, got $prefilterAbove")
-    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 15), 16, 10)
-      .cast("double")
-    val u = (h + 0.5) / lit(math.pow(2, 60))
-    val key = when(col(weightCol).isNull || col(weightCol) <= 0,
-        raise_error(concat(lit(s"sampleWeighted: non-positive weight in '$weightCol' for id "),
-          col(idCol).cast("string"),
-          lit(" — filter unwanted rows out instead of zero-weighting them"))))
-      .otherwise(log(u) / col(weightCol).cast("double"))
-    val keyed = df.withColumn("__skey", key)
+    val keyed = df.withColumn("__skey", aresKey(idCol, weightCol, seed))
     val candidates =
       if (k < prefilterAbove) keyed
       else {

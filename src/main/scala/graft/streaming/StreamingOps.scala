@@ -3842,4 +3842,185 @@ object StreamingOps {
       .withColumn("rate", when(col("n_shingles") === 0, lit(0.0))
         .otherwise(col("n_matched").cast("double") / col("n_shingles")))
   }
+
+  // ------------------------------------------- weighted-sample reservoir sink
+
+  private def wsMetaPath(indexDir: String) = s"$indexDir/ws_meta"
+  private def wsCandDir(indexDir: String) = s"$indexDir/cand"
+
+  private def loadWeightedSampleMeta(
+      spark: SparkSession, indexDir: String): Option[(Int, String, String, String)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    if (!graft.io.HadoopIO.exists(wsMetaPath(indexDir), hconf)) None
+    else {
+      val r = spark.read.parquet(wsMetaPath(indexDir))
+        .select("k", "seed", "id_col", "weight_col").head()
+      Some((r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+    }
+  }
+
+  /** INGESTION-TIME weighted sampling — the streaming twin of
+    * [[graft.ops.Sampling.sampleWeighted]] (Efraimidis–Spirakis A-Res
+    * reservoir): maintain the exact k rows with the largest
+    * `ln(u)/weight` keys over everything ingested so far. The key
+    * ([[graft.ops.Sampling.aresKey]], shared verbatim with the batch
+    * operator) is a PURE function of (seed, id, weight), which makes the
+    * reservoir a MONOTONE IDEMPOTENT top-k merge: re-merging any
+    * committed batch's candidates — or a batch replayed after compaction
+    * folded it away — cannot change the top-k, because its rows are
+    * byte-identical functions of the data already folded in. That is why
+    * this sink needs none of the heavy-hitter folded-ids machinery: the
+    * manifest batch marker only SKIPS redundant work; it is not load-
+    * bearing for correctness.
+    *
+    * Per batch: one scan computing keys + a batch-local
+    * TakeOrderedAndProject top-k (k rows — candidates that could ever
+    * enter the global top-k), an O(k) append under `cand/batch=N`, and
+    * the manifest merge as commit marker. The candidate log holds
+    * k × batches rows until [[compactWeightedSample]] folds it back to k.
+    * Read with [[weightedSampleMaintained]] — identical rows, ranks, and
+    * order as the batch operator over the union of committed batches.
+    *
+    * Ids must be unique across the stream's lifetime and carry a stable
+    * weight (the same contract as the batch operator, where duplicate
+    * ids would be two rows competing with the same key); the maintained
+    * read fails loudly if one id ever arrives with two different weights.
+    */
+  def weightedSampleSink(
+      spark: SparkSession,
+      indexDir: String,
+      k: Int,
+      weightCol: String,
+      idCol: String = "doc_id",
+      seed: String = "s"): (DataFrame, Long) => Unit = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val candDir = wsCandDir(indexDir)
+    loadWeightedSampleMeta(spark, indexDir) match {
+      case Some((ek, es, eid, ew)) =>
+        require(ek == k && es == seed && eid == idCol && ew == weightCol,
+          s"weighted-sample state at $indexDir was maintained with (k=$ek, seed=$es, " +
+            s"id=$eid, weight=$ew); restarting with (k=$k, seed=$seed, id=$idCol, " +
+            s"weight=$weightCol) would change the sample retroactively — delete the " +
+            "directory or pass matching parameters")
+        requireCommittedManifests("weighted-sample", indexDir,
+          Seq(candDir), "compactWeightedSample", hconf)
+      case None =>
+        seedDeltaManifests(Seq(candDir), hconf)
+        // meta LAST: the init commit marker
+        Seq((k, seed, idCol, weightCol)).toDF("k", "seed", "id_col", "weight_col")
+          .coalesce(1).write.mode("overwrite").parquet(wsMetaPath(indexDir))
+    }
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      val conf = sess.sparkContext.hadoopConfiguration
+      val committed = graft.io.Manifest.read(candDir, conf).getOrElse(Seq.empty)
+        .exists(_.name.startsWith(s"batch=$batchId/"))
+      if (!committed) {
+        graft.io.HadoopIO.delete(s"$candDir/batch=$batchId", conf)
+        // batch-local top-k: only rows that could ever enter the global
+        // reservoir; TakeOrderedAndProject, never a global sort
+        batch
+          .select(col(idCol), col(weightCol),
+            graft.ops.Sampling.aresKey(idCol, weightCol, seed).as("__skey"))
+          .orderBy(col("__skey").desc, col(idCol))
+          .limit(k)
+          .coalesce(1).write.parquet(s"$candDir/batch=$batchId")
+        // manifest merge LAST = the commit marker
+        replaceBatchManifest(candDir, s"batch=$batchId", conf)
+      }
+    }
+  }
+
+  /** The maintained A-Res sample a [[weightedSampleSink]] directory
+    * serves: the exact rows, `sample_rank`s, and order
+    * [[graft.ops.Sampling.sampleWeighted]] returns over the union of
+    * committed batches. Folds the (k × batches)-bounded candidate log —
+    * never anything corpus-sized — and fails loudly on a lost candidate
+    * file or an id that arrived with two different weights.
+    */
+  def weightedSampleMaintained(spark: SparkSession, indexDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (k, _, idCol, weightCol) = loadWeightedSampleMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no ws_meta sidecar under $indexDir — not a weighted-sample dir"))
+    val candDir = wsCandDir(indexDir)
+    validateDelta(candDir, hconf)
+    val entries = graft.io.Manifest.read(candDir, hconf).get
+    if (entries.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn(idCol, lit(null).cast("long"))
+        .withColumn(weightCol, lit(null).cast("double"))
+        .withColumn("sample_rank", lit(null).cast("int"))
+        .limit(0)
+    val cands = hhReadManifested(spark, candDir)
+      .select(col(idCol), col(weightCol), col("__skey"))
+    val conflicting = cands.groupBy(idCol)
+      .agg(countDistinct(weightCol).as("__nw")).filter(col("__nw") > 1).limit(1).count()
+    require(conflicting == 0,
+      s"weighted-sample log at $candDir carries an id with two different weights — " +
+        "ids must be unique across the stream with a stable weight; the sample would " +
+        "be nondeterministic")
+    cands.dropDuplicates(idCol)
+      .orderBy(col("__skey").desc, col(idCol))
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__skey").desc, col(idCol))))
+      .drop("__skey")
+  }
+
+  /** Fold the candidate log back to ONE k-row file once it holds more
+    * than `maxBatches` committed batch segments: the global top-k is
+    * computed from the manifested log and written under a fresh
+    * `compact=N` segment, and the MANIFEST REWRITE to list only that
+    * segment is the atomic swap (a crash before it leaves the old
+    * manifest serving the old — equivalent — view). Superseded segment
+    * files are deleted best-effort after the swap. A batch replayed
+    * after its segment was folded away re-appends its candidates; the
+    * idempotent-merge argument above makes that harmless — the next
+    * read or compaction folds them straight back out.
+    */
+  def compactWeightedSample(
+      spark: SparkSession,
+      indexDir: String,
+      maxBatches: Int = 64): (Int, Boolean) = {
+    require(maxBatches >= 1, s"maxBatches must be >= 1, got $maxBatches")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (k, _, idCol, weightCol) = loadWeightedSampleMeta(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no ws_meta sidecar under $indexDir — not a weighted-sample dir"))
+    val candDir = wsCandDir(indexDir)
+    validateDelta(candDir, hconf)
+    val entries = graft.io.Manifest.read(candDir, hconf).get
+    val segs = entries.map(_.name.takeWhile(_ != '/')).distinct
+    if (segs.length <= maxBatches) return (segs.length, false)
+    // compact segments share the batch= prefix (one partition column for
+    // the discovery under basePath); the c-prefix keeps them disjoint
+    // from any real batch id for any stream lifetime
+    val nextCompact = segs.filter(_.startsWith("batch=c"))
+      .map(_.stripPrefix("batch=c").toLong).maxOption.getOrElse(-1L) + 1
+    val seg = s"batch=c$nextCompact"
+    val cands = hhReadManifested(spark, candDir)
+      .select(col(idCol), col(weightCol), col("__skey"))
+    // same stable-weight contract as the maintained read — folding away a
+    // conflicting id here would destroy the evidence the read checks for
+    val conflicting = cands.groupBy(idCol)
+      .agg(countDistinct(weightCol).as("__nw")).filter(col("__nw") > 1).limit(1).count()
+    require(conflicting == 0,
+      s"weighted-sample log at $candDir carries an id with two different weights — " +
+        "refusing to compact a nondeterministic sample away")
+    cands
+      .dropDuplicates(idCol)
+      .orderBy(col("__skey").desc, col(idCol))
+      .limit(k)
+      .coalesce(1).write.parquet(s"$candDir/$seg")
+    val folded = listDelta(candDir, hconf, Some(seg))
+      .map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) }
+    // the manifest rewrite IS the swap
+    graft.io.Manifest.write(candDir, folded, hconf)
+    segs.foreach(s => graft.io.HadoopIO.delete(s"$candDir/$s", hconf))
+    (segs.length, true)
+  }
 }

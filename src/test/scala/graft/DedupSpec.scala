@@ -30,6 +30,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === (0L until 10L).map(i => (i, i + 1000L)).toSet)
   }
 
+  test("edit-verified pairs keep high-edit-sim candidates and cut low ones") {
+    // ten 10-token docs; near-dups prepend one token ("zz ") — high Jaccard
+    // for all, but edit similarity scales with doc length: make half the
+    // docs short enough that a 3-char prefix fails the 0.9 gate.
+    val longBody = (0 until 20).map(j => s"w$j").mkString(" ")   // 59 chars
+    val shortBody = (0 until 4).map(j => s"s$j").mkString(" ")   // 11 chars
+    val base = Seq((1L, longBody), (2L, shortBody))
+    val dups = Seq((1001L, "zz " + longBody), (1002L, "zz " + shortBody))
+    val pairs = Dedup.editVerifiedPairs(docs(base ++ dups: _*),
+        jaccardFloor = 0.3, minEditSim = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // long pair: 1 - 3/62 = 0.952 passes; short pair: 1 - 3/14 = 0.786 cut
+    assert(pairs === Set((1L, 1001L)))
+    // edit_sim is the exact integer ratio
+    val sim = Dedup.editVerifiedPairs(docs(base ++ dups: _*),
+        jaccardFloor = 0.3, minEditSim = 0.5)
+      .filter($"doc_a" === 2L).select("edit_sim").as[Double].head()
+    assert(math.abs(sim - (1.0 - 3.0 / 14.0)) < 1e-12)
+  }
+
   test("compositional band hashes equal the fused text kernel") {
     val d = docs((1L, "alpha beta gamma delta epsilon zeta eta"), (2L, "one two three four five"))
     val fused = d.orderBy("doc_id").select(graft.internal.SqlBridge.column(
