@@ -799,6 +799,56 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.18+22 SSL-PROTOTYPE data pruning (Sorscher et al. 2022): k-means
+    // prototypes over the embeddings, per-cluster prune of the EASIEST
+    // 30% (closest to prototype = most redundant). kmeans is not SQL-
+    // replayable, so the row carries the ann_ivf-style self-verifying
+    // gates, each computed by an INDEPENDENT aggregate path over the
+    // result (not by the rank window that produced it): frac_ok — the
+    // cluster pruned exactly floor(0.3·n) members; boundary_ok — the
+    // lexicographic (dist, id) max of the pruned set sits strictly below
+    // the min of the kept set. rows_match pins one row per vector.
+    "prune_prototypes" -> ((spark, dir) => {
+      val data = t(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector")).cache()
+      val res = graft.ops.Prototypes.prunePrototypes(
+        spark, data, c = 16, pruneFraction = 0.3).cache()
+      val stats = res.groupBy("cluster").agg(
+        count(lit(1)).as("__n"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("__np"),
+        max(when(!col("keep"), struct(col("dist"), col("id")))).as("__pmax"),
+        min(when(col("keep"), struct(col("dist"), col("id")))).as("__kmin"))
+      res.join(broadcast(stats), Seq("cluster"))
+        .select(col("id").as("vec_id"),
+          (col("__np") === floor(lit(0.3) * col("__n"))).cast("long").as("frac_ok"),
+          (when(col("__np") === 0, lit(true))
+            .otherwise(col("__pmax") < col("__kmin"))).cast("long").as("boundary_ok"))
+        .orderBy("vec_id")
+    }),
+
+    // The OTHER pruning regime (same paper): prune the HARDEST fraction —
+    // prototype-distant outliers, the label-noise/junk tail — with the
+    // boundary gate inverted (pruned max is now the lexicographic TOP of
+    // the cluster: every kept (dist, id) sits strictly below every pruned
+    // one).
+    "prune_outliers" -> ((spark, dir) => {
+      val data = t(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector")).cache()
+      val res = graft.ops.Prototypes.prunePrototypes(
+        spark, data, c = 16, pruneFraction = 0.2, pruneHardest = true).cache()
+      val stats = res.groupBy("cluster").agg(
+        count(lit(1)).as("__n"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("__np"),
+        min(when(!col("keep"), struct(col("dist"), col("id")))).as("__pmin"),
+        max(when(col("keep"), struct(col("dist"), col("id")))).as("__kmax"))
+      res.join(broadcast(stats), Seq("cluster"))
+        .select(col("id").as("vec_id"),
+          (col("__np") === floor(lit(0.2) * col("__n"))).cast("long").as("frac_ok"),
+          (when(col("__np") === 0, lit(true))
+            .otherwise(col("__kmax") < col("__pmin"))).cast("long").as("boundary_ok"))
+        .orderBy("vec_id")
+    }),
+
     // §2.6+18 exact RADIUS search — the range-query twin of top-k
     // ("everything within the duplicate threshold"): queries broadcast,
     // one codegen'd distance+filter pass over the scan, output bounded by
@@ -1496,6 +1546,24 @@ object Queries {
       Dedup.minhashLshPairs(docs.unionByName(copies), threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // §2.17 INCREMENTAL near-dup — the monthly-recrawl shape: the arriving
+    // batch (40 prefix near-copies + 20 byte-identical re-ingests under new
+    // ids) dedups against the EXISTING corpus through the bipartite band
+    // join; within-batch and within-corpus pairs are never generated. The
+    // oracle is the closed-form new x corpus cross join at the same
+    // threshold.
+    "dedup_incremental" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val newBatch = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("near duplicate copy "), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.minhashLshPairsAgainst(newBatch, docs, threshold = 0.8)
+        .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("new_id", "corpus_id")
     }),
 
     // §2.17 EDIT-DISTANCE-VERIFIED near-dup (the CodeParrot/AlphaCode-style
@@ -4377,6 +4445,18 @@ object Queries {
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${duckJaccard("a.sh", "b.sh")} AS jacc
          |      FROM s a CROSS JOIN s b WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM p WHERE jacc >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // closed form: every (new, corpus) pair at the threshold — the
+    // bipartite candidate stage must lose nothing the cross join finds
+    "dedup_incremental" ->
+      s"""WITH new_batch AS (
+         |  SELECT doc_id + 100000 AS doc_id, 'near duplicate copy ' || text AS text FROM documents WHERE doc_id < 40
+         |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+         |sn AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM new_batch),
+         |sc AS (SELECT doc_id, ${duckShingles(duckToks)} AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, ${duckJaccard("a.sh", "b.sh")} AS jacc
+         |      FROM sn a CROSS JOIN sc b)
+         |SELECT new_id, corpus_id, round(jacc, 4) AS jaccard FROM p
+         |WHERE jacc >= 0.8 ORDER BY new_id, corpus_id""".stripMargin,
     // closed form: ALL pairs passing both gates (Jaccard floor + exact
     // Levenshtein similarity); lev/len are byte-based here vs codepoint in
     // Spark — identical on this ASCII corpus (documented at the operator)
@@ -5251,6 +5331,15 @@ object Queries {
       ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 2), " +
         "(3, 1), (4, 3), (5, 0), (6, 2), (7, 1), (8, 4)) " +
         "AS t(doc_id, n_tokens) ORDER BY doc_id"),
+    // the two independently-aggregated gates (exact per-cluster prune
+    // fraction + strict pruned/kept boundary) make the oracle closed-form;
+    // rows_match pins the one-row-per-vector partition
+    "prune_prototypes" ->
+      """SELECT vec_id, CAST(1 AS BIGINT) AS frac_ok, CAST(1 AS BIGINT) AS boundary_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "prune_outliers" ->
+      """SELECT vec_id, CAST(1 AS BIGINT) AS frac_ok, CAST(1 AS BIGINT) AS boundary_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "knn_radius" ->
       s"""WITH q AS (SELECT vec_id AS qid, ${dEmb("embedding")} AS qv FROM embeddings WHERE vec_id < 3),
          |d AS (SELECT q.qid, e.vec_id AS id, ${duckEuclid(dEmb("e.embedding"), "q.qv")} AS dist

@@ -161,6 +161,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL near-dup: MinHash-LSH pairs BETWEEN a new batch and an
+    * existing corpus — the monthly-recrawl / continuous-ingest shape
+    * (dedup the arriving slice against everything already kept, without
+    * re-pairing the corpus against itself). Same kernels, banding,
+    * exact-Jaccard verify, and completeness profile as
+    * [[minhashLshPairs]]; the candidate join is BIPARTITE on the (band,
+    * hash) key, so within-batch and within-corpus pairs are never
+    * generated — at 100 TB the corpus side is the big fixed relation and
+    * the batch side is the small probe, and only same-bucket rows meet.
+    *
+    * Skew guard (bipartite form of the star-pair cap): a (band, hash)
+    * bucket whose CORPUS side exceeds `maxBucketSize` pairs each new doc
+    * with the bucket's min-id corpus representative only — boilerplate
+    * buckets cost O(new) instead of O(new × bucket), with the same
+    * documented recall trade as the self-join guard.
+    *
+    * Output: (new_id, corpus_id, jaccard). Rows where new_id == corpus_id
+    * are dropped (a re-delivered identical document is not a duplicate of
+    * itself).
+    */
+  def minhashLshPairsAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    def prepare(docs: DataFrame) = docs
+      .select(col(idCol).as("id"),
+        SqlBridge.column(ShingleHashSet(SqlBridge.expression(col(textCol)), 3)).as("hs"),
+        SqlBridge.column(ShingleBandHashes(
+          SqlBridge.expression(col(textCol)), 3, bands, rowsPerBand)).as("bhs"))
+      .filter(size(col("hs")) > 0)
+
+    val newPrep = prepare(newDocs)
+    val corpusPrep = prepare(corpus)
+    val newBands = newPrep.select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val corpusBands = corpusPrep.select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+
+    val candidates = (if (maxBucketSize <= 0) {
+      newBands.alias("l").join(corpusBands.alias("r"), Seq("band", "bh"))
+        .select(col("l.id").as("new_id"), col("r.id").as("corpus_id"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+      val sized = corpusBands
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__min_id", min("id").over(w))
+      val small = sized.filter(col("__n") <= maxBucketSize).select("id", "band", "bh")
+      val smallPairs = newBands.alias("l").join(small.alias("r"), Seq("band", "bh"))
+        .select(col("l.id").as("new_id"), col("r.id").as("corpus_id"))
+      // oversized corpus buckets: one representative row per bucket,
+      // paired against every new-side member of that bucket
+      val reps = sized.filter(col("__n") > maxBucketSize)
+        .select(col("band"), col("bh"), col("__min_id")).distinct()
+      val starPairs = newBands.alias("l").join(reps, Seq("band", "bh"))
+        .select(col("l.id").as("new_id"), col("__min_id").as("corpus_id"))
+      smallPairs.unionByName(starPairs)
+    }).filter(col("new_id") =!= col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+
+    candidates
+      .join(newPrep.select(col("id").as("new_id"), col("hs").as("hs_a")), Seq("new_id"))
+      .join(corpusPrep.select(col("id").as("corpus_id"), col("hs").as("hs_b")), Seq("corpus_id"))
+      .withColumn("jaccard", hashedJaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Edit-distance-verified near-duplicate pairs — the two-stage fuzzy
     * dedup production code pipelines run (MinHash prefilter + exact
     * edit-similarity verify, as in CodeParrot/AlphaCode-style code dedup):

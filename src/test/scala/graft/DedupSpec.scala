@@ -30,6 +30,35 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === (0L until 10L).map(i => (i, i + 1000L)).toSet)
   }
 
+  test("incremental pairs match new-vs-corpus only, never within a side") {
+    val corpus = (0L until 30L).map(i =>
+      (i, s"c${i}a c${i}b c${i}c c${i}d c${i}e c${i}f c${i}g c${i}h c${i}i c${i}j"))
+    // new batch: near-dups of corpus docs 0-4 AND of EACH OTHER pairwise
+    // (1000/2000 share a base) — within-batch pairs must not appear
+    val newBatch = (0L until 5L).flatMap { i =>
+      Seq((i + 1000L, s"zz ${corpus(i.toInt)._2}"), (i + 2000L, s"yy ${corpus(i.toInt)._2}"))
+    }
+    val pairs = Dedup.minhashLshPairsAgainst(
+        docs(newBatch: _*), docs(corpus: _*), threshold = 0.5)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs === (0L until 5L).flatMap(i => Seq((i + 1000L, i), (i + 2000L, i))).toSet)
+  }
+
+  test("incremental star guard caps oversized corpus buckets at one representative") {
+    val boiler = "same boilerplate text repeated across the whole corpus here now"
+    val corpus = (0L until 8L).map(i => (i, boiler))
+    val newBatch = Seq((100L, boiler))
+    val capped = Dedup.minhashLshPairsAgainst(
+        docs(newBatch: _*), docs(corpus: _*), threshold = 0.9, maxBucketSize = 4)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // every oversized bucket collapses to the min-id corpus representative
+    assert(capped === Set((100L, 0L)))
+    val full = Dedup.minhashLshPairsAgainst(
+        docs(newBatch: _*), docs(corpus: _*), threshold = 0.9, maxBucketSize = 0)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(full === (0L until 8L).map(i => (100L, i)).toSet)
+  }
+
   test("edit-verified pairs keep high-edit-sim candidates and cut low ones") {
     // ten 10-token docs; near-dups prepend one token ("zz ") — high Jaccard
     // for all, but edit similarity scales with doc length: make half the
