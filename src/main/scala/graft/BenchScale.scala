@@ -767,6 +767,97 @@ object BenchScale {
       println(s"[scale] unigram: ${vocab.size} pieces trained; $counted tokens counted")
     }
 
+    // WordPiece at corpus scale: one pass to the capped word table,
+    // likelihood-merge loop driver-side (vocab-bounded), then greedy
+    // MaxMatch counting with the piece set broadcast over the full corpus.
+    {
+      val model = timed(s"wordpiece train ($nDocs docs, 50k-word cap, 200 merges)") {
+        graft.text.WordPiece.train(docs, numMerges = 200, maxWords = 50000)
+      }
+      require(model.merges.nonEmpty && model.vocab.size > model.merges.size,
+        "degenerate wordpiece vocab")
+      val counted = timed(s"wordpiece MaxMatch token counts ($nDocs docs, ${model.vocab.size} pieces)") {
+        graft.text.WordPiece.countTokens(docs, model)
+          .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+      }
+      println(s"[scale] wordpiece: ${model.merges.size} merges trained; $counted tokens counted")
+    }
+
+    // Edit-distance-verified fuzzy dedup at corpus scale: LSH candidates,
+    // length-ratio prune, exact Levenshtein DP only on candidate pairs —
+    // the planted 1% prefix copies must all survive the 0.9 gate (a
+    // 4-char prefix on a ~320-char doc is sim ~0.988).
+    {
+      val editPairs = timed(s"edit-verified dedup ($nDocs docs + 1% planted copies)") {
+        graft.dedup.Dedup.editVerifiedPairs(withCopies,
+          jaccardFloor = 0.8, minEditSim = 0.9).count()
+      }
+      require(editPairs >= nDocs / 100,
+        s"edit gate lost planted copies: $editPairs < ${nDocs / 100}")
+      println(s"[scale] edit-verified pairs: $editPairs")
+    }
+
+    // Incremental (recrawl) dedup at corpus scale: a 1% arriving batch
+    // pairs against the full corpus through the bipartite band join —
+    // the corpus never self-joins, within-batch pairs never generated.
+    {
+      val newBatch = docs.filter(col("doc_id") % 100 === 1)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(lit("recrawl "), col("text")).as("text"))
+      val incPairs = timed(s"incremental dedup (${nDocs / 100} new vs $nDocs corpus)") {
+        graft.dedup.Dedup.minhashLshPairsAgainst(newBatch, docs, threshold = 0.8).count()
+      }
+      require(incPairs >= nDocs / 100,
+        s"bipartite candidates lost planted recrawls: $incPairs < ${nDocs / 100}")
+      println(s"[scale] incremental pairs: $incPairs")
+    }
+
+    // Streaming weighted-sample reservoir at corpus scale: three batches
+    // + compaction + a post-fold replay; the maintained sample must equal
+    // the batch A-Res selection row-for-row (anti-join both ways).
+    {
+      val weighted = docs.withColumn("w", (length(col("text")) + lit(1)).cast("double"))
+      val wsDir = java.nio.file.Files.createTempDirectory("scale_ws").toString
+      val sink = graft.streaming.StreamingOps.weightedSampleSink(
+        spark, wsDir, k = 10000, weightCol = "w")
+      timed(s"weighted-sample sink (3 batches over $nDocs docs, k=10k)") {
+        sink(weighted.filter(col("doc_id") % 3 === 0), 0L)
+        sink(weighted.filter(col("doc_id") % 3 === 1), 1L)
+        graft.streaming.StreamingOps.compactWeightedSample(spark, wsDir, maxBatches = 1)
+        sink(weighted.filter(col("doc_id") % 3 === 0), 0L) // post-fold replay
+        sink(weighted.filter(col("doc_id") % 3 === 2), 2L)
+      }
+      val maintained = graft.streaming.StreamingOps
+        .weightedSampleMaintained(spark, wsDir).select("doc_id")
+      val batchSel = graft.ops.Sampling.sampleWeighted(weighted, "doc_id", "w", k = 10000)
+        .select("doc_id")
+      val diff = maintained.exceptAll(batchSel).count() + batchSel.exceptAll(maintained).count()
+      require(diff == 0, s"maintained reservoir diverged from batch A-Res: $diff rows differ")
+      println(s"[scale] weighted reservoir == batch sample (10k rows, post-fold replay)")
+    }
+
+    // SSL-prototype pruning at corpus scale: sampled k-means train (the
+    // 10x offline lever), one broadcast-centroid difficulty scan, one
+    // cluster-keyed rank window; frac + boundary invariants re-derived by
+    // the independent aggregate path.
+    {
+      val pruned = timed(s"prune_prototypes ($n x$dim vectors, c=256, f=0.3, 10% train)") {
+        graft.ops.Prototypes.prunePrototypes(spark, data, c = 256,
+          pruneFraction = 0.3, sampleFraction = 0.1).cache()
+      }
+      val stats = pruned.groupBy("cluster").agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("np"),
+        max(when(!col("keep"), struct(col("dist"), col("id")))).as("pmax"),
+        min(when(col("keep"), struct(col("dist"), col("id")))).as("kmin"))
+      val bad = stats.filter(col("np") =!= floor(lit(0.3) * col("n")) ||
+        (col("np") > 0 && !(col("pmax") < col("kmin")))).count()
+      require(bad == 0, s"$bad clusters violate the prune fraction/boundary invariants")
+      val kept = pruned.filter(col("keep")).count()
+      println(s"[scale] prototype pruning: kept $kept of $n, all ${stats.count()} clusters exact")
+      pruned.unpersist()
+    }
+
     spark.stop()
   }
 }

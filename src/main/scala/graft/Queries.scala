@@ -719,6 +719,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 TEXT NORMALIZATION — the pre-tokenizer pass every pipeline
+    // runs before anything byte-sensitive: Unicode NFC (kernel; DuckDB's
+    // nfc_normalize implements the same UAX #15 composition), CRLF→LF, C0
+    // control strip (tab/newline kept), horizontal-whitespace collapse,
+    // trim. Planted rows exercise every rule (decomposed é composes, CR
+    // forms fold, controls vanish, runs collapse); the untouched ASCII
+    // corpus must pass through byte-identical.
+    "normalize_text" -> ((spark, dir) => {
+      import spark.implicits._
+      val planted = Seq(
+        (1000001L, "café du monde"),
+        (1000002L, "line1\r\nline2\rline3"),
+        (1000003L, "abc\td"),
+        (1000004L, "  too   many\t\tspaces  ")).toDF("doc_id", "text")
+      t(spark, dir, "documents").select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"))
+        .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 WORDPIECE TOKENIZER TRAINING (Schuster & Nakajima 2012 — the
     // BERT vocabulary algorithm, the THIRD production tokenizer family
     // next to bpe_train and unigram_train): BPE-shaped merge loop scoring
@@ -3303,6 +3324,34 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // INGESTION-TIME corpus profiling: per-(source, lang) INTEGER totals
+    // maintained across micro-batches — exact under any batch split
+    // because every partial is an integer sum; ratios derive at read time
+    // from the exact sums. The replay goes through compaction and then
+    // REDELIVERS a folded batch (totals are not idempotent — the
+    // folded-ids sidecar must catch it or the row double-counts), and the
+    // converged profile must equal the batch GROUP BY row-for-row.
+    "stream_corpus_profile" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+        .select("doc_id", "source", "lang", "text", "n_chars")
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_cp_idx").toString
+      val sink = graft.streaming.StreamingOps.corpusProfileSink(spark, idxDir)
+      withStreamParts(spark) {
+        sink(docs.filter(col("doc_id") % 3 === 0), 0L)
+        sink(docs.filter(col("doc_id") % 3 === 1), 1L)
+        graft.streaming.StreamingOps.compactCorpusProfile(spark, idxDir)
+        sink(docs.filter(col("doc_id") % 3 === 0), 0L) // folded-id replay guard
+        sink(docs.filter(col("doc_id") % 3 === 2), 2L)
+      }
+      graft.streaming.StreamingOps.corpusProfileMaintained(spark, idxDir)
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_langs").cast("long").as("n_langs"),
+          col("total_chars").cast("long").as("total_chars"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          col("avg_chars"))
+        .orderBy("source")
+    }),
+
     // INGESTION-TIME weighted sampling: the A-Res key is a pure function
     // of (seed, id, weight), so the maintained reservoir is a monotone
     // IDEMPOTENT top-k merge — the replay proves it the hard way: two
@@ -5312,6 +5361,24 @@ object Queries {
       ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 3), " +
         "(3, 2), (4, 2), (5, 0), (6, 3), (7, 3), (8, 1), (9, 4), (10, 5)) " +
         "AS t(doc_id, n_tokens) ORDER BY doc_id"),
+    // the identical NFC + RE2 chain replayed verbatim (nfc_normalize is
+    // the same UAX #15 composition as the JDK kernel)
+    "normalize_text" ->
+      """WITH planted(doc_id, text) AS (VALUES
+        |  (1000001, 'cafe' || chr(769) || ' du monde'),
+        |  (1000002, 'line1' || chr(13) || chr(10) || 'line2' || chr(13) || 'line3'),
+        |  (1000003, 'a' || chr(1) || 'b' || chr(7) || 'c' || chr(9) || 'd'),
+        |  (1000004, '  too   many' || chr(9) || chr(9) || 'spaces  ')),
+        |all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '\r\n|\r', chr(10), 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS norm
+        |  FROM all_docs)
+        |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     // hand-derived likelihood-merge trajectory (see the query comment);
     // WordPieceSpec re-derives the same constants
     "wordpiece_train" ->
@@ -5715,6 +5782,14 @@ object Queries {
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |  row_number() OVER (ORDER BY skey DESC, doc_id) AS sample_rank
         |FROM k ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+    // closed form: the batch GROUP BY the folded integer totals must equal
+    // for any batch split, compaction, and post-fold redelivery
+    "stream_corpus_profile" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // identical closed form to sample_weighted — the streamed, compacted,
     // replayed reservoir must converge to the batch A-Res selection
     "stream_sample_weighted" ->

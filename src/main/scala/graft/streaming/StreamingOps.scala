@@ -3843,6 +3843,135 @@ object StreamingOps {
         .otherwise(col("n_matched").cast("double") / col("n_shingles")))
   }
 
+  // ------------------------------------------- corpus-profile monitoring sink
+
+  private def cpMetaPath(indexDir: String) = s"$indexDir/cp_meta"
+  private def cpTotalsDir(indexDir: String) = s"$indexDir/totals"
+
+  /** INGESTION-TIME corpus profiling — the monitoring twin of the batch
+    * `corpus_profile` diagnostic: per-(source, lang) MERGEABLE integer
+    * totals (doc count, total chars, total whitespace tokens) maintained
+    * across micro-batches. Every per-batch partial is an INTEGER sum, so
+    * the folded totals are exactly the batch aggregate for any batch
+    * split — no float-summation-order drift, the reason the maintained
+    * profile carries integer totals plus read-time ratios rather than
+    * averaged doubles. Exact percentiles are deliberately absent: they do
+    * not merge without sketches, and this engine's convention is
+    * exact-or-absent — run the batch diagnostic when you need them.
+    *
+    * Per batch: ONE partial-aggregated pass over the batch (result is
+    * (sources × langs)-sized, never batch-sized), an O(sources × langs)
+    * append under `totals/batch=N`, manifest merge as the commit marker.
+    * Totals are NOT idempotent under re-merge (unlike the weighted-sample
+    * reservoir), so the marker IS load-bearing and compaction records
+    * folded batch ids via the shared [[compactDeltaLog]] crash protocol —
+    * a post-compaction redelivery finds its id in the sidecar and skips
+    * instead of double-counting.
+    */
+  def corpusProfileSink(
+      spark: SparkSession,
+      indexDir: String,
+      sourceCol: String = "source",
+      langCol: String = "lang",
+      textCol: String = "text",
+      charsCol: String = "n_chars"): (DataFrame, Long) => Unit = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalsDir = cpTotalsDir(indexDir)
+    if (!graft.io.HadoopIO.exists(cpMetaPath(indexDir), hconf)) {
+      seedDeltaManifests(Seq(totalsDir), hconf)
+      // meta LAST: the init commit marker
+      Seq((sourceCol, langCol, textCol, charsCol))
+        .toDF("source_col", "lang_col", "text_col", "chars_col")
+        .coalesce(1).write.mode("overwrite").parquet(cpMetaPath(indexDir))
+    } else {
+      val r = spark.read.parquet(cpMetaPath(indexDir))
+        .select("source_col", "lang_col", "text_col", "chars_col").head()
+      require(r.getString(0) == sourceCol && r.getString(1) == langCol &&
+          r.getString(2) == textCol && r.getString(3) == charsCol,
+        s"corpus-profile state at $indexDir was maintained over columns " +
+          s"(${r.getString(0)}, ${r.getString(1)}, ${r.getString(2)}, ${r.getString(3)}); " +
+          s"restarting with ($sourceCol, $langCol, $textCol, $charsCol) would mix " +
+          "incomparable totals — delete the directory or pass matching columns")
+      requireCommittedManifests("corpus-profile", indexDir,
+        Seq(totalsDir), "compactCorpusProfile", hconf)
+    }
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      val conf = sess.sparkContext.hadoopConfiguration
+      val committed = graft.io.Manifest.read(totalsDir, conf).getOrElse(Seq.empty)
+        .exists(_.name.startsWith(s"batch=$batchId/")) ||
+        foldedBatchIds(sess, indexDir).contains(batchId)
+      if (!committed) {
+        graft.io.HadoopIO.delete(s"$totalsDir/batch=$batchId", conf)
+        batch
+          .groupBy(col(sourceCol).cast("string").as("source"),
+            col(langCol).cast("string").as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col(charsCol).cast("long")).as("total_chars"),
+            sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("total_tokens"))
+          .coalesce(1).write.parquet(s"$totalsDir/batch=$batchId")
+        // manifest merge LAST = the commit marker
+        replaceBatchManifest(totalsDir, s"batch=$batchId", conf)
+      }
+    }
+  }
+
+  /** The converged per-source profile a [[corpusProfileSink]] directory
+    * serves: (source, n_docs, n_langs, total_chars, total_tokens,
+    * avg_chars) — integer totals folded across committed batches (the
+    * fold reads batches × sources × langs rows, never the corpus),
+    * ratios computed at read time from the exact sums.
+    */
+  def corpusProfileMaintained(spark: SparkSession, indexDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(graft.io.HadoopIO.exists(cpMetaPath(indexDir), hconf),
+      s"no cp_meta sidecar under $indexDir — not a corpus-profile dir")
+    val totalsDir = cpTotalsDir(indexDir)
+    validateDelta(totalsDir, hconf)
+    val entries = graft.io.Manifest.read(totalsDir, hconf).get
+    if (entries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long, Double)]
+        .toDF("source", "n_docs", "n_langs", "total_chars", "total_tokens", "avg_chars")
+    }
+    hhReadManifested(spark, totalsDir)
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("total_chars").as("total_chars"),
+        sum("total_tokens").as("total_tokens"))
+      .withColumn("avg_chars",
+        round(col("total_chars").cast("double") / col("n_docs"), 4))
+  }
+
+  /** Fold the totals log into ONE `batch=compacted` segment through the
+    * shared [[compactDeltaLog]] crash protocol (folded-ids sidecar lands
+    * before the destructive swap, so post-compaction redeliveries skip
+    * instead of double-counting). Run while the stream is stopped.
+    */
+  def compactCorpusProfile(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(graft.io.HadoopIO.exists(cpMetaPath(indexDir), hconf),
+      s"no cp_meta sidecar under $indexDir — not a corpus-profile dir")
+    compactDeltaLog(spark, indexDir, "totals", () => {
+      val folded = hhReadManifested(spark, cpTotalsDir(indexDir))
+        .groupBy("source", "lang")
+        .agg(sum("n_docs").as("n_docs"),
+          sum("total_chars").as("total_chars"),
+          sum("total_tokens").as("total_tokens"))
+        .collect()
+      (tmpDir: String) => {
+        import spark.implicits._
+        folded.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSeq.sortBy(t => (t._1, t._2))
+          .toDF("source", "lang", "n_docs", "total_chars", "total_tokens")
+          .coalesce(1).write.parquet(s"$tmpDir/batch=compacted")
+      }
+    })
+  }
+
   // ------------------------------------------- weighted-sample reservoir sink
 
   private def wsMetaPath(indexDir: String) = s"$indexDir/ws_meta"

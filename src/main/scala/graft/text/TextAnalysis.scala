@@ -141,6 +141,31 @@ object TextAnalysis {
   def c4PageFlag(text: Column): Column =
     contains(lower(text), lit("lorem ipsum")) || contains(text, lit("{"))
 
+  /** Unicode NFC canonical normalization ([[graft.functions.NfcNormalize]]
+    * kernel — UAX #15 canonical composition, the conservative standard; a
+    * decomposed e + combining acute and the precomposed é are the same
+    * text to a reader but different bytes to every digest, shingle, and
+    * pretoken in this engine). Already-normalized input (all ASCII)
+    * passes through allocation-free.
+    */
+  def nfc(text: Column): Column =
+    SqlBridge.column(graft.functions.NfcNormalize(SqlBridge.expression(text)))
+
+  /** The standard pre-tokenizer text normalization pass, each step a
+    * codegen regexp over the NFC'd text (one narrow projection, no
+    * shuffle, replayable verbatim by any RE2-compatible engine): NFC →
+    * CRLF/CR to LF → strip C0 controls except tab/newline (plus DEL) →
+    * collapse horizontal-whitespace runs to one space → SQL trim. Runs
+    * BEFORE anything byte-sensitive — dedup digests, shingles, BPE
+    * pretokens — so visually-identical documents hash identically.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(nfc(text), "\\r\\n|\\r", "\n"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** C4 boilerplate cleaning as ONE narrow codegen pass (split → HOF
     * filter → rejoin — no shuffle, no UDF): returns `struct(clean_text,
     * n_kept, n_dropped, page_dropped)`. A flagged page keeps nothing

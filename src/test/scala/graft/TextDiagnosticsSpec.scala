@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 class TextDiagnosticsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("normalizeText: NFC composes, CR folds, controls strip, runs collapse, idempotent") {
+    val d = Seq(
+      (1L, "café"),                    // decomposed -> precomposed é
+      (2L, "a\r\nb\rc\nd"),                  // CRLF/CR -> LF
+      (3L, "xyz!"),        // C0 + DEL strip
+      (4L, " a  b\t\tc "),                   // runs collapse + trim
+      (5L, "plain ascii text"))
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.normalizeText($"text").as("n"))
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(out(1L) === "café")
+    assert(out(2L) === "a\nb\nc\nd")
+    assert(out(3L) === "xyz!")
+    assert(out(4L) === "a b c")
+    assert(out(5L) === "plain ascii text")
+    // idempotence: a second pass changes nothing
+    val twice = d.select($"doc_id",
+      TextAnalysis.normalizeText(TextAnalysis.normalizeText($"text")).as("n"))
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(twice === out)
+  }
+
   test("docNovelty: duplicated docs score 0, a unique doc scores 1, mixtures in between") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon"),      // shares all shingles with 2
