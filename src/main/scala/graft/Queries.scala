@@ -719,6 +719,38 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.22 MIXTURE EPOCH PLANNING — the LLaMA-Table-1 accounting table:
+    // per-source available tokens (one partial-agg pass), INTEGER mixture
+    // weights (parts — normalization is an exact integer ratio, immune to
+    // float-sum order), exact BIGINT floor-division for drawn tokens, and
+    // the epochs-elapsed over-sampling diagnostic. Every column is exact
+    // arithmetic the oracle replays verbatim.
+    "mix_epochs" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val weights = Seq(("src0", 7L), ("src1", 2L), ("src3", 1L)).toDF("source", "weight")
+      graft.ops.Sampling.mixEpochs(docs, weights, budget = 1000000L)
+        .orderBy("source")
+    }),
+
+    // §2.20 BLOCKLIST page filter (C4 §2.2's badword gate): one codegen
+    // case-insensitive word-boundary alternation pass; planted docs carry
+    // mixed-case hits at both ends, the unplanted corpus must pass clean,
+    // and a superstring (\b fails inside a word) must NOT match.
+    "blocklist_filter" -> ((spark, dir) => {
+      val words = Seq("contraband", "verboten", "blacksite")
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 8)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("prefix Contraband contrabands text "), col("text"),
+            lit(" and VERBOTEN end")).as("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          TextAnalysis.blocklistHits(col("text"), words).as("n_flagged"))
+        .withColumn("keep", (col("n_flagged") === 0).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 TEXT NORMALIZATION — the pre-tokenizer pass every pipeline
     // runs before anything byte-sensitive: Unicode NFC (kernel; DuckDB's
     // nfc_normalize implements the same UAX #15 composition), CRLF→LF, C0
@@ -1369,6 +1401,45 @@ object Queries {
         .select(col("qid"), lit(10L).as("k"), col("n_results"), col("full_probe_exact"),
           when(col("n_hits") >= 8, lit(1L)).otherwise(lit(0L)).as("recall_ok"))
         .orderBy("qid")
+    }),
+
+    // §2.18 RECALL-vs-NPROBE CURVE — the tuning diagnostic an IVF
+    // deployment reads before picking its operating point: one train +
+    // one cached assignment, then the SAME index searched at nprobe ∈
+    // {1,2,4,8,16}. Three falsifiable gates per point, constant-table
+    // oracle: every query returns k rows at every nprobe; recall is
+    // NONDECREASING in nprobe (candidates at nprobe n+1 are a superset —
+    // a violation means the probe ranking or the top-k merge is broken);
+    // nprobe = C is exact (recall 1.0 vs the oracle-proven brute force).
+    "ann_recall_curve" -> ((spark, dir) => {
+      import spark.implicits._
+      val (data0, queriesDf) = knnInputs(spark, dir, 5)
+      val data = data0.cache()
+      val queries = queriesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val centroids = Ivf.train(spark, data, c = 16, iterations = 2, seeding = "kmeans||")
+      val assigned = Ivf.assign(spark, data, centroids, spill = 1).cache()
+      assigned.count()
+      data.unpersist()
+      val exact = Knn.bruteForce(data0, queriesDf, 10, "euclidean")
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nQ = queries.length
+      val curve = Seq(1, 2, 4, 8, 16).map { nprobe =>
+        val res = Ivf.search(spark, assigned, centroids, queries,
+            k = 10, nprobe = nprobe, dedup = true)
+          .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hits = res.count(exact.contains)
+        (nprobe.toLong, res.length, hits)
+      }
+      val rows = curve.zip((0L, 0, -1) +: curve).map { case ((np, n, h), (_, _, ph)) =>
+        (np,
+          (if (n == nQ * 10) 1L else 0L),
+          (if (h >= ph) 1L else 0L),
+          (if (np < 16 || h == nQ * 10) 1L else 0L))
+      }
+      rows.toDF("nprobe", "results_ok", "mono_ok", "full_exact_ok")
+        .orderBy("nprobe")
     }),
 
     // §2.18+24 IVF×SQ8 — the 100 TB configuration: probe nprobe/C of the
@@ -5322,6 +5393,12 @@ object Queries {
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // three gates per curve point (k rows returned, recall nondecreasing,
+    // full probe exact) — falsifiable invariants, constant-table oracle
+    "ann_recall_curve" ->
+      ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)), " +
+        "(2, 1, 1, 1), (4, 1, 1, 1), (8, 1, 1, 1), (16, 1, 1, 1)) " +
+        "AS t(nprobe, results_ok, mono_ok, full_exact_ok) ORDER BY nprobe"),
     "ann_ivf_sq4" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
         |  CAST(10 AS BIGINT) AS n_same_as_ivf
@@ -5361,6 +5438,31 @@ object Queries {
       ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 3), " +
         "(3, 2), (4, 2), (5, 0), (6, 3), (7, 3), (8, 1), (9, 4), (10, 5)) " +
         "AS t(doc_id, n_tokens) ORDER BY doc_id"),
+    // exact arithmetic replay: integer-ratio normalization, BIGINT //
+    // floor-division, double division of exact integers then round(4)
+    "mix_epochs" ->
+      """WITH avail AS (
+        |  SELECT source, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src3') GROUP BY source),
+        |w(source, weight) AS (VALUES ('src0', CAST(7 AS BIGINT)), ('src1', 2), ('src3', 1))
+        |SELECT a.source, a.n_tokens, w.weight,
+        |  round(CAST(w.weight AS DOUBLE) / 10.0, 6) AS weight_norm,
+        |  (w.weight * 1000000) // 10 AS tokens_drawn,
+        |  round(CAST((w.weight * 1000000) // 10 AS DOUBLE) / a.n_tokens, 4) AS epochs
+        |FROM avail a JOIN w USING (source) ORDER BY source""".stripMargin,
+    // identical RE2 pattern both engines; the superstring in the planted
+    // prefix ("contrabands") must not match through \b
+    "blocklist_filter" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 700000,
+        |    'prefix Contraband contrabands text ' || text || ' and VERBOTEN end'
+        |  FROM documents WHERE doc_id < 8),
+        |f AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(?i)\b(blacksite|contraband|verboten)\b', 0)) AS BIGINT) AS n_flagged
+        |  FROM all_docs)
+        |SELECT doc_id, n_flagged,
+        |  CAST(CASE WHEN n_flagged = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     // the identical NFC + RE2 chain replayed verbatim (nfc_normalize is
     // the same UAX #15 composition as the JDK kernel)
     "normalize_text" ->

@@ -166,6 +166,29 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
+  /** RE2-safe case-insensitive word-boundary alternation over a blocklist
+    * — the C4 badword-page-filter shape (Raffel et al. 2020 §2.2 drop any
+    * page containing a word from a published blocklist). Words must be
+    * letters/digits/hyphens so `\b` boundaries are well-defined and no
+    * regex metacharacter can smuggle in; sorted so the pattern — and
+    * every count derived from it — is independent of caller list order.
+    */
+  def blocklistPattern(words: Seq[String]): String = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    words.foreach(w => require(
+      w.nonEmpty && w.forall(c => c.isLetterOrDigit || c == '-'),
+      s"blocklist word '$w' must be letters/digits/hyphens only"))
+    "(?i)\\b(" + words.distinct.sorted.mkString("|") + ")\\b"
+  }
+
+  /** Number of blocklist hits in `text` — one codegen regexp pass; the
+    * standard page gate is `blocklistHits(...) === 0`. The pattern is
+    * built once driver-side (blocklists are a few thousand words — a
+    * compiled-regex literal, not a join).
+    */
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text, lit(blocklistPattern(words)), lit(0))).cast("long")
+
   /** C4 boilerplate cleaning as ONE narrow codegen pass (split → HOF
     * filter → rejoin — no shuffle, no UDF): returns `struct(clean_text,
     * n_kept, n_dropped, page_dropped)`. A flagged page keeps nothing

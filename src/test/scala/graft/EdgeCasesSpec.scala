@@ -10,6 +10,44 @@ import org.apache.spark.sql.functions._
 class EdgeCasesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("mixEpochs: exact integer accounting; missing weighted source raises") {
+    val docs = Seq(
+      (1L, "a", "one two three four"),   // 4 tokens
+      (2L, "a", "five six"),             // 2 tokens
+      (3L, "b", "seven eight nine"))     // 3 tokens
+      .toDF("doc_id", "source", "text")
+    val w = Seq(("a", 3L), ("b", 1L)).toDF("source", "weight")
+    val out = graft.ops.Sampling.mixEpochs(docs, w, budget = 100L)
+      .orderBy("source")
+      .select("source", "n_tokens", "tokens_drawn", "epochs")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // a: floor(3*100/4)=75 drawn over 6 avail -> 12.5 epochs; b: 25/3 -> 8.3333
+    assert(out === Seq(("a", 6L, 75L, 12.5), ("b", 3L, 25L, 8.3333)))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.mixEpochs(docs,
+        Seq(("a", 1L), ("zz", 1L)).toDF("source", "weight"), budget = 10L)
+    }
+    assert(e.getMessage.contains("absent from the corpus"))
+  }
+
+  test("blocklistHits: word boundaries, case-insensitivity, metachar rejection") {
+    import graft.text.TextAnalysis
+    val d = Seq(
+      (1L, "clean text here"),
+      (2L, "some Contraband found"),
+      (3L, "contrabands is a superstring"),   // \b must NOT match inside
+      (4L, "VERBOTEN and verboten twice"))
+      .toDF("doc_id", "text")
+    val hits = d.select($"doc_id",
+        TextAnalysis.blocklistHits($"text", Seq("contraband", "verboten")).as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(hits === Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistPattern(Seq("bad.*word"))
+    }
+    assert(e.getMessage.contains("letters/digits/hyphens"))
+  }
+
   test("distances: empty arrays give 0 (euclid/manhattan) and NaN (cosine, 0/0)") {
     val df = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
     val (e, m, c) = df.select(
