@@ -440,3 +440,78 @@ object ImageDHashProps extends Properties("ImageDHash") {
       }
     }
 }
+
+object WordPieceProps extends Properties("WordPiece") {
+  import graft.text.WordPiece
+  import org.scalacheck.{Gen, Properties}
+  import org.scalacheck.Prop.forAll
+
+  // vocab pools over a tiny alphabet so random words hit real pieces
+  private val piece = Gen.oneOf("a", "b", "c", "ab", "abc", "bc", "ca")
+  private val vocabs: Gen[Set[String]] = Gen.listOf(Gen.zip(Gen.oneOf(true, false), piece))
+    .map(_.map { case (cont, p) => if (cont) "##" + p else p }.toSet + "a" + "##a")
+  private val words = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    .flatMap(s => Gen.choose(0, s.length).map(s.take))
+
+  property("pieces reconstruct the word exactly, or are the single [UNK]") =
+    forAll(words, vocabs) { (w, v) =>
+      val p = WordPiece.encodePieces(w, v)
+      if (w.isEmpty) p.isEmpty
+      else if (p.sameElements(Array(WordPiece.Unk))) true
+      else p.head.take(2) != "##" &&
+        p.tail.forall(_.startsWith("##")) &&
+        (p.head +: p.tail.map(_.stripPrefix("##"))).mkString == w
+    }
+
+  property("count-only walk equals the piece walk everywhere") =
+    forAll(words, vocabs) { (w, v) =>
+      WordPiece.countPieces(w, v) == WordPiece.encodePieces(w, v).length
+    }
+
+  property("greedy: each piece is the longest vocab prefix at its position") =
+    forAll(words, vocabs) { (w, v) =>
+      val p = WordPiece.encodePieces(w, v)
+      if (p.sameElements(Array(WordPiece.Unk)) || w.isEmpty) true
+      else {
+        var pos = 0
+        p.forall { piece =>
+          val raw = piece.stripPrefix("##")
+          val longerExists = (raw.length + 1 to w.length - pos).exists { len =>
+            val cand = w.substring(pos, pos + len)
+            v.contains(if (pos > 0) "##" + cand else cand)
+          }
+          pos += raw.length
+          !longerExists
+        }
+      }
+    }
+}
+
+object NormalizeProps extends Properties("NormalizeKernel") {
+  import org.scalacheck.{Gen, Properties}
+  import org.scalacheck.Prop.forAll
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // strings mixing ASCII, precomposed, decomposed, and combining marks
+  private val chars = Gen.frequency(
+    (6, Gen.alphaNumChar),
+    (1, Gen.oneOf('é', 'Å', '́', '̊', '中', ' ')))
+  private val strs = Gen.listOf(chars).map(_.mkString)
+
+  private def nfc(s: String): String =
+    graft.functions.NormalizeKernel.nfc(UTF8String.fromString(s)).toString
+
+  property("idempotent: nfc(nfc(s)) == nfc(s)") = forAll(strs) { s =>
+    nfc(nfc(s)) == nfc(s)
+  }
+
+  property("agrees with the JDK normalizer") = forAll(strs) { s =>
+    nfc(s) == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  property("ASCII passes through unchanged (same instance fast path)") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val u = UTF8String.fromString(s)
+      graft.functions.NormalizeKernel.nfc(u) eq u
+    }
+}
