@@ -15,13 +15,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The kernel is the JDK's `java.text.Normalizer` (ICU-derived, UAX #15
   * conformant — the same algorithm DuckDB's `nfc_normalize` implements,
-  * which is what makes the oracle replay exact); the fast path skips
-  * allocation entirely when the input is already NFC (`isNormalized` is a
-  * cheap scan, and ASCII — most corpus bytes — short-circuits it).
+  * which is what makes the oracle replay exact); an all-ASCII input —
+  * most corpus bytes — is detected on the raw UTF-8 bytes and returned as
+  * the SAME instance (no UTF-16 decode, no allocation), and already-NFC
+  * non-ASCII input returns the same instance after the `isNormalized`
+  * scan.
   */
 object NormalizeKernel {
 
   def nfc(s: UTF8String): UTF8String = {
+    // ASCII fast path on the raw UTF-8 bytes: all-ASCII is NFC by
+    // construction, and most corpus bytes are — returning the same
+    // instance skips the UTF-16 decode AND the String allocation that
+    // `toString` would pay on every row of the hot pre-tokenizer path
+    var i = 0
+    val n = s.numBytes
+    var ascii = true
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

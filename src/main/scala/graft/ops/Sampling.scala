@@ -72,65 +72,6 @@ object Sampling {
     * md5 bucket rule as [[sample]] — reproducible across engines, runs,
     * and layouts, and mirrorable by the SQL oracle.
     */
-  /** Mixture EPOCH PLANNING — the published-mixture accounting table
-    * (LLaMA Table 1 / GPT-3 Table 2.2 report exactly these columns:
-    * sampling proportion, disk size, epochs elapsed when training on the
-    * given budget): given per-source available token counts (one
-    * partial-agg pass over the corpus), INTEGER mixture weights (parts,
-    * not floats — the normalization `w / Σw` is then an exact
-    * integer-ratio double, immune to float-summation order), and the
-    * total training-token budget, emit per source the drawn tokens
-    * `floor(w · budget / Σw)` (exact BIGINT arithmetic) and the epoch
-    * count `drawn / available` — the over-sampling diagnostic a mixture
-    * designer watches (epochs ≫ 1 on a small high-weight source means
-    * memorization risk; the reference tables keep most sources ≤ ~1.5).
-    *
-    * Scale shape: ONE groupBy(source) count over the corpus (map-side
-    * partial agg; result is source-cardinality-sized), the weight table
-    * joins broadcast, every derived column is a narrow projection.
-    * Sources with no weight row are dropped (inner join — explicit
-    * mixture design); a weighted source absent from the corpus raises.
-    */
-  def mixEpochs(
-      docs: DataFrame,
-      weights: DataFrame, // (source, weight) — integer parts
-      budget: Long,
-      sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val w = weights
-      .select(col("source").cast("string"), col("weight").cast("long"))
-      .as[(String, Long)].collect().sortBy(_._1)
-    require(w.nonEmpty, "weights must be non-empty")
-    require(w.map(_._1).distinct.length == w.length, "one weight row per source")
-    require(w.forall(_._2 > 0), s"weights must be positive integer parts: ${w.toSeq}")
-    val totalW = w.map(_._2).sum
-    val avail = docs
-      .groupBy(col(sourceCol).cast("string").as("source"))
-      .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"))
-    val wDf = w.toSeq.toDF("source", "weight")
-    val joined = avail.join(broadcast(wDf), Seq("source"))
-    // fail loudly when a designed-in source has no corpus tokens — a
-    // silent inner-join drop would ship a mixture missing a source
-    val missing = wDf.join(avail, Seq("source"), "left_anti")
-      .select("source").as[String].collect()
-    require(missing.isEmpty,
-      s"mixEpochs: weighted sources absent from the corpus: ${missing.toSeq.sorted}")
-    joined
-      .withColumn("weight_norm",
-        round(col("weight").cast("double") / lit(totalW.toDouble), 6))
-      // exact BIGINT floor-division (`div`), not float `/`-then-floor —
-      // bit-exact at any magnitude and matched by DuckDB's `//`
-      .withColumn("tokens_drawn",
-        expr(s"(weight * ${budget}L) div ${totalW}L").cast("long"))
-      .withColumn("epochs",
-        round(col("tokens_drawn").cast("double") / col("n_tokens"), 4))
-      .select(col("source"), col("n_tokens"), col("weight").cast("long"),
-        col("weight_norm"), col("tokens_drawn"), col("epochs"))
-  }
-
   def sampleTemperature(
       df: DataFrame,
       idCol: String,
@@ -152,6 +93,64 @@ object Sampling {
       when(col(groupCol) === g, lit((rate * 10000).toLong)).otherwise(acc)
     }
     df.filter(bucket(col(idCol), seed) < threshold)
+  }
+
+  /** Mixture EPOCH PLANNING — the published-mixture accounting table
+    * (LLaMA Table 1 / GPT-3 Table 2.2 report exactly these columns:
+    * sampling proportion, disk size, epochs elapsed when training on the
+    * given budget): given per-source available token counts, INTEGER
+    * mixture weights (parts, not floats — the normalization `w / Σw` is
+    * then an exact integer-ratio double, immune to float-summation
+    * order), and the total training-token budget, emit per source the
+    * drawn tokens `floor(w · budget / Σw)` (exact BIGINT arithmetic) and
+    * the epoch count `drawn / available` — the over-sampling diagnostic a
+    * mixture designer watches (epochs ≫ 1 on a small high-weight source
+    * means memorization risk; the reference tables keep most sources
+    * ≤ ~1.5).
+    *
+    * Scale shape: ONE groupBy(source) token-count pass over the corpus —
+    * the only corpus-sized work — whose source-cardinality-sized result
+    * is collected ONCE and drives both the missing-source check and the
+    * output rows (a second plan consumption would silently re-scan the
+    * corpus); every derived column is then local-table arithmetic.
+    * Sources with no weight row are dropped (explicit mixture design); a
+    * weighted source absent from the corpus raises.
+    */
+  def mixEpochs(
+      docs: DataFrame,
+      weights: DataFrame, // (source, weight) — integer parts
+      budget: Long,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights
+      .select(col("source").cast("string"), col("weight").cast("long"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    require(w.nonEmpty, "weights must be non-empty")
+    require(w.map(_._1).distinct.length == w.length, "one weight row per source")
+    require(w.forall(_._2 > 0), s"weights must be positive integer parts: ${w.toSeq}")
+    val totalW = w.map(_._2).sum
+    val avail: Map[String, Long] = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"))
+      .as[(String, Long)].collect().toMap
+    val missing = w.map(_._1).filterNot(avail.contains)
+    require(missing.isEmpty,
+      s"mixEpochs: weighted sources absent from the corpus: ${missing.toSeq.sorted}")
+    w.toSeq.map { case (s, wt) => (s, avail(s), wt) }
+      .toDF("source", "n_tokens", "weight")
+      .withColumn("weight_norm",
+        round(col("weight").cast("double") / lit(totalW.toDouble), 6))
+      // exact BIGINT floor-division (`div`), not float `/`-then-floor —
+      // bit-exact at any magnitude and matched by DuckDB's `//`
+      .withColumn("tokens_drawn",
+        expr(s"(weight * ${budget}L) div ${totalW}L").cast("long"))
+      .withColumn("epochs",
+        round(col("tokens_drawn").cast("double") / col("n_tokens"), 4))
+      .select(col("source"), col("n_tokens"), col("weight").cast("long"),
+        col("weight_norm"), col("tokens_drawn"), col("epochs"))
   }
 
   /** The A-Res selection key ln(u)/w with u = (md5-derived h + 0.5)/2⁶⁰ —

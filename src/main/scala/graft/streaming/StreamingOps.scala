@@ -4068,7 +4068,10 @@ object StreamingOps {
     * [[graft.ops.Sampling.sampleWeighted]] returns over the union of
     * committed batches. Folds the (k × batches)-bounded candidate log —
     * never anything corpus-sized — and fails loudly on a lost candidate
-    * file or an id that arrived with two different weights.
+    * file or an id that arrived with two different weights. The served
+    * schema is FIXED at (long id, double weight, int sample_rank)
+    * whether or not any batch has committed — the empty directory must
+    * not serve a different schema than the first committed batch.
     */
   def weightedSampleMaintained(spark: SparkSession, indexDir: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -4085,7 +4088,8 @@ object StreamingOps {
         .withColumn("sample_rank", lit(null).cast("int"))
         .limit(0)
     val cands = hhReadManifested(spark, candDir)
-      .select(col(idCol), col(weightCol), col("__skey"))
+      .select(col(idCol).cast("long").as(idCol),
+        col(weightCol).cast("double").as(weightCol), col("__skey"))
     val conflicting = cands.groupBy(idCol)
       .agg(countDistinct(weightCol).as("__nw")).filter(col("__nw") > 1).limit(1).count()
     require(conflicting == 0,
@@ -4131,6 +4135,11 @@ object StreamingOps {
     val nextCompact = segs.filter(_.startsWith("batch=c"))
       .map(_.stripPrefix("batch=c").toLong).maxOption.getOrElse(-1L) + 1
     val seg = s"batch=c$nextCompact"
+    // a crash between the segment write and the manifest swap leaves an
+    // orphan under this same name (the manifest — and therefore
+    // nextCompact — did not advance); clear it or the re-run's write
+    // throws path-already-exists and compaction wedges permanently
+    graft.io.HadoopIO.delete(s"$candDir/$seg", hconf)
     val cands = hhReadManifested(spark, candDir)
       .select(col(idCol), col(weightCol), col("__skey"))
     // same stable-weight contract as the maintained read — folding away a

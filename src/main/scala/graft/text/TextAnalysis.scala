@@ -169,15 +169,26 @@ object TextAnalysis {
   /** RE2-safe case-insensitive word-boundary alternation over a blocklist
     * — the C4 badword-page-filter shape (Raffel et al. 2020 §2.2 drop any
     * page containing a word from a published blocklist). Words must be
-    * letters/digits/hyphens so `\b` boundaries are well-defined and no
-    * regex metacharacter can smuggle in; sorted so the pattern — and
-    * every count derived from it — is independent of caller list order.
+    * ASCII letters/digits with INTERIOR hyphens only: ASCII because
+    * Java's `(?i)` folds ASCII case only while RE2's folds Unicode — a
+    * non-ASCII word would silently diverge between the engine and a
+    * replaying oracle; interior hyphens because `\b` is the ASCII
+    * word-class boundary, so an edge hyphen would demand a word char
+    * beyond it and the word could never match. No regex metacharacter can
+    * smuggle in; sorted so the pattern — and every count derived from it —
+    * is independent of caller list order.
     */
   def blocklistPattern(words: Seq[String]): String = {
     require(words.nonEmpty, "blocklist must be non-empty")
-    words.foreach(w => require(
-      w.nonEmpty && w.forall(c => c.isLetterOrDigit || c == '-'),
-      s"blocklist word '$w' must be letters/digits/hyphens only"))
+    words.foreach { w =>
+      require(w.nonEmpty && w.forall(c => c < 128 && (c.isLetterOrDigit || c == '-')),
+        s"blocklist word '$w' must be ASCII letters/digits/hyphens only " +
+          "(Java (?i) folds ASCII case only; RE2 folds Unicode — a non-ASCII " +
+          "word would diverge between engines)")
+      require(!w.startsWith("-") && !w.endsWith("-"),
+        s"blocklist word '$w' has an edge hyphen — \\b would demand a word " +
+          "char beyond it and the word could never match")
+    }
     "(?i)\\b(" + words.distinct.sorted.mkString("|") + ")\\b"
   }
 

@@ -39,10 +39,13 @@ object WordPiece {
     lazy val pieceSet: Set[String] = vocab.toSet
   }
 
-  /** Train a WordPiece model. `minPairCount` is the subword-nmt-style
-    * early stop (a best pair seen fewer times than this ends training);
-    * WordPiece's own score already de-prioritizes frequent-but-random
-    * pairs, so the default floor of 2 only guards against singleton noise.
+  /** Train a WordPiece model. `minPairCount` is an ELIGIBILITY floor, not
+    * an early stop: pairs seen fewer times are excluded from selection
+    * each round, and training ends only when no eligible pair remains.
+    * (A best-pair stop — subword-nmt's rule — is sound under count
+    * scoring, where best = max count; under WordPiece's likelihood score
+    * a rare-but-exclusive pair ranks FIRST, so stopping there would
+    * truncate training for the whole corpus on one singleton pair.)
     */
   def train(
       docs: DataFrame,
@@ -101,6 +104,7 @@ object WordPiece {
           i += 1
         }
       }
+      pairCounts.filterInPlace { case (_, c) => c >= minPairCount }
       if (pairCounts.isEmpty) exhausted = true
       else {
         // score = count(ab) / (count(a) * count(b)); ties break lex so the
@@ -125,30 +129,27 @@ object WordPiece {
           else if (Ordering[(String, String)].lteq((xl, xr), (yl, yr))) x else y
         }
         val ((bl, br), bc) = best
-        if (bc < minPairCount) exhausted = true
-        else {
-          val score = bc.toDouble / (symCounts(bl).toDouble * symCounts(br).toDouble)
-          merges += ((bl, br, score))
-          val merged = bl + br.stripPrefix(ContinuationPrefix)
-          words = words.map { case (syms, c) =>
-            if (syms.length < 2) (syms, c)
-            else {
-              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-              var j = 0
-              while (j < syms.length) {
-                if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
-                  out += merged
-                  j += 2
-                } else {
-                  out += syms(j)
-                  j += 1
-                }
+        val score = bc.toDouble / (symCounts(bl).toDouble * symCounts(br).toDouble)
+        merges += ((bl, br, score))
+        val merged = bl + br.stripPrefix(ContinuationPrefix)
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
+                out += merged
+                j += 2
+              } else {
+                out += syms(j)
+                j += 1
               }
-              (out.toArray, c)
             }
+            (out.toArray, c)
           }
-          round += 1
         }
+        round += 1
       }
     }
     val ms = merges.result()
@@ -158,7 +159,12 @@ object WordPiece {
   /** Greedy longest-match-first pieces of one pretoken (BERT MaxMatch):
     * repeatedly the longest vocab prefix (continuations probed with the
     * ## prefix); ANY unmatched position collapses the whole word to
-    * `[UNK]` — the published convention.
+    * `[UNK]` — the published convention. A position-0 probe that would
+    * match a `##`-MARKED vocab entry (a pretoken whose text literally
+    * starts with "##" colliding with a continuation piece) is rejected:
+    * matching it would mislabel word-initial text as a continuation and
+    * break the strip-##-and-rejoin reconstruction; the walk falls through
+    * to shorter prefixes (the "#" alphabet piece) or the [UNK] fallback.
     */
   def encodePieces(pretoken: String, vocab: Set[String]): Array[String] = {
     if (pretoken.isEmpty) return Array.empty
@@ -170,7 +176,9 @@ object WordPiece {
       while (end > start && found == null) {
         val raw = pretoken.substring(start, end)
         val probe = if (start > 0) ContinuationPrefix + raw else raw
-        if (vocab.contains(probe)) found = probe else end -= 1
+        if (vocab.contains(probe) &&
+            !(start == 0 && probe.startsWith(ContinuationPrefix))) found = probe
+        else end -= 1
       }
       if (found == null) return Array(Unk)
       out += found
@@ -192,7 +200,9 @@ object WordPiece {
       while (end > start && len < 0) {
         val raw = pretoken.substring(start, end)
         val probe = if (start > 0) ContinuationPrefix + raw else raw
-        if (vocab.contains(probe)) len = end - start else end -= 1
+        if (vocab.contains(probe) &&
+            !(start == 0 && probe.startsWith(ContinuationPrefix))) len = end - start
+        else end -= 1
       }
       if (len < 0) return 1 // whole-word [UNK]
       n += 1

@@ -46,6 +46,20 @@ class EdgeCasesSpec extends SparkTestBase {
       TextAnalysis.blocklistPattern(Seq("bad.*word"))
     }
     assert(e.getMessage.contains("letters/digits/hyphens"))
+    // non-ASCII rejected: Java (?i) folds ASCII case only, RE2 folds
+    // Unicode — a non-ASCII word would silently diverge between engines
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistPattern(Seq("münchen"))
+    }
+    assert(e2.getMessage.contains("ASCII"))
+    // edge hyphens rejected: \b beyond the hyphen demands a word char,
+    // so the word could never match
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistPattern(Seq("foo-"))
+    }
+    assert(e3.getMessage.contains("edge hyphen"))
+    // interior hyphen stays legal
+    assert(TextAnalysis.blocklistPattern(Seq("foo-bar")).contains("foo-bar"))
   }
 
   test("distances: empty arrays give 0 (euclid/manhattan) and NaN (cosine, 0/0)") {

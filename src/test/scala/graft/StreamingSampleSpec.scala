@@ -42,6 +42,24 @@ class StreamingSampleSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("compaction recovers from an orphaned segment left by a crashed swap") {
+    val dir = freshDir()
+    val sink = StreamingOps.weightedSampleSink(spark, dir, k = 10, weightCol = "w")
+    sink(corpus.filter($"doc_id" < 100), 0L)
+    sink(corpus.filter($"doc_id" >= 100), 1L)
+    // simulate a crash between the compact-segment write and the manifest
+    // swap: the orphan occupies the exact name the next compaction picks
+    Seq((999L, 1.0, -1.0)).toDF("doc_id", "w", "__skey")
+      .write.parquet(s"$dir/cand/batch=c0")
+    val (_, did) = StreamingOps.compactWeightedSample(spark, dir, maxBatches = 1)
+    assert(did)
+    val got = StreamingOps.weightedSampleMaintained(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val want = Sampling.sampleWeighted(corpus, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want) // the orphan's junk row neither wedged nor leaked
+  }
+
   test("restart with different parameters fails loudly") {
     val dir = freshDir()
     StreamingOps.weightedSampleSink(spark, dir, k = 10, weightCol = "w")(

@@ -31,11 +31,31 @@ class WordPieceSpec extends SparkTestBase {
     assert(m.vocab === Seq("##b", "##c", "##d", "a", "c", "cd", "##bc", "ab", "abc"))
   }
 
-  test("train stops early when the best pair is below minPairCount") {
+  test("minPairCount is an eligibility floor, not an early stop") {
     val m = WordPiece.train(corpus, numMerges = 10, minPairCount = 2L)
-    // (c,##d) has count 1 → skipped... but it is the BEST pair, so
-    // training stops immediately: the floor gates the trajectory head
-    assert(m.merges.isEmpty)
+    // (c,##d) has count 1 → EXCLUDED each round (it would be the
+    // likelihood-best pair — a stop there would truncate training for
+    // the whole corpus on one singleton); the eligible pairs merge to
+    // exhaustion: (##b,##c) and (a,##b) tie at 1/6 → lex; then (a,##bc)
+    // at 0.5; then only the ineligible singleton remains → done
+    assert(m.merges.map(t => (t._1, t._2)) ===
+      Seq(("##b", "##c"), ("a", "##b"), ("a", "##bc")))
+  }
+
+  test("position-0 probes never match continuation-marked vocab entries") {
+    // a pretoken literally starting with "##" must not be consumed as a
+    // continuation piece: reconstruction would strip the marker and lose
+    // text; the walk falls to shorter prefixes or whole-word [UNK]
+    val v = Set("#", "##a", "a", "##b")
+    // "##a" is IN the vocab as a continuation; the raw text "##a" at
+    // position 0 must NOT match it: the walk takes the "#" alphabet
+    // piece, then "#a" has no continuation match ("###a"/"###" absent)
+    // → whole-word [UNK] — reconstruction stays exact via the fallback
+    assert(WordPiece.encodePieces("##a", v).toSeq === Seq(WordPiece.Unk))
+    assert(WordPiece.countPieces("##a", v) === 1)
+    // an ordinary word-initial '#' still encodes through the alphabet
+    assert(WordPiece.encodePieces("#a", v).toSeq === Seq("#", "##a"))
+    assert(WordPiece.countPieces("#a", v) === 2)
   }
 
   test("greedy longest-match-first encode with whole-word UNK") {
