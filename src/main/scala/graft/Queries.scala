@@ -2580,6 +2580,57 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // §2.20 FILTER-IMPACT REPORT — the per-source pass-rate table a
+    // curation run publishes before committing thresholds (what fraction
+    // of each source survives each published gate, and all gates
+    // together): gates evaluated on the 4dp-ROUNDED signals (the rounding
+    // both engines already hash-match in quality_filters, so threshold
+    // comparisons cannot diverge on last-bit noise), pass rates as exact
+    // 0/1 averages. Planted offenders (tripled text → repetition,
+    // ellipsis-truncated lines, hash-markup spam) drop specific sources'
+    // rates so the report is differential, not vacuous.
+    "filter_report" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select("doc_id", "source", "text")
+      val base = docs.filter(col("doc_id") < 60)
+      val planted =
+        base.filter(col("doc_id") % 3 === 0)
+          .select(col("source"), concat(col("text"), lit(" "), col("text"),
+            lit(" "), col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 3 === 1)
+          .select(col("source"), concat(
+            lit("truncated line one...\ntruncated line two...\nclosing line "),
+            substring(col("text"), 1, 40)).as("text")))
+        .unionByName(base.filter(col("doc_id") % 3 === 2)
+          .select(col("source"), concat(lit("# " * 20), col("text")).as("text")))
+      val sigs = docs.select(col("source"), col("text")).unionByName(planted)
+        .select(col("source"), TextAnalysis.qualitySignals(col("text")).as("s"))
+        .select(col("source"),
+          round(col("s.rep3_ratio"), 4).as("rep3"),
+          round(col("s.alpha_ratio"), 4).as("alpha"),
+          round(col("s.mean_word_len"), 4).as("mwl"),
+          round(col("s.symbol_word_ratio"), 4).as("swr"),
+          round(col("s.ellipsis_line_frac"), 4).as("elf"))
+      val p = sigs.select(col("source"),
+        (col("rep3") <= 0.2).cast("int").as("p_rep"),
+        (col("alpha") >= 0.6).cast("int").as("p_alpha"),
+        (col("mwl") >= 3 && col("mwl") <= 10).cast("int").as("p_mwl"),
+        (col("swr") <= 0.1).cast("int").as("p_swr"),
+        (col("elf") <= 0.3).cast("int").as("p_elf"))
+      p.withColumn("p_all",
+          (col("p_rep") + col("p_alpha") + col("p_mwl") + col("p_swr") + col("p_elf") === 5)
+            .cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(avg("p_rep"), 4).as("pass_rep3"),
+          round(avg("p_alpha"), 4).as("pass_alpha"),
+          round(avg("p_mwl"), 4).as("pass_word_len"),
+          round(avg("p_swr"), 4).as("pass_symbol"),
+          round(avg("p_elf"), 4).as("pass_ellipsis"),
+          round(avg("p_all"), 4).as("pass_all"))
+        .orderBy("source")
+    }),
+
     // Gopher REPETITION-REMOVAL signals (Rae et al. 2021 Table A1): all
     // 13 within-document repetition inputs — duplicate line/paragraph
     // fractions (count and character), top-{2,3,4}-gram character share,
@@ -5007,6 +5058,41 @@ object Queries {
          |  round(len(list_filter(lns, l -> starts_with(ltrim(l, ' '), '- ') OR starts_with(ltrim(l, ' '), '* ') OR starts_with(ltrim(l, ' '), '• ')))::DOUBLE / len(lns), 4) AS bullet_line_frac,
          |  round(len(list_filter(lns, l -> ends_with(rtrim(l, ' '), '...')))::DOUBLE / len(lns), 4) AS ellipsis_line_frac
          |FROM g ORDER BY doc_id""".stripMargin,
+    // per-source pass rates of the same rounded signals quality_filters
+    // hash-matches; thresholds compared on the 4dp values both engines
+    // agree on, rates are exact 0/1 averages
+    "filter_report" ->
+      s"""WITH planted AS (
+         |  SELECT source, text || ' ' || text || ' ' || text AS text FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+         |  UNION ALL SELECT source, 'truncated line one...' || chr(10) || 'truncated line two...' || chr(10) || 'closing line ' || substr(text, 1, 40) FROM documents WHERE doc_id < 60 AND doc_id % 3 = 1
+         |  UNION ALL SELECT source, repeat('# ', 20) || text FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2),
+         |all_docs AS (SELECT source, text FROM documents UNION ALL SELECT source, text FROM planted),
+         |t AS (SELECT source, text, $duckToks AS toks, string_split(text, chr(10)) AS lns FROM all_docs),
+         |g AS (SELECT source, text, toks, lns,
+         |        CASE WHEN len(toks) < 3 THEN 1 ELSE len(toks) - 2 END AS total3,
+         |        len(${duckShingles("toks")}) AS distinct3 FROM t),
+         |s AS (SELECT source,
+         |  round(1.0 - distinct3::DOUBLE / total3, 4) AS rep3,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha,
+         |  round(list_sum(list_transform(toks, tk -> length(tk)))::DOUBLE / len(toks), 4) AS mwl,
+         |  round(((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) AS swr,
+         |  round(len(list_filter(lns, l -> ends_with(rtrim(l, ' '), '...')))::DOUBLE / len(lns), 4) AS elf
+         |  FROM g),
+         |p AS (SELECT source,
+         |  CASE WHEN rep3 <= 0.2 THEN 1 ELSE 0 END AS p_rep,
+         |  CASE WHEN alpha >= 0.6 THEN 1 ELSE 0 END AS p_alpha,
+         |  CASE WHEN mwl BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS p_mwl,
+         |  CASE WHEN swr <= 0.1 THEN 1 ELSE 0 END AS p_swr,
+         |  CASE WHEN elf <= 0.3 THEN 1 ELSE 0 END AS p_elf
+         |  FROM s)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(p_rep), 4) AS pass_rep3,
+         |  round(avg(p_alpha), 4) AS pass_alpha,
+         |  round(avg(p_mwl), 4) AS pass_word_len,
+         |  round(avg(p_swr), 4) AS pass_symbol,
+         |  round(avg(p_elf), 4) AS pass_ellipsis,
+         |  round(avg(CASE WHEN p_rep + p_alpha + p_mwl + p_swr + p_elf = 5 THEN 1 ELSE 0 END), 4) AS pass_all
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "c4_clean" ->
       """WITH p AS (
         |  SELECT doc_id,
