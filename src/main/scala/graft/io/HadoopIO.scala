@@ -152,6 +152,20 @@ object HadoopIO {
       .sorted
   }
 
+  /** Like [[glob]] but matching DIRECTORIES — returns the bare directory
+    * names (last path segment), sorted. Used by compactions to sweep
+    * on-disk segment dirs a crashed earlier compaction orphaned (the
+    * manifest-derived segment list cannot see them).
+    */
+  def globDirNames(dir: String, pattern: String, conf: Configuration): Seq[String] = {
+    val p = new Path(dir, pattern)
+    val fs = p.getFileSystem(conf)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .sorted
+  }
+
   /** [[glob]] carrying each artifact's current byte length, sorted by URI —
     * the driver-side half of manifest validation (a short file is caught
     * here without reading a byte of it).

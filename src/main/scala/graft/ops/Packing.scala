@@ -31,6 +31,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
+  /** Above this many documents in one (source, shard) group, [[packBestFit]]
+    * logs a mis-sized-nShards warning: the group is buffered whole in one
+    * task, so a group this large is an OOM in waiting at corpus scale.
+    */
+  private[graft] val GroupSizeWarnThreshold: Int = 1 << 20
+
   /** Map every document onto its training blocks.
     *
     * Output: (source, shard, block, doc_id, n_tokens, tok_start, tok_end,
@@ -128,6 +134,17 @@ object Packing {
       .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
         val (src, shard) = key
         val items = it.toArray.sortBy { case (_, _, id, n) => (-n, id) }
+        // each group is buffered whole in this task — a group far past a
+        // Spark-partition's worth of documents means nShards is mis-sized
+        // for the corpus; warn BEFORE the task OOMs so the operator's
+        // sizing contract (scaladoc above) is enforced at runtime, not
+        // just documented
+        if (items.length > GroupSizeWarnThreshold) {
+          System.err.println(
+            s"[graft.Packing] packBestFit group (source=$src, shard=$shard) holds " +
+              s"${items.length} documents (> $GroupSizeWarnThreshold) — nShards is " +
+              "likely too small for this corpus; raise it so groups fit one task's memory")
+        }
         val bins = new FirstFitTree(items.length)
         items.iterator.map { case (_, _, id, n) =>
           val b = bins.findFirst(n) match {

@@ -36,6 +36,17 @@ object Prototypes {
     * distance) — the paper's other regime: with scarce data, prune the
     * hardest examples (prototype-distant outliers, label noise and junk
     * in a web corpus) and keep the easy coverage.
+    *
+    * Cutoff arithmetic is IEEE-double: the pruned count is
+    * `floor(pruneFraction.toDouble * n)` evaluated as a double product,
+    * so a fraction whose double representation sits just below its
+    * decimal value (e.g. 0.29 × 100 → 28, not 29) prunes one fewer than
+    * decimal arithmetic would suggest. The same expression is what any
+    * SQL engine evaluates for `floor(f * n)` on DOUBLE, so verification
+    * across engines is consistent; callers needing a decimal-exact count
+    * should pass a fraction with an exact binary representation
+    * (k/2^m, e.g. 0.25, 0.3125) or pre-round `pruneFraction * n`
+    * themselves.
     */
   def prunePrototypes(
       spark: SparkSession,

@@ -131,7 +131,15 @@ object Sampling {
     require(w.nonEmpty, "weights must be non-empty")
     require(w.map(_._1).distinct.length == w.length, "one weight row per source")
     require(w.forall(_._2 > 0), s"weights must be positive integer parts: ${w.toSeq}")
-    val totalW = w.map(_._2).sum
+    // `weight * budget` runs in BIGINT inside the plan — guard the product
+    // here so an oversized weight fails loudly instead of wrapping negative
+    require(w.forall(_._2 <= Long.MaxValue / budget),
+      s"mixEpochs: weight * budget would overflow BIGINT (max weight for budget=$budget " +
+        s"is ${Long.MaxValue / budget}) — use smaller integer parts; only ratios matter")
+    val totalWBig = w.iterator.map(x => BigInt(x._2)).sum
+    require(totalWBig <= Long.MaxValue,
+      s"mixEpochs: sum of weights $totalWBig overflows BIGINT — use smaller integer parts")
+    val totalW = totalWBig.toLong
     val avail: Map[String, Long] = docs
       .groupBy(col(sourceCol).cast("string").as("source"))
       .agg(sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_tokens"))
@@ -157,14 +165,17 @@ object Sampling {
     * a PURE per-row function of (seed, id, weight), shared verbatim by
     * [[sampleWeighted]] and the streaming
     * [[graft.streaming.StreamingOps.weightedSampleSink]] so the two forms
-    * select byte-identical samples. Non-positive/null weights raise.
+    * select byte-identical samples. Non-positive/null/NaN weights raise
+    * (NaN must be caught explicitly: `NaN <= 0` is false, and a NaN key
+    * would sort above every real key in descending order, silently
+    * hijacking the sample).
     */
   def aresKey(idCol: String, weightCol: String, seed: String): Column = {
     val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("double")
     val u = (h + 0.5) / lit(math.pow(2, 60))
-    when(col(weightCol).isNull || col(weightCol) <= 0,
-        raise_error(concat(lit(s"sampleWeighted: non-positive weight in '$weightCol' for id "),
+    when(col(weightCol).isNull || isnan(col(weightCol).cast("double")) || col(weightCol) <= 0,
+        raise_error(concat(lit(s"sampleWeighted: non-positive or NaN weight in '$weightCol' for id "),
           col(idCol).cast("string"),
           lit(" — filter unwanted rows out instead of zero-weighting them"))))
       .otherwise(log(u) / col(weightCol).cast("double"))

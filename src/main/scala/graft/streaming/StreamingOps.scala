@@ -4109,8 +4109,12 @@ object StreamingOps {
     * computed from the manifested log and written under a fresh
     * `compact=N` segment, and the MANIFEST REWRITE to list only that
     * segment is the atomic swap (a crash before it leaves the old
-    * manifest serving the old — equivalent — view). Superseded segment
-    * files are deleted best-effort after the swap. A batch replayed
+    * manifest serving the old — equivalent — view). After the swap the
+    * sweep deletes every on-disk `batch=*` dir the fresh manifest does
+    * not reference — including dirs ORPHANED by a crash in an earlier
+    * compaction's post-swap window, which a manifest-derived segment
+    * list would never see again. Run while the stream is stopped (the
+    * sweep must not race an in-flight batch write). A batch replayed
     * after its segment was folded away re-appends its candidates; the
     * idempotent-merge argument above makes that harmless — the next
     * read or compaction folds them straight back out.
@@ -4158,7 +4162,14 @@ object StreamingOps {
       .map { case (rel, len) => graft.io.ManifestEntry(rel, len, -1L) }
     // the manifest rewrite IS the swap
     graft.io.Manifest.write(candDir, folded, hconf)
-    segs.foreach(s => graft.io.HadoopIO.delete(s"$candDir/$s", hconf))
+    // sweep from the FILESYSTEM, not the manifest: a crash in an earlier
+    // compaction's post-swap window leaves superseded segment dirs the
+    // manifest no longer references, and a manifest-derived `segs` would
+    // never see them again — delete every on-disk batch=* dir the fresh
+    // manifest doesn't reference (only `seg`), old and orphaned alike
+    graft.io.HadoopIO.globDirNames(candDir, "batch=*", hconf)
+      .filterNot(_ == seg)
+      .foreach(s => graft.io.HadoopIO.delete(s"$candDir/$s", hconf))
     (segs.length, true)
   }
 }

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   * the score break (left, right) lexicographically, so training is
   * layout- and engine-independent; scores are exact integer ratios, so
   * a replaying engine reproduces them bit-for-bit.
+  *
+  * Symbol granularity is UTF-16 CODE UNITS (the same convention as
+  * [[Bpe]]): a supplementary character (emoji, CJK extension) enters
+  * training as its two surrogate units, so vocab pieces can be
+  * unpaired-surrogate strings that are not valid standalone text.
+  * Train and MaxMatch share the convention, so encoding stays
+  * internally round-trip consistent — but piece boundaries differ from
+  * codepoint-segmenting WordPiece implementations (BERT's reference
+  * tokenizer) on supplementary-plane text. Pre-normalize or strip such
+  * text if vocab pieces must be displayable.
   */
 object WordPiece {
 
