@@ -3203,6 +3203,34 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // BYTE-LEVEL BPE (the production GPT-2/tiktoken convention): the
+    // published split regex with Unicode \s, UTF-8 byte fallback through
+    // the bytes→unicode table, merges on byte symbols. Planted docs
+    // exercise every divergence from the codepoint mode: 2/3/4-byte
+    // UTF-8 (Latin-1 accents, CJK, emoji), NBSP as Unicode whitespace,
+    // contraction branches, tab/newline byte spellings, and the
+    // trailing-whitespace lookahead. Expected counts hand-derived by
+    // stepping the published algorithm (bytes_to_unicode + lowest-rank
+    // merge) over DemoMerges; oracle is the VALUES literal.
+    "token_count_bpe_bytes" -> ((spark, dir) => {
+      import spark.implicits._
+      val planted = Seq(
+        (1L, "the cat"),
+        (2L, "naïve café"),
+        (3L, "我有一个"),
+        (4L, "🦙 llama"),
+        (5L, ""),
+        (6L, "don't stop"),
+        (7L, "a\u00a0b"), // NBSP: Unicode whitespace, 2-byte UTF-8
+        (8L, "I'll they've we're"),
+        (9L, "tab\tnew\nend  "),
+        (10L, "abc123 ¾½"))
+        .toDF("doc_id", "text")
+      planted.select(col("doc_id"),
+          TextAnalysis.bpeTokenCountBytes(col("text")).as("n_byte_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Full BPE TOKENIZATION (pieces, not just counts): over REAL corpus
     // text, n_pieces must equal the independently-computed codegen count
     // kernel, and un-mapping Ġ→space over the joined pieces must
@@ -5831,6 +5859,14 @@ object Queries {
     "token_count_bpe" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_bpe_tokens FROM (VALUES
         |  (1, 3), (2, 4), (3, 12), (4, 0), (5, 4), (6, 12), (7, 4), (8, 3), (9, 13), (10, 14))
+        |v(doc_id, n) ORDER BY doc_id""".stripMargin,
+    // hand-derived: the published GPT-2 byte-level algorithm stepped over
+    // DemoMerges (see the query comment; e.g. doc 2 "naïve café" → 11:
+    // [n a Ã ¯ v e][Ġc a f Ã ©], doc 9's trailing "  " → one ĠĠ pretoken
+    // of two unmerged symbols)
+    "token_count_bpe_bytes" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_byte_tokens FROM (VALUES
+        |  (1, 3), (2, 11), (3, 12), (4, 10), (5, 0), (6, 8), (7, 4), (8, 13), (9, 13), (10, 11))
         |v(doc_id, n) ORDER BY doc_id""".stripMargin,
     "bpe_encode" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS count_consistent, CAST(1 AS BIGINT) AS round_trip_ok

@@ -13,7 +13,8 @@ object BpeKernel {
     * touch the (potentially hundreds-of-KB) spec content again.
     */
   private final class SpecEntry(val id: java.lang.Integer,
-      val ranks: Map[(String, String), Int])
+      val ranks: Map[(String, String), Int],
+      val byteLevel: Boolean)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, SpecEntry]()
@@ -28,7 +29,20 @@ object BpeKernel {
   private val pattern =
     java.util.regex.Pattern.compile(graft.text.TextAnalysis.BpeTokenPattern)
 
-  def encode(mergeLines: Seq[String]): String = mergeLines.mkString("\n")
+  /** Mode header marking a spec as BYTE-LEVEL (GPT-2 bytes→unicode +
+    * the published split regex). A '#'-prefixed line, so [[graft.text.Bpe.loadMerges]]
+    * skips it without consuming a rank — the mode rides INSIDE the spec
+    * string, keeping kernel entrypoints and cache keys mode-aware for
+    * free (each mode gets its own interned id).
+    */
+  private val ByteLevelHeader = "#graft-mode: bytes"
+
+  def encode(mergeLines: Seq[String]): String = encode(mergeLines, byteLevel = false)
+
+  def encode(mergeLines: Seq[String], byteLevel: Boolean): String = {
+    val body = mergeLines.mkString("\n")
+    if (byteLevel) ByteLevelHeader + "\n" + body else body
+  }
 
   private def entry(spec: String): SpecEntry = {
     val l = lastResolved
@@ -36,7 +50,8 @@ object BpeKernel {
     else {
       val e = entries.computeIfAbsent(spec, s =>
         new SpecEntry(nextId.getAndIncrement(),
-          graft.text.Bpe.loadMerges(s.split("\n", -1))))
+          graft.text.Bpe.loadMerges(s.split("\n", -1)),
+          s.startsWith(ByteLevelHeader)))
       lastResolved = (spec, e)
       e
     }
@@ -62,7 +77,9 @@ object BpeKernel {
     val hit = pieceCache.get(key)
     if (hit != null) hit
     else {
-      val ps = graft.text.Bpe.encodeTokens(pretoken, e.ranks)
+      val ps =
+        if (e.byteLevel) graft.text.Bpe.encodeByteTokens(pretoken, e.ranks)
+        else graft.text.Bpe.encodeTokens(pretoken, e.ranks)
       val enc = new Array[UTF8String](ps.length)
       var i = 0
       while (i < ps.length) { enc(i) = UTF8String.fromString(ps(i)); i += 1 }
@@ -71,10 +88,13 @@ object BpeKernel {
     }
   }
 
+  private def matcherFor(e: SpecEntry, text: String): java.util.regex.Matcher =
+    (if (e.byteLevel) graft.text.Bpe.Gpt2SplitCompiled else pattern).matcher(text)
+
   /** One pretokenize pass; per-pretoken BPE encode; summed token count. */
   def count(text: UTF8String, spec: String): Long = {
     val e = entry(spec)
-    val m = pattern.matcher(text.toString)
+    val m = matcherFor(e, text.toString)
     var total = 0L
     while (m.find()) total += encodeCached(m.group(), e).length
     total
@@ -84,7 +104,7 @@ object BpeKernel {
     * (GPT-2 byte-level convention, space → Ġ) in document order. */
   def pieces(text: UTF8String, spec: String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val e = entry(spec)
-    val m = pattern.matcher(text.toString)
+    val m = matcherFor(e, text.toString)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     while (m.find()) {
       val ps = encodeCached(m.group(), e)
@@ -100,8 +120,9 @@ object BpeKernel {
   * run the published BPE merge loop per pretoken, sum. Merge lines must
   * not contain '\n' (they are newline-joined into the spec literal).
   */
-case class BpeTokenCount(child: Expression, mergeLines: Seq[String]) extends UnaryExpression {
-  private val spec = BpeKernel.encode(mergeLines)
+case class BpeTokenCount(child: Expression, mergeLines: Seq[String],
+    byteLevel: Boolean = false) extends UnaryExpression {
+  private val spec = BpeKernel.encode(mergeLines, byteLevel)
   require(!mergeLines.exists(_.contains("\n")), "merge lines must not contain newlines")
 
   override def dataType: DataType = LongType
@@ -128,8 +149,9 @@ case class BpeTokenCount(child: Expression, mergeLines: Seq[String]) extends Una
   * equals [[BpeTokenCount]] by construction (countTokens delegates to the
   * piece encoder), and the pieces reconstruct the input exactly.
   */
-case class BpeTokens(child: Expression, mergeLines: Seq[String]) extends UnaryExpression {
-  private val spec = BpeKernel.encode(mergeLines)
+case class BpeTokens(child: Expression, mergeLines: Seq[String],
+    byteLevel: Boolean = false) extends UnaryExpression {
+  private val spec = BpeKernel.encode(mergeLines, byteLevel)
   require(!mergeLines.exists(_.contains("\n")), "merge lines must not contain newlines")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

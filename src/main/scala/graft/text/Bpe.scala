@@ -171,6 +171,84 @@ object Bpe {
     Seq("#version: 0.2") ++ merges.result()
   }
 
+  /** The published GPT-2 bytes→unicode table (openai/gpt-2 encoder.py's
+    * `bytes_to_unicode`): printable-byte ranges 33–126, 161–172, 174–255
+    * map to themselves; the remaining 68 bytes map, in increasing byte
+    * order, to codepoints 256 + n — so byte 0x20 (space) becomes Ġ
+    * (U+0120), 0x0A (newline) Ċ, 0x09 (tab) ĉ. Every byte gets a
+    * PRINTABLE single-char spelling, which is what lets byte-level BPE
+    * store its vocab as plain strings and encode ANY byte sequence with
+    * zero unknown tokens.
+    */
+  val ByteEncoder: Array[Char] = {
+    val enc = new Array[Char](256)
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (direct(b)) enc(b) = b.toChar
+      else { enc(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    enc
+  }
+
+  /** Inverse of [[ByteEncoder]]: mapped char → original byte. */
+  val ByteDecoder: Map[Char, Byte] =
+    ByteEncoder.iterator.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** The published GPT-2 pretokenizer regex (contractions, optionally
+    * space-prefixed letter/digit/symbol runs, whitespace with the
+    * trailing-run lookahead). Compile with UNICODE_CHARACTER_CLASS so
+    * `\s` matches Unicode whitespace (NBSP, U+2028, …) exactly as the
+    * Python `regex` module the published tokenizer uses.
+    */
+  val Gpt2SplitPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** Compiled [[Gpt2SplitPattern]] with Unicode character classes — build
+    * matchers from this, never recompile per row.
+    */
+  val Gpt2SplitCompiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      Gpt2SplitPattern, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** BYTE-LEVEL encode of one pretoken — the published GPT-2 algorithm:
+    * UTF-8-encode the pretoken, spell each byte via [[ByteEncoder]]
+    * (one initial symbol PER BYTE, so a 3-byte CJK char starts as three
+    * symbols), then run the same lowest-rank-first merge loop as
+    * [[encodeTokens]]. With a real GPT-2 merges.txt the result is
+    * byte-identical to the production tokenizer; non-ASCII text gets
+    * byte-fallback granularity instead of the codepoint mode's
+    * char-per-symbol approximation.
+    */
+  def encodeByteTokens(pretoken: String, ranks: Map[(String, String), Int]): Array[String] = {
+    if (pretoken.isEmpty) return Array.empty
+    val bytes = pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val symbols = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      symbols(i) = String.valueOf(ByteEncoder(bytes(i) & 0xff))
+      i += 1
+    }
+    mergeLoop(symbols, ranks)
+  }
+
+  /** Map a byte-level piece (or joined pieces) back to its original
+    * bytes — the decode half of the [[ByteEncoder]] round trip.
+    */
+  def decodePieceBytes(piece: String): Array[Byte] = {
+    val out = new Array[Byte](piece.length)
+    var i = 0
+    while (i < piece.length) {
+      out(i) = ByteDecoder.getOrElse(piece.charAt(i),
+        throw new IllegalArgumentException(
+          s"not a byte-level BPE piece char: U+${piece.charAt(i).toInt.toHexString} in '$piece'"))
+      i += 1
+    }
+    out
+  }
+
   /** Token count of one pretoken after applying `ranks` to exhaustion. */
   def countTokens(pretoken: String, ranks: Map[(String, String), Int]): Int =
     encodeTokens(pretoken, ranks).length
@@ -183,8 +261,19 @@ object Bpe {
     */
   def encodeTokens(pretoken: String, ranks: Map[(String, String), Int]): Array[String] = {
     if (pretoken.isEmpty) return Array.empty
-    var symbols: Array[String] =
-      pretoken.iterator.map(c => if (c == ' ') "Ġ" else c.toString).toArray
+    mergeLoop(pretoken.iterator.map(c => if (c == ' ') "Ġ" else c.toString).toArray, ranks)
+  }
+
+  /** The published merge loop shared by the codepoint and byte-level
+    * encoders: find the lowest-ranked adjacent pair, merge ALL its
+    * non-overlapping occurrences left to right, repeat until no adjacent
+    * pair holds a rank. (Each distinct pair has a distinct rank —
+    * zipWithIndex — so "rank == best" selects exactly one bigram per
+    * round, the same bigram the published `min(pairs, key=rank)` picks.)
+    */
+  private def mergeLoop(
+      symbols0: Array[String], ranks: Map[(String, String), Int]): Array[String] = {
+    var symbols = symbols0
     var done = false
     while (!done && symbols.length > 1) {
       var best = Int.MaxValue

@@ -56,6 +56,27 @@ object TextAnalysis {
   def bpeTokensReal(text: Column, mergeLines: Seq[String] = Bpe.DemoMerges): Column =
     SqlBridge.column(graft.functions.BpeTokens(SqlBridge.expression(text), mergeLines))
 
+  /** BYTE-LEVEL BPE token count — the production GPT-2/tiktoken
+    * convention: the published split regex ([[Bpe.Gpt2SplitPattern]],
+    * Unicode `\s`), UTF-8 bytes spelled through [[Bpe.ByteEncoder]]
+    * (one initial symbol per BYTE), then the merge loop. With a real
+    * merges.txt the counts are byte-identical to the published
+    * tokenizer; differs from [[bpeTokenCountReal]] exactly where
+    * codepoint pretokenization diverges from byte fallback (non-ASCII).
+    */
+  def bpeTokenCountBytes(text: Column, mergeLines: Seq[String] = Bpe.DemoMerges): Column =
+    SqlBridge.column(graft.functions.BpeTokenCount(
+      SqlBridge.expression(text), mergeLines, byteLevel = true))
+
+  /** The byte-level piece array under the same table — `size` equals
+    * [[bpeTokenCountBytes]]; decoding each piece char through
+    * [[Bpe.ByteDecoder]] and re-assembling reconstructs the text's
+    * UTF-8 bytes exactly.
+    */
+  def bpeTokensBytes(text: Column, mergeLines: Seq[String] = Bpe.DemoMerges): Column =
+    SqlBridge.column(graft.functions.BpeTokens(
+      SqlBridge.expression(text), mergeLines, byteLevel = true))
+
   /** Count of tokens present in `words`. */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
