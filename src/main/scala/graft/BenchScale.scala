@@ -569,6 +569,30 @@ object BenchScale {
       println(s"[scale] lang-id classified: $classified docs")
     }
 
+    // Aho–Corasick blocklist: WARM scan time must stay FLAT as the list
+    // grows 1k → 10k → 100k entries (the automaton is interned once per
+    // JVM — its build is timed separately below — and the per-doc scan
+    // is O(text) with O(1) per char) — the property the regex
+    // alternation form loses at production list sizes. The hitting
+    // entries (w0..w999, overlapping the doc vocab) are IDENTICAL at
+    // every size so hit-handling work is constant; growth entries are
+    // zz-prefixed non-hitters.
+    {
+      import graft.text.TextAnalysis
+      Seq(1000, 10000, 100000).foreach { listSize =>
+        val words = (0 until 1000).map(i => s"w$i") ++
+          (1000 until listSize).map(i => s"zzpad$i")
+        val col0 = TextAnalysis.blocklistHitsAho(col("text"), words).as("h")
+        timed(s"blocklist AC build+first scan ($nDocs docs, $listSize entries)") {
+          docs.select(col0).agg(sum("h")).head().getLong(0)
+        }
+        val hits = timed(s"blocklist AC warm scan ($nDocs docs, $listSize entries)") {
+          docs.select(col0).agg(sum("h")).head().getLong(0)
+        }
+        println(s"[scale] blocklist hits at $listSize entries: $hits")
+      }
+    }
+
     // 1-bit binary tier at corpus scale: one tree-aggregated threshold
     // pass, one fused pack + pop-count Hamming heap scan (8 bytes per 64
     // dims touched), candidate-only exact rescore; recall vs the exact

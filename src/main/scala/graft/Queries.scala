@@ -751,6 +751,34 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // BLOCKLIST AT PRODUCTION LIST SIZE: the Aho–Corasick kernel over a
+    // planted 4004-entry list (the C4 badwords order of magnitude) —
+    // one O(text) scan per doc regardless of list size, where the regex
+    // alternation's compiled NFA degrades. The 4000 generated entries
+    // badword0000–badword3999 collapse to a compact character-class
+    // regex for the oracle (identical language; entries are mutually
+    // prefix-free so alternation order cannot matter). Planted rows
+    // exercise mixed case, phrase + hyphen entries, superstring and
+    // not-an-entry negatives, and hyphen-boundary hits.
+    "blocklist_filter_large" -> ((spark, dir) => {
+      import spark.implicits._
+      val words = (0 until 4000).map(i => f"badword$i%04d") ++
+        Seq("contraband", "verboten", "big bad phrase", "e-mail")
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val planted = Seq(
+        (800001L, "Prefix Badword0042 then badword3999x and badword99 end"),
+        (800002L, "A big bad phrase and an e-mail; E-MAIL too"),
+        (800003L, "badword0000, badword0001, badword0002!"),
+        (800004L, "pre-badword0100-post hyphens are boundaries"),
+        (800005L, "badword4000 is out of range; big bad phrases is a superstring"))
+        .toDF("doc_id", "text")
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          TextAnalysis.blocklistHitsAho(col("text"), words).as("n_flagged"))
+        .withColumn("keep", (col("n_flagged") === 0).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 TEXT NORMALIZATION — the pre-tokenizer pass every pipeline
     // runs before anything byte-sensitive: Unicode NFC (kernel; DuckDB's
     // nfc_normalize implements the same UAX #15 composition), CRLF→LF, C0
@@ -5573,6 +5601,25 @@ object Queries {
         |  FROM documents WHERE doc_id < 8),
         |f AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '(?i)\b(blacksite|contraband|verboten)\b', 0)) AS BIGINT) AS n_flagged
+        |  FROM all_docs)
+        |SELECT doc_id, n_flagged,
+        |  CAST(CASE WHEN n_flagged = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // the 4000 generated entries ARE the compact character class (same
+    // language; entries mutually prefix-free, so alternation order is
+    // irrelevant and RE2 replays the Aho–Corasick counts exactly)
+    "blocklist_filter_large" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+        |    (800001, 'Prefix Badword0042 then badword3999x and badword99 end'),
+        |    (800002, 'A big bad phrase and an e-mail; E-MAIL too'),
+        |    (800003, 'badword0000, badword0001, badword0002!'),
+        |    (800004, 'pre-badword0100-post hyphens are boundaries'),
+        |    (800005, 'badword4000 is out of range; big bad phrases is a superstring')
+        |  ) v(doc_id, text)),
+        |f AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '(?i)\b(badword[0-3][0-9][0-9][0-9]|big bad phrase|contraband|e-mail|verboten)\b', 0)) AS BIGINT) AS n_flagged
         |  FROM all_docs)
         |SELECT doc_id, n_flagged,
         |  CAST(CASE WHEN n_flagged = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep

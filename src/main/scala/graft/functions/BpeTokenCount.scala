@@ -22,9 +22,14 @@ object BpeKernel {
   /** Reference-equality fast path: codegen deserializes ONE spec String
     * per task and passes that same instance every row, so after the first
     * row of a task this resolves in O(1) with zero content compares.
-    * Racy-but-safe single-slot memo (worst case: an extra map lookup).
+    * Per-THREAD memo, not a shared slot — concurrent tasks hold different
+    * String instances of the same spec, so a shared slot would thrash
+    * between them and every miss pays a full spec-length `equals` in the
+    * map probe (at a production 50k-merge ≈0.5 MB spec, a per-row memcmp
+    * that dominates the scan). One task per thread makes the ThreadLocal
+    * hit by reference on every row after the task's first.
     */
-  @volatile private var lastResolved: (String, SpecEntry) = null
+  private val lastResolved = new ThreadLocal[(String, SpecEntry)]()
 
   private val pattern =
     java.util.regex.Pattern.compile(graft.text.TextAnalysis.BpeTokenPattern)
@@ -45,14 +50,14 @@ object BpeKernel {
   }
 
   private def entry(spec: String): SpecEntry = {
-    val l = lastResolved
+    val l = lastResolved.get()
     if (l != null && (l._1 eq spec)) l._2
     else {
       val e = entries.computeIfAbsent(spec, s =>
         new SpecEntry(nextId.getAndIncrement(),
           graft.text.Bpe.loadMerges(s.split("\n", -1)),
           s.startsWith(ByteLevelHeader)))
-      lastResolved = (spec, e)
+      lastResolved.set((spec, e))
       e
     }
   }

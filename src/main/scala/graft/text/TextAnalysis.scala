@@ -199,18 +199,29 @@ object TextAnalysis {
     * smuggle in; sorted so the pattern — and every count derived from it —
     * is independent of caller list order.
     */
-  def blocklistPattern(words: Seq[String]): String = {
+  def blocklistPattern(words: Seq[String]): String =
+    "(?i)\\b(" + blocklistValidated(words).mkString("|") + ")\\b"
+
+  /** Shared validation + canonical ordering for the regex and
+    * Aho–Corasick blocklist forms: every entry ASCII letters/digits with
+    * INTERIOR hyphens/spaces only (spaces admit C4-style multi-word
+    * phrases; both are regex-literal and RE2-safe), distinct, sorted —
+    * so the alternation order, and with it every same-start tie-break,
+    * is a pure function of the entry SET in both engines.
+    */
+  private[graft] def blocklistValidated(words: Seq[String]): Seq[String] = {
     require(words.nonEmpty, "blocklist must be non-empty")
     words.foreach { w =>
-      require(w.nonEmpty && w.forall(c => c < 128 && (c.isLetterOrDigit || c == '-')),
-        s"blocklist word '$w' must be ASCII letters/digits/hyphens only " +
+      require(w.nonEmpty &&
+          w.forall(c => c < 128 && (c.isLetterOrDigit || c == '-' || c == ' ')),
+        s"blocklist entry '$w' must be ASCII letters/digits/hyphens/spaces only " +
           "(Java (?i) folds ASCII case only; RE2 folds Unicode — a non-ASCII " +
-          "word would diverge between engines)")
-      require(!w.startsWith("-") && !w.endsWith("-"),
-        s"blocklist word '$w' has an edge hyphen — \\b would demand a word " +
-          "char beyond it and the word could never match")
+          "entry would diverge between engines)")
+      require(!"- ".exists(c => w.head == c || w.last == c),
+        s"blocklist entry '$w' has an edge hyphen/space — \\b would demand a " +
+          "word char beyond it and the entry could never match")
     }
-    "(?i)\\b(" + words.distinct.sorted.mkString("|") + ")\\b"
+    words.distinct.sorted
   }
 
   /** Number of blocklist hits in `text` — one codegen regexp pass; the
@@ -220,6 +231,16 @@ object TextAnalysis {
     */
   def blocklistHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(text, lit(blocklistPattern(words)), lit(0))).cast("long")
+
+  /** [[blocklistHits]]'s SCALE form: identical counts via an interned
+    * Aho–Corasick automaton ([[graft.functions.BlocklistAhoKernel]]) —
+    * one O(text) pass per document REGARDLESS of list size, where the
+    * alternation regex degrades with its compiled NFA at real blocklist
+    * sizes (10k–100k entries). Use the regex form for a handful of words
+    * (oracle-replayable in plain SQL), this one for production lists.
+    */
+  def blocklistHitsAho(text: Column, words: Seq[String]): Column =
+    SqlBridge.column(graft.functions.BlocklistHitsAho(SqlBridge.expression(text), words))
 
   /** C4 boilerplate cleaning as ONE narrow codegen pass (split → HOF
     * filter → rejoin — no shuffle, no UDF): returns `struct(clean_text,
