@@ -3509,6 +3509,36 @@ object Queries {
     // REDELIVERS a folded batch (totals are not idempotent — the
     // folded-ids sidecar must catch it or the row double-counts), and the
     // converged profile must equal the batch GROUP BY row-for-row.
+    // UNBOUNDED cross-batch exact dedup (dedupExactSink — the digest twin
+    // of nearDupSink): stream_dedup's dropDuplicatesWithinWatermark state
+    // is watermark-bounded, so a late duplicate silently re-admits; this
+    // sink's manifested digest table has no horizon. The replay is
+    // adversarial on purpose: every duplicate pair STRADDLES batches
+    // (copies arrive in batch 0, originals only later — beyond any
+    // watermark), the SMALLER id arrives LAST (a first-wins left-anti
+    // design would keep the copy; the mergeable min-fold must keep the
+    // original), compaction folds mid-stream, and a folded batch is
+    // REDELIVERED (must skip via the folded-ids sidecar, not double-count
+    // n_dups). Converged groups must equal batch dedup_exact row-for-row.
+    "stream_dedup_exact" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("stream_de_idx").toString
+      val sink = graft.streaming.StreamingOps.dedupExactSink(spark, idxDir)
+      withStreamParts(spark) {
+        sink(copies, 0L)
+        sink(docs.filter(col("doc_id") % 2 === 0), 1L)
+        graft.streaming.StreamingOps.compactDedupExact(spark, idxDir)
+        sink(copies, 0L) // folded-id replay: must skip, not double-count
+        sink(docs.filter(col("doc_id") % 2 === 1), 2L)
+      }
+      graft.streaming.StreamingOps.dedupExactMaintained(spark, idxDir)
+        .select(col("digest"), col("keep_id").cast("long").as("keep_id"),
+          col("n_dups").cast("long").as("n_dups"))
+        .orderBy("keep_id")
+    }),
+
     "stream_corpus_profile" -> ((spark, dir) => {
       val docs = t(spark, dir, "documents")
         .select("doc_id", "source", "lang", "text", "n_chars")
@@ -3694,6 +3724,97 @@ object Queries {
     "pipeline_curate" -> ((spark, dir) => {
       graft.pipeline.Curation.curate(
           t(spark, dir, "documents"), t(spark, dir, "embeddings"))
+        .orderBy("doc_id")
+    }),
+
+    // WARC INGESTION (ISO 28500 DataSource V2): synthesize archives
+    // in-query from the documents table — two uncompressed shards (read
+    // with 8 KB maxPartitionBytes, forcing record-boundary splits + sync)
+    // and one gzip member-per-record shard (the CommonCrawl layout) —
+    // then read back through spark.read.format("warc") with the
+    // record_type predicate PUSHED (every doc also emits a metadata
+    // record the scan must skip without materializing payload). Output
+    // hash-matches the known records: the oracle rebuilds each payload
+    // from the same documents rows and md5s it.
+    "warc_ingest" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 240).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("warc_q").toString
+      def payload(tx: String): Array[Byte] =
+        s"<doc>$tx</doc>".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def rec(id: Long, rtype: String, pl: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord(rtype, s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z", "text/plain", pl)
+      val shards = docs.groupBy { case (id, _) => (id % 3).toInt }
+      (0 to 1).foreach { s =>
+        val bytes = shards.getOrElse(s, Array.empty[(Long, String)]).flatMap {
+          case (id, tx) => rec(id, "response", payload(tx)) ++
+            rec(id, "metadata", "meta".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, s"shard$s.warc"), bytes)
+      }
+      val gz = shards.getOrElse(2, Array.empty[(Long, String)]).flatMap {
+        case (id, tx) =>
+          graft.sources.WarcFormat.gzipMember(rec(id, "response", payload(tx))) ++
+            graft.sources.WarcFormat.gzipMember(
+              rec(id, "metadata", "meta".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "shard2.warc.gz"), gz)
+      spark.read.format("warc").option("maxPartitionBytes", "8192").load(out)
+        .filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // FULL INGEST PIPELINE: warc → extractMarkup → c4CleanLines → exact
+    // dedup — the chain a raw-crawl corpus actually runs. Fixtures wrap
+    // each document in real HTML (style block whose braces would
+    // page-flag c4 if extraction didn't strip it FIRST — stage order is
+    // load-bearing); doc_id < 15 also ships an exact-duplicate record
+    // under a different URI (dedup must fold it, n_dups = 2) and
+    // doc_id < 10 a request-type record (pushed filter must drop it).
+    "pipeline_ingest" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 120).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("warc_pipe_q").toString
+      val pre = "<html><head><title>Doc</title><style>p { margin: 0; }</style>" +
+        "</head><body><p>This is a good line with punctuation.</p><p>"
+      val post = ".</p><p>Tom &amp; Jerry win.</p></body></html>"
+      def rec(id: Long, rtype: String, pl: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord(rtype, s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z", "application/http", pl)
+      def payload(tx: String): Array[Byte] =
+        (pre + tx + post).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (0 to 1).foreach { s =>
+        val bytes = docs.filter(_._1 % 2 == s).flatMap {
+          case (id, tx) => rec(id, "response", payload(tx))
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, s"f$s.warc"), bytes)
+      }
+      val gz = docs.filter(_._1 < 15).flatMap { case (id, tx) =>
+        graft.sources.WarcFormat.gzipMember(rec(id + 500000, "response", payload(tx)))
+      } ++ docs.filter(_._1 < 10).flatMap { case (id, _) =>
+        graft.sources.WarcFormat.gzipMember(rec(id + 900000, "request",
+          "GET /".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "f2.warc.gz"), gz)
+      val recs = spark.read.format("warc").option("maxPartitionBytes", "8192").load(out)
+        .filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("rec_id"),
+          col("payload").cast("string").as("html"))
+      val c4 = recs
+        .withColumn("c4", TextAnalysis.c4CleanLines(TextAnalysis.extractMarkup(col("html"))))
+        .select(col("rec_id"), col("c4.clean_text").as("clean_text"),
+          col("c4.n_kept").as("n_kept"), col("c4.page_dropped").as("page_dropped"))
+        .filter(col("page_dropped") === 0)
+      val keeps = graft.dedup.Dedup.exactGroups(c4, idCol = "rec_id", textCol = "clean_text")
+      c4.join(keeps, c4("rec_id") === keeps("keep_id"))
+        .select(col("rec_id").as("doc_id"), col("n_kept"), col("n_dups"),
+          md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
     }),
 
@@ -5846,6 +5967,14 @@ object Queries {
         |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
         |SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM all_docs GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // the maintained digest log converges to the batch operator exactly,
+    // so the oracle is dedup_exact's, verbatim (same planted union)
+    "stream_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM all_docs GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "multimodal_meta" ->
       "SELECT vec_id, CAST(4*len(embedding) AS BIGINT) AS payload_len, CAST(len(embedding) AS BIGINT) AS dim, 'embedding' AS kind FROM embeddings ORDER BY vec_id",
     // mirrors DecodeStub: frameSize = max(nBytes//4, 1), 4 frames kept,
@@ -6189,6 +6318,46 @@ object Queries {
         |    ORDER BY CAST(concat('0x', substr(md5(concat('s', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000, doc_id) AS qrank
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE qrank <= 150 ORDER BY doc_id""".stripMargin,
+    // WARC framing is transparent on read-back, so the oracle simply
+    // rebuilds each record's payload from the same documents rows; the
+    // metadata-record and gzip/split plumbing can only show up as extra,
+    // missing, or corrupted rows — all hash-visible
+    "warc_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
+        |  md5('<doc>' || text || '</doc>') AS payload_md5
+        |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
+    // the full ingest chain replayed: payload build → the html_extract
+    // regexp chain → the c4_clean line filter → min-id exact dedup over
+    // clean_text (duplicate records fold, n_dups proves they were seen)
+    "pipeline_ingest" ->
+      """WITH orig AS (SELECT doc_id,
+        |    '<html><head><title>Doc</title><style>p { margin: 0; }</style></head><body><p>This is a good line with punctuation.</p><p>'
+        |    || text ||
+        |    '.</p><p>Tom &amp; Jerry win.</p></body></html>' AS html
+        |  FROM documents WHERE doc_id < 120),
+        |ad AS (SELECT doc_id, html FROM orig
+        |  UNION ALL SELECT doc_id + 500000, html FROM orig WHERE doc_id < 15),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->', ' ', 'g') AS t FROM ad),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?i)</p[ \t]*>|</h[1-6]>|</li>|</div>|</tr>|<br[^>]*>', chr(10), 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '( ?\n ?)+', chr(10), 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS clean0 FROM s6),
+        |c0 AS (SELECT doc_id, clean0, string_split(clean0, chr(10)) AS lines,
+        |  (contains(lower(clean0), 'lorem ipsum') OR contains(clean0, '{')) AS flag FROM s7),
+        |c1 AS (SELECT doc_id, list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+        |    AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM c0 WHERE NOT flag),
+        |c2 AS (SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text FROM c1),
+        |g AS (SELECT md5(clean_text) AS d, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups FROM c2 GROUP BY md5(clean_text))
+        |SELECT c2.doc_id, c2.n_kept, g.n_dups, md5(c2.clean_text) AS clean_md5
+        |FROM c2 JOIN g ON c2.doc_id = g.keep_id ORDER BY doc_id""".stripMargin,
     "pipeline_curate" -> {
       val en = TextAnalysis.StopWords.head._2.map(w => s"'$w'").mkString(",")
       def cnt(words: Seq[String]) =

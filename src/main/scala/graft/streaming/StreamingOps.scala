@@ -3972,6 +3972,125 @@ object StreamingOps {
     })
   }
 
+  // ------------------------------------------- unbounded exact-dedup sink
+
+  private def deMetaPath(indexDir: String) = s"$indexDir/de_meta"
+  private def deDigDir(indexDir: String) = s"$indexDir/dig"
+
+  /** UNBOUNDED cross-batch exact dedup — the digest twin of
+    * [[nearDupSink]], closing `stream_dedup`'s one semantic gap: Spark's
+    * `dropDuplicatesWithinWatermark` bounds its state by the watermark,
+    * so a duplicate arriving AFTER the watermark silently re-admits. This
+    * sink's state is a manifested on-disk digest table — 16-byte md5 +
+    * id + count per DISTINCT document, never the corpus text — so the
+    * dedup horizon is the stream's whole lifetime at any corpus size.
+    *
+    * The state rows are MERGEABLE AGGREGATES, not a kept-id set: each
+    * batch appends its per-digest `(digest, min(id), count)` — one
+    * partial-agg pass over the batch, O(batch) appended — and the read
+    * folds `min`/`sum` across segments. That is why convergence to the
+    * batch operator is EXACT and batch-split-independent: a first-wins
+    * left-anti against accumulated digests would freeze whichever id
+    * arrived first, diverging from [[graft.dedup.Dedup.exactGroups]]'
+    * min-id rule the moment a smaller id shows up in a later batch,
+    * while the min-fold is order-blind by construction. Same protocol as
+    * [[corpusProfileSink]]: per-batch manifest merge as the commit
+    * marker (a lost delta file fails the next read loudly), exact-batch
+    * replays skip via the manifest, post-compaction redeliveries skip
+    * via the folded-ids sidecar (counts are not idempotent), restarts
+    * against a half-initialized dir refuse.
+    *
+    * Read the converged groups with [[dedupExactMaintained]] — equal
+    * row-for-row to batch `Dedup.exactGroups` over everything ingested —
+    * or anti-join new data against its `keep_id`s; compact with
+    * [[compactDedupExact]].
+    */
+  def dedupExactSink(
+      spark: SparkSession,
+      indexDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) => Unit = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val digDir = deDigDir(indexDir)
+    if (!graft.io.HadoopIO.exists(deMetaPath(indexDir), hconf)) {
+      seedDeltaManifests(Seq(digDir), hconf)
+      // meta LAST: the init commit marker
+      Seq((idCol, textCol)).toDF("id_col", "text_col")
+        .coalesce(1).write.mode("overwrite").parquet(deMetaPath(indexDir))
+    } else {
+      val r = spark.read.parquet(deMetaPath(indexDir)).select("id_col", "text_col").head()
+      require(r.getString(0) == idCol && r.getString(1) == textCol,
+        s"exact-dedup state at $indexDir was maintained over (${r.getString(0)}, " +
+          s"${r.getString(1)}); restarting with ($idCol, $textCol) would mix " +
+          "incomparable digests — delete the directory or pass matching columns")
+      requireCommittedManifests("exact-dedup", indexDir, Seq(digDir),
+        "compactDedupExact", hconf)
+    }
+
+    (batch: DataFrame, batchId: Long) => {
+      val sess = batch.sparkSession
+      val conf = sess.sparkContext.hadoopConfiguration
+      val committed = graft.io.Manifest.read(digDir, conf).getOrElse(Seq.empty)
+        .exists(_.name.startsWith(s"batch=$batchId/")) ||
+        foldedBatchIds(sess, indexDir).contains(batchId)
+      if (!committed) {
+        graft.io.HadoopIO.delete(s"$digDir/batch=$batchId", conf)
+        batch
+          .groupBy(md5(col(textCol)).as("digest"))
+          .agg(min(col(idCol).cast("long")).as("keep_id"),
+            count(lit(1)).as("n_dups"))
+          .write.parquet(s"$digDir/batch=$batchId")
+        // manifest merge LAST = the commit marker
+        replaceBatchManifest(digDir, s"batch=$batchId", conf)
+      }
+    }
+  }
+
+  /** The converged exact-dedup groups a [[dedupExactSink]] directory
+    * serves: (digest, keep_id, n_dups), equal row-for-row to batch
+    * [[graft.dedup.Dedup.exactGroups]] over the union of committed
+    * batches — regardless of how the stream split them, including a
+    * duplicate pair straddling batches beyond any watermark. The fold
+    * reads digest rows (16 B + id + count per distinct doc), never text.
+    */
+  def dedupExactMaintained(spark: SparkSession, indexDir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(graft.io.HadoopIO.exists(deMetaPath(indexDir), hconf),
+      s"no de_meta sidecar under $indexDir — not an exact-dedup dir")
+    val digDir = deDigDir(indexDir)
+    validateDelta(digDir, hconf)
+    val entries = graft.io.Manifest.read(digDir, hconf).get
+    if (entries.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)].toDF("digest", "keep_id", "n_dups")
+    }
+    hhReadManifested(spark, digDir)
+      .groupBy("digest")
+      .agg(min("keep_id").as("keep_id"), sum("n_dups").as("n_dups"))
+  }
+
+  /** Fold the digest log back to one segment per digest set. Goes through
+    * the shared [[compactDeltaLog]] crash protocol (folded-ids sidecar
+    * lands before the destructive swap, so a batch redelivered after its
+    * segment was folded away skips instead of double-counting its
+    * `n_dups`). Run while the stream is stopped. The fold stays
+    * distributed — digest state is corpus-cardinality-sized, so unlike
+    * the bounded profile/heavy-hitter folds nothing is collected.
+    */
+  def compactDedupExact(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    require(graft.io.HadoopIO.exists(deMetaPath(indexDir), hconf),
+      s"no de_meta sidecar under $indexDir — not an exact-dedup dir")
+    compactDeltaLog(spark, indexDir, "dig", () => {
+      val folded = hhReadManifested(spark, deDigDir(indexDir))
+        .groupBy("digest")
+        .agg(min("keep_id").as("keep_id"), sum("n_dups").as("n_dups"))
+      (tmpDir: String) =>
+        folded.write.parquet(s"$tmpDir/batch=compacted")
+    })
+  }
+
   // ------------------------------------------- weighted-sample reservoir sink
 
   private def wsMetaPath(indexDir: String) = s"$indexDir/ws_meta"

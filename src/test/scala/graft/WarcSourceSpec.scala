@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.sources.WarcFormat
+
+class WarcSourceSpec extends SparkTestBase {
+
+  private def rec(i: Int, rtype: String, payload: String): Array[Byte] =
+    WarcFormat.buildRecord(rtype, s"<urn:uuid:rec-$i>", s"http://example.com/p/$i",
+      "2024-01-01T00:00:00Z", "text/plain", payload.getBytes("UTF-8"))
+
+  private def writeFile(dir: String, name: String, bytes: Array[Byte]): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, bytes)
+    p.toString
+  }
+
+  private def tmp(): String = Files.createTempDirectory("warc_spec").toString
+
+  test("round trip: all columns, offsets, multiple records") {
+    val dir = tmp()
+    val r0 = rec(0, "response", "hello world")
+    val r1 = rec(1, "request", "GET /")
+    val r2 = rec(2, "conversion", "extracted text")
+    writeFile(dir, "a.warc", r0 ++ r1 ++ r2)
+    val got = spark.read.format("warc").load(dir)
+      .orderBy("offset").collect()
+    assert(got.length === 3)
+    val row0 = got(0)
+    assert(row0.getAs[Long]("offset") === 0L)
+    assert(row0.getAs[String]("record_id") === "<urn:uuid:rec-0>")
+    assert(row0.getAs[String]("record_type") === "response")
+    assert(row0.getAs[String]("target_uri") === "http://example.com/p/0")
+    assert(row0.getAs[String]("warc_date") === "2024-01-01T00:00:00Z")
+    assert(row0.getAs[String]("content_type") === "text/plain")
+    assert(row0.getAs[Long]("content_length") === 11L)
+    assert(new String(row0.getAs[Array[Byte]]("payload"), "UTF-8") === "hello world")
+    assert(got(1).getAs[Long]("offset") === r0.length.toLong)
+    assert(got(2).getAs[Long]("offset") === (r0.length + r1.length).toLong)
+    assert(new String(got(2).getAs[Array[Byte]]("payload"), "UTF-8") === "extracted text")
+  }
+
+  test("record_type pushdown shows in the plan and filters records") {
+    val dir = tmp()
+    writeFile(dir, "a.warc",
+      rec(0, "warcinfo", "info") ++ rec(1, "response", "page one") ++
+        rec(2, "request", "GET /") ++ rec(3, "response", "page two"))
+    val df = spark.read.format("warc").load(dir)
+      .filter(col("record_type") === "response")
+      .select("target_uri", "payload")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("record_type"),
+      s"pushed filter missing from plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).sorted
+      === Array("page one", "page two"))
+  }
+
+  test("column pruning: headers-only projection drops payload from ReadSchema") {
+    val dir = tmp()
+    writeFile(dir, "a.warc", rec(0, "response", "x" * 10000))
+    val df = spark.read.format("warc").load(dir).select("target_uri", "content_length")
+    assert(df.queryExecution.executedPlan.schema.fieldNames.toSet
+      === Set("target_uri", "content_length"))
+    assert(df.head().getLong(1) === 10000L)
+  }
+
+  test("record-boundary splits: many small splits, no loss, no duplication") {
+    val dir = tmp()
+    // payloads carry DECOY magic: separator + version line with an
+    // invalid header block — the sync validator must reject them
+    val decoy = "\r\n\r\nWARC/1.0\r\nnot a header line\r\n\r\n"
+    val recs = (0 until 50).map(i => rec(i, "response", s"payload $i $decoy tail " + ("y" * (i * 7))))
+    writeFile(dir, "a.warc", recs.reduce(_ ++ _))
+    val full = spark.read.format("warc").load(dir)
+    val split = spark.read.format("warc").option("maxPartitionBytes", "1024").load(dir)
+    assert(split.rdd.getNumPartitions > 5, s"expected many splits, got ${split.rdd.getNumPartitions}")
+    val a = full.select("record_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted
+    val b = split.select("record_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted
+    assert(a.length === 50)
+    assert(b.toSeq === a.toSeq)
+    // payload integrity across split reads
+    val sums = split.select(sum(length(col("payload"))), sum(col("content_length"))).head()
+    assert(sums.getLong(0) === sums.getLong(1))
+  }
+
+  test("gzip member-per-record reads all records with uncompressed offsets") {
+    val dir = tmp()
+    val recs = (0 until 5).map(i => rec(i, if (i % 2 == 0) "response" else "metadata", s"gz payload $i"))
+    val gz = recs.map(WarcFormat.gzipMember).reduce(_ ++ _)
+    writeFile(dir, "a.warc.gz", gz)
+    val df = spark.read.format("warc").load(dir).orderBy("offset")
+    assert(df.rdd.getNumPartitions === 1) // gzip: one partition per file
+    val rows = df.collect()
+    assert(rows.length === 5)
+    assert(rows(0).getAs[Long]("offset") === 0L)
+    assert(rows(1).getAs[Long]("offset") === recs(0).length.toLong) // UNCOMPRESSED offsets
+    assert(new String(rows(4).getAs[Array[Byte]]("payload"), "UTF-8") === "gz payload 4")
+    // pushdown on the gz path too
+    assert(spark.read.format("warc").load(dir)
+      .filter(col("record_type") === "response").count() === 3)
+  }
+
+  test("torn records fail loudly: short payload, missing trailer, mid-header EOF") {
+    def readAll(bytes: Array[Byte]): Unit = {
+      val dir = tmp()
+      writeFile(dir, "torn.warc", bytes)
+      spark.read.format("warc").load(dir).collect()
+    }
+    val good = rec(0, "response", "complete payload")
+    // EOF inside the payload
+    val e1 = intercept[org.apache.spark.SparkException](
+      readAll(good ++ rec(1, "response", "x" * 100).dropRight(60)))
+    assert(e1.getMessage.contains("torn WARC") || e1.getCause.getMessage.contains("torn WARC"))
+    // missing trailing CRLFCRLF
+    val e2 = intercept[org.apache.spark.SparkException](readAll(good.dropRight(2)))
+    assert(e2.getMessage.contains("WARC") || e2.getCause.getMessage.contains("WARC"))
+    // EOF mid-header
+    val e3 = intercept[org.apache.spark.SparkException](readAll(good.take(20)))
+    assert(e3.getMessage.contains("WARC") || e3.getCause.getMessage.contains("WARC"))
+    // not a WARC file at all
+    val e4 = intercept[org.apache.spark.SparkException](readAll("not a warc\r\n".getBytes))
+    assert(e4.getMessage.contains("WARC") || e4.getCause.getMessage.contains("WARC"))
+  }
+
+  test("multiple files in a directory, deterministic union") {
+    val dir = tmp()
+    writeFile(dir, "a.warc", rec(0, "response", "from a"))
+    writeFile(dir, "b.warc", rec(1, "response", "from b"))
+    writeFile(dir, "c.warc.gz", WarcFormat.gzipMember(rec(2, "response", "from c")))
+    writeFile(dir, "ignored.txt", "not warc".getBytes)
+    val got = spark.read.format("warc").load(dir)
+      .select("record_id").collect().map(_.getString(0)).sorted
+    assert(got === Array("<urn:uuid:rec-0>", "<urn:uuid:rec-1>", "<urn:uuid:rec-2>"))
+  }
+}
