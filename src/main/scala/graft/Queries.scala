@@ -3276,6 +3276,28 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // BYTE-LEVEL tokenization over the REAL corpus (token_count_bpe_bytes
+    // pins planted hand-derived counts; this row exercises every document):
+    // n_pieces must equal the count kernel, and decoding each piece char
+    // through the bytes→unicode table must reconstruct the document's
+    // UTF-8 bytes exactly — expressed as translate(joined pieces,
+    // mapped-alphabet → raw bytes) == decode(encode(text,'UTF-8'),
+    // 'ISO-8859-1') (the latin-1 string whose chars ARE the utf-8 bytes).
+    // Flags collapse to a closed-form all-ones oracle.
+    "bpe_encode_bytes" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pieces = TextAnalysis.bpeTokensBytes(col("text"))
+      val mapped = new String(graft.text.Bpe.ByteEncoder)
+      val raw = new String(Array.tabulate(256)(_.toChar))
+      docs.select(col("doc_id"),
+          (size(pieces).cast("long") === TextAnalysis.bpeTokenCountBytes(col("text")))
+            .cast("long").as("count_consistent"),
+          (translate(array_join(pieces, ""), mapped, raw)
+            === decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))
+            .cast("long").as("round_trip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // §2.20 corpus statistics: token document frequency + IDF rarity score
     "token_df" -> ((spark, dir) => {
       TextAnalysis.tokenDocumentFrequency(t(spark, dir, "documents"))
@@ -6045,6 +6067,9 @@ object Queries {
         |  (1, 3), (2, 11), (3, 12), (4, 10), (5, 0), (6, 8), (7, 4), (8, 13), (9, 13), (10, 11))
         |v(doc_id, n) ORDER BY doc_id""".stripMargin,
     "bpe_encode" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS count_consistent, CAST(1 AS BIGINT) AS round_trip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "bpe_encode_bytes" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS count_consistent, CAST(1 AS BIGINT) AS round_trip_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "token_df" ->

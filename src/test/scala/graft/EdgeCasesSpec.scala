@@ -470,7 +470,14 @@ class EdgeCasesSpec extends SparkTestBase {
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(ex).exists(_.contains("non-positive weight")))
+    assert(messages(ex).exists(_.contains("non-positive or NaN weight")))
+    // NaN must raise too — NaN <= 0 is false, and a NaN key would sort
+    // above every real key, silently hijacking the sample
+    val exNan = intercept[Exception] {
+      graft.ops.Sampling.sampleWeighted(
+        Seq((1L, Double.NaN)).toDF("doc_id", "w"), "doc_id", "w", k = 1).count()
+    }
+    assert(messages(exNan).exists(_.contains("non-positive or NaN weight")))
     // the large-k approxQuantile pre-filter path (forced via
     // prefilterAbove = 1) selects the IDENTICAL set in the identical
     // order — the threshold only discards rows strictly below the k-th key
