@@ -3791,6 +3791,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // WARC WRITE path (the export half: curated corpus → archival
+    // interchange format): write documents as WET-style conversion
+    // records through df.write.format("warc") — gzip member-per-record,
+    // 4 partition files — read back through the DSv2 read path, and
+    // hash-match payloads + defaulted headers against the source rows.
+    "warc_write" -> ((spark, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("warc_wr_q").toString
+      t(spark, dir, "documents").filter(col("doc_id") < 300)
+        .select(lit("conversion").as("record_type"),
+          concat(lit("http://example.com/p/"), col("doc_id")).as("target_uri"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .repartition(4)
+        .write.format("warc").option("gzip", true).mode("overwrite").save(out)
+      spark.read.format("warc").load(out)
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("record_type"), col("content_type"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
     // FULL INGEST PIPELINE: warc → extractMarkup → c4CleanLines → exact
     // dedup — the chain a raw-crawl corpus actually runs. Fixtures wrap
     // each document in real HTML (style block whose braces would
@@ -6352,6 +6373,13 @@ object Queries {
         |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
         |  md5('<doc>' || text || '</doc>') AS payload_md5
         |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
+    // the write→read loop is payload-transparent, so the oracle is the
+    // source rows + the writer's documented defaults
+    "warc_write" ->
+      """SELECT doc_id, 'conversion' AS record_type, 'text/plain' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     // the full ingest chain replayed: payload build → the html_extract
     // regexp chain → the c4_clean line filter → min-id exact dedup over
     // clean_text (duplicate records fold, n_dups proves they were seen)

@@ -64,6 +64,12 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.schema
 
+  // the WRITE schema is the incoming frame's (payload + optional header
+  // columns) — narrower than the read schema (path/offset/content_length
+  // are read products), so the provider accepts external metadata and
+  // validates it in newWriteBuilder
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -71,7 +77,10 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "warc source requires a path: spark.read.format(\"warc\").load(dirOrFile)"))
-    new WarcTable(path)
+    // reads resolve with the inferred schema; writes hand the incoming
+    // frame's (narrower) schema through here — the table must echo it
+    // back or Spark demands read-product columns from the writer
+    new WarcTable(path, schema)
   }
 }
 
@@ -88,14 +97,36 @@ object WarcDataSource {
     StructField("payload", BinaryType, nullable = true)))
 }
 
-private[sources] class WarcTable(path: String) extends Table with SupportsRead {
+private[sources] class WarcTable(path: String, tableSchema: StructType) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc:$path"
-  override def schema(): StructType = WarcDataSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path,
       Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val s = info.schema()
+    val allowed = Set("record_type", "record_id", "target_uri", "warc_date",
+      "content_type", "payload")
+    val extra = s.fieldNames.filterNot(allowed)
+    require(extra.isEmpty,
+      s"warc write takes (payload binary[, record_type, record_id, target_uri, " +
+        s"warc_date, content_type string]) — unexpected column(s) ${extra.mkString(", ")} " +
+        "(path/offset/content_length are read products; project the rest away)")
+    require(s.fieldNames.contains("payload") &&
+        s.find(_.name == "payload").get.dataType == BinaryType,
+      "warc write needs payload: binary — encode(text, 'UTF-8') a string column first")
+    s.fields.filter(_.name != "payload").foreach(f =>
+      require(f.dataType == StringType,
+        s"warc write header column ${f.name} must be string, got ${f.dataType.catalogString}"))
+    new WarcWriteBuilder(path, s, info.options(), truncate = false)
+  }
 }
 
 private[sources] class WarcScanBuilder(path: String, maxPartitionBytes: Long)
@@ -533,4 +564,153 @@ object WarcFormat {
 
   private[sources] def utf8OrNull(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
+}
+
+// ----------------------------------------------------------------- write path
+
+/** `df.write.format("warc").save(dir)` — export a curated corpus back to
+  * the archival interchange format: one `part-<pid>.warc` file per input
+  * partition (`.option("gzip", true)` writes `part-<pid>.warc.gz` with one
+  * gzip MEMBER per record — the CommonCrawl layout, so a later read
+  * parallelizes on files and any member-aware tool can split). `payload`
+  * is required binary; header columns are optional strings with WET-style
+  * defaults (record_type `conversion`, content_type `text/plain`, a
+  * deterministic per-partition record id, epoch date). Task retries
+  * overwrite their own partition file (partition id names the artifact);
+  * empty partitions write nothing. Target must be empty unless
+  * `mode("overwrite")` — an append could interleave with a concurrent
+  * reader's directory listing. There is no manifest: WARC framing is the
+  * integrity check (the reader verifies Content-Length + CRLF framing
+  * per record and fails loudly on a torn file).
+  */
+private[sources] class WarcWriteBuilder(
+    path: String,
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcWriteBuilder(path, schema, options, truncate = true)
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def description(): String = s"warc:$path"
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        new WarcBatchWrite(path, schema,
+          options.getBoolean("gzip", false), truncate,
+          new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      }
+    }
+}
+
+private[sources] case class WarcWriteCommit(name: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class WarcBatchWrite(
+    path: String,
+    schema: StructType,
+    gzip: Boolean,
+    truncate: Boolean,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val hconf = conf.value
+    graft.io.HadoopIO.mkdirs(path, hconf)
+    val existing = WarcScan.Extensions
+      .flatMap(ext => graft.io.HadoopIO.glob(path, s"*$ext", hconf)).distinct
+    if (truncate) existing.foreach(graft.io.HadoopIO.delete(_, hconf))
+    else require(existing.isEmpty,
+      s"$path already holds WARC files — use mode(\"overwrite\") to replace them " +
+        "(an append could interleave with a concurrent reader's listing)")
+    new WarcWriterFactory(schema, path, gzip, conf)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case WarcWriteCommit(name) if name != null =>
+        try graft.io.HadoopIO.delete(s"$path/$name", conf.value)
+        catch { case _: Exception => () }
+      case _ => ()
+    }
+}
+
+private[sources] class WarcWriterFactory(
+    schema: StructType,
+    path: String,
+    gzip: Boolean,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new WarcDataWriter(partitionId, schema, path, gzip, conf)
+}
+
+private[sources] class WarcDataWriter(
+    partitionId: Int,
+    schema: StructType,
+    path: String,
+    gzip: Boolean,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private def idx(n: String): Int =
+    if (schema.fieldNames.contains(n)) schema.fieldIndex(n) else -1
+  private val payloadIdx = schema.fieldIndex("payload")
+  private val typeIdx = idx("record_type")
+  private val ridIdx = idx("record_id")
+  private val uriIdx = idx("target_uri")
+  private val dateIdx = idx("warc_date")
+  private val ctypeIdx = idx("content_type")
+
+  private val name = s"part-$partitionId.warc" + (if (gzip) ".gz" else "")
+  // partition id (not attempt) names the file: a retry overwrites its
+  // failed predecessor instead of leaking attempt files
+  private val hPath = new org.apache.hadoop.fs.Path(s"$path/$name")
+  private var out: java.io.OutputStream = _
+  private var ordinal = 0L
+
+  private def str(row: InternalRow, i: Int, default: => String): String =
+    if (i < 0 || row.isNullAt(i)) default else row.getUTF8String(i).toString
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null)
+      out = new java.io.BufferedOutputStream(
+        hPath.getFileSystem(conf.value).create(hPath, true), 1 << 16)
+    require(!row.isNullAt(payloadIdx),
+      s"warc write: null payload at partition $partitionId ordinal $ordinal — " +
+        "filter nulls or write an empty binary")
+    val rec = WarcFormat.buildRecord(
+      str(row, typeIdx, "conversion"),
+      str(row, ridIdx, s"<urn:graft:$partitionId:$ordinal>"),
+      str(row, uriIdx, null),
+      str(row, dateIdx, "1970-01-01T00:00:00Z"),
+      str(row, ctypeIdx, "text/plain"),
+      row.getBinary(payloadIdx))
+    out.write(if (gzip) WarcFormat.gzipMember(rec) else rec)
+    ordinal += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out == null) return WarcWriteCommit(null) // empty partition: no file
+    out.close()
+    WarcWriteCommit(name)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Exception => () } }
+    try graft.io.HadoopIO.delete(s"$path/$name", conf.value)
+    catch { case _: Exception => () }
+  }
+
+  override def close(): Unit = ()
 }

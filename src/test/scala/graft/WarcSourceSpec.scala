@@ -127,6 +127,45 @@ class WarcSourceSpec extends SparkTestBase {
     assert(e4.getMessage.contains("WARC") || e4.getCause.getMessage.contains("WARC"))
   }
 
+  test("write path: round trip plain and gzip, defaults, overwrite contract") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "first doc", "response"),
+      (2L, "second doc", "conversion"),
+      (3L, "third doc", "response"))
+      .toDF("id", "text", "rtype")
+      .select(col("rtype").as("record_type"),
+        concat(lit("http://w/p/"), col("id")).as("target_uri"),
+        encode(col("text"), "UTF-8").as("payload"))
+    Seq(false, true).foreach { gz =>
+      val dir = tmp()
+      df.repartition(2).write.format("warc").option("gzip", gz).mode("overwrite").save(dir)
+      val back = spark.read.format("warc").load(dir)
+      val rows = back.orderBy("target_uri").collect()
+      assert(rows.length === 3, s"gz=$gz")
+      assert(rows.map(r => new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).sorted
+        === Array("first doc", "second doc", "third doc"))
+      assert(rows.map(_.getAs[String]("record_type")).count(_ == "response") === 2)
+      // defaults fill the omitted headers
+      assert(rows.forall(_.getAs[String]("content_type") === "text/plain"))
+      assert(rows.forall(_.getAs[String]("warc_date") === "1970-01-01T00:00:00Z"))
+      assert(rows.forall(_.getAs[String]("record_id").startsWith("<urn:graft:")))
+      // append into a non-empty dir refuses; overwrite replaces
+      val e = intercept[Exception](df.write.format("warc").mode("append").save(dir))
+      assert(e.getMessage.contains("overwrite"))
+      df.limit(1).write.format("warc").option("gzip", gz).mode("overwrite").save(dir)
+      assert(spark.read.format("warc").load(dir).count() === 1)
+    }
+    // payload-only frame works; bad schema refuses
+    val dir2 = tmp()
+    Seq("x").toDF("text").select(encode(col("text"), "UTF-8").as("payload"))
+      .write.format("warc").mode("overwrite").save(dir2)
+    assert(spark.read.format("warc").load(dir2).count() === 1)
+    val bad = intercept[Exception](
+      Seq(("a", 1)).toDF("payload", "n").write.format("warc").mode("overwrite").save(tmp()))
+    assert(bad.getMessage.contains("warc write"))
+  }
+
   test("multiple files in a directory, deterministic union") {
     val dir = tmp()
     writeFile(dir, "a.warc", rec(0, "response", "from a"))
