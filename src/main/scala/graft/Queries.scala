@@ -624,6 +624,25 @@ object Queries {
         .toDF("rank", "mleft", "mright").orderBy("rank")
     }),
 
+    // BYTE-LEVEL BPE TRAINING (trainBytes — the GPT-2-convention trainer
+    // whose output the byteLevel kernel mode consumes): planted corpus
+    // where multi-byte UTF-8 drives the trajectory — "café"'s é enters as
+    // TWO byte symbols (Ã ©) that the loop must merge through, and the
+    // GPT-2 pretokenizer's space-prefix convention splits " latte" from
+    // "latte". Merge sequence hand-stepped (counts 8,8,8,8,7,7 with lex
+    // tie-breaks) and cross-checked against an independent Python replay
+    // of the published algorithm; constant-table oracle.
+    "bpe_train_bytes" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = (Seq.fill(5)("café latte") ++ Seq.fill(3)("café") ++
+        Seq.fill(2)("latte art"))
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val merges = graft.text.Bpe.trainBytes(docs, numMerges = 6)
+      merges.filterNot(_.startsWith("#")).zipWithIndex
+        .map { case (l, r) => val Array(a, b) = l.split(" "); (r.toLong, a, b) }
+        .toDF("rank", "mleft", "mright").orderBy("rank")
+    }),
+
     // §2.20 UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018, the SentencePiece
     // unigram algorithm — the other production tokenizer family next to
     // bpe_train): distributed E-step over the capped word table (forward-
@@ -5726,6 +5745,12 @@ object Queries {
     "bpe_train" ->
       ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'e', 's'), (1, 'es', 't'), " +
         "(2, 'l', 'o'), (3, 'lo', 'w')) AS t(rank, mleft, mright) ORDER BY rank"),
+    // hand-stepped byte-level trajectory (see the query comment): café's
+    // two-byte é merges through Ã/© before the whole word folds
+    "bpe_train_bytes" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'a', 'f'), (1, 'af', 'Ã'), " +
+        "(2, 'afÃ', '©'), (3, 'c', 'afÃ©'), (4, 'a', 't'), (5, 'at', 't')) " +
+        "AS t(rank, mleft, mright) ORDER BY rank"),
     // hand-derived EM trajectory (see the query comment); constants
     // verified against an independent Python forward-backward replay
     "unigram_train" ->

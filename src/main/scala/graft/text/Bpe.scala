@@ -125,9 +125,66 @@ object Bpe {
       .limit(maxWords)
       .as[(String, Long)].collect()
 
-    var words: Array[(Array[String], Long)] = freqs.map { case (w, c) =>
+    trainLoop(freqs.map { case (w, c) =>
       (w.iterator.map(ch => if (ch == ' ') "Ġ" else ch.toString).toArray, c)
-    }
+    }, numMerges, minFrequency)
+  }
+
+  /** BYTE-LEVEL BPE training — [[train]]'s GPT-2-convention twin, the
+    * trainer whose output [[encodeByteTokens]] / the `byteLevel = true`
+    * kernel mode consume: pretokenize with the published split regex
+    * ([[Gpt2SplitCompiled]], Unicode `\s`), spell each pretoken's UTF-8
+    * bytes through [[ByteEncoder]] (one initial symbol per BYTE — the
+    * alphabet is closed at 256, so the trained table encodes ANY byte
+    * sequence with zero unknowns), then the same count-scored merge loop.
+    * Same Spark shape as [[train]]: one distributed pretoken-frequency
+    * pass (vocabulary-sized result, deterministically capped), merge loop
+    * driver-side — corpus-size-free.
+    */
+  def trainBytes(
+      docs: org.apache.spark.sql.DataFrame,
+      numMerges: Int,
+      textCol: String = "text",
+      maxWords: Int = 100000,
+      minFrequency: Long = 2L): Seq[String] = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val freqs: Array[(String, Long)] = docs
+      .select(col(textCol).cast("string").as("t")).as[String]
+      .mapPartitions { iter =>
+        val m = Gpt2SplitCompiled.matcher("")
+        iter.flatMap { t =>
+          if (t == null) Iterator.empty
+          else {
+            m.reset(t)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (m.find()) buf += m.group()
+            buf.iterator
+          }
+        }
+      }
+      .toDF("w").groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    trainLoop(freqs.map { case (w, c) =>
+      val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (bytes.map(b => String.valueOf(ByteEncoder(b & 0xff))), c)
+    }, numMerges, minFrequency)
+  }
+
+  /** The published count-scored merge loop shared by [[train]] and
+    * [[trainBytes]]: per round count adjacent pairs weighted by word
+    * frequency, merge the most frequent (ties break (left, right)
+    * lexicographically — layout- and engine-independent), stop at
+    * `numMerges` rules or when the best pair drops below `minFrequency`.
+    */
+  private def trainLoop(
+      words0: Array[(Array[String], Long)],
+      numMerges: Int,
+      minFrequency: Long): Seq[String] = {
+    var words = words0
     val merges = Seq.newBuilder[String]
     var round = 0
     var exhausted = false

@@ -91,6 +91,26 @@ class ByteLevelBpeSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("trainBytes: hand-stepped trajectory, and train->encode round trips") {
+    import spark.implicits._
+    val docs = (Seq.fill(5)("café latte") ++ Seq.fill(3)("café") ++
+      Seq.fill(2)("latte art"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, numMerges = 6).filterNot(_.startsWith("#"))
+    assert(merges === Seq("a f", "af Ã", "afÃ ©", "c afÃ©", "a t", "at t"))
+    // apply the trained table: café folds to ONE piece, " latte" to 4
+    val ranks2 = Bpe.loadMerges(Seq("#version: 0.2") ++ merges)
+    assert(Bpe.encodeByteTokens("café", ranks2).toSeq === Seq("cafÃ©"))
+    assert(Bpe.encodeByteTokens(" latte", ranks2).toSeq === Seq("Ġ", "l", "att", "e"))
+    // the kernel consumes the trained lines directly
+    val counted = docs.select(
+        TextAnalysis.bpeTokenCountBytes(col("text"),
+          Seq("#version: 0.2") ++ merges).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    // 5×(café=1 + " latte"=4) + 3×(café=1) + 2×(latte=3 + " art"=Ġ,a,r,t=4)
+    assert(counted === 5L * 5 + 3 + 2 * 7)
+  }
+
   test("byte-level and codepoint modes agree on pure-ASCII, diverge on CJK") {
     import spark.implicits._
     val df = Seq((1L, "the cat and the dog"), (2L, "我有一个")).toDF("doc_id", "text")
