@@ -3810,6 +3810,53 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING WARC ingest (readStream.format("warc")): offsets are
+    // file-set snapshots, so each micro-batch processes exactly the files
+    // that appeared since the last committed offset — no name-monotonic
+    // or mtime assumption. The row runs TWO AvailableNow passes against
+    // one checkpoint with the corpus split across them (wave 1: plain
+    // shard of even ids; wave 2: gzip member-per-record shard of odd ids
+    // + metadata noise the pushed filter drops); the union must equal the
+    // batch read-back — warc_ingest's oracle shape over doc_id < 120.
+    "stream_warc_ingest" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 120).as[(Long, String)].collect().sortBy(_._1)
+      val wdir = java.nio.file.Files.createTempDirectory("warc_stream_q").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("warc_stream_ck").toString
+      def payload(tx: String): Array[Byte] =
+        s"<doc>$tx</doc>".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def rec(id: Long, rtype: String, pl: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord(rtype, s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z", "text/plain", pl)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      def runOnce(): Unit = withStreamParts(spark) {
+        val q = spark.readStream.format("warc").load(wdir)
+          .filter(col("record_type") === "response")
+          .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("content_length").as("n_bytes"), md5(col("payload")).as("payload_md5"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            rows.synchronized { rows ++= b.as[(Long, Long, String)].collect() }; ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(wdir, "wave0.warc"),
+        docs.filter(_._1 % 2 == 0).flatMap { case (id, tx) => rec(id, "response", payload(tx)) })
+      runOnce()
+      java.nio.file.Files.write(java.nio.file.Paths.get(wdir, "wave1.warc.gz"),
+        docs.filter(_._1 % 2 == 1).flatMap { case (id, tx) =>
+          graft.sources.WarcFormat.gzipMember(rec(id, "response", payload(tx))) ++
+            graft.sources.WarcFormat.gzipMember(rec(id + 900000, "metadata",
+              "meta".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        })
+      runOnce()
+      rows.toSeq.toDF("doc_id", "n_bytes", "payload_md5").orderBy("doc_id")
+    }),
+
     // WARC WRITE path (the export half: curated corpus → archival
     // interchange format): write documents as WET-style conversion
     // records through df.write.format("warc") — gzip member-per-record,
@@ -6398,6 +6445,13 @@ object Queries {
         |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
         |  md5('<doc>' || text || '</doc>') AS payload_md5
         |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
+    // the two-wave streamed union converges to the batch read-back, so
+    // the oracle rebuilds payloads from the same documents rows
+    "stream_warc_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
+        |  md5('<doc>' || text || '</doc>') AS payload_md5
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
     // the write→read loop is payload-transparent, so the oracle is the
     // source rows + the writer's documented defaults
     "warc_write" ->

@@ -103,7 +103,7 @@ private[sources] class WarcTable(path: String, tableSchema: StructType) extends 
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path,
       Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20))
@@ -175,19 +175,48 @@ private[sources] class WarcScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val hconf = spark.sparkContext.hadoopConfiguration
+    val files = WarcScan.listFiles(path, spark.sparkContext.hadoopConfiguration)
+    require(files.nonEmpty,
+      s"no WARC files under $path (expected ${WarcScan.Extensions.mkString("/")})")
+    WarcScan.planFiles(files, maxPartitionBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new WarcReaderFactory(required.fieldNames, types.map(_.toArray.sorted),
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** `readStream.format("warc")` — continuous crawl ingest: each
+    * micro-batch processes the files that appeared since the last offset.
+    * Offsets are FILE-SET SNAPSHOTS (name → length), so no
+    * name-monotonicity or mtime assumption is needed — a file landing
+    * with any name is picked up exactly once, and a restart replans the
+    * committed set's complement. WARC files must be immutable once
+    * visible (the crawl-dump contract): a grown file is detected at the
+    * next offset and REFUSED rather than silently re-read or half-read.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required, types, maxPartitionBytes)
+}
+
+private[sources] object WarcScan {
+  val Extensions: Seq[String] = Seq(".warc", ".wet", ".warc.gz", ".wet.gz")
+
+  def listFiles(path: String, hconf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val st = fs.getFileStatus(p)
-    val files: Seq[(String, Long)] =
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile)
-          .map(s => (s.getPath.toString, s.getLen))
-          .filter { case (n, _) => WarcScan.Extensions.exists(n.endsWith) }
-          .sortBy(_._1)
-      else Seq((fs.makeQualified(p).toString, st.getLen))
-    require(files.nonEmpty,
-      s"no WARC files under $path (expected ${WarcScan.Extensions.mkString("/")})")
+    if (st.isDirectory)
+      fs.listStatus(p).toSeq.filter(_.isFile)
+        .map(s => (s.getPath.toString, s.getLen))
+        .filter { case (n, _) => Extensions.exists(n.endsWith) }
+        .sortBy(_._1)
+    else Seq((fs.makeQualified(p).toString, st.getLen))
+  }
+
+  def planFiles(files: Seq[(String, Long)], maxPartitionBytes: Long): Array[InputPartition] =
     files.flatMap { case (f, len) =>
       if (f.endsWith(".gz")) Seq(WarcInputPartition(f, 0L, Long.MaxValue, gz = true))
       else {
@@ -197,17 +226,90 @@ private[sources] class WarcScan(
           f, k * maxPartitionBytes, math.min(len, (k + 1) * maxPartitionBytes), gz = false))
       }
     }.toArray
-  }
+}
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    new WarcReaderFactory(required.fieldNames, types.map(_.toArray.sorted),
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+/** Offset = the set of (file, length) visible at snapshot time. JSON is
+  * `{"v":1,"files":["<len>|<escaped name>", ...]}` sorted by name.
+  */
+private[graft] case class WarcOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    files.toSeq.sortBy(_._1)
+      .map { case (n, l) => "\"" + l + "|" + esc(n) + "\"" }
+      .mkString("{\"v\":1,\"files\":[", ",", "]}")
   }
 }
 
-private[sources] object WarcScan {
-  val Extensions: Seq[String] = Seq(".warc", ".wet", ".warc.gz", ".wet.gz")
+private[graft] object WarcOffset {
+  def fromJson(json: String): WarcOffset = {
+    // entries are "<len>|<escaped name>" inside a flat JSON string array;
+    // names never contain unescaped quotes, so quote-split is exact
+    val body = json.trim.stripPrefix("{\"v\":1,\"files\":[").stripSuffix("]}")
+    if (body.isEmpty) return WarcOffset(Map.empty)
+    val entries = body.split("\",\"").map(_.stripPrefix("\"").stripSuffix("\""))
+    WarcOffset(entries.map { e =>
+      val i = e.indexOf('|')
+      require(i > 0, s"malformed warc offset entry: $e")
+      val name = new StringBuilder
+      var j = i + 1
+      while (j < e.length) {
+        val c = e.charAt(j)
+        if (c == '\\' && j + 1 < e.length) {
+          e.charAt(j + 1) match {
+            case '"' => name += '"'; j += 2
+            case '\\' => name += '\\'; j += 2
+            case 'u' => name += Integer.parseInt(e.substring(j + 2, j + 6), 16).toChar; j += 6
+            case other => name += other; j += 2
+          }
+        } else { name += c; j += 1 }
+      }
+      name.toString -> e.substring(0, i).toLong
+    }.toMap)
+  }
+}
+
+private[sources] class WarcMicroBatchStream(
+    path: String,
+    required: StructType,
+    types: Option[Set[String]],
+    maxPartitionBytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val hconf = org.apache.spark.sql.SparkSession.active
+    .sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = WarcOffset(Map.empty)
+
+  override def latestOffset(): Offset =
+    WarcOffset(WarcScan.listFiles(path, hconf).toMap)
+
+  override def deserializeOffset(json: String): Offset = WarcOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcOffset].files
+    val e = end.asInstanceOf[WarcOffset].files
+    s.foreach { case (n, l) =>
+      e.get(n).foreach(l2 => require(l2 == l,
+        s"warc stream: $n changed length $l → $l2 — WARC inputs must be " +
+          "immutable once visible; write to a temp name and rename into place"))
+    }
+    val fresh = e.toSeq.filterNot { case (n, _) => s.contains(n) }.sortBy(_._1)
+    WarcScan.planFiles(fresh, maxPartitionBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required.fieldNames, types.map(_.toArray.sorted),
+      new SerializableHadoopConf(hconf))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class WarcInputPartition(

@@ -166,6 +166,47 @@ class WarcSourceSpec extends SparkTestBase {
     assert(bad.getMessage.contains("warc write"))
   }
 
+  test("streaming: offset snapshots, incremental files only, immutability guard") {
+    import graft.sources.WarcOffset
+    // offset json round trip incl. escapes
+    val off = WarcOffset(Map("/a/b.warc" -> 10L, "/w \"q\"\\x.warc" -> 7L))
+    assert(WarcOffset.fromJson(off.json()) === off)
+    assert(WarcOffset.fromJson(WarcOffset(Map.empty).json()) === WarcOffset(Map.empty))
+
+    val dir = tmp()
+    val ckpt = Files.createTempDirectory("warc_ckpt").toString
+    writeFile(dir, "a.warc", rec(0, "response", "batch one a") ++ rec(1, "response", "batch one b"))
+    def runOnce(name: String): Long = {
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("warc").load(dir)
+        .select("record_id", "content_length")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      seen.get()
+    }
+    assert(runOnce("warc_s1") === 2L)
+    // second run, same checkpoint, nothing new: zero rows
+    assert(runOnce("warc_s2") === 0L)
+    // a NEW file lands; only it is processed
+    writeFile(dir, "b.warc.gz", graft.sources.WarcFormat.gzipMember(rec(2, "response", "late file")))
+    assert(runOnce("warc_s3") === 1L)
+    // a seen file growing is refused, not silently re-read
+    writeFile(dir, "a.warc",
+      rec(0, "response", "batch one a") ++ rec(1, "response", "batch one b") ++
+        rec(9, "response", "appended"))
+    val e = intercept[Exception](runOnce("warc_s4"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("immutable")), msgs(e).mkString(" | "))
+  }
+
   test("multiple files in a directory, deterministic union") {
     val dir = tmp()
     writeFile(dir, "a.warc", rec(0, "response", "from a"))
