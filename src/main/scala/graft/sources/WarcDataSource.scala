@@ -339,11 +339,17 @@ private[sources] class WarcPartitionReader(
   private var in: WarcFormat.PosStream = _
   private var exhausted = false
   private var current: WarcFormat.Record = _
+  // what close() must release — for gz this is the decompressor (whose
+  // close() frees the Inflater's native memory NOW and closes raw);
+  // GC-finalizer release would pool one Inflater per task off-heap
+  private var toClose: java.io.Closeable = raw
 
   // gz: whole file, uncompressed offsets; plain: seek + boundary sync
   if (partition.gz) {
-    in = new WarcFormat.PosStream(
-      new BufferedInputStream(new java.util.zip.GZIPInputStream(raw, 1 << 16), 1 << 16), 0L)
+    val gz = new WarcFormat.MultiMemberGzipStream(
+      new BufferedInputStream(raw, 1 << 16), partition.path)
+    toClose = gz
+    in = new WarcFormat.PosStream(new BufferedInputStream(gz, 1 << 16), 0L)
   } else if (partition.start == 0L) {
     in = new WarcFormat.PosStream(new BufferedInputStream(raw, 1 << 16), 0L)
   } else {
@@ -392,7 +398,7 @@ private[sources] class WarcPartitionReader(
     out
   }
 
-  override def close(): Unit = raw.close()
+  override def close(): Unit = toClose.close()
 }
 
 /** ISO 28500 framing: build + parse + split-boundary sync. Shared by the
@@ -416,6 +422,12 @@ object WarcFormat {
       date: String,
       contentType: String,
       payload: Array[Byte]): Array[Byte] = {
+    // a CR/LF inside a header value would tear the framing for every
+    // record after it — refuse at build, not at some later read
+    Seq(recordType, recordId, targetUri, date, contentType)
+      .filter(_ != null).foreach(v =>
+        require(!v.exists(c => c == '\r' || c == '\n'),
+          s"WARC header value must not contain CR/LF: '${v.take(64)}'"))
     val sb = new StringBuilder
     sb ++= "WARC/1.0" ++= Crlf
     sb ++= s"WARC-Type: $recordType" ++= Crlf
@@ -425,7 +437,9 @@ object WarcFormat {
     sb ++= s"Content-Type: $contentType" ++= Crlf
     sb ++= s"Content-Length: ${payload.length}" ++= Crlf
     sb ++= Crlf
-    val head = sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // UTF-8 per ISO 28500 (Latin-1 would silently '?' any header char
+    // above U+00FF — a CJK IRI in target_uri must round-trip)
+    val head = sb.result().getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new Array[Byte](head.length + payload.length + 4)
     System.arraycopy(head, 0, out, 0, head.length)
     System.arraycopy(payload, 0, out, head.length, payload.length)
@@ -474,7 +488,7 @@ object WarcFormat {
       if (peeked >= 0 && len > 0) { buf(0) = peeked.toByte; peeked = -2; pos += 1; off = 1 }
       while (off < len) {
         val n = in.read(buf, off, len - off)
-        if (n < 0) throw new IllegalStateException(
+        if (n < 0) throw new TornEofException(
           s"torn WARC record: $path: EOF after $off of $len $what bytes at offset $pos")
         off += n; pos += n
       }
@@ -485,7 +499,7 @@ object WarcFormat {
       while (remaining > 0) {
         val n = in.skip(remaining)
         if (n <= 0) {
-          if (in.read() < 0) throw new IllegalStateException(
+          if (in.read() < 0) throw new TornEofException(
             s"torn WARC record: $path: EOF with $remaining of $len $what bytes unskipped at offset $pos")
           pos += 1; remaining -= 1
         } else { pos += n; remaining -= n }
@@ -493,22 +507,175 @@ object WarcFormat {
     }
   }
 
+  /** EOF where record bytes were still owed — the signal that
+    * distinguishes a genuinely TORN tail from payload noise during
+    * split-boundary validation (a decoy candidate fails with a malformed
+    * line while bytes remain; a truncated record runs out of file).
+    */
+  final class TornEofException(msg: String) extends IllegalStateException(msg)
+
+  /** Concatenated-member gzip reader with LOUD torn-member detection —
+    * `java.util.zip.GZIPInputStream` silently treats a malformed or
+    * truncated next member header as end-of-stream, which would turn a
+    * torn `.warc.gz` into a silently partial table. This walk parses each
+    * member header itself (magic, CM=8, FEXTRA/FNAME/FCOMMENT/FHCRC),
+    * inflates with a raw `Inflater(nowrap)`, and VERIFIES the member
+    * trailer (CRC32 + ISIZE) — truncation or garbage anywhere throws
+    * [[TornEofException]]/IllegalStateException with the member ordinal.
+    * `close()` releases the Inflater's native memory deterministically
+    * (no finalizer dependence — thousands of per-task Inflaters would
+    * otherwise pool off-heap until GC).
+    */
+  final class MultiMemberGzipStream(in: InputStream, path: String) extends InputStream {
+    private val bin = in
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private val feed = new Array[Byte](1 << 16)
+    // bytes the inflater over-read past a member end (trailer + next header)
+    private var pending: Array[Byte] = Array.emptyByteArray
+    private var pendingOff = 0
+    private var memberOpen = false
+    private var memberBytes = 0L
+    private var member = 0
+    private var done = false
+    private val one = new Array[Byte](1)
+
+    private def torn(what: String) = new TornEofException(
+      s"torn gzip member $member in $path: EOF in $what")
+    private def malformed(what: String) = new IllegalStateException(
+      s"malformed gzip member $member in $path: $what")
+
+    private def rawRead(): Int =
+      if (pendingOff < pending.length) { val b = pending(pendingOff) & 0xff; pendingOff += 1; b }
+      else bin.read()
+
+    private def rawReadFully(n: Int, what: String): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var o = 0
+      while (o < n) { val b = rawRead(); if (b < 0) throw torn(what); a(o) = b.toByte; o += 1 }
+      a
+    }
+
+    private def skipZeroTerminated(what: String): Unit = {
+      var b = rawRead()
+      while (b != 0) { if (b < 0) throw torn(what); b = rawRead() }
+    }
+
+    /** Parse one member header; false = clean EOF before any byte. */
+    private def startMember(): Boolean = {
+      val b0 = rawRead()
+      if (b0 < 0) return false
+      val b1 = rawRead()
+      if (b1 < 0) throw torn("gzip magic")
+      if (b0 != 0x1f || b1 != 0x8b) throw malformed(f"bad magic $b0%02x $b1%02x")
+      val hdr = rawReadFully(8, "gzip header")
+      if (hdr(0) != 8) throw malformed(s"compression method ${hdr(0)} (want 8=deflate)")
+      val flg = hdr(1) & 0xff
+      if ((flg & 0x04) != 0) { // FEXTRA
+        val x = rawReadFully(2, "FEXTRA length")
+        val xlen = (x(0) & 0xff) | ((x(1) & 0xff) << 8)
+        rawReadFully(xlen, "FEXTRA")
+      }
+      if ((flg & 0x08) != 0) skipZeroTerminated("FNAME") // FNAME
+      if ((flg & 0x10) != 0) skipZeroTerminated("FCOMMENT") // FCOMMENT
+      if ((flg & 0x02) != 0) rawReadFully(2, "FHCRC") // FHCRC
+      inf.reset()
+      crc.reset()
+      memberBytes = 0L
+      member += 1
+      memberOpen = true
+      true
+    }
+
+    private def feedInflater(): Unit = {
+      var n = 0
+      // drain over-read bytes first, then the stream (bulk)
+      while (n < feed.length && pendingOff < pending.length) {
+        feed(n) = pending(pendingOff); pendingOff += 1; n += 1
+      }
+      if (n == 0) {
+        val r = bin.read(feed, 0, feed.length)
+        if (r < 0) throw torn("deflate data")
+        n = r
+      }
+      lastFeedLen = n
+      inf.setInput(feed, 0, n)
+    }
+
+    private def finishMember(): Unit = {
+      // reclaim what the inflater over-read: the suffix of the last feed
+      // (trailer bytes + whatever follows — the next member's header)
+      val rem = inf.getRemaining
+      if (rem > 0) {
+        val keep = new Array[Byte](rem + (pending.length - pendingOff))
+        System.arraycopy(feed, lastFeedLen - rem, keep, 0, rem)
+        System.arraycopy(pending, pendingOff, keep, rem, pending.length - pendingOff)
+        pending = keep
+        pendingOff = 0
+      }
+      val tr = rawReadFully(8, "gzip trailer")
+      def le32(o: Int): Long =
+        (tr(o) & 0xffL) | ((tr(o + 1) & 0xffL) << 8) |
+          ((tr(o + 2) & 0xffL) << 16) | ((tr(o + 3) & 0xffL) << 24)
+      if (le32(0) != crc.getValue)
+        throw malformed(f"CRC32 mismatch: trailer ${le32(0)}%08x vs computed ${crc.getValue}%08x")
+      if (le32(4) != (memberBytes & 0xffffffffL))
+        throw malformed(s"ISIZE mismatch: trailer ${le32(4)} vs inflated ${memberBytes & 0xffffffffL}")
+      memberOpen = false
+    }
+
+    private var lastFeedLen = 0
+
+    override def read(): Int = {
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xff
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (done) return -1
+        if (!memberOpen) {
+          if (!startMember()) { done = true; return -1 }
+        }
+        if (!inf.finished() && inf.needsInput()) feedInflater()
+        val w =
+          try inf.inflate(b, off, len)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw malformed(s"corrupt deflate data: ${e.getMessage}") }
+        if (w > 0) { crc.update(b, off, w); memberBytes += w; return w }
+        if (inf.finished()) finishMember()
+        else if (inf.needsDictionary()) throw malformed("preset dictionary demanded")
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = {
+      inf.end() // release native memory NOW, not at finalization
+      bin.close()
+    }
+  }
+
+  /** One CRLF-terminated header line, decoded as UTF-8 (ISO 28500
+    * mandates UTF-8 header content — byte-per-char Latin-1 would mojibake
+    * a non-ASCII WARC-Target-URI).
+    */
   private def readLine(in: PosStream, path: String): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new java.io.ByteArrayOutputStream(64)
     var b = in.read()
     while (b != '\n') {
-      if (b == -1) throw new IllegalStateException(
+      if (b == -1) throw new TornEofException(
         s"torn WARC record: $path: EOF inside header line at offset ${in.pos}")
-      if (sb.length > MaxHeaderBytes) throw new IllegalStateException(
+      if (buf.size > MaxHeaderBytes) throw new IllegalStateException(
         s"malformed WARC record: $path: unterminated header line at offset ${in.pos}")
-      sb.append(b.toChar)
+      buf.write(b)
       b = in.read()
     }
-    if (sb.length == 0 || sb.charAt(sb.length - 1) != '\r')
+    val bytes = buf.toByteArray
+    if (bytes.length == 0 || bytes(bytes.length - 1) != '\r')
       throw new IllegalStateException(
         s"malformed WARC record: $path: header line not CRLF-terminated at offset ${in.pos}")
-    sb.setLength(sb.length - 1)
-    sb.toString
+    new String(bytes, 0, bytes.length - 1, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Parse exactly ONE record at the stream's current position. Payload
@@ -535,22 +702,32 @@ object WarcFormat {
     var contentType: String = null
     var contentLength = -1L
     var headerBytes = 0
+    var lastName: String = null
     var line = readLine(in, path)
     while (line.nonEmpty) {
       headerBytes += line.length
       if (headerBytes > MaxHeaderBytes) throw new IllegalStateException(
         s"malformed WARC record: $path: header block exceeds $MaxHeaderBytes bytes at offset $offset")
-      val i = line.indexOf(':')
-      if (i <= 0) throw new IllegalStateException(
-        s"malformed WARC record: $path: bad header line '${line.take(64)}' at offset $offset")
-      val name = line.substring(0, i).toLowerCase(java.util.Locale.ROOT)
-      val value = line.substring(i + 1).trim
+      val folded = line.charAt(0) == ' ' || line.charAt(0) == '\t'
+      if (folded && lastName == null) throw new IllegalStateException(
+        s"malformed WARC record: $path: continuation line with no preceding field at offset $offset")
+      val (name, value) =
+        if (folded) (lastName, line.trim) // ISO 28500 LWS field folding
+        else {
+          val i = line.indexOf(':')
+          if (i <= 0) throw new IllegalStateException(
+            s"malformed WARC record: $path: bad header line '${line.take(64)}' at offset $offset")
+          (line.substring(0, i).toLowerCase(java.util.Locale.ROOT), line.substring(i + 1).trim)
+        }
+      lastName = name
+      def fold(prev: String): String =
+        if (folded && prev != null) prev + " " + value else value
       name match {
-        case "warc-record-id" => recordId = value
-        case "warc-type" => recordType = value
-        case "warc-target-uri" => targetUri = value
-        case "warc-date" => warcDate = value
-        case "content-type" => contentType = value
+        case "warc-record-id" => recordId = fold(recordId)
+        case "warc-type" => recordType = fold(recordType)
+        case "warc-target-uri" => targetUri = fold(targetUri)
+        case "warc-date" => warcDate = fold(warcDate)
+        case "content-type" => contentType = fold(contentType)
         case "content-length" =>
           contentLength = try value.toLong catch {
             case _: NumberFormatException => throw new IllegalStateException(
@@ -650,16 +827,26 @@ object WarcFormat {
       while (line.nonEmpty) {
         headerBytes += line.length
         if (headerBytes > MaxHeaderBytes) return false
-        val i = line.indexOf(':')
-        if (i <= 0) return false
-        if (line.substring(0, i).equalsIgnoreCase("content-length")) {
-          sawLength = line.substring(i + 1).trim.forall(_.isDigit) &&
-            line.substring(i + 1).trim.nonEmpty
+        val folded = line.charAt(0) == ' ' || line.charAt(0) == '\t'
+        if (!folded) {
+          val i = line.indexOf(':')
+          if (i <= 0) return false
+          if (line.substring(0, i).equalsIgnoreCase("content-length")) {
+            sawLength = line.substring(i + 1).trim.forall(_.isDigit) &&
+              line.substring(i + 1).trim.nonEmpty
+          }
         }
         line = readLine(probe, path)
       }
       sawLength
     } catch {
+      // EOF with header bytes still owed = a genuinely TORN tail, not
+      // payload noise: fail the split loudly instead of silently skipping
+      // the record (a decoy candidate fails with a malformed line while
+      // file bytes remain — that one keeps scanning)
+      case torn: TornEofException =>
+        throw new IllegalStateException(
+          s"torn WARC record at split boundary $boundary in $path: ${torn.getMessage}")
       case _: IllegalStateException | _: EOFException => false
     }
   }
@@ -677,9 +864,10 @@ object WarcFormat {
   * parallelizes on files and any member-aware tool can split). `payload`
   * is required binary; header columns are optional strings with WET-style
   * defaults (record_type `conversion`, content_type `text/plain`, a
-  * deterministic per-partition record id, epoch date). Task retries
-  * overwrite their own partition file (partition id names the artifact);
-  * empty partitions write nothing. Target must be empty unless
+  * deterministic per-partition record id, epoch date). Attempts write an
+  * attempt-unique temp name and RENAME into place at commit, so
+  * speculative/zombie attempts can neither interleave bytes nor delete a
+  * committed file; empty partitions write nothing. Target must be empty unless
   * `mode("overwrite")` — an append could interleave with a concurrent
   * reader's directory listing. There is no manifest: WARC framing is the
   * integrity check (the reader verifies Content-Length + CRLF framing
@@ -754,11 +942,12 @@ private[sources] class WarcWriterFactory(
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new WarcDataWriter(partitionId, schema, path, gzip, conf)
+    new WarcDataWriter(partitionId, taskId, schema, path, gzip, conf)
 }
 
 private[sources] class WarcDataWriter(
     partitionId: Int,
+    taskId: Long,
     schema: StructType,
     path: String,
     gzip: Boolean,
@@ -775,9 +964,15 @@ private[sources] class WarcDataWriter(
   private val ctypeIdx = idx("content_type")
 
   private val name = s"part-$partitionId.warc" + (if (gzip) ".gz" else "")
-  // partition id (not attempt) names the file: a retry overwrites its
-  // failed predecessor instead of leaking attempt files
-  private val hPath = new org.apache.hadoop.fs.Path(s"$path/$name")
+  // tasks write an ATTEMPT-unique temp name and rename into place at
+  // commit: under speculation/zombie retries two attempts of a partition
+  // run concurrently, and writing the final name directly would let them
+  // interleave bytes — or let the loser's abort() delete the winner's
+  // committed file. Spark's commit coordinator admits exactly one
+  // commit(); its rename is the publish point. The .tmp suffix keeps
+  // half-written attempts invisible to readers (extension-filtered).
+  private val tmpName = s".$name.attempt-$taskId.tmp"
+  private val hPath = new org.apache.hadoop.fs.Path(s"$path/$tmpName")
   private var out: java.io.OutputStream = _
   private var ordinal = 0L
 
@@ -805,12 +1000,16 @@ private[sources] class WarcDataWriter(
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     if (out == null) return WarcWriteCommit(null) // empty partition: no file
     out.close()
+    graft.io.HadoopIO.delete(s"$path/$name", conf.value) // stale prior attempt
+    graft.io.HadoopIO.rename(s"$path/$tmpName", s"$path/$name", conf.value)
     WarcWriteCommit(name)
   }
 
   override def abort(): Unit = {
     if (out != null) { try out.close() catch { case _: Exception => () } }
-    try graft.io.HadoopIO.delete(s"$path/$name", conf.value)
+    // only THIS attempt's temp file — never the final name another
+    // attempt may have committed
+    try graft.io.HadoopIO.delete(s"$path/$tmpName", conf.value)
     catch { case _: Exception => () }
   }
 

@@ -207,6 +207,73 @@ class WarcSourceSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("immutable")), msgs(e).mkString(" | "))
   }
 
+  test("torn gzip member fails loudly (not silent EOF), CRC verified") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // member 2 truncated inside its deflate data
+    val m0 = WarcFormat.gzipMember(rec(0, "response", "first"))
+    val m1 = WarcFormat.gzipMember(rec(1, "response", "second"))
+    val dir = tmp()
+    writeFile(dir, "t.warc.gz", m0 ++ m1.dropRight(12))
+    val e = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir).collect())
+    assert(msgs(e).exists(m => m.contains("torn gzip") || m.contains("malformed gzip")),
+      msgs(e).mkString(" | "))
+    // garbage after a valid member: loud, not silently one record
+    val dir2 = tmp()
+    writeFile(dir2, "t.warc.gz", m0 ++ "garbage!".getBytes)
+    val e2 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir2).collect())
+    assert(msgs(e2).exists(_.contains("gzip")), msgs(e2).mkString(" | "))
+    // a corrupted CRC byte inside an otherwise well-formed member: loud
+    val dir3 = tmp()
+    val broken = m0.clone(); broken(broken.length - 5) = (broken(broken.length - 5) ^ 0x7f).toByte
+    writeFile(dir3, "t.warc.gz", broken)
+    val e3 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir3).collect())
+    assert(msgs(e3).exists(m => m.contains("CRC32") || m.contains("gzip")), msgs(e3).mkString(" | "))
+  }
+
+  test("torn record whose start falls in a later split fails loudly, not dropped") {
+    val dir = tmp()
+    val good = (0 until 6).map(i => rec(i, "response", s"payload $i " + ("z" * 200)))
+    val torn = rec(9, "response", "x" * 300).take(40) // truncated mid-headers
+    writeFile(dir, "t.warc", good.reduce(_ ++ _) ++ torn)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // split small enough that the torn record's start lands in a k>0 split
+    val e = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").option("maxPartitionBytes", "512").load(dir).collect())
+    assert(msgs(e).exists(_.contains("torn")), msgs(e).mkString(" | "))
+    // unsplit read fails the same way — the two paths agree
+    val e2 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir).collect())
+    assert(msgs(e2).exists(_.contains("torn")), msgs(e2).mkString(" | "))
+  }
+
+  test("UTF-8 headers round trip; folded header lines parse; CRLF in value refused") {
+    val dir = tmp()
+    val uri = "http://example.com/café/日本/🦙"
+    writeFile(dir, "u.warc",
+      WarcFormat.buildRecord("response", "<urn:uuid:u>", uri,
+        "2024-01-01T00:00:00Z", "text/plain", "body".getBytes("UTF-8")))
+    val got = spark.read.format("warc").load(dir).head()
+    assert(got.getAs[String]("target_uri") === uri)
+    // ISO 28500 LWS folding: a continuation line joins the previous field
+    val folded = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:f>\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: http://example.com/long\r\n" +
+      " /folded/tail\r\nContent-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val dir2 = tmp()
+    writeFile(dir2, "f.warc", folded)
+    val got2 = spark.read.format("warc").load(dir2).head()
+    assert(got2.getAs[String]("target_uri") === "http://example.com/long /folded/tail")
+    assert(new String(got2.getAs[Array[Byte]]("payload"), "UTF-8") === "ok")
+    // header-value injection refused at build
+    intercept[IllegalArgumentException](
+      WarcFormat.buildRecord("response", "<id>", "http://x/\r\nInjected: yes",
+        "2024-01-01T00:00:00Z", "text/plain", Array.emptyByteArray))
+  }
+
   test("multiple files in a directory, deterministic union") {
     val dir = tmp()
     writeFile(dir, "a.warc", rec(0, "response", "from a"))
