@@ -593,6 +593,73 @@ object BenchScale {
       }
     }
 
+    // WARC ingest at corpus scale: write the doc corpus as archives (one
+    // part per partition; plain + gzip member-per-record), then read back
+    // through record-boundary splits with the type filter pushed — the
+    // raw-crawl ingest shape. Bytes/sec is the number that matters at
+    // 100 TB: both paths must stream (no payload materialization on the
+    // headers-only pass).
+    {
+      val out = java.nio.file.Files.createTempDirectory("scale_warc").toString
+      val frame = docs.select(
+        concat(lit("http://x/p/"), col("doc_id")).as("target_uri"),
+        expr("encode(text, 'UTF-8')").as("payload"))
+      timed(s"warc write ($nDocs docs, plain, ${cpus} parts)") {
+        frame.write.format("warc").mode("overwrite").save(out)
+      }
+      val plainBytes = graft.io.HadoopIO.globWithLength(out, "*.warc",
+        spark.sparkContext.hadoopConfiguration).map(_._2).sum
+      val n1 = timed(s"warc read-back (record-boundary splits, 4 MB)") {
+        spark.read.format("warc").option("maxPartitionBytes", (4L << 20).toString)
+          .load(out).filter(col("record_type") === "conversion")
+          .agg(sum("content_length")).head().getLong(0)
+      }
+      println(f"[scale] warc plain: ${plainBytes / 1e6}%.1f MB on disk, payload bytes $n1")
+      val hdrs = timed("warc headers-only scan (payload skipped, not read)") {
+        spark.read.format("warc").option("maxPartitionBytes", (4L << 20).toString)
+          .load(out).agg(count(lit(1))).head().getLong(0)
+      }
+      require(hdrs == nDocs.toLong, s"warc read-back lost records: $hdrs != $nDocs")
+      val gzOut = java.nio.file.Files.createTempDirectory("scale_warc_gz").toString
+      timed(s"warc write ($nDocs docs, gzip member-per-record)") {
+        frame.write.format("warc").option("gzip", true).mode("overwrite").save(gzOut)
+      }
+      val n2 = timed("warc.gz read-back (member-verified inflate)") {
+        spark.read.format("warc").load(gzOut).agg(count(lit(1))).head().getLong(0)
+      }
+      require(n2 == nDocs.toLong, s"warc.gz read-back lost records: $n2 != $nDocs")
+    }
+
+    // Unbounded exact-dedup digest sink at corpus scale: three batches
+    // with planted cross-batch duplicates (beyond any watermark), the
+    // smaller id arriving LAST; converged groups must match the batch
+    // operator's counts exactly. Per-batch cost is one partial-agg pass
+    // + an O(batch) append — the number to watch is per-batch seconds
+    // staying flat as accumulated state grows.
+    {
+      val idx = java.nio.file.Files.createTempDirectory("scale_dedup_sink").toString
+      val sink = graft.streaming.StreamingOps.dedupExactSink(spark, idx)
+      val copies = docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      timed(s"dedupExactSink batch 0 (${nDocs / 100} copies first)") {
+        sink(copies.toDF(), 0L)
+      }
+      timed(s"dedupExactSink batch 1 (${nDocs / 2} docs)") {
+        sink(docs.filter(col("doc_id") % 2 === 0).toDF(), 1L)
+      }
+      timed(s"dedupExactSink batch 2 (${nDocs / 2} docs, smaller dup ids last)") {
+        sink(docs.filter(col("doc_id") % 2 === 1).toDF(), 2L)
+      }
+      val groups = timed("dedupExactMaintained fold") {
+        graft.streaming.StreamingOps.dedupExactMaintained(spark, idx)
+          .filter(col("n_dups") > 1).count()
+      }
+      val want = graft.dedup.Dedup.exactGroups(docs.unionByName(copies))
+        .filter(col("n_dups") > 1).count()
+      require(groups == want, s"digest sink diverged from batch: $groups != $want")
+      println(s"[scale] dedup digest sink: $groups duplicate groups (== batch operator)")
+    }
+
     // 1-bit binary tier at corpus scale: one tree-aggregated threshold
     // pass, one fused pack + pop-count Hamming heap scan (8 bytes per 64
     // dims touched), candidate-only exact rescore; recall vs the exact

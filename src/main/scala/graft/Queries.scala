@@ -3857,6 +3857,51 @@ object Queries {
       rows.toSeq.toDF("doc_id", "n_bytes", "payload_md5").orderBy("doc_id")
     }),
 
+    // CONTINUOUS INGEST + UNBOUNDED DEDUP composed end-to-end: the
+    // streaming WARC source feeds dedupExactSink inside one foreachBatch
+    // — the shape a 100 TB crawl pipeline actually runs. Copies land in
+    // wave 0, their originals (smaller ids!) only in wave 1 via a second
+    // AvailableNow pass on the same checkpoint — past any watermark,
+    // across a source restart — and the converged digest groups must
+    // still equal the batch operator over the union.
+    "stream_ingest_dedup" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 120).as[(Long, String)].collect().sortBy(_._1)
+      val wdir = java.nio.file.Files.createTempDirectory("warc_sid_q").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("warc_sid_ck").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("warc_sid_idx").toString
+      def rec(id: Long, tx: String): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("conversion", s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z", "text/plain",
+          tx.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sink = graft.streaming.StreamingOps.dedupExactSink(spark, idxDir)
+      def runOnce(): Unit = withStreamParts(spark) {
+        val q = spark.readStream.format("warc").load(wdir)
+          .filter(col("record_type") === "conversion")
+          .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("payload").cast("string").as("text"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            sink(b.toDF(), bid); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(wdir, "wave0.warc"),
+        docs.filter(_._1 < 15).flatMap { case (id, tx) => rec(id + 100000, tx) })
+      runOnce()
+      java.nio.file.Files.write(java.nio.file.Paths.get(wdir, "wave1.warc"),
+        docs.flatMap { case (id, tx) => rec(id, tx) })
+      runOnce()
+      graft.streaming.StreamingOps.dedupExactMaintained(spark, idxDir)
+        .select(col("digest"), col("keep_id").cast("long").as("keep_id"),
+          col("n_dups").cast("long").as("n_dups"))
+        .orderBy("keep_id")
+    }),
+
     // WARC WRITE path (the export half: curated corpus → archival
     // interchange format): write documents as WET-style conversion
     // records through df.write.format("warc") — gzip member-per-record,
@@ -6445,6 +6490,15 @@ object Queries {
         |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
         |  md5('<doc>' || text || '</doc>') AS payload_md5
         |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
+    // ingest framing is payload-transparent and the digest sink converges
+    // to the batch operator, so the oracle is the plain batch dedup over
+    // the same planted union
+    "stream_ingest_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 120
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 15)
+        |SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM all_docs GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // the two-wave streamed union converges to the batch read-back, so
     // the oracle rebuilds payloads from the same documents rows
     "stream_warc_ingest" ->

@@ -143,6 +143,21 @@ object GraftFunctionRegistry {
     // real BPE under the in-repo demo merges table (SQL can't ship a
     // merges file; the Scala API takes any standard merges.txt lines)
     "bpe_token_count" -> ((args: Seq[Expression]) => BpeTokenCount(args(0), graft.text.Bpe.DemoMerges)),
+    // the byte-level (GPT-2/tiktoken-convention) mode under the same table
+    "bpe_token_count_bytes" -> ((args: Seq[Expression]) =>
+      BpeTokenCount(args(0), graft.text.Bpe.DemoMerges, byteLevel = true)),
+    // Aho–Corasick blocklist hits; entries as a comma-separated string
+    // literal (SQL can't ship a list — the Scala API takes any Seq)
+    "blocklist_hits" -> ((args: Seq[Expression]) => {
+      val words = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _: org.apache.spark.sql.types.StringType) =>
+          String.valueOf(s).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        case other =>
+          throw new IllegalArgumentException(
+            s"blocklist_hits entries must be a comma-separated string literal, got $other")
+      }
+      BlocklistHitsAho(args(0), words)
+    }),
   )
 
   /** Idempotently register all graft functions on a session. */

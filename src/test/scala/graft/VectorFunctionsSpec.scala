@@ -137,6 +137,16 @@ class VectorFunctionsSpec extends SparkTestBase {
     // real BPE from SQL text, demo merges: 'the cat' = [the] + [Ġc, at]
     val bpe = spark.sql("SELECT bpe_token_count('the cat') AS n").as[Long].head()
     assert(bpe === 3L)
+    // byte-level mode agrees on ASCII, byte-fallbacks on CJK (3 bytes/char)
+    val bb = spark.sql("SELECT bpe_token_count_bytes('the cat') AS n").as[Long].head()
+    assert(bb === 3L)
+    val bcjk = spark.sql("SELECT bpe_token_count_bytes('我有一个') AS n").as[Long].head()
+    assert(bcjk === 12L)
+    // Aho–Corasick blocklist from SQL text (comma-separated literal)
+    val bl = spark.sql(
+      "SELECT blocklist_hits('Contraband and e-mail here', 'contraband,e-mail') AS n")
+      .as[Long].head()
+    assert(bl === 2L)
   }
 
   test("spark.sql.extensions=GraftExtensions injects functions at session build") {
