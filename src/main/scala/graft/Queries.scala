@@ -3810,6 +3810,42 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // CDX(J) CRAWL-INDEX parsing (the metadata sidecar next to every
+    // public crawl's WARC segments — the table a pipeline queries to
+    // select archive subsets BEFORE fetching payload bytes): build a
+    // CDXJ line per document in-query (SURT key, 14-digit ts, JSON
+    // meta), parse it back with parseCdxj, and emit the extracted
+    // fields — parse(build(x)) must equal x, which the oracle derives
+    // directly from the documents rows. Two planted malformed lines
+    // (non-JSON third field; missing third field) must surface as
+    // parsed_ok = 0 with null meta, not as dropped rows or crashes.
+    "cdx_parse" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select("doc_id", "source", "n_chars")
+      val url = concat(lit("http://"), col("source"), lit(".example.com/doc/"), col("doc_id"))
+      val json = to_json(struct(url.as("url"), lit("text/html").as("mime"),
+        lit("200").as("status"),
+        concat(lit("sha1:"), md5(col("doc_id").cast("string"))).as("digest"),
+        col("n_chars").cast("string").as("length"),
+        lit("shard0.warc.gz").as("filename")))
+      val line = concat_ws(" ",
+        concat(col("source"), lit(",example)/doc/"), col("doc_id")),
+        lit("20240101000000"), json)
+      val built = docs.select(col("doc_id"), line.as("line"))
+      val planted = Seq(
+        (900001L, "com,bad)/x 20240101000000 {not json}"),
+        (900002L, "com,bad2)/y 20240101000000"))
+        .toDF("doc_id", "line")
+      built.unionByName(planted)
+        .select(col("doc_id"), TextAnalysis.parseCdxj(col("line")).as("c"))
+        .select(col("doc_id"),
+          col("c.meta.url").isNotNull.cast("long").as("parsed_ok"),
+          col("c.surt_key").as("surt_key"), col("c.cdx_ts").as("cdx_ts"),
+          col("c.meta.url").as("url"), col("c.meta.status").as("status"),
+          col("c.meta.length").as("length"))
+        .orderBy("doc_id")
+    }),
+
     // STREAMING WARC ingest (readStream.format("warc")): offsets are
     // file-set snapshots, so each micro-batch processes exactly the files
     // that appeared since the last committed offset — no name-monotonic
@@ -6490,6 +6526,21 @@ object Queries {
         |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
         |  md5('<doc>' || text || '</doc>') AS payload_md5
         |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
+    // parse(build(x)) == x, so the oracle derives the extracted fields
+    // straight from documents; the malformed rows are constants
+    "cdx_parse" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS parsed_ok,
+        |  source || ',example)/doc/' || doc_id AS surt_key,
+        |  '20240101000000' AS cdx_ts,
+        |  'http://' || source || '.example.com/doc/' || doc_id AS url,
+        |  '200' AS status, CAST(n_chars AS VARCHAR) AS length
+        |FROM documents
+        |UNION ALL SELECT * FROM (VALUES
+        |  (CAST(900001 AS BIGINT), CAST(0 AS BIGINT), 'com,bad)/x', '20240101000000',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (900002, 0, 'com,bad2)/y', '20240101000000', NULL, NULL, NULL))
+        |  v(doc_id, parsed_ok, surt_key, cdx_ts, url, status, length)
+        |ORDER BY doc_id""".stripMargin,
     // ingest framing is payload-transparent and the digest sink converges
     // to the batch operator, so the oracle is the plain batch dedup over
     // the same planted union

@@ -591,6 +591,31 @@ object TextAnalysis {
   def links(text: Column): Column =
     regexp_extract_all(text, lit(UrlPattern), lit(0))
 
+  /** Parse one CDX(J) crawl-index line — the metadata sidecar format the
+    * big public crawls publish next to their WARC segments (pywb /
+    * CommonCrawl cc-index: `<SURT key> <14-digit timestamp> <JSON>`),
+    * the table a pipeline queries to SELECT archive subsets (by status,
+    * mime, digest, URL) before fetching a byte of payload. Returns
+    * `struct(surt_key, cdx_ts, meta struct(url, mime, status, digest,
+    * length, offset, filename))` — `meta` is null when the JSON third
+    * field is absent or malformed (gate on `meta.url is not null`). One
+    * codegen split + `from_json`; no UDF, and DuckDB's JSON operators
+    * replay the extraction.
+    */
+  def parseCdxj(line: Column): Column = {
+    val parts = split(line, " ", 3)
+    val metaSchema = org.apache.spark.sql.types.StructType(
+      Seq("url", "mime", "status", "digest", "length", "offset", "filename")
+        .map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    // get(), not getItem(): a line with no JSON third field must parse
+    // to a null meta, not throw under ANSI array indexing
+    struct(
+      get(parts, lit(0)).as("surt_key"),
+      get(parts, lit(1)).as("cdx_ts"),
+      from_json(get(parts, lit(2)), metaSchema).as("meta"))
+  }
+
   /** Distinct lowercased registrable-host strings of a [[links]] array.
     * Trailing sentence punctuation is trimmed first (a bare URL at the
     * end of a sentence captures its period), then the authority component
