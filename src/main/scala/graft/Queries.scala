@@ -3810,6 +3810,43 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // HTTP RESPONSE-ENVELOPE parsing — what a WARC `response` payload
+    // actually holds (application/http;msgtype=response): status line +
+    // headers + CRLFCRLF + entity body, which every CommonCrawl-style
+    // pipeline must strip BEFORE extractMarkup sees HTML. Real plumbing:
+    // envelopes are framed into WARC records and read back through the
+    // source, then parsed — status code, media type (parameters dropped),
+    // body. Planted malformed payloads: no blank line (body must be NULL,
+    // not leaked headers), a non-HTTP status line (status NULL, headers
+    // still scanned), and a 404 with no Content-Type.
+    "http_parse" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 150).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("http_q").toString
+      def rec(id: Long, payload: String): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("response", s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z",
+          "application/http;msgtype=response",
+          payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def envelope(tx: String): String =
+        "HTTP/1.1 200 OK\r\nServer: test/1.0\r\n" +
+          s"Content-Type: text/html; charset=UTF-8\r\n\r\n<html><body><p>$tx</p></body></html>"
+      val bytes = docs.flatMap { case (id, tx) => rec(id, envelope(tx)) } ++
+        rec(900001L, "no envelope terminator here") ++
+        rec(900002L, "NOTHTTP 200\r\nContent-Type: x\r\n\r\nbody") ++
+        rec(900003L, "HTTP/1.1 404 Not Found\r\n\r\nmissing")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "r.warc"), bytes)
+      spark.read.format("warc").load(out)
+        .filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          TextAnalysis.httpResponse(col("payload").cast("string")).as("h"))
+        .select(col("doc_id"), col("h.status").as("status"),
+          col("h.content_type").as("content_type"),
+          md5(col("h.body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // CDX(J) CRAWL-INDEX parsing (the metadata sidecar next to every
     // public crawl's WARC segments — the table a pipeline queries to
     // select archive subsets BEFORE fetching payload bytes): build a
@@ -6526,6 +6563,20 @@ object Queries {
         |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
         |  md5('<doc>' || text || '</doc>') AS payload_md5
         |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
+    // envelope build → frame → read → strip is identity on the body, so
+    // the oracle derives the fields straight from documents; malformed
+    // rows are constants (NULL body where the envelope never terminates)
+    "http_parse" ->
+      """SELECT doc_id, CAST(200 AS BIGINT) AS status,
+        |  'text/html' AS content_type,
+        |  md5('<html><body><p>' || text || '</p></body></html>') AS body_md5
+        |FROM documents WHERE doc_id < 150
+        |UNION ALL SELECT * FROM (VALUES
+        |  (CAST(900001 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  (900002, NULL, 'x', md5('body')),
+        |  (900003, 404, NULL, md5('missing')))
+        |  v(doc_id, status, content_type, body_md5)
+        |ORDER BY doc_id""".stripMargin,
     // parse(build(x)) == x, so the oracle derives the extracted fields
     // straight from documents; the malformed rows are constants
     "cdx_parse" ->

@@ -591,6 +591,31 @@ object TextAnalysis {
   def links(text: Column): Column =
     regexp_extract_all(text, lit(UrlPattern), lit(0))
 
+  /** Parse an HTTP RESPONSE envelope — what a WARC `response` record's
+    * payload actually is (`application/http;msgtype=response`: status
+    * line + headers + CRLFCRLF + entity body). Every CommonCrawl-style
+    * pipeline must strip this before [[extractMarkup]] sees the HTML.
+    * Returns `struct(status, content_type, body)`: `status` is the
+    * 3-digit code as BIGINT (null when the status line is not HTTP),
+    * `content_type` the media type with parameters dropped (null when
+    * absent), `body` everything past the first blank line. A payload
+    * whose envelope NEVER terminates (no blank line) yields ALL-null —
+    * a torn envelope has no trusted fields, and its headers must not
+    * leak downstream as "text". One codegen locate + substring +
+    * anchored regexp chain; RE2-compatible, so a SQL oracle replays it.
+    */
+  def httpResponse(payloadText: Column): Column = {
+    val headEnd = locate("\r\n\r\n", payloadText) // 1-based; 0 = absent
+    val head = when(headEnd > 0, payloadText.substr(lit(1), headEnd - 1))
+    val status = regexp_extract(head, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    val ctype = regexp_extract(head, "(?im)^content-type:[ \t]*([^\r\n;]+)", 1)
+    struct(
+      when(status =!= "", status.cast("long")).as("status"),
+      when(ctype =!= "", trim(ctype)).as("content_type"),
+      when(headEnd > 0, payloadText.substr(headEnd + lit(4), length(payloadText)))
+        .as("body"))
+  }
+
   /** Parse one CDX(J) crawl-index line — the metadata sidecar format the
     * big public crawls publish next to their WARC segments (pywb /
     * CommonCrawl cc-index: `<SURT key> <14-digit timestamp> <JSON>`),

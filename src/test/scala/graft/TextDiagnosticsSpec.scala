@@ -161,6 +161,36 @@ class TextDiagnosticsSpec extends SparkTestBase {
     Seq(lf, lc, pf, pc) ++ tops ++ covs
   }
 
+  test("httpResponse: envelope strip, parameter drop, malformed nulls") {
+    import spark.implicits._
+    def parse(p: String): (Option[Long], Option[String], Option[String]) = {
+      val r = Seq(p).toDF("p")
+        .select(TextAnalysis.httpResponse(col("p")).as("h"))
+        .select("h.status", "h.content_type", "h.body").head()
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)), Option(r.getString(2)))
+    }
+    assert(parse("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n<html>x</html>")
+      === ((Some(200L), Some("text/html"), Some("<html>x</html>"))))
+    // header NAME is case-insensitive; value params drop at ';'
+    assert(parse("HTTP/1.0 301 Moved\r\nCONTENT-TYPE: Text/Plain\r\n\r\nmoved")
+      === ((Some(301L), Some("Text/Plain"), Some("moved"))))
+    // no blank line = torn envelope: ALL fields null — a header block
+    // that never terminates yields no trusted fields and must not leak
+    // headers downstream as text
+    assert(parse("HTTP/1.1 200 OK\r\nContent-Type: text/html")
+      === ((None, None, None)))
+    // non-HTTP status line: status null, headers still scanned
+    assert(parse("ICY 200 OK\r\nContent-Type: audio/mpeg\r\n\r\nstream")
+      === ((None, Some("audio/mpeg"), Some("stream"))))
+    // empty body after a valid envelope
+    assert(parse("HTTP/1.1 204 No Content\r\n\r\n")
+      === ((Some(204L), None, Some(""))))
+    // a content-type-looking line in the BODY must not match (anchored to head)
+    assert(parse("HTTP/1.1 200 OK\r\n\r\nContent-Type: fake/type")
+      === ((Some(200L), None, Some("Content-Type: fake/type"))))
+  }
+
   test("corpusZipf: topK truncates the fit window; degenerate params loud") {
     val d = Seq((1L, "s", "a a a b b c d e f g")).toDF("doc_id", "source", "text")
     val full = TextAnalysis.corpusZipf(d, topK = 100).collect().head.getDouble(4)
