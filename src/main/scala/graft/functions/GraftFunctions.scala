@@ -150,7 +150,7 @@ object GraftFunctionRegistry {
     // literal (SQL can't ship a list — the Scala API takes any Seq)
     "blocklist_hits" -> ((args: Seq[Expression]) => {
       val words = args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(s, _: org.apache.spark.sql.types.StringType) =>
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _: org.apache.spark.sql.types.StringType) if s != null =>
           String.valueOf(s).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         case other =>
           throw new IllegalArgumentException(

@@ -45,8 +45,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    use the gzip form.
   *  - **gzip member-per-record** (`.warc.gz`/`.wet.gz`, the CommonCrawl
   *    layout): one file = one partition (gzip members are not seekable
-  *    without an index); `GZIPInputStream` walks the concatenated
-  *    members transparently and `offset` reports UNCOMPRESSED positions.
+  *    without an index); a member-verifying walk
+  *    ([[WarcFormat.MultiMemberGzipStream]] — `java.util.zip.GZIPInputStream`
+  *    would treat a torn next member as silent EOF) decodes the
+  *    concatenated members, checking each header (magic, method,
+  *    reserved FLG bits, optional FHCRC) and each trailer's CRC32 +
+  *    ISIZE; `offset` reports UNCOMPRESSED positions.
   *    Parallelism comes from file count — crawl dumps ship thousands of
   *    ~1 GB segments, so a 1000-executor cluster saturates on files, not
   *    splits.
@@ -472,6 +476,10 @@ object WarcFormat {
   /** Position-tracking buffered byte source with 1-byte lookahead. */
   final class PosStream(in: InputStream, startPos: Long) {
     var pos: Long = startPos
+    /** BYTE length of the last [[readLine]] line (incl. its CRLF) — the
+      * header-BLOCK bound must count bytes, not decoded UTF-8 chars.
+      */
+    var lastLineBytes: Int = 0
     private var peeked: Int = -2
     def read(): Int = {
       if (peeked != -2) { val b = peeked; peeked = -2; if (b >= 0) pos += 1; return b }
@@ -556,33 +564,56 @@ object WarcFormat {
       a
     }
 
-    private def skipZeroTerminated(what: String): Unit = {
-      var b = rawRead()
-      while (b != 0) { if (b < 0) throw torn(what); b = rawRead() }
-    }
-
     /** Parse one member header; false = clean EOF before any byte. */
     private def startMember(): Boolean = {
       val b0 = rawRead()
       if (b0 < 0) return false
-      val b1 = rawRead()
-      if (b1 < 0) throw torn("gzip magic")
+      member += 1 // ordinal consistent across header/deflate/trailer errors
+      // record the header bytes: FHCRC (when present) covers everything
+      // from the magic through the last optional field
+      val rec = new java.io.ByteArrayOutputStream(32)
+      rec.write(b0)
+      def r1(what: String): Int = {
+        val b = rawRead(); if (b < 0) throw torn(what); rec.write(b); b
+      }
+      def rn(n: Int, what: String): Array[Byte] = {
+        val a = new Array[Byte](n)
+        var o = 0
+        while (o < n) { a(o) = r1(what).toByte; o += 1 }
+        a
+      }
+      val b1 = r1("gzip magic")
       if (b0 != 0x1f || b1 != 0x8b) throw malformed(f"bad magic $b0%02x $b1%02x")
-      val hdr = rawReadFully(8, "gzip header")
+      val hdr = rn(8, "gzip header")
       if (hdr(0) != 8) throw malformed(s"compression method ${hdr(0)} (want 8=deflate)")
       val flg = hdr(1) & 0xff
+      // reserved bits imply header fields this parser doesn't know —
+      // reject precisely (as the JDK reader did) instead of misaligning
+      // into the deflate data and failing with a misleading CRC error
+      if ((flg & 0xe0) != 0) throw malformed(f"reserved FLG bits set: $flg%02x")
       if ((flg & 0x04) != 0) { // FEXTRA
-        val x = rawReadFully(2, "FEXTRA length")
+        val x = rn(2, "FEXTRA length")
         val xlen = (x(0) & 0xff) | ((x(1) & 0xff) << 8)
-        rawReadFully(xlen, "FEXTRA")
+        rn(xlen, "FEXTRA")
       }
-      if ((flg & 0x08) != 0) skipZeroTerminated("FNAME") // FNAME
-      if ((flg & 0x10) != 0) skipZeroTerminated("FCOMMENT") // FCOMMENT
-      if ((flg & 0x02) != 0) rawReadFully(2, "FHCRC") // FHCRC
+      if ((flg & 0x08) != 0) { var b = r1("FNAME"); while (b != 0) b = r1("FNAME") }
+      if ((flg & 0x10) != 0) { var b = r1("FCOMMENT"); while (b != 0) b = r1("FCOMMENT") }
+      if ((flg & 0x02) != 0) { // FHCRC: low 16 bits of CRC32 over the header
+        val want = {
+          val c = new java.util.zip.CRC32
+          val h = rec.toByteArray
+          c.update(h, 0, h.length)
+          (c.getValue & 0xffffL).toInt
+        }
+        val lo = rawRead(); val hi = rawRead()
+        if (lo < 0 || hi < 0) throw torn("FHCRC")
+        val got = (lo & 0xff) | ((hi & 0xff) << 8)
+        if (got != want)
+          throw malformed(f"FHCRC mismatch: header crc16 $got%04x vs computed $want%04x")
+      }
       inf.reset()
       crc.reset()
       memberBytes = 0L
-      member += 1
       memberOpen = true
       true
     }
@@ -675,6 +706,7 @@ object WarcFormat {
     if (bytes.length == 0 || bytes(bytes.length - 1) != '\r')
       throw new IllegalStateException(
         s"malformed WARC record: $path: header line not CRLF-terminated at offset ${in.pos}")
+    in.lastLineBytes = bytes.length + 1 // + the consumed LF
     new String(bytes, 0, bytes.length - 1, java.nio.charset.StandardCharsets.UTF_8)
   }
 
@@ -700,12 +732,12 @@ object WarcFormat {
     var targetUri: String = null
     var warcDate: String = null
     var contentType: String = null
-    var contentLength = -1L
+    var contentLengthRaw: String = null
     var headerBytes = 0
     var lastName: String = null
     var line = readLine(in, path)
     while (line.nonEmpty) {
-      headerBytes += line.length
+      headerBytes += in.lastLineBytes
       if (headerBytes > MaxHeaderBytes) throw new IllegalStateException(
         s"malformed WARC record: $path: header block exceeds $MaxHeaderBytes bytes at offset $offset")
       val folded = line.charAt(0) == ' ' || line.charAt(0) == '\t'
@@ -728,17 +760,21 @@ object WarcFormat {
         case "warc-target-uri" => targetUri = fold(targetUri)
         case "warc-date" => warcDate = fold(warcDate)
         case "content-type" => contentType = fold(contentType)
-        case "content-length" =>
-          contentLength = try value.toLong catch {
-            case _: NumberFormatException => throw new IllegalStateException(
-              s"malformed WARC record: $path: unparseable Content-Length '$value' at offset $offset")
-          }
+        case "content-length" => contentLengthRaw = fold(contentLengthRaw)
         case _ => () // other WARC/extension headers: tolerated, not surfaced
       }
       line = readLine(in, path)
     }
-    if (contentLength < 0) throw new IllegalStateException(
+    if (contentLengthRaw == null) throw new IllegalStateException(
       s"malformed WARC record: $path: missing Content-Length at offset $offset")
+    // parse AFTER folding: a folded continuation ('1000' + ' 20' -> '1000 20')
+    // must fail toLong loudly, not silently replace the framing length
+    val contentLength = try contentLengthRaw.toLong catch {
+      case _: NumberFormatException => throw new IllegalStateException(
+        s"malformed WARC record: $path: unparseable Content-Length '$contentLengthRaw' at offset $offset")
+    }
+    if (contentLength < 0) throw new IllegalStateException(
+      s"malformed WARC record: $path: negative Content-Length $contentLength at offset $offset")
     val matches = types.forall(t => recordType != null && t.contains(recordType))
     var payload: Array[Byte] = null
     if (wantPayload && matches) {
@@ -823,12 +859,18 @@ object WarcFormat {
       if (!v.startsWith("WARC/")) return false
       var line = readLine(probe, path)
       var sawLength = false
+      var sawField = false
       var headerBytes = 0
       while (line.nonEmpty) {
-        headerBytes += line.length
+        headerBytes += probe.lastLineBytes
         if (headerBytes > MaxHeaderBytes) return false
         val folded = line.charAt(0) == ' ' || line.charAt(0) == '\t'
+        // mirror parseRecord exactly: a folded line with no preceding
+        // field is NOT a valid block — returning true here would send
+        // parseRecord to crash on a decoy the scan should keep skipping
+        if (folded && !sawField) return false
         if (!folded) {
+          sawField = true
           val i = line.indexOf(':')
           if (i <= 0) return false
           if (line.substring(0, i).equalsIgnoreCase("content-length")) {

@@ -19,6 +19,10 @@ class WarcSourceSpec extends SparkTestBase {
 
   private def tmp(): String = Files.createTempDirectory("warc_spec").toString
 
+  /** Flatten a failure's cause chain to its messages. */
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
   test("round trip: all columns, offsets, multiple records") {
     val dir = tmp()
     val r0 = rec(0, "response", "hello world")
@@ -202,14 +206,10 @@ class WarcSourceSpec extends SparkTestBase {
       rec(0, "response", "batch one a") ++ rec(1, "response", "batch one b") ++
         rec(9, "response", "appended"))
     val e = intercept[Exception](runOnce("warc_s4"))
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("immutable")), msgs(e).mkString(" | "))
   }
 
   test("torn gzip member fails loudly (not silent EOF), CRC verified") {
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     // member 2 truncated inside its deflate data
     val m0 = WarcFormat.gzipMember(rec(0, "response", "first"))
     val m1 = WarcFormat.gzipMember(rec(1, "response", "second"))
@@ -239,8 +239,6 @@ class WarcSourceSpec extends SparkTestBase {
     val good = (0 until 6).map(i => rec(i, "response", s"payload $i " + ("z" * 200)))
     val torn = rec(9, "response", "x" * 300).take(40) // truncated mid-headers
     writeFile(dir, "t.warc", good.reduce(_ ++ _) ++ torn)
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     // split small enough that the torn record's start lands in a k>0 split
     val e = intercept[org.apache.spark.SparkException](
       spark.read.format("warc").option("maxPartitionBytes", "512").load(dir).collect())
@@ -272,6 +270,41 @@ class WarcSourceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       WarcFormat.buildRecord("response", "<id>", "http://x/\r\nInjected: yes",
         "2024-01-01T00:00:00Z", "text/plain", Array.emptyByteArray))
+  }
+
+  test("review fixes: folded-first-line decoy, folded Content-Length, FHCRC, reserved FLG") {
+    // a decoy whose first "header" line is FOLDED must be skipped by the
+    // split sync (validatesAt mirrors parseRecord), not crash the read
+    val decoy = "\r\n\r\nWARC/1.0\r\n x\r\nContent-Length: 0\r\n\r\n"
+    val dir = tmp()
+    val recs = (0 until 20).map(i => rec(i, "response", s"p $i $decoy " + ("q" * 120)))
+    writeFile(dir, "a.warc", recs.reduce(_ ++ _))
+    val got = spark.read.format("warc").option("maxPartitionBytes", "512").load(dir)
+      .select("record_id").collect()
+    assert(got.length === 20)
+    // a folded continuation of Content-Length folds then fails toLong
+    // loudly instead of silently replacing the framing length
+    val foldedLen = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n" +
+      " 20\r\n\r\nbody\r\n\r\n").getBytes("UTF-8")
+    val dir2 = tmp()
+    writeFile(dir2, "f.warc", foldedLen)
+    val e = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir2).collect())
+    assert(msgs(e).exists(_.contains("unparseable Content-Length")), msgs(e).mkString(" | "))
+    // reserved FLG bits rejected precisely; FHCRC verified when present
+    val member = WarcFormat.gzipMember(rec(0, "response", "x"))
+    val dir3 = tmp()
+    val badFlg = member.clone(); badFlg(3) = (badFlg(3) | 0x80).toByte
+    writeFile(dir3, "r.warc.gz", badFlg)
+    val e2 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir3).collect())
+    assert(msgs(e2).exists(_.contains("reserved FLG")), msgs(e2).mkString(" | "))
+    // member ordinal consistent between header-phase and data-phase errors
+    val dir4 = tmp()
+    writeFile(dir4, "t.warc.gz", member ++ member.take(14))
+    val e3 = intercept[org.apache.spark.SparkException](
+      spark.read.format("warc").load(dir4).collect())
+    assert(msgs(e3).exists(_.contains("member 2")), msgs(e3).mkString(" | "))
   }
 
   test("multiple files in a directory, deterministic union") {
