@@ -57,6 +57,60 @@ object Queries {
       }.toDF("id", "payload")
   }
 
+  /** One planted charset_decode case: the envelope's Content-Type value,
+    * body bytes in the WIRE charset, and the expected cascade outcome.
+    * The QUERY frames these through the WARC source and the ORACLE
+    * derives its VALUES rows from the same list (md5s and char counts
+    * computed here), so both sides share one source of truth.
+    */
+  private[graft] final case class CharsetCase(
+      id: Long, ctHeader: String, body: Array[Byte],
+      expCharset: String, expSource: String, expText: String)
+
+  private[graft] val charsetCases: Seq[CharsetCase] = {
+    import java.nio.charset.Charset
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16LE, UTF_8}
+    val sjis = Charset.forName("Shift_JIS")
+    val w1252 = Charset.forName("windows-1252")
+    // explicit escapes, not literal chars: the expected strings must be
+    // byte-exact regardless of source-file encoding
+    val dk = "K\u00f8benhavn \u00e6\u00f8\u00e5 caf\u00e9"
+    val jp = "\u3053\u3093\u306b\u3061\u306f\u4e16\u754c" // konnichiwa sekai
+    val win = "caf\u00e9 \u2013 \u201csmart\u201d" // 0x96/0x93/0x94: 1252-only bytes
+    val bomTxt = "BOM d\u00e9j\u00e0 vu"
+    val wide = "wide \u4e16\u754c"
+    val metaHtml = "<html><head><meta charset=\"shift_jis\"></head>" +
+      "<body>\u30c6\u30b9\u30c8 ok</body></html>" // katakana "tesuto"
+    val fb = "fallback caf\u00e9" // trailing 0xE9: invalid UTF-8 tail
+    val u8 = "d\u00e9j\u00e0 \u4e16\u754c"
+    Seq(
+      // 1. transport declaration wins; ISO-8859-1 label promotes to 1252
+      CharsetCase(900001L, "text/html; charset=ISO-8859-1",
+        dk.getBytes(ISO_8859_1), "windows-1252", "header", dk),
+      CharsetCase(900002L, "text/html; charset=Shift_JIS",
+        jp.getBytes(sjis), "shift_jis", "header", jp),
+      CharsetCase(900003L, "text/html; charset=windows-1252",
+        win.getBytes(w1252), "windows-1252", "header", win),
+      // 2. BOM (no charset param): UTF-8 and UTF-16LE, BOM stripped
+      CharsetCase(900004L, "text/html",
+        Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ bomTxt.getBytes(UTF_8),
+        "utf-8", "bom", bomTxt),
+      CharsetCase(900005L, "text/html",
+        Array(0xff.toByte, 0xfe.toByte) ++ wide.getBytes(UTF_16LE),
+        "utf-16le", "bom", wide),
+      // 3. in-document <meta charset> (ASCII-visible inside SJIS bytes)
+      CharsetCase(900006L, "text/html", metaHtml.getBytes(sjis),
+        "shift_jis", "meta", metaHtml),
+      // 5. undeclared + invalid UTF-8: windows-1252 fallback
+      CharsetCase(900007L, "text/html", fb.getBytes(ISO_8859_1),
+        "windows-1252", "fallback", fb),
+      // 4. undeclared + strictly valid multi-byte UTF-8
+      CharsetCase(900008L, "text/html", u8.getBytes(UTF_8), "utf-8", "utf8", u8),
+      // unknown label falls THROUGH the cascade, not over the document
+      CharsetCase(900009L, "text/html; charset=x-klingon",
+        u8.getBytes(UTF_8), "utf-8", "utf8", u8))
+  }
+
   /** The events table with `ts` normalized to epoch NANOS (long). The
     * testdata generator has emitted both parquet TIMESTAMP(NANOS) — which
     * Spark can only surface as a raw nanos long (legacy flag) — and
@@ -3835,7 +3889,8 @@ object Queries {
       val bytes = docs.flatMap { case (id, tx) => rec(id, envelope(tx)) } ++
         rec(900001L, "no envelope terminator here") ++
         rec(900002L, "NOTHTTP 200\r\nContent-Type: x\r\n\r\nbody") ++
-        rec(900003L, "HTTP/1.1 404 Not Found\r\n\r\nmissing")
+        rec(900003L, "HTTP/1.1 404 Not Found\r\n\r\nmissing") ++
+        rec(900004L, "HTTP/1.1 200 OK\nContent-Type: text/plain\n\nlenient\r\n\r\nbody")
       java.nio.file.Files.write(java.nio.file.Paths.get(out, "r.warc"), bytes)
       spark.read.format("warc").load(out)
         .filter(col("record_type") === "response")
@@ -3880,6 +3935,44 @@ object Queries {
           col("c.surt_key").as("surt_key"), col("c.cdx_ts").as("cdx_ts"),
           col("c.meta.url").as("url"), col("c.meta.status").as("status"),
           col("c.meta.length").as("length"))
+        .orderBy("doc_id")
+    }),
+
+    // CHARSET SNIFF + DECODE over the raw ingest chain: bodies in
+    // ISO-8859-1 / Shift_JIS / windows-1252 / UTF-16LE / BOM'd UTF-8 are
+    // framed as HTTP responses inside WARC records and decoded via the
+    // byte-level http_decode kernel (header charset= param, then BOM,
+    // then <meta charset>, then UTF-8 validity, then windows-1252
+    // fallback). Each planted body must recover the EXACT reference
+    // string (oracle VALUES rows derive from the same shared fixture
+    // list), and the pass-through arm proves UTF-8 corpus bytes come
+    // back untouched.
+    "charset_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 150).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("charset_q").toString
+      def rec(id: Long, envelope: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("response", s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z",
+          "application/http;msgtype=response", envelope)
+      def env(ct: String, body: Array[Byte]): Array[Byte] =
+        s"HTTP/1.1 200 OK\r\nServer: test/1.0\r\nContent-Type: $ct\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+      val bytes = docs.flatMap { case (id, tx) =>
+        rec(id, env("text/html", tx.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      } ++ charsetCases.flatMap(c => rec(c.id, env(c.ctHeader, c.body)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "r.warc"), bytes)
+      spark.read.format("warc").load(out)
+        .filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          TextAnalysis.httpResponseDecoded(col("payload")).as("h"))
+        .select(col("doc_id"), col("h.status").as("status"),
+          col("h.content_type").as("content_type"),
+          col("h.charset").as("charset"),
+          col("h.charset_source").as("charset_source"),
+          length(col("h.body")).cast("long").as("n_chars"),
+          md5(encode(col("h.body"), "UTF-8")).as("body_md5"))
         .orderBy("doc_id")
     }),
 
@@ -6565,7 +6658,10 @@ object Queries {
         |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
     // envelope build → frame → read → strip is identity on the body, so
     // the oracle derives the fields straight from documents; malformed
-    // rows are constants (NULL body where the envelope never terminates)
+    // rows are constants (NULL body where the envelope never terminates;
+    // the 900004 bare-LF envelope exercises the lenient \n\n fallback —
+    // its body deliberately CONTAINS a CRLFCRLF the earliest-terminator
+    // rule must not mistake for the header end)
     "http_parse" ->
       """SELECT doc_id, CAST(200 AS BIGINT) AS status,
         |  'text/html' AS content_type,
@@ -6574,7 +6670,8 @@ object Queries {
         |UNION ALL SELECT * FROM (VALUES
         |  (CAST(900001 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
         |  (900002, NULL, 'x', md5('body')),
-        |  (900003, 404, NULL, md5('missing')))
+        |  (900003, 404, NULL, md5('missing')),
+        |  (900004, 200, 'text/plain', md5('lenient' || chr(13) || chr(10) || chr(13) || chr(10) || 'body')))
         |  v(doc_id, status, content_type, body_md5)
         |ORDER BY doc_id""".stripMargin,
     // parse(build(x)) == x, so the oracle derives the extracted fields
@@ -6592,6 +6689,28 @@ object Queries {
         |  (900002, 0, 'com,bad2)/y', '20240101000000', NULL, NULL, NULL))
         |  v(doc_id, parsed_ok, surt_key, cdx_ts, url, status, length)
         |ORDER BY doc_id""".stripMargin,
+    // the cascade's outcome per planted case is computed from the SAME
+    // shared fixture list the query framed (md5s/char counts in Scala),
+    // so the oracle literally pins charset, cascade step, and the exact
+    // recovered string; the corpus arm must decode as untouched UTF-8
+    "charset_decode" -> {
+      def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      val vals = charsetCases.map { c =>
+        s"  (CAST(${c.id} AS BIGINT), CAST(200 AS BIGINT), 'text/html', '${c.expCharset}', " +
+          s"'${c.expSource}', CAST(${c.expText.codePointCount(0, c.expText.length)} AS BIGINT), " +
+          s"'${md5hex(c.expText)}')"
+      }.mkString(",\n|")
+      s"""SELECT doc_id, CAST(200 AS BIGINT) AS status, 'text/html' AS content_type,
+         |  'utf-8' AS charset, 'utf8' AS charset_source,
+         |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS body_md5
+         |FROM documents WHERE doc_id < 150
+         |UNION ALL SELECT * FROM (VALUES
+         |$vals)
+         |  v(doc_id, status, content_type, charset, charset_source, n_chars, body_md5)
+         |ORDER BY doc_id""".stripMargin
+    },
     // ingest framing is payload-transparent and the digest sink converges
     // to the batch operator, so the oracle is the plain batch dedup over
     // the same planted union

@@ -1,0 +1,328 @@
+package graft.functions
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Charset sniffing + decoding for raw crawl payloads — the step between
+  * the WARC source's `payload` bytes and every text operator downstream.
+  *
+  * A large fraction of real crawl bodies is NOT UTF-8 (ISO-8859-1,
+  * Windows-1252, Shift_JIS, GBK, ...); `payload.cast("string")` assumes
+  * UTF-8 and mojibakes those documents silently through every digest,
+  * shingle, and tokenizer that follows. This kernel runs the standard
+  * detection cascade in one pass per document:
+  *
+  *  1. **Transport declaration** — a `charset=` parameter on the
+  *     Content-Type header value (the HTTP envelope's, or WARC's own for
+  *     conversion records).
+  *  2. **Byte-order mark** — UTF-8 / UTF-16LE/BE / UTF-32LE/BE.
+  *  3. **In-document declaration** — `<meta charset=...>` or
+  *     `http-equiv` `charset=` in the first 1024 bytes (the WHATWG
+  *     prescan window). A meta label naming a UTF-16/32 family is read
+  *     as UTF-8 (WHATWG rule: a meta tag READABLE as ASCII cannot be in
+  *     a wide encoding).
+  *  4. **UTF-8 validity** — bytes that strictly validate are UTF-8.
+  *  5. **windows-1252 fallback** — the WHATWG default; every byte
+  *     sequence decodes, so nothing is dropped.
+  *
+  * Label resolution follows the published WHATWG encoding mappings where
+  * they matter in practice: `iso-8859-1` / `us-ascii` / `latin1` labels
+  * decode as windows-1252 (1252's 0x80–0x9F are real characters — curly
+  * quotes, en dash — where 8859-1's are never-used controls; on bytes
+  * the two agree everywhere else). Unknown labels fall through to the
+  * next cascade step rather than failing the document. Malformed byte
+  * sequences under the chosen charset decode to U+FFFD (the
+  * java.lang.String REPLACE convention every production pipeline uses) —
+  * a crawl row never throws. A leading U+FEFF is stripped after decode
+  * in every path, so a BOM'd body and its BOM-less twin hash alike.
+  */
+object CharsetKernel {
+
+  private val Windows1252 = Charset.forName("windows-1252")
+
+  /** WHATWG: these labels all decode as windows-1252. */
+  private val Latin1Labels = Set(
+    "iso-8859-1", "iso8859-1", "iso_8859-1", "iso88591", "iso-ir-100",
+    "latin1", "latin-1", "l1", "us-ascii", "ascii", "ansi_x3.4-1968",
+    "cp819", "ibm819", "csisolatin1", "cp1252")
+
+  /** `<meta charset="x">` and `content="text/html; charset=x"` both end
+    * with `charset=<label>`; the bounded `[^>]` run keeps the scan inside
+    * one tag.
+    */
+  private val MetaPattern = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9._:-]+)")
+
+  /** A charset LABEL → JVM Charset, or null when unknown/unsupported
+    * (the cascade then falls through — an unrecognized declaration must
+    * not fail the document).
+    */
+  def resolve(label: String): Charset = {
+    var t = label.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+      t = t.substring(1, t.length - 1).trim
+    if (t.isEmpty) return null
+    if (Latin1Labels.contains(t.toLowerCase(Locale.ROOT))) return Windows1252
+    try Charset.forName(t)
+    catch { case _: IllegalArgumentException => null } // bad/unsupported name
+  }
+
+  /** The `charset=` parameter of a Content-Type header VALUE (e.g.
+    * `text/html; charset=Shift_JIS`), or null.
+    */
+  def headerCharset(contentType: String): Charset = {
+    if (contentType == null) return null
+    val lower = contentType.toLowerCase(Locale.ROOT)
+    val i = lower.indexOf("charset=")
+    if (i < 0) return null
+    var j = i + 8
+    val sb = new java.lang.StringBuilder(16)
+    var quote: Char = 0
+    if (j < contentType.length && (contentType.charAt(j) == '"' || contentType.charAt(j) == '\'')) {
+      quote = contentType.charAt(j); j += 1
+    }
+    var stop = false
+    while (j < contentType.length && !stop) {
+      val c = contentType.charAt(j)
+      if (quote != 0) { if (c == quote) stop = true else sb.append(c) }
+      else if (c == ';' || c == ' ' || c == '\t') stop = true
+      else sb.append(c)
+      if (!stop) j += 1
+    }
+    resolve(sb.toString)
+  }
+
+  /** (charset, bytes to skip) for a leading BOM, or (null, 0). UTF-32
+    * before UTF-16LE — FF FE 00 00 prefixes FF FE.
+    */
+  def bomCharset(b: Array[Byte], off: Int, len: Int): (Charset, Int) = {
+    def at(i: Int): Int = b(off + i) & 0xff
+    if (len >= 3 && at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf)
+      (StandardCharsets.UTF_8, 3)
+    else if (len >= 4 && at(0) == 0xff && at(1) == 0xfe && at(2) == 0x00 && at(3) == 0x00)
+      (Charset.forName("UTF-32LE"), 4)
+    else if (len >= 4 && at(0) == 0x00 && at(1) == 0x00 && at(2) == 0xfe && at(3) == 0xff)
+      (Charset.forName("UTF-32BE"), 4)
+    else if (len >= 2 && at(0) == 0xfe && at(1) == 0xff) (StandardCharsets.UTF_16BE, 2)
+    else if (len >= 2 && at(0) == 0xff && at(1) == 0xfe) (StandardCharsets.UTF_16LE, 2)
+    else (null, 0)
+  }
+
+  /** `<meta ... charset=...>` in the first 1024 bytes (read as Latin-1 —
+    * the prescan only needs ASCII positions). Wide labels → UTF-8 per
+    * the WHATWG rule (see class doc).
+    */
+  def metaCharset(b: Array[Byte], off: Int, len: Int): Charset = {
+    val n = math.min(len, 1024)
+    if (n <= 0) return null
+    val prelude = new String(b, off, n, StandardCharsets.ISO_8859_1)
+    val m = MetaPattern.matcher(prelude)
+    if (!m.find()) return null
+    val cs = resolve(m.group(1))
+    if (cs == null) null
+    else {
+      val nm = cs.name().toLowerCase(Locale.ROOT)
+      if (nm.startsWith("utf-16") || nm.startsWith("utf-32") || nm == "x-utf-32le-bom")
+        StandardCharsets.UTF_8
+      else cs
+    }
+  }
+
+  /** Strict UTF-8 validation (RFC 3629: no overlongs, no surrogates, max
+    * U+10FFFF) — one branchy byte scan, no allocation.
+    */
+  def utf8Valid(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation byte or overlong lead
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= end || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= end) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xe0) 0xa0 else 0x80 // no overlong
+        val hi = if (c == 0xed) 0x9f else 0xbf // no surrogates
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= end) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xf0) 0x90 else 0x80
+        val hi = if (c == 0xf4) 0x8f else 0xbf
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80)
+          return false
+        i += 4
+      } else return false // 0xf5..0xff: beyond U+10FFFF
+    }
+    true
+  }
+
+  /** The cascade: (charset, which step decided). */
+  def sniff(b: Array[Byte], off: Int, len: Int, declaredContentType: String)
+      : (Charset, String) = {
+    val fromHeader = headerCharset(declaredContentType)
+    if (fromHeader != null) return (fromHeader, "header")
+    val (fromBom, _) = bomCharset(b, off, len)
+    if (fromBom != null) return (fromBom, "bom")
+    val fromMeta = metaCharset(b, off, len)
+    if (fromMeta != null) return (fromMeta, "meta")
+    if (utf8Valid(b, off, len)) (StandardCharsets.UTF_8, "utf8")
+    else (Windows1252, "fallback")
+  }
+
+  /** Decode with the chosen charset; malformed sequences → U+FFFD (the
+    * String-constructor REPLACE convention); a leading U+FEFF stripped.
+    */
+  def decodeWith(b: Array[Byte], off: Int, len: Int, cs: Charset): String = {
+    val s = new String(b, off, len, cs)
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+  }
+
+  /** (charset name, cascade step, decoded text) for a raw body + its
+    * declared Content-Type value ("" = undeclared). Entry point for the
+    * [[CharsetDecode]] expression (WET conversion records, or any body
+    * whose envelope is already stripped).
+    */
+  def decode(body: Array[Byte], declared: UTF8String): InternalRow = {
+    val d = if (declared == null) "" else declared.toString
+    val (cs, source) = sniff(body, 0, body.length, if (d.isEmpty) null else d)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(cs.name().toLowerCase(Locale.ROOT)),
+      UTF8String.fromString(source),
+      UTF8String.fromString(decodeWith(body, 0, body.length, cs))))
+  }
+}
+
+/** `(payload binary, content_type string) → struct(charset, charset_source,
+  * text)` — run the [[CharsetKernel]] cascade and decode in one pass.
+  * Pass `''` (or `coalesce(ct, '')`) when no transport declaration exists.
+  */
+case class CharsetDecode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("charset", StringType, nullable = false),
+    StructField("charset_source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "charset_decode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"charset_decode payload must be binary, got ${left.dataType.catalogString}")
+    else if (right.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"charset_decode content_type must be string, got ${right.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(p: Any, d: Any): Any =
+    CharsetKernel.decode(p.asInstanceOf[Array[Byte]], d.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, d) =>
+      s"${ev.value} = graft.functions.CharsetKernel.decode($p, $d);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Byte-level HTTP response-envelope split + charset decode in ONE
+  * kernel pass — the charset-correct form of
+  * [[graft.text.TextAnalysis.httpResponse]], which (by design, for SQL
+  * replay) casts the payload to string as UTF-8 BEFORE splitting and so
+  * mojibakes every non-UTF-8 body. This expression splits the envelope
+  * on the raw bytes (earliest of CRLFCRLF / bare-LF LFLF — lenient
+  * servers emit the latter), parses the status line and Content-Type
+  * from the ASCII header block, then runs the [[CharsetKernel]] cascade
+  * on the BODY BYTES with the header's charset parameter as the
+  * transport declaration.
+  */
+object HttpDecodeKernel {
+
+  private val StatusPattern = java.util.regex.Pattern.compile(
+    "^HTTP/[0-9.]+ ([0-9]{3})")
+  private val ContentTypePattern = java.util.regex.Pattern.compile(
+    "(?im)^content-type:[ \\t]*([^\\r\\n]+)")
+
+  private def allNull = new GenericInternalRow(5)
+
+  def decode(payload: Array[Byte]): InternalRow = {
+    // earliest of \r\n\r\n and \n\n terminates the header block (CRLFCRLF
+    // never contains LFLF, so "earliest" is unambiguous)
+    var headEnd = -1
+    var bodyStart = -1
+    var i = 0
+    while (bodyStart < 0 && i + 1 < payload.length) {
+      if (payload(i) == '\n' && payload(i + 1) == '\n') {
+        headEnd = i; bodyStart = i + 2
+      } else if (i + 3 < payload.length && payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') {
+        headEnd = i; bodyStart = i + 4
+      }
+      i += 1
+    }
+    if (bodyStart < 0) return allNull // torn envelope: no trusted fields
+    // HTTP headers are byte-oriented; Latin-1 maps each byte to one char
+    val head = new String(payload, 0, headEnd, StandardCharsets.ISO_8859_1)
+    val sm = StatusPattern.matcher(head)
+    val status: Any = if (sm.find()) java.lang.Long.valueOf(sm.group(1).toLong) else null
+    val cm = ContentTypePattern.matcher(head)
+    val ctypeFull = if (cm.find()) cm.group(1).trim else null
+    val mediaType =
+      if (ctypeFull == null) null
+      else {
+        val semi = ctypeFull.indexOf(';')
+        val t = (if (semi < 0) ctypeFull else ctypeFull.substring(0, semi)).trim
+        if (t.isEmpty) null else t
+      }
+    val bodyLen = payload.length - bodyStart
+    val (cs, source) = CharsetKernel.sniff(payload, bodyStart, bodyLen, ctypeFull)
+    new GenericInternalRow(Array[Any](
+      status,
+      if (mediaType == null) null else UTF8String.fromString(mediaType),
+      UTF8String.fromString(cs.name().toLowerCase(Locale.ROOT)),
+      UTF8String.fromString(source),
+      UTF8String.fromString(CharsetKernel.decodeWith(payload, bodyStart, bodyLen, cs))))
+  }
+}
+
+/** `payload binary → struct(status, content_type, charset,
+  * charset_source, body)` — see [[HttpDecodeKernel]].
+  */
+case class HttpDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", LongType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("charset", StringType, nullable = true),
+    StructField("charset_source", StringType, nullable = true),
+    StructField("body", StringType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "http_decode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"http_decode payload must be binary, got ${child.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(p: Any): Any =
+    HttpDecodeKernel.decode(p.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p =>
+      s"${ev.value} = graft.functions.HttpDecodeKernel.decode($p);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -147,16 +147,38 @@ object GraftFunctionRegistry {
     "bpe_token_count_bytes" -> ((args: Seq[Expression]) =>
       BpeTokenCount(args(0), graft.text.Bpe.DemoMerges, byteLevel = true)),
     // Aho–Corasick blocklist hits; entries as a comma-separated string
-    // literal (SQL can't ship a list — the Scala API takes any Seq)
+    // (any FOLDABLE string expression — a literal, or e.g. a concat of
+    // literals; SQL can't ship a list, the Scala API takes any Seq)
     "blocklist_hits" -> ((args: Seq[Expression]) => {
+      if (args.length != 2)
+        throw new IllegalArgumentException(
+          s"blocklist_hits takes exactly 2 arguments (text, 'entry1,entry2,...'), got ${args.length}")
       val words = args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(s, _: org.apache.spark.sql.types.StringType) if s != null =>
-          String.valueOf(s).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        case e if e.foldable && e.dataType == org.apache.spark.sql.types.StringType =>
+          val v = e.eval()
+          if (v == null)
+            throw new IllegalArgumentException(
+              "blocklist_hits entries must be a non-null comma-separated string")
+          String.valueOf(v).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         case other =>
           throw new IllegalArgumentException(
-            s"blocklist_hits entries must be a comma-separated string literal, got $other")
+            s"blocklist_hits entries must be a foldable comma-separated string, got $other")
       }
       BlocklistHitsAho(args(0), words)
+    }),
+    // charset cascade over a raw body; 2nd arg = Content-Type value ('' = none)
+    "charset_decode" -> ((args: Seq[Expression]) => {
+      if (args.length != 2)
+        throw new IllegalArgumentException(
+          s"charset_decode takes exactly 2 arguments (payload binary, content_type string), got ${args.length}")
+      CharsetDecode(args(0), args(1))
+    }),
+    // byte-level HTTP envelope split + charset decode in one pass
+    "http_decode" -> ((args: Seq[Expression]) => {
+      if (args.length != 1)
+        throw new IllegalArgumentException(
+          s"http_decode takes exactly 1 argument (payload binary), got ${args.length}")
+      HttpDecode(args(0))
     }),
   )
 

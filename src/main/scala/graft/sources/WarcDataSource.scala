@@ -108,9 +108,25 @@ private[sources] class WarcTable(path: String, tableSchema: StructType) extends 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path,
-      Option(options.get("maxPartitionBytes")).map(_.toLong).getOrElse(128L << 20))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPartitionBytes = Option(options.get("maxPartitionBytes")).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"warc option maxPartitionBytes must be a byte count, got '$v'")
+      }
+    }.getOrElse(128L << 20)
+    // Spark's file-source option name: crawl dumps nest
+    // (segments/*/warc/*.warc.gz), so a directory load can walk the tree
+    val recursive = Option(options.get("recursiveFileLookup")).exists { v =>
+      v.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"warc option recursiveFileLookup must be true or false, got '$other'")
+      }
+    }
+    new WarcScanBuilder(path, maxPartitionBytes, recursive)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -133,7 +149,7 @@ private[sources] class WarcTable(path: String, tableSchema: StructType) extends 
   }
 }
 
-private[sources] class WarcScanBuilder(path: String, maxPartitionBytes: Long)
+private[sources] class WarcScanBuilder(path: String, maxPartitionBytes: Long, recursive: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   require(maxPartitionBytes > 0, s"maxPartitionBytes must be positive, got $maxPartitionBytes")
   private var required: StructType = WarcDataSource.schema
@@ -164,14 +180,15 @@ private[sources] class WarcScanBuilder(path: String, maxPartitionBytes: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, types, maxPartitionBytes)
+  override def build(): Scan = new WarcScan(path, required, types, maxPartitionBytes, recursive)
 }
 
 private[sources] class WarcScan(
     path: String,
     required: StructType,
     types: Option[Set[String]],
-    maxPartitionBytes: Long) extends Scan with Batch {
+    maxPartitionBytes: Long,
+    recursive: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -179,9 +196,10 @@ private[sources] class WarcScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val files = WarcScan.listFiles(path, spark.sparkContext.hadoopConfiguration)
+    val files = WarcScan.listFiles(path, spark.sparkContext.hadoopConfiguration, recursive)
     require(files.nonEmpty,
-      s"no WARC files under $path (expected ${WarcScan.Extensions.mkString("/")})")
+      s"no WARC files under $path (expected ${WarcScan.Extensions.mkString("/")}; " +
+        "nested crawl layouts need .option(\"recursiveFileLookup\", \"true\"))")
     WarcScan.planFiles(files, maxPartitionBytes)
   }
 
@@ -193,31 +211,44 @@ private[sources] class WarcScan(
 
   /** `readStream.format("warc")` — continuous crawl ingest: each
     * micro-batch processes the files that appeared since the last offset.
-    * Offsets are FILE-SET SNAPSHOTS (name → length), so no
-    * name-monotonicity or mtime assumption is needed — a file landing
-    * with any name is picked up exactly once, and a restart replans the
-    * committed set's complement. WARC files must be immutable once
-    * visible (the crawl-dump contract): a grown file is detected at the
-    * next offset and REFUSED rather than silently re-read or half-read.
+    * The SEEN-FILE SET (name → length) lives in a compacted log under the
+    * query's checkpoint ([[WarcFileLog]]) and the offset JSON is a
+    * bounded pointer into it, so neither checkpoint commits nor log file
+    * count grow with lifetime file count; no name-monotonicity or mtime
+    * assumption is needed — a file landing with any name is picked up
+    * exactly once, and a restart replans the committed set's complement.
+    * WARC files must be immutable once visible (the crawl-dump contract):
+    * a grown file is detected at the next offset and REFUSED rather than
+    * silently re-read or half-read.
     */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, required, types, maxPartitionBytes)
+    new WarcMicroBatchStream(path, required, types, maxPartitionBytes, recursive,
+      checkpointLocation)
 }
 
 private[sources] object WarcScan {
   val Extensions: Seq[String] = Seq(".warc", ".wet", ".warc.gz", ".wet.gz")
 
-  def listFiles(path: String, hconf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+  def listFiles(
+      path: String,
+      hconf: org.apache.hadoop.conf.Configuration,
+      recursive: Boolean = false): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     val st = fs.getFileStatus(p)
-    if (st.isDirectory)
-      fs.listStatus(p).toSeq.filter(_.isFile)
-        .map(s => (s.getPath.toString, s.getLen))
-        .filter { case (n, _) => Extensions.exists(n.endsWith) }
-        .sortBy(_._1)
-    else Seq((fs.makeQualified(p).toString, st.getLen))
+    if (st.isDirectory) {
+      val out = Seq.newBuilder[(String, Long)]
+      def walk(dir: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(dir).foreach { s =>
+          if (s.isFile) {
+            val n = s.getPath.toString
+            if (Extensions.exists(n.endsWith)) out += ((n, s.getLen))
+          } else if (recursive && s.isDirectory) walk(s.getPath)
+        }
+      walk(p)
+      out.result().sortBy(_._1)
+    } else Seq((fs.makeQualified(p).toString, st.getLen))
   }
 
   def planFiles(files: Seq[(String, Long)], maxPartitionBytes: Long): Array[InputPartition] =
@@ -232,73 +263,227 @@ private[sources] object WarcScan {
     }.toArray
 }
 
-/** Offset = the set of (file, length) visible at snapshot time. JSON is
-  * `{"v":1,"files":["<len>|<escaped name>", ...]}` sorted by name.
+/** LEGACY (v1) offset = the full set of (file, length) visible at
+  * snapshot time, `{"v":1,"files":["<len>|<escaped name>", ...]}` sorted
+  * by name. Still parsed so pre-compaction checkpoints resume; new
+  * batches write bounded [[WarcLogOffset]]s (the full snapshot grew with
+  * LIFETIME file count — a multi-MB JSON per commit at crawl-dump scale).
   */
 private[graft] case class WarcOffset(files: Map[String, Long])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  override def json(): String =
     files.toSeq.sortBy(_._1)
-      .map { case (n, l) => "\"" + l + "|" + esc(n) + "\"" }
+      .map { case (n, l) => "\"" + l + "|" + WarcOffset.esc(n) + "\"" }
       .mkString("{\"v\":1,\"files\":[", ",", "]}")
-  }
 }
 
 private[graft] object WarcOffset {
+  private[sources] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Inverse of [[esc]] applied to one `<len>|<escaped name>` entry. */
+  private[sources] def parseEntry(e: String): (String, Long) = {
+    val i = e.indexOf('|')
+    require(i > 0, s"malformed warc offset entry: $e")
+    val name = new StringBuilder
+    var j = i + 1
+    while (j < e.length) {
+      val c = e.charAt(j)
+      if (c == '\\' && j + 1 < e.length) {
+        e.charAt(j + 1) match {
+          case '"' => name += '"'; j += 2
+          case '\\' => name += '\\'; j += 2
+          case 'u' => name += Integer.parseInt(e.substring(j + 2, j + 6), 16).toChar; j += 6
+          case other => name += other; j += 2
+        }
+      } else { name += c; j += 1 }
+    }
+    name.toString -> e.substring(0, i).toLong
+  }
+
   def fromJson(json: String): WarcOffset = {
     // entries are "<len>|<escaped name>" inside a flat JSON string array;
     // names never contain unescaped quotes, so quote-split is exact
     val body = json.trim.stripPrefix("{\"v\":1,\"files\":[").stripSuffix("]}")
     if (body.isEmpty) return WarcOffset(Map.empty)
     val entries = body.split("\",\"").map(_.stripPrefix("\"").stripSuffix("\""))
-    WarcOffset(entries.map { e =>
-      val i = e.indexOf('|')
-      require(i > 0, s"malformed warc offset entry: $e")
-      val name = new StringBuilder
-      var j = i + 1
-      while (j < e.length) {
-        val c = e.charAt(j)
-        if (c == '\\' && j + 1 < e.length) {
-          e.charAt(j + 1) match {
-            case '"' => name += '"'; j += 2
-            case '\\' => name += '\\'; j += 2
-            case 'u' => name += Integer.parseInt(e.substring(j + 2, j + 6), 16).toChar; j += 6
-            case other => name += other; j += 2
-          }
-        } else { name += c; j += 1 }
-      }
-      name.toString -> e.substring(0, i).toLong
-    }.toMap)
+    WarcOffset(entries.map(parseEntry).toMap)
   }
+}
+
+/** v2 offset: a BOUNDED pointer into the checkpoint-resident seen-files
+  * log ([[WarcFileLog]]) — `{"v":2,"log":<batchId>}`, constant-size no
+  * matter how many files the stream has ever ingested. `-1` = nothing
+  * seen yet.
+  */
+private[graft] case class WarcLogOffset(batchId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"v":2,"log":$batchId}"""
+}
+
+private[graft] object WarcLogOffset {
+  private val LogField = "\"log\":(-?\\d+)".r
+  def fromJson(json: String): WarcLogOffset =
+    WarcLogOffset(LogField.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(
+      throw new IllegalArgumentException(s"malformed warc v2 offset: $json")))
+}
+
+/** The seen-files log backing [[WarcLogOffset]] — the same shape Spark's
+  * own FileStreamSource keeps: per batch a DELTA file listing the files
+  * that batch ingested, and every [[WarcFileLog.CompactInterval]] batches
+  * additionally a `.compact` file holding the FULL seen set, after which
+  * `retain` drops the superseded deltas. Resolving an offset reads one
+  * compact file + the deltas past it, so both checkpoint JSON size and
+  * log file count stay bounded for the stream's lifetime. Files are
+  * written by the DRIVER only (latestOffset), via temp + rename.
+  *
+  * Entry lines reuse the v1 offset escaping (`<len>|<escaped name>`).
+  */
+private[sources] class WarcFileLog(
+    dir: String, hconf: org.apache.hadoop.conf.Configuration) {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private def deltaPath(b: Long) = f"$dir/$b%020d"
+  private def compactPath(b: Long) = f"$dir/$b%020d.compact"
+
+  /** (batchId, isCompact) pairs present in the log, sorted by batch. */
+  def list(): Seq[(Long, Boolean)] =
+    if (!graft.io.HadoopIO.exists(dir, hconf)) Seq.empty
+    else {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(hconf).listStatus(p).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+        .filterNot(_.endsWith(".inprogress"))
+        .flatMap { n =>
+          if (n.endsWith(".compact")) Some((n.stripSuffix(".compact").toLong, true))
+          else if (n.forall(_.isDigit)) Some((n.toLong, false))
+          else None
+        }
+        .sorted
+    }
+
+  def maxBatch(): Long = list().map(_._1).foldLeft(-1L)(math.max)
+
+  def write(batchId: Long, entries: Seq[(String, Long)], compact: Boolean): Unit = {
+    graft.io.HadoopIO.mkdirs(dir, hconf)
+    val path = if (compact) compactPath(batchId) else deltaPath(batchId)
+    graft.io.HadoopIO.write(path, hconf) { out =>
+      entries.sortBy(_._1).foreach { case (n, l) =>
+        out.write(s"$l|${WarcOffset.esc(n)}\n".getBytes(UTF_8))
+      }
+    }
+  }
+
+  private def read(batchId: Long, compact: Boolean): Seq[(String, Long)] = {
+    val path = if (compact) compactPath(batchId) else deltaPath(batchId)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).map(WarcOffset.parseEntry).toVector
+    finally in.close()
+  }
+
+  /** The full seen set as of `batchId`: latest compact ≤ batchId plus
+    * every delta after it. A missing delta means the checkpoint is
+    * foreign or was manually pruned — fail loudly, never re-ingest.
+    */
+  def resolve(batchId: Long): Map[String, Long] = {
+    if (batchId < 0) return Map.empty
+    val present = list().filter(_._1 <= batchId)
+    require(present.exists(_._1 == batchId),
+      s"warc stream: seen-files log $dir has no entry for batch $batchId — " +
+        "the checkpoint's sources/ and graft-warc-files/ must travel together")
+    val compactId = present.filter(_._2).map(_._1).foldLeft(-1L)(math.max)
+    val base =
+      if (compactId < 0) Map.empty[String, Long]
+      else read(compactId, compact = true).toMap
+    val deltaIds = present.collect { case (b, false) if b > compactId => b }
+    deltaIds.foldLeft(base)((acc, b) => acc ++ read(b, compact = false))
+  }
+
+  /** Drop deltas superseded by a compact at or before `committed` (and
+    * compacts older than that compact) — what keeps log file count
+    * bounded. Deltas AFTER the compact stay: a restart replans
+    * `(committed, lastPlanned]` from them.
+    */
+  def retain(committed: Long): Unit = {
+    val entries = list()
+    val compactId = entries.filter { case (b, c) => c && b <= committed }
+      .map(_._1).foldLeft(-1L)(math.max)
+    if (compactId < 0) return
+    entries.foreach {
+      case (b, false) if b <= compactId =>
+        graft.io.HadoopIO.delete(deltaPath(b), hconf)
+      case (b, true) if b < compactId =>
+        graft.io.HadoopIO.delete(compactPath(b), hconf)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] object WarcFileLog {
+  val CompactInterval = 10
 }
 
 private[sources] class WarcMicroBatchStream(
     path: String,
     required: StructType,
     types: Option[Set[String]],
-    maxPartitionBytes: Long)
+    maxPartitionBytes: Long,
+    recursive: Boolean,
+    checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private val hconf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
+  private val log = new WarcFileLog(s"$checkpointLocation/graft-warc-files", hconf)
+  // replay the log so a restarted query neither re-ingests a seen file
+  // nor re-assigns an already-logged batch id
+  private var currentBatch: Long = log.maxBatch()
+  private var seen: Map[String, Long] = log.resolve(currentBatch)
 
-  override def initialOffset(): Offset = WarcOffset(Map.empty)
+  override def initialOffset(): Offset = WarcLogOffset(-1L)
 
-  override def latestOffset(): Offset =
-    WarcOffset(WarcScan.listFiles(path, hconf).toMap)
+  override def latestOffset(): Offset = synchronized {
+    val listed = WarcScan.listFiles(path, hconf, recursive)
+    listed.foreach { case (n, l) =>
+      seen.get(n).foreach(l0 => require(l0 == l,
+        s"warc stream: $n changed length $l0 → $l — WARC inputs must be " +
+          "immutable once visible; write to a temp name and rename into place"))
+    }
+    val fresh = listed.filterNot { case (n, _) => seen.contains(n) }
+    if (fresh.isEmpty) WarcLogOffset(currentBatch)
+    else {
+      val next = currentBatch + 1
+      log.write(next, fresh, compact = false)
+      seen = seen ++ fresh
+      if (next % WarcFileLog.CompactInterval == 0)
+        log.write(next, seen.toSeq, compact = true)
+      currentBatch = next
+      WarcLogOffset(next)
+    }
+  }
 
-  override def deserializeOffset(json: String): Offset = WarcOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset =
+    if (json.contains("\"v\":2")) WarcLogOffset.fromJson(json)
+    else WarcOffset.fromJson(json) // legacy full-snapshot checkpoints
+
+  private def resolve(o: Offset): Map[String, Long] = o match {
+    case WarcLogOffset(b) => log.resolve(b)
+    case WarcOffset(files) => files
+    case other => throw new IllegalStateException(s"unexpected warc offset: $other")
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[WarcOffset].files
-    val e = end.asInstanceOf[WarcOffset].files
+    val s = resolve(start)
+    val e = resolve(end)
     s.foreach { case (n, l) =>
       e.get(n).foreach(l2 => require(l2 == l,
         s"warc stream: $n changed length $l → $l2 — WARC inputs must be " +
@@ -312,7 +497,10 @@ private[sources] class WarcMicroBatchStream(
     new WarcReaderFactory(required.fieldNames, types.map(_.toArray.sorted),
       new SerializableHadoopConf(hconf))
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = end match {
+    case WarcLogOffset(b) if b >= 0 => log.retain(b)
+    case _ => ()
+  }
   override def stop(): Unit = ()
 }
 

@@ -232,12 +232,20 @@ object TextAnalysis {
   def blocklistHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(text, lit(blocklistPattern(words)), lit(0))).cast("long")
 
-  /** [[blocklistHits]]'s SCALE form: identical counts via an interned
+  /** [[blocklistHits]]'s SCALE form: the same counts via an interned
     * Aho–Corasick automaton ([[graft.functions.BlocklistAhoKernel]]) —
     * one O(text) pass per document REGARDLESS of list size, where the
     * alternation regex degrades with its compiled NFA at real blocklist
     * sizes (10k–100k entries). Use the regex form for a handful of words
     * (oracle-replayable in plain SQL), this one for production lists.
+    *
+    * One documented divergence at non-ASCII ADJACENCY: the kernel's `\b`
+    * is ASCII/RE2-style (`[A-Za-z0-9_]` word chars), while
+    * [[blocklistHits]] runs Java regex whose `\b` is Unicode-aware — an
+    * entry abutting a non-ASCII LETTER ("spamé", "坏spam") counts as a
+    * hit here but not in the regex form. On ASCII-delimited text the two
+    * are identical (BlocklistAhoSpec pins both halves); on multilingual
+    * corpora prefer ONE form consistently.
     */
   def blocklistHitsAho(text: Column, words: Seq[String]): Column =
     SqlBridge.column(graft.functions.BlocklistHitsAho(SqlBridge.expression(text), words))
@@ -601,20 +609,55 @@ object TextAnalysis {
     * absent), `body` everything past the first blank line. A payload
     * whose envelope NEVER terminates (no blank line) yields ALL-null —
     * a torn envelope has no trusted fields, and its headers must not
-    * leak downstream as "text". One codegen locate + substring +
-    * anchored regexp chain; RE2-compatible, so a SQL oracle replays it.
+    * leak downstream as "text". Lenient servers emit bare-LF header
+    * termination (`\n\n`) — real crawl captures carry both forms, so the
+    * EARLIEST of `\r\n\r\n` / `\n\n` terminates the block (a bare-LF
+    * envelope whose body merely contains CRLFCRLF must not leak headers,
+    * and vice versa). One codegen locate + substring + anchored regexp
+    * chain; RE2-compatible, so a SQL oracle replays it.
     */
   def httpResponse(payloadText: Column): Column = {
-    val headEnd = locate("\r\n\r\n", payloadText) // 1-based; 0 = absent
+    val crlf = locate("\r\n\r\n", payloadText) // 1-based; 0 = absent
+    val lf = locate("\n\n", payloadText)
+    // earliest terminator wins; CRLFCRLF never contains "\n\n", so a
+    // tie is impossible and crlf < lf means the CRLF block ends first
+    val useCrlf = crlf > 0 && (lf === 0 || crlf < lf)
+    val headEnd = when(useCrlf, crlf).otherwise(lf)
     val head = when(headEnd > 0, payloadText.substr(lit(1), headEnd - 1))
     val status = regexp_extract(head, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
     val ctype = regexp_extract(head, "(?im)^content-type:[ \t]*([^\r\n;]+)", 1)
     struct(
       when(status =!= "", status.cast("long")).as("status"),
       when(ctype =!= "", trim(ctype)).as("content_type"),
-      when(headEnd > 0, payloadText.substr(headEnd + lit(4), length(payloadText)))
+      when(headEnd > 0,
+        payloadText.substr(headEnd + when(useCrlf, lit(4)).otherwise(lit(2)),
+          length(payloadText)))
         .as("body"))
   }
+
+  /** Charset-sniff + decode a raw body ([[graft.functions.CharsetKernel]]
+    * cascade: Content-Type `charset=` param → BOM → `<meta charset>` in
+    * the first 1024 bytes → UTF-8 validity → windows-1252 fallback) —
+    * returns `struct(charset, charset_source, text)`. Use for WET
+    * conversion records or any payload whose envelope is already
+    * stripped; a null/absent `contentType` just skips the transport step.
+    */
+  def decodeCharset(payload: Column, contentType: Column): Column =
+    SqlBridge.column(graft.functions.CharsetDecode(
+      SqlBridge.expression(payload),
+      SqlBridge.expression(coalesce(contentType, lit("")))))
+
+  /** [[httpResponse]]'s CHARSET-CORRECT form: split the HTTP response
+    * envelope on the raw BYTES (so a non-UTF-8 body is never cast
+    * through UTF-8 first), then run the charset cascade on the body with
+    * the header's `charset=` parameter as the transport declaration —
+    * `struct(status, content_type, charset, charset_source, body)`, one
+    * kernel pass ([[graft.functions.HttpDecodeKernel]]). Prefer this in
+    * real ingest chains; [[httpResponse]] remains the SQL-replayable
+    * UTF-8-corpus form.
+    */
+  def httpResponseDecoded(payload: Column): Column =
+    SqlBridge.column(graft.functions.HttpDecode(SqlBridge.expression(payload)))
 
   /** Parse one CDX(J) crawl-index line — the metadata sidecar format the
     * big public crawls publish next to their WARC segments (pywb /
