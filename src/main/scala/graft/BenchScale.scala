@@ -628,6 +628,29 @@ object BenchScale {
         spark.read.format("warc").load(gzOut).agg(count(lit(1))).head().getLong(0)
       }
       require(n2 == nDocs.toLong, s"warc.gz read-back lost records: $n2 != $nDocs")
+
+      // CDX-style SELECTIVE FETCH: bytes touched proportional to the
+      // SELECTION, not the corpus. Offsets come from a headers-only scan
+      // (the in-query stand-in for a CDX sidecar — payload bytes are
+      // skipped, not read); the timed section is the pure ranged-read
+      // cost of fetching 1-in-1000 records, to compare against the full
+      // payload scan above.
+      {
+        import spark.implicits._
+        val offs = spark.read.format("warc")
+          .option("maxPartitionBytes", (4L << 20).toString).load(out)
+          .select(col("path"), col("offset"),
+            regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("id"))
+          .filter(col("id") % 1000 === 0)
+          .select("path", "offset")
+          .as[(String, Long)].collect()
+        val nSel = offs.length.toLong
+        val nFetch = timed(s"warc selective fetch ($nSel of $nDocs records via offsets)") {
+          graft.sources.WarcFetch.fetch(offs.toSeq.toDF("path", "offset"))
+            .agg(count(lit(1))).head().getLong(0)
+        }
+        require(nFetch == nSel, s"selective fetch lost records: $nFetch != $nSel")
+      }
     }
 
     // Unbounded exact-dedup digest sink at corpus scale: three batches

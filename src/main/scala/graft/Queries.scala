@@ -3938,6 +3938,181 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ROBOTS.TXT (RFC 9309) + politeness join: the per-host robots table
+    // broadcasts against the URL census and every census row gets
+    // (allowed, winning rule, crawl_delay) for TWO agents — a named bot
+    // (merged graftbot groups; longest-pattern precedence with the $/*
+    // pattern forms) and an unmatched bot that must fall to the `*`
+    // group. Planted probes pin the precedence corners: longest-match
+    // beats shorter, allow wins exact ties, $ anchors, * wildcards,
+    // same-agent groups merge across the file, agent matching is
+    // case-insensitive, and a partial group member (newsbot) must NOT
+    // inherit the sibling group's rules.
+    "robots_parse" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select("doc_id", "source")
+      val corpusRobots =
+        "# corpus politeness rules\n" +
+          "User-agent: *\nDisallow: /doc/\nAllow: /doc/1\nCrawl-delay: 2\n\n" +
+          "User-agent: graftbot\nAllow: /doc/\nDisallow: /doc/*0$\nCrawl-delay: 0.5\n"
+      val robotsDf = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          lit(corpusRobots).as("robots"))
+      val census = docs.select(col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        concat(lit("/doc/"), col("doc_id")).as("path"),
+        lit("graftbot").as("agent"))
+      val corpusOut = census.join(broadcast(robotsDf), "host")
+      val fixture =
+        "# precedence fixture\n" +
+          "User-agent: graftbot\nUser-agent: newsbot\n" +
+          "Disallow: /a/\nAllow: /a/b\nAllow: /t/\nCrawl-delay: 1.5\n\n" +
+          "user-agent: graftbot\nDisallow: /c$\nDisallow: /t/\nDisallow: /w*z\n\n" +
+          "User-agent: *\nDisallow: /\n"
+      val probes = Seq(
+        (900001L, "graftbot", "/a/b/c"), // allow /a/b (4) beats disallow /a/ (3)
+        (900002L, "graftbot", "/a/x"), // disallow /a/
+        (900003L, "graftbot", "/c"), // $-anchored disallow from the MERGED group
+        (900004L, "graftbot", "/cc"), // /c$ must not match /cc: no rule -> allowed
+        (900005L, "GraftBot", "/t/x"), // exact-length tie -> allow; case-insensitive agent
+        (900006L, "graftbot", "/wxyz"), // * wildcard disallow
+        (900007L, "newsbot", "/c")) // group-1 member only: no /c$ rule applies
+        .toDF("doc_id", "agent", "path")
+        .withColumn("robots", lit(fixture))
+      corpusOut.select(col("doc_id"), col("robots"), col("agent"), col("path"))
+        .unionByName(probes.select("doc_id", "robots", "agent", "path"))
+        .select(col("doc_id"),
+          TextAnalysis.robotsCheck(col("robots"), col("agent"), col("path")).as("b"),
+          TextAnalysis.robotsCheck(col("robots"), lit("randombot"), col("path")).as("a"))
+        .select(col("doc_id"),
+          col("b.allowed").cast("long").as("bot_allowed"),
+          col("b.rule").as("bot_rule"),
+          col("b.crawl_delay").as("bot_delay"),
+          col("a.allowed").cast("long").as("any_allowed"),
+          col("a.rule").as("any_rule"),
+          col("a.crawl_delay").as("any_delay"))
+        .orderBy("doc_id")
+    }),
+
+    // WAT METADATA records (the JSON-envelope sidecar the public crawls
+    // ship next to WARC segments — link graph + headers without payload
+    // bytes): build one WAT envelope per document in-query, frame them
+    // through the WARC source as metadata records, parse back with
+    // parseWat, and extract page URL, title, outlink count, first link,
+    // and the Container offset (the WarcFetch join key). parse(build(x))
+    // must equal x, which the oracle derives from the documents rows;
+    // planted rows: malformed JSON (parsed_ok = 0, not a crash) and a
+    // non-HTML response whose HTML-Metadata is absent (null title,
+    // 0 links, envelope still trusted).
+    "wat_parse" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("wat_q").toString
+      def rec(id: Long, json: String): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("metadata", s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z", "application/json",
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def wat(id: Long, source: String, nChars: Long): String =
+        s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":""" +
+          s""""http://$source.example.com/doc/$id","WARC-Type":"response",""" +
+          s""""WARC-Date":"2024-01-01T00:00:00Z"},"Payload-Metadata":""" +
+          s"""{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"Doc $id"},""" +
+          s""""Links":[{"path":"A@/href","url":"http://link.example.com/${2 * id}"},""" +
+          s"""{"path":"IMG@/src","url":"http://img.example.com/$id.png"}]},""" +
+          s""""Headers":{"Content-Type":"text/html"}}}},""" +
+          s""""Container":{"Filename":"shard0.warc.gz","Offset":"$nChars"}}"""
+      val noHtml =
+        """{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":""" +
+          """"http://x.example.com/nohtml","WARC-Type":"response",""" +
+          """"WARC-Date":"2024-01-01T00:00:00Z"},"Payload-Metadata":""" +
+          """{"HTTP-Response-Metadata":{"Headers":{"Content-Type":"application/pdf"}}}},""" +
+          """"Container":{"Filename":"f","Offset":"7"}}"""
+      val bytes = docs.flatMap { case (id, src, n) => rec(id, wat(id, src, n)) } ++
+        rec(900001L, "{not json") ++
+        rec(900002L, noHtml)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "m.wat.warc"), bytes)
+      val html = "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`"
+      spark.read.format("warc").load(out)
+        .filter(col("record_type") === "metadata")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          TextAnalysis.parseWat(col("payload").cast("string")).as("w"))
+        .select(col("doc_id"),
+          col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`")
+            .isNotNull.cast("long").as("parsed_ok"),
+          col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").as("page_url"),
+          col(s"$html.Head.Title").as("title"),
+          coalesce(size(col(s"$html.Links")), lit(0)).cast("long").as("n_links"),
+          get(col(s"$html.Links"), lit(0)).getField("url").as("first_link"),
+          col("w.Container.Offset").cast("long").as("container_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // CDX-DRIVEN SELECTIVE FETCH: build archives + their CDX index
+    // in-query (REAL offsets recorded at build time — plain shards use
+    // raw byte offsets, the gz shard compressed member starts, the
+    // CommonCrawl convention), select the status=200 subset from the
+    // parsed index, and fetch ONLY those records through ranged reads
+    // (WarcFetch seeks each offset and parses exactly one record —
+    // bytes touched are proportional to the selection, not the corpus).
+    // Interleaved metadata noise records push every response offset
+    // mid-file, so a scan-from-zero implementation cannot pass. The
+    // fetched subset must hash-match the full-scan subset, which the
+    // oracle rebuilds from the same documents rows.
+    "warc_fetch_cdx" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 400).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("warc_cdx_q").toString
+      def payload(tx: String): Array[Byte] =
+        s"<doc>$tx</doc>".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def rec(id: Long, rtype: String, pl: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord(rtype, s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z", "text/plain", pl)
+      val cdx = scala.collection.mutable.ArrayBuffer.empty[String]
+      def cdxLine(id: Long, fname: String, off: Long, len: Long): String = {
+        val status = if (id % 5 == 0) "404" else "200"
+        s"""com,example)/p/$id 20240101000000 {"url": "http://example.com/p/$id",""" +
+          s""" "mime": "text/plain", "status": "$status", "digest": "sha1:x",""" +
+          s""" "length": "$len", "offset": "$off", "filename": "$fname"}"""
+      }
+      val shards = docs.groupBy { case (id, _) => (id % 3).toInt }
+      (0 to 1).foreach { s =>
+        val fname = s"shard$s.warc"
+        val bos = new java.io.ByteArrayOutputStream()
+        shards.getOrElse(s, Array.empty[(Long, String)]).foreach { case (id, tx) =>
+          bos.write(rec(id + 700000, "metadata",
+            "noise".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val r = rec(id, "response", payload(tx))
+          cdx += cdxLine(id, fname, bos.size().toLong, r.length.toLong)
+          bos.write(r)
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, fname), bos.toByteArray)
+      }
+      locally {
+        val fname = "shard2.warc.gz"
+        val bos = new java.io.ByteArrayOutputStream()
+        shards.getOrElse(2, Array.empty[(Long, String)]).foreach { case (id, tx) =>
+          bos.write(graft.sources.WarcFormat.gzipMember(rec(id + 800000, "metadata",
+            "noise".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          val m = graft.sources.WarcFormat.gzipMember(rec(id, "response", payload(tx)))
+          cdx += cdxLine(id, fname, bos.size().toLong, m.length.toLong)
+          bos.write(m)
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, fname), bos.toByteArray)
+      }
+      val selected = cdx.toSeq.toDF("line")
+        .select(TextAnalysis.parseCdxj(col("line")).as("c"))
+        .filter(col("c.meta.status") === "200")
+        .select(concat(lit(out + "/"), col("c.meta.filename")).as("path"),
+          col("c.meta.offset").cast("long").as("offset"))
+      graft.sources.WarcFetch.fetch(selected)
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("record_type"), col("content_length").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
     // CHARSET SNIFF + DECODE over the raw ingest chain: bodies in
     // ISO-8859-1 / Shift_JIS / windows-1252 / UTF-16LE / BOM'd UTF-8 are
     // framed as HTTP responses inside WARC records and decoded via the
@@ -6688,6 +6863,55 @@ object Queries {
         |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
         |  (900002, 0, 'com,bad2)/y', '20240101000000', NULL, NULL, NULL))
         |  v(doc_id, parsed_ok, surt_key, cdx_ts, url, status, length)
+        |ORDER BY doc_id""".stripMargin,
+    // the corpus robots rules are deterministic functions of the doc id
+    // (graftbot: disallow /doc/*0$ beats allow /doc/ only on ids ending
+    // in 0; the * group: allow /doc/1 beats disallow /doc/ only on ids
+    // starting with 1), so the oracle expresses them as CASE on the id
+    // string; planted precedence probes are pinned constants
+    "robots_parse" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%0' THEN CAST(0 AS BIGINT) ELSE 1 END AS bot_allowed,
+        |  CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%0' THEN 'disallow:/doc/*0$' ELSE 'allow:/doc/' END AS bot_rule,
+        |  CAST(0.5 AS DOUBLE) AS bot_delay,
+        |  CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN CAST(1 AS BIGINT) ELSE 0 END AS any_allowed,
+        |  CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 'allow:/doc/1' ELSE 'disallow:/doc/' END AS any_rule,
+        |  CAST(2.0 AS DOUBLE) AS any_delay
+        |FROM documents
+        |UNION ALL SELECT * FROM (VALUES
+        |  (CAST(900001 AS BIGINT), CAST(1 AS BIGINT), 'allow:/a/b', CAST(1.5 AS DOUBLE),
+        |   CAST(0 AS BIGINT), 'disallow:/', CAST(NULL AS DOUBLE)),
+        |  (900002, 0, 'disallow:/a/', 1.5, 0, 'disallow:/', NULL),
+        |  (900003, 0, 'disallow:/c$', 1.5, 0, 'disallow:/', NULL),
+        |  (900004, 1, CAST(NULL AS VARCHAR), 1.5, 0, 'disallow:/', NULL),
+        |  (900005, 1, 'allow:/t/', 1.5, 0, 'disallow:/', NULL),
+        |  (900006, 0, 'disallow:/w*z', 1.5, 0, 'disallow:/', NULL),
+        |  (900007, 1, NULL, 1.5, 0, 'disallow:/', NULL))
+        |  v(doc_id, bot_allowed, bot_rule, bot_delay, any_allowed, any_rule, any_delay)
+        |ORDER BY doc_id""".stripMargin,
+    // parse(build(x)) == x on the WAT envelope, so the oracle derives the
+    // extracted fields straight from documents; planted rows are constants
+    "wat_parse" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS parsed_ok,
+        |  'http://' || source || '.example.com/doc/' || doc_id AS page_url,
+        |  'Doc ' || doc_id AS title, CAST(2 AS BIGINT) AS n_links,
+        |  'http://link.example.com/' || (2 * doc_id) AS first_link,
+        |  CAST(n_chars AS BIGINT) AS container_offset
+        |FROM documents
+        |UNION ALL SELECT * FROM (VALUES
+        |  (CAST(900001 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+        |  (900002, 1, 'http://x.example.com/nohtml', NULL, 0, NULL, 7))
+        |  v(doc_id, parsed_ok, page_url, title, n_links, first_link, container_offset)
+        |ORDER BY doc_id""".stripMargin,
+    // ranged fetch of the CDX-selected subset must equal the full scan
+    // restricted to that subset, and framing is payload-transparent, so
+    // the oracle rebuilds the selected records from the documents rows
+    "warc_fetch_cdx" ->
+      """SELECT doc_id, 'response' AS record_type,
+        |  CAST(octet_length(encode('<doc>' || text || '</doc>')) AS BIGINT) AS n_bytes,
+        |  md5('<doc>' || text || '</doc>') AS payload_md5
+        |FROM documents WHERE doc_id < 400 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
     // the cascade's outcome per planted case is computed from the SAME
     // shared fixture list the query framed (md5s/char counts in Scala),

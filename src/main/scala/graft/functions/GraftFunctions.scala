@@ -180,6 +180,13 @@ object GraftFunctionRegistry {
           s"http_decode takes exactly 1 argument (payload binary), got ${args.length}")
       HttpDecode(args(0))
     }),
+    // RFC 9309 robots.txt rule evaluation
+    "robots_check" -> ((args: Seq[Expression]) => {
+      if (args.length != 3)
+        throw new IllegalArgumentException(
+          s"robots_check takes exactly 3 arguments (robots, agent, path), got ${args.length}")
+      RobotsCheck(args(0), args(1), args(2))
+    }),
   )
 
   /** Idempotently register all graft functions on a session. */

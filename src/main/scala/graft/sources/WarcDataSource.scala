@@ -343,7 +343,7 @@ private[graft] object WarcLogOffset {
   *
   * Entry lines reuse the v1 offset escaping (`<len>|<escaped name>`).
   */
-private[sources] class WarcFileLog(
+private[graft] class WarcFileLog(
     dir: String, hconf: org.apache.hadoop.conf.Configuration) {
   import java.nio.charset.StandardCharsets.UTF_8
 
@@ -427,7 +427,7 @@ private[sources] class WarcFileLog(
   }
 }
 
-private[sources] object WarcFileLog {
+private[graft] object WarcFileLog {
   val CompactInterval = 10
 }
 

@@ -684,6 +684,56 @@ object TextAnalysis {
       from_json(get(parts, lit(2)), metaSchema).as("meta"))
   }
 
+  /** RFC 9309 robots.txt evaluation — `struct(allowed, rule,
+    * crawl_delay)` for one (robots text, agent token, URL path) row; see
+    * [[graft.text.Robots]] for the exact semantics (group merge, longest
+    * named agent match, longest-pattern precedence with allow winning
+    * ties, `*`/`$` patterns). The politeness-join shape: broadcast the
+    * per-host robots table against the URL census, then filter on
+    * `.getField("allowed")` — the robots side is tiny (one row per host)
+    * and the parse is memoized per executor thread across each host's
+    * census rows.
+    */
+  def robotsCheck(robots: Column, agent: Column, path: Column): Column =
+    SqlBridge.column(graft.functions.RobotsCheck(
+      SqlBridge.expression(robots), SqlBridge.expression(agent), SqlBridge.expression(path)))
+
+  /** Parse a WAT METADATA record's JSON envelope — the companion format
+    * the big public crawls publish next to their WARC segments (one
+    * `metadata` record per crawled page, wrapping extracted metadata so
+    * link-graph and header analyses never touch payload bytes):
+    * `Envelope.WARC-Header-Metadata` (the original record's headers),
+    * `Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata`
+    * (Head.Title + the outlink list), and `Container` (the WARC file +
+    * offset the page lives at — joinable straight into
+    * [[graft.sources.WarcFetch]] for selective payload fetch). One
+    * codegen `from_json`, no UDF; a malformed envelope parses to a null
+    * struct (gate on the target URI), never a dropped row. Fields the
+    * schema doesn't name are ignored, per from_json semantics — WAT
+    * envelopes carry dozens of optional members.
+    */
+  def parseWat(line: Column): Column = {
+    import org.apache.spark.sql.types._
+    def s(n: String) = StructField(n, StringType, nullable = true)
+    val htmlMeta = StructType(Seq(
+      StructField("Head", StructType(Seq(s("Title"))), nullable = true),
+      StructField("Links",
+        ArrayType(StructType(Seq(s("path"), s("url"))), containsNull = true),
+        nullable = true)))
+    val schema = StructType(Seq(
+      StructField("Envelope", StructType(Seq(
+        StructField("WARC-Header-Metadata", StructType(Seq(
+          s("WARC-Target-URI"), s("WARC-Type"), s("WARC-Date"))), nullable = true),
+        StructField("Payload-Metadata", StructType(Seq(
+          StructField("HTTP-Response-Metadata", StructType(Seq(
+            StructField("HTML-Metadata", htmlMeta, nullable = true),
+            StructField("Headers", StructType(Seq(s("Content-Type"))), nullable = true))),
+            nullable = true))), nullable = true))), nullable = true),
+      StructField("Container", StructType(Seq(s("Filename"), s("Offset"))),
+        nullable = true)))
+    from_json(line, schema)
+  }
+
   /** Distinct lowercased registrable-host strings of a [[links]] array.
     * Trailing sentence punctuation is trimmed first (a bare URL at the
     * end of a sentence captures its period), then the authority component

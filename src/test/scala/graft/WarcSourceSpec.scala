@@ -209,6 +209,131 @@ class WarcSourceSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("immutable")), msgs(e).mkString(" | "))
   }
 
+  test("streaming offsets stay BOUNDED as lifetime file count grows (1000+ files)") {
+    val dir = tmp()
+    val ckpt = Files.createTempDirectory("warc_bound_ckpt").toString
+    var total = 0L
+    def runOnce(name: String): Long = {
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("warc").load(dir)
+        .select("record_id")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      seen.get()
+    }
+    // three waves land 1050 files total; each wave is picked up exactly once
+    var id = 0
+    Seq(350, 350, 350).zipWithIndex.foreach { case (n, w) =>
+      (0 until n).foreach { _ =>
+        writeFile(dir, f"f$id%05d.warc", rec(id, "response", s"doc $id")); id += 1
+      }
+      assert(runOnce(s"warc_bound_$w") === n.toLong)
+      total += n
+    }
+    // the committed offset JSON is a bounded pointer, NOT a 1050-entry
+    // snapshot: every line of the newest Spark offset file stays tiny
+    val offDir = Paths.get(ckpt, "offsets")
+    val newest = Files.list(offDir).toArray.map(_.toString)
+      .filter(_.split("/").last.forall(_.isDigit)) // skip .crc/.tmp sidecars
+      .maxBy(_.split("/").last.toLong)
+    // file layout: "v1", engine metadata (conf — engine-sized, not ours),
+    // then one line per source holding the source's offset json
+    val lines = new String(Files.readAllBytes(Paths.get(newest)), "UTF-8").split("\n")
+    val srcOffset = lines.last
+    assert(srcOffset.contains("\"v\":2"), lines.mkString(" | "))
+    assert(srcOffset.length < 64,
+      s"source offset grew with file count: ${srcOffset.length} bytes: $srcOffset")
+    // a restart sees nothing new, then picks up exactly one late file
+    assert(runOnce("warc_bound_r0") === 0L)
+    writeFile(dir, "late.warc", rec(99999, "response", "late"))
+    assert(runOnce("warc_bound_r1") === 1L)
+  }
+
+  test("seen-files log compacts: many batches leave a bounded log dir") {
+    val dir = tmp()
+    val ckpt = Files.createTempDirectory("warc_compact_ckpt").toString
+    def runOnce(name: String): Long = {
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("warc").load(dir)
+        .select("record_id")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      seen.get()
+    }
+    // 26 single-file batches cross the compaction interval twice
+    (0 until 26).foreach { i =>
+      writeFile(dir, f"g$i%03d.warc", rec(i, "response", s"doc $i"))
+      assert(runOnce(s"warc_cp_$i") === 1L)
+    }
+    // the engine hands the source <ckpt>/sources/<i> as its location
+    val logDir = new java.io.File(s"$ckpt/sources/0/graft-warc-files")
+    val logFiles = logDir.listFiles().map(_.getName)
+      .filter(n => n.forall(_.isDigit) || n.stripSuffix(".compact").forall(_.isDigit))
+      .filterNot(_.startsWith(".")) // local-FS .crc sidecars
+    // retention keeps: the latest compact + deltas past it (+ the next
+    // compact's own delta) — far fewer than the 26 lifetime batches
+    assert(logFiles.length <= graft.sources.WarcFileLog.CompactInterval + 4,
+      s"log dir not compacted: ${logFiles.sorted.mkString(", ")}")
+    assert(logFiles.count(_.endsWith(".compact")) >= 1)
+    // and the replayed seen-set still refuses a grown file
+    writeFile(dir, "g000.warc", rec(0, "response", "doc 0") ++ rec(77, "response", "grown"))
+    val e = intercept[Exception](runOnce("warc_cp_grow"))
+    assert(msgs(e).exists(_.contains("immutable")), msgs(e).mkString(" | "))
+  }
+
+  test("recursiveFileLookup walks nested crawl layouts (batch + streaming)") {
+    val dir = tmp()
+    Files.createDirectories(Paths.get(dir, "segments", "seg0", "warc"))
+    Files.createDirectories(Paths.get(dir, "segments", "seg1", "warc"))
+    Files.write(Paths.get(dir, "segments", "seg0", "warc", "f0.warc"),
+      rec(0, "response", "nested zero"))
+    Files.write(Paths.get(dir, "segments", "seg1", "warc", "f1.warc.gz"),
+      WarcFormat.gzipMember(rec(1, "response", "nested one")))
+    // default stays flat: the error names the option
+    val e = intercept[Exception](spark.read.format("warc").load(dir).count())
+    assert(msgs(e).exists(_.contains("recursiveFileLookup")), msgs(e).mkString(" | "))
+    val df = spark.read.format("warc").option("recursiveFileLookup", "true").load(dir)
+    assert(df.count() === 2)
+    assert(df.select("record_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted === Array("<urn:uuid:rec-0>", "<urn:uuid:rec-1>"))
+    // streaming honors the same option
+    val ckpt = Files.createTempDirectory("warc_rec_ckpt").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("warc").option("recursiveFileLookup", "true").load(dir)
+      .select("record_id")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(b.count()); ()
+      }
+      .queryName("warc_rec_s")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.get() === 2L)
+    // a malformed option value fails with the option name
+    val bad = intercept[Exception](
+      spark.read.format("warc").option("recursiveFileLookup", "yes").load(dir).count())
+    assert(msgs(bad).exists(_.contains("recursiveFileLookup")))
+    val badBytes = intercept[Exception](
+      spark.read.format("warc").option("maxPartitionBytes", "lots").load(dir).count())
+    assert(msgs(badBytes).exists(_.contains("maxPartitionBytes")), msgs(badBytes).mkString(" | "))
+  }
+
   test("torn gzip member fails loudly (not silent EOF), CRC verified") {
     // member 2 truncated inside its deflate data
     val m0 = WarcFormat.gzipMember(rec(0, "response", "first"))
