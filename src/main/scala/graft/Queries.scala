@@ -84,14 +84,15 @@ object Queries {
     val fb = "fallback caf\u00e9" // trailing 0xE9: invalid UTF-8 tail
     val u8 = "d\u00e9j\u00e0 \u4e16\u754c"
     Seq(
-      // 1. transport declaration wins; ISO-8859-1 label promotes to 1252
+      // 2. transport declaration (no BOM present); ISO-8859-1 label
+      // promotes to 1252 per WHATWG
       CharsetCase(900001L, "text/html; charset=ISO-8859-1",
         dk.getBytes(ISO_8859_1), "windows-1252", "header", dk),
       CharsetCase(900002L, "text/html; charset=Shift_JIS",
         jp.getBytes(sjis), "shift_jis", "header", jp),
       CharsetCase(900003L, "text/html; charset=windows-1252",
         win.getBytes(w1252), "windows-1252", "header", win),
-      // 2. BOM (no charset param): UTF-8 and UTF-16LE, BOM stripped
+      // 1. BOM: UTF-8 and UTF-16LE, BOM stripped after decode
       CharsetCase(900004L, "text/html",
         Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ bomTxt.getBytes(UTF_8),
         "utf-8", "bom", bomTxt),
@@ -108,8 +109,27 @@ object Queries {
       CharsetCase(900008L, "text/html", u8.getBytes(UTF_8), "utf-8", "utf8", u8),
       // unknown label falls THROUGH the cascade, not over the document
       CharsetCase(900009L, "text/html; charset=x-klingon",
-        u8.getBytes(UTF_8), "utf-8", "utf8", u8))
+        u8.getBytes(UTF_8), "utf-8", "utf8", u8),
+      // BOM OUTRANKS a stale transport declaration (WHATWG decode step
+      // 1 — the common misconfigured-server case browsers get right)
+      CharsetCase(900010L, "text/html; charset=ISO-8859-1",
+        Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ bomTxt.getBytes(UTF_8),
+        "utf-8", "bom", bomTxt))
   }
+
+  /** Planted mixed-script docs for segment_cjk: unspaced Chinese, kanji
+    * among kana, supplementary-plane ideographs (ext B/C), and scripts
+    * that must NOT be char-split (hangul, Thai). Ids in the 9000xx
+    * planted range; the oracle reconstructs the same texts from chr()
+    * calls and replays the identical segmentation chain.
+    */
+  private[graft] val cjkCases: Seq[(Long, String)] = Seq(
+    (900001L, "Transformers\u6539\u53d8\u4e86 the nlp \u683c\u5c40 in 2017"),
+    (900002L, "\u6df1\u5ea6\u5b66\u4e60\u6a21\u578b\u8bad\u7ec3"),
+    (900003L, "\u6771\u4eac\u306b\u884c\u304d\u307e\u3059"),
+    (900004L, "\ud840\udc00x\ud869\udfff"),
+    (900005L, "plain ascii text stays identical"),
+    (900006L, "\ud55c\uae00 hangul \u0e44\u0e17\u0e22 thai stay joined"))
 
   /** The events table with `ts` normalized to epoch NANOS (long). The
     * testdata generator has emitted both parquet TIMESTAMP(NANOS) — which
@@ -3938,6 +3958,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // PER-LANGUAGE SEGMENTATION ahead of the tokenizer families: CJK
+    // ideographs isolated with spaces (the BERT BasicTokenizer rule) so
+    // whitespace pretokenization stops yielding whole-sentence "tokens"
+    // on unspaced Chinese/Japanese; kana/hangul/Thai runs deliberately
+    // stay joined (alphabets, not logographs). Planted mixed-script docs
+    // exercise BMP + supplementary-plane ranges; the ASCII corpus arm
+    // proves pass-through. The oracle REPLAYS the identical regexp chain
+    // in DuckDB (explicit \x{...} ranges are the one class syntax both
+    // engines parse identically) over planted texts reconstructed from
+    // chr() calls — no precomputed constants.
+    "segment_cjk" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = cjkCases.toDF("doc_id", "text")
+      val seg = TextAnalysis.segmentCjk(col("text"))
+      docs.unionByName(planted)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens_ws"),
+          size(TextAnalysis.tokens(seg)).cast("long").as("n_tokens_seg"),
+          md5(encode(seg, "UTF-8")).as("seg_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ROBOTS.TXT (RFC 9309) + politeness join: the per-host robots table
     // broadcasts against the URL census and every census row gets
     // (allowed, winning rule, crawl_delay) for TWO agents — a named bot
@@ -4116,8 +4159,8 @@ object Queries {
     // CHARSET SNIFF + DECODE over the raw ingest chain: bodies in
     // ISO-8859-1 / Shift_JIS / windows-1252 / UTF-16LE / BOM'd UTF-8 are
     // framed as HTTP responses inside WARC records and decoded via the
-    // byte-level http_decode kernel (header charset= param, then BOM,
-    // then <meta charset>, then UTF-8 validity, then windows-1252
+    // byte-level http_decode kernel (BOM, then header charset= param,
+    // then the <meta> prescan, then UTF-8 validity, then windows-1252
     // fallback). Each planted body must recover the EXACT reference
     // string (oracle VALUES rows derive from the same shared fixture
     // list), and the pass-through arm proves UTF-8 corpus bytes come
@@ -6864,6 +6907,43 @@ object Queries {
         |  (900002, 0, 'com,bad2)/y', '20240101000000', NULL, NULL, NULL))
         |  v(doc_id, parsed_ok, surt_key, cdx_ts, url, status, length)
         |ORDER BY doc_id""".stripMargin,
+    // the IDENTICAL regexp chain replays in DuckDB (explicit \x{...}
+    // ranges parse the same in Java regex and RE2); planted texts are
+    // reconstructed from chr() calls, so the oracle derives segmentation
+    // independently — no precomputed constants
+    "segment_cjk" -> {
+      // a Scala string as a DuckDB expression: ASCII runs as quoted
+      // literals, non-ASCII code points as chr(n)
+      def duckStr(str: String): String = {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sb = new StringBuilder
+        val it = str.codePoints().iterator()
+        while (it.hasNext) {
+          val cp = it.next()
+          if (cp < 128) sb.appendAll(Character.toChars(cp))
+          else {
+            if (sb.nonEmpty) { parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear() }
+            parts += s"chr($cp)"
+          }
+        }
+        if (sb.nonEmpty) parts += "'" + sb.toString.replace("'", "''") + "'"
+        if (parts.isEmpty) "''" else parts.mkString(" || ")
+      }
+      val plantedVals = cjkCases
+        .map { case (id, txt) => s"(CAST($id AS BIGINT), ${duckStr(txt)})" }
+        .mkString(",\n|    ")
+      s"""WITH all_d(doc_id, text) AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $plantedVals) p(doc_id, text)),
+         |seg AS (SELECT doc_id, text,
+         |  regexp_replace(text, '(${TextAnalysis.CjkClass})', ' \\1 ', 'g') AS s FROM all_d)
+         |SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens_ws,
+         |  CAST(len(regexp_split_to_array(trim(lower(s)), '\\s+')) AS BIGINT) AS n_tokens_seg,
+         |  md5(s) AS seg_md5
+         |FROM seg ORDER BY doc_id""".stripMargin
+    },
     // the corpus robots rules are deterministic functions of the doc id
     // (graftbot: disallow /doc/*0$ beats allow /doc/ only on ids ending
     // in 0; the * group: allow /doc/1 beats disallow /doc/ only on ids

@@ -18,15 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle, and tokenizer that follows. This kernel runs the standard
   * detection cascade in one pass per document:
   *
-  *  1. **Transport declaration** — a `charset=` parameter on the
-  *     Content-Type header value (the HTTP envelope's, or WARC's own for
-  *     conversion records).
-  *  2. **Byte-order mark** — UTF-8 / UTF-16LE/BE / UTF-32LE/BE.
-  *  3. **In-document declaration** — `<meta charset=...>` or
-  *     `http-equiv` `charset=` in the first 1024 bytes (the WHATWG
-  *     prescan window). A meta label naming a UTF-16/32 family is read
-  *     as UTF-8 (WHATWG rule: a meta tag READABLE as ASCII cannot be in
-  *     a wide encoding).
+  *  1. **Byte-order mark** — UTF-8 / UTF-16LE/BE / UTF-32LE/BE. The BOM
+  *     outranks the transport declaration (WHATWG "decode" step 1): a
+  *     BOM'd UTF-8 body behind a stale `charset=iso-8859-1` header is a
+  *     common server misconfiguration, and browsers decode it by BOM.
+  *  2. **Transport declaration** — a `charset=` PARAMETER of the
+  *     Content-Type header value (parsed as `;`-separated parameters
+  *     with quote handling — `boundary="x charset=y"` or a `nocharset=`
+  *     attribute must not match), from the HTTP envelope or WARC's own
+  *     header for conversion records.
+  *  3. **In-document declaration** — the WHATWG prescan over the first
+  *     1024 bytes: comments stripped, each `<meta>` tag's attributes
+  *     scanned properly — a `charset` ATTRIBUTE, or the `charset=` param
+  *     of a `content` attribute when `http-equiv=content-type` — so a
+  *     commented-out legacy meta or a `charset=` inside a description
+  *     string cannot hijack the document. A meta label naming a UTF-16/32
+  *     family is read as UTF-8 (a meta READABLE as ASCII cannot be wide).
   *  4. **UTF-8 validity** — bytes that strictly validate are UTF-8.
   *  5. **windows-1252 fallback** — the WHATWG default; every byte
   *     sequence decodes, so nothing is dropped.
@@ -52,12 +59,10 @@ object CharsetKernel {
     "latin1", "latin-1", "l1", "us-ascii", "ascii", "ansi_x3.4-1968",
     "cp819", "ibm819", "csisolatin1", "cp1252")
 
-  /** `<meta charset="x">` and `content="text/html; charset=x"` both end
-    * with `charset=<label>`; the bounded `[^>]` run keeps the scan inside
-    * one tag.
-    */
-  private val MetaPattern = java.util.regex.Pattern.compile(
-    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9._:-]+)")
+  private val MetaTagPattern = java.util.regex.Pattern.compile(
+    "(?is)<meta[\\s/]([^>]{0,512})")
+  private val CommentPattern = java.util.regex.Pattern.compile(
+    "(?s)<!--.*?(-->|$)") // unterminated comment swallows the rest
 
   /** A charset LABEL → JVM Charset, or null when unknown/unsupported
     * (the cascade then falls through — an unrecognized declaration must
@@ -73,29 +78,34 @@ object CharsetKernel {
     catch { case _: IllegalArgumentException => null } // bad/unsupported name
   }
 
-  /** The `charset=` parameter of a Content-Type header VALUE (e.g.
-    * `text/html; charset=Shift_JIS`), or null.
+  /** The `charset` PARAMETER of a Content-Type header value (e.g.
+    * `text/html; charset=Shift_JIS`), or null. Parsed as `;`-separated
+    * `name=value` parameters with double-quote awareness, so a
+    * `boundary="x; charset=y"` value or a `nocharset=` parameter name
+    * never matches (raw substring search would take both).
     */
   def headerCharset(contentType: String): Charset = {
     if (contentType == null) return null
-    val lower = contentType.toLowerCase(Locale.ROOT)
-    val i = lower.indexOf("charset=")
-    if (i < 0) return null
-    var j = i + 8
-    val sb = new java.lang.StringBuilder(16)
-    var quote: Char = 0
-    if (j < contentType.length && (contentType.charAt(j) == '"' || contentType.charAt(j) == '\'')) {
-      quote = contentType.charAt(j); j += 1
+    // split on ';' outside double quotes; the first piece is the media type
+    val params = Seq.newBuilder[String]
+    var start = 0
+    var inQuote = false
+    var i = 0
+    while (i < contentType.length) {
+      val c = contentType.charAt(i)
+      if (c == '"') inQuote = !inQuote
+      else if (c == ';' && !inQuote) { params += contentType.substring(start, i); start = i + 1 }
+      i += 1
     }
-    var stop = false
-    while (j < contentType.length && !stop) {
-      val c = contentType.charAt(j)
-      if (quote != 0) { if (c == quote) stop = true else sb.append(c) }
-      else if (c == ';' || c == ' ' || c == '\t') stop = true
-      else sb.append(c)
-      if (!stop) j += 1
+    params += contentType.substring(start)
+    params.result().drop(1).foreach { p =>
+      val eq = p.indexOf('=')
+      if (eq > 0 && p.substring(0, eq).trim.equalsIgnoreCase("charset")) {
+        val cs = resolve(p.substring(eq + 1).trim)
+        if (cs != null) return cs
+      }
     }
-    resolve(sb.toString)
+    null
   }
 
   /** (charset, bytes to skip) for a leading BOM, or (null, 0). UTF-32
@@ -114,24 +124,76 @@ object CharsetKernel {
     else (null, 0)
   }
 
-  /** `<meta ... charset=...>` in the first 1024 bytes (read as Latin-1 —
-    * the prescan only needs ASCII positions). Wide labels → UTF-8 per
+  /** Parse one tag body's attributes (lowercased name → value, FIRST
+    * occurrence wins, per the WHATWG prescan): names run to `=`, space,
+    * `/` or end; values are optionally single/double-quoted.
+    */
+  private def tagAttributes(tag: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < tag.length) {
+      while (i < tag.length && (tag.charAt(i).isWhitespace || tag.charAt(i) == '/')) i += 1
+      val nameStart = i
+      while (i < tag.length && !tag.charAt(i).isWhitespace &&
+        tag.charAt(i) != '=' && tag.charAt(i) != '/') i += 1
+      val name = tag.substring(nameStart, i).toLowerCase(Locale.ROOT)
+      while (i < tag.length && tag.charAt(i).isWhitespace) i += 1
+      var value = ""
+      if (i < tag.length && tag.charAt(i) == '=') {
+        i += 1
+        while (i < tag.length && tag.charAt(i).isWhitespace) i += 1
+        if (i < tag.length && (tag.charAt(i) == '"' || tag.charAt(i) == '\'')) {
+          val q = tag.charAt(i); i += 1
+          val vs = i
+          while (i < tag.length && tag.charAt(i) != q) i += 1
+          value = tag.substring(vs, i)
+          if (i < tag.length) i += 1
+        } else {
+          val vs = i
+          while (i < tag.length && !tag.charAt(i).isWhitespace) i += 1
+          value = tag.substring(vs, i)
+        }
+      }
+      if (name.nonEmpty && !out.contains(name)) out(name) = value
+    }
+    out.toMap
+  }
+
+  /** WHATWG-prescan charset extraction over the first 1024 bytes (read
+    * as Latin-1 — the scan only needs ASCII positions): comments are
+    * stripped first, then each `<meta>` tag's ATTRIBUTES are parsed — a
+    * `charset` attribute wins, else the `charset=` parameter of the
+    * `content` attribute when `http-equiv` is `content-type`. A
+    * `charset=` inside some other attribute's string (description text,
+    * a commented-out legacy tag) never matches. Wide labels → UTF-8 per
     * the WHATWG rule (see class doc).
     */
   def metaCharset(b: Array[Byte], off: Int, len: Int): Charset = {
     val n = math.min(len, 1024)
     if (n <= 0) return null
-    val prelude = new String(b, off, n, StandardCharsets.ISO_8859_1)
-    val m = MetaPattern.matcher(prelude)
-    if (!m.find()) return null
-    val cs = resolve(m.group(1))
-    if (cs == null) null
-    else {
-      val nm = cs.name().toLowerCase(Locale.ROOT)
-      if (nm.startsWith("utf-16") || nm.startsWith("utf-32") || nm == "x-utf-32le-bom")
-        StandardCharsets.UTF_8
-      else cs
+    val prelude = CommentPattern.matcher(
+      new String(b, off, n, StandardCharsets.ISO_8859_1)).replaceAll(" ")
+    val m = MetaTagPattern.matcher(prelude)
+    while (m.find()) {
+      val attrs = tagAttributes(m.group(1))
+      val label = attrs.get("charset").orElse {
+        if (attrs.get("http-equiv").exists(_.equalsIgnoreCase("content-type")))
+          attrs.get("content").flatMap { c =>
+            Option(headerCharset(c)).map(_.name())
+          }
+        else None
+      }
+      label.foreach { l =>
+        val cs = resolve(l)
+        if (cs != null) {
+          val nm = cs.name().toLowerCase(Locale.ROOT)
+          return if (nm.startsWith("utf-16") || nm.startsWith("utf-32") ||
+            nm == "x-utf-32le-bom") StandardCharsets.UTF_8
+          else cs
+        }
+      }
     }
+    null
   }
 
   /** Strict UTF-8 validation (RFC 3629: no overlongs, no surrogates, max
@@ -167,13 +229,16 @@ object CharsetKernel {
     true
   }
 
-  /** The cascade: (charset, which step decided). */
+  /** The cascade: (charset, which step decided). BOM first (WHATWG — it
+    * outranks a possibly-stale transport declaration), then the header
+    * param, the meta prescan, UTF-8 validity, and the 1252 fallback.
+    */
   def sniff(b: Array[Byte], off: Int, len: Int, declaredContentType: String)
       : (Charset, String) = {
-    val fromHeader = headerCharset(declaredContentType)
-    if (fromHeader != null) return (fromHeader, "header")
     val (fromBom, _) = bomCharset(b, off, len)
     if (fromBom != null) return (fromBom, "bom")
+    val fromHeader = headerCharset(declaredContentType)
+    if (fromHeader != null) return (fromHeader, "header")
     val fromMeta = metaCharset(b, off, len)
     if (fromMeta != null) return (fromMeta, "meta")
     if (utf8Valid(b, off, len)) (StandardCharsets.UTF_8, "utf8")

@@ -359,8 +359,11 @@ private[graft] class WarcFileLog(
         .map(_.getPath.getName)
         .filterNot(_.endsWith(".inprogress"))
         .flatMap { n =>
-          if (n.endsWith(".compact")) Some((n.stripSuffix(".compact").toLong, true))
-          else if (n.forall(_.isDigit)) Some((n.toLong, false))
+          // both forms digit-guarded: one foreign file (editor backup,
+          // .crc sidecar) must not wedge every list()-caller forever
+          val base = n.stripSuffix(".compact")
+          if (base.nonEmpty && base.forall(_.isDigit))
+            Some((base.toLong, n.endsWith(".compact")))
           else None
         }
         .sorted
@@ -475,8 +478,23 @@ private[sources] class WarcMicroBatchStream(
     if (json.contains("\"v\":2")) WarcLogOffset.fromJson(json)
     else WarcOffset.fromJson(json) // legacy full-snapshot checkpoints
 
+  // planInputPartitions resolves (start, end) EVERY batch; without a
+  // cache that is two full log reads per batch — O(lifetime file count)
+  // of checkpoint I/O, forever. The in-memory `seen` map IS resolve(
+  // currentBatch) (the steady-state `end`), and the last off-current
+  // resolution (the steady-state `start` = previous end) is memoized.
+  private var resolveCache: (Long, Map[String, Long]) = _
+
   private def resolve(o: Offset): Map[String, Long] = o match {
-    case WarcLogOffset(b) => log.resolve(b)
+    case WarcLogOffset(b) => synchronized {
+      if (b == currentBatch) seen
+      else if (resolveCache != null && resolveCache._1 == b) resolveCache._2
+      else {
+        val m = log.resolve(b)
+        resolveCache = (b, m)
+        m
+      }
+    }
     case WarcOffset(files) => files
     case other => throw new IllegalStateException(s"unexpected warc offset: $other")
   }

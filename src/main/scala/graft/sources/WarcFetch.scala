@@ -66,13 +66,13 @@ object WarcFetch {
       .select(F.col("path").cast("string"), F.col("offset").cast("long"))
       .repartitionByRange(F.col("path"), F.col("offset"))
       .sortWithinPartitions("path", "offset")
-      .as[(String, Long)]
+      .as[(String, java.lang.Long)] // boxed: null rows get a REAL error below
       .mapPartitions(it => new FetchIterator(it, conf))
       .toDF()
   }
 
   private final class FetchIterator(
-      it: Iterator[(String, Long)],
+      it: Iterator[(String, java.lang.Long)],
       conf: SerializableHadoopConf) extends Iterator[Fetched] {
     private var curPath: String = _
     private var raw: org.apache.hadoop.fs.FSDataInputStream = _
@@ -91,7 +91,13 @@ object WarcFetch {
     }
 
     override def next(): Fetched = {
-      val (p, off) = it.next()
+      val (p, offBoxed) = it.next()
+      if (p == null || offBoxed == null)
+        throw new IllegalArgumentException(
+          s"warc fetch: null ${if (p == null) "path" else "offset"} row " +
+            "(a malformed CDX line parses to a null meta struct — filter " +
+            "meta.url IS NOT NULL before the fetch)")
+      val off = offBoxed.longValue()
       if (p != curPath) {
         closeRaw()
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -103,9 +109,16 @@ object WarcFetch {
         if (p.endsWith(".gz")) {
           val gz = new WarcFormat.MultiMemberGzipStream(
             new BufferedInputStream(new NonClosing(raw), 1 << 16), p)
+          // inner framing errors report member-relative offsets; rethrow
+          // with the REQUESTED compressed offset so a bad CDX row is
+          // identifiable among millions
           try WarcFormat.parseRecord(
             new WarcFormat.PosStream(new BufferedInputStream(gz, 1 << 16), 0L),
             p, wantPayload = true, None)
+          catch {
+            case e: IllegalStateException => throw new IllegalStateException(
+              s"warc fetch at compressed offset $off in $p: ${e.getMessage}", e)
+          }
           finally gz.close() // frees the Inflater NOW; raw is shielded
         } else {
           WarcFormat.parseRecord(

@@ -684,6 +684,35 @@ object TextAnalysis {
       from_json(get(parts, lit(2)), metaSchema).as("meta"))
   }
 
+  /** CJK ideograph character class, as EXPLICIT code-point ranges (the
+    * BERT BasicTokenizer set: URO + ext A, compatibility ideographs, and
+    * the supplementary ext B–F + compat-supplement planes). Ranges, not
+    * `\p{Han}`: Java spells that class `\p{IsHan}` while RE2 spells it
+    * `\p{Han}` — explicit `\x{...}` ranges are the one syntax BOTH
+    * engines parse identically, so the DuckDB oracle evaluates the
+    * IDENTICAL pattern (same rationale as [[BpePretokenPattern]]).
+    */
+  val CjkClass: String =
+    "[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}\\x{f900}-\\x{faff}" +
+      "\\x{20000}-\\x{2a6df}\\x{2a700}-\\x{2ebef}\\x{2f800}-\\x{2fa1f}]"
+
+  /** Per-language SEGMENTATION ahead of the tokenizer families: isolate
+    * every CJK ideograph with surrounding spaces (the published BERT
+    * BasicTokenizer rule) so whitespace pretokenization — which degrades
+    * to whole-sentence "tokens" on unspaced Chinese/Japanese text —
+    * yields per-ideograph units instead. Kana, hangul, and Thai runs are
+    * deliberately NOT char-split: char-splitting them is linguistically
+    * wrong (they are alphabets/abugidas, not logographs), and proper
+    * Thai word segmentation needs a dictionary — out of scope, documented
+    * rather than faked. One codegen `regexp_replace` pass; compose as
+    * `tokens(segmentCjk(text))` or ahead of BPE/WordPiece training.
+    * Double spaces introduced at boundaries are harmless to the
+    * `\s+`-splitting tokenizers downstream (and byte-exact replayable —
+    * the oracle runs the identical pattern).
+    */
+  def segmentCjk(text: Column): Column =
+    regexp_replace(text, s"($CjkClass)", " $1 ")
+
   /** RFC 9309 robots.txt evaluation — `struct(allowed, rule,
     * crawl_delay)` for one (robots text, agent token, URL path) row; see
     * [[graft.text.Robots]] for the exact semantics (group merge, longest

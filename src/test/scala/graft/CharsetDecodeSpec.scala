@@ -16,16 +16,17 @@ class CharsetDecodeSpec extends SparkTestBase {
     (cs.name().toLowerCase(java.util.Locale.ROOT), src)
   }
 
-  test("cascade order: header beats BOM beats meta beats validity") {
+  test("cascade order: BOM beats header beats meta beats validity (WHATWG)") {
     val sjisBody = "\u30c6\u30b9\u30c8".getBytes(sjis)
+    // BOM outranks a (stale) transport declaration \u2014 the misconfigured-
+    // server case browsers decode by BOM
+    val bomAndHeader = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "hi".getBytes(UTF_8)
+    assert(sniffName(bomAndHeader, "text/html; charset=ISO-8859-1") === ("utf-8", "bom"))
     // header wins even when a meta tag disagrees
     val metaAndHeader = ("<meta charset=\"utf-8\">x").getBytes(ISO_8859_1)
     assert(sniffName(metaAndHeader, "text/html; charset=Shift_JIS") ===
       ("shift_jis", "header"))
-    // BOM wins when no header param
-    val bomBody = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "hi".getBytes(UTF_8)
-    assert(sniffName(bomBody, "text/html") === ("utf-8", "bom"))
-    // meta wins when neither header nor BOM
+    // meta wins when neither BOM nor header
     val metaBody = "<html><meta http-equiv=\"Content-Type\" content=\"text/html; charset=shift_jis\"></html>"
       .getBytes(ISO_8859_1)
     assert(sniffName(metaBody, null) === ("shift_jis", "meta"))
@@ -33,6 +34,36 @@ class CharsetDecodeSpec extends SparkTestBase {
     assert(sniffName("d\u00e9j\u00e0".getBytes(UTF_8), null) === ("utf-8", "utf8"))
     assert(sniffName("caf\u00e9".getBytes(ISO_8859_1), null) === ("windows-1252", "fallback"))
     assert(sniffName(sjisBody, "text/html; charset=Shift_JIS")._1 === "shift_jis")
+  }
+
+  test("header param parsing: other params and quoted values never match") {
+    // charset= inside ANOTHER parameter's quoted value must not match
+    assert(CharsetKernel.headerCharset(
+      "multipart/form-data; boundary=\"xx; charset=utf-16le\"") === null)
+    // a differently-named parameter must not substring-match
+    assert(CharsetKernel.headerCharset("text/html; nocharset=utf-16le") === null)
+    // and the real parameter still does, case-insensitively, quoted or not
+    assert(CharsetKernel.headerCharset(
+      "multipart/x; boundary=\"a b\"; CHARSET=shift_jis").name() === "Shift_JIS")
+  }
+
+  test("meta prescan: comments stripped, attribute-scoped, http-equiv content") {
+    def meta(s: String): Charset =
+      CharsetKernel.metaCharset(s.getBytes(ISO_8859_1), 0, s.length)
+    // commented-out legacy declaration is ignored
+    assert(meta("<!-- <meta charset=shift_jis> --><p>x</p>") === null)
+    // unterminated comment swallows the rest of the prelude
+    assert(meta("<!-- <meta charset=shift_jis>") === null)
+    // charset= inside a description string is NOT a declaration
+    assert(meta("<meta name=\"description\" content=\"use charset=euc-jp here\">") === null)
+    // http-equiv content-type DOES declare through its content param
+    assert(meta("<meta http-equiv=Content-Type content=\"text/html; charset=shift_jis\">")
+      === sjis)
+    // plain charset attribute, unquoted and quoted
+    assert(meta("<meta charset=shift_jis>") === sjis)
+    assert(meta("<meta charset='shift_jis'/>") === sjis)
+    // a comment BEFORE a real declaration does not mask it
+    assert(meta("<!-- old --><meta charset=shift_jis>") === sjis)
   }
 
   test("label resolution: WHATWG latin-1 promotion, quotes, unknown labels") {
@@ -119,11 +150,14 @@ class CharsetDecodeSpec extends SparkTestBase {
   }
 
   test("malformed bytes under a declared charset decode to U+FFFD, never throw") {
+    // 0xFF 0x41 0xFE: invalid UTF-8 but NOT a BOM prefix (FF FE would
+    // legitimately win as a UTF-16LE BOM under the WHATWG order)
     val bad = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n".getBytes(ISO_8859_1) ++
-      Array(0xff.toByte, 0xfe.toByte, 0x41.toByte)
+      Array(0xff.toByte, 0x41.toByte, 0xfe.toByte)
     val r = HttpDecodeKernel.decode(bad)
     assert(r.getUTF8String(2).toString === "utf-8")
-    assert(r.getUTF8String(4).toString === "\ufffd\ufffdA")
+    assert(r.getUTF8String(3).toString === "header")
+    assert(r.getUTF8String(4).toString === "\ufffdA\ufffd")
   }
 
   test("CharsetDecode kernel + Spark expressions (codegen path)") {

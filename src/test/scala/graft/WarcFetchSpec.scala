@@ -85,5 +85,18 @@ class WarcFetchSpec extends SparkTestBase {
     val e3 = intercept[IllegalArgumentException](
       WarcFetch.fetch(Seq(("x", 1L)).toDF("file", "offset")))
     assert(e3.getMessage.contains("path"))
+    // the gz rethrow carries the REQUESTED compressed offset
+    assert(msgs(e2).exists(_.contains(s"compressed offset ${o1(5) + 3}")),
+      msgs(e2).mkString(" | "))
+    // a null path row (malformed CDX join output) gets a REAL error,
+    // not an opaque NPE
+    val e4 = intercept[Exception](
+      WarcFetch.fetch(Seq((Option.empty[String], Option(1L)), (Option(p0), Option(o0(0))))
+        .toDF("path", "offset")).collect())
+    assert(msgs(e4).exists(_.contains("null path")), msgs(e4).mkString(" | "))
+    val e5 = intercept[Exception](
+      WarcFetch.fetch(Seq((Option(p0), Option.empty[Long]))
+        .toDF("path", "offset")).collect())
+    assert(msgs(e5).exists(_.contains("null offset")), msgs(e5).mkString(" | "))
   }
 }

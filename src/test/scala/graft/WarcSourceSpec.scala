@@ -289,6 +289,11 @@ class WarcSourceSpec extends SparkTestBase {
     assert(logFiles.length <= graft.sources.WarcFileLog.CompactInterval + 4,
       s"log dir not compacted: ${logFiles.sorted.mkString(", ")}")
     assert(logFiles.count(_.endsWith(".compact")) >= 1)
+    // a foreign file in the log dir must not wedge the stream
+    Files.write(Paths.get(logDir.getPath, "old.compact"), "junk".getBytes("UTF-8"))
+    Files.write(Paths.get(logDir.getPath, "README"), "junk".getBytes("UTF-8"))
+    writeFile(dir, "g998.warc", rec(998, "response", "after junk"))
+    assert(runOnce("warc_cp_junk") === 1L)
     // and the replayed seen-set still refuses a grown file
     writeFile(dir, "g000.warc", rec(0, "response", "doc 0") ++ rec(77, "response", "grown"))
     val e = intercept[Exception](runOnce("warc_cp_grow"))
