@@ -131,6 +131,14 @@ object Queries {
     (900005L, "plain ascii text stays identical"),
     (900006L, "\ud55c\uae00 hangul \u0e44\u0e17\u0e22 thai stay joined"))
 
+  /** The charset-exercising suffixes pipeline_ingest_charset appends
+    * before encoding each document's twins: (_1) windows-1252-encodable
+    * (e-acute, en dash, i-diaeresis), (_2) Shift_JIS-encodable (CJK +
+    * katakana). Shared so the oracle reconstructs the same strings.
+    */
+  private[graft] val CsPipeSuffixes: (String, String) =
+    ("caf\u00e9 \u2013 na\u00efve", "\u4e16\u754c \u30c6\u30b9\u30c8")
+
   /** The events table with `ts` normalized to epoch NANOS (long). The
     * testdata generator has emitted both parquet TIMESTAMP(NANOS) — which
     * Spark can only surface as a raw nanos long (legacy flag) — and
@@ -3958,6 +3966,72 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // CHARSET-CORRECT INGEST COMPOSED END-TO-END: every document is
+    // framed TWICE — a UTF-8 record and a windows-1252 or Shift_JIS
+    // twin (by id parity, with a charset-exercising non-ASCII suffix
+    // each encoding can represent) — then byte-level decode →
+    // extractMarkup → exact dedup. A UTF-8-assuming reader mojibakes
+    // the non-UTF-8 twin and the pair does NOT fold; the charset-correct
+    // chain folds every pair (the honest GROUP BY oracle counts 2 per
+    // text, 4 when two same-parity docs share a text).
+    "pipeline_ingest_charset" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("warc_cs_pipe").toString
+      val w1252 = java.nio.charset.Charset.forName("windows-1252")
+      val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+      def env(ct: String, body: Array[Byte]): Array[Byte] =
+        s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+      def rec(id: Long, payload: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("response", s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z",
+          "application/http;msgtype=response", payload)
+      val bytes = docs.flatMap { case (id, tx) =>
+        val (cs, csName, suffix) =
+          if (id % 2 == 0) (w1252, "windows-1252", CsPipeSuffixes._1)
+          else (sjis, "Shift_JIS", CsPipeSuffixes._2)
+        val h = s"<html><body><p>$tx $suffix</p></body></html>"
+        rec(id, env("text/html; charset=utf-8",
+          h.getBytes(java.nio.charset.StandardCharsets.UTF_8))) ++
+          rec(id + 500000, env(s"text/html; charset=$csName", h.getBytes(cs)))
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "m.warc"), bytes)
+      val recs = spark.read.format("warc").load(out)
+        .filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("rec_id"),
+          TextAnalysis.httpResponseDecoded(col("payload")).as("h"))
+        .select(col("rec_id"), TextAnalysis.extractMarkup(col("h.body")).as("clean"))
+      val keeps = graft.dedup.Dedup.exactGroups(recs, idCol = "rec_id", textCol = "clean")
+      recs.join(keeps, recs("rec_id") === keeps("keep_id"))
+        .select(col("rec_id").as("doc_id"), col("n_dups").cast("long").as("n_dups"),
+          md5(encode(col("clean"), "UTF-8")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // POLITENESS-AWARE FETCH SCHEDULING (the step after the robots gate
+    // in a crawl frontier): disallowed URLs drop, each host's survivors
+    // serialize crawl_delay seconds apart in deterministic path order
+    // (hosts proceed in parallel). Same corpus robots fixture as
+    // robots_parse — graftbot's delay is 0.5 s and ids ending in 0 are
+    // disallowed — so the oracle replays the whole schedule with one
+    // window over the id-derived allow rule.
+    "fetch_schedule" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select("doc_id", "source")
+      val corpusRobots =
+        "User-agent: *\nDisallow: /doc/\nAllow: /doc/1\nCrawl-delay: 2\n\n" +
+          "User-agent: graftbot\nAllow: /doc/\nDisallow: /doc/*0$\nCrawl-delay: 0.5\n"
+      val robotsDf = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          lit(corpusRobots).as("robots"))
+      val census = docs.select(
+        concat(col("source"), lit(".example.com")).as("host"),
+        concat(lit("/doc/"), col("doc_id")).as("path"))
+      TextAnalysis.fetchSchedule(census, robotsDf, "graftbot")
+        .orderBy("host", "path")
+    }),
+
     // PER-LANGUAGE SEGMENTATION ahead of the tokenizer families: CJK
     // ideographs isolated with spaces (the BERT BasicTokenizer rule) so
     // whitespace pretokenization stops yielding whole-sentence "tokens"
@@ -4931,6 +5005,26 @@ object Queries {
     * degenerate whole-text shingle under n tokens as ShingleKernel).
     */
   private val duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** A Scala string as a DuckDB expression: ASCII runs as quoted
+    * literals, non-ASCII code points as chr(n) — unicode never travels
+    * as raw bytes inside oracle SQL text.
+    */
+  private def duckChrStr(str: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    val it = str.codePoints().iterator()
+    while (it.hasNext) {
+      val cp = it.next()
+      if (cp < 128) sb.appendAll(Character.toChars(cp))
+      else {
+        if (sb.nonEmpty) { parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear() }
+        parts += s"chr($cp)"
+      }
+    }
+    if (sb.nonEmpty) parts += "'" + sb.toString.replace("'", "''") + "'"
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
 
   /** ONE copy of the DSIR weight arithmetic (TextAnalysis.dsirWeights'
     * SQL mirror) — CTE chain ending in `dw(doc_id, n_tokens, dwt)`;
@@ -6907,6 +7001,43 @@ object Queries {
         |  (900002, 0, 'com,bad2)/y', '20240101000000', NULL, NULL, NULL))
         |  v(doc_id, parsed_ok, surt_key, cdx_ts, url, status, length)
         |ORDER BY doc_id""".stripMargin,
+    // decode(encode(x)) is identity under the charset-correct chain, so
+    // the UTF-8 and non-UTF-8 twins share one clean text: the oracle
+    // replays the markup chain over text + the parity suffix (suffix
+    // unicode as chr() — never raw bytes in SQL), doubles the ids, and
+    // GROUP BYs honestly (4-way folds when same-parity docs share text)
+    "pipeline_ingest_charset" -> {
+      val even = duckChrStr(" " + CsPipeSuffixes._1)
+      val odd = duckChrStr(" " + CsPipeSuffixes._2)
+      s"""WITH base AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 THEN $even ELSE $odd END AS t0
+         |  FROM documents WHERE doc_id < 100),
+         |s1 AS (SELECT doc_id, regexp_replace(t0, '(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>|<!--.*?-->', ' ', 'g') AS t FROM base),
+         |s2 AS (SELECT doc_id, regexp_replace(t, '(?i)</p[ \\t]*>|</h[1-6]>|</li>|</div>|</tr>|<br[^>]*>', chr(10), 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
+         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3),
+         |s5 AS (SELECT doc_id, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s4),
+         |s6 AS (SELECT doc_id, regexp_replace(t, '( ?\\n ?)+', chr(10), 'g') AS t FROM s5),
+         |s7 AS (SELECT doc_id, regexp_replace(t, '^[ \\n]+|[ \\n]+$$', '', 'g') AS clean FROM s6),
+         |c AS (SELECT doc_id, clean FROM s7
+         |      UNION ALL SELECT doc_id + 500000, clean FROM s7),
+         |g AS (SELECT md5(clean) AS d, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+         |      FROM c GROUP BY md5(clean))
+         |SELECT c.doc_id, g.n_dups, md5(c.clean) AS clean_md5
+         |FROM c JOIN g ON c.doc_id = g.keep_id ORDER BY doc_id""".stripMargin
+    },
+    // the allow rule is a pure function of the id string and the delay a
+    // fixture constant, so one window replays the whole schedule
+    "fetch_schedule" ->
+      """WITH c AS (
+        |  SELECT source || '.example.com' AS host, '/doc/' || doc_id AS path
+        |  FROM documents WHERE CAST(doc_id AS VARCHAR) NOT LIKE '%0'),
+        |r AS (SELECT host, path,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY path) - 1 AS BIGINT) AS slot
+        |  FROM c)
+        |SELECT host, path, slot, round(slot * 0.5, 4) AS fetch_at_s
+        |FROM r ORDER BY host, path""".stripMargin,
     // the IDENTICAL regexp chain replays in DuckDB (explicit \x{...}
     // ranges parse the same in Java regex and RE2); planted texts are
     // reconstructed from chr() calls, so the oracle derives segmentation

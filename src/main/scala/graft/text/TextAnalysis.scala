@@ -727,6 +727,36 @@ object TextAnalysis {
     SqlBridge.column(graft.functions.RobotsCheck(
       SqlBridge.expression(robots), SqlBridge.expression(agent), SqlBridge.expression(path)))
 
+  /** Politeness-aware FETCH SCHEDULING — the step after [[robotsCheck]]
+    * in a crawl frontier: drop disallowed URLs, then serialize each
+    * host's fetches `crawl_delay` seconds apart (hosts proceed in
+    * parallel; within a host, slot k fires at `k * delay`). Inputs:
+    * `census(host, path)` and `robots(host, robots)`; returns
+    * `(host, path, slot, fetch_at_s)`.
+    *
+    * Scale shape: the robots side is one row per host — BROADCAST — and
+    * the only shuffle is the per-host window (key = host, the natural
+    * frontier partitioning); the robots parse is memoized per executor
+    * thread across each host's clustered rows. Slot order is
+    * deterministic (path lexicographic), so the schedule replays
+    * identically on any layout.
+    */
+  def fetchSchedule(
+      census: org.apache.spark.sql.DataFrame,
+      robots: org.apache.spark.sql.DataFrame,
+      agent: String,
+      defaultDelaySeconds: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("path")
+    census.join(broadcast(robots), "host")
+      .withColumn("__r", robotsCheck(col("robots"), lit(agent), col("path")))
+      .filter(col("__r.allowed"))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_s",
+        round(col("slot") * coalesce(col("__r.crawl_delay"), lit(defaultDelaySeconds)), 4))
+      .select(col("host"), col("path"), col("slot"), col("fetch_at_s"))
+  }
+
   /** Parse a WAT METADATA record's JSON envelope — the companion format
     * the big public crawls publish next to their WARC segments (one
     * `metadata` record per crawled page, wrapping extracted metadata so
