@@ -972,6 +972,37 @@ object BenchScale {
       pruned.unpersist()
     }
 
+    // Host-graph PageRank at crawl scale: ~10·nDocs edges over a 100k-host
+    // space with a skewed in-degree (every host also links the hub ring
+    // h0..h9 — the realistic shape: a few hosts absorb most links), plus
+    // 1k pure sinks exercising the dangling arm. Invariants: mass
+    // conserved (sum == 1 within fp), hub ranks dominate, fixed 10 rounds.
+    {
+      val nHosts = 100000
+      val eBase = spark.range(nDocs.toLong * 10).select(
+        concat(lit("h"), (col("id") % nHosts).cast("string")).as("src"),
+        concat(lit("h"), ((col("id") * 2654435761L + 17) % nHosts).cast("string")).as("dst"))
+      val eHub = spark.range(nDocs.toLong * 2).select(
+        concat(lit("h"), (col("id") % nHosts).cast("string")).as("src"),
+        concat(lit("h"), (col("id") % 10).cast("string")).as("dst"))
+      val eSink = spark.range(1000).select(
+        concat(lit("h"), (col("id") % nHosts).cast("string")).as("src"),
+        concat(lit("sink"), col("id").cast("string")).as("dst"))
+      val pr = timed(s"pagerank (${nDocs * 12L} edges, $nHosts hosts, 10 rounds)") {
+        graft.ops.Graph.pagerank(eBase.unionByName(eHub).unionByName(eSink)).cache()
+      }
+      val mass = pr.agg(sum("rank")).head().getDouble(0)
+      require(math.abs(mass - 1.0) < 1e-6, s"rank mass leaked: $mass")
+      val hubMin = pr.filter(col("node").isin((0 until 10).map("h" + _): _*))
+        .agg(min("rank")).head().getDouble(0)
+      val restMax = pr.filter(!col("node").isin((0 until 10).map("h" + _): _*))
+        .filter(col("node").startsWith("h"))
+        .agg(max("rank")).head().getDouble(0)
+      require(hubMin > restMax, s"hub ranks must dominate: $hubMin vs $restMax")
+      println(f"[scale] pagerank: mass $mass%.9f, hub min $hubMin%.2e > rest max $restMax%.2e")
+      pr.unpersist()
+    }
+
     spark.stop()
   }
 }

@@ -4997,6 +4997,117 @@ object Queries {
           col("event_id"), col("ivl_n_events").as("n_sess_events"))
         .orderBy("user_id", "session", "event_id")
     }),
+
+    // REGISTERED DOMAIN (eTLD+1) over the URL census — the key every
+    // per-domain policy (caps, priors, politeness grouping) hangs off.
+    // Planted URLs pin each branch of the PSL longest-match cascade:
+    // a 2-label ccTLD registry (bbc.co.uk), a private registry one level
+    // down (github.io), a 3-label private suffix (s3.amazonaws.com, and
+    // blogspot.co.uk), a BARE suffix host and a single label and an IPv4
+    // literal (all NULL — no registrant exists), the PSL default `*`
+    // rule (unknowntld), ports, trailing dots, and deep subdomain chains
+    // collapsing to the same eTLD+1.
+    "registered_domain" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = Seq(
+        (910001L, "see https://news.BBC.co.uk/stories and https://a.b.github.io/page"),
+        (910002L, "bare suffix http://co.uk/ and single http://localhost/x"),
+        (910003L, "ip http://192.168.0.1/p port https://www.Example.co.uk:8080/q"),
+        (910004L, "unknown tld https://foo.bar.unknowntld/z bucket http://media.s3.amazonaws.com/k"),
+        (910005L, "deep https://a.b.c.d.example.com/w three http://x.blogspot.co.uk/t and dot https://example.com./r"))
+        .toDF("doc_id", "text")
+      docs.unionByName(planted)
+        .select(explode(TextAnalysis.links(col("text"))).as("url"))
+        .select(lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_urls"))
+        .select(col("host"),
+          TextAnalysis.registeredDomain(col("host")).as("registered_domain"),
+          col("n_urls"))
+        .orderBy("host")
+    }),
+
+    // PER-DOMAIN CAP (the RefinedWeb curation rule: no registered domain
+    // may dominate the corpus) — the URL census keyed by eTLD+1, at most
+    // `quota` URLs kept per domain, membership by the same deterministic
+    // md5 order every sampler here uses (WindowGroupLimit bounds the
+    // per-group shuffle; a hot domain sheds its overflow in the partial
+    // rank, not on one executor). Planted: 40 URLs across subdomains of
+    // ONE registered domain (hot.co.uk — all collapse to one key and only
+    // 8 survive) next to an under-quota domain that passes through whole.
+    "domain_cap" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val hot = (0 until 40).map(i =>
+        (920000L + i, s"crawl https://a$i.hot.co.uk/page/$i now"))
+      val cool = (0 until 5).map(i =>
+        (921000L + i, s"keep https://s$i.example.org/doc/$i too"))
+      val planted = (hot ++ cool).toDF("doc_id", "text")
+      val census = docs.unionByName(planted)
+        .select(explode(TextAnalysis.links(col("text"))).as("url"))
+        .select(col("url"),
+          lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)).as("host"))
+        .distinct()
+        .withColumn("domain", TextAnalysis.registeredDomain(col("host")))
+        .filter(col("domain").isNotNull)
+      graft.ops.Sampling.sampleQuota(census, "url", "domain", quota = 8)
+        .select(col("domain"), col("url"))
+        .orderBy("domain", "url")
+    }),
+
+    // HOST-LEVEL PAGERANK (Page et al. 1999) — the crawl-graph quality
+    // prior, by power iteration with a FIXED 10 rounds so the oracle
+    // unrolls the identical arithmetic (one CTE per round). The host
+    // graph derives deterministically from the corpus (each doc links
+    // its residue-class host to two arithmetic neighbors — dense enough
+    // that rank differentiates), plus a planted pure SINK host with no
+    // out-edges: the dangling-mass redistribution arm is load-bearing,
+    // not decorative (drop it and total rank leaks, every value shifts).
+    // Ranks round at 6dp only at the END — both engines run the same
+    // per-edge rank/deg divisions and differ only by summation order.
+    "pagerank_hosts" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val src = concat(lit("h"), (col("doc_id") % 53).cast("string"))
+      val e1 = docs.select(src.as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + 3) % 53).cast("string")).as("dst"))
+      val e2 = docs.select(src.as("src"),
+        concat(lit("h"), ((col("doc_id") + col("n_chars")) % 53).cast("string")).as("dst"))
+      val e3 = docs.filter(col("doc_id") < 5)
+        .select(src.as("src"), lit("sink.example.com").as("dst"))
+      graft.ops.Graph.pagerank(e1.unionByName(e2).unionByName(e3),
+          iterations = 10, damping = 0.85)
+        .select(col("node").as("host"), round(col("rank"), 6).as("rank"))
+        .orderBy("host")
+    }),
+
+    // HOST-GRAPH CONNECTED COMPONENTS — the crawl-frontier partitioner
+    // (mirror detection, per-component politeness domains), REUSING the
+    // near-dup pointer-doubling CC on hosts mapped through the standard
+    // 60-bit md5 id (the oracle maps with the SAME hash, so even a
+    // collision — ~2^-40 at this cardinality — cannot diverge the two
+    // engines). Edges stay inside each decade of the residue space by
+    // construction (>= 10 components, not one giant blob), plus a planted
+    // isolated pair that must come back as its own component.
+    "host_components" -> ((spark, dir) => {
+      import spark.implicits._
+      val a = col("doc_id") % 100
+      val edges = t(spark, dir, "documents")
+        .select(concat(lit("h"), a.cast("string")).as("src"),
+          concat(lit("h"), (a - (a % 10) + (a * 7) % 10).cast("string")).as("dst"))
+        .unionByName(Seq(("lonely1.example.com", "lonely2.example.com")).toDF("src", "dst"))
+      val hid = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val hosts = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct()
+        .withColumn("hid_", hid(col("host")))
+      val comp = graft.dedup.Dedup.connectedComponents(
+        edges.select(hid(col("src")).as("doc_a"), hid(col("dst")).as("doc_b")))
+      comp.join(hosts, comp("id") === hosts("hid_"))
+        .select(col("host"), col("group_id"))
+        .join(hosts.select(col("host").as("root_host"), col("hid_").as("gid_")),
+          col("group_id") === col("gid_"))
+        .select(col("host"), col("root_host"))
+        .orderBy("host")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -5414,6 +5525,60 @@ object Queries {
        |SELECT doc_id, cnt_en, cnt_de, cnt_es, cnt_fr, cnt_zh,
        |  CASE WHEN __mx = 0 THEN 'und' $whens ELSE 'und' END AS pred_lang
        |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** The registered-domain CASE cascade over pre-split label lists —
+    * interpolates the SAME PSL subset `val`s the Spark kernel matches
+    * against (one source of truth). Expects columns `h0` (cleaned host)
+    * and `parts` (its '.'-split list) in scope.
+    */
+  private def duckRegDomain: String = {
+    val in2 = TextAnalysis.PslTwoLabel.map(s => s"'$s'").mkString(", ")
+    val in3 = TextAnalysis.PslThreeLabel.map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN regexp_matches(h0, '^([0-9]{1,3}\\.){3}[0-9]{1,3}$$') THEN NULL
+       |     WHEN len(parts) >= 4 AND array_to_string(parts[-3:], '.') IN ($in3) THEN array_to_string(parts[-4:], '.')
+       |     WHEN len(parts) = 3 AND array_to_string(parts[-3:], '.') IN ($in3) THEN NULL
+       |     WHEN len(parts) >= 3 AND array_to_string(parts[-2:], '.') IN ($in2) THEN array_to_string(parts[-3:], '.')
+       |     WHEN len(parts) = 2 AND array_to_string(parts[-2:], '.') IN ($in2) THEN NULL
+       |     WHEN len(parts) >= 2 THEN array_to_string(parts[-2:], '.')
+       |     ELSE NULL END""".stripMargin
+  }
+
+  /** Host cleanup matching [[TextAnalysis.registeredDomain]]'s first step
+    * (port strip, one trailing dot, case fold) as DuckDB SQL. */
+  private def duckHostClean(host: String): String =
+    s"lower(regexp_replace(regexp_replace($host, ':[0-9]+$$', ''), '\\.$$', ''))"
+
+  /** Power iteration unrolled one CTE per round — fixed iterations make
+    * PageRank a pure function of the edge set, so the oracle replays the
+    * exact per-round arithmetic (contributions sum rank/deg; dangling
+    * mass redistributes uniformly) instead of approximating convergence.
+    */
+  private def pagerankOracle: String = {
+    // every CTE MATERIALIZED: each round references its predecessor twice
+    // (contributions + dangling mass) — inlined CTEs would re-evaluate the
+    // whole chain per reference, exponential in the iteration count
+    def step(i: Int): String =
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node, (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c.s, 0) + dg.dm / nn.n) AS rank
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.deg) AS s
+         |             FROM r${i - 1} r JOIN edges e ON r.node = e.src
+         |             JOIN outdeg o ON r.node = o.node GROUP BY e.dst) c ON n.node = c.node
+         |  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dm
+         |              FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.node
+         |              WHERE o.node IS NULL) dg)""".stripMargin
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT 'h' || (doc_id % 53) AS src, 'h' || ((doc_id * 7 + 3) % 53) AS dst FROM documents
+       |    UNION ALL SELECT 'h' || (doc_id % 53), 'h' || ((doc_id + n_chars) % 53) FROM documents
+       |    UNION ALL SELECT 'h' || (doc_id % 53), 'sink.example.com' FROM documents WHERE doc_id < 5)),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outdeg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |${(1 to 10).map(step).mkString(",\n")}
+       |SELECT node AS host, round(rank, 6) AS rank FROM r10 ORDER BY host""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -7486,5 +7651,60 @@ object Queries {
         |SELECT err.user_id, s.session, err.event_id, s.n_events AS n_sess_events
         |FROM err JOIN s ON err.user_id = s.user_id AND err.tsn BETWEEN s.start_ts AND s.end_ts
         |ORDER BY 1, 2, 3""".stripMargin,
+    // the PSL cascade interpolates the SAME suffix lists the kernel uses
+    "registered_domain" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (910001, 'see https://news.BBC.co.uk/stories and https://a.b.github.io/page'),
+         |    (910002, 'bare suffix http://co.uk/ and single http://localhost/x'),
+         |    (910003, 'ip http://192.168.0.1/p port https://www.Example.co.uk:8080/q'),
+         |    (910004, 'unknown tld https://foo.bar.unknowntld/z bucket http://media.s3.amazonaws.com/k'),
+         |    (910005, 'deep https://a.b.c.d.example.com/w three http://x.blogspot.co.uk/t and dot https://example.com./r')) v(doc_id, text)),
+         |l AS (SELECT unnest(regexp_extract_all(text, '(?i)\\bhttps?://[^ \\t\\n\\r"''<>)]+', 0)) AS url FROM all_docs),
+         |g AS (SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host, count(*) AS n_urls
+         |      FROM l GROUP BY 1),
+         |p AS (SELECT host, n_urls, ${duckHostClean("host")} AS h0,
+         |        string_split(${duckHostClean("host")}, '.') AS parts FROM g)
+         |SELECT host, $duckRegDomain AS registered_domain, n_urls
+         |FROM p ORDER BY host""".stripMargin,
+    // same census, same cascade, then the sample_quota window rule
+    // (md5-bucket order, id tiebreak) capped at 8 per registered domain
+    "domain_cap" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT 920000 + i, 'crawl https://a' || i || '.hot.co.uk/page/' || i || ' now' FROM range(40) t(i)
+         |  UNION ALL SELECT 921000 + i, 'keep https://s' || i || '.example.org/doc/' || i || ' too' FROM range(5) t(i)),
+         |l AS (SELECT DISTINCT unnest(regexp_extract_all(text, '(?i)\\bhttps?://[^ \\t\\n\\r"''<>)]+', 0)) AS url FROM all_docs),
+         |h2 AS (SELECT url, lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host FROM l),
+         |p AS (SELECT url, ${duckHostClean("host")} AS h0,
+         |        string_split(${duckHostClean("host")}, '.') AS parts FROM h2),
+         |f AS (SELECT url, domain FROM (SELECT url, $duckRegDomain AS domain FROM p) WHERE domain IS NOT NULL),
+         |r AS (SELECT domain, url, row_number() OVER (PARTITION BY domain
+         |        ORDER BY CAST(concat('0x', substr(md5(concat('s', url)), 1, 15)) AS BIGINT) % 10000, url) AS qrank
+         |      FROM f)
+         |SELECT domain, url FROM r WHERE qrank <= 8 ORDER BY domain, url""".stripMargin,
+    "pagerank_hosts" -> pagerankOracle,
+    // min-label propagation to fixpoint over the SAME 60-bit md5 host ids
+    // the Spark side maps through — a collision cannot diverge the engines
+    "host_components" ->
+      """WITH RECURSIVE edges0 AS (
+        |  SELECT 'h' || (doc_id % 100) AS src,
+        |         'h' || ((doc_id % 100) - ((doc_id % 100) % 10) + (((doc_id % 100) * 7) % 10)) AS dst
+        |  FROM documents
+        |  UNION ALL SELECT 'lonely1.example.com', 'lonely2.example.com'),
+        |hosts AS (SELECT host, CAST(concat('0x', substr(md5(host), 1, 15)) AS BIGINT) AS hid
+        |          FROM (SELECT DISTINCT src AS host FROM edges0 UNION SELECT DISTINCT dst FROM edges0)),
+        |e AS (SELECT DISTINCT a.hid AS src, b.hid AS dst
+        |      FROM edges0 JOIN hosts a ON edges0.src = a.host JOIN hosts b ON edges0.dst = b.host),
+        |es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(id, label) AS (
+        |  SELECT src, src FROM es
+        |  UNION
+        |  SELECT e2.dst, r.label FROM reach r JOIN es e2 ON e2.src = r.id),
+        |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        |SELECT h1.host AS host, h2.host AS root_host
+        |FROM lab JOIN hosts h1 ON lab.id = h1.hid JOIN hosts h2 ON lab.label = h2.hid
+        |ORDER BY host""".stripMargin,
   )
 }

@@ -462,9 +462,13 @@ object Dedup {
       .select(col("id"), least(col("id"), col("mn")).as("label"))
       .localCheckpoint(false)
     // coalesce: sum over an EMPTY label set is null (a corpus with no
-    // near-dup pairs is the common clean case, not an error)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    // near-dup pairs is the common clean case, not an error). The sum runs
+    // in decimal(38,0): ids may be full-range 60-bit hashes (host graphs
+    // key components by the md5 id idiom), whose long sum overflows —
+    // exact decimal keeps the stationarity test exact at any id magnitude
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var lastSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -490,7 +494,7 @@ object Dedup {
         .localCheckpoint(false)
       val nextSum = labelSum(next) // action: materializes next's checkpoint
       labels.unpersist() // previous round's blocks are dead weight now
-      converged = nextSum == lastSum
+      converged = nextSum.compareTo(lastSum) == 0
       lastSum = nextSum
       labels = next
       it += 1

@@ -833,6 +833,72 @@ object TextAnalysis {
     regexp_replace(regexp_replace(cleanSep, "[?&]+$", ""), "/+$", "")
   }
 
+  /** Two-label public suffixes recognized by [[registeredDomain]] — a
+    * DOCUMENTED SUBSET of the Mozilla Public Suffix List covering the
+    * high-traffic ccTLD second-level registries plus the common private
+    * registries (github.io, blogspot.com: their subdomains are
+    * independent registrants, exactly why the PSL carries a private
+    * section). Public `val`s so the SQL oracle interpolates the SAME
+    * list — one source of truth, no drift. Production swaps in the full
+    * published list; the ALGORITHM (longest-suffix match with the PSL
+    * default `*` rule) is the complete one.
+    */
+  val PslTwoLabel: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "com.sg", "org.sg", "edu.sg",
+    "com.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.ar", "com.tw", "com.hk", "com.my", "com.ph", "com.vn",
+    "co.za", "org.za", "co.th", "co.id", "or.id", "co.il", "org.il",
+    "com.pl", "com.ua", "com.ru", "com.eg", "com.sa", "com.pk", "com.ng",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "netlify.app", "vercel.app", "pages.dev",
+    "cloudfront.net", "azurewebsites.net", "web.app", "firebaseapp.com")
+
+  /** Three-label public suffixes (private-registry hosts one level
+    * deeper); same subset discipline as [[PslTwoLabel]]. */
+  val PslThreeLabel: Seq[String] = Seq(
+    "s3.amazonaws.com", "blogspot.co.uk", "blogspot.com.au",
+    "blogspot.com.br", "compute.amazonaws.com")
+
+  /** REGISTERED DOMAIN (eTLD+1) — the key every per-domain pipeline
+    * policy hangs off (RefinedWeb's per-domain caps, domain-level quality
+    * priors, politeness grouping): the public suffix plus ONE registrant
+    * label, found by longest-suffix match against the PSL with the PSL's
+    * default `*` rule (an unknown TLD is itself a public suffix, so
+    * `foo.bar.unknowntld` → `bar.unknowntld`).
+    *
+    * Input is a HOST (or authority — a `:port` is stripped, case folded,
+    * one trailing dot dropped). NULL when no registered domain exists:
+    * the host IS a bare public suffix (`co.uk`), a single label
+    * (`localhost`), or an IPv4 literal (addresses are not names — the
+    * PSL rule). One codegen'd CASE cascade over split-array slices, no
+    * UDF, no shuffle; negative-index slices and the suffix IN-lists
+    * replay verbatim in the SQL oracle.
+    */
+  def registeredDomain(host: Column): Column = {
+    val h = lower(regexp_replace(regexp_replace(host, ":[0-9]+$", ""), "\\.$", ""))
+    val parts = split(h, "\\.")
+    val n = size(parts)
+    val last2 = array_join(slice(parts, -2, 2), ".")
+    val last3 = array_join(slice(parts, -3, 3), ".")
+    val last4 = array_join(slice(parts, -4, 4), ".")
+    when(h.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"), lit(null).cast("string"))
+      .when(n >= 4 && last3.isin(PslThreeLabel: _*), last4)
+      .when(n === 3 && last3.isin(PslThreeLabel: _*), lit(null).cast("string"))
+      .when(n >= 3 && last2.isin(PslTwoLabel: _*), last3)
+      .when(n === 2 && last2.isin(PslTwoLabel: _*), lit(null).cast("string"))
+      .when(n >= 2, last2)
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** Markup-to-text extraction — the WET-style ingest step that turns
     * crawled HTML into the plain text every downstream pass (dedup,
     * quality, packing) consumes. One narrow chain of codegen'd
