@@ -67,6 +67,87 @@ object Queries {
       id: Long, ctHeader: String, body: Array[Byte],
       expCharset: String, expSource: String, expText: String)
 
+  /** One planted http_encodings case: extra envelope headers, the wire
+    * body bytes, and the expected unwrap outcome (`expText` null for an
+    * unsupported coding whose body must NOT surface). Same one-source-
+    * of-truth discipline as [[CharsetCase]]: the query frames these, the
+    * oracle derives VALUES from the identical list.
+    */
+  private[graft] final case class EncodingCase(
+      id: Long, headers: Seq[String], body: Array[Byte],
+      expEncoding: String, expText: String, expCharset: String)
+
+  private[graft] val encodingCases: Seq[EncodingCase] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def zl(b: Array[Byte], raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def ch(b: Array[Byte], sizes: Seq[Int], eol: String = "\r\n",
+        ext: String = "", trailers: String = ""): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 0
+      for (s <- sizes) {
+        out.write((s.toHexString + ext + eol).getBytes(UTF_8))
+        out.write(b, off, s); off += s
+        out.write(eol.getBytes(UTF_8))
+      }
+      require(off == b.length)
+      out.write(("0" + eol + trailers + eol).getBytes(UTF_8))
+      out.toByteArray
+    }
+    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+    val txt = "chunk me twice, compress me once \u2014 caf\u00e9" // non-ASCII survives
+    val jp = "\u3053\u3093\u306b\u3061\u306f\u4e16\u754c" // konnichiwa sekai
+    val tb = txt.getBytes(UTF_8)
+    Seq(
+      EncodingCase(930001L, Seq("Transfer-Encoding: chunked"),
+        ch(tb, Seq(7, tb.length - 7)), "chunked", txt, "utf-8"),
+      EncodingCase(930002L, Seq("Transfer-Encoding: chunked"),
+        ch(tb, Seq(tb.length), eol = "\n", ext = ";x=1", trailers = "X-T: v\n"),
+        "chunked", txt, "utf-8"),
+      EncodingCase(930003L, Seq("Content-Encoding: gzip"), gz(tb), "gzip", txt, "utf-8"),
+      EncodingCase(930004L, Seq("Content-Encoding: x-gzip"), gz(tb), "x-gzip", txt, "utf-8"),
+      EncodingCase(930005L, Seq("Content-Encoding: gzip"),
+        gz(tb.take(10)) ++ gz(tb.drop(10)), "gzip", txt, "utf-8"), // multi-member
+      EncodingCase(930006L, Seq("Content-Encoding: deflate"),
+        zl(tb, raw = false), "deflate", txt, "utf-8"),
+      EncodingCase(930007L, Seq("Content-Encoding: deflate"),
+        zl(tb, raw = true), "deflate", txt, "utf-8"), // the broken-server raw form
+      EncodingCase(930008L, Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip"),
+        ch(gz(tb), Seq(gz(tb).length)), "chunked,gzip", txt, "utf-8"),
+      // the full real-crawl stack: chunked + gzip + a non-UTF-8 charset
+      EncodingCase(930009L,
+        Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip",
+          "Content-Type: text/html; charset=Shift_JIS"),
+        ch(gz(jp.getBytes(sjis)), Seq(11, gz(jp.getBytes(sjis)).length - 11)),
+        "chunked,gzip", jp, "shift_jis"),
+      // truncation mid-second-chunk: exactly the first chunk + 5 bytes survive
+      EncodingCase(930010L, Seq("Transfer-Encoding: chunked"), {
+        val full = ch(tb, Seq(7, tb.length - 7))
+        // layout: "7\r\n" + 7 bytes + "\r\n" + "<hex>\r\n" + data...; keep
+        // the size line of chunk 2 plus 5 data bytes
+        val keep = 3 + 7 + 2 + ((tb.length - 7).toHexString.length + 2) + 5
+        full.take(keep)
+      }, "chunked(truncated)", new String(tb.take(12), UTF_8), "utf-8"),
+      EncodingCase(930011L, Seq("Content-Encoding: gzip"), tb,
+        "gzip(skipped)", txt, "utf-8"), // header lies: bytes are plain text
+      EncodingCase(930012L, Seq("Transfer-Encoding: chunked"),
+        "zz\r\nraw stays".getBytes(UTF_8),
+        "chunked(malformed)", "zz\r\nraw stays", "utf-8"),
+      EncodingCase(930013L, Seq("Content-Encoding: br", "Content-Type: text/html"),
+        Array[Byte](1, 2, 3), "br(unsupported)", null, null))
+  }
+
   private[graft] val charsetCases: Seq[CharsetCase] = {
     import java.nio.charset.Charset
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16LE, UTF_8}
@@ -5108,6 +5189,202 @@ object Queries {
         .select(col("host"), col("root_host"))
         .orderBy("host")
     }),
+
+    // HTTP WIRE ENCODINGS over the raw ingest chain: crawlers capture
+    // responses AS TRANSMITTED, so real WARC payloads arrive chunked
+    // and/or gzip/deflate-compressed — skipping the unwrap feeds
+    // chunk-size lines and compressed bytes into every digest and
+    // tokenizer downstream. Planted cases pin every decode path (CRLF +
+    // bare-LF chunking with extensions and trailers, gzip/x-gzip/
+    // multi-member, zlib AND raw deflate, the chunked∘gzip stack, the
+    // full chunked∘gzip∘Shift_JIS composition) AND every documented
+    // tolerance (mid-chunk truncation keeps the exact byte prefix, a
+    // lying Content-Encoding is skipped, malformed framing keeps raw
+    // bytes, brotli nulls the body rather than leak compressed bytes as
+    // text) — the `encoding` column makes each one hash-visible. The
+    // corpus arm proves unencoded bodies pass through as 'identity'.
+    "http_encodings" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 150).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("enc_q").toString
+      def rec(id: Long, envelope: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("response", s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z",
+          "application/http;msgtype=response", envelope)
+      def env(headers: Seq[String], body: Array[Byte]): Array[Byte] =
+        ("HTTP/1.1 200 OK" +: "Server: test/1.0" +: headers)
+          .mkString("", "\r\n", "\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ body
+      val bytes = docs.flatMap { case (id, tx) =>
+        rec(id, env(Seq("Content-Type: text/plain"),
+          tx.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      } ++ encodingCases.flatMap(c => rec(c.id, env(c.headers, c.body)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "e.warc"), bytes)
+      spark.read.format("warc").load(out)
+        .filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("doc_id"),
+          TextAnalysis.httpResponseDecoded(col("payload")).as("h"))
+        .select(col("doc_id"), col("h.status").as("status"),
+          col("h.encoding").as("encoding"),
+          col("h.charset").as("charset"),
+          length(col("h.body")).cast("long").as("n_chars"),
+          md5(encode(col("h.body"), "UTF-8")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // WARC REVISIT RESOLUTION — the crawl-level dedup convention: a
+    // recrawl whose payload digest matches an earlier capture is stored
+    // as a payload-LESS `revisit` record carrying WARC-Payload-Digest +
+    // WARC-Refers-To (the CommonCrawl identical-payload-digest profile),
+    // and downstream consumers must JOIN it back to a concrete capture
+    // to recover the content. Exercises the source's new `headers` map
+    // column (extension headers the fixed schema doesn't carry).
+    // Resolution is by DIGEST, to the EARLIEST capture (min doc id) —
+    // deterministic when one payload was captured twice (planted: ids
+    // 0-9 have a duplicate capture at id+400000, so n_candidates = 2 and
+    // the revisit must pick the original, not the recapture). A planted
+    // dangling revisit (digest matching nothing) must surface with a
+    // null resolution, not vanish. refers_ok cross-checks the resolved
+    // record id against WARC-Refers-To where present.
+    "warc_revisit" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 80).as[(Long, String)].collect().sortBy(_._1)
+      val out = java.nio.file.Files.createTempDirectory("revisit_q").toString
+      def md5hex(b: Array[Byte]): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map(x => f"$x%02x").mkString
+      def payload(tx: String): Array[Byte] =
+        s"<doc>$tx</doc>".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def resp(id: Long, pl: Array[Byte]): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("response", s"<urn:uuid:$id>",
+          s"http://example.com/p/$id", "2024-01-01T00:00:00Z", "text/plain", pl,
+          extraHeaders = Seq("WARC-Payload-Digest" -> s"md5:${md5hex(pl)}"))
+      def revisit(id: Long, digest: String, refersTo: String): Array[Byte] =
+        graft.sources.WarcFormat.buildRecord("revisit", s"<urn:uuid:$id>",
+          s"http://example.com/r/$id", "2024-02-01T00:00:00Z", "text/plain",
+          Array.empty[Byte],
+          extraHeaders = Seq(
+            "WARC-Payload-Digest" -> digest,
+            "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest") ++
+            (if (refersTo != null) Seq("WARC-Refers-To" -> refersTo) else Nil))
+      val bytes = docs.flatMap { case (id, tx) => resp(id, payload(tx)) } ++
+        docs.filter(_._1 < 10).flatMap { case (id, tx) => // duplicate captures
+          resp(id + 400000, payload(tx))
+        } ++
+        docs.filter(_._1 < 20).flatMap { case (id, tx) => // revisits
+          revisit(id + 500000, s"md5:${md5hex(payload(tx))}", s"<urn:uuid:$id>")
+        } ++
+        revisit(599999L, "md5:" + "0" * 32, null) // dangling: resolves to nothing
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, "v.warc"), bytes)
+      val all = spark.read.format("warc").load(out)
+      val captures = all.filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "p/([0-9]+)$", 1).cast("long").as("cap_id"),
+          col("record_id").as("cap_record_id"),
+          col("headers").getItem("warc-payload-digest").as("digest"),
+          md5(col("payload")).as("payload_md5"))
+        // earliest capture per digest + candidate count: digest-keyed
+        // partial agg, digest-cardinality result
+        .groupBy("digest")
+        .agg(min(struct(col("cap_id"), col("cap_record_id"), col("payload_md5"))).as("c"),
+          count(lit(1)).as("n_candidates"))
+        .select(col("digest"), col("c.cap_id").as("orig_id"),
+          col("c.cap_record_id").as("orig_record_id"),
+          col("c.payload_md5").as("payload_md5"), col("n_candidates"))
+      all.filter(col("record_type") === "revisit")
+        .select(regexp_extract(col("target_uri"), "r/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("headers").getItem("warc-payload-digest").as("digest"),
+          col("headers").getItem("warc-refers-to").as("refers_to"))
+        .join(captures, Seq("digest"), "left")
+        .select(col("doc_id"), col("orig_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("payload_md5"),
+          when(col("refers_to").isNull, lit(-1L))
+            .otherwise((col("refers_to") === col("orig_record_id")).cast("long"))
+            .as("refers_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // CDX SNAPSHOT DIFF — the incremental-crawl planner's core question:
+    // between two crawl indexes, which URLs are NEW (fetch), GONE
+    // (tombstone), CHANGED (digest moved — refetch), UNCHANGED (skip)?
+    // Both snapshots are real CDXJ lines built in-query and parsed back
+    // through parseCdxj (the production path), then ONE full-outer join
+    // on the SURT key classifies every URL. Snapshot A covers ids 0-399,
+    // B covers 50-499 with every id%7==0 digest rotated — all four
+    // classes non-empty by construction.
+    "cdx_diff" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      def cdxLines(df: DataFrame, ts: String, digest: Column): DataFrame =
+        df.select(concat(
+          lit("com,example)/p/"), col("doc_id").cast("string"),
+          lit(s" $ts "),
+          lit("{\"url\": \"http://example.com/p/"), col("doc_id").cast("string"),
+          lit("\", \"digest\": \"md5:"), digest,
+          lit("\", \"status\": \"200\"}")).as("line"))
+      def parsed(df: DataFrame, as: String): DataFrame =
+        df.select(TextAnalysis.parseCdxj(col("line")).as("c"))
+          .select(col("c.surt_key").as("surt"), col("c.meta.digest").as(as))
+      val a = cdxLines(docs.filter(col("doc_id") < 400), "20240101000000",
+        md5(encode(col("text"), "UTF-8")))
+      val b = cdxLines(docs.filter(col("doc_id") >= 50), "20240201000000",
+        when(col("doc_id") % 7 === 0,
+          md5(encode(concat(col("text"), lit("v2")), "UTF-8")))
+          .otherwise(md5(encode(col("text"), "UTF-8"))))
+      parsed(a, "digest_a").join(parsed(b, "digest_b"), Seq("surt"), "full_outer")
+        .select(col("surt"),
+          when(col("digest_a").isNull, "added")
+            .when(col("digest_b").isNull, "gone")
+            .when(col("digest_a") === col("digest_b"), "unchanged")
+            .otherwise("changed").as("status"),
+          col("digest_a"), col("digest_b"))
+        .orderBy("surt")
+    }),
+
+    // SITEMAP PARSING (sitemaps.org) — the discovery half of the
+    // politeness surface: robots.txt names sitemaps, sitemaps seed the
+    // frontier. One per-source urlset is BUILT from the corpus (entries
+    // concatenated in doc_id order on both engines), plus planted files
+    // pinning the corners: a sitemapindex (is_index=1, nested <sitemap>
+    // entries), whitespace-padded <loc>, XML entities in loc (&amp;
+    // decoded LAST), absent lastmod/changefreq/priority (null, not
+    // empty-string, and NO silent 0.5 default). The oracle replays the
+    // IDENTICAL RE2-safe extraction chain.
+    "sitemap_parse" -> ((spark, dir) => {
+      import spark.implicits._
+      val entries = t(spark, dir, "documents").select(
+        col("source"), col("doc_id"),
+        concat(lit("<url><loc>https://crawl.example.com/d/"),
+          col("doc_id").cast("string"),
+          lit("</loc><lastmod>2024-01-"),
+          lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+          lit("</lastmod><priority>0."),
+          (col("doc_id") % 10).cast("string"),
+          lit("</priority></url>")).as("e"))
+      val corpusXml = entries.groupBy("source")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("e")))),
+            x => x.getField("e")), ""),
+          lit("</urlset>")).as("xml"))
+      val planted = Seq(
+        ("planted_ws", "<urlset><url><loc>  https://ws.example.com/a \n</loc>" +
+          "<changefreq>daily</changefreq></url>" +
+          "<url><loc>https://ws.example.com/b&amp;c=1&lt;2</loc></url></urlset>"),
+        ("planted_index", "<sitemapindex><sitemap>" +
+          "<loc>https://example.com/sitemap1.xml.gz</loc>" +
+          "<lastmod>2024-02-03</lastmod></sitemap>" +
+          "<sitemap><loc>https://example.com/sitemap2.xml.gz</loc></sitemap>" +
+          "</sitemapindex>"))
+        .toDF("source", "xml")
+      corpusXml.unionByName(planted)
+        .select(col("source"), TextAnalysis.parseSitemap(col("xml")).as("s"))
+        .select(col("source"), col("s.is_index").cast("long").as("is_index"),
+          explode(col("s.entries")).as("u"))
+        .select(col("source"), col("is_index"), col("u.loc").as("loc"),
+          col("u.lastmod").as("lastmod"), col("u.changefreq").as("changefreq"),
+          col("u.priority").as("priority"))
+        .orderBy("loc")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -7706,5 +7983,95 @@ object Queries {
         |SELECT h1.host AS host, h2.host AS root_host
         |FROM lab JOIN hosts h1 ON lab.id = h1.hid JOIN hosts h2 ON lab.label = h2.hid
         |ORDER BY host""".stripMargin,
+    // each planted wire-encoding case's outcome derives from the SAME
+    // shared fixture list the query framed (md5s / codepoint counts
+    // computed in Scala) — the oracle literally pins the applied-coding
+    // report, recovered charset, and exact body; the corpus arm must
+    // pass through as identity
+    "http_encodings" -> {
+      def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      val vals = encodingCases.map { c =>
+        val nChars =
+          if (c.expText == null) "NULL"
+          else s"CAST(${c.expText.codePointCount(0, c.expText.length)} AS BIGINT)"
+        val bodyMd5 = if (c.expText == null) "NULL" else s"'${md5hex(c.expText)}'"
+        val charset = if (c.expCharset == null) "NULL" else s"'${c.expCharset}'"
+        s"  (CAST(${c.id} AS BIGINT), CAST(200 AS BIGINT), '${c.expEncoding}', " +
+          s"$charset, $nChars, $bodyMd5)"
+      }.mkString(",\n|")
+      s"""SELECT doc_id, CAST(200 AS BIGINT) AS status, 'identity' AS encoding,
+         |  'utf-8' AS charset, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS body_md5
+         |FROM documents WHERE doc_id < 150
+         |UNION ALL SELECT * FROM (VALUES
+         |$vals)
+         |  v(doc_id, status, encoding, charset, n_chars, body_md5)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // digest-equality resolution to the earliest capture: the oracle
+    // rebuilds every capture's digest from the same documents rows
+    // (duplicate recaptures at +400000), so min-id/candidate-count/
+    // refers-to agreement are all pinned; the dangling revisit appends
+    // as the one row resolving to nothing
+    "warc_revisit" ->
+      """WITH caps AS (
+        |  SELECT doc_id, md5('<doc>' || text || '</doc>') AS pm FROM documents WHERE doc_id < 80
+        |  UNION ALL SELECT doc_id + 400000, md5('<doc>' || text || '</doc>') FROM documents WHERE doc_id < 10),
+        |agg AS (SELECT pm, min(doc_id) AS orig_id, count(*) AS n_candidates FROM caps GROUP BY pm),
+        |rev AS (SELECT doc_id AS base_id, doc_id + 500000 AS doc_id,
+        |          md5('<doc>' || text || '</doc>') AS pm
+        |        FROM documents WHERE doc_id < 20)
+        |SELECT r.doc_id, a.orig_id, a.n_candidates, a.pm AS payload_md5,
+        |  CAST(CASE WHEN a.orig_id = r.base_id THEN 1 ELSE 0 END AS BIGINT) AS refers_ok
+        |FROM rev r JOIN agg a USING (pm)
+        |UNION ALL SELECT CAST(599999 AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    // both snapshots rebuilt from the same rows; the diff replays as a
+    // plain FULL OUTER JOIN with the same four-way classification
+    "cdx_diff" ->
+      """WITH a AS (SELECT 'com,example)/p/' || doc_id AS surt, 'md5:' || md5(text) AS digest_a
+        |           FROM documents WHERE doc_id < 400),
+        |b AS (SELECT 'com,example)/p/' || doc_id AS surt,
+        |        CASE WHEN doc_id % 7 = 0 THEN 'md5:' || md5(text || 'v2')
+        |             ELSE 'md5:' || md5(text) END AS digest_b
+        |      FROM documents WHERE doc_id >= 50)
+        |SELECT coalesce(a.surt, b.surt) AS surt,
+        |  CASE WHEN a.surt IS NULL THEN 'added' WHEN b.surt IS NULL THEN 'gone'
+        |       WHEN digest_a = digest_b THEN 'unchanged' ELSE 'changed' END AS status,
+        |  digest_a, digest_b
+        |FROM a FULL OUTER JOIN b ON a.surt = b.surt
+        |ORDER BY surt""".stripMargin,
+    // the oracle rebuilds each per-source urlset with the same doc_id-
+    // ordered concatenation and replays the IDENTICAL RE2-safe regex
+    // chain (blocks -> per-field non-greedy extracts -> entity decode)
+    "sitemap_parse" ->
+      """WITH sm AS (
+        |  SELECT source, '<?xml version="1.0"?><urlset>' || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+        |  FROM (SELECT source, doc_id,
+        |          '<url><loc>https://crawl.example.com/d/' || doc_id || '</loc><lastmod>2024-01-' ||
+        |          lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') || '</lastmod><priority>0.' ||
+        |          (doc_id % 10) || '</priority></url>' AS e
+        |        FROM documents)
+        |  GROUP BY source
+        |  UNION ALL SELECT * FROM (VALUES
+        |    ('planted_ws', '<urlset><url><loc>  https://ws.example.com/a ' || chr(10) || '</loc><changefreq>daily</changefreq></url><url><loc>https://ws.example.com/b&amp;c=1&lt;2</loc></url></urlset>'),
+        |    ('planted_index', '<sitemapindex><sitemap><loc>https://example.com/sitemap1.xml.gz</loc><lastmod>2024-02-03</lastmod></sitemap><sitemap><loc>https://example.com/sitemap2.xml.gz</loc></sitemap></sitemapindex>')) v(source, xml)),
+        |blk AS (SELECT source,
+        |          CASE WHEN regexp_matches(xml, '(?is)<sitemapindex[\s>]') THEN 1 ELSE 0 END AS is_index,
+        |          unnest(regexp_extract_all(xml, '(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS b
+        |        FROM sm),
+        |f AS (SELECT source, CAST(is_index AS BIGINT) AS is_index,
+        |        nullif(regexp_extract(b, '(?is)<loc>\s*(.*?)\s*</loc>', 1), '') AS loc0,
+        |        nullif(regexp_extract(b, '(?is)<lastmod>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod,
+        |        nullif(regexp_extract(b, '(?is)<changefreq>\s*(.*?)\s*</changefreq>', 1), '') AS changefreq,
+        |        CAST(nullif(regexp_extract(b, '(?is)<priority>\s*(.*?)\s*</priority>', 1), '') AS DOUBLE) AS priority
+        |      FROM blk)
+        |SELECT source, is_index,
+        |  replace(replace(replace(replace(replace(loc0,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS loc,
+        |  lastmod, changefreq, priority
+        |FROM f ORDER BY loc""".stripMargin,
   )
 }

@@ -302,16 +302,45 @@ case class CharsetDecode(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
-/** Byte-level HTTP response-envelope split + charset decode in ONE
-  * kernel pass — the charset-correct form of
+/** Byte-level HTTP response-envelope split + transfer/content decode +
+  * charset decode in ONE kernel pass — the charset-correct form of
   * [[graft.text.TextAnalysis.httpResponse]], which (by design, for SQL
   * replay) casts the payload to string as UTF-8 BEFORE splitting and so
   * mojibakes every non-UTF-8 body. This expression splits the envelope
   * on the raw bytes (earliest of CRLFCRLF / bare-LF LFLF — lenient
   * servers emit the latter), parses the status line and Content-Type
-  * from the ASCII header block, then runs the [[CharsetKernel]] cascade
-  * on the BODY BYTES with the header's charset parameter as the
-  * transport declaration.
+  * from the ASCII header block, UNWRAPS the body's wire encodings, then
+  * runs the [[CharsetKernel]] cascade on the final BODY BYTES with the
+  * header's charset parameter as the transport declaration.
+  *
+  * Wire encodings — crawlers capture responses AS TRANSMITTED, so real
+  * WARC payloads arrive chunked and/or compressed, and skipping this
+  * step feeds chunk-size lines and gzip bytes into every digest and
+  * tokenizer downstream:
+  *
+  *  - `Transfer-Encoding` codings are undone first (they wrap content
+  *    codings on the wire), then `Content-Encoding`, each list in
+  *    REVERSE order of application. Supported: `chunked` (size lines in
+  *    hex with optional `;ext`, CRLF or lenient bare-LF line ends,
+  *    trailers ignored), `gzip`/`x-gzip` (multi-member via the JDK
+  *    reader), `deflate` (zlib-wrapped tried first, then the raw form
+  *    broken servers send), `identity` (no-op).
+  *  - The `encoding` output field reports what was APPLIED, in order,
+  *    comma-joined (`"chunked,gzip"`), or `"identity"`. Tolerance is
+  *    deliberate and VISIBLE, matching browser behavior on the same
+  *    malformed inputs: a truncated chunk stream or compressed stream
+  *    keeps the bytes recovered so far and marks the coding
+  *    `(truncated)` (crawlers truncate long bodies mid-stream); a
+  *    declared gzip/deflate whose bytes are not that format at all is
+  *    skipped — body kept raw — and marked `(skipped)` (servers lie
+  *    about Content-Encoding); an unparseable chunk framing keeps the
+  *    raw body and marks `chunked(malformed)`. Unlike the WARC layer
+  *    (which fails loudly — archive corruption is an error), a document
+  *    row never throws.
+  *  - An UNSUPPORTED coding (e.g. `br`: no JDK decoder) nulls the body
+  *    and reports `"br(unsupported)"` — surfacing garbage-as-text into
+  *    dedup would be the silent-mojibake bug all over again. Status and
+  *    Content-Type still parse.
   */
 object HttpDecodeKernel {
 
@@ -319,8 +348,102 @@ object HttpDecodeKernel {
     "^HTTP/[0-9.]+ ([0-9]{3})")
   private val ContentTypePattern = java.util.regex.Pattern.compile(
     "(?im)^content-type:[ \\t]*([^\\r\\n]+)")
+  private val TransferEncodingPattern = java.util.regex.Pattern.compile(
+    "(?im)^transfer-encoding:[ \\t]*([^\\r\\n]+)")
+  private val ContentEncodingPattern = java.util.regex.Pattern.compile(
+    "(?im)^content-encoding:[ \\t]*([^\\r\\n]+)")
 
-  private def allNull = new GenericInternalRow(5)
+  private def allNull = new GenericInternalRow(6)
+
+  private def isHex(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'a' && b <= 'f') || (b >= 'A' && b <= 'F')
+  private def hexVal(b: Byte): Int =
+    if (b <= '9') b - '0' else (b | 0x20) - 'a' + 10
+
+  /** De-chunk a Transfer-Encoding: chunked body. Returns the payload
+    * data plus a tolerance marker: "" (clean), "(truncated)" (stream
+    * ended mid-chunk — bytes so far kept), or "(malformed)" (framing
+    * unparseable — ORIGINAL bytes returned untouched).
+    */
+  private def dechunk(b: Array[Byte]): (Array[Byte], String) = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (true) {
+      var j = i
+      var size = 0L
+      var digits = 0
+      while (j < b.length && isHex(b(j))) {
+        size = size * 16 + hexVal(b(j)); digits += 1; j += 1
+        if (digits > 8) return (b, "(malformed)") // > 4 GiB chunk: framing lie
+      }
+      if (digits == 0) return (b, "(malformed)")
+      if (j < b.length && b(j) != '\r' && b(j) != '\n' && b(j) != ';' &&
+        b(j) != ' ' && b(j) != '\t') return (b, "(malformed)")
+      while (j < b.length && b(j) != '\n') j += 1 // skip extensions to line end
+      if (j >= b.length) { // size line never terminated
+        return if (size == 0) (out.toByteArray, "") // final 0 at EOF: accept
+        else (out.toByteArray, "(truncated)")
+      }
+      j += 1 // past '\n'
+      if (size == 0) return (out.toByteArray, "") // trailers ignored
+      val avail = math.min(size, (b.length - j).toLong).toInt
+      out.write(b, j, avail)
+      if (avail < size) return (out.toByteArray, "(truncated)")
+      j += avail
+      // data must be followed by CRLF (or lenient LF); EOF here = truncated
+      if (j >= b.length) return (out.toByteArray, "(truncated)")
+      if (b(j) == '\r') j += 1
+      if (j >= b.length) return (out.toByteArray, "(truncated)")
+      if (b(j) != '\n') return (b, "(malformed)")
+      i = j + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Multi-member gzip inflate, tolerant of mid-stream truncation. */
+  private def gunzipTolerant(b: Array[Byte]): (Array[Byte], String) = {
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      (out.toByteArray, "")
+    } catch {
+      case _: java.io.IOException => (out.toByteArray, "(truncated)")
+    }
+  }
+
+  /** One Inflater pass; None if the stream yields nothing in this mode. */
+  private def inflateTolerant(b: Array[Byte], raw: Boolean): Option[(Array[Byte], String)] = {
+    val inf = new java.util.zip.Inflater(raw)
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) { // ran dry mid-stream
+          inf.end()
+          return if (out.size() == 0) None else Some((out.toByteArray, "(truncated)"))
+        }
+      }
+      inf.end()
+      Some((out.toByteArray, ""))
+    } catch {
+      case _: java.util.zip.DataFormatException =>
+        inf.end()
+        if (out.size() == 0) None else Some((out.toByteArray, "(truncated)"))
+    }
+  }
+
+  private def codings(head: String, p: java.util.regex.Pattern): Seq[String] = {
+    val m = p.matcher(head)
+    if (!m.find()) Seq.empty
+    else m.group(1).split(',').toSeq.map(_.trim.toLowerCase(Locale.ROOT))
+      .filter(t => t.nonEmpty && t != "identity")
+  }
 
   def decode(payload: Array[Byte]): InternalRow = {
     // earliest of \r\n\r\n and \n\n terminates the header block (CRLFCRLF
@@ -351,19 +474,51 @@ object HttpDecodeKernel {
         val t = (if (semi < 0) ctypeFull else ctypeFull.substring(0, semi)).trim
         if (t.isEmpty) null else t
       }
-    val bodyLen = payload.length - bodyStart
-    val (cs, source) = CharsetKernel.sniff(payload, bodyStart, bodyLen, ctypeFull)
+    // undo wire encodings: transfer codings first (outermost), then
+    // content codings, each list in reverse order of application
+    var body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+    val applied = new scala.collection.mutable.ArrayBuffer[String]
+    val stack = codings(head, TransferEncodingPattern).reverse ++
+      codings(head, ContentEncodingPattern).reverse
+    for (tok <- stack) tok match {
+      case "chunked" =>
+        val (d, flag) = dechunk(body)
+        if (flag != "(malformed)") body = d
+        applied += s"chunked$flag"
+      case "gzip" | "x-gzip" =>
+        if (body.length >= 2 && (body(0) & 0xff) == 0x1f && (body(1) & 0xff) == 0x8b) {
+          val (d, flag) = gunzipTolerant(body)
+          body = d
+          applied += s"$tok$flag"
+        } else applied += s"$tok(skipped)" // declared but not gzip bytes
+      case "deflate" =>
+        inflateTolerant(body, raw = false).orElse(inflateTolerant(body, raw = true)) match {
+          case Some((d, flag)) => body = d; applied += s"deflate$flag"
+          case None => applied += "deflate(skipped)"
+        }
+      case other =>
+        // no decoder for this layer: decoding past it would hand
+        // compressed bytes to the charset cascade as "text"
+        return new GenericInternalRow(Array[Any](
+          status,
+          if (mediaType == null) null else UTF8String.fromString(mediaType),
+          null, null, null,
+          UTF8String.fromString(s"$other(unsupported)")))
+    }
+    val encoding = if (applied.isEmpty) "identity" else applied.mkString(",")
+    val (cs, source) = CharsetKernel.sniff(body, 0, body.length, ctypeFull)
     new GenericInternalRow(Array[Any](
       status,
       if (mediaType == null) null else UTF8String.fromString(mediaType),
       UTF8String.fromString(cs.name().toLowerCase(Locale.ROOT)),
       UTF8String.fromString(source),
-      UTF8String.fromString(CharsetKernel.decodeWith(payload, bodyStart, bodyLen, cs))))
+      UTF8String.fromString(CharsetKernel.decodeWith(body, 0, body.length, cs)),
+      UTF8String.fromString(encoding)))
   }
 }
 
 /** `payload binary → struct(status, content_type, charset,
-  * charset_source, body)` — see [[HttpDecodeKernel]].
+  * charset_source, body, encoding)` — see [[HttpDecodeKernel]].
   */
 case class HttpDecode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -371,7 +526,8 @@ case class HttpDecode(child: Expression) extends UnaryExpression {
     StructField("content_type", StringType, nullable = true),
     StructField("charset", StringType, nullable = true),
     StructField("charset_source", StringType, nullable = true),
-    StructField("body", StringType, nullable = true)))
+    StructField("body", StringType, nullable = true),
+    StructField("encoding", StringType, nullable = true)))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "http_decode"
 

@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   spark.read.format("warc").load(dirOrFile)
   *   // (path, offset, record_id, record_type, target_uri, warc_date,
-  *   //  content_type, content_length, payload binary)
+  *   //  content_type, content_length, payload binary,
+  *   //  headers map<string,string>)
   *
   * This is the ingest frontier in front of
   * [[graft.text.TextAnalysis.extractMarkup]] → `c4CleanLines` → dedup:
@@ -98,7 +99,13 @@ object WarcDataSource {
     StructField("warc_date", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType, nullable = true)))
+    StructField("payload", BinaryType, nullable = true),
+    // ALL WARC headers (names lowercased, LWS folding applied, last
+    // occurrence wins) — surfaces the extension fields the fixed columns
+    // don't (WARC-Refers-To / WARC-Payload-Digest for revisit-record
+    // dedup, WARC-Truncated, WARC-IP-Address, ...). Pruned like any
+    // column: a query not selecting it pays nothing
+    StructField("headers", MapType(StringType, StringType), nullable = true)))
 }
 
 private[sources] class WarcTable(path: String, tableSchema: StructType) extends Table
@@ -544,6 +551,7 @@ private[sources] class WarcPartitionReader(
   private val fs = hPath.getFileSystem(conf.value)
   private val raw = fs.open(hPath)
   private val wantPayload = fields.contains("payload")
+  private val wantHeaders = fields.contains("headers")
   private val pathUtf8 = UTF8String.fromString(partition.path)
 
   private var in: WarcFormat.PosStream = _
@@ -580,7 +588,7 @@ private[sources] class WarcPartitionReader(
         exhausted = true
         return false
       }
-      val r = WarcFormat.parseRecord(in, partition.path, wantPayload, types)
+      val r = WarcFormat.parseRecord(in, partition.path, wantPayload, types, wantHeaders)
       if (r.matched) { current = r; return true }
       // non-matching record: consumed (headers skimmed, payload skipped),
       // loop for the next one
@@ -602,6 +610,13 @@ private[sources] class WarcPartitionReader(
         case "content_type" => out.update(i, WarcFormat.utf8OrNull(current.contentType))
         case "content_length" => out.setLong(i, current.contentLength)
         case "payload" => out.update(i, current.payload)
+        case "headers" =>
+          val h = current.headers
+          out.update(i, new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              h.keys.toArray.map(k => UTF8String.fromString(k): Any)),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              h.values.toArray.map(v => UTF8String.fromString(v): Any))))
       }
       i += 1
     }
@@ -631,10 +646,12 @@ object WarcFormat {
       targetUri: String,
       date: String,
       contentType: String,
-      payload: Array[Byte]): Array[Byte] = {
+      payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Seq.empty): Array[Byte] = {
     // a CR/LF inside a header value would tear the framing for every
     // record after it — refuse at build, not at some later read
-    Seq(recordType, recordId, targetUri, date, contentType)
+    (Seq(recordType, recordId, targetUri, date, contentType) ++
+      extraHeaders.flatMap { case (n, v) => Seq(n, v) })
       .filter(_ != null).foreach(v =>
         require(!v.exists(c => c == '\r' || c == '\n'),
           s"WARC header value must not contain CR/LF: '${v.take(64)}'"))
@@ -645,6 +662,8 @@ object WarcFormat {
     sb ++= s"WARC-Date: $date" ++= Crlf
     if (targetUri != null) sb ++= s"WARC-Target-URI: $targetUri" ++= Crlf
     sb ++= s"Content-Type: $contentType" ++= Crlf
+    // extension headers (WARC-Refers-To, WARC-Payload-Digest, ...)
+    extraHeaders.foreach { case (n, v) => sb ++= s"$n: $v" ++= Crlf }
     sb ++= s"Content-Length: ${payload.length}" ++= Crlf
     sb ++= Crlf
     // UTF-8 per ISO 28500 (Latin-1 would silently '?' any header char
@@ -677,7 +696,8 @@ object WarcFormat {
       contentType: String,
       contentLength: Long,
       payload: Array[Byte], // null when pruned or type-filtered away
-      matched: Boolean) // false = consumed only to advance the stream
+      matched: Boolean, // false = consumed only to advance the stream
+      headers: Map[String, String]) // null unless requested (column pruned)
 
   /** Position-tracking buffered byte source with 1-byte lookahead. */
   final class PosStream(in: InputStream, startPos: Long) {
@@ -927,7 +947,8 @@ object WarcFormat {
       in: PosStream,
       path: String,
       wantPayload: Boolean,
-      types: Option[Set[String]]): Record = {
+      types: Option[Set[String]],
+      wantHeaders: Boolean = false): Record = {
     val offset = in.pos
     val version = readLine(in, path)
     if (!version.startsWith("WARC/"))
@@ -939,6 +960,9 @@ object WarcFormat {
     var warcDate: String = null
     var contentType: String = null
     var contentLengthRaw: String = null
+    // insertion-ordered so a headers-map round trip is deterministic
+    val all: java.util.LinkedHashMap[String, String] =
+      if (wantHeaders) new java.util.LinkedHashMap[String, String]() else null
     var headerBytes = 0
     var lastName: String = null
     var line = readLine(in, path)
@@ -967,8 +991,9 @@ object WarcFormat {
         case "warc-date" => warcDate = fold(warcDate)
         case "content-type" => contentType = fold(contentType)
         case "content-length" => contentLengthRaw = fold(contentLengthRaw)
-        case _ => () // other WARC/extension headers: tolerated, not surfaced
+        case _ => () // other WARC/extension headers: via the headers map
       }
+      if (all != null) all.put(name, fold(all.get(name)))
       line = readLine(in, path)
     }
     if (contentLengthRaw == null) throw new IllegalStateException(
@@ -1001,7 +1026,12 @@ object WarcFormat {
       k += 1
     }
     Record(offset, recordId, recordType, targetUri, warcDate, contentType,
-      contentLength, payload, matches)
+      contentLength, payload, matches,
+      if (all == null) null else {
+        import scala.jdk.CollectionConverters._
+        // LinkedHashMap preserves file order through the conversion
+        scala.collection.immutable.ListMap(all.asScala.toSeq: _*)
+      })
   }
 
   /** Find the first VALIDATED record boundary at offset ≥ `start`:

@@ -649,11 +649,16 @@ object TextAnalysis {
 
   /** [[httpResponse]]'s CHARSET-CORRECT form: split the HTTP response
     * envelope on the raw BYTES (so a non-UTF-8 body is never cast
-    * through UTF-8 first), then run the charset cascade on the body with
-    * the header's `charset=` parameter as the transport declaration —
-    * `struct(status, content_type, charset, charset_source, body)`, one
-    * kernel pass ([[graft.functions.HttpDecodeKernel]]). Prefer this in
-    * real ingest chains; [[httpResponse]] remains the SQL-replayable
+    * through UTF-8 first), UNWRAP wire encodings (chunked transfer
+    * framing, gzip/x-gzip/deflate content codings — tolerant of the
+    * truncation and header lies real crawls carry, every tolerance
+    * visible in the `encoding` field; unsupported codings null the body
+    * rather than leak compressed bytes as "text"), then run the charset
+    * cascade on the final body bytes with the header's `charset=`
+    * parameter as the transport declaration — `struct(status,
+    * content_type, charset, charset_source, body, encoding)`, one kernel
+    * pass ([[graft.functions.HttpDecodeKernel]]). Prefer this in real
+    * ingest chains; [[httpResponse]] remains the SQL-replayable
     * UTF-8-corpus form.
     */
   def httpResponseDecoded(payload: Column): Column =
@@ -682,6 +687,45 @@ object TextAnalysis {
       get(parts, lit(0)).as("surt_key"),
       get(parts, lit(1)).as("cdx_ts"),
       from_json(get(parts, lit(2)), metaSchema).as("meta"))
+  }
+
+  /** Parse a SITEMAP document (sitemaps.org protocol) — the discovery
+    * side of the politeness surface (robots.txt names sitemaps; the
+    * sitemap names the URLs a crawl frontier seeds from). Handles both
+    * file kinds: a `<urlset>` of `<url>` entries and a `<sitemapindex>`
+    * of `<sitemap>` entries (`is_index` distinguishes them). Per entry:
+    * `loc` (whitespace-trimmed, the five predefined XML entities
+    * decoded, `&amp;` last), `lastmod`, `changefreq`, `priority`
+    * (double; null when absent — the protocol's own default 0.5 is the
+    * CALLER's policy, not parser output).
+    *
+    * One codegen chain (regexp_extract_all over entry blocks, per-field
+    * non-greedy extracts inside a transform) restricted to RE2-safe
+    * syntax — no backreferences, no lookaround — so the DuckDB oracle
+    * evaluates the IDENTICAL patterns. Declarative XML-by-regex is
+    * correct here because the protocol pins the vocabulary (fixed tag
+    * set, no attributes on the extracted tags, no nesting inside
+    * entries); it is NOT a general XML parser and documents that.
+    */
+  def parseSitemap(xml: Column): Column = {
+    val entryBlocks = regexp_extract_all(xml,
+      lit("(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1))
+    def field(b: Column, tag: String): Column = {
+      val v = regexp_extract(b, s"(?is)<$tag>\\s*(.*?)\\s*</$tag>", 1)
+      when(v === "", lit(null).cast("string")).otherwise(v)
+    }
+    def unent(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&amp;" -> "&")
+        .foldLeft(c) { case (x, (e, ch)) => replace(x, lit(e), lit(ch)) }
+    struct(
+      (size(regexp_extract_all(xml, lit("(?is)<sitemapindex[\\s>]"), lit(0))) > 0)
+        .as("is_index"),
+      transform(entryBlocks, b => struct(
+        unent(field(b, "loc")).as("loc"),
+        field(b, "lastmod").as("lastmod"),
+        field(b, "changefreq").as("changefreq"),
+        field(b, "priority").cast("double").as("priority"))).as("entries"))
   }
 
   /** CJK ideograph character class, as EXPLICIT code-point ranges (the

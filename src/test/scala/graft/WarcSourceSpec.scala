@@ -437,6 +437,33 @@ class WarcSourceSpec extends SparkTestBase {
     assert(msgs(e3).exists(_.contains("member 2")), msgs(e3).mkString(" | "))
   }
 
+  test("headers map: extension headers, lowercase keys, folding, last wins") {
+    val dir = tmp()
+    val base = WarcFormat.buildRecord("revisit", "<urn:uuid:h-0>",
+      "http://example.com/h/0", "2024-01-01T00:00:00Z", "text/plain",
+      "x".getBytes("UTF-8"),
+      extraHeaders = Seq(
+        "WARC-Payload-Digest" -> "md5:abc",
+        "WARC-Refers-To" -> "<urn:uuid:orig>",
+        "X-Custom" -> "one"))
+    // splice a folded continuation and a repeated header in by hand
+    val txt = new String(base, "ISO-8859-1")
+    val edited = txt.replace("X-Custom: one\r\n",
+      "X-Custom: one\r\n two\r\nX-Again: a\r\nX-Again: b\r\n")
+    writeFile(dir, "h.warc", edited.getBytes("ISO-8859-1"))
+    val row = spark.read.format("warc").load(dir)
+      .select(col("headers"), col("record_type")).collect()(0)
+    val h = row.getAs[Map[String, String]]("headers")
+    assert(h("warc-type") === "revisit") // names lowercased, std fields present
+    assert(h("warc-payload-digest") === "md5:abc")
+    assert(h("warc-refers-to") === "<urn:uuid:orig>")
+    assert(h("x-custom") === "one two") // LWS folding joins with one space
+    assert(h("x-again") === "b") // repeated header: last occurrence wins
+    assert(h("content-length") === "1")
+    // pruning: a query not selecting headers still works (map not built)
+    assert(spark.read.format("warc").load(dir).select("record_id").count() === 1)
+  }
+
   test("multiple files in a directory, deterministic union") {
     val dir = tmp()
     writeFile(dir, "a.warc", rec(0, "response", "from a"))
