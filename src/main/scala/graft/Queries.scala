@@ -79,32 +79,11 @@ object Queries {
 
   private[graft] val encodingCases: Seq[EncodingCase] = {
     import java.nio.charset.StandardCharsets.UTF_8
-    def gz(b: Array[Byte]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
-      bos.toByteArray
-    }
-    def zl(b: Array[Byte], raw: Boolean): Array[Byte] = {
-      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
-      d.setInput(b); d.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-      d.end(); out.toByteArray
-    }
+    def gz(b: Array[Byte]): Array[Byte] = graft.sources.WarcFormat.gzipMember(b)
+    def zl(b: Array[Byte], raw: Boolean): Array[Byte] = WireFixtures.deflate(b, raw)
     def ch(b: Array[Byte], sizes: Seq[Int], eol: String = "\r\n",
-        ext: String = "", trailers: String = ""): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      var off = 0
-      for (s <- sizes) {
-        out.write((s.toHexString + ext + eol).getBytes(UTF_8))
-        out.write(b, off, s); off += s
-        out.write(eol.getBytes(UTF_8))
-      }
-      require(off == b.length)
-      out.write(("0" + eol + trailers + eol).getBytes(UTF_8))
-      out.toByteArray
-    }
+        ext: String = "", trailers: String = ""): Array[Byte] =
+      WireFixtures.chunk(b, sizes, eol, ext, trailers)
     val sjis = java.nio.charset.Charset.forName("Shift_JIS")
     val txt = "chunk me twice, compress me once \u2014 caf\u00e9" // non-ASCII survives
     val jp = "\u3053\u3093\u306b\u3061\u306f\u4e16\u754c" // konnichiwa sekai
@@ -145,7 +124,13 @@ object Queries {
         "zz\r\nraw stays".getBytes(UTF_8),
         "chunked(malformed)", "zz\r\nraw stays", "utf-8"),
       EncodingCase(930013L, Seq("Content-Encoding: br", "Content-Type: text/html"),
-        Array[Byte](1, 2, 3), "br(unsupported)", null, null))
+        Array[Byte](1, 2, 3), "br(unsupported)", null, null),
+      // cut exactly at a chunk boundary (before the next size line):
+      // truncation of a well-formed stream, NOT malformed framing
+      EncodingCase(930014L, Seq("Transfer-Encoding: chunked"), {
+        val full = ch(tb, Seq(20, tb.length - 20))
+        full.take((20.toHexString.length + 2) + 20 + 2)
+      }, "chunked(truncated)", new String(tb.take(20), UTF_8), "utf-8"))
   }
 
   private[graft] val charsetCases: Seq[CharsetCase] = {

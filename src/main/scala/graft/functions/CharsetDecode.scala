@@ -376,6 +376,10 @@ object HttpDecodeKernel {
         size = size * 16 + hexVal(b(j)); digits += 1; j += 1
         if (digits > 8) return (b, "(malformed)") // > 4 GiB chunk: framing lie
       }
+      // stream cut exactly at a chunk boundary (before the next size
+      // line): that is TRUNCATION of a well-formed stream — keep the
+      // cleanly recovered prefix, do not degrade to raw framed bytes
+      if (digits == 0 && i >= b.length) return (out.toByteArray, "(truncated)")
       if (digits == 0) return (b, "(malformed)")
       if (j < b.length && b(j) != '\r' && b(j) != '\n' && b(j) != ';' &&
         b(j) != ' ' && b(j) != '\t') return (b, "(malformed)")
@@ -439,9 +443,12 @@ object HttpDecodeKernel {
   }
 
   private def codings(head: String, p: java.util.regex.Pattern): Seq[String] = {
+    // RFC 7230 §3.2.2 list semantics: repeated header LINES concatenate
+    // ("Content-Encoding: gzip" + "Content-Encoding: br" == "gzip, br")
     val m = p.matcher(head)
-    if (!m.find()) Seq.empty
-    else m.group(1).split(',').toSeq.map(_.trim.toLowerCase(Locale.ROOT))
+    val out = Seq.newBuilder[String]
+    while (m.find()) out ++= m.group(1).split(',')
+    out.result().map(_.trim.toLowerCase(Locale.ROOT))
       .filter(t => t.nonEmpty && t != "identity")
   }
 
@@ -476,10 +483,23 @@ object HttpDecodeKernel {
       }
     // undo wire encodings: transfer codings first (outermost), then
     // content codings, each list in reverse order of application
-    var body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
-    val applied = new scala.collection.mutable.ArrayBuffer[String]
     val stack = codings(head, TransferEncodingPattern).reverse ++
       codings(head, ContentEncodingPattern).reverse
+    if (stack.isEmpty) {
+      // identity fast path — the common case at framing scale: decode in
+      // place from (payload, offset), no second body buffer allocated
+      val bodyLen = payload.length - bodyStart
+      val (cs, source) = CharsetKernel.sniff(payload, bodyStart, bodyLen, ctypeFull)
+      return new GenericInternalRow(Array[Any](
+        status,
+        if (mediaType == null) null else UTF8String.fromString(mediaType),
+        UTF8String.fromString(cs.name().toLowerCase(Locale.ROOT)),
+        UTF8String.fromString(source),
+        UTF8String.fromString(CharsetKernel.decodeWith(payload, bodyStart, bodyLen, cs)),
+        UTF8String.fromString("identity")))
+    }
+    var body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+    val applied = new scala.collection.mutable.ArrayBuffer[String]
     for (tok <- stack) tok match {
       case "chunked" =>
         val (d, flag) = dechunk(body)
@@ -498,14 +518,17 @@ object HttpDecodeKernel {
         }
       case other =>
         // no decoder for this layer: decoding past it would hand
-        // compressed bytes to the charset cascade as "text"
+        // compressed bytes to the charset cascade as "text". The report
+        // keeps the transforms already applied — an auditor must see
+        // that de-chunking ran before the unsupported layer stopped us
         return new GenericInternalRow(Array[Any](
           status,
           if (mediaType == null) null else UTF8String.fromString(mediaType),
           null, null, null,
-          UTF8String.fromString(s"$other(unsupported)")))
+          UTF8String.fromString(
+            (applied :+ s"$other(unsupported)").mkString(","))))
     }
-    val encoding = if (applied.isEmpty) "identity" else applied.mkString(",")
+    val encoding = applied.mkString(",")
     val (cs, source) = CharsetKernel.sniff(body, 0, body.length, ctypeFull)
     new GenericInternalRow(Array[Any](
       status,

@@ -74,6 +74,10 @@ object Graph {
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(false)
+    // intermediate checkpoints, freed only AFTER the final eager
+    // materialization (unpersisting a lazy checkpoint before the chain
+    // materializes would recompute it from truncated-away lineage)
+    val intermediates = scala.collection.mutable.ArrayBuffer(ranks)
     for (it <- 1 to iterations) {
       val contribs = ranks.join(ew, ranks("node") === ew("src"))
         .groupBy(col("dst"))
@@ -90,7 +94,11 @@ object Graph {
       // last iteration checkpoints EAGERLY so the caches below can be
       // freed before the caller ever materializes the result
       ranks = next.localCheckpoint(eager = it == iterations)
+      if (it < iterations) intermediates += ranks
     }
+    // the final vector is materialized — every helper table and every
+    // per-round checkpoint is dead weight now (zero cache residue)
+    intermediates.foreach(_.unpersist())
     ew.unpersist(); outdeg.unpersist(); nodes.unpersist(); e.unpersist()
     ranks
   }

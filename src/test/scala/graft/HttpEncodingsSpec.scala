@@ -1,9 +1,7 @@
 package graft
 
-import java.io.ByteArrayOutputStream
 import java.nio.charset.Charset
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{Deflater, GZIPOutputStream}
 
 import graft.functions.HttpDecodeKernel
 import org.apache.spark.sql.functions._
@@ -15,35 +13,17 @@ import org.apache.spark.sql.functions._
   */
 class HttpEncodingsSpec extends SparkTestBase {
 
-  private def gzip(b: Array[Byte]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val g = new GZIPOutputStream(bos); g.write(b); g.close()
-    bos.toByteArray
-  }
+  // the SHARED fixture builders the planted catalog cases also use —
+  // framing here can never drift from what the oracle pins
+  private def gzip(b: Array[Byte]): Array[Byte] =
+    graft.sources.WarcFormat.gzipMember(b)
 
-  private def zlib(b: Array[Byte], raw: Boolean = false): Array[Byte] = {
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, raw)
-    d.setInput(b); d.finish()
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
-    out.toByteArray
-  }
+  private def zlib(b: Array[Byte], raw: Boolean = false): Array[Byte] =
+    WireFixtures.deflate(b, raw)
 
   private def chunk(b: Array[Byte], sizes: Seq[Int], ext: String = "",
-      eol: String = "\r\n", trailers: String = ""): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    var off = 0
-    for (s <- sizes) {
-      out.write((s.toHexString + ext + eol).getBytes(UTF_8))
-      out.write(b, off, s); off += s
-      out.write(eol.getBytes(UTF_8))
-    }
-    require(off == b.length, "sizes must cover the body exactly")
-    out.write(("0" + eol + trailers + eol).getBytes(UTF_8))
-    out.toByteArray
-  }
+      eol: String = "\r\n", trailers: String = ""): Array[Byte] =
+    WireFixtures.chunk(b, sizes, eol, ext, trailers)
 
   private def resp(headers: Seq[String], body: Array[Byte]): Array[Byte] = {
     val head = ("HTTP/1.1 200 OK" +: headers).mkString("", "\r\n", "\r\n\r\n")
@@ -87,6 +67,32 @@ class HttpEncodingsSpec extends SparkTestBase {
       Seq("Transfer-Encoding: chunked"), "zz\r\nnot-chunked".getBytes(UTF_8)))
     assert(enc2 === "chunked(malformed)")
     assert(body2 === "zz\r\nnot-chunked")
+  }
+
+  test("truncation exactly at a chunk boundary keeps the clean prefix") {
+    val b = text.getBytes(UTF_8)
+    val full = chunk(b, Seq(20, b.length - 20))
+    // cut right after chunk 1's trailing CRLF, before chunk 2's size line
+    val keep = (20.toHexString.length + 2) + 20 + 2
+    val (_, body, enc, _) = decode(resp(Seq("Transfer-Encoding: chunked"),
+      full.take(keep)))
+    assert(enc === "chunked(truncated)")
+    assert(body === text.take(20)) // NOT the raw framed bytes
+  }
+
+  test("repeated header lines concatenate per RFC 7230 list semantics") {
+    val b = text.getBytes(UTF_8)
+    // two Content-Encoding LINES == "gzip, gzip": both layers undone
+    val (_, body, enc, _) = decode(resp(
+      Seq("Content-Encoding: gzip", "Content-Encoding: gzip"), gzip(gzip(b))))
+    assert((body, enc) === ((text, "gzip,gzip")))
+  }
+
+  test("unsupported layer report keeps the transforms already applied") {
+    val (st, body, enc, _) = decode(resp(
+      Seq("Transfer-Encoding: chunked", "Content-Encoding: br"),
+      chunk(Array[Byte](1, 2, 3), Seq(3))))
+    assert((st, body, enc) === ((200L, null, "chunked,br(unsupported)")))
   }
 
   test("gzip / x-gzip / multi-member / deflate both forms unwrap") {
