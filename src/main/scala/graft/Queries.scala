@@ -5370,6 +5370,40 @@ object Queries {
           col("u.priority").as("priority"))
         .orderBy("loc")
     }),
+
+    // FRONTIER SEEDING — the crawl-planning composition: sitemap
+    // DISCOVERY (parseSitemap over per-source urlsets) minus the
+    // ALREADY-CRAWLED set (parseCdxj over the crawl index, anti-join)
+    // gated by ROBOTS (the `*` group's prefix rule) = the URLs the next
+    // crawl wave actually fetches. Every tier runs its real parser; the
+    // oracle replays the SEMANTICS (membership arithmetic) — each
+    // parser's own fidelity is pinned by its dedicated row.
+    "frontier_seed" -> ((spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("source"), col("doc_id"))
+      val entries = docs.select(col("source"), col("doc_id"),
+        concat(lit("<url><loc>https://crawl.example.com/d/"),
+          col("doc_id").cast("string"), lit("</loc></url>")).as("e"))
+      val seeds = entries.groupBy("source")
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("e")))),
+            x => x.getField("e")), ""),
+          lit("</urlset>")).as("xml"))
+        .select(TextAnalysis.parseSitemap(col("xml")).as("s"))
+        .select(explode(col("s.entries")).as("u"))
+        .select(col("u.loc").as("url")).distinct()
+      val known = docs.filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("com,example,crawl)/d/"), col("doc_id").cast("string"),
+          lit(" 20240101000000 {\"url\": \"https://crawl.example.com/d/"),
+          col("doc_id").cast("string"), lit("\"}")).as("line"))
+        .select(TextAnalysis.parseCdxj(col("line")).as("c"))
+        .select(col("c.meta.url").as("url"))
+      val robots = "User-agent: *\nDisallow: /d/1\n"
+      seeds.join(known, Seq("url"), "left_anti")
+        .select(col("url"), TextAnalysis.robotsCheck(lit(robots), lit("graftbot"),
+          regexp_replace(col("url"), "^https?://[^/]+", "")).getField("allowed").as("ok"))
+        .filter(col("ok")).select(col("url"))
+        .orderBy("url")
+    }),
   )
 
   // ---------------------------------------------------------------- oracles
@@ -8058,5 +8092,13 @@ object Queries {
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS loc,
         |  lastmod, changefreq, priority
         |FROM f ORDER BY loc""".stripMargin,
+    // membership arithmetic: discovered (every doc) minus crawled
+    // (doc_id % 3 = 0) minus robots-disallowed (path prefix /d/1 —
+    // ids whose decimal string starts with '1')
+    "frontier_seed" ->
+      """SELECT DISTINCT 'https://crawl.example.com/d/' || doc_id AS url
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 AND CAST(doc_id AS VARCHAR) NOT LIKE '1%'
+        |ORDER BY url""".stripMargin,
   )
 }
