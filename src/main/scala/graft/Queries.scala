@@ -5383,10 +5383,10 @@ object Queries {
       val entries = docs.select(col("source"), col("doc_id"),
         concat(lit("<url><loc>https://crawl.example.com/d/"),
           col("doc_id").cast("string"), lit("</loc></url>")).as("e"))
+      // no intra-urlset ordering needed: the parse output is distinct()-ed
+      // and orderBy(url)-ed downstream, so entry order is unobservable
       val seeds = entries.groupBy("source")
-        .agg(concat(lit("<urlset>"),
-          array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("e")))),
-            x => x.getField("e")), ""),
+        .agg(concat(lit("<urlset>"), array_join(collect_list(col("e")), ""),
           lit("</urlset>")).as("xml"))
         .select(TextAnalysis.parseSitemap(col("xml")).as("s"))
         .select(explode(col("s.entries")).as("u"))

@@ -97,9 +97,23 @@ object Graph {
       if (it < iterations) intermediates += ranks
     }
     // the final vector is materialized — every helper table and every
-    // per-round checkpoint is dead weight now (zero cache residue)
-    intermediates.foreach(_.unpersist())
+    // per-round checkpoint is dead weight now (zero cache residue).
+    // Dataset.unpersist only clears CacheManager entries; a checkpointed
+    // Dataset's blocks live on its internal RDD (the LogicalRDD leaf), so
+    // that RDD is what must be unpersisted
+    intermediates.foreach(freeCheckpoint)
     ew.unpersist(); outdeg.unpersist(); nodes.unpersist(); e.unpersist()
     ranks
   }
+
+  /** Release the block storage behind a localCheckpoint'ed Dataset (its
+    * plan is a LogicalRDD leaf over the checkpointed RDD — unpersisting
+    * the DATASET is a CacheManager no-op for it).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

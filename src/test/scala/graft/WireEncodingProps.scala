@@ -103,9 +103,11 @@ object RegisteredDomainProps extends Properties("RegisteredDomain") {
           graft.text.TextAnalysis.registeredDomain(col("host")).as("rd"))
         .collect()
       rows.forall { r =>
-        val h = r.getString(0).toLowerCase
+        // Locale.ROOT: default-locale toLowerCase would diverge from
+        // Spark's locale-independent lower() under tr_TR ('I' -> dotless)
+        val h = r.getString(0).toLowerCase(java.util.Locale.ROOT)
         val rd = r.getString(1)
-        rd == null || (rd == rd.toLowerCase &&
+        rd == null || (rd == rd.toLowerCase(java.util.Locale.ROOT) &&
           (h == rd || h.endsWith("." + rd)) &&
           rd.split("\\.").length >= 2)
       }
