@@ -597,10 +597,11 @@ object Dedup {
     * Because survivors are few, that join could even shuffle instead of
     * broadcast for benchmark sets too big to broadcast at all.
     *
-    * The probe is a Scala UDF over the hash column: there is no built-in
-    * bloom-membership function in the public API, a codegen Expression
-    * cannot carry a multi-MB filter as a plan literal, and the per-row
-    * cost is dominated by the probe itself, not the call overhead.
+    * The probe is the native [[graft.functions.BloomMightContainLong]]
+    * expression: it carries the BROADCAST HANDLE (a few-byte id in the
+    * plan tree — never the multi-MB filter as a literal), resolves the
+    * filter once per operator instance, and probes inside the
+    * surrounding whole-stage-codegen span.
     */
   def contaminationPairsBloom(
       docs: DataFrame,
@@ -623,9 +624,9 @@ object Dedup {
     val expected = math.max(1L, bench.select(col("h")).distinct().count())
     val bloom = bench.stat.bloomFilter("h", expected, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     exploded(docs, idCol, textCol, "doc_id")
-      .filter(mightContain(col("h")))
+      .filter(SqlBridge.column(graft.functions.BloomMightContainLong(
+        SqlBridge.expression(col("h")), bc)))
       .join(broadcast(bench), Seq("h"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
