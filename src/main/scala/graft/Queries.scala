@@ -183,6 +183,78 @@ object Queries {
         "utf-8", "bom", bomTxt))
   }
 
+  /** Planted ARPA trigram model shared by arpa_parse and lm_score_arpa:
+    * its vocabulary overlaps the synthetic corpus's word list, so real
+    * document rows exercise in-vocab unigram/bigram paths and the
+    * planted docs pin every Katz branch deterministically. One source of
+    * truth: the query parses these lines through [[graft.text.ArpaLm]];
+    * the oracle derives its model VALUES from the same list via
+    * [[arpaFixtureRows]] (preserving the DECIMAL LITERALS, so both
+    * engines parse bit-identical doubles and no rounding is needed on
+    * the parse row).
+    */
+  private[graft] val arpaModelLines: Seq[String] = Seq(
+    "\\data\\",
+    "ngram 1=12",
+    "ngram 2=10",
+    "ngram 3=6",
+    "",
+    "\\1-grams:",
+    "-99\t<s>\t-0.30103",
+    "-1.2\t</s>",
+    "-2.5\t<unk>",
+    "-0.9\tthe\t-0.22",
+    "-1.0\ta\t-0.18",
+    "-1.1\ttable\t-0.25",
+    "-1.15\trow\t-0.2",
+    "-1.25\tdata\t-0.3",
+    "-1.3\tfast\t-0.12",
+    "-1.35\tvalue\t-0.28",
+    "-1.4\tscan\t-0.15",
+    "-1.45\tquery\t-0.1",
+    "",
+    "\\2-grams:",
+    "-0.45\t<s> the\t-0.3",
+    "-0.5\tthe table\t-0.25",
+    "-0.55\ta row\t-0.2",
+    "-0.6\tdata value\t-0.15",
+    "-0.65\tfast scan\t-0.1",
+    "-0.7\ttable row\t-0.35",
+    "-0.75\tquery value\t-0.05",
+    "-0.8\tthe a\t-0.4",
+    "-0.85\tvalue </s>",
+    "-0.95\trow </s>",
+    "",
+    "\\3-grams:",
+    "-0.3\t<s> the table",
+    "-0.35\tthe table row",
+    "-0.4\ta row </s>",
+    "-0.42\tdata value </s>",
+    "-0.5\tfast scan query",
+    "-0.55\ttable row </s>",
+    "\\end\\")
+
+  /** The fixture's parsed form with probability/backoff kept as the
+    * ORIGINAL decimal literal strings (for bit-identical VALUES on the
+    * oracle side). (order, context, word, log10p, backoff). */
+  private[graft] val arpaFixtureRows: Seq[(Int, String, String, String, String)] =
+    arpaModelLines.filter(_.contains("\t")).map { line =>
+      val f = line.split("\t")
+      val ws = f(1).split(" ")
+      (ws.length, ws.init.mkString(" "), ws.last, f(0),
+        if (f.length == 3) f(2) else "0.0")
+    }
+
+  /** Planted docs pinning every Katz branch of lm_score_arpa: trigram
+    * chains, bigram + context-backoff, unigram backoff chains, pure OOV,
+    * and mixed in-/out-of-vocabulary. */
+  private[graft] val arpaScoreDocs: Seq[(Long, String)] = Seq(
+    (900101L, "the table row"),
+    (900102L, "a row"),
+    (900103L, "fast scan query value"),
+    (900104L, "zebra unicorn"),
+    (900105L, "the table zebra row"))
+
   /** Planted mixed-script docs for segment_cjk: unspaced Chinese, kanji
     * among kana, supplementary-plane ideographs (ext B/C), and scripts
     * that must NOT be char-split (hangul, Thai). Ids in the 9000xx
@@ -3526,6 +3598,44 @@ object Queries {
       TextAnalysis.lmCrossEntropyBigram(docs, docs.filter(col("doc_id") % 2 === 0))
         .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
           round(col("cross_entropy"), 4).as("cross_entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // ARPA n-gram model IMPORT (SRILM/KenLM interchange format): every
+    // data line is self-describing under tab-splitting, so the parse is
+    // fully distributed and stateless — no section state across partition
+    // boundaries. strict=true validates parsed per-order counts against
+    // the \data\ declarations (the torn-file check). Probabilities stay
+    // UNROUNDED: both engines parse the same decimal literals into
+    // bit-identical doubles.
+    "arpa_parse" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.text.ArpaLm.parse(arpaModelLines.toDF("line"))
+        .select(col("order").cast("long").as("ngram_order"), col("context"),
+          col("word"), col("log10p"), col("backoff"))
+        .orderBy("ngram_order", "context", "word")
+    }),
+
+    // Katz back-off scoring under the IMPORTED model (the CCNet shape:
+    // score crawl docs with a PRETRAINED KenLM artifact, not a
+    // corpus-self-trained LM). Model levels join the corpus's position
+    // table on (context, word) — hash joins, never broadcast (a real
+    // KenLM artifact is GBs; AQE upgrades the tiny fixture on its own).
+    // Real rows exercise in-vocab unigram/bigram paths (the fixture
+    // vocabulary overlaps the corpus word list); planted docs pin every
+    // branch: trigram chain, bigram + context backoff, unigram chain,
+    // pure OOV -> <unk>. log10_ppl (= −sum/n) replaces raw ppl in the
+    // projection: an all-OOV doc's 10^(99·…) would be hash-unstable at
+    // ulp level, the mean log is bounded and round(4)-safe.
+    "lm_score_arpa" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(arpaScoreDocs.toDF("doc_id", "text"))
+      val model = graft.text.ArpaLm.parse(arpaModelLines.toDF("line"))
+      graft.text.ArpaLm.score(docs, model, order = 3)
+        .select(col("doc_id"), col("n_scored").cast("long").as("n_scored"),
+          round(col("log10p_sum"), 4).as("log10p_sum"),
+          round(-col("log10p_sum") / col("n_scored"), 4).as("log10_ppl"))
         .orderBy("doc_id")
     }),
 
@@ -7220,6 +7330,56 @@ object Queries {
          |      CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_bigrams, round(-avg(ln(sc)), 4) AS cross_entropy
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the oracle's model VALUES derive from the same fixture list the
+    // query parses — the decimal literals are preserved verbatim, so
+    // both engines hold bit-identical doubles and no rounding is needed
+    "arpa_parse" -> {
+      val vals = arpaFixtureRows.map { case (o, c, w, lp, bo) =>
+        s"  (CAST($o AS BIGINT), '$c', '$w', CAST($lp AS DOUBLE), CAST($bo AS DOUBLE))"
+      }.mkString(",\n")
+      s"""SELECT * FROM (VALUES
+         |$vals) v(ngram_order, context, word, log10p, backoff)
+         |ORDER BY ngram_order, context, word""".stripMargin
+    },
+    // full Katz replay: positions with up-to-(order−1)-word contexts,
+    // the level joins, the backoff cascade, the same planted model and
+    // planted branch docs
+    "lm_score_arpa" -> {
+      val vals = arpaFixtureRows.map { case (o, c, w, lp, bo) =>
+        s"  ($o, '$c', '$w', CAST($lp AS DOUBLE), CAST($bo AS DOUBLE))"
+      }.mkString(",\n")
+      val planted = arpaScoreDocs.map { case (id, tx) =>
+        s"  (CAST($id AS BIGINT), '$tx')"
+      }.mkString(",\n")
+      s"""WITH model(ngram_order, context, word, log10p, backoff) AS (VALUES
+         |$vals),
+         |m AS (SELECT *, CASE WHEN context = '' THEN word
+         |                     ELSE context || ' ' || word END AS ngram FROM model),
+         |unk AS (SELECT log10p AS ulp FROM m WHERE ngram_order = 1 AND word = '<unk>'),
+         |docs AS (SELECT doc_id, text FROM documents
+         |         UNION ALL SELECT * FROM (VALUES
+         |$planted) p(doc_id, text)),
+         |tok AS (SELECT doc_id, list_concat(list_concat(['<s>'], $duckToks), ['</s>']) AS t FROM docs),
+         |q AS (SELECT doc_id, p.w AS w, p.c1 AS c1, p.c2 AS c2
+         |      FROM (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1), i -> {
+         |              'w': t[i], 'c1': t[i-1],
+         |              'c2': array_to_string(t[greatest(i-2, 1):i-1], ' ')})) AS p
+         |            FROM tok)),
+         |s AS (SELECT q.doc_id,
+         |        COALESCE(j3.log10p,
+         |          COALESCE(b2.backoff, 0) + COALESCE(j2.log10p,
+         |            COALESCE(b1.backoff, 0) + COALESCE(j1.log10p, unk.ulp))) AS sc
+         |      FROM q
+         |      LEFT JOIN m j3 ON j3.ngram_order = 3 AND j3.context = q.c2 AND j3.word = q.w
+         |      LEFT JOIN m j2 ON j2.ngram_order = 2 AND j2.context = q.c1 AND j2.word = q.w
+         |      LEFT JOIN m b2 ON b2.ngram_order = 2 AND b2.ngram = q.c2
+         |      LEFT JOIN m b1 ON b1.ngram_order = 1 AND b1.ngram = q.c1
+         |      LEFT JOIN m j1 ON j1.ngram_order = 1 AND j1.word = q.w
+         |      CROSS JOIN unk)
+         |SELECT doc_id, count(*) AS n_scored, round(sum(sc), 4) AS log10p_sum,
+         |       round(-sum(sc) / count(*), 4) AS log10_ppl
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // CCNet tercile replay: same rounded score, same linear-interpolation
     // quantiles (any doc that could TIE a cutoff means the quantile
     // position landed on a sample, so the cutoff is that sample exactly

@@ -1,0 +1,187 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ARPA n-gram language-model IMPORT and Katz-backoff scoring.
+  *
+  * CCNet-style pipelines (Wenzek et al. 2020) score crawl documents with a
+  * PRETRAINED KenLM model, not a corpus-self-trained one —
+  * [[TextAnalysis.lmCrossEntropy]] / [[TextAnalysis.lmCrossEntropyBigram]]
+  * cover the self-trained shape; this object lets a user bring the
+  * published artifact. The ARPA text format (SRILM/KenLM interchange;
+  * documented in the SRILM ngram-format man page) is:
+  *
+  * {{{
+  * \data\
+  * ngram 1=N1
+  * ngram 2=N2
+  *
+  * \1-grams:
+  * log10p<TAB>word<TAB>backoff
+  * \2-grams:
+  * log10p<TAB>w1 w2
+  * \end\
+  * }}}
+  *
+  * Every DATA line is SELF-DESCRIBING under tab-splitting — field 2's
+  * space-separated word count IS the line's order, field 3 (optional) is
+  * the backoff weight — so the parse is fully distributed and stateless:
+  * no section-state threading across partition boundaries, a model file
+  * splits like any text file. Header/section/blank lines are recognized
+  * by shape and dropped; anything line-shaped that fails to parse raises
+  * with the offending line (fail-loud, matching the WARC source's
+  * discipline). `strict = true` (default) additionally validates the
+  * parsed per-order row counts against the `\data\` declarations — the
+  * cheap end-to-end torn-file check, one model-sized aggregation.
+  *
+  * Scoring implements the standard Katz back-off recursion the format
+  * encodes (in log10, additive):
+  *
+  *   P(w | h)  =  p(h·w)                     if h·w is in the table
+  *             =  bow(h) + P(w | tail(h))    otherwise, bow absent = 0
+  *
+  * with `<s>`/`</s>` sentence framing (every real token plus `</s>` is
+  * scored; `<s>` only conditions) and out-of-vocabulary words scoring as
+  * `<unk>` when the model carries one (KenLM always does), else at the
+  * documented `unkLog10p` floor.
+  *
+  * Scale shape: the model's order-k tables join the corpus's position
+  * table on (context, word) — hash-shuffle joins, deliberately NOT
+  * broadcast (a CCNet KenLM artifact is GBs; the unigram level alone is
+  * broadcast-eligible and AQE picks that up when small). Positions are
+  * assembled NARROWLY per document (one `transform` over the framed token
+  * array — no window, no doc-keyed shuffle before the final per-doc
+  * aggregation), so the corpus streams once into 2·order−1 keyed joins
+  * whose build sides are all model-bounded, never corpus-bounded.
+  */
+object ArpaLm {
+
+  /** Parse ARPA lines into (order, context, word, log10p, backoff).
+    * `context` is the space-joined n-gram prefix ("" for unigrams),
+    * `backoff` is 0.0 where the line carries none (the format's own
+    * convention for "no continuation mass"). Accepts `inf`/`-inf`
+    * spellings some toolchains emit. With `strict`, eagerly validates
+    * parsed counts against the `\data\` declarations.
+    */
+  def parse(lines: DataFrame, lineCol: String = "line", strict: Boolean = true): DataFrame = {
+    val raw = lines.select(col(lineCol).cast("string").as("line"))
+    // data lines start with the log10 probability: a number or ±inf
+    val isData = col("line").rlike("^(-?[0-9]|-?\\.[0-9]|-?inf)")
+    def num(c: Column, what: String): Column = {
+      val t = trim(c)
+      when(t === "inf", lit(Double.PositiveInfinity))
+        .when(t === "-inf", lit(Double.NegativeInfinity))
+        // try_cast, not cast: ANSI cast would throw its own error without
+        // the offending LINE; the raise here names it
+        .otherwise(coalesce(t.try_cast("double"), raise_error(
+          concat(lit(s"arpa: unparseable $what in data line: "), col("line")))))
+    }
+    val parts = split(col("line"), "\t")
+    // the structural checks live INSIDE materialized output columns
+    // (word / backoff) — a dead side-column would be pruned by Catalyst
+    // and the validation would silently never run
+    val parsed = raw.filter(isData)
+      .withColumn("__nf", size(parts))
+      .withColumn("ws", split(trim(element_at(parts, 2)), " "))
+      .select(
+        size(col("ws")).as("order"),
+        when(size(col("ws")) > 1, concat_ws(" ", slice(col("ws"), lit(1), size(col("ws")) - 1)))
+          .otherwise(lit("")).as("context"),
+        coalesce(element_at(col("ws"), -1), raise_error(
+          concat(lit("arpa: data line missing its n-gram field: "), col("line")))).as("word"),
+        num(element_at(parts, 1), "log10p").as("log10p"),
+        when(col("__nf") === 3, num(element_at(parts, 3), "backoff"))
+          .when(col("__nf") === 2, lit(0.0))
+          .otherwise(raise_error(concat(
+            lit("arpa: data line needs 2 or 3 tab-separated fields: "), col("line"))))
+          .as("backoff"))
+    if (strict) {
+      val declared = raw
+        .filter(col("line").rlike("^ngram [0-9]+=[0-9]+\\s*$"))
+        .select(regexp_extract(col("line"), "^ngram ([0-9]+)=([0-9]+)", 1).cast("int").as("order"),
+          regexp_extract(col("line"), "^ngram ([0-9]+)=([0-9]+)", 2).cast("long").as("declared"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(declared.nonEmpty,
+        "arpa: no \\data\\ ngram count declarations found — not an ARPA file (or pass strict=false)")
+      val counted = parsed.groupBy("order").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val diffs = (declared.keySet ++ counted.keySet).toSeq.sorted.flatMap { k =>
+        val (d, c) = (declared.getOrElse(k, 0L), counted.getOrElse(k, 0L))
+        if (d != c) Some(s"order $k: declared $d, parsed $c") else None
+      }
+      require(diffs.isEmpty, s"arpa: \\data\\ counts disagree with parsed lines (torn or " +
+        s"corrupt model file): ${diffs.mkString("; ")}")
+    }
+    parsed
+  }
+
+  /** Score documents under a parsed ARPA model ([[parse]]'s shape) with
+    * the Katz back-off recursion at the model's `order`. Returns
+    * (idCol, n_scored, log10p_sum, ppl): `n_scored` counts every real
+    * token plus the `</s>` position, `log10p_sum` is the summed log10
+    * probability, `ppl` the per-position perplexity 10^(−sum/n).
+    * An empty document scores two positions — whitespace tokenization
+    * yields one empty token (the tokenizer family's documented empty-doc
+    * convention), which scores as OOV, plus `</s>`.
+    */
+  def score(
+      docs: DataFrame,
+      model: DataFrame,
+      order: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      unkLog10p: Double = -99.0): DataFrame = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    val m = model.select(col("order"), col("context"), col("word"), col("log10p"), col("backoff"),
+      trim(concat_ws(" ", col("context"), col("word"))).as("ngram"))
+    // OOV words score as <unk> when the model has one (KenLM always does)
+    val unkLp = m.filter(col("order") === 1 && col("word") === "<unk>")
+      .select("log10p").collect().headOption.map(_.getDouble(0)).getOrElse(unkLog10p)
+
+    val seq = concat(array(lit("<s>")), TextAnalysis.tokens(col(textCol)), array(lit("</s>")))
+    // position i (1-based over seq, starting at 2): word = seq[i],
+    // ctx_k = the up-to-k words before it, space-joined
+    val pos = transform(sequence(lit(2), size(col("__seq"))), i => {
+      val ctxFields = (1 until order).map { k =>
+        val start = greatest(i - k, lit(1))
+        concat_ws(" ", slice(col("__seq"), start, i - start)).as(s"ctx$k")
+      }
+      struct(Seq((i - 1).as("pos"), element_at(col("__seq"), i).as("word")) ++ ctxFields: _*)
+    })
+    var scored = docs
+      .select(col(idCol), seq.as("__seq"))
+      .select(col(idCol), explode(pos).as("p"))
+      .select(col(idCol) +: col("p.pos").as("pos") +: col("p.word").as("word") +:
+        (1 until order).map(k => col(s"p.ctx$k")): _*)
+    // level-L probability joins (context, word) and context-backoff joins
+    for (l <- order to 2 by -1) {
+      scored = scored
+        .join(m.filter(col("order") === l)
+            .select(col("context").as(s"__c$l"), col("word").as(s"__w$l"),
+              col("log10p").as(s"lp$l")),
+          scored(s"ctx${l - 1}") === col(s"__c$l") && scored("word") === col(s"__w$l"),
+          "left")
+        .drop(s"__c$l", s"__w$l")
+      scored = scored
+        .join(m.filter(col("order") === l - 1)
+            .select(col("ngram").as(s"__n${l - 1}"), col("backoff").as(s"bow${l - 1}")),
+          scored(s"ctx${l - 1}") === col(s"__n${l - 1}"), "left")
+        .drop(s"__n${l - 1}")
+    }
+    scored = scored.join(
+      m.filter(col("order") === 1).select(col("word"), col("log10p").as("lp1")),
+      Seq("word"), "left")
+    // the Katz cascade, log10-additive: longest match wins, each missed
+    // level adds its context's backoff weight (absent context → 0)
+    var s: Column = coalesce(col("lp1"), lit(unkLp))
+    for (l <- 2 to order)
+      s = coalesce(col(s"lp$l"), coalesce(col(s"bow${l - 1}"), lit(0.0)) + s)
+    scored
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_scored"), sum(s).as("log10p_sum"))
+      .select(col(idCol), col("n_scored"),
+        col("log10p_sum"),
+        pow(lit(10.0), -col("log10p_sum") / col("n_scored")).as("ppl"))
+  }
+}
