@@ -255,6 +255,17 @@ object Queries {
     (900104L, "zebra unicorn"),
     (900105L, "the table zebra row"))
 
+  /** Planted TRAINING docs for the Kneser–Ney rows: the synthetic
+    * corpus's closed ~32-word vocabulary can yield ZERO singleton
+    * continuation counts (every word follows many predecessors), which
+    * leaves the Chen-Goodman discount n1/(n1+2·n2) undefined — a real
+    * corpus always has hapax legomena. These rows plant them
+    * deterministically at every SF. Disjoint from [[arpaScoreDocs]]'s
+    * vocabulary so the scoring fixtures keep their OOV roles. */
+  private[graft] val knTrainDocs: Seq[(Long, String)] = Seq(
+    (910001L, "one lone hapax gleam"),
+    (910002L, "gleam fades"))
+
   /** Planted mixed-script docs for segment_cjk: unspaced Chinese, kanji
     * among kana, supplementary-plane ideographs (ext B/C), and scripts
     * that must NOT be char-split (hangul, Thai). Ids in the 9000xx
@@ -3616,6 +3627,51 @@ object Queries {
         .orderBy("ngram_order", "context", "word")
     }),
 
+    // Interpolated Kneser–Ney bigram TRAINING (Chen & Goodman 1999, the
+    // smoothing family KenLM implements — CCNet's filter models are such
+    // artifacts), emitted in the ARPA model shape: continuation counts
+    // (not raw frequency), per-order Chen-Goodman discounts from
+    // count-of-counts, probabilities stored in SRILM's interpolated-
+    // backoff form (KnTrainSpec machine-checks sum-to-1 per context),
+    // <unk> carrying the principled uniform-leftover mass. Every table
+    // after the one bigram-position pass is bounded by TYPE cardinality,
+    // never corpus size; all quantities derive from exact integer
+    // counts, so the model is layout-independent by construction.
+    "kn_train_bigram" -> ((spark, dir) => {
+      import spark.implicits._
+      val train = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 25)
+        .unionByName(knTrainDocs.toDF("doc_id", "text"))
+      graft.text.ArpaLm.trainKneserNeyBigram(train)
+        .select(col("order").cast("long").as("ngram_order"), col("context"), col("word"),
+          round(col("log10p"), 6).as("log10p"), round(col("backoff"), 6).as("backoff"))
+        .orderBy("ngram_order", "context", "word")
+    }),
+
+    // The full KenLM interop loop IN ONE QUERY: train the KN model,
+    // EXPORT it to ARPA text (format), re-IMPORT it (parse), and score
+    // the corpus under the re-imported artifact — export fidelity is
+    // load-bearing, not decorative (format writes exact decimal
+    // expansions, so the reparsed doubles are bit-identical). The model
+    // trains on the CURATED slice (docs < 25 + the hapax fixture — the
+    // CCNet arrangement: train on a reference set, score the crawl);
+    // scored docs exercise seen-bigram + backoff arms, planted docs pin
+    // the OOV path (zebra/unicorn stay out of the training vocabulary).
+    "lm_score_kn" -> ((spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val model = graft.text.ArpaLm.trainKneserNeyBigram(
+        docs.filter(col("doc_id") < 25).unionByName(knTrainDocs.toDF("doc_id", "text")))
+      val reparsed = graft.text.ArpaLm.parse(
+        graft.text.ArpaLm.format(model).toDF("line"))
+      graft.text.ArpaLm.score(
+        docs.unionByName(arpaScoreDocs.toDF("doc_id", "text")), reparsed, order = 2)
+        .select(col("doc_id"), col("n_scored").cast("long").as("n_scored"),
+          round(col("log10p_sum"), 4).as("log10p_sum"),
+          round(-col("log10p_sum") / col("n_scored"), 4).as("log10_ppl"))
+        .orderBy("doc_id")
+    }),
+
     // Katz back-off scoring under the IMPORTED model (the CCNet shape:
     // score crawl docs with a PRETRAINED KenLM artifact, not a
     // corpus-self-trained LM). Model levels join the corpus's position
@@ -6023,6 +6079,52 @@ object Queries {
        |SELECT node AS host, round(rank, 6) AS rank FROM r10 ORDER BY host""".stripMargin
   }
 
+  /** Shared CTE block replaying [[graft.text.ArpaLm.trainKneserNeyBigram]]
+    * over the documents table — every arithmetic expression mirrors the
+    * Spark side's association order, so engine differences are ulp-level
+    * and absorbed by the consuming oracles' rounding. `knm` is the model
+    * in parse shape (ngram_order, context, word, log10p, backoff),
+    * unrounded. MATERIALIZED where referenced repeatedly (the
+    * re-evaluation gotcha).
+    */
+  private def knModelCtes: String = {
+    val planted = knTrainDocs.map { case (id, tx) =>
+      s"  (CAST($id AS BIGINT), '$tx')"
+    }.mkString(",\n")
+    s"""ktrain AS (SELECT doc_id, text FROM documents WHERE doc_id < 25
+       |           UNION ALL SELECT * FROM (VALUES
+       |$planted) kt(doc_id, text)),
+       |tokm AS (SELECT doc_id, list_concat(list_concat(['<s>'], $duckToks), ['</s>']) AS t FROM ktrain),
+       |bgk AS (SELECT b.v AS v, b.w AS w FROM
+       |  (SELECT unnest(list_transform(range(1, len(t)), i -> {'v': t[i], 'w': t[i+1]})) AS b FROM tokm)),
+       |c2k AS MATERIALIZED (SELECT v, w, count(*) AS c FROM bgk GROUP BY v, w),
+       |d2k AS (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE /
+       |          (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) AS d
+       |        FROM c2k),
+       |contk AS MATERIALIZED (SELECT w, count(*) AS c FROM c2k GROUP BY w),
+       |d1k AS (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE /
+       |          (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) AS d
+       |        FROM contk),
+       |totk AS (SELECT sum(c)::DOUBLE AS t, count(*)::DOUBLE AS ct FROM contk),
+       |ctxk AS MATERIALIZED (SELECT v, sum(c) AS cv, count(*) AS n1v FROM c2k GROUP BY v),
+       |p1k AS MATERIALIZED (SELECT w,
+       |        (greatest(c::DOUBLE - d1k.d, 0.0) + d1k.d * totk.ct * (1.0 / (totk.ct + 1.0))) / totk.t AS p1d
+       |      FROM contk, d1k, totk),
+       |bowsk AS (SELECT v, log10(d2k.d) + log10(n1v::DOUBLE) - log10(cv::DOUBLE) AS bow FROM ctxk, d2k),
+       |unik AS (SELECT '' AS context, w AS word, log10(p1d) AS log10p FROM p1k
+       |         UNION ALL SELECT '', '<s>', -99.0
+       |         UNION ALL SELECT '', '<unk>',
+       |           (SELECT log10(d1k.d * totk.ct * (1.0 / (totk.ct + 1.0)) / totk.t) FROM d1k, totk)),
+       |uni2k AS (SELECT 1 AS ngram_order, u.context, u.word, u.log10p,
+       |            COALESCE(b.bow, 0.0) AS backoff
+       |          FROM unik u LEFT JOIN bowsk b ON u.word = b.v),
+       |bigk AS (SELECT 2 AS ngram_order, c2k.v AS context, c2k.w AS word,
+       |           log10((greatest(c2k.c::DOUBLE - d2k.d, 0.0) + d2k.d * ctxk.n1v * p1k.p1d) / ctxk.cv) AS log10p,
+       |           0.0 AS backoff
+       |         FROM c2k JOIN ctxk ON c2k.v = ctxk.v JOIN p1k ON c2k.w = p1k.w, d2k),
+       |knm AS MATERIALIZED (SELECT * FROM uni2k UNION ALL SELECT * FROM bigk)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"""WITH all_docs AS (
@@ -7376,6 +7478,43 @@ object Queries {
       s"""SELECT * FROM (VALUES
          |$vals) v(ngram_order, context, word, log10p, backoff)
          |ORDER BY ngram_order, context, word""".stripMargin
+    },
+    // the full Kneser–Ney training replay: continuation counts,
+    // Chen-Goodman discounts from count-of-counts, interpolated-backoff
+    // emission — every expression mirrors the Spark association order
+    "kn_train_bigram" ->
+      s"""WITH $knModelCtes
+         |SELECT CAST(ngram_order AS BIGINT) AS ngram_order, context, word,
+         |       round(log10p, 6) AS log10p, round(backoff, 6) AS backoff
+         |FROM knm ORDER BY ngram_order, context, word""".stripMargin,
+    // the trained model (replayed via the shared CTEs) driven through
+    // the order-2 Katz scoring replay over documents + planted OOV docs
+    "lm_score_kn" -> {
+      val planted = arpaScoreDocs.map { case (id, tx) =>
+        s"  (CAST($id AS BIGINT), '$tx')"
+      }.mkString(",\n")
+      s"""WITH $knModelCtes,
+         |mseq AS (SELECT *, CASE WHEN context = '' THEN word
+         |                        ELSE context || ' ' || word END AS ngram FROM knm),
+         |unks AS (SELECT log10p AS ulp FROM knm WHERE ngram_order = 1 AND word = '<unk>'),
+         |sdocs AS (SELECT doc_id, text FROM documents
+         |          UNION ALL SELECT * FROM (VALUES
+         |$planted) p(doc_id, text)),
+         |tok2 AS (SELECT doc_id, list_concat(list_concat(['<s>'], $duckToks), ['</s>']) AS t FROM sdocs),
+         |q AS (SELECT doc_id, p.w AS w, p.c1 AS c1
+         |      FROM (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+         |              i -> {'w': t[i], 'c1': t[i-1]})) AS p FROM tok2)),
+         |s AS (SELECT q.doc_id,
+         |        COALESCE(j2.log10p,
+         |          COALESCE(b1.backoff, 0.0) + COALESCE(j1.log10p, unks.ulp)) AS sc
+         |      FROM q
+         |      LEFT JOIN mseq j2 ON j2.ngram_order = 2 AND j2.context = q.c1 AND j2.word = q.w
+         |      LEFT JOIN mseq b1 ON b1.ngram_order = 1 AND b1.ngram = q.c1
+         |      LEFT JOIN mseq j1 ON j1.ngram_order = 1 AND j1.word = q.w
+         |      CROSS JOIN unks)
+         |SELECT doc_id, count(*) AS n_scored, round(sum(sc), 4) AS log10p_sum,
+         |       round(-sum(sc) / count(*), 4) AS log10_ppl
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // full Katz replay: positions with up-to-(order−1)-word contexts,
     // the level joins, the backoff cascade, the same planted model and

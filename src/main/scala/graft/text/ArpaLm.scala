@@ -116,6 +116,150 @@ object ArpaLm {
     parsed
   }
 
+  /** TRAIN an interpolated Kneser–Ney BIGRAM model (Chen & Goodman 1999
+    * §3, the smoothing family KenLM implements — CCNet's filter models
+    * are exactly such artifacts), emitted in [[parse]]'s model shape and
+    * therefore directly scorable by [[score]] and exportable by
+    * [[format]]: the full train → export → import → score loop.
+    *
+    * The published formulation, stored in ARPA's backoff form (SRILM's
+    * `-interpolate` convention — seen n-grams store the INTERPOLATED
+    * probability; the backoff weight then covers exactly the unseen
+    * mass, so probabilities sum to 1 per context, which KnTrainSpec
+    * machine-checks):
+    *
+    *   D₂ = n₁/(n₁+2n₂) over bigram count-of-counts
+    *   D₁ = n₁/(n₁+2n₂) over continuation-count count-of-counts
+    *   p(w|v)  = (max(c(vw)−D₂, 0) + D₂·N1+(v·)·p(w)) / c(v·)
+    *   bow(v)  = D₂·N1+(v·) / c(v·)
+    *   p(w)    = (max(N1+(·w)−D₁, 0) + D₁·C·u) / N1+(··)   u = 1/(C+1)
+    *   p(unk)  =  D₁·C·u / N1+(··)
+    *
+    * with N1+ the Kneser–Ney CONTINUATION counts (distinct left/right
+    * extensions — the insight that "Francisco" is frequent but follows
+    * only "San"), C the number of distinct continuation types, and the
+    * unigram level interpolated against the uniform distribution over
+    * the C observed types plus `<unk>` — the KenLM move that gives
+    * `<unk>` the principled leftover mass instead of an arbitrary
+    * floor. `<s>` is context-only (log10 p = −99, SRILM's spelling) but
+    * carries a real backoff weight; `</s>` ends every document and is
+    * never a context (backoff 0).
+    *
+    * Scale shape: one corpus pass assembles bigram positions narrowly
+    * per document (the [[TextAnalysis.lmCrossEntropyBigram]] zip shape —
+    * no window, no doc-keyed shuffle); every later table is bounded by
+    * BIGRAM-TYPE cardinality, not corpus size: the count table is one
+    * partial-agg shuffle, context totals / continuation counts are
+    * re-aggregations of it, the two discount constants are count-of-
+    * count scalars (driver holds two doubles), and the model emission
+    * is type-table joins. Degenerate corpora (every bigram count ≥ 3,
+    * so n₁ = n₂ = 0) fail loud rather than divide by zero.
+    */
+  def trainKneserNeyBigram(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seq = concat(array(lit("<s>")), TextAnalysis.tokens(col(textCol)), array(lit("</s>")))
+    val n = greatest(size(col("__seq")) - 1, lit(0))
+    val bg = docs.select(seq.as("__seq"))
+      .select(explode(zip_with(
+        slice(col("__seq"), lit(1), n), slice(col("__seq"), lit(2), n),
+        (a, b) => struct(a.as("v"), b.as("w")))).as("b"))
+      .select(col("b.v").as("v"), col("b.w").as("w"))
+    // bigram TYPE table — the one corpus-keyed shuffle; everything below
+    // is bounded by its cardinality
+    val c2 = bg.groupBy("v", "w").agg(count(lit(1)).as("c")).cache()
+
+    def discount(counts: DataFrame): Double = {
+      val r = counts.agg(
+        coalesce(sum(when(col("c") === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("c") === 2, 1L).otherwise(0L)), lit(0L)).as("n2")).head()
+      val (n1, n2) = (r.getLong(0), r.getLong(1))
+      require(n1 > 0, "kneser-ney: no singleton counts (n1 = 0) — the " +
+        "Chen-Goodman discount n1/(n1+2*n2) is undefined on this corpus")
+      n1.toDouble / (n1 + 2.0 * n2)
+    }
+    val d2 = discount(c2)
+
+    // continuation counts: N1+(.w), and their count-of-counts for D1
+    val cont = c2.groupBy("w").agg(count(lit(1)).as("c")).cache()
+    val d1 = discount(cont)
+    val contTot = cont.agg(sum("c"), count(lit(1))).head()
+    val t = contTot.getLong(0).toDouble // N1+(..)
+    val cTypes = contTot.getLong(1).toDouble // C
+    val u = 1.0 / (cTypes + 1.0)
+
+    // per-context totals and distinct-continuation counts
+    val ctx = c2.groupBy("v").agg(sum("c").as("cv"), count(lit(1)).as("n1v"))
+    val bows = ctx.select(col("v"),
+      (log10(lit(d2)) + log10(col("n1v").cast("double")) - log10(col("cv").cast("double")))
+        .as("bow"))
+
+    // unigram level: interpolated continuation PROBABILITIES (kept raw
+    // so the bigram interpolation uses the identical value the unigram
+    // row logs — no pow∘log10 round trip, and the oracle mirrors this)
+    val p1 = cont.select(col("w"),
+      ((greatest(col("c").cast("double") - d1, lit(0.0)) + lit(d1 * cTypes * u)) / t)
+        .as("p1d"))
+    val unigrams = p1
+      .select(col("w"), log10(col("p1d")).as("lp1"))
+      .unionByName(Seq(("<s>", -99.0)).toDF("w", "lp1"))
+      .unionByName(Seq(("<unk>", math.log10(d1 * cTypes * u / t))).toDF("w", "lp1"))
+      .join(bows.withColumnRenamed("v", "w"), Seq("w"), "left")
+      .select(lit(1).as("order"), lit("").as("context"), col("w").as("word"),
+        col("lp1").as("log10p"), coalesce(col("bow"), lit(0.0)).as("backoff"))
+
+    // bigram level: interpolated probability per OBSERVED bigram type
+    val bigrams = c2
+      .join(ctx, Seq("v"))
+      .join(p1, Seq("w"))
+      .select(lit(2).as("order"), col("v").as("context"), col("w").as("word"),
+        log10((greatest(col("c").cast("double") - d2, lit(0.0))
+          + lit(d2) * col("n1v").cast("double") * col("p1d"))
+          / col("cv").cast("double")).as("log10p"),
+        lit(0.0).as("backoff"))
+
+    // the model is type-table-bounded: checkpoint it eagerly so the
+    // count caches can be released with zero residue
+    val model = unigrams.unionByName(bigrams).localCheckpoint(true)
+    c2.unpersist()
+    cont.unpersist()
+    model
+  }
+
+  /** Render a parsed-shape model back to ARPA lines — [[parse]]'s exact
+    * inverse (ArpaLmProps pins parse ∘ format = id), completing KenLM
+    * interop in the export direction. The model table is vocabulary-
+    * bounded by construction (the same bound every trainer in this
+    * package relies on), so the driver-side collect is model-sized, not
+    * corpus-sized; rows are emitted in (order, context, word) order so
+    * the rendering is deterministic. Backoff weights equal to 0.0 are
+    * written explicitly only when non-zero — the format's own
+    * convention (`parse` restores the 0.0).
+    */
+  def format(model: DataFrame): Seq[String] = {
+    val rows = model.select(col("order").cast("int"), col("context"), col("word"),
+        col("log10p"), col("backoff"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(r => (r._1, r._2, r._3))
+    val byOrder = rows.groupBy(_._1)
+    val orders = byOrder.keys.toSeq.sorted
+    def fmt(d: Double): String =
+      if (d == Double.PositiveInfinity) "inf"
+      else if (d == Double.NegativeInfinity) "-inf"
+      else BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
+    val header = Seq("\\data\\") ++ orders.map(o => s"ngram $o=${byOrder(o).length}") ++ Seq("")
+    val sections = orders.flatMap { o =>
+      Seq(s"\\$o-grams:") ++ byOrder(o).map { case (_, c, w, lp, bo) =>
+        val gram = if (c.isEmpty) w else s"$c $w"
+        if (bo == 0.0) s"${fmt(lp)}\t$gram" else s"${fmt(lp)}\t$gram\t${fmt(bo)}"
+      } ++ Seq("")
+    }
+    header ++ sections ++ Seq("\\end\\")
+  }
+
   /** Score documents under a parsed ARPA model ([[parse]]'s shape) with
     * the Katz back-off recursion at the model's `order`. Returns
     * (idCol, n_scored, log10p_sum, ppl): `n_scored` counts every real
