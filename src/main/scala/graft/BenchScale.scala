@@ -504,6 +504,40 @@ object BenchScale {
       println(s"[scale] docs scored: $scored")
     }
 
+    // Kneser-Ney training + scoring at corpus scale: this corpus draws
+    // tokens near-uniformly from a ~1M vocab, so almost every bigram is
+    // a singleton TYPE — the worst case, where the type table approaches
+    // one row per corpus position. Train = one position pass + type-
+    // bounded re-aggregations; the per-context mass invariant is then
+    // checked DISTRIBUTED on sampled contexts, and the whole corpus is
+    // scored back through the model's three hash joins.
+    {
+      val model = timed(s"Kneser-Ney bigram train ($nDocs docs, near-all-singleton types)") {
+        graft.text.ArpaLm.trainKneserNeyBigram(docs)
+      }
+      println(s"[scale] KN model rows: ${model.count()}")
+      val uni = model.filter(col("order") === 1 && col("word") =!= "<s>")
+        .select(col("word"), pow(lit(10.0), col("log10p")).as("p1"))
+      val bows = model.filter(col("order") === 1)
+        .select(col("word").as("context"), pow(lit(10.0), col("backoff")).as("bow"))
+      val sampled = model.filter(col("order") === 2).select("context").distinct().limit(64)
+      val mass = model.filter(col("order") === 2)
+        .join(broadcast(sampled), Seq("context"))
+        .join(uni, Seq("word"))
+        .groupBy("context")
+        .agg(sum(pow(lit(10.0), col("log10p"))).as("seen"), sum(col("p1")).as("seenU"))
+        .join(bows, Seq("context"))
+        .select((col("seen") + col("bow") * (lit(1.0) - col("seenU"))).as("mass"))
+        .collect()
+      require(mass.nonEmpty && mass.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6),
+        s"KN mass invariant violated: ${mass.map(_.getDouble(0)).mkString(",")}")
+      println(s"[scale] KN per-context mass: ${mass.length} sampled contexts within 1e-6 of 1")
+      val knScored = timed(s"KN scoring ($nDocs docs through the model joins)") {
+        graft.text.ArpaLm.score(docs, model, order = 2).count()
+      }
+      println(s"[scale] KN-scored docs: $knScored")
+    }
+
     // provably-exact heavy hitters at corpus scale: this corpus's 3-gram
     // space is ~nDocs·40 distinct grams (each doc's tokens are
     // pseudo-random draws from a ~1M vocab — the near-worst case where a
