@@ -4755,9 +4755,21 @@ object Queries {
     // silently degrade to a broadcast at small SF (BucketedJoinSpec
     // asserts the exchange-free plan; the oracle checks the numbers).
     "bucketed_join" -> ((spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("bucketed_q").toString
+      // one FIXED per-process directory, wiped before each build: the
+      // tables are external, so DROP TABLE alone would strand the
+      // previous invocation's full bucketed fact copies in /tmp
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bucketed_join")
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
       spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(base)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+      val tmp = java.nio.file.Files.createDirectories(base).toString
       t(spark, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
         .repartition(8, col("l_orderkey"))
         .write.option("path", s"$tmp/bl")
@@ -6094,7 +6106,8 @@ object Queries {
     s"""ktrain AS (SELECT doc_id, text FROM documents WHERE doc_id < 25
        |           UNION ALL SELECT * FROM (VALUES
        |$planted) kt(doc_id, text)),
-       |tokm AS (SELECT doc_id, list_concat(list_concat(['<s>'], $duckToks), ['</s>']) AS t FROM ktrain),
+       |tokm AS (SELECT doc_id, list_concat(list_concat(['<s>'],
+       |           list_filter($duckToks, x -> x != '')), ['</s>']) AS t FROM ktrain),
        |bgk AS (SELECT b.v AS v, b.w AS w FROM
        |  (SELECT unnest(list_transform(range(1, len(t)), i -> {'v': t[i], 'w': t[i+1]})) AS b FROM tokm)),
        |c2k AS MATERIALIZED (SELECT v, w, count(*) AS c FROM bgk GROUP BY v, w),

@@ -81,17 +81,26 @@ object ArpaLm {
     // the structural checks live INSIDE materialized output columns
     // (word / backoff) — a dead side-column would be pruned by Catalyst
     // and the validation would silently never run
+    // try_element_at, not element_at: ANSI element_at would throw its own
+    // opaque index error on a tab-less data line before the dedicated
+    // raise below could name the offending line
     val parsed = raw.filter(isData)
       .withColumn("__nf", size(parts))
-      .withColumn("ws", split(trim(element_at(parts, 2)), " "))
+      .withColumn("ws", split(trim(coalesce(try_element_at(parts, lit(2)), lit(""))), " "))
       .select(
         size(col("ws")).as("order"),
         when(size(col("ws")) > 1, concat_ws(" ", slice(col("ws"), lit(1), size(col("ws")) - 1)))
           .otherwise(lit("")).as("context"),
-        coalesce(element_at(col("ws"), -1), raise_error(
-          concat(lit("arpa: data line missing its n-gram field: "), col("line")))).as("word"),
+        when(col("__nf") < 2 || col("__nf") > 3, raise_error(concat(
+            lit("arpa: data line needs 2 or 3 tab-separated fields: "), col("line"))))
+          // empty/whitespace n-gram fields and doubled separators both
+          // surface as an empty word — a phantom '' entry would silently
+          // join real positions downstream, so fail loud here
+          .when(array_contains(col("ws"), ""), raise_error(concat(
+            lit("arpa: empty word in n-gram field: "), col("line"))))
+          .otherwise(element_at(col("ws"), -1)).as("word"),
         num(element_at(parts, 1), "log10p").as("log10p"),
-        when(col("__nf") === 3, num(element_at(parts, 3), "backoff"))
+        when(col("__nf") === 3, num(try_element_at(parts, lit(3)), "backoff"))
           .when(col("__nf") === 2, lit(0.0))
           .otherwise(raise_error(concat(
             lit("arpa: data line needs 2 or 3 tab-separated fields: "), col("line"))))
@@ -160,7 +169,12 @@ object ArpaLm {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val seq = concat(array(lit("<s>")), TextAnalysis.tokens(col(textCol)), array(lit("</s>")))
+    // drop empty tokens before framing: whitespace tokenization of an
+    // empty document yields one '' token, which must NOT become a vocab
+    // word (it would also be unrepresentable in the ARPA text format);
+    // an empty document thus trains exactly the (<s>, </s>) bigram
+    val seq = concat(array(lit("<s>")),
+      filter(TextAnalysis.tokens(col(textCol)), t => t =!= ""), array(lit("</s>")))
     val n = greatest(size(col("__seq")) - 1, lit(0))
     val bg = docs.select(seq.as("__seq"))
       .select(explode(zip_with(
@@ -244,6 +258,14 @@ object ArpaLm {
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
       .sortBy(r => (r._1, r._2, r._3))
+    // the format's domain: words are non-empty and free of its three
+    // structural separators — anything else would render a line that
+    // reparses differently (the inverse contract would silently break)
+    rows.foreach { case (_, c, w, _, _) =>
+      require(w.nonEmpty && !w.exists("\t\n ".contains(_)) && !c.exists("\t\n".contains(_))
+          && (c.isEmpty || c.split(" ", -1).forall(_.nonEmpty)),
+        s"arpa format: word/context not representable in ARPA text: context='$c' word='$w'")
+    }
     val byOrder = rows.groupBy(_._1)
     val orders = byOrder.keys.toSeq.sorted
     def fmt(d: Double): String =

@@ -69,6 +69,29 @@ class ArpaLmSpec extends SparkTestBase {
     assert(e.getMessage.contains("unparseable log10p"))
   }
 
+  test("tab-less and empty-field data lines get the DEDICATED error, not an ANSI index error") {
+    def parseErr(line: String): String = intercept[Exception] {
+      ArpaLm.parse(Seq("\\data\\", "ngram 1=1", "\\1-grams:", line, "\\end\\").toDF("line"))
+        .collect()
+    }.getMessage
+    // space-separated (SRILM rejects these too) and torn bare-number lines
+    assert(parseErr("-1.0 word -0.3").contains("needs 2 or 3 tab-separated fields"))
+    assert(parseErr("-1.2").contains("needs 2 or 3 tab-separated fields"))
+    // trailing tab / blank field / doubled separator: phantom '' words
+    assert(parseErr("-1.0\t").contains("empty word"))
+    assert(parseErr("-1.0\t  \t-0.3").contains("empty word"))
+    assert(parseErr("-1.0\ta  b").contains("empty word"))
+  }
+
+  test("format rejects models its text form cannot represent") {
+    val bad = Seq((1, "", "two words", -1.0, 0.0)).toDF("order", "context", "word", "log10p", "backoff")
+    val e = intercept[IllegalArgumentException] { ArpaLm.format(bad) }
+    assert(e.getMessage.contains("not representable"))
+    val empty = Seq((1, "", "", -1.0, 0.0)).toDF("order", "context", "word", "log10p", "backoff")
+    assert(intercept[IllegalArgumentException] { ArpaLm.format(empty) }
+      .getMessage.contains("not representable"))
+  }
+
   test("Katz cascade: hand-computed scores for every branch") {
     val docs = Seq(
       (1L, "the cat sat"), // all-trigram path after the <s> bigram

@@ -82,6 +82,18 @@ class KnTrainSpec extends SparkTestBase {
     assert(e.getMessage.contains("n1 = 0"))
   }
 
+  test("empty/whitespace docs train the (<s>, </s>) bigram, never a '' vocab word") {
+    val withEmpty = corpus.unionByName(
+      Seq((7L, ""), (8L, "   ")).toDF("doc_id", "text"))
+    val m = ArpaLm.trainKneserNeyBigram(withEmpty)
+    assert(m.filter(col("word") === "").count() === 0)
+    assert(m.filter(col("order") === 2 && col("context") === "").count() === 0)
+    assert(m.filter(col("order") === 2 && col("context") === "<s>" && col("word") === "</s>").count() === 1)
+    // and the full loop survives: format -> parse -> score
+    val reparsed = ArpaLm.parse(ArpaLm.format(m).toDF("line"))
+    assert(reparsed.count() === m.count())
+  }
+
   test("layout-independent: identical model at 1 and 7 partitions") {
     val a = model.orderBy("order", "context", "word").collect()
     val b = ArpaLm.trainKneserNeyBigram(corpus.repartition(7))
