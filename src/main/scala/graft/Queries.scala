@@ -3648,6 +3648,25 @@ object Queries {
         .orderBy("ngram_order", "context", "word")
     }),
 
+    // The GENERAL-ORDER form at order 3 (CCNet ships 5-gram artifacts
+    // of this family): the middle level switches to CONTINUATION counts
+    // built by suffix-grouping the trigram type table — except
+    // <s>-initial bigrams, which keep actual counts (they cannot be
+    // left-extended; SRILM's convention) — with its own Chen-Goodman
+    // discount, and probabilities interpolate downward through the
+    // shortened context. KnTrainSpec machine-checks that the FULL
+    // cascade's probability mass sums to 1 for every context.
+    "kn_train_trigram" -> ((spark, dir) => {
+      import spark.implicits._
+      val train = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 25)
+        .unionByName(knTrainDocs.toDF("doc_id", "text"))
+      graft.text.ArpaLm.trainKneserNey(train, order = 3)
+        .select(col("order").cast("long").as("ngram_order"), col("context"), col("word"),
+          round(col("log10p"), 6).as("log10p"), round(col("backoff"), 6).as("backoff"))
+        .orderBy("ngram_order", "context", "word")
+    }),
+
     // The full KenLM interop loop IN ONE QUERY: train the KN model,
     // EXPORT it to ARPA text (format), re-IMPORT it (parse), and score
     // the corpus under the re-imported artifact — export fidelity is
@@ -7492,6 +7511,68 @@ object Queries {
          |$vals) v(ngram_order, context, word, log10p, backoff)
          |ORDER BY ngram_order, context, word""".stripMargin
     },
+    // the order-3 Kneser–Ney replay: actual trigram counts on top, the
+    // middle level suffix-grouped continuation counts (plus <s>-initial
+    // actuals), per-level discounts, downward interpolation through the
+    // shortened context — every expression mirrors the Spark
+    // association order
+    "kn_train_trigram" ->
+      s"""WITH ktrain AS (SELECT doc_id, text FROM documents WHERE doc_id < 25
+         |           UNION ALL SELECT * FROM (VALUES
+         |${knTrainDocs.map { case (id, tx) => s"  (CAST($id AS BIGINT), '$tx')" }.mkString(",\n")}) kt(doc_id, text)),
+         |tokm AS (SELECT doc_id, list_concat(list_concat(['<s>'],
+         |           list_filter($duckToks, x -> x != '')), ['</s>']) AS t FROM ktrain),
+         |c3 AS MATERIALIZED (SELECT g.ctx AS ctx, g.w AS w, count(*) AS c FROM
+         |  (SELECT unnest(list_transform(range(3, len(t) + 1),
+         |     i -> {'ctx': t[i-2] || ' ' || t[i-1], 'w': t[i]})) AS g FROM tokm)
+         |  GROUP BY 1, 2),
+         |a2 AS (SELECT g.ctx AS ctx, g.w AS w, count(*) AS c FROM
+         |  (SELECT unnest(list_transform(range(2, len(t) + 1),
+         |     i -> {'ctx': t[i-1], 'w': t[i]})) AS g FROM tokm)
+         |  GROUP BY 1, 2),
+         |t2 AS MATERIALIZED (
+         |  SELECT string_split(ctx, ' ')[2] AS ctx, w, count(*) AS c FROM c3 GROUP BY 1, 2
+         |  UNION ALL SELECT ctx, w, c FROM a2 WHERE ctx = '<s>'),
+         |d3k AS (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE /
+         |          (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) AS d
+         |        FROM c3),
+         |d2k AS (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE /
+         |          (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) AS d
+         |        FROM t2),
+         |contk AS MATERIALIZED (SELECT w, count(*) AS c FROM t2 GROUP BY w),
+         |d1k AS (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE /
+         |          (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) + 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)) AS d
+         |        FROM contk),
+         |totk AS (SELECT sum(c)::DOUBLE AS t, count(*)::DOUBLE AS ct FROM contk),
+         |p1k AS MATERIALIZED (SELECT w,
+         |        (greatest(c::DOUBLE - d1k.d, 0.0) + d1k.d * totk.ct * (1.0 / (totk.ct + 1.0))) / totk.t AS pd
+         |      FROM contk, d1k, totk),
+         |cx2 AS MATERIALIZED (SELECT ctx, sum(c) AS cv, count(*) AS n1v FROM t2 GROUP BY ctx),
+         |cx3 AS MATERIALIZED (SELECT ctx, sum(c) AS cv, count(*) AS n1v FROM c3 GROUP BY ctx),
+         |p2k AS MATERIALIZED (SELECT t2.ctx AS ctx, t2.w AS w,
+         |        (greatest(t2.c::DOUBLE - d2k.d, 0.0) + d2k.d * cx2.n1v * p1k.pd) / cx2.cv AS pd
+         |      FROM t2 JOIN cx2 ON t2.ctx = cx2.ctx JOIN p1k ON t2.w = p1k.w, d2k),
+         |p3k AS (SELECT c3.ctx AS ctx, c3.w AS w,
+         |        (greatest(c3.c::DOUBLE - d3k.d, 0.0) + d3k.d * cx3.n1v * p2k.pd) / cx3.cv AS pd
+         |      FROM c3 JOIN cx3 ON c3.ctx = cx3.ctx
+         |      JOIN p2k ON p2k.ctx = string_split(c3.ctx, ' ')[2] AND p2k.w = c3.w, d3k),
+         |bow2 AS (SELECT ctx, log10(d2k.d) + log10(n1v::DOUBLE) - log10(cv::DOUBLE) AS bow FROM cx2, d2k),
+         |bow3 AS (SELECT ctx, log10(d3k.d) + log10(n1v::DOUBLE) - log10(cv::DOUBLE) AS bow FROM cx3, d3k),
+         |unik AS (SELECT '' AS context, w AS word, log10(pd) AS log10p FROM p1k
+         |         UNION ALL SELECT '', '<s>', -99.0
+         |         UNION ALL SELECT '', '<unk>',
+         |           (SELECT log10(d1k.d * totk.ct * (1.0 / (totk.ct + 1.0)) / totk.t) FROM d1k, totk)),
+         |knm AS (
+         |  SELECT 1 AS ngram_order, u.context, u.word, u.log10p, COALESCE(b.bow, 0.0) AS backoff
+         |  FROM unik u LEFT JOIN bow2 b ON u.word = b.ctx
+         |  UNION ALL
+         |  SELECT 2, p2k.ctx, p2k.w, log10(p2k.pd), COALESCE(b.bow, 0.0)
+         |  FROM p2k LEFT JOIN bow3 b ON p2k.ctx || ' ' || p2k.w = b.ctx
+         |  UNION ALL
+         |  SELECT 3, ctx, w, log10(pd), 0.0 FROM p3k)
+         |SELECT CAST(ngram_order AS BIGINT) AS ngram_order, context, word,
+         |       round(log10p, 6) AS log10p, round(backoff, 6) AS backoff
+         |FROM knm ORDER BY ngram_order, context, word""".stripMargin,
     // the full Kneser–Ney training replay: continuation counts,
     // Chen-Goodman discounts from count-of-counts, interpolated-backoff
     // emission — every expression mirrors the Spark association order

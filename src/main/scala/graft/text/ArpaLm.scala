@@ -166,7 +166,37 @@ object ArpaLm {
     */
   def trainKneserNeyBigram(
       docs: DataFrame,
+      textCol: String = "text"): DataFrame = trainKneserNey(docs, 2, textCol)
+
+  /** TRAIN an interpolated Kneser–Ney model of ANY order ≥ 2 — the
+    * general form of [[trainKneserNeyBigram]] (which delegates here;
+    * CCNet's production artifacts are 5-gram models of exactly this
+    * family). The recursion follows Chen & Goodman: the TOP level uses
+    * actual n-gram counts; each lower level uses CONTINUATION counts —
+    * the number of distinct left-extension types, computed by
+    * suffix-grouping the level above's TYPE table — except that grams
+    * beginning with `<s>` keep their actual counts (they cannot be
+    * left-extended; SRILM's convention). Per-level discounts come from
+    * that level's own count-of-counts; probabilities interpolate
+    * downward through the shortened context (stored in ARPA's
+    * interpolated-backoff form, so each level's per-context mass sums
+    * to 1 — KnTrainSpec machine-checks the full cascade); the unigram
+    * level interpolates against the uniform-plus-`<unk>` distribution.
+    *
+    * Scale shape: one corpus position pass PER LEVEL builds the actual
+    * type tables (the only corpus-keyed shuffles); every adjusted
+    * table, context total, and discount is a re-aggregation of a TYPE
+    * table, bounded by type cardinality, never corpus size; the model
+    * emits through type-table joins and every quantity derives from
+    * exact integer counts, so the model is layout-independent by
+    * construction. Degenerate corpora with no singleton counts at some
+    * level fail loud (the discount is undefined there).
+    */
+  def trainKneserNey(
+      docs: DataFrame,
+      order: Int,
       textCol: String = "text"): DataFrame = {
+    require(order >= 2, s"order must be >= 2, got $order")
     val spark = docs.sparkSession
     import spark.implicits._
     // drop empty tokens before framing: whitespace tokenization of an
@@ -175,15 +205,17 @@ object ArpaLm {
     // an empty document thus trains exactly the (<s>, </s>) bigram
     val seq = concat(array(lit("<s>")),
       filter(TextAnalysis.tokens(col(textCol)), t => t =!= ""), array(lit("</s>")))
-    val n = greatest(size(col("__seq")) - 1, lit(0))
-    val bg = docs.select(seq.as("__seq"))
-      .select(explode(zip_with(
-        slice(col("__seq"), lit(1), n), slice(col("__seq"), lit(2), n),
-        (a, b) => struct(a.as("v"), b.as("w")))).as("b"))
-      .select(col("b.v").as("v"), col("b.w").as("w"))
-    // bigram TYPE table — the one corpus-keyed shuffle; everything below
-    // is bounded by its cardinality
-    val c2 = bg.groupBy("v", "w").agg(count(lit(1)).as("c")).cache()
+    val framed = docs.select(seq.as("__seq"))
+
+    // actual k-gram TYPE counts — one narrow position pass, one
+    // type-keyed shuffle
+    def actualCounts(k: Int): DataFrame =
+      framed.filter(size(col("__seq")) >= k)
+        .select(explode(transform(sequence(lit(k), size(col("__seq"))), i => struct(
+          concat_ws(" ", slice(col("__seq"), i - (k - 1), lit(k - 1))).as("ctx"),
+          element_at(col("__seq"), i).as("w")))).as("g"))
+        .select(col("g.ctx").as("ctx"), col("g.w").as("w"))
+        .groupBy("ctx", "w").agg(count(lit(1)).as("c"))
 
     def discount(counts: DataFrame): Double = {
       val r = counts.agg(
@@ -194,51 +226,84 @@ object ArpaLm {
         "Chen-Goodman discount n1/(n1+2*n2) is undefined on this corpus")
       n1.toDouble / (n1 + 2.0 * n2)
     }
-    val d2 = discount(c2)
 
-    // continuation counts: N1+(.w), and their count-of-counts for D1
-    val cont = c2.groupBy("w").agg(count(lit(1)).as("c")).cache()
-    val d1 = discount(cont)
-    val contTot = cont.agg(sum("c"), count(lit(1))).head()
+    // level tables, top down: T(order) actual; T(k) = suffix-grouped
+    // T(k+1) (continuation types) ∪ actual <s>-initial k-grams (which
+    // never arise as suffixes — <s> only ever opens a gram)
+    val tables = scala.collection.mutable.Map(order -> actualCounts(order).cache())
+    for (k <- order - 1 to 2 by -1) {
+      val fromCont = tables(k + 1)
+        .select(concat_ws(" ", slice(split(col("ctx"), " "), 2, k - 1)).as("ctx"), col("w"))
+        .groupBy("ctx", "w").agg(count(lit(1)).as("c"))
+      val sInit = actualCounts(k)
+        .filter(col("ctx") === "<s>" || col("ctx").startsWith("<s> "))
+      tables(k) = fromCont.unionByName(sInit).cache()
+    }
+    val t1 = tables(2).groupBy("w").agg(count(lit(1)).as("c")).cache()
+
+    val dk = (2 to order).map(k => k -> discount(tables(k))).toMap
+    val d1 = discount(t1)
+    val contTot = t1.agg(sum("c"), count(lit(1))).head()
     val t = contTot.getLong(0).toDouble // N1+(..)
     val cTypes = contTot.getLong(1).toDouble // C
     val u = 1.0 / (cTypes + 1.0)
 
-    // per-context totals and distinct-continuation counts
-    val ctx = c2.groupBy("v").agg(sum("c").as("cv"), count(lit(1)).as("n1v"))
-    val bows = ctx.select(col("v"),
-      (log10(lit(d2)) + log10(col("n1v").cast("double")) - log10(col("cv").cast("double")))
-        .as("bow"))
-
-    // unigram level: interpolated continuation PROBABILITIES (kept raw
-    // so the bigram interpolation uses the identical value the unigram
-    // row logs — no pow∘log10 round trip, and the oracle mirrors this)
-    val p1 = cont.select(col("w"),
+    // unigram level: interpolated continuation PROBABILITIES kept raw,
+    // so each level's interpolation uses the identical value the model
+    // row logs — no pow∘log10 round trip, and the oracle mirrors this
+    val p1 = t1.select(col("w"),
       ((greatest(col("c").cast("double") - d1, lit(0.0)) + lit(d1 * cTypes * u)) / t)
-        .as("p1d"))
+        .as("pd"))
+
+    // upward build: pk table (ctx, w, pd), ctx totals, per-level bows
+    val ctxTot = (2 to order).map { k =>
+      k -> tables(k).groupBy("ctx").agg(sum("c").as("cv"), count(lit(1)).as("n1v"))
+    }.toMap
+    val bowOf = (2 to order).map { k =>
+      k -> ctxTot(k).select(col("ctx"),
+        (log10(lit(dk(k))) + log10(col("n1v").cast("double")) - log10(col("cv").cast("double")))
+          .as("bow"))
+    }.toMap
+    val probs = scala.collection.mutable.Map(1 -> p1)
+    for (k <- 2 to order) {
+      val prev = probs(k - 1)
+      val joined =
+        if (k == 2) tables(k).join(ctxTot(k), Seq("ctx")).join(prev, Seq("w"))
+        else tables(k).join(ctxTot(k), Seq("ctx"))
+          .join(prev.select(col("ctx").as("__pctx"), col("w").as("__pw"), col("pd")),
+            concat_ws(" ", slice(split(col("ctx"), " "), 2, k - 2)) === col("__pctx")
+              && col("w") === col("__pw"))
+      probs(k) = joined.select(col("ctx"), col("w"),
+        ((greatest(col("c").cast("double") - dk(k), lit(0.0))
+          + lit(dk(k)) * col("n1v").cast("double") * col("pd"))
+          / col("cv").cast("double")).as("pd"))
+    }
+
+    // emission: each level's rows carry the NEXT level's bow for the
+    // gram they spell (absent → 0; the top level never backs off)
     val unigrams = p1
-      .select(col("w"), log10(col("p1d")).as("lp1"))
+      .select(col("w"), log10(col("pd")).as("lp1"))
       .unionByName(Seq(("<s>", -99.0)).toDF("w", "lp1"))
       .unionByName(Seq(("<unk>", math.log10(d1 * cTypes * u / t))).toDF("w", "lp1"))
-      .join(bows.withColumnRenamed("v", "w"), Seq("w"), "left")
+      .join(bowOf(2).withColumnRenamed("ctx", "w"), Seq("w"), "left")
       .select(lit(1).as("order"), lit("").as("context"), col("w").as("word"),
         col("lp1").as("log10p"), coalesce(col("bow"), lit(0.0)).as("backoff"))
-
-    // bigram level: interpolated probability per OBSERVED bigram type
-    val bigrams = c2
-      .join(ctx, Seq("v"))
-      .join(p1, Seq("w"))
-      .select(lit(2).as("order"), col("v").as("context"), col("w").as("word"),
-        log10((greatest(col("c").cast("double") - d2, lit(0.0))
-          + lit(d2) * col("n1v").cast("double") * col("p1d"))
-          / col("cv").cast("double")).as("log10p"),
-        lit(0.0).as("backoff"))
+    val levels = (2 to order).map { k =>
+      val base = probs(k).select(col("ctx"), col("w"), log10(col("pd")).as("lp"))
+      val withBow =
+        if (k == order) base.withColumn("bow", lit(0.0))
+        else base.join(
+          bowOf(k + 1).select(col("ctx").as("__bctx"), col("bow")),
+          concat_ws(" ", col("ctx"), col("w")) === col("__bctx"), "left")
+      withBow.select(lit(k).as("order"), col("ctx").as("context"), col("w").as("word"),
+        col("lp").as("log10p"), coalesce(col("bow"), lit(0.0)).as("backoff"))
+    }
 
     // the model is type-table-bounded: checkpoint it eagerly so the
     // count caches can be released with zero residue
-    val model = unigrams.unionByName(bigrams).localCheckpoint(true)
-    c2.unpersist()
-    cont.unpersist()
+    val model = levels.foldLeft(unigrams)(_ unionByName _).localCheckpoint(true)
+    (2 to order).foreach(k => tables(k).unpersist())
+    t1.unpersist()
     model
   }
 

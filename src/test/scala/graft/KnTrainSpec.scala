@@ -94,6 +94,50 @@ class KnTrainSpec extends SparkTestBase {
     assert(reparsed.count() === m.count())
   }
 
+  test("trigram: probability mass sums to 1 through the FULL cascade, every context") {
+    val m = ArpaLm.trainKneserNey(corpus, 3).collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getDouble(3), r.getDouble(4)))
+    val lp = m.map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val bow = m.filter(_._1 < 3).map(r =>
+      (if (r._2.isEmpty) r._3 else s"${r._2} ${r._3}") -> r._5).toMap
+    val support = m.filter(r => r._1 == 1 && r._3 != "<s>").map(_._3)
+    def p(w: String, v: String, u: String): Double = {
+      lp.get((3, s"$u $v", w)).map(x => math.pow(10, x)).getOrElse(
+        math.pow(10, bow.getOrElse(s"$u $v", 0.0)) *
+          lp.get((2, v, w)).map(x => math.pow(10, x)).getOrElse(
+            math.pow(10, bow.getOrElse(v, 0.0)) * math.pow(10, lp((1, "", w)))))
+    }
+    val ctx3 = m.filter(_._1 == 3).map(_._2).distinct
+    assert(ctx3.nonEmpty)
+    ctx3.foreach { c =>
+      val Array(u, v) = c.split(" ")
+      val mass = support.map(w => p(w, v, u)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context '$c' cascade mass $mass")
+    }
+    // level-2 contexts too (continuation-estimated probabilities)
+    m.filter(_._1 == 2).map(_._2).distinct.foreach { v =>
+      val mass = support.map { w =>
+        lp.get((2, v, w)).map(x => math.pow(10, x)).getOrElse(
+          math.pow(10, bow.getOrElse(v, 0.0)) * math.pow(10, lp((1, "", w))))
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"level-2 context '$v' mass $mass")
+    }
+  }
+
+  test("trigram <s>-exception: sentence-initial bigrams keep actual counts and real entries") {
+    val m = ArpaLm.trainKneserNey(corpus, 3)
+    // (<s>, w) bigrams cannot be left-extended; they must still be in
+    // the level-2 table (actual counts) so trigram backoff through them
+    // works — and <s>-initial trigram contexts must carry backoff rows
+    assert(m.filter(col("order") === 2 && col("context") === "<s>").count() > 0)
+    assert(m.filter(col("order") === 3 && col("context").startsWith("<s> ")).count() > 0)
+    // the trained trigram scores through the generic scorer
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "qq ww ee rr")).toDF("doc_id", "text")
+    val ppl = ArpaLm.score(docs, m, order = 3)
+      .orderBy("doc_id").select("ppl").as[Double].collect()
+    assert(ppl(0) < ppl(1))
+  }
+
   test("layout-independent: identical model at 1 and 7 partitions") {
     val a = model.orderBy("order", "context", "word").collect()
     val b = ArpaLm.trainKneserNeyBigram(corpus.repartition(7))
