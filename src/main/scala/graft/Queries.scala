@@ -6118,7 +6118,12 @@ object Queries {
     * unrounded. MATERIALIZED where referenced repeatedly (the
     * re-evaluation gotcha).
     */
-  private def knModelCtes: String = {
+  /** The training corpus + framed-token CTE prefix shared by every
+    * Kneser–Ney oracle (bigram and trigram): one source of truth for
+    * the doc_id cutoff, the planted hapax docs, and the empty-token
+    * filter — editing the fixture in one place keeps every replay's
+    * corpus identical to the Spark side's. */
+  private def knTrainCtes: String = {
     val planted = knTrainDocs.map { case (id, tx) =>
       s"  (CAST($id AS BIGINT), '$tx')"
     }.mkString(",\n")
@@ -6126,7 +6131,11 @@ object Queries {
        |           UNION ALL SELECT * FROM (VALUES
        |$planted) kt(doc_id, text)),
        |tokm AS (SELECT doc_id, list_concat(list_concat(['<s>'],
-       |           list_filter($duckToks, x -> x != '')), ['</s>']) AS t FROM ktrain),
+       |           list_filter($duckToks, x -> x != '')), ['</s>']) AS t FROM ktrain)""".stripMargin
+  }
+
+  private def knModelCtes: String = {
+    s"""$knTrainCtes,
        |bgk AS (SELECT b.v AS v, b.w AS w FROM
        |  (SELECT unnest(list_transform(range(1, len(t)), i -> {'v': t[i], 'w': t[i+1]})) AS b FROM tokm)),
        |c2k AS MATERIALIZED (SELECT v, w, count(*) AS c FROM bgk GROUP BY v, w),
@@ -7517,11 +7526,7 @@ object Queries {
     // shortened context — every expression mirrors the Spark
     // association order
     "kn_train_trigram" ->
-      s"""WITH ktrain AS (SELECT doc_id, text FROM documents WHERE doc_id < 25
-         |           UNION ALL SELECT * FROM (VALUES
-         |${knTrainDocs.map { case (id, tx) => s"  (CAST($id AS BIGINT), '$tx')" }.mkString(",\n")}) kt(doc_id, text)),
-         |tokm AS (SELECT doc_id, list_concat(list_concat(['<s>'],
-         |           list_filter($duckToks, x -> x != '')), ['</s>']) AS t FROM ktrain),
+      s"""WITH $knTrainCtes,
          |c3 AS MATERIALIZED (SELECT g.ctx AS ctx, g.w AS w, count(*) AS c FROM
          |  (SELECT unnest(list_transform(range(3, len(t) + 1),
          |     i -> {'ctx': t[i-2] || ' ' || t[i-1], 'w': t[i]})) AS g FROM tokm)

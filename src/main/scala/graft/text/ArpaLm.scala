@@ -277,6 +277,10 @@ object ArpaLm {
         ((greatest(col("c").cast("double") - dk(k), lit(0.0))
           + lit(dk(k)) * col("n1v").cast("double") * col("pd"))
           / col("cv").cast("double")).as("pd"))
+      // middle levels feed BOTH their own emission and the next level's
+      // interpolation join — cache so the join chain doesn't re-execute
+      // per consumer (O(order²) re-evaluated shuffles at CCNet's order 5)
+      if (k < order) probs(k).cache()
     }
 
     // emission: each level's rows carry the NEXT level's bow for the
@@ -303,6 +307,7 @@ object ArpaLm {
     // count caches can be released with zero residue
     val model = levels.foldLeft(unigrams)(_ unionByName _).localCheckpoint(true)
     (2 to order).foreach(k => tables(k).unpersist())
+    (2 until order).foreach(k => probs(k).unpersist())
     t1.unpersist()
     model
   }
