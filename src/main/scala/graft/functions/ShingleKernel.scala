@@ -118,6 +118,54 @@ object ShingleKernel {
   }
 }
 
+/** text → the space-joined word n-GRAM STRINGS in document order
+  * (`array<string>`; empty when the document has fewer than n tokens) — the
+  * fused form of `transform(sequence(...), i -> concat_ws(' ',
+  * slice(split(lower(trim(text)), '\\s+'), i+1, n)))`. Tokenization and
+  * joining go through the SAME UTF8String operations the SQL chain
+  * compiles to (`trim` = strip U+0020 only, `lower` = UTF8String
+  * lowercasing, `split(_, -1)`, `concatWs`), so the gram strings are
+  * byte-identical to the HOF formulation's — but in ONE kernel pass
+  * instead of a five-expression tree re-walked per gram index.
+  */
+object WordNgrams {
+  private val WS = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def grams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.trim().toLowerCase().split(WS, -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val window = new Array[UTF8String](n)
+      System.arraycopy(toks, i, window, 0, n)
+      out(i) = UTF8String.concatWs(SPACE, window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** text → word n-gram strings (`array<string>`), the [[WordNgrams.grams]]
+  * kernel as an expression. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.grams(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordNgrams.grams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** text → ALL shingle hashes in document order, duplicates kept
   * (`array<long>`) — element i is the hash of the n-gram starting at
   * token i, which is what positional span-level operators (exact

@@ -2955,7 +2955,15 @@ object StreamingOps {
       if (!committed) {
         graft.io.HadoopIO.delete(s"$docsDir/batch=$batchId", conf)
         graft.io.HadoopIO.delete(s"$sketchDir/batch=$batchId", conf)
-        val sketchRows: Seq[(Option[String], Option[String], Long, Long, Long)] =
+        // ONE row per (batch, group) with the summary's (gram, count) pairs
+        // as aligned arrays — not one row per tracked gram. The summary is
+        // groups × m entries; a row-per-gram layout made the driver encode
+        // (and the read-side fold collect) pay Spark's per-row overhead m
+        // times per group per batch, which DOMINATED the sink at test scale
+        // and is pure waste at any scale (guide §2.3: move fewer, denser
+        // rows). Grams sort ascending so the file bytes are layout- and
+        // map-iteration-independent.
+        val sketchRows: Seq[(Option[String], Seq[String], Seq[Long], Long, Long)] =
           groupCol match {
             case None =>
               val docs = batch.select(col("doc_id"), col("text"))
@@ -2967,8 +2975,8 @@ object StreamingOps {
                   (a, b) => a.mergeIn(b, m),
                   (a, b) => a.mergeIn(b, m), depth = 2)
                 .toSummary
-              mg.counts.toSeq.map { case (g, c) => (None, Option(g), c, mg.err, mg.total) } :+
-                ((None: Option[String]), (None: Option[String]), 0L, mg.err, mg.total)
+              val sorted = mg.counts.toSeq.sortBy(_._1)
+              Seq((None, sorted.map(_._1), sorted.map(_._2), mg.err, mg.total))
             case Some(gc) =>
               val docs = batch.select(col("doc_id"),
                 col(gc).cast("string").as("grp"), col("text"))
@@ -2981,13 +2989,12 @@ object StreamingOps {
                   (a, b) => a.mergeIn(b, m),
                   (a, b) => a.mergeIn(b, m), depth = 2)
                 .toSummaries
-              mg.toSeq.flatMap { case (grp, s) =>
-                s.counts.toSeq.map { case (g, c) => (Option(grp), Option(g), c, s.err, s.total) } :+
-                  ((Option(grp), (None: Option[String]), 0L, s.err, s.total))
-              } :+
-                ((None: Option[String]), (None: Option[String]), 0L, 0L, 0L) // batch marker
+              mg.toSeq.sortBy(_._1).map { case (grp, s) =>
+                val sorted = s.counts.toSeq.sortBy(_._1)
+                (Option(grp), sorted.map(_._1), sorted.map(_._2), s.err, s.total)
+              }
           }
-        sketchRows.toDF("grp", "gram", "cnt", "err", "total")
+        sketchRows.toDF("grp", "grams", "cnts", "err", "total")
           .coalesce(1).write.parquet(s"$sketchDir/batch=$batchId")
         replaceBatchManifest(docsDir, s"batch=$batchId", conf)
         // sketch manifest LAST = the commit marker
@@ -3050,21 +3057,20 @@ object StreamingOps {
     */
   private def hhFoldSketches(spark: SparkSession, sketchDir: String,
       m: Int): Map[Option[String], graft.text.HeavyHitters.MgSummary] = {
+    // one row per (batch, group), counts as aligned arrays — each row is a
+    // self-contained summary (no separate meta row to cross-check)
     val perBatch = hhReadManifested(spark, sketchDir)
-      .select(col("batch").cast("string"), col("grp"), col("gram"),
-        col("cnt"), col("err"), col("total"))
+      .select(col("batch").cast("string"), col("grp"), col("grams"),
+        col("cnts"), col("err"), col("total"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (_, rows) =>
-        rows.groupBy(r => Option(r.getString(1))).flatMap { case (grp, rs) =>
-          rs.find(_.isNullAt(2)) match {
-            case Some(metaRow) => Some(grp -> graft.text.HeavyHitters.MgSummary(
-              rs.filterNot(_.isNullAt(2)).map(r => (r.getString(2), r.getLong(3))).toMap,
-              metaRow.getLong(4), metaRow.getLong(5)))
-            case None => throw new IllegalStateException(
-              s"sketch batch under $sketchDir lacks the meta row for group $grp")
-          }
-        }
+        rows.iterator.map { r =>
+          val grams = r.getSeq[String](2)
+          val cnts = r.getSeq[Long](3)
+          Option(r.getString(1)) -> graft.text.HeavyHitters.MgSummary(
+            grams.iterator.zip(cnts.iterator).toMap, r.getLong(4), r.getLong(5))
+        }.toMap
       }
     perBatch.foldLeft(Map.empty[Option[String], graft.text.HeavyHitters.MgSummary]) {
       (a, b) =>
@@ -3325,15 +3331,15 @@ object StreamingOps {
         s"no hh_meta sidecar under $indexDir — not a maintained heavy-hitter dir"))
     compactDeltaLog(spark, indexDir, "sketch", () => {
       val folded = hhFoldSketches(spark, s"$indexDir/sketch", m)
-      // every key writes its counts + meta row; ensure the None-key marker
-      // exists so a grouped dir's compacted batch still carries one
-      val keys = if (folded.contains(None)) folded
+      // an all-empty fold still writes one empty summary row so the
+      // compacted batch file is never schema-less
+      val keys = if (folded.nonEmpty) folded
         else folded + (None -> graft.text.HeavyHitters.MgSummary(Map.empty, 0L, 0L))
-      val rows = keys.toSeq.flatMap { case (grp, s) =>
-        s.counts.toSeq.map { case (g, c) => (grp, Option(g), c, s.err, s.total) } :+
-          ((grp, (None: Option[String]), 0L, s.err, s.total))
+      val rows = keys.toSeq.sortBy(_._1).map { case (grp, s) =>
+        val sorted = s.counts.toSeq.sortBy(_._1)
+        (grp, sorted.map(_._1), sorted.map(_._2), s.err, s.total)
       }
-      (tmp: String) => rows.toDF("grp", "gram", "cnt", "err", "total")
+      (tmp: String) => rows.toDF("grp", "grams", "cnts", "err", "total")
         .coalesce(1).write.parquet(s"$tmp/batch=compacted")
     })
   }

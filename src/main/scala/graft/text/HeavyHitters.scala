@@ -177,17 +177,17 @@ object HeavyHitters {
 
   /** The contiguous word n-grams of `textCol` as one exploded column
     * (`gram`, space-joined) — a narrow codegen projection, no shuffle.
-    * Tokens are materialized into their own projection FIRST: referencing
-    * `tokens(text)` directly inside the `transform` lambda would
-    * re-tokenize the document once per gram index (O(tokens²) per doc —
-    * measured 25× slower on the sf corpora).
+    * The gram assembly is the fused [[graft.functions.WordNgrams]] kernel
+    * (one tokenize + one join loop per document); the previous
+    * tokens-materialized HOF chain (`sequence` → `transform` →
+    * `concat_ws(slice)`) produced byte-identical grams but re-walked a
+    * five-expression tree per gram index — the kernel halves the gram
+    * stream's scan cost, which every sketch/recount pass here pays.
     */
   def ngrams(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
-    val t = col("__hh_tokens")
-    val idx = when(size(t) >= n, sequence(lit(0), size(t) - n))
-      .otherwise(array().cast("array<int>"))
-    docs.select(TextAnalysis.tokens(col(textCol)).as("__hh_tokens"))
-      .select(explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
+    val grams = graft.internal.SqlBridge.column(
+      graft.functions.WordNgrams(graft.internal.SqlBridge.expression(col(textCol)), n))
+    docs.select(explode(grams).as("gram"))
   }
 
   /** Exact top-k most frequent n-grams, (gram, n_count, rank) ranked by
@@ -218,16 +218,44 @@ object HeavyHitters {
     recountAndProve(docs, n, k, m, mg, textCol)
   }
 
+  /** Spark orders StringType by UTF-8 binary comparison (UTF8String), not
+    * by Java's UTF-16 `String` order — the two disagree on ties involving
+    * supplementary-plane vs U+E000..U+FFFF text. Driver-side rankings that
+    * must reproduce a `Window.orderBy(col)` tie-break use THIS comparator.
+    */
+  private def utf8Less(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** Top-k of an err == 0 summary, ranked by (count DESC, gram ASC) — the
+    * identical ranking the recount's `row_number` window produces. With a
+    * zero error bound the sketch never decremented and no merge truncated,
+    * so its counts are EXACT for tracked grams and every untracked gram has
+    * true count ≤ err = 0 (i.e. none exist): the top-k is provable from the
+    * m-bounded summary alone, and the whole recount pass over the corpus —
+    * candidate broadcast, second gram scan, count shuffle — is redundant
+    * work (guide §1.2: don't compute what is already proven). The recount
+    * path below stays the contract whenever err > 0.
+    */
+  private def exactFromSummary(s: MgSummary, k: Int): Seq[(String, Long, Int)] =
+    s.counts.toSeq
+      .sortWith((x, y) => x._2 > y._2 || (x._2 == y._2 && utf8Less(x._1, y._1)))
+      .take(k)
+      .zipWithIndex.map { case ((g, c), i) => (g, c, i + 1) }
+
   /** Exact recount of `mg`'s candidates over `docs` + the runtime proof —
     * the shared back half of [[ngramTopK]] and the streaming-maintained
     * form ([[graft.streaming.StreamingOps.heavyHittersTopK]], where the
     * sketch was accumulated across micro-batches; mergeability makes the
-    * combined summary carry the identical guarantee).
+    * combined summary carry the identical guarantee). When the summary's
+    * error bound is 0 the sketch itself is exact and the recount pass is
+    * skipped outright ([[exactFromSummary]]).
     */
   def recountAndProve(docs: DataFrame, n: Int, k: Int, m: Int, mg: MgSummary,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (mg.err == 0L) return exactFromSummary(mg, k).toDF("gram", "n_count", "rank")
     val cands = mg.counts.keys.toSeq.toDF("gram")
     // ≤ m rows survive the broadcast-candidate filter; the collect below is
     // ≤ k rows — bounded at any corpus size, and it releases the plan
@@ -325,17 +353,12 @@ object HeavyHitters {
     */
   def ngramsByGroup(docs: DataFrame, n: Int, groupCol: String,
       textCol: String = "text"): DataFrame = {
-    // tokens materialized first — see [[ngrams]] (inlining the tokenizer
-    // into the transform lambda re-tokenizes per gram index)
-    val t = col("__hh_tokens")
-    val idx = when(size(t) >= n, sequence(lit(0), size(t) - n))
-      .otherwise(array().cast("array<int>"))
+    val grams = graft.internal.SqlBridge.column(
+      graft.functions.WordNgrams(graft.internal.SqlBridge.expression(col(textCol)), n))
     docs
-      .select(col(groupCol).cast("string").as("grp"),
-        TextAnalysis.tokens(col(textCol)).as("__hh_tokens"))
+      .select(col(groupCol).cast("string").as("grp"), grams.as("__hh_grams"))
       .filter(col("grp").isNotNull)
-      .select(col("grp"),
-        explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))).as("gram"))
+      .select(col("grp"), explode(col("__hh_grams")).as("gram"))
   }
 
   def ngramTopKByGroup(docs: DataFrame, n: Int, k: Int, m: Int,
@@ -359,26 +382,41 @@ object HeavyHitters {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cands = mg.toSeq.flatMap { case (grp, s) => s.counts.keysIterator.map(g => (grp, g)) }
-      .toDF("grp", "gram")
-    val top = ngramsByGroup(docs, n, groupCol, textCol)
-      .join(broadcast(cands), Seq("grp", "gram"))
-      .groupBy("grp", "gram").agg(count(lit(1)).as("n_count"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("grp").orderBy(col("n_count").desc, col("gram"))))
-      .filter(col("rank") <= k)
-      .as[(String, String, Long, Int)].collect().toSeq
-    val byGrp = top.groupBy(_._1)
-    mg.foreach { case (grp, s) =>
-      val rows = byGrp.getOrElse(grp, Seq.empty)
-      if (rows.size < k) {
-        require(s.err == 0L,
-          s"top-$k not provable for group '$grp': only ${rows.size} candidates survive " +
-            s"and the error bound ${s.err} > 0 — raise m")
-      } else require(rows.map(_._3).min > s.err,
-        s"top-$k not provable for group '$grp': k-th exact count ${rows.map(_._3).min} " +
-          s"<= error bound ${s.err} (stream length ${s.total}, m=$m) — raise m")
+    // per-group split: an err == 0 group's sketch is already exact — its
+    // top-k resolves from the m-bounded summary with no corpus work
+    // ([[exactFromSummary]]); only err > 0 groups pay the recount, and the
+    // candidate broadcast shrinks to just their tracked grams. In the
+    // common bounded-key-space regime (per-group distinct grams ≤ m) the
+    // whole second pass disappears.
+    val (exactG, recountG) = mg.partition(_._2.err == 0L)
+    val exactRows = exactG.toSeq.flatMap { case (grp, s) =>
+      exactFromSummary(s, k).map { case (g, c, r) => (grp, g, c, r) }
     }
-    top.sortBy(r => (r._1, r._4)).toDF(groupCol, "gram", "n_count", "rank")
+    val recountRows: Seq[(String, String, Long, Int)] = if (recountG.isEmpty) Seq.empty else {
+      val cands = recountG.toSeq
+        .flatMap { case (grp, s) => s.counts.keysIterator.map(g => (grp, g)) }
+        .toDF("grp", "gram")
+      val top = ngramsByGroup(docs, n, groupCol, textCol)
+        .join(broadcast(cands), Seq("grp", "gram"))
+        .groupBy("grp", "gram").agg(count(lit(1)).as("n_count"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("grp").orderBy(col("n_count").desc, col("gram"))))
+        .filter(col("rank") <= k)
+        .as[(String, String, Long, Int)].collect().toSeq
+      val byGrp = top.groupBy(_._1)
+      recountG.foreach { case (grp, s) =>
+        val rows = byGrp.getOrElse(grp, Seq.empty)
+        if (rows.size < k) {
+          require(s.err == 0L,
+            s"top-$k not provable for group '$grp': only ${rows.size} candidates survive " +
+              s"and the error bound ${s.err} > 0 — raise m")
+        } else require(rows.map(_._3).min > s.err,
+          s"top-$k not provable for group '$grp': k-th exact count ${rows.map(_._3).min} " +
+            s"<= error bound ${s.err} (stream length ${s.total}, m=$m) — raise m")
+      }
+      top
+    }
+    (exactRows ++ recountRows)
+      .sortBy(r => (r._1, r._4)).toDF(groupCol, "gram", "n_count", "rank")
   }
 }

@@ -106,6 +106,81 @@ class HeavyHittersSpec extends SparkTestBase {
     got.groupBy(_._1).foreach { case (_, rows) => assert(rows.map(_._4) === (1 to 4)) }
   }
 
+  test("WordNgrams kernel is byte-identical to the HOF gram formulation") {
+    // adversarial shapes: leading/trailing tabs and newlines (SQL trim
+    // strips U+0020 ONLY, and split(_, -1) keeps the trailing empty token),
+    // multi-space runs, fewer tokens than n, empty and all-space strings,
+    // uppercase + non-ASCII case folding, and plain corpus-like text
+    val texts = Seq(
+      "the quick brown fox jumps",
+      "  leading and trailing  ",
+      "\tTAB lead and trail\t",
+      "one two",
+      "", "   ", "\t", "a",
+      "UPPER Case MiXeD words here",
+      "café Über straße tür here",
+      "multi   spacevt and\nnewline separated words",
+      "ends with newline\n",
+      "x y z w v u t s r q p"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val hof = {
+        val t = col("__t")
+        val idx = when(size(t) >= n, sequence(lit(0), size(t) - n)).otherwise(array().cast("array<int>"))
+        df.select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("__t"))
+          .select(col("doc_id"), posexplode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+          .select("doc_id", "pos", "col").as[(Long, Int, String)].collect().toSeq.sorted
+      }
+      val kernel = df.select(col("doc_id"), posexplode(graft.internal.SqlBridge.column(
+          graft.functions.WordNgrams(graft.internal.SqlBridge.expression(col("text")), n))))
+        .select("doc_id", "pos", "col").as[(Long, Int, String)].collect().toSeq.sorted
+      assert(kernel === hof, s"n=$n")
+    }
+  }
+
+  test("err > 0 recount path and err == 0 summary path agree with the exact count") {
+    // The err == 0 shortcut (top-k straight from the exact summary, no
+    // recount pass) and the err > 0 recount must both reproduce the plain
+    // count. Group "ga" is the adversarial merge-truncation stream (two
+    // partitions, 8 distinct grams each, merge truncates → err = 10 but the
+    // heavies' counts of 100 keep k = 3 provable); group "gb" has 2 distinct
+    // grams (err = 0, resolved driver-side). One grouped call exercises BOTH
+    // paths at once; the global call pins the err > 0 recount alone.
+    def doc(g: String) = s"$g $g $g" // one 3-gram per doc
+    val gaP1 = Seq.fill(50)(doc("h1")) ++ Seq.fill(50)(doc("h2")) ++ Seq.fill(50)(doc("h3")) ++
+      (1 to 5).flatMap(i => Seq.fill(10)(doc(s"a$i")))
+    val gaP2 = Seq.fill(50)(doc("h1")) ++ Seq.fill(50)(doc("h2")) ++ Seq.fill(50)(doc("h3")) ++
+      (1 to 5).flatMap(i => Seq.fill(10)(doc(s"b$i")))
+    val gbAll = Seq.fill(7)(doc("q1")) ++ Seq.fill(3)(doc("q2"))
+    val gaDocs = spark.sparkContext.parallelize(
+      (gaP1 ++ gaP2).zipWithIndex.map { case (t, i) => (i.toLong, "ga", t) }, 2)
+      .toDF("doc_id", "src", "text")
+    val docs = gaDocs.unionByName(
+      gbAll.zipWithIndex.map { case (t, i) => ((i + 5000).toLong, "gb", t) }
+        .toDF("doc_id", "src", "text"))
+
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.text.TextAnalysis.tokens(col("text"))
+      val idx = when(size(t) >= 3, sequence(lit(0), size(t) - 3)).otherwise(array().cast("array<int>"))
+      docs.select(col("src"), explode(transform(idx, i => concat_ws(" ", slice(t, i + 1, lit(3))))).as("gram"))
+        .groupBy("src", "gram").agg(count(lit(1)).as("c"))
+        .withColumn("rank", row_number().over(Window.partitionBy("src").orderBy(col("c").desc, col("gram"))))
+        .filter(col("rank") <= 3)
+        .as[(String, String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    }
+    val got = HeavyHitters.ngramTopKByGroup(docs, n = 3, k = 3, m = 8, groupCol = "src")
+      .as[(String, String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(got === plain)
+
+    // the global form over just ga: err = 10 > 0, still provable at k = 3 —
+    // the recount path, exact
+    val globalGot = HeavyHitters.ngramTopK(gaDocs.select("doc_id", "text"), n = 3, k = 3, m = 8)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(globalGot.map(r => (r._1, r._2)) === Seq(("h1 h1 h1", 100L), ("h2 h2 h2", 100L), ("h3 h3 h3", 100L)))
+  }
+
   test("ngramTopKByGroup proof failure names the offending group") {
     // src0: heavily skewed (provable); src1: near-uniform grams with tiny m
     val skew = (0 until 100).map(i => (i.toLong, "src0", "the quick brown fox"))
