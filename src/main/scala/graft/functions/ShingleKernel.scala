@@ -129,8 +129,10 @@ object ShingleKernel {
   * instead of a five-expression tree re-walked per gram index.
   */
 object WordNgrams {
-  private val WS = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
-  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private[functions] val WS_PATTERN = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+  private[functions] val SPACE_SEP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val WS = WS_PATTERN
+  private val SPACE = SPACE_SEP
 
   def grams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val toks = text.trim().toLowerCase().split(WS, -1)
@@ -146,6 +148,51 @@ object WordNgrams {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+object WordShingleSet {
+  /** DISTINCT word n-gram strings in first-occurrence order, with the
+    * short-doc rule (fewer than n tokens ⇒ the whole token list as one
+    * shingle) — the fused form of
+    * `array_distinct(when(size(t) < n, array(concat_ws(' ', t)))
+    * .otherwise(transform(..., concat_ws(' ', slice(...)))))`
+    * over the same UTF8String operations; byte-identical elements.
+    */
+  def shingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.trim().toLowerCase().split(WordNgrams.WS_PATTERN, -1)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (toks.length < n) {
+      out.add(UTF8String.concatWs(WordNgrams.SPACE_SEP, toks: _*))
+    } else {
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        val window = new Array[UTF8String](n)
+        System.arraycopy(toks, i, window, 0, n)
+        out.add(UTF8String.concatWs(WordNgrams.SPACE_SEP, window: _*))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+/** text → distinct word n-gram shingle strings (`array<string>`). */
+case class WordShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_set"
+
+  override def nullSafeEval(a: Any): Any =
+    WordShingleSet.shingles(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordShingleSet.shingles($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** text → word n-gram strings (`array<string>`), the [[WordNgrams.grams]]

@@ -1222,9 +1222,38 @@ object StreamingOps {
       .map(_.filter(col("op") === "upsert")
         .select(col("id"), col("cell").cast("int"), col("vector")))
       .getOrElse(ivfMaintainedState(spark, indexDir))
-    val perId = state
+    val typed = state
       .select(col("id").cast("long"), col("cell").cast("int"), col("vector").cast("array<float>"))
       .as[(Long, Int, Array[Float])]
+    // spill == 1 ⇒ the latest-wins view holds EXACTLY one stored cell row
+    // per live id (the sink's per-batch (id, version) dedupe assigns one
+    // vector, and the view dedupes re-emitted rows), so the per-id argmin
+    // needs no id-keyed regroup — one NARROW pass, the id shuffle the typed
+    // groupByKey below pays (its lambda key is opaque to the planner, so
+    // the view's window partitioning is never reused) disappears. At corpus
+    // scale that is a full pass over the index saved per drift gauge.
+    // spill > 1 keeps the grouped path: replicas must reconcile per id.
+    val perId = if (meta.spill == 1) {
+      typed.mapPartitions { rows =>
+        val cs = bc.value
+        val kernel = graft.core.DistKernel.best
+        rows.map { case (_, cell, v) =>
+          var best = 0
+          var bestDist = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val d = m match {
+              case graft.core.Distances.Euclidean => kernel.euclidean(v, cs(i))
+              case graft.core.Distances.Manhattan => kernel.manhattan(v, cs(i))
+              case _ => kernel.cosine(v, cs(i))
+            }
+            if (d < bestDist) { bestDist = d; best = i }
+            i += 1
+          }
+          (if (cell == best) 0L else 1L, bestDist)
+        }
+      }
+    } else typed
       .groupByKey(_._1)
       .mapGroups { (_, rows) =>
         val rs = rows.toArray // spill replicas: one row per stored cell

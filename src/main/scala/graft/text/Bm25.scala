@@ -193,9 +193,13 @@ object Bm25 {
     spark.read.parquet(s"$dir/postings")
       .select("doc_id", "dl").dropDuplicates("doc_id")
       .write.parquet(s"$dir/doclen")
-    val statsRow = docs
-      .agg(count(lit(1)).as("n"),
-        avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
+    // (n, avgdl) from the just-written doclen table — every tokenized doc
+    // has >= 1 posting row (split yields >= 1 token even for ""), so this
+    // is the same count and the same exact integer dl-sum the corpus
+    // re-tokenize computed, one full tokenize pass cheaper (the serving
+    // paths already re-derive stats from doclen this way)
+    val statsRow = spark.read.parquet(s"$dir/doclen")
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
       .head()
     Seq((statsRow.getLong(0), statsRow.getDouble(1), nBuckets, withPositions))
       .toDF("n", "avgdl", "n_buckets", "positions")

@@ -1020,9 +1020,14 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // fused kernel: tokenize + shingle + distinct in one loop per document
+    // (byte-identical to the [[shingleStrings]] HOF chain, which re-walked
+    // its expression tree per shingle index); the gram stream is evaluated
+    // on BOTH sides of the self-join below, so the kernel pays off twice
     val grams = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(shingleStrings(col("__toks"), n)).as("g"))
+      .select(col(idCol).as("doc_id"),
+        explode(SqlBridge.column(graft.functions.WordShingleSet(
+          SqlBridge.expression(col(textCol)), n))).as("g"))
     // per (doc, g) already distinct, so count(*) = docs containing g
     val docFreq = grams.groupBy("g").agg(count(lit(1)).as("docs_with"))
     grams.join(docFreq, Seq("g"))

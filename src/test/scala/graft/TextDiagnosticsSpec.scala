@@ -45,6 +45,26 @@ class TextDiagnosticsSpec extends SparkTestBase {
     assert(out(4L) == ((4L, 3L, 0.75)))
   }
 
+  test("WordShingleSet kernel is byte-identical to the shingleStrings HOF chain") {
+    val texts = Seq(
+      "the quick brown fox jumps the quick brown fox",
+      "repeat repeat repeat repeat",
+      "one two", "", "   ", "\tTAB lead\t", "a",
+      "café Über straße tür café Über straße tür",
+      "ends with newline\n", "x  double  spaces  x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val hof = df
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), posexplode(TextAnalysis.shingleStrings(col("__toks"), n)))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      val kernel = df.select(col("doc_id"), posexplode(graft.internal.SqlBridge.column(
+          graft.functions.WordShingleSet(graft.internal.SqlBridge.expression(col("text")), n))))
+        .as[(Long, Int, String)].collect().toSeq.sorted
+      assert(kernel === hof, s"n=$n")
+    }
+  }
+
   test("docNovelty: short docs fall back to the whole-text shingle") {
     val d = Seq((1L, "hi there"), (2L, "hi there"), (3L, "bye")).toDF("doc_id", "text")
     val out = TextAnalysis.docNovelty(d, n = 3).orderBy("doc_id").collect()
