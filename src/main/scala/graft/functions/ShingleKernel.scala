@@ -129,21 +129,32 @@ object ShingleKernel {
   * instead of a five-expression tree re-walked per gram index.
   */
 object WordNgrams {
-  private[functions] val WS_PATTERN = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
-  private[functions] val SPACE_SEP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-  private val WS = WS_PATTERN
-  private val SPACE = SPACE_SEP
+  private val WS = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** The SQL-parity tokenization both gram kernels share: UTF8String
+    * `trim` (strips U+0020 only) → `toLowerCase` → `split("\\s+", -1)` —
+    * the exact operations `split(lower(trim(text)), "\\s+")` evaluates.
+    */
+  private[functions] def sqlTokens(text: UTF8String): Array[UTF8String] =
+    text.trim().toLowerCase().split(WS, -1)
+
+  /** The space-joined window [i, i+n) of `toks` — `concat_ws(" ", ...)`'s
+    * own join. */
+  private[functions] def joinWindow(toks: Array[UTF8String], i: Int, n: Int): UTF8String = {
+    val window = new Array[UTF8String](n)
+    System.arraycopy(toks, i, window, 0, n)
+    UTF8String.concatWs(SPACE, window: _*)
+  }
 
   def grams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val toks = text.trim().toLowerCase().split(WS, -1)
+    val toks = sqlTokens(text)
     if (toks.length < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val out = new Array[Any](toks.length - n + 1)
     var i = 0
     while (i < out.length) {
-      val window = new Array[UTF8String](n)
-      System.arraycopy(toks, i, window, 0, n)
-      out(i) = UTF8String.concatWs(SPACE, window: _*)
+      out(i) = joinWindow(toks, i, n)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -159,17 +170,15 @@ object WordShingleSet {
     * over the same UTF8String operations; byte-identical elements.
     */
   def shingles(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val toks = text.trim().toLowerCase().split(WordNgrams.WS_PATTERN, -1)
+    val toks = WordNgrams.sqlTokens(text)
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.length < n) {
-      out.add(UTF8String.concatWs(WordNgrams.SPACE_SEP, toks: _*))
+      out.add(WordNgrams.joinWindow(toks, 0, toks.length))
     } else {
       var i = 0
       val last = toks.length - n
       while (i <= last) {
-        val window = new Array[UTF8String](n)
-        System.arraycopy(toks, i, window, 0, n)
-        out.add(UTF8String.concatWs(WordNgrams.SPACE_SEP, window: _*))
+        out.add(WordNgrams.joinWindow(toks, i, n))
         i += 1
       }
     }

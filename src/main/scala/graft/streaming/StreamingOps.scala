@@ -1188,8 +1188,10 @@ object StreamingOps {
     * centroids no longer fit the mutated corpus (the sink assigns against
     * fixed centroids by design; re-training is an explicit operation,
     * like the reference's separate re-partition path). One distributed
-    * pass over the maintained view (centroids broadcast) + one id-keyed
-    * shuffle to reconcile spill replicas. Returns 0.0 for an empty view.
+    * pass over the maintained view (centroids broadcast); at spill > 1 it
+    * adds one id-keyed shuffle to reconcile the spill replicas — at the
+    * default spill = 1 the view holds one row per live id and the pass is
+    * fully narrow. Returns 0.0 for an empty view.
     */
   def ivfMaintainedDrift(spark: SparkSession, indexDir: String): Double = {
     val (drifted, _, n) = ivfMaintainedQuantStats(spark, indexDir, "drift-measured")
@@ -2918,7 +2920,7 @@ object StreamingOps {
     * hitters across micro-batches ([[graft.text.HeavyHitters]] online).
     * The Misra–Gries summary is MERGEABLE by construction (Agarwal et al.
     * 2013), so each batch pays only its own sketch — one m-counter pass
-    * over the batch's grams, written as an (m+1)-row parquet batch
+    * over the batch's grams, written as a groups-row parquet batch
     * directory — plus an O(batch) append of the batch's documents to the
     * manifested corpus table the exact recount reads at query time. Per
     * batch: O(batch) bytes, no state store, executor memory bounded at m
@@ -2939,10 +2941,12 @@ object StreamingOps {
   /** Shared scaffold of the global and grouped heavy-hitter sinks: meta
     * guard, manifest seeding, the committed-by-batch-id replay check, and
     * the write-docs-then-sketch-then-manifests commit protocol. `groupCol`
-    * selects the keyed form. The sketch schema is unified — (grp, gram,
-    * cnt, err, total) with grp null for the global form and for the
-    * per-batch marker row the grouped form writes (so empty batches still
-    * commit); per-(grp) meta rows have gram null and carry (err, total).
+    * selects the keyed form. The sketch schema is unified — ONE row per
+    * (batch, group): (grp, grams, cnts, err, total) with grams/cnts as
+    * aligned gram-sorted arrays and grp null for the global form (which
+    * always writes its one summary row, even when empty); a grouped batch
+    * with no groups commits an empty file (the manifest entry is the
+    * commit marker, not the rows).
     */
   private def heavyHittersSinkImpl(
       spark: SparkSession,
@@ -2961,6 +2965,11 @@ object StreamingOps {
         requireCommittedManifests("heavy-hitter", indexDir,
           Seq(s"$indexDir/sketch", s"$indexDir/docs"),
           "compactHeavyHitters", hconf)
+        // refuse to append array-format batches into a pre-upgrade
+        // row-per-gram sketch log — a mixed-format dir would be unreadable
+        if (graft.io.Manifest.read(s"$indexDir/sketch", hconf).exists(_.nonEmpty))
+          requireArraySketchFormat(
+            hhReadManifested(spark, s"$indexDir/sketch"), s"$indexDir/sketch")
       case None =>
         // fresh init: seed both manifests, meta LAST as the commit marker
         seedDeltaManifests(Seq(s"$indexDir/sketch", s"$indexDir/docs"), hconf)
@@ -3079,6 +3088,20 @@ object StreamingOps {
     spark.read.option("basePath", dir).parquet(files: _*)
   }
 
+  /** Fail-loud format guard: the sketch sidecar moved from one row per
+    * (grp, gram) — columns (grp, gram, cnt, err, total) — to one row per
+    * (batch, group) with (grams, cnts) ARRAYS. Silently reading an
+    * old-format (or mixed) dir would either AnalysisException on a random
+    * file's schema or NPE on null arrays; refuse with the migration path
+    * instead. ([[heavyHittersSinkImpl]] applies the same guard before
+    * appending, so a mixed-format dir can never be created.)
+    */
+  private def requireArraySketchFormat(df: DataFrame, sketchDir: String): Unit =
+    require(df.columns.contains("grams") && !df.columns.contains("gram"),
+      s"heavy-hitter sketch log at $sketchDir uses the pre-upgrade row-per-gram " +
+        "layout — compact it with the release that wrote it (compactHeavyHitters), " +
+        "or rebuild the directory; reading it with this release would mis-parse the fold")
+
   /** Per-batch summaries keyed by group (the global form lives under the
     * None key), folded across batches — batches × groups × m rows on the
     * driver, bounded by sketch size and fold cadence, never corpus size.
@@ -3088,7 +3111,9 @@ object StreamingOps {
       m: Int): Map[Option[String], graft.text.HeavyHitters.MgSummary] = {
     // one row per (batch, group), counts as aligned arrays — each row is a
     // self-contained summary (no separate meta row to cross-check)
-    val perBatch = hhReadManifested(spark, sketchDir)
+    val raw = hhReadManifested(spark, sketchDir)
+    requireArraySketchFormat(raw, sketchDir)
+    val perBatch = raw
       .select(col("batch").cast("string"), col("grp"), col("grams"),
         col("cnts"), col("err"), col("total"))
       .collect()

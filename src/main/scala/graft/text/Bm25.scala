@@ -193,15 +193,20 @@ object Bm25 {
     spark.read.parquet(s"$dir/postings")
       .select("doc_id", "dl").dropDuplicates("doc_id")
       .write.parquet(s"$dir/doclen")
-    // (n, avgdl) from the just-written doclen table — every tokenized doc
-    // has >= 1 posting row (split yields >= 1 token even for ""), so this
-    // is the same count and the same exact integer dl-sum the corpus
-    // re-tokenize computed, one full tokenize pass cheaper (the serving
-    // paths already re-derive stats from doclen this way)
-    val statsRow = spark.read.parquet(s"$dir/doclen")
-      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-      .head()
-    Seq((statsRow.getLong(0), statsRow.getDouble(1), nBuckets, withPositions))
+    // avgdl from the just-written doclen table: every tokenized doc has
+    // >= 1 posting row (split yields >= 1 token even for ""), null-text
+    // docs are absent here exactly as `avg` skipped their null size, and
+    // dl sums are integers (< 2^53 — exact in doubles, order-free), so
+    // this is the same mean the corpus re-tokenize computed, one full
+    // tokenize pass cheaper. n stays a count over `docs` itself (a narrow
+    // count, no tokenize) so a null-text row still counts toward n exactly
+    // as before. Corpora with duplicate doc_ids are outside the index
+    // contract (postings/doclen collapse them); their avgdl weighting
+    // differs from the live search's row-weighted mean.
+    val n = docs.count()
+    val avgdl = spark.read.parquet(s"$dir/doclen")
+      .agg(avg(col("dl")).as("avgdl")).head().getDouble(0)
+    Seq((n, avgdl, nBuckets, withPositions))
       .toDF("n", "avgdl", "n_buckets", "positions")
       .coalesce(1).write.parquet(s"$dir/stats")
   }

@@ -249,7 +249,10 @@ object HeavyHitters {
     * sketch was accumulated across micro-batches; mergeability makes the
     * combined summary carry the identical guarantee). When the summary's
     * error bound is 0 the sketch itself is exact and the recount pass is
-    * skipped outright ([[exactFromSummary]]).
+    * skipped outright ([[exactFromSummary]]) — `docs` is then not scanned
+    * at all, so `mg` MUST be a summary of exactly the gram stream `docs`
+    * yields (which is every in-contract use: the exactness guarantee is
+    * only meaningful for the corpus the sketch consumed).
     */
   def recountAndProve(docs: DataFrame, n: Int, k: Int, m: Int, mg: MgSummary,
       textCol: String = "text"): DataFrame = {
